@@ -1,13 +1,401 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Indicators, Merge, Quality, Summary}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with DuckDB oracle SQL for every SQL-expressible one.
+  *
+  * Determinism rules applied uniformly (so Spark parquet output and the
+  * DuckDB oracle hash-match value-for-value):
+  *  - the `stocks` derivation uses only order-independent aggregates
+  *    (see [[Tables]]);
+  *  - every non-exact float output (window averages, stddevs, ratios of
+  *    aggregates) is rounded on BOTH sides, absorbing engine-order ulp
+  *    differences. Precision rule: rolling means of 2-decimal prices
+  *    have exact finite-decimal true values (sum × 1/n, n with only
+  *    factors 2 and 5), so they are rounded at ≥ their true decimal
+  *    width (6) — rounding below it (e.g. 2) would place the true value
+  *    exactly on a rounding boundary where engine ulp-noise flips the
+  *    digit. Irrational-valued outputs (stddev, RSI, returns) round at
+  *    4, where noise ≪ boundary spacing;
+  *  - every query ends in a total ORDER BY over discrete columns
+  *    (symbol/date/ids), never over computed floats;
+  *  - counts/sums of integers are exact; oracle sums are cast to BIGINT
+  *    to match Spark's long (DuckDB SUM(BIGINT) is HUGEINT otherwise).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val cutoff98 = to_date(lit("1998-01-01"))
+  private val cutoffMid98 = to_date(lit("1998-07-01"))
+  private val cutoff99 = to_date(lit("1999-01-01"))
+
+  /** Flagship query (driver smoke-checks rows>0 on sf0.001): the full E2
+    * indicator battery over the derived stocks table — S3 scan, symbol
+    * partition windows W1–W12, EWM family W4–W7.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Indicators.withAllIndicators(Tables.stocks(spark, "/root/testdata/sf0.001"))
+
+  private def stocks(s: SparkSession, dir: String): DataFrame = Tables.stocks(s, dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- core relation (S1/S5/P10/P11: derive + normalize the OHLCV table)
+    "stocks_derive" -> ((s, d) => stocks(s, d).orderBy("symbol", "date")),
+
+    // ---- scans / projections / filters (S3/S4, P1-P4, O1)
+    "scan_project_filter" -> ((s, d) =>
+      stocks(s, d)
+        .filter(col("symbol") === "AF" && col("date") >= cutoff98)
+        .select("date", "open", "high", "low", "close", "volume")
+        .orderBy("date")),
+    "filter_between" -> ((s, d) =>
+      stocks(s, d)
+        .filter(col("symbol") === "NO" &&
+          col("date").between(to_date(lit("1997-03-01")), to_date(lit("1997-09-30"))))
+        .orderBy("date")),
+    "filter_in" -> ((s, d) =>
+      stocks(s, d)
+        .filter(col("symbol").isin("AF", "NO", "RF") && col("volume") > 150 &&
+          col("adj_close").isNotNull)
+        .orderBy("symbol", "date")),
+
+    // ---- aggregates (A1-A3, I1)
+    "distinct_symbols" -> ((s, d) =>
+      stocks(s, d).select("symbol").distinct().orderBy("symbol")),
+    "watermark_maxdate" -> ((s, d) => Merge.watermarks(stocks(s, d))),
+    "last_close" -> ((s, d) =>
+      stocks(s, d).groupBy("symbol")
+        .agg(max_by(col("close"), col("date")).as("last_close"))
+        .orderBy("symbol")),
+
+    // ---- windows (W1-W3, W8-W13, W15)
+    "sma" -> ((s, d) =>
+      stocks(s, d)
+        .withColumn("sma_5", round(Indicators.sma(5), 6))
+        .withColumn("sma_20", round(Indicators.sma(20), 6))
+        .withColumn("sma_50", round(Indicators.sma(50), 6))
+        .select("symbol", "date", "close", "sma_5", "sma_20", "sma_50")
+        .orderBy("symbol", "date")),
+    "ma_gated" -> ((s, d) =>
+      stocks(s, d)
+        .withColumn("ma_50", round(Indicators.maGated(50), 6))
+        .withColumn("ma_200", round(Indicators.maGated(200), 6))
+        .select("symbol", "date", "close", "ma_50", "ma_200")
+        .orderBy("symbol", "date")),
+    "volume_ma" -> ((s, d) =>
+      stocks(s, d)
+        .withColumn("volume_ma_20", round(Indicators.volumeMa(20), 6))
+        .select("symbol", "date", "volume", "volume_ma_20")
+        .orderBy("symbol", "date")),
+    "bollinger" -> ((s, d) => {
+      val bb = Indicators.bollinger(20)
+      stocks(s, d)
+        .withColumn("bb_middle", round(bb(0)._2, 4))
+        .withColumn("bb_upper", round(bb(1)._2, 4))
+        .withColumn("bb_lower", round(bb(2)._2, 4))
+        .select("symbol", "date", "close", "bb_middle", "bb_upper", "bb_lower")
+        .orderBy("symbol", "date")
+    }),
+    "lag_diff" -> ((s, d) =>
+      stocks(s, d)
+        .withColumn("close_diff", Indicators.diff)
+        .select("symbol", "date", "close", "close_diff")
+        .orderBy("symbol", "date")),
+    "daily_return" -> ((s, d) =>
+      stocks(s, d)
+        .withColumn("daily_return", round(Indicators.dailyReturn, 4))
+        .select("symbol", "date", "close", "daily_return")
+        .orderBy("symbol", "date")),
+    "volatility" -> ((s, d) =>
+      stocks(s, d)
+        .withColumn("dr", Indicators.dailyReturn)
+        .withColumn("volatility_30d", round(Indicators.volatility(30, col("dr")), 4))
+        .select("symbol", "date", "volatility_30d")
+        .orderBy("symbol", "date")),
+    "rsi" -> ((s, d) =>
+      stocks(s, d)
+        .withColumn("rsi", round(Indicators.rsi(14), 4))
+        .select("symbol", "date", "rsi")
+        .orderBy("symbol", "date")),
+    "normalize_base100" -> ((s, d) =>
+      stocks(s, d)
+        .withColumn("norm_close", round(Indicators.normalizeBase100, 4))
+        .select("symbol", "date", "norm_close")
+        .orderBy("symbol", "date")),
+    "threshold_classify" -> ((s, d) => {
+      val r = round(Indicators.rsi(14), 4)
+      stocks(s, d)
+        .withColumn("rsi", r)
+        .withColumn("signal", Indicators.rsiSignal(col("rsi")))
+        .select("symbol", "date", "rsi", "signal")
+        .orderBy("symbol", "date")
+    }),
+
+    // ---- EWM family (W4-W7; custom AggregateWindowFunction, no SQL
+    // oracle — covered by pandas-parity unit specs)
+    "ema_macd" -> ((s, d) =>
+      Indicators.withEmaMacd(stocks(s, d))
+        .select("symbol", "date", "close", "ema_12", "ema_26", "macd",
+          "macd_signal", "macd_histogram")
+        .orderBy("symbol", "date")),
+
+    // ---- data quality (Q1-Q5)
+    "quality_flags" -> ((s, d) =>
+      Quality.withVerdict(stocks(s, d))
+        .withColumn("issues", concat_ws(",", col("errors")))
+        .select("symbol", "date", "is_valid", "issues")
+        .orderBy("symbol", "date")),
+    "quality_rejects" -> ((s, d) =>
+      Quality.rejects(stocks(s, d))
+        .withColumn("issues", concat_ws(",", col("errors")))
+        .select("symbol", "date", "open", "close", "issues")
+        .orderBy("symbol", "date")),
+    "quality_histogram" -> ((s, d) =>
+      Quality.withVerdict(stocks(s, d))
+        .select(explode(col("errors")).as("issue"))
+        .groupBy("issue").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("issue"))),
+    "quality_success_rate" -> ((s, d) => Quality.successRate(stocks(s, d))),
+
+    // ---- merge / upsert (J1/J2, I3)
+    "merge_upsert" -> ((s, d) => {
+      val target = stocks(s, d)
+      val updates = target.filter(col("date") >= cutoffMid98)
+        .withColumn("open", col("open") * 1.02)
+        .withColumn("close", col("close") * 1.02)
+      Merge.upsert(target, updates).orderBy("symbol", "date")
+    }),
+    "merge_first_wins" -> ((s, d) => {
+      val target = stocks(s, d).filter(col("date") < cutoff99)
+      val inserts = stocks(s, d)
+        .withColumn("open", col("open") * 1.05)
+        .withColumn("close", col("close") * 1.05)
+      Merge.insertIgnore(target, inserts).orderBy("symbol", "date")
+    }),
+    "incremental_after_watermark" -> ((s, d) => {
+      val target = stocks(s, d).filter(col("date") < cutoff98)
+      Merge.incremental(stocks(s, d), Merge.watermarks(target))
+        .orderBy("symbol", "date")
+    }),
+    "continuity_check" -> ((s, d) => {
+      val oldB = stocks(s, d).filter(col("date") < cutoff98)
+      val newB = stocks(s, d).filter(col("date") >= cutoff98)
+        .withColumn("open", col("open") * 0.3)
+      Quality.continuity(oldB, newB)
+    }),
+
+    // ---- summary (A4-A10)
+    "perf_summary" -> ((s, d) => Summary.performance(stocks(s, d))),
+
+    // ---- comparison pivot (J3)
+    "compare_pivot" -> ((s, d) =>
+      stocks(s, d)
+        .withColumn("norm", round(Indicators.normalizeBase100, 4))
+        .groupBy("date").pivot("symbol", Tables.symbols).agg(max(col("norm")))
+        .orderBy("date")))
+
+  private val S = Tables.stocksCte
+
+  def oracleSql: Map[String, String] = Map(
+    "stocks_derive" -> s"$S SELECT * FROM stocks ORDER BY symbol, date",
+    "scan_project_filter" ->
+      s"""$S SELECT date, open, high, low, close, volume FROM stocks
+         | WHERE symbol = 'AF' AND date >= DATE '1998-01-01' ORDER BY date""".stripMargin,
+    "filter_between" ->
+      s"""$S SELECT * FROM stocks WHERE symbol = 'NO'
+         | AND date BETWEEN DATE '1997-03-01' AND DATE '1997-09-30' ORDER BY date""".stripMargin,
+    "filter_in" ->
+      s"""$S SELECT * FROM stocks WHERE symbol IN ('AF','NO','RF') AND volume > 150
+         | AND adj_close IS NOT NULL ORDER BY symbol, date""".stripMargin,
+    "distinct_symbols" -> s"$S SELECT DISTINCT symbol FROM stocks ORDER BY symbol",
+    "watermark_maxdate" ->
+      s"$S SELECT symbol, max(date) AS last_date FROM stocks GROUP BY symbol ORDER BY symbol",
+    "last_close" ->
+      s"""$S SELECT s.symbol, s.close AS last_close FROM stocks s
+         | JOIN (SELECT symbol, max(date) AS d FROM stocks GROUP BY symbol) m
+         |   ON s.symbol = m.symbol AND s.date = m.d ORDER BY s.symbol""".stripMargin,
+    "sma" ->
+      s"""$S SELECT symbol, date, close,
+         | round(avg(close) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS sma_5,
+         | round(avg(close) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS sma_20,
+         | round(avg(close) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 6) AS sma_50
+         | FROM stocks ORDER BY symbol, date""".stripMargin,
+    "ma_gated" ->
+      s"""$S SELECT symbol, date, close,
+         | CASE WHEN count(*) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) = 50
+         |      THEN round(avg(close) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 6) END AS ma_50,
+         | CASE WHEN count(*) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN 199 PRECEDING AND CURRENT ROW) = 200
+         |      THEN round(avg(close) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN 199 PRECEDING AND CURRENT ROW), 6) END AS ma_200
+         | FROM stocks ORDER BY symbol, date""".stripMargin,
+    "volume_ma" ->
+      s"""$S SELECT symbol, date, volume,
+         | round(avg(volume) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS volume_ma_20
+         | FROM stocks ORDER BY symbol, date""".stripMargin,
+    "bollinger" ->
+      s"""$S SELECT symbol, date, close,
+         | round(mid, 4) AS bb_middle,
+         | round(mid + 2.0 * sd, 4) AS bb_upper,
+         | round(mid - 2.0 * sd, 4) AS bb_lower
+         | FROM (SELECT symbol, date, close,
+         |   CASE WHEN count(*) OVER w = 20 THEN avg(close) OVER w END AS mid,
+         |   CASE WHEN count(*) OVER w = 20 THEN stddev_samp(close) OVER w END AS sd
+         |   FROM stocks
+         |   WINDOW w AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         | ORDER BY symbol, date""".stripMargin,
+    "lag_diff" ->
+      s"""$S SELECT symbol, date, close,
+         | close - lag(close, 1) OVER (PARTITION BY symbol ORDER BY date) AS close_diff
+         | FROM stocks ORDER BY symbol, date""".stripMargin,
+    "daily_return" ->
+      s"""$S SELECT symbol, date, close,
+         | round((close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date) - 1.0) * 100.0, 4) AS daily_return
+         | FROM stocks ORDER BY symbol, date""".stripMargin,
+    "volatility" ->
+      s"""$S SELECT symbol, date,
+         | CASE WHEN count(dr) OVER w = 30 THEN round(stddev_samp(dr) OVER w, 4) END AS volatility_30d
+         | FROM (SELECT symbol, date,
+         |   (close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date) - 1.0) * 100.0 AS dr
+         |   FROM stocks)
+         | WINDOW w AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+         | ORDER BY symbol, date""".stripMargin,
+    "rsi" -> rsiOracle,
+    "normalize_base100" ->
+      s"""$S SELECT symbol, date,
+         | round(close / first_value(close) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0, 4) AS norm_close
+         | FROM stocks ORDER BY symbol, date""".stripMargin,
+    "threshold_classify" ->
+      s"""WITH r AS ($rsiOracle)
+         | SELECT symbol, date, rsi,
+         |   CASE WHEN rsi > 70 THEN 'Overbought'
+         |        WHEN rsi < 30 THEN 'Oversold'
+         |        ELSE 'Neutral' END AS signal
+         | FROM r ORDER BY symbol, date""".stripMargin,
+    "quality_flags" ->
+      s"""$S SELECT symbol, date, $qualityIssuesSql = '' AS is_valid,
+         | $qualityIssuesSql AS issues FROM stocks ORDER BY symbol, date""".stripMargin,
+    "quality_rejects" ->
+      s"""$S SELECT symbol, date, open, close, $qualityIssuesSql AS issues
+         | FROM stocks WHERE $qualityIssuesSql <> '' ORDER BY symbol, date""".stripMargin,
+    "quality_histogram" ->
+      s"""$S SELECT issue, n FROM (
+         |   SELECT 'invalid_open' AS issue, count(*) AS n FROM stocks WHERE open <= 0
+         |   UNION ALL SELECT 'invalid_high', count(*) FROM stocks WHERE high <= 0
+         |   UNION ALL SELECT 'invalid_low', count(*) FROM stocks WHERE low <= 0
+         |   UNION ALL SELECT 'invalid_close', count(*) FROM stocks WHERE close <= 0
+         |   UNION ALL SELECT 'negative_volume', count(*) FROM stocks WHERE volume < 0
+         |   UNION ALL SELECT 'high_lt_low', count(*) FROM stocks WHERE high < low
+         |   UNION ALL SELECT 'high_lt_open_close', count(*) FROM stocks WHERE high < greatest(open, close)
+         |   UNION ALL SELECT 'low_gt_open_close', count(*) FROM stocks WHERE low > least(open, close)
+         |   UNION ALL SELECT 'extreme_swing', count(*) FROM stocks WHERE abs(close - open) / open > 0.5
+         |   UNION ALL SELECT 'zero_volume_major', count(*) FROM stocks WHERE volume = 0 AND symbol IN ('AAPL','GOOGL','MSFT','AMZN','TSLA')
+         | ) WHERE n > 0 ORDER BY n DESC, issue""".stripMargin,
+    "quality_success_rate" ->
+      s"""$S SELECT symbol,
+         | CAST(sum(CASE WHEN $qualityIssuesSql = '' THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows,
+         | count(*) AS total_rows,
+         | round(sum(CASE WHEN $qualityIssuesSql = '' THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS success_rate_pct
+         | FROM stocks GROUP BY symbol ORDER BY symbol""".stripMargin,
+    "merge_upsert" ->
+      s"""$S SELECT symbol, date,
+         | CASE WHEN date >= DATE '1998-07-01' THEN open * 1.02 ELSE open END AS open,
+         | high, low,
+         | CASE WHEN date >= DATE '1998-07-01' THEN close * 1.02 ELSE close END AS close,
+         | adj_close, volume FROM stocks ORDER BY symbol, date""".stripMargin,
+    "merge_first_wins" ->
+      s"""$S SELECT symbol, date,
+         | CASE WHEN date < DATE '1999-01-01' THEN open ELSE open * 1.05 END AS open,
+         | high, low,
+         | CASE WHEN date < DATE '1999-01-01' THEN close ELSE close * 1.05 END AS close,
+         | adj_close, volume FROM stocks ORDER BY symbol, date""".stripMargin,
+    "incremental_after_watermark" ->
+      s"""$S SELECT * FROM stocks WHERE date >= DATE '1998-01-01' ORDER BY symbol, date""".stripMargin,
+    "continuity_check" ->
+      s"""$S, lastold AS (
+         |   SELECT s.symbol, s.close AS last_close FROM stocks s
+         |   JOIN (SELECT symbol, max(date) AS d FROM stocks WHERE date < DATE '1998-01-01' GROUP BY symbol) m
+         |     ON s.symbol = m.symbol AND s.date = m.d),
+         | firstnew AS (
+         |   SELECT s.symbol, s.open * 0.3 AS first_open FROM stocks s
+         |   JOIN (SELECT symbol, min(date) AS d FROM stocks WHERE date >= DATE '1998-01-01' GROUP BY symbol) m
+         |     ON s.symbol = m.symbol AND s.date = m.d)
+         | SELECT o.symbol, o.last_close, n.first_open,
+         |   round(n.first_open / o.last_close, 4) AS ratio,
+         |   CASE WHEN round(n.first_open / o.last_close, 4) < 0.5
+         |          OR round(n.first_open / o.last_close, 4) > 2.0
+         |        THEN 'discontinuity' ELSE 'ok' END AS flag
+         | FROM lastold o JOIN firstnew n ON o.symbol = n.symbol ORDER BY o.symbol""".stripMargin,
+    "perf_summary" ->
+      s"""$S, ret AS (
+         |   SELECT symbol, date, close, high, low, volume,
+         |     (close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date) - 1.0) * 100.0 AS dr
+         |   FROM stocks)
+         | SELECT symbol,
+         |   count(*) AS trading_days,
+         |   max(high) AS period_high,
+         |   min(low) AS period_low,
+         |   min_by(close, date) AS first_close,
+         |   max_by(close, date) AS last_close,
+         |   round(avg(dr), 4) AS avg_daily_return,
+         |   round(stddev_samp(dr), 4) AS return_volatility,
+         |   max(volume) AS max_volume,
+         |   round((max_by(close, date) - min_by(close, date)) / min_by(close, date) * 100.0, 4) AS total_return_pct,
+         |   CASE WHEN stddev_samp(dr) > 0 THEN round(avg(dr) / stddev_samp(dr), 4) END AS sharpe
+         | FROM ret GROUP BY symbol ORDER BY symbol""".stripMargin,
+    "compare_pivot" ->
+      s"""$S, norm AS (
+         |   SELECT date, symbol,
+         |     round(close / first_value(close) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0, 4) AS n
+         |   FROM stocks)
+         | SELECT date,
+         |   max(CASE WHEN symbol = 'AF' THEN n END) AS "AF",
+         |   max(CASE WHEN symbol = 'AO' THEN n END) AS "AO",
+         |   max(CASE WHEN symbol = 'NF' THEN n END) AS "NF",
+         |   max(CASE WHEN symbol = 'NO' THEN n END) AS "NO",
+         |   max(CASE WHEN symbol = 'RF' THEN n END) AS "RF",
+         |   max(CASE WHEN symbol = 'RO' THEN n END) AS "RO"
+         | FROM norm GROUP BY date ORDER BY date""".stripMargin)
+
+  /** RSI(14) oracle — mirrors Indicators.rsi including the leading-null
+    * delta → gain=loss=0.0 quirk and the division edges.
+    */
+  private lazy val rsiOracle: String =
+    s"""$S, delta AS (
+       |   SELECT symbol, date,
+       |     close - lag(close, 1) OVER (PARTITION BY symbol ORDER BY date) AS d
+       |   FROM stocks),
+       | gl AS (
+       |   SELECT symbol, date,
+       |     CASE WHEN d > 0 THEN d ELSE 0.0 END AS gain,
+       |     CASE WHEN d < 0 THEN -d ELSE 0.0 END AS loss
+       |   FROM delta),
+       | ga AS (
+       |   SELECT symbol, date,
+       |     CASE WHEN count(*) OVER w = 14 THEN avg(gain) OVER w END AS ag,
+       |     CASE WHEN count(*) OVER w = 14 THEN avg(loss) OVER w END AS al
+       |   FROM gl
+       |   WINDOW w AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+       | SELECT symbol, date,
+       |   CASE WHEN al > 0 THEN round(100.0 - 100.0 / (1.0 + ag / al), 4)
+       |        WHEN al = 0 AND ag > 0 THEN 100.0 END AS rsi
+       | FROM ga ORDER BY symbol, date""".stripMargin
+
+  /** Comma-joined quality-issue list as a SQL scalar — mirrors
+    * Quality.withVerdict's value rules in declaration order (the stocks
+    * derivation never yields nulls, so the missing-field short-circuit
+    * branch is structurally unreachable on this data and elided here).
+    */
+  private lazy val qualityIssuesSql: String =
+    """concat_ws(',',
+      | CASE WHEN open <= 0 THEN 'invalid_open' END,
+      | CASE WHEN high <= 0 THEN 'invalid_high' END,
+      | CASE WHEN low <= 0 THEN 'invalid_low' END,
+      | CASE WHEN close <= 0 THEN 'invalid_close' END,
+      | CASE WHEN volume < 0 THEN 'negative_volume' END,
+      | CASE WHEN high < low THEN 'high_lt_low' END,
+      | CASE WHEN high < greatest(open, close) THEN 'high_lt_open_close' END,
+      | CASE WHEN low > least(open, close) THEN 'low_gt_open_close' END,
+      | CASE WHEN abs(close - open) / open > 0.5 THEN 'extreme_swing' END,
+      | CASE WHEN volume = 0 AND symbol IN ('AAPL','GOOGL','MSFT','AMZN','TSLA') THEN 'zero_volume_major' END)""".stripMargin.replace("\n", "")
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md) plus the
+  * derived `stocks` OHLCV relation.
+  *
+  * The reference engine's single persistent table is
+  * `stocks(symbol, date, open, high, low, close, adj_close, volume)` with
+  * PK (symbol, date) — see /root/reference/fetch_yfinance.py:24-25 and
+  * /root/reference/fetch_and_store_multi.py:202-242 (schema implied by the
+  * INSERT/SELECT surface). The testdata has no literal stocks table
+  * (FIXTURES.md §A), so we derive one from `lineitem` — once, here, and the
+  * oracle SQL mirrors it verbatim via [[Tables.stocksCte]].
+  *
+  * Determinism contract (critical for the DuckDB-oracle hash compare):
+  * every aggregate used in the derivation is order-independent in IEEE
+  * double arithmetic — min/max pick stored bit patterns, sum(l_quantity)
+  * sums integer-valued doubles (exact for any order below 2^53), and the
+  * scalar multiplications are single IEEE ops on identical inputs. Spark
+  * and DuckDB therefore agree bit-for-bit on every stocks column.
+  *
+  * Scale: the groupBy shuffles once on (symbol, date); downstream
+  * window/indicator passes re-shuffle on symbol only. At 100 TB the
+  * derivation would be a partitioned-parquet materialization
+  * (PARTITIONED BY symbol-bucket, sorted by date within files) so the
+  * per-symbol window passes read co-located, pre-sorted input.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** The derived OHLCV table: 6 symbols (l_returnflag || l_linestatus),
+    * ~2450 trading days each at sf0.01. See object doc for the
+    * determinism contract.
+    */
+  def stocks(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(
+        concat(col("l_returnflag"), col("l_linestatus")).as("symbol"),
+        to_date(col("l_shipdate")).as("date"))
+      .agg(
+        min("l_extendedprice").as("open"),
+        (max("l_extendedprice") * lit(1.01)).as("high"),
+        (min("l_extendedprice") * lit(0.99)).as("low"),
+        max("l_extendedprice").as("close"),
+        (max("l_extendedprice") * lit(0.97)).as("adj_close"),
+        sum("l_quantity").cast("long").as("volume"))
+
+  /** DuckDB mirror of [[stocks]]; prefix for every stocks-based oracle. */
+  val stocksCte: String =
+    """WITH stocks AS (
+      |  SELECT l_returnflag || l_linestatus AS symbol,
+      |         CAST(l_shipdate AS DATE) AS date,
+      |         min(l_extendedprice) AS open,
+      |         max(l_extendedprice) * 1.01 AS high,
+      |         min(l_extendedprice) * 0.99 AS low,
+      |         max(l_extendedprice) AS close,
+      |         max(l_extendedprice) * 0.97 AS adj_close,
+      |         CAST(sum(l_quantity) AS BIGINT) AS volume
+      |  FROM lineitem GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** The six symbol values present in the derivation (returnflag × linestatus
+    * combinations occurring in the testdata) — used by the pivot/compare
+    * queries, which need a fixed column list on both engines.
+    */
+  val symbols: Seq[String] = Seq("AF", "AO", "NF", "NO", "RF", "RO")
+}
