@@ -1,0 +1,254 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Extension surface beyond the reference (driver north star,
+  * SURVEY.md §7.4): relational joins/ranking/rollup over the TPC-H
+  * tables, dedup family, similarity search, text analysis, multimodal
+  * plumbing, and events analytics. Same determinism rules as
+  * [[SparkEntry]] (exact ints/strings, decimal sums → double, single
+  * divisions rounded to 4, discrete ORDER BY).
+  */
+object ExtQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational (join / ranking / rollup)
+    "join_revenue_by_region" -> ((s, d) => Relational.revenueByRegion(s, d)),
+    "topk_orders_per_segment" -> ((s, d) => Relational.topOrdersPerSegment(s, d, 3)),
+    "orders_rollup" -> ((s, d) => Relational.ordersRollup(s, d)),
+
+    // ---- dedup family
+    "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d), 0.5)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), 0.5)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+
+    // ---- similarity search
+    "embed_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), 10, 5)),
+    "embed_topk_bucketed" -> ((s, d) => Similarity.bucketedTopK(emb(s, d), 10, 3)),
+
+    // ---- text analysis
+    "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
+    "text_quality_score" -> ((s, d) => TextOps.qualityScore(docs(s, d))),
+    "token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
+    "token_stats_by_lang" -> ((s, d) => TextOps.tokenStatsByLang(docs(s, d))),
+    "doc_fingerprint" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
+
+    // ---- multimodal plumbing (stub decode; see Multimodal Scaladoc)
+    "multimodal_features" -> ((s, d) => Multimodal.features(docs(s, d))),
+
+    // ---- events analytics (batch twins of the streaming pipeline)
+    "events_hourly" -> ((s, d) => EventsOps.hourly(ev(s, d))),
+    "events_prop_stats" -> ((s, d) => EventsOps.propStats(ev(s, d))),
+    "events_sessionize" -> ((s, d) => EventsOps.sessionize(ev(s, d), 30)))
+
+  /** Shared shingle CTE (3-gram, distinct, 1-indexed — mirrors
+    * Dedup.shingles).
+    */
+  private val SH3 =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      | sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |        FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)),
+      | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val jaccardExpr = "round(n_common * 1.0 / (sa.n + sb.n - n_common), 4)"
+
+  def oracleSql: Map[String, String] = Map(
+    "join_revenue_by_region" ->
+      """SELECT r_name, l_returnflag,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(DISTINCT o_orderkey) AS n_orders,
+        | count(*) AS n_lineitems
+        | FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name, l_returnflag ORDER BY r_name, l_returnflag""".stripMargin,
+    "topk_orders_per_segment" ->
+      """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice, c_name FROM (
+        |   SELECT c_mktsegment,
+        |     row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+        |     o_orderkey, o_totalprice, c_name
+        |   FROM orders JOIN customer ON o_custkey = c_custkey)
+        | WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+    "orders_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        | ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS fp,
+        | min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+        | count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+        | doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""$SH3,
+         | pairs AS (
+         |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |   GROUP BY a.doc_id, b.doc_id)
+         | SELECT doc_a, doc_b, n_common, sa.n AS na, sb.n AS nb,
+         |   $jaccardExpr AS jaccard
+         | FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         | WHERE $jaccardExpr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""$SH3,
+         | sig AS (SELECT doc_id,
+         |   ${(0 until Dedup.minhashSeeds).map(k => s"min(md5('$k:' || s)) AS h$k").mkString(", ")}
+         |   FROM sh GROUP BY doc_id),
+         | bands AS (
+         |   ${(0 until Dedup.minhashSeeds / Dedup.minhashBandSize).map { b =>
+             val hs = (0 until Dedup.minhashBandSize)
+               .map(j => s"h${b * Dedup.minhashBandSize + j}").mkString(" || ")
+             s"SELECT doc_id, $b AS band, $hs AS bv FROM sig"
+           }.mkString("\n   UNION ALL ")}),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         | iv AS (SELECT doc_a, doc_b, count(*) AS n_common
+         |        FROM cand
+         |        JOIN sh sa ON sa.doc_id = doc_a
+         |        JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+         |        GROUP BY doc_a, doc_b)
+         | SELECT doc_a, doc_b, $jaccardExpr AS jaccard
+         | FROM iv JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         | WHERE $jaccardExpr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH words AS (SELECT DISTINCT doc_id, word FROM
+        |     (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
+        | wh AS (SELECT doc_id, md5(word) AS h FROM words),
+        | bits AS (
+        |   SELECT doc_id, i AS b,
+        |     ((strpos('0123456789abcdef', substr(h, (i // 4) + 1, 1)) - 1) >> (3 - (i % 4))) & 1 AS bit
+        |   FROM wh, UNNEST(range(0, 64)) AS t(i)),
+        | sums AS (SELECT doc_id, b, sum(bit * 2 - 1) AS s FROM bits GROUP BY doc_id, b)
+        | SELECT doc_id,
+        |   string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+        | FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "embed_cosine_topk" -> embedTopkOracle(nQueries = 10, k = 5, bucketed = false),
+    "embed_topk_bucketed" -> embedTopkOracle(nQueries = 10, k = 3, bucketed = true),
+    "text_langid" ->
+      s"""WITH m(mlang, marker) AS (VALUES ${TextOps.markers.map {
+           case (l, w) => s"('$l', '$w')" }.mkString(", ")}),
+         | wrds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         | hits AS (SELECT doc_id, mlang, count(*) AS hits
+         |          FROM wrds JOIN m ON word = marker GROUP BY doc_id, mlang),
+         | best AS (SELECT doc_id, mlang, hits,
+         |            row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, mlang) AS rn
+         |          FROM hits)
+         | SELECT d.doc_id, d.lang,
+         |   coalesce(b.mlang, 'unknown') AS predicted,
+         |   CAST(coalesce(b.hits, 0) AS BIGINT) AS marker_hits,
+         |   coalesce(b.mlang, 'unknown') = d.lang AS is_match
+         | FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+         |   ON d.doc_id = b.doc_id
+         | ORDER BY d.doc_id""".stripMargin,
+    "text_quality_score" -> {
+      val sw = TextOps.stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH base AS (
+         |   SELECT doc_id,
+         |     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |     CAST(length(text) AS BIGINT) AS len_chars,
+         |     CAST(len(list_filter(string_split(text, ' '), x -> x IN ($sw))) AS BIGINT) AS stop_hits
+         |   FROM documents),
+         | r AS (
+         |   SELECT doc_id, n_words, len_chars,
+         |     round((len_chars - (n_words - 1)) * 1.0 / n_words, 4) AS avg_word_len,
+         |     stop_hits,
+         |     round(stop_hits * 1.0 / n_words, 4) AS stopword_ratio
+         |   FROM base)
+         | SELECT doc_id, n_words, len_chars, avg_word_len, stop_hits, stopword_ratio,
+         |   round(least(n_words / 100.0, 1.0) * (1.0 - stopword_ratio), 4) AS quality_score
+         | FROM r ORDER BY doc_id""".stripMargin
+    },
+    "token_count" ->
+      s"""SELECT doc_id, lang,
+         | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         | CAST(len(regexp_extract_all(text, '${TextOps.tokenPattern}')) AS BIGINT) AS re_tokens
+         | FROM documents ORDER BY doc_id""".stripMargin,
+    "token_stats_by_lang" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         | CAST(sum(len(regexp_extract_all(text, '${TextOps.tokenPattern}'))) AS BIGINT) AS total_tokens,
+         | round(avg(len(regexp_extract_all(text, '${TextOps.tokenPattern}'))), 4) AS avg_tokens
+         | FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "doc_fingerprint" ->
+      """WITH lowered AS (SELECT doc_id, lower(text) AS text FROM documents),
+        | words AS (SELECT doc_id, string_split(text, ' ') AS w FROM lowered),
+        | sh AS (SELECT DISTINCT doc_id,
+        |          w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        |        FROM words, UNNEST(range(1, len(w) - 3)) AS t(i)),
+        | win AS (SELECT doc_id, min(md5(s)) AS winnow_min FROM sh GROUP BY doc_id)
+        | SELECT d.doc_id, md5(lower(d.text)) AS content_md5, w.winnow_min
+        | FROM documents d LEFT JOIN win w ON d.doc_id = w.doc_id ORDER BY d.doc_id""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS checksum,
+        | CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        | CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+        | substr(text, 1, 16) AS preview
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        | count(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
+        | count(DISTINCT user_id) AS n_users
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_prop_stats" ->
+      """WITH k AS (SELECT event_type,
+        |     CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |   FROM events)
+        | SELECT event_type, count(*) AS n_events,
+        |   CAST(sum(k) AS BIGINT) AS k_sum,
+        |   round(avg(k), 4) AS k_avg,
+        |   min(k) AS k_min, max(k) AS k_max
+        | FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_sessionize" ->
+      """WITH g AS (
+        |   SELECT user_id, ts, event_id, value,
+        |     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |   FROM events),
+        | s AS (
+        |   SELECT user_id, ts, event_id, value,
+        |     CASE WHEN prev_ts IS NULL
+        |            OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |          THEN 1 ELSE 0 END AS is_start
+        |   FROM g),
+        | sq AS (
+        |   SELECT user_id, ts, value,
+        |     CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |   FROM s)
+        | SELECT user_id, session_seq,
+        |   CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |   CAST(max(ts) AS TIMESTAMP) AS session_end,
+        |   count(*) AS n_events,
+        |   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        | FROM sq GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin)
+
+  private def embedTopkOracle(nQueries: Int, k: Int, bucketed: Boolean): String = {
+    val qCols = if (bucketed) ", label AS qlabel" else ""
+    val joinCond = if (bucketed) "qlabel = label AND qid <> vec_id" else "qid <> vec_id"
+    val outLabel = if (bucketed) ", label" else ""
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe$qCols FROM embeddings WHERE vec_id < $nQueries),
+       | p AS (SELECT qid$outLabel, vec_id,
+       |         round(SUM(CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) /
+       |           (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+       |            sqrt(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 4) AS cos
+       |       FROM q, embeddings, UNNEST(range(1, 65)) AS t(i)
+       |       WHERE $joinCond GROUP BY ALL),
+       | r AS (SELECT qid$outLabel, vec_id, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+       |       FROM p)
+       | SELECT qid$outLabel, rnk, vec_id, cos FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+}

@@ -40,7 +40,15 @@ object SparkEntry {
 
   private def stocks(s: SparkSession, dir: String): DataFrame = Tables.stocks(s, dir)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ ExtQueries.queries
+
+  def oracleSql: Map[String, String] = coreOracleSql ++ ExtQueries.oracleSql
+
+  /** Reference-parity surface (SURVEY.md §2) over the derived stocks
+    * table; extensions live in [[ExtQueries]].
+    */
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core relation (S1/S5/P10/P11: derive + normalize the OHLCV table)
     "stocks_derive" -> ((s, d) => stocks(s, d).orderBy("symbol", "date")),
 
@@ -198,7 +206,7 @@ object SparkEntry {
 
   private val S = Tables.stocksCte
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracleSql: Map[String, String] = Map(
     "stocks_derive" -> s"$S SELECT * FROM stocks ORDER BY symbol, date",
     "scan_project_filter" ->
       s"""$S SELECT date, open, high, low, close, volume FROM stocks

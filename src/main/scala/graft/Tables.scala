@@ -39,7 +39,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark 4
+    * rejects natively; sessions set
+    * spark.sql.legacy.parquet.nanosAsLong=true and this loader converts
+    * the nano count to a microsecond TimestampType (exact — the data is
+    * µs-granular).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, not `/`: double division loses µs precision at
+        // ~1.7e18 ns magnitudes (53-bit mantissa)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

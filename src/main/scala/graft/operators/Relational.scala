@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Relational demo operators over the TPC-H-style tables — the join /
+  * ranking / rollup category is absent from the reference (SURVEY.md
+  * §2.3 ⊘) but core to a general engine; these exercise Catalyst's
+  * broadcast-join selection, partial aggregation, and window ranking.
+  *
+  * Scale notes: dimension tables (region, nation, supplier, and
+  * customer at any realistic scale factor vs lineitem) broadcast —
+  * nation/region are forced, the rest picked up by AQE size stats. The
+  * only unavoidable shuffle is lineitem ⋈ orders on orderkey and the
+  * final partial-aggregated groupBy. Money sums go through
+  * DECIMAL(18,4) — exact, order-independent, and engine-portable —
+  * then back to double for output.
+  */
+object Relational {
+
+  /** Exact money sum: decimal accumulate, double out. */
+  def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Revenue by region × returnflag: 4-way join, broadcast dims. */
+  def revenueByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("l_returnflag"))
+      .agg(
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("r_name", "l_returnflag")
+  }
+
+  /** Top-k orders per market segment by total price (window ranking —
+    * deterministic tiebreak on the key).
+    */
+  def topOrdersPerSegment(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice", "c_name")
+      .orderBy("c_mktsegment", "rnk")
+  }
+
+  /** Rollup over (orderstatus, orderpriority): grouping-sets category. */
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy(
+        asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (64-dim float vectors) —
+  * brute-force cosine top-k as the correctness baseline and a
+  * bucket-pruned (IVF-style) variant as the scale path.
+  *
+  * The dot product / norms are built-in higher-order-function folds
+  * (whole-stage codegen'd, no UDF): elements are cast to double before
+  * multiplying so the products are exact, and the cosine is rounded to
+  * 4 decimals before ranking so Spark and the DuckDB oracle rank
+  * identical values (ties broken by vec_id).
+  *
+  * Scale notes (100 TB): brute force is queries × corpus — fine for a
+  * broadcast query batch against a partitioned corpus (each executor
+  * scans its corpus slice once; no shuffle of the corpus). The IVF
+  * variant prunes to same-bucket candidates (here the `label` column
+  * plays the coarse-quantizer cell id; in production the cell id comes
+  * from a k-means assignment computed the same way), turning the scan
+  * into a bucket-partitioned join that drops compute by the bucket
+  * count while keeping recall for clustered data.
+  */
+object Similarity {
+
+  /** Left-fold dot product of two double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** cosine(a, b) rounded to 4. */
+  def cosine(a: Column, b: Column): Column = {
+    val (da, db) = (toDouble(a), toDouble(b))
+    round(dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db))), 4)
+  }
+
+  /** Brute-force cosine top-k: the first `nQueries` vec_ids against the
+    * whole corpus (self excluded).
+    */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = q.join(emb, col("qid") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "cos")
+      .orderBy("qid", "rnk")
+  }
+
+  /** IVF-style bucketed top-k: candidates restricted to the query's
+    * coarse bucket (label column as cell id).
+    */
+  def bucketedTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("qlabel"))
+    val scored = q.join(emb,
+        col("qlabel") === col("label") && col("qid") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "label", "rnk", "vec_id", "cos")
+      .orderBy("qid", "rnk")
+  }
+
+  /** Embedding-cosine near-dup pairs above a threshold, bucket-pruned. */
+  def nearDupPairs(emb: DataFrame, threshold: Double = 0.95): DataFrame =
+    emb.as("a").join(emb.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .orderBy("vec_a", "vec_b")
+}

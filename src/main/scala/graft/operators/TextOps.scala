@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table: language ID
+  * (marker-word heuristic), quality scoring, token counting
+  * (whitespace + regex), document fingerprinting.
+  *
+  * All counts are exact integers; ratios are single divisions rounded
+  * to 4 — deterministic across engines. The word-level operators
+  * explode + broadcast-join a tiny marker table; at 100 TB that is a
+  * map-side join against each partition with one final per-doc
+  * aggregation (shuffle on doc_id only).
+  */
+object TextOps {
+
+  /** (lang, marker) rows — common function words per language. The
+    * heuristic is honest: the synthetic corpus is English-ish word
+    * salad for every lang label, so `predicted` mostly lands on 'en'
+    * (or 'unknown'); the `match` column makes that visible rather than
+    * hiding it.
+    */
+  val markers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "is",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "ist",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "les", "fr" -> "est",
+    "es" -> "el", "es" -> "los", "es" -> "y", "es" -> "las", "es" -> "es",
+    "zh" -> "的", "zh" -> "是", "zh" -> "了", "zh" -> "在", "zh" -> "和")
+
+  /** Marker-count language ID: argmax hits with (count desc, lang asc)
+    * tiebreak; no hits → 'unknown'.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = markers.toDF("mlang", "marker")
+    val words = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("word"))
+    val hits = words.join(broadcast(m), col("word") === col("marker"))
+      .groupBy("doc_id", "mlang").agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("hits"), col("mlang"))
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("doc_id"), col("mlang"), col("hits"))
+    docs.select("doc_id", "lang").join(best, Seq("doc_id"), "left")
+      .withColumn("predicted", coalesce(col("mlang"), lit("unknown")))
+      .withColumn("marker_hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("is_match", col("predicted") === col("lang"))
+      .select("doc_id", "lang", "predicted", "marker_hits", "is_match")
+      .orderBy("doc_id")
+  }
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "is", "in", "to", "for", "on", "with")
+
+  /** Per-doc quality score from length / word-shape / stopword ratios
+    * (reference category: DataQualityChecker-style runtime scoring,
+    * generalized to text).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val sw = stopwords.map(s => s"'$s'").mkString(", ")
+    docs
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("len_chars", length(col("text")).cast("long"))
+      .withColumn("avg_word_len",
+        round((col("len_chars") - (col("n_words") - 1)) / col("n_words"), 4))
+      .withColumn("stop_hits",
+        expr(s"size(filter(split(text, ' '), x -> x IN ($sw)))").cast("long"))
+      .withColumn("stopword_ratio", round(col("stop_hits") / col("n_words"), 4))
+      .withColumn("quality_score",
+        round(least(col("n_words") / 100.0, lit(1.0)) *
+          (lit(1.0) - col("stopword_ratio")), 4))
+      .select("doc_id", "n_words", "len_chars", "avg_word_len",
+        "stop_hits", "stopword_ratio", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  /** BPE-ish token regex: letter runs, digit runs, single other glyphs. */
+  val tokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Whitespace + regex token counts per doc. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("re_tokens",
+        size(regexp_extract_all(col("text"), lit(tokenPattern), lit(0))).cast("long"))
+      .select("doc_id", "lang", "ws_tokens", "re_tokens")
+      .orderBy("doc_id")
+
+  /** Token stats per language (the aggregate view of tokenCounts). */
+  def tokenStatsByLang(docs: DataFrame): DataFrame =
+    tokenCounts(docs)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("re_tokens").as("total_tokens"),
+        round(avg("re_tokens"), 4).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** Document fingerprints: whole-content hash of normalized text plus
+    * a winnowing-style minimum over 5-word rolling shingle hashes.
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val sh5 = Dedup.shingles(docs.select(col("doc_id"), lower(col("text")).as("text")), 5)
+    val winnow = sh5.groupBy("doc_id").agg(min(md5(col("s"))).as("winnow_min"))
+    docs.select(col("doc_id"), md5(lower(col("text"))).as("content_md5"))
+      .join(winnow, Seq("doc_id"), "left")
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming pipeline over the events table — the streaming
+  * generalization of the reference's daily-batch incremental loop
+  * (/root/reference/fetch_and_store_multi.py:269-330; SURVEY.md §2.7).
+  *
+  * Shape: file-source readStream → event-time watermark → tumbling
+  * 1-hour window per event_type → append-mode sink. The aggregation
+  * matches EventsOps.hourly, so a bounded run (Trigger.AvailableNow)
+  * over a static directory must produce the same rows as the batch
+  * query — that equivalence is the streaming spec's assertion.
+  *
+  * Scale notes: state is one aggregate buffer per (window, event_type);
+  * the watermark bounds state retention, so long-running streams do not
+  * accumulate state beyond late-data tolerance. maxFilesPerTrigger
+  * bounds per-batch input at production scale.
+  */
+object EventStream {
+
+  /** ts is declared long (nanos) — the files store INT64
+    * TIMESTAMP(NANOS), which Spark reads only via
+    * spark.sql.legacy.parquet.nanosAsLong; the stream converts to a
+    * microsecond timestamp immediately (cf. Tables.events).
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** readStream over a parquet directory of events. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 4)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked tumbling-hour aggregate (the streaming twin of
+    * EventsOps.hourly).
+    */
+  def hourlyAgg(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(
+        window(col("ts"), "1 hour").as("win"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("value_sum"))
+      .select(
+        col("win.start").as("hour"),
+        col("event_type"), col("n_events"), col("value_sum"))
+
+  /** Bounded run to a memory sink: processes everything currently in
+    * the directory (AvailableNow) and terminates. Complete mode so the
+    * final windows — which the watermark has not yet closed when input
+    * ends — are still emitted; a production append-mode sink would emit
+    * each window once its watermark passes.
+    */
+  def runBounded(spark: SparkSession, dir: String, name: String = "events_hourly_stream"): String = {
+    val q = hourlyAgg(read(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    name
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup family: exact, n-gram Jaccard, MinHash+LSH, SimHash. */
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  val corpus = docs(
+    0L -> "the quick brown fox jumps over the lazy dog",
+    1L -> "the quick brown fox jumps over the lazy cat", // near-dup of 0
+    2L -> "completely different words about spark engines here today",
+    3L -> "the quick brown fox jumps over the lazy dog") // exact dup of 0
+
+  test("shingles: distinct word 3-grams, short docs dropped") {
+    val sh = Dedup.shingles(docs(0L -> "a b c d", 1L -> "x y"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sh == Set((0L, "a b c"), (0L, "b c d")))
+  }
+
+  test("exact dedup: keeper is min doc_id, dup flagged") {
+    val r = Dedup.exact(corpus.withColumn("lang", lit("en")))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keeper"),
+        r.getAs[Long]("n_copies"), r.getAs[Boolean]("is_dup")))
+    assert(r.toSeq == Seq((0L, 0L, 2L, false), (1L, 1L, 1L, false),
+      (2L, 2L, 1L, false), (3L, 0L, 2L, true)))
+  }
+
+  test("ngram jaccard pairs finds the near-dup and exact-dup pairs only") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    val exact = pairs.find(p => (p._1, p._2) == (0L, 3L)).get
+    assert(exact._3 == 1.0)
+  }
+
+  test("minhash LSH finds the same pairs as the quadratic baseline here") {
+    val lsh = Dedup.minhashLshPairs(corpus, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact dups always collide in every band; the near-dup pair has
+    // jaccard ≈ 0.56 and may or may not band-collide — assert superset
+    // on the sure pairs and that everything reported clears the
+    // threshold via verification
+    assert(lsh.contains((0L, 3L)))
+    assert(lsh.subsetOf(Set((0L, 1L), (0L, 3L), (1L, 3L))))
+  }
+
+  test("simhash: 64-bit signatures, equal for equal text, close for near-dups") {
+    val sig = Dedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sig.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    assert(sig(0L) == sig(3L))
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(sig(0L), sig(1L)) < hamming(sig(0L), sig(2L)))
+  }
+}

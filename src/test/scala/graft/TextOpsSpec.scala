@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.TextOps
+
+/** Text analysis: language ID heuristic, quality scoring, token
+  * counting, fingerprinting.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String, String)*): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.map { case (i, t, l) => (i, t, l, "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("langId: marker argmax with unknown fallback") {
+    val d = docs(
+      (0L, "der hund und die katze ist hier", "de"),
+      (1L, "the cat of the house is here", "en"),
+      (2L, "qqq www eee rrr", "fr"))
+    val r = TextOps.langId(d).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(4)))
+    assert(r.toSeq == Seq((0L, "de", true), (1L, "en", true), (2L, "unknown", false)))
+  }
+
+  test("qualityScore: exact ratio arithmetic") {
+    val d = docs((0L, "the quick fox", "en")) // 3 words, 13 chars, 1 stopword
+    val row = TextOps.qualityScore(d).collect().head
+    assert(row.getAs[Long]("n_words") == 3)
+    assert(row.getAs[Long]("len_chars") == 13)
+    assert(row.getAs[Double]("avg_word_len") == math.rint((13 - 2) / 3.0 * 1e4) / 1e4)
+    assert(row.getAs[Long]("stop_hits") == 1)
+    assert(row.getAs[Double]("stopword_ratio") == 0.3333)
+    // score = min(3/100, 1) * (1 - 0.3333) = 0.03 * 0.6667 = 0.02
+    assert(row.getAs[Double]("quality_score") == 0.02)
+  }
+
+  test("tokenCounts: whitespace vs regex tokenization") {
+    val d = docs((0L, "ab 12 x!y", "en"))
+    val row = TextOps.tokenCounts(d).collect().head
+    assert(row.getAs[Long]("ws_tokens") == 3)
+    // [ab] [12] [x] [!] [y]
+    assert(row.getAs[Long]("re_tokens") == 5)
+  }
+
+  test("fingerprints: case-insensitive content hash, winnow over 5-grams") {
+    val d = docs(
+      (0L, "A B C D E F", "en"),
+      (1L, "a b c d e f", "en"),
+      (2L, "a b", "en")) // too short for 5-grams → null winnow
+    val r = TextOps.fingerprints(d).collect()
+    assert(r(0).getString(1) == r(1).getString(1), "normalized md5 equal")
+    assert(r(0).getString(2) == r(1).getString(2), "winnow equal")
+    assert(r(2).isNullAt(2), "short doc has null winnow_min")
+  }
+}
