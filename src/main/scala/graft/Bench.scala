@@ -26,6 +26,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the session (scheduler, parquet reader, codegen) so JVM
+    // init is not billed to the first query.
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val qs = SparkEntry.queries
     val names = headline.filter(qs.contains) ++
       (if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) qs.keys.toSeq.sorted.diff(headline) else Nil)

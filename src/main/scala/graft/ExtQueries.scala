@@ -46,7 +46,32 @@ object ExtQueries {
     // ---- events analytics (batch twins of the streaming pipeline)
     "events_hourly" -> ((s, d) => EventsOps.hourly(ev(s, d))),
     "events_prop_stats" -> ((s, d) => EventsOps.propStats(ev(s, d))),
-    "events_sessionize" -> ((s, d) => EventsOps.sessionize(ev(s, d), 30)))
+    "events_sessionize" -> ((s, d) => EventsOps.sessionize(ev(s, d), 30)),
+
+    // ---- as-of join (union + ordered-window carry; oracle is DuckDB's
+    // native ASOF JOIN, a cross-implementation equivalence check)
+    "asof_anchor_ratio" -> ((s, d) => {
+      val stocks = Tables.stocks(s, d)
+      val anchors = stocks.filter(dayofmonth(col("date")) === 1)
+        .select(col("symbol"), col("date"), col("close").as("anchor_close"))
+      AsOf.joinAsOf(stocks, anchors, Seq("symbol"), "date", Seq("anchor_close"))
+        .withColumn("ratio", round(col("close") / col("anchor_close"), 4))
+        .select("symbol", "date", "close", "anchor_close", "ratio")
+        .orderBy("symbol", "date")
+    }),
+
+    // ---- ingest normalization (P9-P11 + §2.9 scalar functions:
+    // upper/trim, to_date, date_format, null-coalesce, casts)
+    "ingest_normalize" -> ((s, d) =>
+      ev(s, d)
+        .withColumn("symbol", upper(trim(col("event_type"))))
+        .withColumn("date", to_date(col("ts")))
+        .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+        .withColumn("close",
+          coalesce(when(col("value") < 1.0, lit(null)).otherwise(col("value")), lit(0.0)))
+        .withColumn("volume", coalesce(col("user_id"), lit(0L)))
+        .select("event_id", "symbol", "date", "month", "close", "volume")
+        .orderBy("event_id")))
 
   /** Shared shingle CTE (3-gram, distinct, 1-indexed — mirrors
     * Dedup.shingles).
@@ -233,7 +258,23 @@ object ExtQueries {
         |   CAST(max(ts) AS TIMESTAMP) AS session_end,
         |   count(*) AS n_events,
         |   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
-        | FROM sq GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin)
+        | FROM sq GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "asof_anchor_ratio" ->
+      s"""${Tables.stocksCte},
+         | anchors AS (SELECT symbol, date AS adate, close AS anchor_close
+         |             FROM stocks WHERE day(date) = 1)
+         | SELECT s.symbol, s.date, s.close, a.anchor_close,
+         |   round(s.close / a.anchor_close, 4) AS ratio
+         | FROM stocks s ASOF LEFT JOIN anchors a
+         |   ON s.symbol = a.symbol AND s.date >= a.adate
+         | ORDER BY s.symbol, s.date""".stripMargin,
+    "ingest_normalize" ->
+      """SELECT event_id, upper(trim(event_type)) AS symbol,
+        | CAST(ts AS DATE) AS date,
+        | strftime(ts, '%Y-%m') AS month,
+        | coalesce(CASE WHEN value < 1.0 THEN NULL ELSE value END, 0.0) AS close,
+        | coalesce(user_id, 0) AS volume
+        | FROM events ORDER BY event_id""".stripMargin)
 
   private def embedTopkOracle(nQueries: Int, k: Int, bucketed: Boolean): String = {
     val qCols = if (bucketed) ", label AS qlabel" else ""

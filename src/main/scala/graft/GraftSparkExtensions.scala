@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.EwmMean
+
+/** SparkSessionExtensions hook exposing the engine's custom Catalyst
+  * expressions to SQL. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftSparkExtensions")` at
+  * session build, or imperatively on a live session via
+  * [[GraftSparkExtensions.register]].
+  *
+  * Registered functions:
+  *  - `ewm_mean(x, alpha)` — pandas adjust=True EWM
+  *    (graft.functions.EwmMean); use as a window aggregate:
+  *    `ewm_mean(close, 0.5) OVER (PARTITION BY symbol ORDER BY date)`.
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftSparkExtensions.ewmMeanDescriptor)
+}
+
+object GraftSparkExtensions {
+
+  private def buildEwm(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"ewm_mean(x, alpha) takes 2 arguments, got ${args.length}")
+    val alpha = args(1) match {
+      case e if e.foldable => e.eval() match {
+        case d: Double => d
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case f: Float => f.toDouble
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+        case other => throw new IllegalArgumentException(
+          s"ewm_mean alpha must be numeric, got $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"ewm_mean alpha must be a literal number, got $other")
+    }
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    EwmMean(args.head, alpha).toAggregateExpression()
+  }
+
+  val ewmMeanDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("ewm_mean"),
+    new ExpressionInfo(classOf[EwmMean].getName, "ewm_mean"),
+    buildEwm _)
+
+  /** Imperative registration on an existing session (tests, shells). */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = ewmMeanDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

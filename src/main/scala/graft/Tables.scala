@@ -61,8 +61,30 @@ object Tables {
   /** The derived OHLCV table: 6 symbols (l_returnflag || l_linestatus),
     * ~2450 trading days each at sf0.01. See object doc for the
     * determinism contract.
+    *
+    * Materialized once per (session, dir) — the reference's analytics
+    * read a stored MySQL `stocks` table, not the raw feed, so the
+    * engine equivalent is a persisted derivation. It is hash-partitioned
+    * by symbol and sorted by (symbol, date) within partitions, which is
+    * exactly the distribution + ordering every indicator window needs —
+    * downstream window queries run with no exchange and no sort. At
+    * 100 TB this is a bucketed parquet table (BUCKET BY symbol-hash,
+    * sorted by date in-file); the in-memory persist is the local[n]
+    * stand-in.
     */
   def stocks(spark: SparkSession, dir: String): DataFrame =
+    stocksCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      deriveStocks(spark, dir)
+        .repartition(col("symbol"))
+        .sortWithinPartitions("symbol", "date")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private val stocksCache =
+    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+
+  /** The raw (unmaterialized) derivation. */
+  def deriveStocks(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
       .groupBy(
         concat(col("l_returnflag"), col("l_linestatus")).as("symbol"),

@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Date
+import graft.operators.AsOf
+
+/** As-of join: backward inclusive semantics, per-key isolation, null
+  * before the first reference row.
+  */
+class AsOfSpec extends SparkSpec {
+
+  private def tbl(cols: (String, String, Double)*) = {
+    val spark2 = spark
+    import spark2.implicits._
+    cols.map { case (s, d, v) => (s, Date.valueOf(d), v) }
+      .toDF("symbol", "date", "v")
+  }
+
+  test("carries the latest reference value at or before each probe row") {
+    val left = tbl(
+      ("A", "2020-01-01", 1.0), ("A", "2020-01-05", 2.0),
+      ("A", "2020-01-10", 3.0), ("A", "2020-01-15", 4.0),
+      ("B", "2020-01-07", 9.0))
+    val right = tbl(("A", "2020-01-05", 50.0), ("A", "2020-01-12", 60.0))
+      .withColumnRenamed("v", "anchor")
+    val r = AsOf.joinAsOf(left, right, Seq("symbol"), "date", Seq("anchor"))
+      .orderBy("symbol", "date")
+      .collect()
+      .map(row => (row.getAs[String]("symbol"), row.getAs[Date]("date").toString,
+        Option(row.getAs[java.lang.Double]("anchor")).map(_.doubleValue)))
+    assert(r.toSeq == Seq(
+      ("A", "2020-01-01", None), // before first anchor
+      ("A", "2020-01-05", Some(50.0)), // tie is inclusive
+      ("A", "2020-01-10", Some(50.0)),
+      ("A", "2020-01-15", Some(60.0)),
+      ("B", "2020-01-07", None))) // other key never sees A's anchors
+  }
+
+  test("probe columns survive untouched") {
+    val left = tbl(("A", "2020-01-02", 7.5))
+    val right = tbl(("A", "2020-01-01", 1.0)).withColumnRenamed("v", "anchor")
+    val row = AsOf.joinAsOf(left, right, Seq("symbol"), "date", Seq("anchor"))
+      .collect().head
+    assert(row.getAs[Double]("v") == 7.5)
+    assert(row.getAs[Double]("anchor") == 1.0)
+  }
+}
