@@ -78,8 +78,10 @@ object Dedup {
     * String-min over uniform md5 hex values is a valid min-hash (any
     * total order works), and is bit-identical across engines.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFrom(shingles(docs))
+
+  private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
     val aggs = (0 until minhashSeeds).map(k =>
       min(md5(concat(lit(s"$k:"), col("s")))).as(s"h$k"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -89,7 +91,9 @@ object Dedup {
     * exact Jaccard; output = verified near-dup pairs.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(docs)
+    // one shingle pass shared by signatures and verification
+    val sh = shingles(docs).cache()
+    val sig = minhashSignaturesFrom(sh)
     val bands = (0 until minhashSeeds / minhashBandSize).map { b =>
       val cols = (0 until minhashBandSize).map(j => col(s"h${b * minhashBandSize + j}"))
       sig.select(col("doc_id"), lit(b).as("band"), concat(cols: _*).as("bv"))
@@ -100,7 +104,6 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // verify candidates with exact jaccard: shared shingles per pair
-    val sh = shingles(docs).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     cands
       .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet sink operators (SURVEY.md §2.1 S5/S6) — the engine
+  * equivalents of the reference's row-at-a-time insert
+  * (/root/reference/fetch_yfinance.py:21-34) and bulk upsert
+  * (/root/reference/fetch_and_store_multi.py:244-248). Batching and
+  * vectorized encoding are native to the Parquet writer; what the sink
+  * layer owns is LAYOUT — the partitioning and in-file ordering that
+  * make downstream reads cheap.
+  *
+  * Layout contract for the stocks table at scale:
+  *  - `partitionBy(symbol)` → partition pruning turns per-symbol scans
+  *    (the reference's `WHERE symbol=?`, SURVEY §2.2 P2) into
+  *    directory-level pruning;
+  *  - `sortWithinPartitions(date)` → parquet row-group min/max stats
+  *    prune date ranges (P3/P4), and window scans are pre-sorted.
+  * At 100 TB, symbol alone may under- or over-partition; the grid
+  * becomes (symbol-bucket, year) with the same sort contract.
+  */
+object Sink {
+
+  /** Write bars partitioned by symbol, date-sorted within files. */
+  def writeStocks(df: DataFrame, path: String): Unit =
+    df.repartition(col("symbol"))
+      .sortWithinPartitions("symbol", "date")
+      .write
+      .mode("overwrite")
+      .partitionBy("symbol")
+      .parquet(path)
+
+  /** Upsert-then-write snapshot rewrite: merge updates into the stored
+    * table and replace it (the plain-parquet stand-in for a
+    * transactional MERGE; at scale this becomes dynamic partition
+    * overwrite of only the touched partitions).
+    */
+  def upsertInto(spark: SparkSession, path: String, updates: DataFrame): Unit = {
+    val merged = if (pathExists(spark, path)) {
+      Merge.upsert(spark.read.parquet(path), updates)
+    } else updates
+    // write to a temp location then swap, so the source is never read
+    // and overwritten in the same job
+    val tmp = path + "__tmp"
+    writeStocks(merged, tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path))
+
+  /** Reject side-output sink (SURVEY §2.1 S9 / §2.8 Q4): quality
+    * rejects land next to the main table, partitioned the same way.
+    */
+  def writeRejects(df: DataFrame, path: String): Unit =
+    df.withColumn("errors", concat_ws(",", col("errors")))
+      .write.mode("append").partitionBy("symbol").parquet(path)
+}
