@@ -84,6 +84,14 @@ object ExtQueries {
 
   private val jaccardExpr = "round(n_common * 1.0 / (sa.n + sb.n - n_common), 4)"
 
+  /** 8-char ascii polynomial over an md5 hex digest `m` — mirrors
+    * Dedup.shingleBase.
+    */
+  private val minhashBaseSql: String =
+    (1 to 8).map(i =>
+      s"CAST(ascii(substr(m, $i, 1)) AS BIGINT) * ${math.pow(128, 8 - i).toLong}")
+      .mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
     "join_revenue_by_region" ->
       """SELECT r_name, l_returnflag,
@@ -126,14 +134,17 @@ object ExtQueries {
          | WHERE $jaccardExpr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""$SH3,
+         | shx AS (SELECT doc_id, ($minhashBaseSql) % ${Dedup.minhashP} AS x
+         |         FROM (SELECT doc_id, md5(s) AS m FROM sh)),
          | sig AS (SELECT doc_id,
-         |   ${(0 until Dedup.minhashSeeds).map(k => s"min(md5('$k:' || s)) AS h$k").mkString(", ")}
-         |   FROM sh GROUP BY doc_id),
+         |   ${Dedup.minhashParams.zipWithIndex.map { case ((a, b), k) =>
+             s"min(($a * x + $b) % ${Dedup.minhashP}) AS h$k" }.mkString(", ")}
+         |   FROM shx GROUP BY doc_id),
          | bands AS (
          |   ${(0 until Dedup.minhashSeeds / Dedup.minhashBandSize).map { b =>
              val hs = (0 until Dedup.minhashBandSize)
-               .map(j => s"h${b * Dedup.minhashBandSize + j}").mkString(" || ")
-             s"SELECT doc_id, $b AS band, $hs AS bv FROM sig"
+               .map(j => s"h${b * Dedup.minhashBandSize + j}").mkString(", ")
+             s"SELECT doc_id, $b AS band, concat_ws('_', $hs) AS bv FROM sig"
            }.mkString("\n   UNION ALL ")}),
          | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM bands a JOIN bands b

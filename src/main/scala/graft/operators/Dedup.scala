@@ -74,29 +74,58 @@ object Dedup {
   val minhashSeeds = 12
   val minhashBandSize = 3 // 4 bands of 3 → catches jaccard ≳ 0.5 pairs
 
-  /** MinHash signatures: sig_k = min over shingles of md5("k:" ++ s).
-    * String-min over uniform md5 hex values is a valid min-hash (any
-    * total order works), and is bit-identical across engines.
+  /** Mersenne prime 2^31-1: products (a·x + b) with a, x < P stay under
+    * 2^62, so the universal-hash family evaluates exactly in 64-bit
+    * integer arithmetic on both engines.
     */
+  val minhashP = 2147483647L
+
+  /** 12 fixed (a, b) parameter pairs for the h_k(x) = (a·x + b) mod P
+    * family — arbitrary constants, shared verbatim with the oracle.
+    */
+  val minhashParams: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (214013L, 2531011L), (134775813L, 1L),
+    (1664525L, 1013904223L), (22695477L, 1L), (69069L, 362437L),
+    (1583458089L, 945024L), (784588716L, 805306457L), (425612765L, 97L),
+    (1203248318L, 11113L), (622729787L, 7369L), (141421356L, 2718281L))
+
+  /** Base value per shingle: an 8-character ascii polynomial over the
+    * md5 hex digest — one md5 per shingle, 32 bits of entropy, exact in
+    * both engines (each term < 128^8 < 2^56).
+    */
+  private def shingleBase(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = md5(s)
+    val x = (1 to 8).map(i => ascii(m.substr(i, 1)) * lit(math.pow(128, 8 - i).toLong))
+      .reduce(_ + _)
+    pmod(x.cast("long"), lit(minhashP))
+  }
+
+  /** MinHash signatures: sig_k = min over shingles of h_k(base(s)). */
   def minhashSignatures(docs: DataFrame): DataFrame =
     minhashSignaturesFrom(shingles(docs))
 
   private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
-    val aggs = (0 until minhashSeeds).map(k =>
-      min(md5(concat(lit(s"$k:"), col("s")))).as(s"h$k"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val withBase = sh.withColumn("x", shingleBase(col("s")))
+    val aggs = minhashParams.zipWithIndex.map { case ((a, b), k) =>
+      min(pmod(lit(a) * col("x") + lit(b), lit(minhashP))).as(s"h$k")
+    }
+    withBase.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs (same band value in any band) verified with
     * exact Jaccard; output = verified near-dup pairs.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    // one shingle pass shared by signatures and verification
+    // one shingle pass shared by signatures and verification; the
+    // signature table is cached too — the band self-join and the
+    // candidate verification would otherwise recompute the whole
+    // shingle+aggregate subtree once per join side
     val sh = shingles(docs).cache()
-    val sig = minhashSignaturesFrom(sh)
+    val sig = minhashSignaturesFrom(sh).cache()
     val bands = (0 until minhashSeeds / minhashBandSize).map { b =>
       val cols = (0 until minhashBandSize).map(j => col(s"h${b * minhashBandSize + j}"))
-      sig.select(col("doc_id"), lit(b).as("band"), concat(cols: _*).as("bv"))
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat_ws("_", cols: _*).as("bv"))
     }.reduce(_ unionByName _)
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -121,21 +150,34 @@ object Dedup {
   /** 64-bit SimHash over distinct words, emitted as a 64-char bit
     * string (MSB-first nibble order of the word md5's first 16 hex
     * chars). sum ≥ 0 → '1'.
+    *
+    * Shape: each word maps to a 64-element ±1 array (a codegen'd
+    * higher-order transform, no row explosion), and the per-document
+    * signature is 64 scalar sums — algebraic aggregates with map-side
+    * partial combine, so the shuffle carries 64 ints per (partition,
+    * doc) instead of 64 rows per word (the naive explode would move
+    * docs × words × 64 rows).
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val docWords = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .distinct()
+    // bit arrays computed once per vocabulary word (Zipf: vocab ≪
+    // doc×word pairs), then joined back — the join side is tiny and
+    // broadcasts
+    val vocab = docWords.select("word").distinct()
       .withColumn("h", md5(col("word")))
-    val bits = words
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("b"))
-      .withColumn("nib", conv(col("h").substr((col("b") / 4).cast("int") + 1, lit(1)), 16, 10).cast("int"))
-      .withColumn("bit", expr("shiftright(nib, 3 - (b % 4)) & 1"))
-      .withColumn("wt", col("bit") * 2 - 1)
-    bits.groupBy("doc_id", "b").agg(sum(col("wt")).as("s"))
-      .withColumn("ch", when(col("s") >= 0, "1").otherwise("0"))
-      .groupBy("doc_id")
-      .agg(array_join(
-        expr("transform(array_sort(collect_list(struct(b, ch))), x -> x.ch)"), "").as("simhash"))
+      .withColumn("wts", expr(
+        """flatten(transform(sequence(1, 16), i ->
+          |  transform(sequence(3, 0, -1), j ->
+          |    (shiftright(cast(conv(substring(h, i, 1), 16, 10) as int), j) & 1) * 2 - 1)))""".stripMargin))
+      .select("word", "wts")
+    val sums = (0 until 64).map(b => sum(col("wts").getItem(b)).as(s"s$b"))
+    docWords.join(vocab, "word")
+      .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .withColumn("simhash",
+        concat((0 until 64).map(b => when(col(s"s$b") >= 0, "1").otherwise("0")): _*))
+      .select("doc_id", "simhash")
       .orderBy("doc_id")
   }
 }
