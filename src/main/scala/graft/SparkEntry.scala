@@ -68,6 +68,9 @@ object SparkEntry {
         .filter(col("symbol").isin("AF", "NO", "RF") && col("volume") > 150 &&
           col("adj_close").isNotNull)
         .orderBy("symbol", "date")),
+    "period_slice" -> ((s, d) =>
+      Tables.periodSlice(stocks(s, d), "2001-01-01", 180)
+        .orderBy("symbol", "date")),
 
     // ---- aggregates (A1-A3, I1)
     "distinct_symbols" -> ((s, d) =>
@@ -139,6 +142,21 @@ object SparkEntry {
         .withColumn("signal", Indicators.rsiSignal(col("rsi")))
         .select("symbol", "date", "rsi", "signal")
         .orderBy("symbol", "date")
+    }),
+
+    // ---- E3 dashboard semantics: filter FIRST, then windows — MAs are
+    // computed on the filtered range, not full history (the reference
+    // caches the scan, slices in memory, then adds MAs:
+    // /root/reference/dashboard.py:24-38,64-65; SURVEY §3 E3)
+    "dashboard_range_ma" -> ((s, d) => {
+      val sliced = stocks(s, d)
+        .filter(col("symbol") === "RO" &&
+          col("date").between(to_date(lit("1996-01-01")), to_date(lit("1999-12-31"))))
+      sliced
+        .withColumn("ma_50", round(Indicators.maGated(50), 6))
+        .withColumn("ma_200", round(Indicators.maGated(200), 6))
+        .select("symbol", "date", "close", "ma_50", "ma_200")
+        .orderBy("date")
     }),
 
     // ---- EWM family (W4-W7; custom AggregateWindowFunction, no SQL
@@ -217,6 +235,10 @@ object SparkEntry {
     "filter_in" ->
       s"""$S SELECT * FROM stocks WHERE symbol IN ('AF','NO','RF') AND volume > 150
          | AND adj_close IS NOT NULL ORDER BY symbol, date""".stripMargin,
+    "period_slice" ->
+      s"""$S SELECT * FROM stocks
+         | WHERE date > DATE '2001-01-01' - 180 AND date <= DATE '2001-01-01'
+         | ORDER BY symbol, date""".stripMargin,
     "distinct_symbols" -> s"$S SELECT DISTINCT symbol FROM stocks ORDER BY symbol",
     "watermark_maxdate" ->
       s"$S SELECT symbol, max(date) AS last_date FROM stocks GROUP BY symbol ORDER BY symbol",
@@ -269,6 +291,17 @@ object SparkEntry {
          | WINDOW w AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
          | ORDER BY symbol, date""".stripMargin,
     "rsi" -> rsiOracle,
+    "dashboard_range_ma" ->
+      s"""$S, sliced AS (
+         |   SELECT symbol, date, close FROM stocks
+         |   WHERE symbol = 'RO' AND date BETWEEN DATE '1996-01-01' AND DATE '1999-12-31')
+         | SELECT symbol, date, close,
+         |   CASE WHEN count(*) OVER w50 = 50 THEN round(avg(close) OVER w50, 6) END AS ma_50,
+         |   CASE WHEN count(*) OVER w200 = 200 THEN round(avg(close) OVER w200, 6) END AS ma_200
+         | FROM sliced
+         | WINDOW w50 AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+         |        w200 AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)
+         | ORDER BY date""".stripMargin,
     "normalize_base100" ->
       s"""$S SELECT symbol, date,
          | round(close / first_value(close) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0, 4) AS norm_close

@@ -116,4 +116,13 @@ object Tables {
     * queries, which need a fixed column list on both engines.
     */
   val symbols: Seq[String] = Seq("AF", "AO", "NF", "NO", "RF", "RO")
+
+  /** S2 relative-period slice (reference: yf period fetch,
+    * /root/reference/fetch_and_store.py:223-250): last `days` days of
+    * data as of `asOf`. The as-of date is an explicit parameter — the
+    * reference uses now(), which a reproducible query cannot.
+    */
+  def periodSlice(df: DataFrame, asOf: String, days: Int): DataFrame =
+    df.filter(col("date") > date_sub(to_date(lit(asOf)), days) &&
+      col("date") <= to_date(lit(asOf)))
 }
