@@ -71,6 +71,17 @@ object SparkEntry {
     "period_slice" -> ((s, d) =>
       Tables.periodSlice(stocks(s, d), "2001-01-01", 180)
         .orderBy("symbol", "date")),
+    // §2.6 ⊘ set ops: dates where both AF and RO traded heavy, and
+    // AF-only heavy dates (INTERSECT / EXCEPT)
+    "set_ops_heavy_days" -> ((s, d) => {
+      def heavy(sym: String) = stocks(s, d)
+        .filter(col("symbol") === sym && col("volume") > 350)
+        .select("date").distinct()
+      heavy("AF").intersect(heavy("RO")).withColumn("op", lit("both"))
+        .unionByName(heavy("AF").except(heavy("RO")).withColumn("op", lit("af_only")))
+        .select("op", "date")
+        .orderBy("op", "date")
+    }),
 
     // ---- aggregates (A1-A3, I1)
     "distinct_symbols" -> ((s, d) =>
@@ -239,6 +250,13 @@ object SparkEntry {
       s"""$S SELECT * FROM stocks
          | WHERE date > DATE '2001-01-01' - 180 AND date <= DATE '2001-01-01'
          | ORDER BY symbol, date""".stripMargin,
+    "set_ops_heavy_days" ->
+      s"""$S, af AS (SELECT DISTINCT date FROM stocks WHERE symbol = 'AF' AND volume > 350),
+         | ro AS (SELECT DISTINCT date FROM stocks WHERE symbol = 'RO' AND volume > 350)
+         | SELECT 'both' AS op, date FROM (SELECT date FROM af INTERSECT SELECT date FROM ro)
+         | UNION ALL
+         | SELECT 'af_only', date FROM (SELECT date FROM af EXCEPT SELECT date FROM ro)
+         | ORDER BY op, date""".stripMargin,
     "distinct_symbols" -> s"$S SELECT DISTINCT symbol FROM stocks ORDER BY symbol",
     "watermark_maxdate" ->
       s"$S SELECT symbol, max(date) AS last_date FROM stocks GROUP BY symbol ORDER BY symbol",
