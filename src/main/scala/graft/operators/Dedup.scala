@@ -26,18 +26,20 @@ import graft.Tables
   */
 object Dedup {
 
-  private val w3 = "w3"
-
-  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  /** Word-n-gram shingles per doc: (doc_id, s). `distinct = false`
+    * skips the dedup shuffle — correct for duplicate-insensitive
+    * consumers (min-aggregates: MinHash signatures, winnowing minima);
+    * set semantics (Jaccard counting) need the default distinct.
+    */
+  def shingles(docs: DataFrame, n: Int = 3, distinct: Boolean = true): DataFrame = {
     val words = split(col("text"), " ")
     val grams = expr(
       s"""transform(sequence(1, size(w) - ${n - 1}),
          |  i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(w, i + $j)").mkString(", ")}))""".stripMargin)
-    docs.select(col("doc_id"), words.as("w"))
+    val raw = docs.select(col("doc_id"), words.as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(grams).as("s"))
-      .distinct()
+    if (distinct) raw.distinct() else raw
   }
 
   /** Exact dedup by content hash: keeper = min doc_id per fingerprint. */
@@ -100,9 +102,12 @@ object Dedup {
     pmod(x.cast("long"), lit(minhashP))
   }
 
-  /** MinHash signatures: sig_k = min over shingles of h_k(base(s)). */
+  /** MinHash signatures: sig_k = min over shingles of h_k(base(s)).
+    * min is duplicate-insensitive → non-distinct shingles (no shuffle
+    * before the aggregate).
+    */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    minhashSignaturesFrom(shingles(docs))
+    minhashSignaturesFrom(shingles(docs, distinct = false))
 
   private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
     val withBase = sh.withColumn("x", shingleBase(col("s")))
@@ -116,12 +121,13 @@ object Dedup {
     * exact Jaccard; output = verified near-dup pairs.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    // one shingle pass shared by signatures and verification; the
-    // signature table is cached too — the band self-join and the
+    // the signature table is cached — the band self-join and the
     // candidate verification would otherwise recompute the whole
-    // shingle+aggregate subtree once per join side
+    // shingle+aggregate subtree once per join side; signatures use
+    // non-distinct shingles (min is duplicate-insensitive), the
+    // Jaccard verification needs the distinct set
     val sh = shingles(docs).cache()
-    val sig = minhashSignaturesFrom(sh).cache()
+    val sig = minhashSignaturesFrom(shingles(docs, distinct = false)).cache()
     val bands = (0 until minhashSeeds / minhashBandSize).map { b =>
       val cols = (0 until minhashBandSize).map(j => col(s"h${b * minhashBandSize + j}"))
       sig.select(col("doc_id"), lit(b).as("band"),

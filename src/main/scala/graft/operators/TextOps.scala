@@ -103,7 +103,10 @@ object TextOps {
     * a winnowing-style minimum over 5-word rolling shingle hashes.
     */
   def fingerprints(docs: DataFrame): DataFrame = {
-    val sh5 = Dedup.shingles(docs.select(col("doc_id"), lower(col("text")).as("text")), 5)
+    // min over rolling hashes is duplicate-insensitive → skip the
+    // distinct shuffle
+    val sh5 = Dedup.shingles(
+      docs.select(col("doc_id"), lower(col("text")).as("text")), 5, distinct = false)
     val winnow = sh5.groupBy("doc_id").agg(min(md5(col("s"))).as("winnow_min"))
     docs.select(col("doc_id"), md5(lower(col("text"))).as("content_md5"))
       .join(winnow, Seq("doc_id"), "left")
