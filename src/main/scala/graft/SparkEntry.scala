@@ -170,12 +170,23 @@ object SparkEntry {
         .orderBy("date")
     }),
 
-    // ---- EWM family (W4-W7; custom AggregateWindowFunction, no SQL
-    // oracle — covered by pandas-parity unit specs)
+    // ---- EWM family (W4-W7; custom Catalyst aggregate). ema_macd is
+    // the full-precision surface (rows-only driver check + pandas
+    // goldens); ema_macd_checked rounds to 2 decimals and hash-matches
+    // a truncated-convolution DuckDB oracle (agreement ≤ 3e-10).
     "ema_macd" -> ((s, d) =>
       Indicators.withEmaMacd(stocks(s, d))
         .select("symbol", "date", "close", "ema_12", "ema_26", "macd",
           "macd_signal", "macd_histogram")
+        .orderBy("symbol", "date")),
+    "ema_macd_checked" -> ((s, d) =>
+      Indicators.withEmaMacd(stocks(s, d))
+        .select(col("symbol"), col("date"),
+          round(col("ema_12"), 2).as("ema_12"),
+          round(col("ema_26"), 2).as("ema_26"),
+          round(col("macd"), 2).as("macd"),
+          round(col("macd_signal"), 2).as("macd_signal"),
+          round(col("macd_histogram"), 2).as("macd_histogram"))
         .orderBy("symbol", "date")),
 
     // ---- data quality (Q1-Q5)
@@ -309,6 +320,7 @@ object SparkEntry {
          | WINDOW w AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
          | ORDER BY symbol, date""".stripMargin,
     "rsi" -> rsiOracle,
+    "ema_macd_checked" -> emaMacdCheckedOracle,
     "dashboard_range_ma" ->
       s"""$S, sliced AS (
          |   SELECT symbol, date, close FROM stocks
@@ -415,6 +427,47 @@ object SparkEntry {
          |   max(CASE WHEN symbol = 'RF' THEN n END) AS "RF",
          |   max(CASE WHEN symbol = 'RO' THEN n END) AS "RO"
          | FROM norm GROUP BY date ORDER BY date""".stripMargin)
+
+  /** EWM adjust=True as a truncated convolution for the oracle:
+    * num_t = Σ_j d^j x_{t-j} over a window of `terms` rows (d^terms
+    * below double precision), den_t = (1-d^len)/(1-d) closed-form.
+    * Agrees with the exact recursion to ~1e-10 absolute — absorbed by
+    * the round(2) on both sides.
+    */
+  private def ewmConvSql(listCol: String, span: Int): String = {
+    val d = s"(1.0 - 2.0 / ${span + 1}.0)"
+    s"""(list_sum(list_transform(list_reverse($listCol), (x, i) -> x * pow($d, i - 1)))
+       | / ((1.0 - pow($d, len($listCol))) / (2.0 / ${span + 1}.0)))""".stripMargin.replace("\n", "")
+  }
+
+  private lazy val emaMacdCheckedOracle: String =
+    s"""$S, wl AS (
+       |   SELECT symbol, date, close,
+       |     list(close) OVER (PARTITION BY symbol ORDER BY date
+       |       ROWS BETWEEN 699 PRECEDING AND CURRENT ROW) AS xs
+       |   FROM stocks),
+       | e AS (
+       |   SELECT symbol, date,
+       |     ${ewmConvSql("xs", 12)} AS ema12,
+       |     ${ewmConvSql("xs", 26)} AS ema26
+       |   FROM wl),
+       | m AS (SELECT symbol, date, ema12, ema26, ema12 - ema26 AS macd FROM e),
+       | wm AS (
+       |   SELECT symbol, date, ema12, ema26, macd,
+       |     list(macd) OVER (PARTITION BY symbol ORDER BY date
+       |       ROWS BETWEEN 399 PRECEDING AND CURRENT ROW) AS ms
+       |   FROM m),
+       | sig AS (
+       |   SELECT symbol, date, ema12, ema26, macd,
+       |     ${ewmConvSql("ms", 9)} AS macd_signal
+       |   FROM wm)
+       | SELECT symbol, date,
+       |   round(ema12, 2) AS ema_12,
+       |   round(ema26, 2) AS ema_26,
+       |   round(macd, 2) AS macd,
+       |   round(macd_signal, 2) AS macd_signal,
+       |   round(macd - macd_signal, 2) AS macd_histogram
+       | FROM sig ORDER BY symbol, date""".stripMargin
 
   /** RSI(14) oracle — mirrors Indicators.rsi including the leading-null
     * delta → gain=loss=0.0 quirk and the division edges.
