@@ -83,4 +83,33 @@ object Multimodal {
     import spark.implicits._
     extractFeatures(mediaTable(docs)).toDF().orderBy("doc_id")
   }
+
+  /** STUB resize — a real implementation decodes, scales, re-encodes.
+    * Deterministic fake: proportionally truncate the payload, carrying
+    * the requested dimensions in metadata. Keeps the operator's
+    * contract (binary in → smaller binary + dims out) testable.
+    */
+  def resize(r: MediaRecord, w: Int, h: Int): MediaRecord = {
+    val keep = math.max(1, (r.media.length.toLong * w * h / (640L * 480L)).toInt
+      .min(r.media.length))
+    r.copy(media = r.media.take(keep))
+  }
+
+  /** STUB frame sampling — a real implementation seeks keyframes.
+    * Deterministic fake: n evenly-spaced 8-byte slices of the payload.
+    * The Spark-side shape (one row in → n frame rows out, narrow
+    * flatMap, no shuffle) is the part that matters at scale.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], n: Int): Dataset[(Long, Int, Array[Byte])] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val len = r.media.length
+      (0 until n).flatMap { i =>
+        val off = if (n == 1) 0 else (len.toLong * i / n).toInt
+        if (off < len) Some((r.doc_id, i, r.media.slice(off, math.min(off + 8, len))))
+        else None
+      }
+    }
+  }
 }

@@ -40,4 +40,19 @@ class MultimodalSpec extends SparkSpec {
     assert(rec.doc_id == 7L)
     assert(new String(rec.media, "UTF-8") == "payload")
   }
+
+  test("resize stub shrinks payload proportionally, keeps determinism") {
+    val rec = Multimodal.mediaTable(docs(0L -> ("x" * 640))).collect().head
+    val half = Multimodal.resize(rec, 320, 480)
+    assert(half.media.length == 320)
+    assert(Multimodal.resize(rec, 320, 480).media.toSeq == half.media.toSeq)
+  }
+
+  test("frame sampling emits n evenly spaced slices per record") {
+    val media = Multimodal.mediaTable(docs(0L -> "abcdefghijklmnopqrstuvwxyz"))
+    val frames = Multimodal.sampleFrames(media, 3).collect()
+    assert(frames.length == 3)
+    assert(frames.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(new String(frames(0)._3, "UTF-8") == "abcdefgh")
+  }
 }

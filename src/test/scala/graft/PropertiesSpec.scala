@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Date
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{Merge, Quality}
+
+/** Property-based invariants over randomized batches (SURVEY.md §5.3):
+  * merge algebra and quality partitioning hold for arbitrary inputs,
+  * not just the crafted fixtures.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  /** Deterministic sampling from a Gen (no scalatestplus bridge in the
+    * offline cache): fixed seeds → reproducible cases.
+    */
+  private def cases[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val symGen = Gen.oneOf("A", "B", "C")
+  private val dayGen = Gen.choose(1, 28)
+  private val rowGen = for {
+    s <- symGen; d <- dayGen; v <- Gen.choose(1, 1000)
+  } yield (s, d, v.toDouble)
+  private val batchGen = Gen.listOfN(30, rowGen)
+
+  private def df(rows: List[(String, Int, Double)]): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.map { case (s, d, v) => (s, Date.valueOf(f"2020-01-$d%02d"), v) }
+      .toDF("symbol", "date", "close")
+      // collapse duplicate PKs inside a batch (a batch is a snapshot)
+      .groupBy("symbol", "date").agg(max("close").as("close"))
+  }
+
+  private def pkSet(d: DataFrame) =
+    d.select("symbol", "date").collect().map(r => (r.getString(0), r.getDate(1))).toSet
+
+  test("property: upsert PK-union, uniqueness, and last-wins dominance") {
+    cases(Gen.zip(batchGen, batchGen), 8).foreach { case (a, b) =>
+      {
+        val (ta, tb) = (df(a), df(b))
+        val merged = Merge.upsert(ta, tb)
+        // PK set = union of inputs' PK sets
+        assert(pkSet(merged) == (pkSet(ta) ++ pkSet(tb)))
+        // PKs unique
+        assert(merged.groupBy("symbol", "date").count()
+          .filter(col("count") > 1).count() == 0)
+        // every update row survives verbatim
+        val mm = merged.collect()
+          .map(r => (r.getString(0), r.getDate(1)) -> r.getDouble(2)).toMap
+        tb.collect().foreach { r =>
+          assert(mm((r.getString(0), r.getDate(1))) == r.getDouble(2))
+        }
+      }
+    }
+  }
+
+  test("property: insertIgnore keeps target rows verbatim") {
+    cases(Gen.zip(batchGen, batchGen), 8).foreach { case (a, b) =>
+      {
+        val (ta, tb) = (df(a), df(b))
+        val merged = Merge.insertIgnore(ta, tb)
+        val mm = merged.collect()
+          .map(r => (r.getString(0), r.getDate(1)) -> r.getDouble(2)).toMap
+        ta.collect().foreach { r =>
+          assert(mm((r.getString(0), r.getDate(1))) == r.getDouble(2))
+        }
+        assert(pkSet(merged) == (pkSet(ta) ++ pkSet(tb)))
+      }
+    }
+  }
+
+  test("property: quality verdict partitions every input row exactly once") {
+    val barGen = for {
+      s <- symGen; d <- dayGen
+      o <- Gen.choose(-5.0, 50.0); h <- Gen.choose(-5.0, 50.0)
+      l <- Gen.choose(-5.0, 50.0); c <- Gen.choose(-5.0, 50.0)
+      v <- Gen.choose(-10L, 100L)
+    } yield (s, d, o, h, l, c, v)
+    cases(Gen.listOfN(40, barGen), 8).foreach { rows =>
+      {
+        val spark2 = spark
+        import spark2.implicits._
+        val d = rows.zipWithIndex.map { case ((s, dd, o, h, l, c, v), i) =>
+          (s, Date.valueOf(f"2020-02-${dd % 28 + 1}%02d"), o, h, l, c, o, v, i.toLong)
+        }.toDF("symbol", "date", "open", "high", "low", "close", "adj_close", "volume", "row_id")
+        val verdict = Quality.withVerdict(d)
+        val valid = verdict.filter(col("is_valid")).count()
+        val invalid = verdict.filter(!col("is_valid")).count()
+        assert(valid + invalid == rows.length)
+        // is_valid ⇔ empty error list
+        assert(verdict.filter(col("is_valid") =!= (size(col("errors")) === 0)).count() == 0)
+      }
+    }
+  }
+}
