@@ -85,30 +85,38 @@ object Multimodal {
   }
 
   /** STUB resize — a real implementation decodes, scales, re-encodes.
-    * Deterministic fake: proportionally truncate the payload, carrying
-    * the requested dimensions in metadata. Keeps the operator's
-    * contract (binary in → smaller binary + dims out) testable.
+    * Deterministic fake: truncate the payload by the target/reference
+    * pixel ratio (capped at 1 — upscales keep the full payload).
     */
   def resize(r: MediaRecord, w: Int, h: Int): MediaRecord = {
-    val keep = math.max(1, (r.media.length.toLong * w * h / (640L * 480L)).toInt
-      .min(r.media.length))
+    val ratio = math.min(1.0, w.toDouble * h / (640.0 * 480.0))
+    val keep = math.max(1, (r.media.length * ratio).toInt).min(r.media.length)
     r.copy(media = r.media.take(keep))
+  }
+
+  /** Dataset-level resize stage (narrow map, no shuffle). */
+  def resizeAll(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map(resize(_, w, h))
   }
 
   /** STUB frame sampling — a real implementation seeks keyframes.
     * Deterministic fake: n evenly-spaced 8-byte slices of the payload.
-    * The Spark-side shape (one row in → n frame rows out, narrow
-    * flatMap, no shuffle) is the part that matters at scale.
+    * Every record emits exactly n frames (empty slices for payloads
+    * shorter than the sample grid), so frames join back to their
+    * source rows losslessly. The Spark-side shape (one row in → n
+    * frame rows out, narrow flatMap, no shuffle) is the part that
+    * matters at scale.
     */
   def sampleFrames(media: Dataset[MediaRecord], n: Int): Dataset[(Long, Int, Array[Byte])] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { r =>
       val len = r.media.length
-      (0 until n).flatMap { i =>
-        val off = if (n == 1) 0 else (len.toLong * i / n).toInt
-        if (off < len) Some((r.doc_id, i, r.media.slice(off, math.min(off + 8, len))))
-        else None
+      (0 until n).map { i =>
+        val off = if (len == 0) 0 else (len.toLong * i / n).toInt
+        (r.doc_id, i, r.media.slice(off, math.min(off + 8, len)))
       }
     }
   }

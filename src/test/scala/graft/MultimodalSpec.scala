@@ -41,18 +41,26 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(rec.media, "UTF-8") == "payload")
   }
 
-  test("resize stub shrinks payload proportionally, keeps determinism") {
+  test("resize stub shrinks proportionally and clamps upscales") {
     val rec = Multimodal.mediaTable(docs(0L -> ("x" * 640))).collect().head
-    val half = Multimodal.resize(rec, 320, 480)
-    assert(half.media.length == 320)
-    assert(Multimodal.resize(rec, 320, 480).media.toSeq == half.media.toSeq)
+    assert(Multimodal.resize(rec, 320, 480).media.length == 320)
+    // upscale (incl. huge dims that would overflow naive int math)
+    assert(Multimodal.resize(rec, 1280, 960).media.length == 640)
+    assert(Multimodal.resize(rec, 65536, 65536).media.length == 640)
+    val halved = Multimodal.resizeAll(
+      Multimodal.mediaTable(docs(0L -> ("x" * 640))), 320, 480).collect().head
+    assert(halved.media.length == 320)
   }
 
-  test("frame sampling emits n evenly spaced slices per record") {
-    val media = Multimodal.mediaTable(docs(0L -> "abcdefghijklmnopqrstuvwxyz"))
+  test("frame sampling emits exactly n frames per record, empty included") {
+    val media = Multimodal.mediaTable(
+      docs(0L -> "abcdefghijklmnopqrstuvwxyz", 1L -> ""))
     val frames = Multimodal.sampleFrames(media, 3).collect()
-    assert(frames.length == 3)
-    assert(frames.map(_._2).toSeq == Seq(0, 1, 2))
-    assert(new String(frames(0)._3, "UTF-8") == "abcdefgh")
+    assert(frames.length == 6) // both records emit 3 frames
+    val doc0 = frames.filter(_._1 == 0L).sortBy(_._2)
+    assert(doc0.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(new String(doc0(0)._3, "UTF-8") == "abcdefgh")
+    val doc1 = frames.filter(_._1 == 1L)
+    assert(doc1.forall(_._3.isEmpty)) // empty payload → empty slices, rows kept
   }
 }

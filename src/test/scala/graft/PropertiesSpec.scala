@@ -91,8 +91,18 @@ class PropertiesSpec extends SparkSpec {
         val valid = verdict.filter(col("is_valid")).count()
         val invalid = verdict.filter(!col("is_valid")).count()
         assert(valid + invalid == rows.length)
-        // is_valid ⇔ empty error list
-        assert(verdict.filter(col("is_valid") =!= (size(col("errors")) === 0)).count() == 0)
+        // independent scala-side re-implementation of the reference
+        // battery (fetch_and_store.py:60-120) must agree row by row
+        verdict.collect().foreach { r =>
+          val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+            r.getAs[Double]("low"), r.getAs[Double]("close"))
+          val v = r.getAs[Long]("volume")
+          val expectValid = o > 0 && h > 0 && l > 0 && c > 0 && v >= 0 &&
+            h >= l && h >= math.max(o, c) && l <= math.min(o, c) &&
+            math.abs(c - o) / o <= 0.5
+          assert(r.getAs[Boolean]("is_valid") == expectValid,
+            s"row ${r.getAs[Long]("row_id")}: ($o,$h,$l,$c,$v)")
+        }
       }
     }
   }
