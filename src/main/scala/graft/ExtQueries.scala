@@ -60,6 +60,17 @@ object ExtQueries {
         .orderBy("symbol", "date")
     }),
 
+    // ---- skew-salted join (result ≡ plain equi-join; the salt only
+    // changes task distribution, which the oracle proves)
+    "skew_salted_join" -> ((s, d) => {
+      val st = Tables.stocks(s, d)
+      val dim = st.groupBy("symbol").agg(max("volume").as("peak_volume"))
+      Skew.saltedJoin(st, dim, "symbol", pmod(hash(col("date")), lit(8)), 8)
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n"), max("peak_volume").as("peak_volume"))
+        .orderBy("symbol")
+    }),
+
     // ---- ingest normalization (P9-P11 + §2.9 scalar functions:
     // upper/trim, to_date, date_format, null-coalesce, casts)
     "ingest_normalize" -> ((s, d) =>
@@ -279,6 +290,13 @@ object ExtQueries {
          | FROM stocks s ASOF LEFT JOIN anchors a
          |   ON s.symbol = a.symbol AND s.date >= a.adate
          | ORDER BY s.symbol, s.date""".stripMargin,
+    "skew_salted_join" ->
+      s"""${Tables.stocksCte}
+         | SELECT s.symbol, count(*) AS n, max(d.peak_volume) AS peak_volume
+         | FROM stocks s
+         | JOIN (SELECT symbol, max(volume) AS peak_volume FROM stocks GROUP BY symbol) d
+         |   ON s.symbol = d.symbol
+         | GROUP BY s.symbol ORDER BY s.symbol""".stripMargin,
     "ingest_normalize" ->
       """SELECT event_id, upper(trim(event_type)) AS symbol,
         | CAST(ts AS DATE) AS date,

@@ -40,6 +40,16 @@ class SinkSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("CSV export round-trips (S7: the reference's S3/CSV export path)") {
+    val dir = Files.createTempDirectory("graft-csv").toString + "/export"
+    val df = bars("AA", Seq(10.0, 11.5, 12.25))
+    df.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(df.schema).csv(dir)
+    assert(back.count() == 3)
+    assert(back.orderBy("date").select("close").collect().map(_.getDouble(0)).toSeq ==
+      Seq(10.0, 11.5, 12.25))
+  }
+
   test("writeRejects lands the quality side-output") {
     val dir = Files.createTempDirectory("graft-rej").toString + "/rejects"
     val bad = bars("AA", Seq(10.0)).withColumn("close", lit(-1.0))
