@@ -28,6 +28,7 @@ object ExtQueries {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d), 0.5)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), 0.5)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashNearDups(docs(s, d), 3)),
 
     // ---- similarity search
     "embed_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), 10, 5)),
@@ -94,6 +95,22 @@ object ExtQueries {
       | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   private val jaccardExpr = "round(n_common * 1.0 / (sa.n + sb.n - n_common), 4)"
+
+  /** SimHash signature CTE chain ending in sig(doc_id, simhash) —
+    * mirrors Dedup.simhash.
+    */
+  private val simhashSigSql: String =
+    """WITH words AS (SELECT DISTINCT doc_id, word FROM
+      |     (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
+      | wh AS (SELECT doc_id, md5(word) AS h FROM words),
+      | bits AS (
+      |   SELECT doc_id, i AS b,
+      |     ((strpos('0123456789abcdef', substr(h, (i // 4) + 1, 1)) - 1) >> (3 - (i % 4))) & 1 AS bit
+      |   FROM wh, UNNEST(range(0, 64)) AS t(i)),
+      | sums AS (SELECT doc_id, b, sum(bit * 2 - 1) AS s FROM bits GROUP BY doc_id, b),
+      | sig AS (SELECT doc_id,
+      |   string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+      |   FROM sums GROUP BY doc_id)""".stripMargin
 
   /** 8-char ascii polynomial over an md5 hex digest `m` — mirrors
     * Dedup.shingleBase.
@@ -169,17 +186,24 @@ object ExtQueries {
          | FROM iv JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          | WHERE $jaccardExpr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" ->
-      """WITH words AS (SELECT DISTINCT doc_id, word FROM
-        |     (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
-        | wh AS (SELECT doc_id, md5(word) AS h FROM words),
-        | bits AS (
-        |   SELECT doc_id, i AS b,
-        |     ((strpos('0123456789abcdef', substr(h, (i // 4) + 1, 1)) - 1) >> (3 - (i % 4))) & 1 AS bit
-        |   FROM wh, UNNEST(range(0, 64)) AS t(i)),
-        | sums AS (SELECT doc_id, b, sum(bit * 2 - 1) AS s FROM bits GROUP BY doc_id, b)
-        | SELECT doc_id,
-        |   string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
-        | FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"$simhashSigSql SELECT doc_id, simhash FROM sig ORDER BY doc_id",
+    "dedup_simhash_pairs" ->
+      s"""$simhashSigSql,
+         | chunks AS (SELECT doc_id, b, substr(simhash, b * 16 + 1, 16) AS bv
+         |            FROM sig, UNNEST(range(0, 4)) AS t(b)),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM chunks a JOIN chunks b
+         |            ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         | dists AS (
+         |   SELECT doc_a, doc_b,
+         |     CAST(list_sum(list_transform(range(1, 65), i ->
+         |       CASE WHEN substr(sa.simhash, CAST(i AS INT), 1) <> substr(sb.simhash, CAST(i AS INT), 1)
+         |            THEN 1 ELSE 0 END)) AS INT) AS dist
+         |   FROM cand
+         |   JOIN sig sa ON sa.doc_id = doc_a
+         |   JOIN sig sb ON sb.doc_id = doc_b)
+         | SELECT doc_a, doc_b, dist FROM dists WHERE dist <= 3
+         | ORDER BY doc_a, doc_b""".stripMargin,
     "embed_cosine_topk" -> embedTopkOracle(nQueries = 10, k = 5, bucketed = false),
     "embed_topk_bucketed" -> embedTopkOracle(nQueries = 10, k = 3, bucketed = true),
     "text_langid" ->

@@ -17,8 +17,10 @@ import graft.functions.EwmMean
   *    `ewm_mean(close, 0.5) OVER (PARTITION BY symbol ORDER BY date)`.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftSparkExtensions.ewmMeanDescriptor)
+    ext.injectFunction(GraftSparkExtensions.hammingDescriptor)
+  }
 }
 
 object GraftSparkExtensions {
@@ -48,9 +50,18 @@ object GraftSparkExtensions {
     new ExpressionInfo(classOf[EwmMean].getName, "ewm_mean"),
     buildEwm _)
 
+  val hammingDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("hamming_distance"),
+    new ExpressionInfo(classOf[graft.functions.HammingDistance].getName, "hamming_distance"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"hamming_distance(a, b) takes 2 arguments, got ${args.length}")
+      graft.functions.HammingDistance(args(0), args(1))
+    })
+
   /** Imperative registration on an existing session (tests, shells). */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = ewmMeanDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    Seq(ewmMeanDescriptor, hammingDescriptor).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

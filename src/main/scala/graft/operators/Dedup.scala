@@ -153,6 +153,33 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SimHash near-dup pairs: band the 64-bit signatures into 4×16-bit
+    * chunks (pigeonhole: any pair within Hamming distance 3 shares at
+    * least one identical chunk → 100% recall at maxDist ≤ 3), join on
+    * chunk equality, verify with the codegen'd
+    * graft.functions.HammingDistance expression.
+    */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sig = simhash(docs).cache()
+    val chunks = (0 until 4).map(b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        col("simhash").substr(b * 16 + 1, 16).as("bv")))
+      .reduce(_ unionByName _)
+    val cands = chunks.as("a").join(chunks.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
+      .withColumn("dist",
+        graft.functions.HammingDistance.hamming(col("sa"), col("sb")))
+      .filter(col("dist") <= maxDist)
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** 64-bit SimHash over distinct words, emitted as a 64-char bit
     * string (MSB-first nibble order of the word md5's first 16 hex
     * chars). sum ≥ 0 → '1'.

@@ -53,6 +53,30 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(Set((0L, 1L), (0L, 3L), (1L, 3L))))
   }
 
+  test("simhashNearDups: exact dups at distance 0 via chunk banding") {
+    val pairs = Dedup.simhashNearDups(corpus, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => (p._1, p._2, p._3) == (0L, 3L, 0)))
+    assert(pairs.forall(_._3 <= 3))
+  }
+
+  test("hamming_distance: codegen'd expression incl. null on length mismatch") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.functions.HammingDistance.hamming
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("1010", "1010", "1110", "10"))
+      .toDF("a", "b", "c", "short")
+    val r = df.select(
+      hamming(col("a"), col("b")), hamming(col("a"), col("c")),
+      hamming(col("a"), col("short"))).head
+    assert(r.getInt(0) == 0)
+    assert(r.getInt(1) == 1)
+    assert(r.isNullAt(2))
+    GraftSparkExtensions.register(spark)
+    assert(spark.sql("SELECT hamming_distance('abc', 'abd')").head.getInt(0) == 1)
+  }
+
   test("simhash: 64-bit signatures, equal for equal text, close for near-dups") {
     val sig = Dedup.simhash(corpus).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
