@@ -27,6 +27,16 @@ import graft.operators.{Indicators, Merge, Quality, Summary}
   */
 object SparkEntry {
 
+  /** Total order for aggregate-sized outputs (≤ ~10^4 rows) via a
+    * single-partition sort. A global `orderBy` range-partitions, and its
+    * boundary-sampling pass re-executes the whole subtree as an extra
+    * job — pure waste when the result is tiny. Upstream stages keep
+    * their parallelism (repartition shuffles *after* the aggregate);
+    * large outputs keep the scalable range sort.
+    */
+  private[graft] def sortSmall(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+
   private val cutoff98 = to_date(lit("1998-01-01"))
   private val cutoffMid98 = to_date(lit("1998-07-01"))
   private val cutoff99 = to_date(lit("1999-01-01"))
@@ -239,10 +249,11 @@ object SparkEntry {
 
     // ---- comparison pivot (J3)
     "compare_pivot" -> ((s, d) =>
-      stocks(s, d)
-        .withColumn("norm", round(Indicators.normalizeBase100, 4))
-        .groupBy("date").pivot("symbol", Tables.symbols).agg(max(col("norm")))
-        .orderBy("date")))
+      sortSmall(
+        stocks(s, d)
+          .withColumn("norm", round(Indicators.normalizeBase100, 4))
+          .groupBy("date").pivot("symbol", Tables.symbols).agg(max(col("norm"))),
+        "date")))
 
   private val S = Tables.stocksCte
 

@@ -34,6 +34,8 @@ object Summary {
           round(col("avg_daily_return") / col("return_volatility"), 4)))
       .withColumn("avg_daily_return", round(col("avg_daily_return"), 4))
       .withColumn("return_volatility", round(col("return_volatility"), 4))
-      .orderBy("symbol")
+      // 6-row output: single-partition sort, not a range sort (whose
+      // boundary sampling would re-run the window + aggregate subtree).
+      .repartition(1).sortWithinPartitions("symbol")
   }
 }
