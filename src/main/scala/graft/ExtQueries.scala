@@ -33,6 +33,18 @@ object ExtQueries {
     // ---- similarity search
     "embed_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), 10, 5)),
     "embed_topk_bucketed" -> ((s, d) => Similarity.bucketedTopK(emb(s, d), 10, 3)),
+    // near-dup pairs via sign-bit LSH banding. The testdata corpus has
+    // no natural near-dups (max pairwise cosine 0.51 at sf0.01), so the
+    // corpus unions deterministic perturbed twins (x·1.05 + 0.001,
+    // vec_id+1000) of the first 50 vectors — the banding must recover
+    // exactly those 50 pairs at cos ≥ 0.99.
+    "embed_neardup_pairs" -> ((s, d) => {
+      val base = emb(s, d).select("vec_id", "embedding")
+      val twins = emb(s, d).filter(col("vec_id") < 50).select(
+        (col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), x => (x * 1.05 + 0.001).cast("float")).as("embedding"))
+      Similarity.nearDupPairs(base.unionByName(twins), 0.99)
+    }),
 
     // ---- text analysis
     "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
@@ -43,6 +55,17 @@ object ExtQueries {
 
     // ---- multimodal plumbing (stub decode; see Multimodal Scaladoc)
     "multimodal_features" -> ((s, d) => Multimodal.features(docs(s, d))),
+    // resize → frame-sample → join frames back to their source docs;
+    // every stage narrow until the final small join.
+    "multimodal_frames" -> ((s, d) => {
+      val resized = Multimodal.resizeAll(Multimodal.mediaTable(docs(s, d)), 320, 240)
+      val frames = Multimodal.sampleFrames(resized, 4)
+        .toDF("doc_id", "frame_id", "frame_bytes")
+      frames.join(docs(s, d).select("doc_id", "lang"), "doc_id")
+        .withColumn("frame", col("frame_bytes").cast("string"))
+        .select("doc_id", "frame_id", "lang", "frame")
+        .orderBy("doc_id", "frame_id")
+    }),
 
     // ---- events analytics (batch twins of the streaming pipeline)
     "events_hourly" -> ((s, d) => EventsOps.hourly(ev(s, d))),
@@ -206,6 +229,32 @@ object ExtQueries {
          | ORDER BY doc_a, doc_b""".stripMargin,
     "embed_cosine_topk" -> embedTopkOracle(nQueries = 10, k = 5, bucketed = false),
     "embed_topk_bucketed" -> embedTopkOracle(nQueries = 10, k = 3, bucketed = true),
+    "embed_neardup_pairs" ->
+      """WITH corpus AS (
+        |   SELECT vec_id, embedding FROM embeddings
+        |   UNION ALL
+        |   SELECT vec_id + 1000 AS vec_id,
+        |     list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.05 + 0.001 AS FLOAT)) AS embedding
+        |   FROM embeddings WHERE vec_id < 50),
+        | chunks AS (
+        |   SELECT vec_id, (i - 1) // 16 AS c,
+        |     string_agg(CASE WHEN embedding[CAST(i AS INT)] >= 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS bv
+        |   FROM corpus, UNNEST(range(1, 65)) t(i)
+        |   GROUP BY vec_id, (i - 1) // 16),
+        | cand AS (
+        |   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |   FROM chunks a JOIN chunks b
+        |     ON a.c = b.c AND a.bv = b.bv AND a.vec_id < b.vec_id),
+        | scored AS (
+        |   SELECT vec_a, vec_b,
+        |     round(SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) /
+        |       (sqrt(SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))) *
+        |        sqrt(SUM(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))), 4) AS cos
+        |   FROM cand JOIN corpus ea ON ea.vec_id = vec_a JOIN corpus eb ON eb.vec_id = vec_b,
+        |        UNNEST(range(1, 65)) t(i)
+        |   GROUP BY vec_a, vec_b)
+        | SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.99
+        | ORDER BY vec_a, vec_b""".stripMargin,
     "text_langid" ->
       s"""WITH m(mlang, marker) AS (VALUES ${TextOps.markers.map {
            case (l, w) => s"('$l', '$w')" }.mkString(", ")}),
@@ -268,6 +317,20 @@ object ExtQueries {
         | CAST(octet_length(encode(text)) % 480 AS INT) AS height,
         | substr(text, 1, 16) AS preview
         | FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """WITH m AS (
+        |   SELECT doc_id, lang, text,
+        |     octet_length(encode(text)) AS len FROM documents),
+        | r AS (
+        |   SELECT doc_id, lang, text,
+        |     LEAST(GREATEST(1, CAST(floor(len * 0.25) AS INT)), len) AS keep FROM m),
+        | f AS (
+        |   SELECT doc_id, lang, text, keep, CAST(i AS INT) AS frame_id,
+        |     CAST(CAST(keep AS BIGINT) * i // 4 AS INT) AS off
+        |   FROM r, UNNEST(range(0, 4)) t(i))
+        | SELECT doc_id, frame_id, lang,
+        |   substr(text, off + 1, LEAST(8, keep - off)) AS frame
+        | FROM f ORDER BY doc_id, frame_id""".stripMargin,
     "events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         | count(*) AS n_events,

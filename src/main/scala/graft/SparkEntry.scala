@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Indicators, Merge, Quality, Summary}
+import graft.operators.{Indicators, Ingest, Merge, Quality, Sink, Summary}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with DuckDB oracle SQL for every SQL-expressible one.
@@ -80,6 +80,10 @@ object SparkEntry {
         .orderBy("symbol", "date")),
     "period_slice" -> ((s, d) =>
       Tables.periodSlice(stocks(s, d), "2001-01-01", 180)
+        .orderBy("symbol", "date")),
+    // S2 period strings: yfinance-style '6mo' calendar slice
+    "period_fetch" -> ((s, d) =>
+      Tables.periodSlice(stocks(s, d), "2001-01-01", "6mo")
         .orderBy("symbol", "date")),
     // §2.6 ⊘ set ops: dates where both AF and RO traded heavy, and
     // AF-only heavy dates (INTERSECT / EXCEPT)
@@ -216,6 +220,50 @@ object SparkEntry {
         .groupBy("issue").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("issue"))),
     "quality_success_rate" -> ((s, d) => Quality.successRate(stocks(s, d))),
+    // P6: the missing-field short-circuit on a null-injected projection —
+    // rows with a null open report ONLY missing_open (value rules
+    // skipped, fetch_and_store.py:70-76), even where the negated close
+    // would otherwise flag invalid_close.
+    "quality_missing" -> ((s, d) => {
+      val frame = stocks(s, d)
+        .withColumn("open",
+          when(col("volume") % 7 === 0, lit(null).cast("double")).otherwise(col("open")))
+        .withColumn("close",
+          when(col("volume") % 11 === 0, -col("close")).otherwise(col("close")))
+      Quality.withVerdict(frame)
+        .withColumn("issues", concat_ws(",", col("errors")))
+        .select("symbol", "date", "is_valid", "issues")
+        .orderBy("symbol", "date")
+    }),
+
+    // ---- schema-adaptive ingest (P11/S1 edge): mangled yfinance-style
+    // names — padding, case, a ticker-prefixed flattened-MultiIndex
+    // column, an 'Adj Close' variant — plus a null price hitting the
+    // NaN/None→0 fill.
+    "ingest_adaptive" -> ((s, d) => {
+      val mangled = stocks(s, d).select(
+        col("symbol").as("Symbol"),
+        col("date").as(" Date "),
+        col("open").as("Open"),
+        col("high").as("HIGH"),
+        when(col("volume") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("low")).as("AF Low"),
+        col("close").as(" Close"),
+        col("adj_close").as("Adj Close"),
+        col("volume").as("Volume"))
+      Ingest.normalizeSchema(mangled).orderBy("symbol", "date")
+    }),
+
+    // ---- S7 CSV export: write the AF slice to CSV, read it back with
+    // the original schema — the oracle equality proves the round-trip
+    // is lossless (shortest-repr doubles re-parse exactly).
+    "csv_export_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_csv_export").toString + "/stocks_af"
+      val slice = stocks(s, d).filter(col("symbol") === "AF")
+      Sink.exportCsv(slice, out)
+      Sink.readCsv(s, out, slice.schema).orderBy("date")
+    }),
 
     // ---- merge / upsert (J1/J2, I3)
     "merge_upsert" -> ((s, d) => {
@@ -271,6 +319,10 @@ object SparkEntry {
     "period_slice" ->
       s"""$S SELECT * FROM stocks
          | WHERE date > DATE '2001-01-01' - 180 AND date <= DATE '2001-01-01'
+         | ORDER BY symbol, date""".stripMargin,
+    "period_fetch" ->
+      s"""$S SELECT * FROM stocks
+         | WHERE date > DATE '2001-01-01' - INTERVAL 6 MONTH AND date <= DATE '2001-01-01'
          | ORDER BY symbol, date""".stripMargin,
     "set_ops_heavy_days" ->
       s"""$S, af AS (SELECT DISTINCT date FROM stocks WHERE symbol = 'AF' AND volume > 350),
@@ -379,6 +431,22 @@ object SparkEntry {
          | count(*) AS total_rows,
          | round(sum(CASE WHEN $qualityIssuesSql = '' THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS success_rate_pct
          | FROM stocks GROUP BY symbol ORDER BY symbol""".stripMargin,
+    "quality_missing" ->
+      s"""$S, f AS (SELECT symbol, date,
+         |   CASE WHEN volume % 7 = 0 THEN NULL ELSE open END AS open,
+         |   high, low,
+         |   CASE WHEN volume % 11 = 0 THEN -close ELSE close END AS close,
+         |   volume FROM stocks)
+         | SELECT symbol, date,
+         |   CASE WHEN open IS NULL THEN FALSE ELSE $qualityIssuesSql = '' END AS is_valid,
+         |   CASE WHEN open IS NULL THEN 'missing_open' ELSE $qualityIssuesSql END AS issues
+         | FROM f ORDER BY symbol, date""".stripMargin,
+    "ingest_adaptive" ->
+      s"""$S SELECT symbol, date, open, high,
+         | CASE WHEN volume % 5 = 0 THEN 0.0 ELSE low END AS low,
+         | close, adj_close, volume FROM stocks ORDER BY symbol, date""".stripMargin,
+    "csv_export_roundtrip" ->
+      s"""$S SELECT * FROM stocks WHERE symbol = 'AF' ORDER BY date""".stripMargin,
     "merge_upsert" ->
       s"""$S SELECT symbol, date,
          | CASE WHEN date >= DATE '1998-07-01' THEN open * 1.02 ELSE open END AS open,

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md) plus the
@@ -125,4 +125,34 @@ object Tables {
   def periodSlice(df: DataFrame, asOf: String, days: Int): DataFrame =
     df.filter(col("date") > date_sub(to_date(lit(asOf)), days) &&
       col("date") <= to_date(lit(asOf)))
+
+  private val DayP = "(\\d+)d".r
+  private val MonthP = "(\\d+)mo".r
+  private val YearP = "(\\d+)y".r
+
+  /** S2 period-string fetch: the yfinance period vocabulary the
+    * reference passes straight through ('5d','1mo','3mo','6mo','1y',
+    * '2y','5y','10y','ytd','max' — /root/reference/fetch_and_store.py
+    * :223-231). Day periods are day arithmetic; month/year periods are
+    * calendar arithmetic (`add_months`, end-of-month clamped, matching
+    * SQL interval subtraction); 'ytd' slices from Jan 1 of the as-of
+    * year; 'max' keeps all history up to the as-of date. The bound is
+    * a partition-prunable date predicate — at scale this is the
+    * difference between a metadata prune and a full scan.
+    */
+  def periodSlice(df: DataFrame, asOf: String, period: String): DataFrame = {
+    val asOfCol = to_date(lit(asOf))
+    val lowerExclusive: Option[Column] = period.trim.toLowerCase match {
+      case "max" => None
+      case "ytd" => Some(date_sub(trunc(asOfCol, "year"), 1))
+      case DayP(n) => Some(date_sub(asOfCol, n.toInt))
+      case MonthP(n) => Some(add_months(asOfCol, -n.toInt))
+      case YearP(n) => Some(add_months(asOfCol, -12 * n.toInt))
+      case other => throw new IllegalArgumentException(
+        s"Unsupported period '$other'; expected <n>d, <n>mo, <n>y, ytd, or max")
+    }
+    lowerExclusive.foldLeft(df.filter(col("date") <= asOfCol)) {
+      (acc, lo) => acc.filter(col("date") > lo)
+    }
+  }
 }

@@ -27,12 +27,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * memory bound. This is the 100 TB-safe shape: one shuffle+sort on the
   * symbol partition, then a sequential scan.
   *
-  * The merge case (partial aggregation) is order-sensitive but well
-  * defined for an ordered concatenation L ++ R of segments:
-  * num = num_R + (1-alpha)^cnt_R * num_L (same for den). Window
-  * evaluation never merges; only use this as a grouping aggregate if the
-  * grouping guarantees ordered partials (it normally does not — prefer
-  * the window form).
+  * Grouping use (`GROUP BY k` instead of a window) would merge partial
+  * buffers in partition order — nondeterministic for an order-sensitive
+  * recursion — so `mergeExpressions` throws instead of silently
+  * returning an order-dependent number. The window path never merges;
+  * the failure fires only on the misuse.
   *
   * Null inputs leave the accumulator untouched (pandas ignore_na=False
   * differs — it decays weights across gaps — but the reference never
@@ -65,13 +64,11 @@ case class EwmMean(child: Expression, alpha: Double)
       If(IsNull(x), cnt, Add(cnt, Literal(1L))))
   }
 
-  override lazy val mergeExpressions: Seq[Expression] = {
-    val shift = Pow(decay, Cast(cnt.right, DoubleType))
-    Seq(
-      Add(num.right, Multiply(shift, num.left)),
-      Add(den.right, Multiply(shift, den.left)),
-      Add(cnt.left, cnt.right))
-  }
+  override lazy val mergeExpressions: Seq[Expression] =
+    throw new UnsupportedOperationException(
+      "ewm_mean is order-sensitive and cannot merge unordered partial " +
+        "aggregates; use it as a window aggregate: " +
+        "ewm_mean(x, alpha) OVER (PARTITION BY key ORDER BY time)")
 
   override lazy val evaluateExpression: Expression =
     If(EqualTo(cnt, Literal(0L)), Literal(null, DoubleType), Divide(num, den))

@@ -68,12 +68,43 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  /** Embedding-cosine near-dup pairs above a threshold, bucket-pruned. */
-  def nearDupPairs(emb: DataFrame, threshold: Double = 0.95): DataFrame =
-    emb.as("a").join(emb.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+  /** Embedding-cosine near-dup pairs above a threshold, found via
+    * sign-bit LSH banding (random-hyperplane LSH with the coordinate
+    * axes as hyperplanes): each vector's 64-bit sign signature is cut
+    * into `bands` chunks, and a pair is a candidate iff it collides on
+    * at least one chunk. Pigeonhole: any pair whose signatures differ
+    * in fewer than `bands` sign bits is guaranteed a candidate; high
+    * cosine ⇒ few sign flips, so near-dups collide with high
+    * probability. Only candidates get the exact cosine verification.
+    *
+    * Scale: no all-pairs join anywhere — the self-join is on
+    * (band, 16-bit chunk value), so fan-out is bounded by band-bucket
+    * collision counts, independent of any label column. Signature rows
+    * carry (id, band, chunk) only; the 64-float embeddings rejoin after
+    * candidate dedup. At larger corpora, raise `bands`/signature width
+    * the same way SimHash text banding does (Dedup.simhashNearDups).
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double = 0.95,
+      bands: Int = 4, dims: Int = 64): DataFrame = {
+    require(dims % bands == 0, s"bands ($bands) must divide dims ($dims)")
+    val w = dims / bands
+    val chunk = (b: Int) => struct(lit(b).as("band"),
+      array_join(transform(slice(col("embedding"), b * w + 1, w),
+        x => when(x >= lit(0.0f), "1").otherwise("0")), "").as("bv"))
+    val chunks = emb.select(col("vec_id"),
+        explode(array((0 until bands).map(chunk): _*)).as("ch"))
+      .select(col("vec_id"), col("ch.band").as("band"), col("ch.bv").as("bv"))
+    val cand = chunks.as("a").join(chunks.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .withColumn("cos", cosine(col("ea"), col("eb")))
       .filter(col("cos") >= threshold)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
+  }
 }

@@ -55,6 +55,23 @@ object Sink {
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(path))
 
+  /** S7 CSV export (the reference's S3/CSV path,
+    * /root/reference/export_to_s3.py — no object store in this
+    * container, so the path is any Hadoop-FS URI; s3a:// works
+    * unchanged on a cluster with the S3 connector on the classpath).
+    * Headered, one file per partition; doubles round-trip exactly
+    * (shortest-repr printing).
+    */
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Read back an [[exportCsv]] export with an explicit schema (CSV has
+    * no types; inferring would re-scan and can widen types).
+    */
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
   /** Reject side-output sink (SURVEY §2.1 S9 / §2.8 Q4): quality
     * rejects land next to the main table, partitioned the same way.
     */

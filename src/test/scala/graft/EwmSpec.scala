@@ -38,6 +38,18 @@ class EwmSpec extends SparkSpec {
     assertColumn(df, "macd_signal", macdSignal)
   }
 
+  test("grouping (non-window) use fails loudly, never an order-dependent number") {
+    val df = bars("A", Seq(10, 11, 9, 12, 13))
+    val e = intercept[Throwable] {
+      df.groupBy("symbol")
+        .agg(graft.functions.EwmMean.ewm(col("close"), 3).as("e"))
+        .collect()
+    }
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("order-sensitive"), messages)
+  }
+
   test("EWM does not leak across symbol partitions") {
     val df = Indicators.withEmaMacd(
       bars("A", closes).unionByName(bars("B", closes.reverse)))

@@ -39,4 +39,35 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getAs[Long]("vec_id")).toSet
     assert(top == Set(1L, 2L)) // label 0 bucket only
   }
+
+  /** 8-dim fixture with planted near-dups for the banded pair search:
+    * ids 0/1 near-identical, 2/3 near-identical, 4 isolated, 5 shares
+    * one sign chunk with 0 but low cosine.
+    */
+  private val ndVecs = emb(
+    (0L, Seq(1f, 2f, 3f, 4f, -1f, -2f, -3f, -4f), 0),
+    (1L, Seq(1.01f, 2.01f, 3.01f, 4.01f, -1.01f, -2.01f, -3.01f, -4.01f), 0),
+    (2L, Seq(-5f, 1f, -2f, 2f, 4f, -4f, 1f, 1f), 1),
+    (3L, Seq(-5.1f, 1.1f, -2.1f, 2.1f, 4.1f, -4.1f, 1.1f, 1.1f), 1),
+    (4L, Seq(9f, -9f, 9f, -9f, 9f, -9f, 9f, -9f), 2),
+    (5L, Seq(4f, 3f, 2f, 1f, 1f, 2f, 3f, 4f), 0))
+
+  test("banded nearDupPairs finds exactly the planted near-dup pairs") {
+    val pairs = Similarity.nearDupPairs(ndVecs, threshold = 0.99, bands = 2, dims = 8)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.toSeq == Seq((0L, 1L), (2L, 3L)))
+  }
+
+  test("banded nearDupPairs matches the quadratic all-pairs baseline") {
+    val banded = Similarity.nearDupPairs(ndVecs, threshold = 0.9, bands = 2, dims = 8)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos"))).toSet
+    val brute = ndVecs.as("a").join(ndVecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= 0.9)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos"))).toSet
+    assert(banded == brute)
+  }
 }
