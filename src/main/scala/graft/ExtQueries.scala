@@ -29,6 +29,25 @@ object ExtQueries {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), 0.5)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashNearDups(docs(s, d), 3)),
+    // pairs → connected components → keeper per cluster (the step that
+    // turns pair lists into an actually-deduplicated corpus)
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.simhashNearDups(docs(s, d), 3).select("doc_a", "doc_b")
+      Dedup.dedupVerdicts(docs(s, d), pairs)
+    }),
+
+    // ---- deterministic sampling / splits (content-hash keyed)
+    "sample_split" -> ((s, d) =>
+      Sampling.withSplit(docs(s, d).select("doc_id", "text"), col("text"), 90, 5)
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")),
+    "lang_quota" -> ((s, d) => {
+      val scored = TextOps.qualityScore(docs(s, d)).select("doc_id", "quality_score")
+      val j = docs(s, d).select("doc_id", "lang").join(scored, "doc_id")
+      Sampling.quotaPerGroup(j, col("lang"), col("quality_score"), col("doc_id"), 20)
+        .select("doc_id", "lang", "quality_score", "rn")
+        .orderBy("lang", "rn")
+    }),
 
     // ---- similarity search
     "embed_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), 10, 5)),
@@ -143,6 +162,45 @@ object ExtQueries {
       s"CAST(ascii(substr(m, $i, 1)) AS BIGINT) * ${math.pow(128, 8 - i).toLong}")
       .mkString(" + ")
 
+  /** SimHash near-dup pair CTE chain (… → sig → chunks → cand → dists)
+    * shared by dedup_simhash_pairs and dedup_clusters.
+    */
+  private lazy val simhashPairsCte: String =
+    s"""$simhashSigSql,
+       | chunks AS (SELECT doc_id, b, substr(simhash, b * 16 + 1, 16) AS bv
+       |            FROM sig, UNNEST(range(0, 4)) AS t(b)),
+       | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM chunks a JOIN chunks b
+       |            ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       | dists AS (
+       |   SELECT doc_a, doc_b,
+       |     CAST(list_sum(list_transform(range(1, 65), i ->
+       |       CASE WHEN substr(sa.simhash, CAST(i AS INT), 1) <> substr(sb.simhash, CAST(i AS INT), 1)
+       |            THEN 1 ELSE 0 END)) AS INT) AS dist
+       |   FROM cand
+       |   JOIN sig sa ON sa.doc_id = doc_a
+       |   JOIN sig sb ON sb.doc_id = doc_b)""".stripMargin
+
+  /** The text_quality_score oracle body (reused by lang_quota). */
+  private lazy val textQualityOracle: String = {
+    val sw = TextOps.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH base AS (
+       |   SELECT doc_id,
+       |     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |     CAST(length(text) AS BIGINT) AS len_chars,
+       |     CAST(len(list_filter(string_split(text, ' '), x -> x IN ($sw))) AS BIGINT) AS stop_hits
+       |   FROM documents),
+       | r AS (
+       |   SELECT doc_id, n_words, len_chars,
+       |     round((len_chars - (n_words - 1)) * 1.0 / n_words, 4) AS avg_word_len,
+       |     stop_hits,
+       |     round(stop_hits * 1.0 / n_words, 4) AS stopword_ratio
+       |   FROM base)
+       | SELECT doc_id, n_words, len_chars, avg_word_len, stop_hits, stopword_ratio,
+       |   round(least(n_words / 100.0, 1.0) * (1.0 - stopword_ratio), 4) AS quality_score
+       | FROM r""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "join_revenue_by_region" ->
       """SELECT r_name, l_returnflag,
@@ -211,22 +269,41 @@ object ExtQueries {
     "dedup_simhash" ->
       s"$simhashSigSql SELECT doc_id, simhash FROM sig ORDER BY doc_id",
     "dedup_simhash_pairs" ->
-      s"""$simhashSigSql,
-         | chunks AS (SELECT doc_id, b, substr(simhash, b * 16 + 1, 16) AS bv
-         |            FROM sig, UNNEST(range(0, 4)) AS t(b)),
-         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM chunks a JOIN chunks b
-         |            ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
-         | dists AS (
-         |   SELECT doc_a, doc_b,
-         |     CAST(list_sum(list_transform(range(1, 65), i ->
-         |       CASE WHEN substr(sa.simhash, CAST(i AS INT), 1) <> substr(sb.simhash, CAST(i AS INT), 1)
-         |            THEN 1 ELSE 0 END)) AS INT) AS dist
-         |   FROM cand
-         |   JOIN sig sa ON sa.doc_id = doc_a
-         |   JOIN sig sb ON sb.doc_id = doc_b)
+      s"""$simhashPairsCte
          | SELECT doc_a, doc_b, dist FROM dists WHERE dist <= 3
          | ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""${"WITH RECURSIVE " + simhashPairsCte.stripPrefix("WITH ")},
+         | p AS (SELECT doc_a, doc_b FROM dists WHERE dist <= 3),
+         | e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |       UNION SELECT doc_b, doc_a FROM p),
+         | reach(id, r) AS (
+         |   SELECT a, a FROM e
+         |   UNION
+         |   SELECT e2.a, r.r FROM e e2 JOIN reach r ON e2.b = r.id),
+         | lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         | SELECT d.doc_id,
+         |   coalesce(l.cluster, d.doc_id) AS cluster,
+         |   coalesce(l.cluster, d.doc_id) = d.doc_id AS is_keeper
+         | FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
+         | ORDER BY d.doc_id""".stripMargin,
+    "sample_split" ->
+      s"""WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+         | b AS (SELECT doc_id, ($minhashBaseSql) % 100 AS bucket FROM h)
+         | SELECT doc_id, bucket,
+         |   CASE WHEN bucket < 90 THEN 'train'
+         |        WHEN bucket < 95 THEN 'val'
+         |        ELSE 'test' END AS split
+         | FROM b ORDER BY doc_id""".stripMargin,
+    "lang_quota" ->
+      s"""WITH q AS ($textQualityOracle),
+         | j AS (SELECT d.doc_id, d.lang, q.quality_score
+         |       FROM documents d JOIN q ON d.doc_id = q.doc_id),
+         | rk AS (SELECT doc_id, lang, quality_score,
+         |   row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS rn
+         |   FROM j)
+         | SELECT doc_id, lang, quality_score, rn FROM rk WHERE rn <= 20
+         | ORDER BY lang, rn""".stripMargin,
     "embed_cosine_topk" -> embedTopkOracle(nQueries = 10, k = 5, bucketed = false),
     "embed_topk_bucketed" -> embedTopkOracle(nQueries = 10, k = 3, bucketed = true),
     "embed_neardup_pairs" ->
@@ -271,24 +348,7 @@ object ExtQueries {
          | FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
          |   ON d.doc_id = b.doc_id
          | ORDER BY d.doc_id""".stripMargin,
-    "text_quality_score" -> {
-      val sw = TextOps.stopwords.map(s => s"'$s'").mkString(", ")
-      s"""WITH base AS (
-         |   SELECT doc_id,
-         |     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         |     CAST(length(text) AS BIGINT) AS len_chars,
-         |     CAST(len(list_filter(string_split(text, ' '), x -> x IN ($sw))) AS BIGINT) AS stop_hits
-         |   FROM documents),
-         | r AS (
-         |   SELECT doc_id, n_words, len_chars,
-         |     round((len_chars - (n_words - 1)) * 1.0 / n_words, 4) AS avg_word_len,
-         |     stop_hits,
-         |     round(stop_hits * 1.0 / n_words, 4) AS stopword_ratio
-         |   FROM base)
-         | SELECT doc_id, n_words, len_chars, avg_word_len, stop_hits, stopword_ratio,
-         |   round(least(n_words / 100.0, 1.0) * (1.0 - stopword_ratio), 4) AS quality_score
-         | FROM r ORDER BY doc_id""".stripMargin
-    },
+    "text_quality_score" -> s"$textQualityOracle ORDER BY doc_id",
     "token_count" ->
       s"""SELECT doc_id, lang,
          | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

@@ -236,6 +236,22 @@ object SparkEntry {
         .orderBy("symbol", "date")
     }),
 
+    // the same injected frame, with the reference's value-interpolated
+    // reject messages (fetch_and_store.py:86-118) instead of slugs;
+    // rejects only
+    "quality_messages" -> ((s, d) => {
+      val frame = stocks(s, d)
+        .withColumn("open",
+          when(col("volume") % 7 === 0, lit(null).cast("double")).otherwise(col("open")))
+        .withColumn("close",
+          when(col("volume") % 11 === 0, -col("close")).otherwise(col("close")))
+      Quality.withMessages(frame)
+        .filter(!col("is_valid"))
+        .withColumn("issues", concat_ws("; ", col("errors")))
+        .select("symbol", "date", "issues")
+        .orderBy("symbol", "date")
+    }),
+
     // ---- schema-adaptive ingest (P11/S1 edge): mangled yfinance-style
     // names — padding, case, a ticker-prefixed flattened-MultiIndex
     // column, an 'Adj Close' variant — plus a null price hitting the
@@ -441,6 +457,29 @@ object SparkEntry {
          |   CASE WHEN open IS NULL THEN FALSE ELSE $qualityIssuesSql = '' END AS is_valid,
          |   CASE WHEN open IS NULL THEN 'missing_open' ELSE $qualityIssuesSql END AS issues
          | FROM f ORDER BY symbol, date""".stripMargin,
+    "quality_messages" ->
+      s"""$S, f AS (SELECT symbol, date,
+         |   CASE WHEN volume % 7 = 0 THEN NULL ELSE open END AS open,
+         |   high, low,
+         |   CASE WHEN volume % 11 = 0 THEN -close ELSE close END AS close,
+         |   volume FROM stocks),
+         | m AS (SELECT symbol, date,
+         |   CASE WHEN open IS NULL THEN 'Missing Open'
+         |     ELSE concat_ws('; ',
+         |       CASE WHEN open <= 0 THEN 'Invalid open price: $$' || ${d2Sql("open")} END,
+         |       CASE WHEN high <= 0 THEN 'Invalid high price: $$' || ${d2Sql("high")} END,
+         |       CASE WHEN low <= 0 THEN 'Invalid low price: $$' || ${d2Sql("low")} END,
+         |       CASE WHEN close <= 0 THEN 'Invalid close price: $$' || ${d2Sql("close")} END,
+         |       CASE WHEN volume < 0 THEN 'Negative volume: ' || CAST(volume AS VARCHAR) END,
+         |       CASE WHEN high < low THEN 'High ($$' || ${d2Sql("high")} || ') < Low ($$' || ${d2Sql("low")} || ')' END,
+         |       CASE WHEN high < greatest(open, close) THEN 'High ($$' || ${d2Sql("high")} || ') < Open/Close max' END,
+         |       CASE WHEN low > least(open, close) THEN 'Low ($$' || ${d2Sql("low")} || ') > Open/Close min' END,
+         |       CASE WHEN abs(close - open) / open > 0.5 THEN 'Extreme price movement: ' ||
+         |         CASE WHEN (close - open) / open * 100.0 >= 0 THEN '+' ELSE '' END ||
+         |         CAST(CAST((close - open) / open * 100.0 AS DECIMAL(28,1)) AS VARCHAR) || '% in one day' END)
+         |     END AS issues
+         |   FROM f)
+         | SELECT symbol, date, issues FROM m WHERE issues <> '' ORDER BY symbol, date""".stripMargin,
     "ingest_adaptive" ->
       s"""$S SELECT symbol, date, open, high,
          | CASE WHEN volume % 5 = 0 THEN 0.0 ELSE low END AS low,
@@ -506,6 +545,12 @@ object SparkEntry {
          |   max(CASE WHEN symbol = 'RF' THEN n END) AS "RF",
          |   max(CASE WHEN symbol = 'RO' THEN n END) AS "RO"
          | FROM norm GROUP BY date ORDER BY date""".stripMargin)
+
+  /** Fixed-decimal price rendering in DuckDB — mirrors Quality's
+    * decimal(18,4) cast (scale ≥ the derived prices' true decimal
+    * width, so neither engine ever rounds ON a boundary).
+    */
+  private def d2Sql(c: String): String = s"CAST(CAST($c AS DECIMAL(18,4)) AS VARCHAR)"
 
   /** EWM adjust=True as a truncated convolution for the oracle:
     * num_t = Σ_j d^j x_{t-j} over a window of `terms` rows (d^terms

@@ -180,6 +180,55 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Duplicate-cluster resolution: near-dup PAIRS → per-doc cluster id
+    * (the min doc_id in its connected component). Near-duplicate is not
+    * transitive, but dedup policy treats the union of pairs as an
+    * equivalence relation: keep one document per cluster.
+    *
+    * Implementation: iterative min-label propagation over the pair
+    * graph — the standard distributed connected-components loop. Each
+    * round is one shuffle join (labels across edges) + an aggregate;
+    * rounds = O(cluster diameter), and near-dup clusters are small and
+    * dense, so convergence is 2-3 rounds. `localCheckpoint` cuts the
+    * growing lineage each round (without it the plan doubles per
+    * iteration). The converged fixpoint (min reachable id) is unique,
+    * so the result is deterministic regardless of execution order.
+    */
+  def resolveClusters(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("nbr")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nbr").as("nbrMin"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .withColumn("next", least(col("cluster"), coalesce(col("nbrMin"), col("cluster"))))
+        .localCheckpoint()
+      changed = updated.filter(col("next") =!= col("cluster")).count()
+      labels = updated.select(col("id"), col("next").as("cluster"))
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Per-document dedup verdicts from near-dup pairs: cluster id and
+    * keeper flag (keeper = the cluster's min doc_id); documents in no
+    * pair form singleton clusters. `docs ✂ is_keeper` is the
+    * deduplicated corpus.
+    */
+  def dedupVerdicts(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = resolveClusters(pairs).withColumnRenamed("id", "doc_id")
+    docs.select("doc_id").join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("is_keeper", col("cluster") === col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash over distinct words, emitted as a 64-char bit
     * string (MSB-first nibble order of the word md5's first 16 hex
     * chars). sum ≥ 0 → '1'.

@@ -50,6 +50,62 @@ object Quality {
       .withColumn("is_valid", size(col("errors")) === 0)
   }
 
+  /** Fixed-decimal price rendering for message interpolation, at scale
+    * 4 — the true decimal width of the derived prices (2-decimal raw
+    * prices × 1.01/0.99/0.97). At or above the true width the double is
+    * never ON a rounding boundary, so Spark (which rounds the exact
+    * binary value) and DuckDB (which rounds the shortest decimal repr)
+    * agree; at width 2 a value like 1261.755 is a tie and the engines
+    * split. Same rule as the query-rounding contract in SparkEntry.
+    */
+  private def d2(c: Column): Column = c.cast("decimal(18,4)").cast("string")
+
+  /** `%+.1f`-style percent rendering (sign always, 1 decimal). */
+  private def pct1(c: Column): Column =
+    concat(when(c >= 0, lit("+")).otherwise(lit("")),
+      c.cast("decimal(28,1)").cast("string"))
+
+  /** Value rules with the reference's interpolated messages
+    * (fetch_and_store.py:86-118) — same predicates and order as
+    * [[valueRules]], message text carrying the offending values.
+    * Deviation: numbers render with fixed decimals (see [[d2]]) and
+    * volume without thousands separators, for cross-engine determinism.
+    */
+  def messageRules: Seq[(Column, Column)] = {
+    val changePct = (col("close") - col("open")) / col("open") * lit(100.0)
+    Seq(
+      (col("open") <= 0, concat(lit("Invalid open price: $"), d2(col("open")))), // :86-87
+      (col("high") <= 0, concat(lit("Invalid high price: $"), d2(col("high")))), // :89-90
+      (col("low") <= 0, concat(lit("Invalid low price: $"), d2(col("low")))), // :92-93
+      (col("close") <= 0, concat(lit("Invalid close price: $"), d2(col("close")))), // :95-96
+      (col("volume") < 0, concat(lit("Negative volume: "), col("volume").cast("string"))), // :98-99
+      (col("high") < col("low"),
+        concat(lit("High ($"), d2(col("high")), lit(") < Low ($"), d2(col("low")), lit(")"))), // :102-103
+      (col("high") < greatest(col("open"), col("close")),
+        concat(lit("High ($"), d2(col("high")), lit(") < Open/Close max"))), // :105-106
+      (col("low") > least(col("open"), col("close")),
+        concat(lit("Low ($"), d2(col("low")), lit(") > Open/Close min"))), // :108-109
+      (abs(col("close") - col("open")) / col("open") > 0.5,
+        concat(lit("Extreme price movement: "), pct1(changePct), lit("% in one day"))), // :112-114
+      (col("volume") === 0 && col("symbol").isin(majorSymbols: _*),
+        lit("Zero volume for major stock on trading day"))) // :117-118
+  }
+
+  /** [[withVerdict]] with the reference's interpolated message text
+    * instead of slugs — same missing-field short-circuit (`Missing
+    * Open`, capitalized per fetch_and_store.py:70-73).
+    */
+  def withMessages(df: DataFrame): DataFrame = {
+    val missing = array_compact(array(requiredFields.map(f =>
+      when(col(f).isNull, lit(s"Missing ${f.capitalize}"))): _*))
+    val valueErrs = array_compact(array(messageRules.map { case (bad, msg) =>
+      when(bad, msg)
+    }: _*))
+    df.withColumn("errors",
+        when(size(missing) > 0, missing).otherwise(valueErrs))
+      .withColumn("is_valid", size(col("errors")) === 0)
+  }
+
   /** Q2: the valid stream (fetch_and_store.py:143-157). */
   def validRows(df: DataFrame): DataFrame =
     withVerdict(df).filter(col("is_valid")).drop("errors", "is_valid")

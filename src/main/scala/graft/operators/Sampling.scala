@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data
+  * pipelines. Everything keys off a content hash (md5), never an RNG:
+  * Bernoulli sampling is irreproducible under task retries and
+  * repartitioning, while hash assignment is stable across runs,
+  * engines, and cluster layouts — the property that keeps a held-out
+  * split held out when the corpus is rebuilt. All projections/windows,
+  * no operator-specific shuffles beyond the quota window.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the md5 of a key: an 8-char
+    * ascii polynomial over the hex digest (32 bits of entropy, exact
+    * 64-bit integer arithmetic — the same cross-engine construction as
+    * [[Dedup]]'s MinHash base; each term < 128^8 < 2^56).
+    */
+  def hashBucket(key: Column, buckets: Int): Column = {
+    val m = md5(key)
+    val x = (1 to 8).map(i => ascii(m.substr(i, 1)) * lit(math.pow(128, 8 - i).toLong))
+      .reduce(_ + _)
+    pmod(x.cast("long"), lit(buckets.toLong))
+  }
+
+  /** Train/val/test split assignment over 100 hash buckets:
+    * [0, trainPct) → train, [trainPct, trainPct+valPct) → val, rest →
+    * test. Content-keyed, so a document keeps its split across corpus
+    * rebuilds and dedup reorderings.
+    */
+  def withSplit(df: DataFrame, key: Column,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct < 100, "train + val must leave room for test")
+    val b = hashBucket(key, 100)
+    df.withColumn("bucket", b)
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** Keep ~rate of rows, hash-deterministically (10k buckets →
+    * resolution 0.01%).
+    */
+  def sampleByHash(df: DataFrame, key: Column, rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    df.filter(hashBucket(key, 10000) < math.round(rate * 10000))
+  }
+
+  /** Per-group quota selection: the top `n` rows per `group` by
+    * `score` descending, ties broken by `id` ascending — e.g.
+    * language-balanced corpus capping (take the best N docs per
+    * language instead of letting one language dominate). One window
+    * shuffle on the group key.
+    */
+  def quotaPerGroup(df: DataFrame, group: Column, score: Column,
+      id: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(score.desc, id.asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+}

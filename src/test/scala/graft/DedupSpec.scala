@@ -77,6 +77,22 @@ class DedupSpec extends SparkSpec {
     assert(spark.sql("SELECT hamming_distance('abc', 'abd')").head.getInt(0) == 1)
   }
 
+  test("resolveClusters: chain, triangle, and singleton get min-id clusters") {
+    val spark2 = spark
+    import spark2.implicits._
+    // chain 1-2-3-4 (diameter 3 → multiple propagation rounds),
+    // triangle 10-11-12, and doc 20 in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("doc_a", "doc_b")
+    val allDocs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("doc_id")
+    val v = Dedup.dedupVerdicts(allDocs, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(id => v(id)._1 == 1L))
+    assert(Seq(10L, 11L, 12L).forall(id => v(id)._1 == 10L))
+    assert(v(20L) == (20L, true))
+    assert(v.collect { case (id, (_, true)) => id }.toSet == Set(1L, 10L, 20L))
+  }
+
   test("simhash: 64-bit signatures, equal for equal text, close for near-dups") {
     val sig = Dedup.simhash(corpus).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

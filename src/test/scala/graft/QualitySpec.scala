@@ -75,6 +75,23 @@ class QualitySpec extends SparkSpec {
     assert(sr == List(("A", 1L, 9L), ("AAPL", 0L, 1L), ("B", 1L, 1L)))
   }
 
+  test("interpolated messages carry the offending values, missing short-circuits") {
+    val bad = bars("AA", Seq(10.0)).withColumn("close", lit(-2.5))
+    val errs = Quality.withMessages(bad)
+      .select(explode(col("errors")).as("e")).collect().map(_.getString(0)).toSeq
+    assert(errs == Seq(
+      "Invalid close price: $-2.5000",
+      "Low ($9.0000) > Open/Close min",
+      "Extreme price movement: -126.3% in one day"))
+    // a missing field reports ONLY the Missing message, value rules skipped
+    val missing = bars("AA", Seq(10.0))
+      .withColumn("open", lit(null).cast("double"))
+      .withColumn("close", lit(-2.5))
+    val merrs = Quality.withMessages(missing)
+      .select(explode(col("errors")).as("e")).collect().map(_.getString(0)).toSeq
+    assert(merrs == Seq("Missing Open"))
+  }
+
   test("continuity flags a >2x/<0.5x gap (P12)") {
     val oldB = bars("A", Seq(100.0, 100.0))
     val newB = bars("A", Seq(40.0)).withColumn("open", lit(40.0))

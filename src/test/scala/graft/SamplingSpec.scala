@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Deterministic hash sampling / splits / quotas. */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("hashBucket is stable, in range, and spread") {
+    val b = docs.select(Sampling.hashBucket(col("text"), 100).as("b"))
+    val vals = b.collect().map(_.getLong(0))
+    assert(vals.forall(v => v >= 0 && v < 100))
+    assert(vals.distinct.length > 50) // 500 docs over 100 buckets: wide spread
+    val again = docs.select(Sampling.hashBucket(col("text"), 100).as("b"))
+      .collect().map(_.getLong(0))
+    assert(vals.toSeq == again.toSeq)
+  }
+
+  test("withSplit partitions every row into exactly one split") {
+    val s = Sampling.withSplit(docs, col("text"), 90, 5)
+    val counts = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == docs.count())
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts("train") > counts.getOrElse("val", 0L))
+  }
+
+  test("sampleByHash: edge rates, monotone containment, determinism") {
+    assert(Sampling.sampleByHash(docs, col("text"), 0.0).count() == 0)
+    assert(Sampling.sampleByHash(docs, col("text"), 1.0).count() == docs.count())
+    val at20 = Sampling.sampleByHash(docs, col("text"), 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val at50 = Sampling.sampleByHash(docs, col("text"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(at20.subsetOf(at50))
+    assert(at20.nonEmpty && at50.size < docs.count())
+  }
+
+  test("quotaPerGroup caps each group at n with score-desc id-asc order") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      ("en", 1L, 0.9), ("en", 2L, 0.9), ("en", 3L, 0.5), ("en", 4L, 1.0),
+      ("fr", 5L, 0.1), ("fr", 6L, 0.2)).toDF("lang", "id", "score")
+    val q = Sampling.quotaPerGroup(df, col("lang"), col("score"), col("id"), 2)
+      .orderBy("lang", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    // en: 4 (1.0) then the id-tiebreak keeps 1 over 2; fr keeps both
+    assert(q.toSeq == Seq(("en", 4L, 1), ("en", 1L, 2), ("fr", 6L, 1), ("fr", 5L, 2)))
+  }
+}
