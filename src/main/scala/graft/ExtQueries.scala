@@ -52,6 +52,11 @@ object ExtQueries {
     // ---- similarity search
     "embed_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), 10, 5)),
     "embed_topk_bucketed" -> ((s, d) => Similarity.bucketedTopK(emb(s, d), 10, 3)),
+    // real IVF: deterministic Lloyd's k-means coarse quantizer (fixed
+    // init from the first k vec_ids, 2 rounds, rounded distances) and
+    // cell-restricted search
+    "embed_kmeans_cells" -> ((s, d) => Similarity.kmeansAssign(emb(s, d), 8, 2)),
+    "embed_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d), 10, 3, 8, 2)),
     // near-dup pairs via sign-bit LSH banding. The testdata corpus has
     // no natural near-dups (max pairwise cosine 0.51 at sf0.01), so the
     // corpus unions deterministic perturbed twins (x·1.05 + 0.001,
@@ -201,6 +206,36 @@ object ExtQueries {
        | FROM r""".stripMargin
   }
 
+  /** Two unrolled Lloyd's rounds in DuckDB (mirrors
+    * Similarity.kmeansAssign with k=8, iters=2): c0 = first 8 vectors,
+    * a1 = argmin over c0, c1 = rounded per-cell means, a2 = final
+    * assignment with rounded squared distances.
+    */
+  private val kmeansCte: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      | c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),
+      | d1 AS (SELECT e.vec_id, c0.cell,
+      |          round(SUM((e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i])), 6) AS d
+      |        FROM e, c0, UNNEST(range(1, 65)) t(i)
+      |        GROUP BY e.vec_id, c0.cell),
+      | a1 AS (SELECT vec_id, cell FROM (
+      |          SELECT vec_id, cell,
+      |            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |          FROM d1) WHERE rn = 1),
+      | m1 AS (SELECT cell, i, round(avg(e.v[i]), 6) AS m
+      |        FROM a1 JOIN e USING (vec_id), UNNEST(range(1, 65)) t(i)
+      |        GROUP BY cell, i),
+      | c1 AS (SELECT cell, list(m ORDER BY i) AS c FROM m1 GROUP BY cell),
+      | d2 AS (SELECT e.vec_id, c1.cell,
+      |          round(SUM((e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i])), 6) AS d
+      |        FROM e, c1, UNNEST(range(1, 65)) t(i)
+      |        GROUP BY e.vec_id, c1.cell),
+      | a2 AS (SELECT vec_id, cell, d FROM (
+      |          SELECT vec_id, cell, d,
+      |            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |          FROM d2) WHERE rn = 1)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "join_revenue_by_region" ->
       """SELECT r_name, l_returnflag,
@@ -306,6 +341,26 @@ object ExtQueries {
          | ORDER BY lang, rn""".stripMargin,
     "embed_cosine_topk" -> embedTopkOracle(nQueries = 10, k = 5, bucketed = false),
     "embed_topk_bucketed" -> embedTopkOracle(nQueries = 10, k = 3, bucketed = true),
+    "embed_kmeans_cells" ->
+      s"$kmeansCte SELECT vec_id, cell, d FROM a2 ORDER BY vec_id",
+    "embed_ivf_topk" ->
+      s"""$kmeansCte,
+         | wc AS (SELECT emb.vec_id, emb.embedding, a2.cell
+         |        FROM embeddings emb JOIN a2 USING (vec_id)),
+         | q AS (SELECT vec_id AS qid, embedding AS qe, cell AS qcell
+         |       FROM wc WHERE vec_id < 10),
+         | p AS (SELECT qid, cell, wc.vec_id,
+         |         round(SUM(CAST(qe[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)) /
+         |           (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+         |            sqrt(SUM(CAST(wc.embedding[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)))), 4) AS cos
+         |       FROM q JOIN wc ON q.qcell = wc.cell AND q.qid <> wc.vec_id,
+         |            UNNEST(range(1, 65)) t(i)
+         |       GROUP BY qid, cell, wc.vec_id),
+         | r AS (SELECT qid, cell, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |       FROM p)
+         | SELECT qid, cell, rnk, vec_id, cos FROM r WHERE rnk <= 3
+         | ORDER BY qid, rnk""".stripMargin,
     "embed_neardup_pairs" ->
       """WITH corpus AS (
         |   SELECT vec_id, embedding FROM embeddings

@@ -68,6 +68,73 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Squared L2 distance between two double arrays, rounded to 6 — the
+    * rounding absorbs cross-engine summation-order ulp noise so argmin
+    * assignments are reproducible (ties broken by cell id).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x), 6)
+
+  /** Deterministic Lloyd's k-means over the embedding column — the real
+    * coarse quantizer behind an IVF index. Fixed everything that is
+    * normally random: centroids initialize from the first `k` vec_ids,
+    * exactly `iters` assign/update rounds run, distances and centroid
+    * means round to 6 decimals (absorbing engine addition-order noise
+    * without moving any genuine decision), and argmin ties break by
+    * cell id. Returns (vec_id, cell, d) — each vector's cell and its
+    * rounded squared distance to the final centroid.
+    *
+    * Scale: each round is one broadcast of k×dims centroids against a
+    * corpus scan (no shuffle of the corpus) plus one k×dims-sized
+    * aggregate for the update — the textbook distributed Lloyd's. The
+    * explode in the update stage moves rows×dims elements through a
+    * map-side-combined avg, bounded by the corpus size, not k.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    var centroids = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("v").as("c"))
+    def assigned = {
+      val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cell"))
+      e.crossJoin(broadcast(centroids))
+        .withColumn("d", l2sq(col("v"), col("c")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cell", "d")
+    }
+    for (_ <- 1 until iters) {
+      val means = assigned.join(e, "vec_id")
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(round(avg(col("x")), 6).as("m"))
+      centroids = means
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ps"))
+        .select(col("cell"), transform(col("ps"), p => p.getField("m")).as("c"))
+    }
+    assigned.orderBy("vec_id")
+  }
+
+  /** IVF top-k: brute-force restricted to the query's k-means cell —
+    * [[bucketedTopK]] with a real learned quantizer instead of the
+    * label column.
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
+      cells: Int = 8, iters: Int = 2): DataFrame = {
+    val cellOf = kmeansAssign(emb, cells, iters).select("vec_id", "cell")
+    val withCell = emb.join(cellOf, "vec_id")
+    val q = withCell.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell").as("qcell"))
+    val scored = q.join(withCell,
+        col("qcell") === col("cell") && col("qid") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "cell", "rnk", "vec_id", "cos")
+      .orderBy("qid", "rnk")
+  }
+
   /** Embedding-cosine near-dup pairs above a threshold, found via
     * sign-bit LSH banding (random-hyperplane LSH with the coordinate
     * axes as hyperplanes): each vector's 64-bit sign signature is cut

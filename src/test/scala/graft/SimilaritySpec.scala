@@ -40,6 +40,26 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Set(1L, 2L)) // label 0 bucket only
   }
 
+  test("kmeansAssign separates two obvious clusters; ivfTopK stays in-cell") {
+    // ids 0/2/4 tight around (10,0,..), ids 1/3/5 tight around (0,10,..);
+    // init centroids = vectors 0 and 1, so Lloyd's converges in one round
+    val twoClusters = emb(
+      (0L, Seq(10f, 0f, 0f, 0f), 0),
+      (1L, Seq(0f, 10f, 0f, 0f), 0),
+      (2L, Seq(9f, 1f, 0f, 0f), 0),
+      (3L, Seq(1f, 9f, 0f, 0f), 0),
+      (4L, Seq(11f, -1f, 0f, 0f), 0),
+      (5L, Seq(-1f, 11f, 0f, 0f), 0))
+    val cells = Similarity.kmeansAssign(twoClusters, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 2L, 4L).forall(id => cells(id) == 0L), cells.toString)
+    assert(Seq(1L, 3L, 5L).forall(id => cells(id) == 1L), cells.toString)
+
+    val top = Similarity.ivfTopK(twoClusters, nQueries = 1, k = 5, cells = 2, iters = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(top == Set(2L, 4L)) // only cell-0 candidates are scored
+  }
+
   /** 8-dim fixture with planted near-dups for the banded pair search:
     * ids 0/1 near-identical, 2/3 near-identical, 4 isolated, 5 shares
     * one sign chunk with 0 but low cosine.
