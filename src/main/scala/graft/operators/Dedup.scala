@@ -31,12 +31,20 @@ object Dedup {
     * consumers (min-aggregates: MinHash signatures, winnowing minima);
     * set semantics (Jaccard counting) need the default distinct.
     */
+  /** Spread a small-file table across the cluster before CPU-heavy
+    * narrow projections — a one-file parquet scan otherwise serializes
+    * the whole shingle/signature chain onto a single task. Round-robin
+    * is safe: every consumer re-groups by doc_id.
+    */
+  private def spread(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
   def shingles(docs: DataFrame, n: Int = 3, distinct: Boolean = true): DataFrame = {
     val words = split(col("text"), " ")
     val grams = expr(
       s"""transform(sequence(1, size(w) - ${n - 1}),
          |  i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(w, i + $j)").mkString(", ")}))""".stripMargin)
-    val raw = docs.select(col("doc_id"), words.as("w"))
+    val raw = spread(docs).select(col("doc_id"), words.as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(grams).as("s"))
     if (distinct) raw.distinct() else raw
@@ -128,11 +136,17 @@ object Dedup {
     // Jaccard verification needs the distinct set
     val sh = shingles(docs).cache()
     val sig = minhashSignaturesFrom(shingles(docs, distinct = false)).cache()
-    val bands = (0 until minhashSeeds / minhashBandSize).map { b =>
+    // one explode pass over sig, not a bands-way union: a union fans the
+    // plan into one AQE stage per branch per join side, and before the
+    // cache is materialized those stages race to recompute the whole
+    // signature subtree
+    val bandStructs = (0 until minhashSeeds / minhashBandSize).map { b =>
       val cols = (0 until minhashBandSize).map(j => col(s"h${b * minhashBandSize + j}"))
-      sig.select(col("doc_id"), lit(b).as("band"),
-        concat_ws("_", cols: _*).as("bv"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).as("band"), concat_ws("_", cols: _*).as("bv"))
+    }
+    val bands = sig.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -161,10 +175,13 @@ object Dedup {
     */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val sig = simhash(docs).cache()
-    val chunks = (0 until 4).map(b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        col("simhash").substr(b * 16 + 1, 16).as("bv")))
-      .reduce(_ unionByName _)
+    // explode, not a 4-way union (see minhashLshPairs): one pass, one
+    // AQE stage per join side instead of eight racing the cold cache
+    val chunkStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"), col("simhash").substr(b * 16 + 1, 16).as("bv")))
+    val chunks = sig.select(col("doc_id"),
+        explode(array(chunkStructs: _*)).as("ch"))
+      .select(col("doc_id"), col("ch.band").as("band"), col("ch.bv").as("bv"))
     val cands = chunks.as("a").join(chunks.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -188,11 +205,16 @@ object Dedup {
     * Implementation: iterative min-label propagation over the pair
     * graph — the standard distributed connected-components loop. Each
     * round is one shuffle join (labels across edges) + an aggregate;
-    * rounds = O(cluster diameter), and near-dup clusters are small and
-    * dense, so convergence is 2-3 rounds. `localCheckpoint` cuts the
-    * growing lineage each round (without it the plan doubles per
-    * iteration). The converged fixpoint (min reachable id) is unique,
-    * so the result is deterministic regardless of execution order.
+    * rounds = O(component diameter). `localCheckpoint` cuts the growing
+    * lineage each round (without it the plan doubles per iteration).
+    * The converged fixpoint (min reachable id) is unique, so the result
+    * is deterministic regardless of execution order. Measured against
+    * pointer-jumping variants (1 and 3 path-halving hops per round) on
+    * the 105k-pair sf0.1 graph: the extra per-round joins cost more
+    * than the saved rounds, so the simple loop stays; for graphs whose
+    * diameter actually hurts, the known fix is alternating
+    * large-star/small-star rounds, which this loop structure admits
+    * without API change.
     */
   def resolveClusters(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
@@ -241,7 +263,7 @@ object Dedup {
     * docs × words × 64 rows).
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val docWords = docs
+    val docWords = spread(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .distinct()
     // bit arrays computed once per vocabulary word (Zipf: vocab ≪
