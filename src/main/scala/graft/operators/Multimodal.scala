@@ -34,11 +34,15 @@ object Multimodal {
       doc_id: Long, kind: String, n_bytes: Long, checksum: String,
       width: Int, height: Int, preview: String)
 
-  /** Build the media table from documents: binary payload + kind tag. */
+  /** Build the media table from documents: binary payload + kind tag.
+    * The round-robin repartition spreads a one-file source so the
+    * decode stage isn't a single task; a real media table arrives as
+    * many files and skips it.
+    */
   def mediaTable(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(
+    docs.repartition(spark.sparkContext.defaultParallelism).select(
         col("doc_id"),
         // deterministic kind assignment in lieu of a real mime sniff
         element_at(lit(Array("image", "audio", "video")),

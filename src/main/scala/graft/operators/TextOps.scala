@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Spread a small-file table before CPU-heavy narrow projections —
+    * same rationale as Dedup: a one-file parquet scan otherwise runs
+    * the whole explode/regex chain on a single task. Round-robin is
+    * safe: consumers re-group or re-order by doc_id.
+    */
+  private def spread(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
   /** (lang, marker) rows — common function words per language. The
     * heuristic is honest: the synthetic corpus is English-ish word
     * salad for every lang label, so `predicted` mostly lands on 'en'
@@ -36,7 +44,7 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val m = markers.toDF("mlang", "marker")
-    val words = docs.select(col("doc_id"), col("lang"),
+    val words = spread(docs).select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("word"))
     val hits = words.join(broadcast(m), col("word") === col("marker"))
       .groupBy("doc_id", "mlang").agg(count(lit(1)).as("hits"))
@@ -61,7 +69,7 @@ object TextOps {
   def qualityScore(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     val sw = stopwords.map(s => s"'$s'").mkString(", ")
-    docs
+    spread(docs)
       .withColumn("n_words", size(words).cast("long"))
       .withColumn("len_chars", length(col("text")).cast("long"))
       .withColumn("avg_word_len",
@@ -82,7 +90,7 @@ object TextOps {
 
   /** Whitespace + regex token counts per doc. */
   def tokenCounts(docs: DataFrame): DataFrame =
-    docs
+    spread(docs)
       .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("re_tokens",
         size(regexp_extract_all(col("text"), lit(tokenPattern), lit(0))).cast("long"))
