@@ -57,6 +57,7 @@ object ExtQueries {
     // cell-restricted search
     "embed_kmeans_cells" -> ((s, d) => Similarity.kmeansAssign(emb(s, d), 8, 2)),
     "embed_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d), 10, 3, 8, 2)),
+    "embed_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
     // near-dup pairs via sign-bit LSH banding. The testdata corpus has
     // no natural near-dups (max pairwise cosine 0.51 at sf0.01), so the
     // corpus unions deterministic perturbed twins (x·1.05 + 0.001,
@@ -341,6 +342,15 @@ object ExtQueries {
          | ORDER BY lang, rn""".stripMargin,
     "embed_cosine_topk" -> embedTopkOracle(nQueries = 10, k = 5, bucketed = false),
     "embed_topk_bucketed" -> embedTopkOracle(nQueries = 10, k = 3, bucketed = true),
+    "embed_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |     list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS max_abs
+        |   FROM embeddings)
+        | SELECT vec_id, max_abs,
+        |   array_to_string(list_transform(embedding, x ->
+        |     CAST(CAST(CASE WHEN max_abs = 0 THEN 0
+        |                    ELSE floor(CAST(x AS DOUBLE) / max_abs * 127 + 0.5) END AS INT) AS VARCHAR)), ',') AS q_csv
+        | FROM m ORDER BY vec_id""".stripMargin,
     "embed_kmeans_cells" ->
       s"$kmeansCte SELECT vec_id, cell, d FROM a2 ORDER BY vec_id",
     "embed_ivf_topk" ->

@@ -68,6 +68,26 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Int8 max-abs quantization of the embedding column — the storage
+    * shape a large embedding corpus actually ships (4× smaller than
+    * float32, int-arithmetic dot products). Symmetric per-vector
+    * scheme: scale = max|x_i|, q_i = floor(x_i/scale·127 + 0.5), with
+    * an all-zero vector quantizing to zeros. A pure codegen'd per-row
+    * projection — no shuffle, no UDF. Max round-trip error is
+    * scale/254 per element (SimilaritySpec asserts it).
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val maxAbs = aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+      lit(0.0), (acc, x) => greatest(acc, x))
+    emb.withColumn("max_abs", maxAbs)
+      .withColumn("q", transform(col("embedding"), x =>
+        when(col("max_abs") === 0.0, lit(0))
+          .otherwise(floor(x.cast("double") / col("max_abs") * 127 + 0.5).cast("int"))))
+      .select(col("vec_id"), col("max_abs"),
+        concat_ws(",", transform(col("q"), _.cast("string"))).as("q_csv"))
+      .orderBy("vec_id")
+  }
+
   /** Squared L2 distance between two double arrays, rounded to 6 — the
     * rounding absorbs cross-engine summation-order ulp noise so argmin
     * assignments are reproducible (ties broken by cell id).

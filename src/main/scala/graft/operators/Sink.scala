@@ -55,6 +55,23 @@ object Sink {
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(path))
 
+  /** The 100 TB layout made concrete: a bucketed, per-bucket-sorted
+    * stocks table. Reading it back hash-distributes by symbol from
+    * STORAGE — a `PARTITION BY symbol` window or a symbol-keyed join
+    * plans with no Exchange (SinkSpec asserts the executed plan), which
+    * on a cluster is the difference between a shuffle of the whole
+    * table and none. One file per bucket keeps Spark's
+    * one-sorted-file-per-bucket requirement so bucket info stays
+    * usable.
+    */
+  def writeStocksBucketed(df: DataFrame, table: String, buckets: Int = 8): Unit =
+    df.repartition(buckets, col("symbol"))
+      .write
+      .mode("overwrite")
+      .bucketBy(buckets, "symbol")
+      .sortBy("symbol", "date")
+      .saveAsTable(table) // managed table in the session warehouse
+
   /** S7 CSV export (the reference's S3/CSV path,
     * /root/reference/export_to_s3.py — no object store in this
     * container, so the path is any Hadoop-FS URI; s3a:// works

@@ -40,6 +40,25 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Set(1L, 2L)) // label 0 bucket only
   }
 
+  test("quantizeInt8: symmetric max-abs scheme, bounded round-trip error, zero-safe") {
+    val vs = emb(
+      (0L, Seq(0.5f, -1.0f, 0.25f, 0f), 0),
+      (1L, Seq(0f, 0f, 0f, 0f), 0)) // all-zero vector
+    val rows = Similarity.quantizeInt8(vs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(rows(0L) == (1.0, "64,-127,32,0")) // floor(.5*127+.5)=64
+    assert(rows(1L) == (0.0, "0,0,0,0"))
+    // round-trip error bound on the real corpus slice
+    val sample = emb((2L, Seq(0.31f, -0.07f, 0.19f, -0.26f), 0))
+    val r = Similarity.quantizeInt8(sample).collect().head
+    val scale = r.getDouble(1)
+    val qs = r.getString(2).split(",").map(_.toInt)
+    val xs = Seq(0.31f, -0.07f, 0.19f, -0.26f).map(_.toDouble)
+    qs.zip(xs).foreach { case (q, x) =>
+      assert(math.abs(q * scale / 127 - x) <= scale / 254 + 1e-9)
+    }
+  }
+
   test("kmeansAssign separates two obvious clusters; ivfTopK stays in-cell") {
     // ids 0/2/4 tight around (10,0,..), ids 1/3/5 tight around (0,10,..);
     // init centroids = vectors 0 and 1, so Lloyd's converges in one round

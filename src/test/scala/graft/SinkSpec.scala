@@ -50,6 +50,30 @@ class SinkSpec extends SparkSpec {
       Seq(10.0, 11.5, 12.25))
   }
 
+  test("bucketed stocks table: symbol window and join plan with NO exchange") {
+    import org.apache.spark.sql.expressions.Window
+    val df = bars("AA", Seq(10.0, 11.0, 12.0))
+      .unionByName(bars("BB", Seq(20.0, 21.0)))
+    Sink.writeStocksBucketed(df, "graft_bucketed_spec", buckets = 4)
+    val back = spark.table("graft_bucketed_spec")
+
+    val w = Window.partitionBy("symbol").orderBy("date").rowsBetween(-1, 0)
+    val windowed = back.withColumn("m", avg("close").over(w))
+    windowed.write.format("noop").mode("overwrite").save()
+    val windowPlan = windowed.queryExecution.executedPlan.toString
+    assert(!windowPlan.contains("Exchange"), windowPlan)
+    assert(windowed.count() == 5)
+
+    // symbol-keyed aggregate: partial+final collapse onto the bucket
+    // distribution, no shuffle
+    val agg = back.groupBy("symbol").agg(max("close"))
+    agg.write.format("noop").mode("overwrite").save()
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange"), aggPlan)
+
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_spec")
+  }
+
   test("writeRejects lands the quality side-output") {
     val dir = Files.createTempDirectory("graft-rej").toString + "/rejects"
     val bad = bars("AA", Seq(10.0)).withColumn("close", lit(-1.0))
