@@ -20,6 +20,42 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftSparkExtensions.ewmMeanDescriptor)
     ext.injectFunction(GraftSparkExtensions.hammingDescriptor)
+    ext.injectResolutionRule(_ => RejectNonWindowEwm)
+  }
+}
+
+/** Analysis-time guard: `ewm_mean` inside a grouping Aggregate (not a
+  * window) merges order-sensitive partial buffers nondeterministically,
+  * so sessions built with these extensions reject the plan during
+  * analysis instead of at execution (EwmMean.mergeExpressions throws
+  * there as the second line of defense for sessions without the
+  * extensions). Window use — including windows OVER grouped output,
+  * where the WindowExpression transiently sits inside the Aggregate —
+  * passes untouched.
+  */
+object RejectNonWindowEwm
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.WindowExpression
+  import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+
+  private def bareEwm(e: Expression): Boolean = e match {
+    case _: WindowExpression => false
+    case ae: AggregateExpression if ae.aggregateFunction.isInstanceOf[EwmMean] => true
+    case other => other.children.exists(bareEwm)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    plan.foreach {
+      case agg: Aggregate if agg.aggregateExpressions.exists(bareEwm) =>
+        throw new UnsupportedOperationException(
+          "ewm_mean is order-sensitive and cannot be a grouping aggregate; " +
+            "use it as a window aggregate: " +
+            "ewm_mean(x, alpha) OVER (PARTITION BY key ORDER BY time)")
+      case _ => ()
+    }
+    plan
   }
 }
 

@@ -120,6 +120,16 @@ object SparkEntry {
         .withColumn("ma_200", round(Indicators.maGated(200), 6))
         .select("symbol", "date", "close", "ma_50", "ma_200")
         .orderBy("symbol", "date")),
+    // the chunked (keys × year) window evaluation — the oracle is the
+    // PLAIN window SQL, so the hash match proves the carry-in plan is
+    // result-identical to the one-pass-per-key plan
+    "window_chunked_sma" -> ((s, d) =>
+      graft.operators.WindowChunks
+        .chunkedSmaGated(stocks(s, d), "symbol", "date", "close", 5, 50)
+        .select(col("symbol"), col("date"),
+          round(col("sma"), 6).as("sma_5"),
+          round(col("ma_gated"), 6).as("ma_50"))
+        .orderBy("symbol", "date")),
     "volume_ma" -> ((s, d) =>
       stocks(s, d)
         .withColumn("volume_ma_20", round(Indicators.volumeMa(20), 6))
@@ -367,6 +377,14 @@ object SparkEntry {
          | CASE WHEN count(*) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN 199 PRECEDING AND CURRENT ROW) = 200
          |      THEN round(avg(close) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN 199 PRECEDING AND CURRENT ROW), 6) END AS ma_200
          | FROM stocks ORDER BY symbol, date""".stripMargin,
+    "window_chunked_sma" ->
+      s"""$S SELECT symbol, date,
+         | round(avg(close) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS sma_5,
+         | CASE WHEN count(*) OVER w50 = 50
+         |      THEN round(avg(close) OVER w50, 6) END AS ma_50
+         | FROM stocks
+         | WINDOW w50 AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+         | ORDER BY symbol, date""".stripMargin,
     "volume_ma" ->
       s"""$S SELECT symbol, date, volume,
          | round(avg(volume) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS volume_ma_20

@@ -9,6 +9,39 @@ import graft.operators.Indicators
   */
 class ExtensionsSpec extends SparkSpec {
 
+  test("extension rule rejects grouping ewm_mean at analysis; window use passes") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // spark.sql.extensions is a static conf — inert when the builder
+    // reuses an existing SparkContext — so attach programmatically
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftSparkExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .getOrCreate()
+    try {
+      import ext.implicits._
+      Seq(("A", 1.0), ("A", 2.0), ("B", 3.0)).toDF("k", "x")
+        .createOrReplaceTempView("t_ewm_guard")
+      val e = intercept[Throwable] {
+        ext.sql("SELECT k, ewm_mean(x, 0.5) AS e FROM t_ewm_guard GROUP BY k")
+      }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("order-sensitive"), msgs)
+      // the window form analyzes and runs
+      val ok = ext.sql(
+        """SELECT k, ewm_mean(x, 0.5) OVER (PARTITION BY k ORDER BY x) AS e
+          |FROM t_ewm_guard""".stripMargin).collect()
+      assert(ok.length == 3)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("ewm_mean is callable from SQL and matches the Column API") {
     GraftSparkExtensions.register(spark)
     val closes = Seq(10.0, 11.0, 9.0, 12.0, 13.0)
