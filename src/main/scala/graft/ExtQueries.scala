@@ -36,6 +36,18 @@ object ExtQueries {
       Dedup.dedupVerdicts(docs(s, d), pairs)
     }),
 
+    // n-gram decontamination: train = doc_id < 400, eval = the rest
+    // plus 10 planted copies of train docs (vec 10000+) that must flag
+    // at ratio 1.0
+    "contamination_check" -> ((s, d) => {
+      val all = docs(s, d)
+      val train = all.filter(col("doc_id") < 400).select("doc_id", "text")
+      val eval = all.filter(col("doc_id") >= 400).select("doc_id", "text")
+        .unionByName(all.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.contamination(train, eval, 8)
+    }),
+
     // ---- deterministic sampling / splits (content-hash keyed)
     "sample_split" -> ((s, d) =>
       Sampling.withSplit(docs(s, d).select("doc_id", "text"), col("text"), 90, 5)
@@ -323,6 +335,27 @@ object ExtQueries {
          |   coalesce(l.cluster, d.doc_id) = d.doc_id AS is_keeper
          | FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
          | ORDER BY d.doc_id""".stripMargin,
+    "contamination_check" -> {
+      val gram8 = (0 until 8).map(j => if (j == 0) "w[i]" else s"w[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         | ev AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+         |        UNION ALL
+         |        SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10),
+         | tw AS (SELECT string_split(text, ' ') AS w FROM train),
+         | tg AS (SELECT DISTINCT $gram8 AS s
+         |        FROM tw, UNNEST(range(1, len(w) - 6)) AS t(i)),
+         | ew AS (SELECT doc_id, string_split(text, ' ') AS w FROM ev),
+         | eg AS (SELECT DISTINCT doc_id, $gram8 AS s
+         |        FROM ew, UNNEST(range(1, len(w) - 6)) AS t(i)),
+         | sizes AS (SELECT doc_id, count(*) AS total_ngrams FROM eg GROUP BY doc_id),
+         | hits AS (SELECT eg.doc_id, count(*) AS contaminated_ngrams
+         |          FROM eg JOIN tg USING (s) GROUP BY eg.doc_id)
+         | SELECT s.doc_id, s.total_ngrams,
+         |   coalesce(h.contaminated_ngrams, 0) AS contaminated_ngrams,
+         |   round(coalesce(h.contaminated_ngrams, 0) * 1.0 / s.total_ngrams, 4) AS contamination_ratio
+         | FROM sizes s LEFT JOIN hits h USING (doc_id) ORDER BY s.doc_id""".stripMargin
+    },
     "sample_split" ->
       s"""WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
          | b AS (SELECT doc_id, ($minhashBaseSql) % 100 AS bucket FROM h)

@@ -197,6 +197,29 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Train/eval contamination check (decontamination): for every eval
+    * document with at least `n` words, the count and share of its
+    * distinct word n-grams that also appear anywhere in the training
+    * corpus — the standard n-gram-overlap benchmark-leakage scan.
+    * Shape: the train side collapses to a distinct gram set (bounded by
+    * corpus text volume, hash-partitioned on the gram), the eval side
+    * joins against it on the gram and re-aggregates per doc — two
+    * shuffles, no pairwise doc×doc work anywhere, so cost is linear in
+    * total grams regardless of how many documents collide.
+    */
+  def contamination(train: DataFrame, eval: DataFrame, n: Int = 8): DataFrame = {
+    val trainGrams = shingles(train, n).select("s").distinct()
+    val evalGrams = shingles(eval, n)
+    val sizes = evalGrams.groupBy("doc_id").agg(count(lit(1)).as("total_ngrams"))
+    val hits = evalGrams.join(trainGrams, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("contaminated_ngrams"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .withColumn("contaminated_ngrams", coalesce(col("contaminated_ngrams"), lit(0L)))
+      .withColumn("contamination_ratio",
+        round(col("contaminated_ngrams") / col("total_ngrams"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate-cluster resolution: near-dup PAIRS → per-doc cluster id
     * (the min doc_id in its connected component). Near-duplicate is not
     * transitive, but dedup policy treats the union of pairs as an

@@ -77,6 +77,24 @@ class DedupSpec extends SparkSpec {
     assert(spark.sql("SELECT hamming_distance('abc', 'abd')").head.getInt(0) == 1)
   }
 
+  test("contamination: planted eval copy flags at 1.0, disjoint doc at 0.0") {
+    val train = docs(
+      (0L, "a b c d e f g h i j"),
+      (1L, "k l m n o p q r s t"))
+    val eval = docs(
+      (10L, "a b c d e f g h i j"), // verbatim train copy
+      (11L, "z y x w v u tt ss rr qq"), // fully disjoint
+      (12L, "b c d e f g h i j extra")) // 8-gram overlap in a changed doc
+    val r = Dedup.contamination(train, eval, 8).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toMap
+    assert(r(10L) == (3L, 3L, 1.0))
+    assert(r(11L) == (3L, 0L, 0.0))
+    // doc 12 shares the b..i and c..j grams with train but not its
+    // trailing gram
+    assert(r(12L)._1 == 3L && r(12L)._2 == 2L)
+  }
+
   test("resolveClusters: chain, triangle, and singleton get min-id clusters") {
     val spark2 = spark
     import spark2.implicits._
