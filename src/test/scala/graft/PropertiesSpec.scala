@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import graft.operators.{Merge, Quality}
+import graft.operators.{Ingest, Merge, Quality}
 
 /** Property-based invariants over randomized batches (SURVEY.md §5.3):
   * merge algebra and quality partitioning hold for arbitrary inputs,
@@ -105,5 +105,25 @@ class PropertiesSpec extends SparkSpec {
         }
       }
     }
+  }
+
+  test("property: Ingest.canonical is padding/case-invariant and never mis-maps") {
+    val fields = Seq("date", "open", "high", "low", "close", "volume", "symbol")
+    val padGen = Gen.oneOf("", " ", "  ", "\t")
+    val caseGen = Gen.oneOf[String => String](
+      identity[String] _, (x: String) => x.toUpperCase, (x: String) => x.capitalize)
+    val nameGen = for {
+      f <- Gen.oneOf(fields ++ Ingest.adjCloseVariants)
+      pre <- padGen; post <- padGen; cs <- caseGen
+      // flattened-MultiIndex ticker prefixes occur on data fields only
+      ticker <- if (f == "symbol") Gen.const("") else Gen.oneOf("", "AAPL ", "msft ")
+    } yield (f, pre + cs(ticker + f) + post)
+    cases(Gen.listOfN(50, nameGen), 6).foreach(_.foreach { case (f, mangled) =>
+      val expected = if (Ingest.adjCloseVariants.contains(f)) "adj_close" else f
+      assert(Ingest.canonical(mangled).contains(expected), s"'$mangled' -> $expected")
+    })
+    // unknown names never resolve
+    cases(Gen.listOfN(30, Gen.oneOf("dividends", "splits", "Stock Splits", "oPen x")), 3)
+      .foreach(_.foreach(n => assert(Ingest.canonical(n).isEmpty, n)))
   }
 }
