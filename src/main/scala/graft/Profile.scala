@@ -39,6 +39,9 @@ object Profile {
       val t0 = System.nanoTime()
       qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
+      // the listener bus is async — drain it so this rep's stage events
+      // are printed here, not misattributed to the next rep
+      org.apache.spark.GraftListenerShims.flushListeners(spark.sparkContext)
       println(f"== $name rep$rep: $dt%.2fs")
       stages.forEach(s => println(s))
     }

@@ -37,6 +37,18 @@ object SparkEntry {
   private[graft] def sortSmall(df: DataFrame, cols: String*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
 
+  /** One export directory per JVM, registered for exit cleanup. */
+  private lazy val csvExportDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_csv_export")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(p.toFile)
+    }
+    p.toString + "/stocks_af"
+  }
+
   private val cutoff98 = to_date(lit("1998-01-01"))
   private val cutoffMid98 = to_date(lit("1998-07-01"))
   private val cutoff99 = to_date(lit("1999-01-01"))
@@ -129,6 +141,33 @@ object SparkEntry {
         .select(col("symbol"), col("date"),
           round(col("sma"), 6).as("sma_5"),
           round(col("ma_gated"), 6).as("ma_50"))
+        .orderBy("symbol", "date")),
+    "window_chunked_rsi" -> ((s, d) =>
+      graft.operators.WindowChunks
+        .chunkedRsi(stocks(s, d), "symbol", "date", "close", 14)
+        .select(col("symbol"), col("date"), round(col("rsi"), 4).as("rsi"))
+        .orderBy("symbol", "date")),
+    "window_chunked_boll_vol" -> ((s, d) =>
+      graft.operators.WindowChunks
+        .chunkedBollVol(stocks(s, d), "symbol", "date", "close", 20, 30)
+        .select(col("symbol"), col("date"),
+          round(col("bb_middle"), 4).as("bb_middle"),
+          round(col("bb_upper"), 4).as("bb_upper"),
+          round(col("bb_lower"), 4).as("bb_lower"),
+          round(col("volatility_30d"), 4).as("volatility_30d"))
+        .orderBy("symbol", "date")),
+    // truncated-history carry (700 rows ≡ the oracle's own convolution
+    // bound) — agreement with the exact recursion is far below the
+    // round(2) used on both sides
+    "window_chunked_ema" -> ((s, d) =>
+      graft.operators.WindowChunks
+        .chunkedEmaMacd(stocks(s, d), "symbol", "date", "close")
+        .select(col("symbol"), col("date"),
+          round(col("ema_12"), 2).as("ema_12"),
+          round(col("ema_26"), 2).as("ema_26"),
+          round(col("macd"), 2).as("macd"),
+          round(col("macd_signal"), 2).as("macd_signal"),
+          round(col("macd_histogram"), 2).as("macd_histogram"))
         .orderBy("symbol", "date")),
     "volume_ma" -> ((s, d) =>
       stocks(s, d)
@@ -283,9 +322,12 @@ object SparkEntry {
     // ---- S7 CSV export: write the AF slice to CSV, read it back with
     // the original schema — the oracle equality proves the round-trip
     // is lossless (shortest-repr doubles re-parse exactly).
+    // SIDE EFFECT: invoking this query writes the export; the path is
+    // fixed per JVM (overwrite mode handles re-runs) so repeated
+    // invocations (Verify, Bench warmup) reuse one directory instead of
+    // leaking a temp dir each call.
     "csv_export_roundtrip" -> ((s, d) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_csv_export").toString + "/stocks_af"
+      val out = csvExportDir
       val slice = stocks(s, d).filter(col("symbol") === "AF")
       Sink.exportCsv(slice, out)
       Sink.readCsv(s, out, slice.schema).orderBy("date")
@@ -385,6 +427,30 @@ object SparkEntry {
          | FROM stocks
          | WINDOW w50 AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
          | ORDER BY symbol, date""".stripMargin,
+    // the chunked twins are oracle'd against the PLAIN window SQL: the
+    // hash match proves the carry-in plan result-identical to the
+    // one-pass-per-key plan (rsi oracle reused verbatim; ema reuses the
+    // truncated-convolution oracle of ema_macd_checked)
+    "window_chunked_rsi" -> rsiOracle,
+    "window_chunked_boll_vol" ->
+      s"""$S, base AS (
+         |   SELECT symbol, date, close,
+         |     (close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date) - 1.0) * 100.0 AS dr
+         |   FROM stocks),
+         | g AS (
+         |   SELECT symbol, date,
+         |     CASE WHEN count(*) OVER w20 = 20 THEN avg(close) OVER w20 END AS mid,
+         |     CASE WHEN count(*) OVER w20 = 20 THEN stddev_samp(close) OVER w20 END AS sd,
+         |     CASE WHEN count(dr) OVER w30 = 30 THEN stddev_samp(dr) OVER w30 END AS vol
+         |   FROM base
+         |   WINDOW w20 AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         |          w30 AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+         | SELECT symbol, date,
+         |   round(mid, 4) AS bb_middle,
+         |   round(mid + 2.0 * sd, 4) AS bb_upper,
+         |   round(mid - 2.0 * sd, 4) AS bb_lower,
+         |   round(vol, 4) AS volatility_30d
+         | FROM g ORDER BY symbol, date""".stripMargin,
     "volume_ma" ->
       s"""$S SELECT symbol, date, volume,
          | round(avg(volume) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS volume_ma_20
@@ -418,6 +484,7 @@ object SparkEntry {
          | ORDER BY symbol, date""".stripMargin,
     "rsi" -> rsiOracle,
     "ema_macd_checked" -> emaMacdCheckedOracle,
+    "window_chunked_ema" -> emaMacdCheckedOracle,
     "dashboard_range_ma" ->
       s"""$S, sliced AS (
          |   SELECT symbol, date, close FROM stocks
@@ -494,7 +561,9 @@ object SparkEntry {
          |       CASE WHEN low > least(open, close) THEN 'Low ($$' || ${d2Sql("low")} || ') > Open/Close min' END,
          |       CASE WHEN abs(close - open) / open > 0.5 THEN 'Extreme price movement: ' ||
          |         CASE WHEN (close - open) / open * 100.0 >= 0 THEN '+' ELSE '' END ||
-         |         CAST(CAST((close - open) / open * 100.0 AS DECIMAL(28,1)) AS VARCHAR) || '% in one day' END)
+         |         CAST(CAST((close - open) / open * 100.0 AS DECIMAL(28,1)) AS VARCHAR) || '% in one day' END,
+         |       CASE WHEN volume = 0 AND symbol IN ('AAPL','GOOGL','MSFT','AMZN','TSLA')
+         |            THEN 'Zero volume for major stock on trading day' END)
          |     END AS issues
          |   FROM f)
          | SELECT symbol, date, issues FROM m WHERE issues <> '' ORDER BY symbol, date""".stripMargin,

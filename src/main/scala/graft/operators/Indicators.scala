@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 import graft.functions.EwmMean.ewm
 
@@ -41,7 +41,37 @@ object Indicators {
     * never null in the derived table, so this counts frame rows.
     */
   def gated(n: Int, over: Column, agg: Column => Column): Column =
-    when(count(over).over(trailing(n)) === n, agg(over).over(trailing(n)))
+    gatedOver(w, n, over, agg)
+
+  // ---- spec-parameterized twins: the same indicator formulas over a
+  // caller-chosen window spec, so chunked evaluation (WindowChunks) can
+  // run them at (key, chunk) parallelism with identical semantics.
+
+  /** [[gated]] over an arbitrary spec. */
+  def gatedOver(spec: WindowSpec, n: Int, over: Column, agg: Column => Column): Column = {
+    val f = spec.rowsBetween(-(n - 1), 0)
+    when(count(over).over(f) === n, agg(over).over(f))
+  }
+
+  /** [[dailyReturn]] over an arbitrary spec. */
+  def dailyReturnOver(spec: WindowSpec, in: Column): Column =
+    (in / lag(in, 1).over(spec) - lit(1.0)) * lit(100.0)
+
+  /** [[rsi]] over an arbitrary spec — identical formula including the
+    * null-delta → gain=loss=0.0 pandas quirk and the division edges.
+    */
+  def rsiOver(spec: WindowSpec, in: Column, n: Int): Column = {
+    val f = spec.rowsBetween(-(n - 1), 0)
+    val delta = in - lag(in, 1).over(spec)
+    val gain = when(delta > 0, delta).otherwise(lit(0.0))
+    val loss = when(delta < 0, -delta).otherwise(lit(0.0))
+    // gain/loss are never null → count counts frame rows.
+    val avgGain = when(count(in).over(f) === n, avg(gain).over(f))
+    val avgLoss = when(count(in).over(f) === n, avg(loss).over(f))
+    when(avgLoss > 0, lit(100.0) - lit(100.0) / (lit(1.0) + avgGain / avgLoss))
+      .when(avgLoss === 0 && avgGain > 0, lit(100.0))
+      .otherwise(lit(null).cast("double"))
+  }
 
   /** W1: SMA_n = close.rolling(n, min_periods=1).mean()
     * (analyze_visualize.py:106-108). */
@@ -80,17 +110,7 @@ object Indicators {
     * Division edges: loss=0 ∧ gain>0 → RSI=100 (pandas inf arithmetic);
     * loss=0 ∧ gain=0 → null (pandas 0/0 NaN).
     */
-  def rsi(n: Int = 14): Column = {
-    val delta = diff
-    val gain = when(delta > 0, delta).otherwise(lit(0.0))
-    val loss = when(delta < 0, -delta).otherwise(lit(0.0))
-    // gain/loss are never null → count counts frame rows.
-    val avgGain = when(count(col("close")).over(trailing(n)) === n, avg(gain).over(trailing(n)))
-    val avgLoss = when(count(col("close")).over(trailing(n)) === n, avg(loss).over(trailing(n)))
-    when(avgLoss > 0, lit(100.0) - lit(100.0) / (lit(1.0) + avgGain / avgLoss))
-      .when(avgLoss === 0 && avgGain > 0, lit(100.0))
-      .otherwise(lit(null).cast("double"))
-  }
+  def rsi(n: Int = 14): Column = rsiOver(w, col("close"), n)
 
   /** W12: Volatility_30d = Daily_Return.rolling(30).std(), default
     * min_periods, ddof=1 (analyze_visualize.py:136). The daily-return
@@ -99,7 +119,7 @@ object Indicators {
     * the return column, not raw frame rows.
     */
   def volatility(n: Int = 30, returns: Column): Column =
-    when(count(returns).over(trailing(n)) === n, stddev_samp(returns).over(trailing(n)))
+    gatedOver(w, n, returns, stddev_samp)
 
   /** W13: normalize to base 100 from each symbol's first close
     * (analyze_visualize.py:314). */

@@ -27,25 +27,41 @@ object Ingest {
   private val priceCols = Seq("open", "high", "low", "close")
   private val requiredCols = "date" +: priceCols :+ "volume"
 
-  /** Resolve one incoming column name to its canonical field, or None
-    * for an unrecognized column (dropped, as the reference's INSERT
-    * lists only known columns). Rules, in order:
-    *  1. trim + lowercase exact match (clean_column_names :71-72);
-    *  2. adj_close spelling variants (:204-209);
-    *  3. flattened-MultiIndex `"<ticker> <field>"` names — the
-    *     reference's fallback joins index levels with a space (:64-67),
-    *     so the trailing token(s) carry the field.
+  /** A flattened-MultiIndex prefix is one ticker-shaped token — the
+    * reference joins exactly the (ticker, field) index levels with a
+    * space (:64-67), so a multi-word or symbol-laden prefix is not a
+    * flatten artifact and must not resolve (a `prev close` or
+    * `rolling avg close` column shadowing the real one is worse than
+    * dropping it).
     */
-  def canonical(name: String): Option[String] = {
+  private val tickerShape = "^[a-z0-9.\\-]{1,6}$".r
+
+  /** Resolve one incoming column name to its canonical field with its
+    * resolution rank (lower = stronger match), or None for an
+    * unrecognized column (dropped, as the reference's INSERT lists only
+    * known columns). Rules, in rank order:
+    *  0. trim + lowercase exact match (clean_column_names :71-72);
+    *  1. adj_close spelling variants (:204-209);
+    *  2. flattened-MultiIndex `"<ticker> <field>"` names — exactly one
+    *     ticker-shaped leading token before the field.
+    */
+  private def canonicalRanked(name: String): Option[(String, Int)] = {
     val c = name.trim.toLowerCase
-    if (requiredCols.contains(c) || c == "symbol") Some(c)
-    else if (adjCloseVariants.contains(c)) Some("adj_close")
-    else if (adjCloseVariants.exists(v => c.endsWith(" " + v))) Some("adj_close")
-    else {
-      val last = c.split("\\s+").last
-      if (requiredCols.contains(last)) Some(last) else None
+    if (requiredCols.contains(c) || c == "symbol") Some((c, 0))
+    else if (adjCloseVariants.contains(c)) Some(("adj_close", 1))
+    else adjCloseVariants.collectFirst {
+      case v if c.endsWith(" " + v) &&
+        tickerShape.matches(c.dropRight(v.length + 1).trim) => ("adj_close", 2)
+    }.orElse {
+      c.split("\\s+") match {
+        case Array(ticker, field) if requiredCols.contains(field) &&
+          tickerShape.matches(ticker) => Some((field, 2))
+        case _ => None
+      }
     }
   }
+
+  def canonical(name: String): Option[String] = canonicalRanked(name).map(_._1)
 
   /** The reference's NaN/None→0 record preparation (:160-167). */
   private def fillPrice(c: Column): Column =
@@ -65,11 +81,15 @@ object Ingest {
     *    the symbol alongside the frame).
     */
   def normalizeSchema(df: DataFrame, symbol: Option[String] = None): DataFrame = {
-    // first resolution wins per canonical target (probe order = column
-    // order of the incoming frame, like the reference's variant loop)
-    val byTarget: Map[String, String] = df.columns.toSeq
-      .flatMap(n => canonical(n).map(_ -> n))
-      .groupBy(_._1).map { case (t, xs) => t -> xs.head._2 }
+    // strongest resolution wins per canonical target: an exact-named
+    // column always beats a variant or flatten-fallback match, so a
+    // spurious `<x> close` column can never shadow a genuine `close`;
+    // within a rank, probe order = column order of the incoming frame,
+    // like the reference's variant loop
+    val byTarget: Map[String, String] = df.columns.toSeq.zipWithIndex
+      .flatMap { case (n, i) => canonicalRanked(n).map { case (t, r) => (t, r, i, n) } }
+      .groupBy(_._1)
+      .map { case (t, xs) => t -> xs.minBy(x => (x._2, x._3))._4 }
     val missing = requiredCols.filterNot(byTarget.contains)
     require(missing.isEmpty,
       s"Missing columns: ${missing.mkString(", ")}; available: ${df.columns.mkString(", ")}")

@@ -51,6 +51,62 @@ object Sink {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
+  /** Write bars to a (symbol, year)-partitioned layout, date-sorted
+    * within files — the grid [[upsertPartitioned]] merges into. Year is
+    * derived from the date column; reads get two-level directory pruning
+    * (`WHERE symbol=? AND date BETWEEN` prunes to the touched dirs).
+    */
+  def writeStocksPartitioned(df: DataFrame, path: String,
+      overwriteMode: String = "static"): Unit =
+    df.withColumn("year", year(col("date")))
+      .repartition(col("symbol"), col("year"))
+      .sortWithinPartitions("symbol", "date")
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", overwriteMode)
+      .partitionBy("symbol", "year")
+      .parquet(path)
+
+  /** Partition-pruned upsert — the scale path [[upsertInto]]'s scaladoc
+    * promises, demonstrated: merge `updates` into a (symbol, year)
+    * partitioned table rewriting ONLY the touched partitions.
+    *
+    * The reference's production cadence is a small daily increment into
+    * a years-deep store (/root/reference/fetch_and_store_multi.py:244-248
+    * upserts one fetch batch per run); a snapshot rewrite reads and
+    * rewrites the whole table for that sliver. Here:
+    *  1. the touched (symbol, year) set comes off the updates — an
+    *     aggregate over partition COLUMNS only, collected to the driver
+    *     (bounded by partition count, never by data);
+    *  2. existing rows are read back under an explicit partition-value
+    *     filter, so the scan prunes to touched directories (file listing
+    *     + parquet footers of everything else are never opened);
+    *  3. the merged slice is written with dynamic partition overwrite —
+    *     only partitions present in the written frame are replaced;
+    *     untouched partition files are never read, never rewritten,
+    *     byte-identical after the merge (SinkSpec asserts both).
+    * Cost is proportional to the updated slice, not the table.
+    */
+  def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame): Unit = {
+    if (!pathExists(spark, path)) {
+      writeStocksPartitioned(updates, path)
+      return
+    }
+    val touched = updates.select(col("symbol"), year(col("date")).as("year"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val pruneFilter = touched
+      .groupBy(_._1).toSeq
+      .map { case (s, ys) =>
+        col("symbol") === s && col("year").isin(ys.map(_._2).toSeq: _*)
+      }
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+    val existingTouched = spark.read.parquet(path).filter(pruneFilter).drop("year")
+    val merged = Merge.upsert(existingTouched, updates)
+    writeStocksPartitioned(merged, path, overwriteMode = "dynamic")
+  }
+
   private def pathExists(spark: SparkSession, path: String): Boolean =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(path))
@@ -72,9 +128,9 @@ object Sink {
       .sortBy("symbol", "date")
       .saveAsTable(table) // managed table in the session warehouse
 
-  /** S7 CSV export (the reference's S3/CSV path,
-    * /root/reference/export_to_s3.py — no object store in this
-    * container, so the path is any Hadoop-FS URI; s3a:// works
+  /** S7 CSV export (the reference's S3 path is a manual CSV dump +
+    * `aws s3 cp`, /root/reference/README.md:99-107 — no object store in
+    * this container, so the path is any Hadoop-FS URI; s3a:// works
     * unchanged on a cluster with the S3 connector on the classpath).
     * Headered, one file per partition; doubles round-trip exactly
     * (shortest-repr printing).

@@ -40,6 +40,65 @@ class SinkSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("upsertPartitioned rewrites only touched (symbol, year) partitions, byte-identical elsewhere") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val dir = Files.createTempDirectory("graft-dpo").toString + "/stocks"
+    // two symbols × two years
+    def yearBars(sym: String, yr: Int, closes: Seq[Double]) =
+      bars(sym, closes).withColumn("date",
+        add_months(col("date"), (yr - 2020) * 12))
+    val v1 = yearBars("AA", 2020, Seq(10.0, 11.0))
+      .unionByName(yearBars("AA", 2021, Seq(12.0, 13.0)))
+      .unionByName(yearBars("BB", 2020, Seq(20.0, 21.0)))
+      .unionByName(yearBars("BB", 2021, Seq(22.0, 23.0)))
+    Sink.upsertPartitioned(spark, dir, v1)
+    val cols = v1.columns.map(col)
+    val snapDf = spark.read.parquet(dir).select(cols: _*)
+    val snapshot = snapDf.collect()
+    val snapSchema = snapDf.schema
+
+    def fileState(): Map[String, (Long, String)] = {
+      val base = Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      JFiles.walk(base).iterator().asScala
+        .filter(p => JFiles.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map { p =>
+          val bytes = JFiles.readAllBytes(p)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          base.relativize(p).toString -> (bytes.length.toLong,
+            md.digest(bytes).map("%02x".format(_)).mkString)
+        }.toMap
+    }
+    val before = fileState()
+
+    // daily-increment cadence: only (AA, 2021) is touched — one revised
+    // close and one appended row
+    val updates = yearBars("AA", 2021, Seq(12.0, 99.0, 14.0))
+      .filter(col("close") > 12.0)
+    Sink.upsertPartitioned(spark, dir, updates)
+
+    // (a) result ≡ the snapshot-rewrite Merge.upsert semantics
+    val expected = graft.operators.Merge.upsert(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(snapshot.toIndexedSeq), snapSchema), updates)
+      .select(cols: _*)
+    val got = spark.read.parquet(dir).select(cols: _*)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "dynamic-overwrite merge diverged from snapshot merge semantics")
+    assert(got.count() == 9)
+
+    // (b) untouched partitions: same files, same bytes
+    val after = fileState()
+    val untouchedBefore = before.filterNot(_._1.startsWith("symbol=AA/year=2021"))
+    val untouchedAfter = after.filterNot(_._1.startsWith("symbol=AA/year=2021"))
+    assert(untouchedBefore == untouchedAfter,
+      s"untouched partitions changed:\nbefore=$untouchedBefore\nafter=$untouchedAfter")
+    // and the touched partition did change
+    assert(before.keySet.exists(_.startsWith("symbol=AA/year=2021")))
+    assert(after.filter(_._1.startsWith("symbol=AA/year=2021")) !=
+      before.filter(_._1.startsWith("symbol=AA/year=2021")))
+  }
+
   test("CSV export round-trips (S7: the reference's S3/CSV export path)") {
     val dir = Files.createTempDirectory("graft-csv").toString + "/export"
     val df = bars("AA", Seq(10.0, 11.5, 12.25))
