@@ -65,7 +65,7 @@ object Dedup {
     * join docs on shared shingles, jaccard = |∩| / (|A|+|B|-|∩|).
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs).cache()
+    val sh = shingles(docs).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -129,13 +129,15 @@ object Dedup {
     * exact Jaccard; output = verified near-dup pairs.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    // the signature table is cached — the band self-join and the
-    // candidate verification would otherwise recompute the whole
-    // shingle+aggregate subtree once per join side; signatures use
-    // non-distinct shingles (min is duplicate-insensitive), the
-    // Jaccard verification needs the distinct set
-    val sh = shingles(docs).cache()
-    val sig = minhashSignaturesFrom(shingles(docs, distinct = false)).cache()
+    // the signature table is materialized eagerly (localCheckpoint, not
+    // cache) — the band self-join and the candidate verification each
+    // read it from BOTH join sides, and concurrent stages racing a cold
+    // cache recompute the whole shingle+aggregate subtree per side;
+    // signatures use non-distinct shingles (min is
+    // duplicate-insensitive), the Jaccard verification needs the
+    // distinct set
+    val sh = shingles(docs).localCheckpoint()
+    val sig = minhashSignaturesFrom(shingles(docs, distinct = false)).localCheckpoint()
     // one explode pass over sig, not a bands-way union: a union fans the
     // plan into one AQE stage per branch per join side, and before the
     // cache is materialized those stages race to recompute the whole
@@ -174,7 +176,9 @@ object Dedup {
     * graft.functions.HammingDistance expression.
     */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sig = simhash(docs).cache()
+    // eager materialization: three consumers (chunk generation + two
+    // verification join-backs) would race a cold cache
+    val sig = simhash(docs).localCheckpoint()
     // explode, not a 4-way union (see minhashLshPairs): one pass, one
     // AQE stage per join side instead of eight racing the cold cache
     val chunkStructs = (0 until 4).map(b =>
@@ -209,7 +213,8 @@ object Dedup {
     */
   def contamination(train: DataFrame, eval: DataFrame, n: Int = 8): DataFrame = {
     val trainGrams = shingles(train, n).select("s").distinct()
-    val evalGrams = shingles(eval, n)
+    // two consumers (sizes, hits) — materialize the eval shingling once
+    val evalGrams = shingles(eval, n).localCheckpoint()
     val sizes = evalGrams.groupBy("doc_id").agg(count(lit(1)).as("total_ngrams"))
     val hits = evalGrams.join(trainGrams, "s")
       .groupBy("doc_id").agg(count(lit(1)).as("contaminated_ngrams"))
@@ -241,9 +246,15 @@ object Dedup {
     */
   def resolveClusters(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    // localCheckpoint, not cache: the first round's join has several
+    // consumers of the edge set (labels init, the join, the count) whose
+    // jobs race a COLD cache and each recompute the whole upstream pair
+    // pipeline (measured 6× concurrent recomputation of the simhash
+    // chain, 210 s → 25 s cold at sf0.1); the eager checkpoint
+    // materializes it exactly once and cuts the pair-pipeline lineage
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
     var changed = 1L
@@ -257,8 +268,80 @@ object Dedup {
       changed = updated.filter(col("next") =!= col("cluster")).count()
       labels = updated.select(col("id"), col("next").as("cluster"))
     }
-    edges.unpersist()
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the diameter-bounded twin of [[resolveClusters]], same output
+    * contract (id → component-min cluster label).
+    *
+    * The simple loop propagates the min ONE hop per round: a chain
+    * component of diameter d costs d synchronous Spark jobs — fatal for
+    * d ~ 10³ at scale. Star rounds rewire the edge set itself:
+    * large-star points every node's larger neighbors at its neighborhood
+    * min, small-star collapses the remaining smaller neighbors — the
+    * component contracts toward its minimum at doubling speed, giving
+    * O(log d) rounds (DedupSpec asserts ≤ 2·log₂ d + 4 on an
+    * adversarial 128-chain, where the simple loop needs ~d). Each round
+    * is two aggregate+join shuffles over the CURRENT edge set, which
+    * only shrinks as stars form; `localCheckpoint` cuts the per-round
+    * lineage growth exactly as in the simple loop.
+    *
+    * Both variants converge to the unique fixpoint (min reachable id),
+    * so results are interchangeable; [[resolveClusters]] stays the
+    * default because the per-round cost is half and measured graphs
+    * (LSH near-dup output: diameter ≲ 10) converge in fewer total jobs.
+    * Use this one when components can be long chains (e.g. transitive
+    * URL-chain dedup, co-citation graphs).
+    */
+  def resolveClustersStar(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    resolveClustersStarWithRounds(pairs, aCol, bCol)._1
+
+  private[graft] def resolveClustersStarWithRounds(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b"): (DataFrame, Int) = {
+    // canonical undirected edges (u > v), self-loops dropped — but
+    // remember every id that appeared, so isolated ids keep a label
+    val ids = pairs.select(col(aCol).as("id"))
+      .unionByName(pairs.select(col(bCol).as("id"))).distinct()
+    var edges = pairs
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged) {
+      rounds += 1
+      // large-star: every node u (both edge directions) attaches its
+      // strictly-larger neighbors — and itself — to m = min(N(u) ∪ {u})
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.filter(col("u") > col("m"))
+          .select(col("u"), col("m").as("v")))
+        .distinct()
+      // small-star on the canonical (u > v) set: collapse each node's
+      // smaller neighbors onto their min
+      val minsS = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(minsS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(minsS.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      converged = small.exceptAll(edges).unionByName(edges.exceptAll(small)).isEmpty
+      edges = small
+    }
+    // fixpoint is a star forest: each non-root has exactly one edge to
+    // its root; roots and isolated ids label themselves
+    val labels = ids
+      .join(edges.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster"))
+    (labels, rounds)
   }
 
   /** Per-document dedup verdicts from near-dup pairs: cluster id and

@@ -111,6 +111,36 @@ class DedupSpec extends SparkSpec {
     assert(v.collect { case (id, (_, true)) => id }.toSet == Set(1L, 10L, 20L))
   }
 
+  test("resolveClustersStar: adversarial 128-chain converges in O(log d) rounds, labels ≡ simple loop") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a chain of diameter 127 (the simple loop's worst case: min
+    // propagates one hop per round → ~127 rounds), plus a triangle and
+    // a 2-chain to prove multi-component isolation
+    val chain = (0 until 127).map(i => (i.toLong, i.toLong + 1))
+    val pairs = (chain ++ Seq((300L, 301L), (301L, 302L), (300L, 302L), (400L, 401L)))
+      .toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.resolveClustersStarWithRounds(pairs, "doc_a", "doc_b")
+    // 2·log₂(128) + 4 slack — far below the chain's diameter
+    assert(rounds <= 18, s"rounds=$rounds, expected O(log d) ≪ 127")
+    val star = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val simple = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == simple)
+    assert((0 to 127).forall(i => star(i.toLong) == 0L))
+    assert(Seq(300L, 301L, 302L).forall(star(_) == 300L))
+    assert(star(400L) == 400L && star(401L) == 400L)
+  }
+
+  test("resolveClustersStar on the LSH pair graph matches the simple loop") {
+    val pairs = Dedup.minhashLshPairs(corpus)
+    val star = Dedup.resolveClustersStar(pairs).collect()
+      .map(r => r.get(0) -> r.get(1)).toMap
+    val simple = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.get(0) -> r.get(1)).toMap
+    assert(star == simple && star.nonEmpty)
+  }
+
   test("simhash: 64-bit signatures, equal for equal text, close for near-dups") {
     val sig = Dedup.simhash(corpus).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
