@@ -35,6 +35,32 @@ class AsOfSpec extends SparkSpec {
       ("B", "2020-01-07", None))) // other key never sees A's anchors
   }
 
+  test("property: time-bucket-salted as-of ≡ plain as-of, and partitions on (key, bucket)") {
+    // deterministic pseudo-random data spanning 5 years, anchors sparse
+    // relative to probes so bucket-boundary carry is exercised heavily
+    // (many buckets have probes but no in-bucket anchor)
+    def lcg(seed: Long): LazyList[Long] =
+      LazyList.iterate(seed)(s => (s * 6364136223846793005L + 1442695040888963407L))
+    val days = lcg(42L).map(s => math.floorMod(s, 1826).toInt)
+    val left = tbl(days.take(400).zipWithIndex.map { case (d, i) =>
+      (if (i % 3 == 0) "A" else "B",
+        java.time.LocalDate.of(2018, 1, 1).plusDays(d).toString, i.toDouble)
+    }: _*)
+    val right = tbl(days.drop(400).take(40).zipWithIndex.map { case (d, i) =>
+      (if (i % 2 == 0) "A" else "B",
+        java.time.LocalDate.of(2018, 1, 1).plusDays(d).toString, 1000.0 + i)
+    }: _*).withColumnRenamed("v", "anchor")
+      // collapse same-timestamp anchors: equal-ts reference rows would
+      // make which-one-wins nondeterministic in BOTH plans
+      .groupBy("symbol", "date").agg(org.apache.spark.sql.functions.max("anchor").as("anchor"))
+    val plain = AsOf.joinAsOf(left, right, Seq("symbol"), "date", Seq("anchor"))
+    val salted = AsOf.joinAsOfSalted(left, right, Seq("symbol"), "date", Seq("anchor"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assert(salted.count() == left.count())
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__bkt"), plan.take(2000))
+  }
+
   test("probe columns survive untouched") {
     val left = tbl(("A", "2020-01-02", 7.5))
     val right = tbl(("A", "2020-01-01", 1.0)).withColumnRenamed("v", "anchor")
