@@ -13,6 +13,20 @@ import graft.operators._
   */
 object ExtQueries {
 
+  /** One replay-drop directory per JVM (the stream_ema_replay side
+    * effect), registered for exit cleanup.
+    */
+  private lazy val streamReplayDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_stream_replay")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(p.toFile)
+    }
+    p.toString
+  }
+
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
@@ -118,6 +132,46 @@ object ExtQueries {
       AsOf.joinAsOf(stocks, anchors, Seq("symbol"), "date", Seq("anchor_close"))
         .withColumn("ratio", round(col("close") / col("anchor_close"), 4))
         .select("symbol", "date", "close", "anchor_close", "ratio")
+        .orderBy("symbol", "date")
+    }),
+
+    // the hot-key salted as-of (year-bucket partitions + replicated
+    // boundary anchors) against the SAME DuckDB ASOF oracle — the hash
+    // match proves the salted plan result-identical to the plain one
+    "asof_salted_ratio" -> ((s, d) => {
+      val stocks = Tables.stocks(s, d)
+      val anchors = stocks.filter(dayofmonth(col("date")) === 1)
+        .select(col("symbol"), col("date"), col("close").as("anchor_close"))
+      AsOf.joinAsOfSalted(stocks, anchors, Seq("symbol"), "date", Seq("anchor_close"))
+        .withColumn("ratio", round(col("close") / col("anchor_close"), 4))
+        .select("symbol", "date", "close", "anchor_close", "ratio")
+        .orderBy("symbol", "date")
+    }),
+
+    // streaming EMA replay on the oracle surface: three chronological
+    // file drops → three micro-batches; the (num, den) keyed state
+    // carries the pandas adjust=True recursion across batch boundaries,
+    // so the replay reproduces the batch EWM bit-for-bit (the oracle is
+    // the same truncated-convolution SQL as ema_macd_checked).
+    // SIDE EFFECT: writes the replay drops under one per-JVM temp dir.
+    "stream_ema_replay" -> ((s, d) => {
+      val stocks = Tables.stocks(s, d).select("symbol", "date", "close")
+      val dir = streamReplayDir
+      val cut1 = lit("1995-01-01").cast("date")
+      val cut2 = lit("1997-01-01").cast("date")
+      stocks.filter(col("date") < cut1).coalesce(1)
+        .write.mode("overwrite").parquet(dir + "/batch=a")
+      Thread.sleep(1100) // distinct mtimes → deterministic drop order
+      stocks.filter(col("date") >= cut1 && col("date") < cut2).coalesce(1)
+        .write.mode("overwrite").parquet(dir + "/batch=b")
+      Thread.sleep(1100)
+      stocks.filter(col("date") >= cut2).coalesce(1)
+        .write.mode("overwrite").parquet(dir + "/batch=c")
+      val name = graft.streaming.IndicatorStream
+        .runBounded(s, dir + "/batch=*", span = 12, "stream_ema_replay_tbl")
+      s.table(name)
+        .select(col("symbol"), col("date"), col("close"),
+          round(col("ema"), 2).as("ema_12"))
         .orderBy("symbol", "date")
     }),
 
@@ -535,6 +589,29 @@ object ExtQueries {
          | FROM stocks s ASOF LEFT JOIN anchors a
          |   ON s.symbol = a.symbol AND s.date >= a.adate
          | ORDER BY s.symbol, s.date""".stripMargin,
+    "asof_salted_ratio" ->
+      s"""${Tables.stocksCte},
+         | anchors AS (SELECT symbol, date AS adate, close AS anchor_close
+         |             FROM stocks WHERE day(date) = 1)
+         | SELECT s.symbol, s.date, s.close, a.anchor_close,
+         |   round(s.close / a.anchor_close, 4) AS ratio
+         | FROM stocks s ASOF LEFT JOIN anchors a
+         |   ON s.symbol = a.symbol AND s.date >= a.adate
+         | ORDER BY s.symbol, s.date""".stripMargin,
+    // truncated-convolution EWM mirror (same bound as ema_macd_checked):
+    // num = Σ d^j·x over the last 700 rows, den closed-form
+    "stream_ema_replay" ->
+      s"""${Tables.stocksCte},
+         | wl AS (
+         |   SELECT symbol, date, close,
+         |     list(close) OVER (PARTITION BY symbol ORDER BY date
+         |       ROWS BETWEEN 699 PRECEDING AND CURRENT ROW) AS xs
+         |   FROM stocks)
+         | SELECT symbol, date, close,
+         |   round((list_sum(list_transform(list_reverse(xs),
+         |       (x, i) -> x * pow(1.0 - 2.0 / 13.0, i - 1)))
+         |     / ((1.0 - pow(1.0 - 2.0 / 13.0, len(xs))) / (2.0 / 13.0))), 2) AS ema_12
+         | FROM wl ORDER BY symbol, date""".stripMargin,
     "skew_salted_join" ->
       s"""${Tables.stocksCte}
          | SELECT s.symbol, count(*) AS n, max(d.peak_volume) AS peak_volume
