@@ -9,11 +9,18 @@ import org.apache.spark.sql.SparkSession
   * of the projected output while writing nothing.
   */
 object Bench {
-  /** Headline queries: one per operator family, heaviest variants. */
+  /** Headline queries: one per operator family, heaviest variants —
+    * the stocks battery PLUS the heaviest LLM-pipeline extension ops
+    * (simhash/minhash dedup, IVF search, contamination, cluster
+    * resolution), so a perf regression in the north-star families moves
+    * the gated number.
+    */
   val headline: Seq[String] = Seq(
     "stocks_derive", "sma", "ma_gated", "bollinger", "rsi", "volatility",
     "ema_macd", "quality_flags", "merge_upsert", "perf_summary",
-    "compare_pivot")
+    "compare_pivot",
+    "dedup_simhash_pairs", "dedup_minhash_lsh", "embed_ivf_topk",
+    "contamination_check", "dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
