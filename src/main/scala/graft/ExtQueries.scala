@@ -103,6 +103,26 @@ object ExtQueries {
     "token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
     "token_stats_by_lang" -> ((s, d) => TextOps.tokenStatsByLang(docs(s, d))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
+    // Gopher-style repetition filter on a repetition-injected corpus:
+    // every 7th doc gets a spammy repeated phrase appended and must
+    // flag; the word-salad rest must not
+    "text_repetition" -> ((s, d) => {
+      val injected = docs(s, d).withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), expr("repeat(' buy now click here', 12)")))
+          .otherwise(col("text")))
+      TextOps.repetitionStats(injected)
+    }),
+    // PII scrub on a PII-injected corpus: every 5th doc gains an email
+    // + phone; counts and the redacted content hash are oracle-checked
+    "pii_redact" -> ((s, d) => {
+      val injected = docs(s, d).withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" reach me at user"), col("doc_id"),
+            lit("@example.com or 555-0142")))
+          .otherwise(col("text")))
+      TextOps.redactPii(injected)
+    }),
 
     // ---- multimodal plumbing (stub decode; see Multimodal Scaladoc)
     "multimodal_features" -> ((s, d) => Multimodal.features(docs(s, d))),
@@ -520,6 +540,53 @@ object ExtQueries {
         | win AS (SELECT doc_id, min(md5(s)) AS winnow_min FROM sh GROUP BY doc_id)
         | SELECT d.doc_id, md5(lower(d.text)) AS content_md5, w.winnow_min
         | FROM documents d LEFT JOIN win w ON d.doc_id = w.doc_id ORDER BY d.doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH docs2 AS (
+        |   SELECT doc_id,
+        |     CASE WHEN doc_id % 7 = 0 THEN text || repeat(' buy now click here', 12)
+        |          ELSE text END AS text
+        |   FROM documents),
+        | wds AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs2),
+        | wc AS (SELECT doc_id, word, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(w) AS word FROM wds) GROUP BY doc_id, word),
+        | wagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |            count(*) AS n_distinct_words, max(c) AS top_word
+        |          FROM wc GROUP BY doc_id),
+        | bc AS (SELECT doc_id, s, count(*) AS c
+        |        FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS s
+        |              FROM wds, UNNEST(range(1, len(w))) AS t(i))
+        |        GROUP BY doc_id, s),
+        | bagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram
+        |          FROM bc GROUP BY doc_id),
+        | tagg AS (SELECT doc_id, count(*) AS n_trigrams, count(DISTINCT s) AS n_distinct_trigrams
+        |          FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |                FROM wds, UNNEST(range(1, len(w) - 1)) AS t(i))
+        |          GROUP BY doc_id)
+        | SELECT d.doc_id, wagg.n_words,
+        |   round(n_distinct_words / n_words, 4) AS distinct_word_ratio,
+        |   round(top_word / n_words, 4) AS top_word_share,
+        |   round(top_bigram / n_bigrams, 4) AS top_bigram_share,
+        |   round(1.0 - n_distinct_trigrams / n_trigrams, 4) AS dup_trigram_ratio,
+        |   (coalesce(round(top_bigram / n_bigrams, 4) > 0.18, false)
+        |    OR coalesce(round(1.0 - n_distinct_trigrams / n_trigrams, 4) > 0.3, false)) AS flag_repetitive
+        | FROM documents d
+        | LEFT JOIN wagg USING (doc_id)
+        | LEFT JOIN bagg USING (doc_id)
+        | LEFT JOIN tagg USING (doc_id)
+        | ORDER BY d.doc_id""".stripMargin,
+    "pii_redact" ->
+      s"""WITH f AS (
+         |   SELECT doc_id,
+         |     CASE WHEN doc_id % 5 = 0
+         |          THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-0142'
+         |          ELSE text END AS text
+         |   FROM documents)
+         | SELECT doc_id,
+         |   CAST(len(regexp_extract_all(text, '${TextOps.emailPattern}')) AS BIGINT) AS n_emails,
+         |   CAST(len(regexp_extract_all(text, '${TextOps.phonePattern}')) AS BIGINT) AS n_phones,
+         |   md5(regexp_replace(regexp_replace(text, '${TextOps.emailPattern}', '<EMAIL>', 'g'),
+         |       '${TextOps.phonePattern}', '<PHONE>', 'g')) AS redacted_md5
+         | FROM f ORDER BY doc_id""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -107,6 +107,79 @@ object TextOps {
         round(avg("re_tokens"), 4).as("avg_tokens"))
       .orderBy("lang")
 
+  /** Gopher-style within-document repetition metrics — the standard
+    * quality filter for boilerplate/spam in training corpora (Rae et
+    * al., "Scaling Language Models: ... Gopher", §A1.1 repetition
+    * rules): share of the most frequent word and 2-gram, and the
+    * fraction of duplicate 3-grams. All exact integer counts and single
+    * divisions; n-gram tables reuse [[Dedup.shingles]] (non-distinct).
+    *
+    * Shape: three per-doc aggregations (word counts, bigram counts,
+    * trigram distinct/total) joined on doc_id — each a hash-partition
+    * groupBy with map-side combine, no per-doc collection anywhere.
+    * Docs too short for an n-gram level get null ratios and never flag.
+    */
+  def repetitionStats(docs: DataFrame,
+      topBigramMax: Double = 0.18, dupTrigramMax: Double = 0.30): DataFrame = {
+    val words = spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val wagg = words.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").cast("long").as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max("c").as("top_word"))
+    val bagg = Dedup.shingles(docs, 2, distinct = false)
+      .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").cast("long").as("n_bigrams"),
+        max("c").as("top_bigram"))
+    val tagg = Dedup.shingles(docs, 3, distinct = false)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_trigrams"),
+        countDistinct("s").as("n_distinct_trigrams"))
+    docs.select("doc_id")
+      .join(wagg, Seq("doc_id"), "left")
+      .join(bagg, Seq("doc_id"), "left")
+      .join(tagg, Seq("doc_id"), "left")
+      .withColumn("distinct_word_ratio",
+        round(col("n_distinct_words") / col("n_words"), 4))
+      .withColumn("top_word_share", round(col("top_word") / col("n_words"), 4))
+      .withColumn("top_bigram_share", round(col("top_bigram") / col("n_bigrams"), 4))
+      .withColumn("dup_trigram_ratio",
+        round(lit(1.0) - col("n_distinct_trigrams") / col("n_trigrams"), 4))
+      .withColumn("flag_repetitive",
+        coalesce(col("top_bigram_share") > topBigramMax, lit(false)) ||
+          coalesce(col("dup_trigram_ratio") > dupTrigramMax, lit(false)))
+      .select("doc_id", "n_words", "distinct_word_ratio", "top_word_share",
+        "top_bigram_share", "dup_trigram_ratio", "flag_repetitive")
+      .orderBy("doc_id")
+  }
+
+  /** Conservative PII patterns, shared verbatim with the oracle SQL —
+    * kept to constructs with identical semantics in Java regex and RE2
+    * (character classes, {m,}, \b).
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b555-[0-9]{4}\\b"
+
+  /** PII scrub for training text: count and redact email addresses and
+    * (toy) phone numbers. Pure codegen'd projection — regexes run
+    * per-row with no shuffle; the output carries the redacted content
+    * hash rather than the full text so the result set stays narrow.
+    */
+  def redactPii(docs: DataFrame): DataFrame =
+    spread(docs)
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(emailPattern), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("text"), lit(phonePattern), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text"), emailPattern, "<EMAIL>"),
+          phonePattern, "<PHONE>"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+
   /** Document fingerprints: whole-content hash of normalized text plus
     * a winnowing-style minimum over 5-word rolling shingle hashes.
     */

@@ -15,6 +15,44 @@ class TextOpsSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  test("repetitionStats: spammy repetition flags, varied text does not") {
+    val varied = (1 to 60).map(i => s"w$i").mkString(" ")
+    val spam = "buy now click here " * 15
+    val d = docs(
+      (0L, varied, "en"),
+      (1L, (varied + " " + spam).trim, "en"),
+      (2L, "only two", "en"), // too short for trigrams
+      (3L, "one", "en")) // too short for bigrams too
+    val r = TextOps.repetitionStats(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(!r(0L).getBoolean(6))
+    assert(r(0L).getDouble(2) == 1.0) // all words distinct
+    assert(r(1L).getBoolean(6), r(1L).toString) // repeated phrase flags
+    assert(r(1L).getDouble(4) > 0.1) // top bigram dominates
+    // 2 words → a single bigram with share 1.0: flags (length gating is
+    // the separate qualityScore filter); trigram level is null
+    assert(r(2L).isNullAt(5) && r(2L).getDouble(4) == 1.0 && r(2L).getBoolean(6))
+    assert(r(3L).isNullAt(4) && r(3L).isNullAt(5) && !r(3L).getBoolean(6))
+  }
+
+  test("redactPii: emails and phones counted and scrubbed; clean text untouched") {
+    val d = docs(
+      (0L, "plain words without contact info", "en"),
+      (1L, "write to jane.doe+x@mail.example.org or call 555-0199 today", "en"),
+      (2L, "two mails a@b.co and c.d@e.f.org but 1234-5678 is no phone", "en"))
+    val r = TextOps.redactPii(d).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getLong(1) == 0 && r(0L).getLong(2) == 0)
+    // untouched text hashes to its own md5
+    val plainMd5 = d.filter(org.apache.spark.sql.functions.col("doc_id") === 0)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text"))).head.getString(0)
+    assert(r(0L).getString(3) == plainMd5)
+    assert(r(1L).getLong(1) == 1 && r(1L).getLong(2) == 1)
+    assert(r(2L).getLong(1) == 2 && r(2L).getLong(2) == 0)
+    // redaction really rewrites the content
+    assert(r(1L).getString(3) != null && r(1L).getString(3) != plainMd5)
+  }
+
   test("langId: marker argmax with unknown fallback") {
     val d = docs(
       (0L, "der hund und die katze ist hier", "de"),
