@@ -142,6 +142,7 @@ object ExtQueries {
     "events_hourly" -> ((s, d) => EventsOps.hourly(ev(s, d))),
     "events_prop_stats" -> ((s, d) => EventsOps.propStats(ev(s, d))),
     "events_sessionize" -> ((s, d) => EventsOps.sessionize(ev(s, d), 30)),
+    "events_percentiles" -> ((s, d) => EventsOps.valuePercentiles(ev(s, d))),
 
     // ---- as-of join (union + ordered-window carry; oracle is DuckDB's
     // native ASOF JOIN, a cross-implementation equivalence check)
@@ -647,6 +648,16 @@ object ExtQueries {
         |   count(*) AS n_events,
         |   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
         | FROM sq GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // exact interpolated percentiles: Spark `percentile` ≡ DuckDB
+    // quantile_cont (rank p·(n-1), linear interpolation — selection +
+    // one IEEE op, no fold-order noise)
+    "events_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90,
+        | round(quantile_cont(value, 0.99), 6) AS p99,
+        | count(value) AS n_values
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "asof_anchor_ratio" ->
       s"""${Tables.stocksCte},
          | anchors AS (SELECT symbol, date AS adate, close AS anchor_close

@@ -12,6 +12,32 @@ import org.apache.spark.sql.functions._
   */
 object EventsOps {
 
+  /** Exact interpolated percentiles of `value` per event_type — Spark's
+    * `percentile` (NOT percentile_approx: the sketch is
+    * merge-order-dependent and engine-specific). Exact percentile is
+    * selection + one linear interpolation at rank p·(n-1) — the same
+    * definition as DuckDB `quantile_cont`/SQL `percentile_cont`, and
+    * deterministic: no summation, so no fold-order ulp at all.
+    *
+    * Scale note: exact percentile materializes each group's values on
+    * the executor computing it (here: 5 groups × ~20k doubles). For
+    * groups that dwarf executor memory the engine choice is
+    * percentile_approx with a fixed accuracy — deliberately NOT used on
+    * the oracle surface because two engines' sketches never bit-match.
+    */
+  def valuePercentiles(events: DataFrame, ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val arr = ps.mkString("array(", ", ", ")")
+    val named = ps.zipWithIndex.map { case (p, i) =>
+      round(element_at(col("__ps"), i + 1), 6)
+        .as("p" + math.round(p * 100).toInt)
+    }
+    events.groupBy("event_type")
+      .agg(expr(s"percentile(value, $arr)").as("__ps"),
+        count(col("value")).as("n_values"))
+      .select(col("event_type") +: named :+ col("n_values"): _*)
+      .orderBy("event_type")
+  }
+
   /** Tumbling-hour aggregate per event_type. Money-style exact sum via
     * decimal; distinct users exact.
     */

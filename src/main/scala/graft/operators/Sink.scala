@@ -95,16 +95,25 @@ object Sink {
     val touched = updates.select(col("symbol"), year(col("date")).as("year"))
       .distinct().collect()
       .map(r => (r.getString(0), r.getInt(1)))
+      .toSeq
+    val merged = Merge.upsert(prunedTouchedRead(spark, path, touched), updates)
+    writeStocksPartitioned(merged, path, overwriteMode = "dynamic")
+  }
+
+  /** Read back ONLY the given (symbol, year) partitions — an explicit
+    * partition-value filter, so the scan prunes to touched directories
+    * (SinkSpec asserts `PartitionFilters` in the executed plan).
+    */
+  private[graft] def prunedTouchedRead(spark: SparkSession, path: String,
+      touched: Seq[(String, Int)]): org.apache.spark.sql.DataFrame = {
     val pruneFilter = touched
       .groupBy(_._1).toSeq
       .map { case (s, ys) =>
-        col("symbol") === s && col("year").isin(ys.map(_._2).toSeq: _*)
+        col("symbol") === s && col("year").isin(ys.map(_._2): _*)
       }
       .reduceOption(_ || _)
       .getOrElse(lit(false))
-    val existingTouched = spark.read.parquet(path).filter(pruneFilter).drop("year")
-    val merged = Merge.upsert(existingTouched, updates)
-    writeStocksPartitioned(merged, path, overwriteMode = "dynamic")
+    spark.read.parquet(path).filter(pruneFilter).drop("year")
   }
 
   private def pathExists(spark: SparkSession, path: String): Boolean =

@@ -97,6 +97,13 @@ class SinkSpec extends SparkSpec {
     assert(before.keySet.exists(_.startsWith("symbol=AA/year=2021")))
     assert(after.filter(_._1.startsWith("symbol=AA/year=2021")) !=
       before.filter(_._1.startsWith("symbol=AA/year=2021")))
+
+    // the merge's read side prunes to the touched directories
+    val pruned = Sink.prunedTouchedRead(spark, dir, Seq(("AA", 2021)))
+    assert(pruned.count() == 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("symbol") &&
+      plan.contains("year"), s"expected partition pruning in:\n${plan.take(2000)}")
   }
 
   test("CSV export round-trips (S7: the reference's S3/CSV export path)") {
