@@ -145,6 +145,37 @@ object WindowChunks {
         "volatility_30d" -> Indicators.gatedOver(w, volN, dr, stddev_samp))
     }
 
+  /** The FULL E2 indicator battery (chunked twin of
+    * [[Indicators.withAllIndicators]]) past the key-count ceiling:
+    * pass 1 evaluates every bounded-frame indicator per (key, year)
+    * with a 50-row carry (max frame = SMA-50), pass 2 the EWM family
+    * per (key, 3-year bucket) with the 700-row truncated-history carry.
+    * Output columns match `withAllIndicators`; bounded columns are
+    * bit-exact, the EWM columns agree below double ulp
+    * (WindowChunksSpec).
+    */
+  def chunkedAllIndicators(df: DataFrame, key: String = "symbol",
+      time: String = "date"): DataFrame = {
+    val pass1 = chunkedEval(df, key, time, year(col(time)), carryRows = 50) { w =>
+      def sma(n: Int) = avg(col("close")).over(w.rowsBetween(-(n - 1), 0))
+      val mid = Indicators.gatedOver(w, 20, col("close"), avg)
+      val sd = Indicators.gatedOver(w, 20, col("close"), stddev_samp)
+      val dr = Indicators.dailyReturnOver(w, col("close"))
+      Seq(
+        "sma_5" -> sma(5),
+        "sma_20" -> sma(20),
+        "sma_50" -> sma(50),
+        "volume_ma_20" -> avg(col("volume")).over(w.rowsBetween(-19, 0)),
+        "bb_middle" -> mid,
+        "bb_upper" -> (mid + lit(2.0) * sd),
+        "bb_lower" -> (mid - lit(2.0) * sd),
+        "rsi" -> Indicators.rsiOver(w, col("close"), 14),
+        "daily_return" -> dr,
+        "volatility_30d" -> Indicators.gatedOver(w, 30, dr, stddev_samp))
+    }
+    chunkedEmaMacd(pass1, key, time, "close")
+  }
+
   /** The EWM family (EMA 12/26, MACD, signal, histogram — chunked twin
     * of [[Indicators.withEmaMacd]]) at (key, year-bucket) parallelism
     * via truncated-history carry: `carryRows` = 700 previous rows seed

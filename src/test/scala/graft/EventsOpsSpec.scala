@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventsOps
+
+/** Exact percentile semantics: rank p·(n-1) with linear interpolation
+  * (the quantile_cont definition the DuckDB oracle uses).
+  */
+class EventsOpsSpec extends SparkSpec {
+
+  test("valuePercentiles interpolates at rank p·(n-1) and ignores nulls") {
+    val spark2 = spark
+    import spark2.implicits._
+    // values 10,20,30,40 (n=4): p50 → rank 1.5 → 25.0; p90 → rank 2.7
+    // → 30 + 0.7·10 = 37.0; a null must not count toward n
+    val df = Seq(
+      ("a", Some(10.0)), ("a", Some(20.0)), ("a", Some(30.0)),
+      ("a", Some(40.0)), ("a", None),
+      ("b", Some(5.0)))
+      .toDF("event_type", "value")
+    val r = EventsOps.valuePercentiles(df, Seq(0.5, 0.9)).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("a").getDouble(1) == 25.0)
+    assert(math.abs(r("a").getDouble(2) - 37.0) < 1e-12)
+    assert(r("a").getLong(3) == 4L)
+    // single value: every percentile is that value
+    assert(r("b").getDouble(1) == 5.0 && r("b").getDouble(2) == 5.0)
+  }
+}

@@ -156,6 +156,26 @@ class WindowChunksSpec extends SparkSpec {
     assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
   }
 
+  test("chunkedAllIndicators ≡ withAllIndicators: bounded columns bit-exact, EWM below ulp") {
+    val chunked = WindowChunks.chunkedAllIndicators(stocks)
+    val plain = Indicators.withAllIndicators(stocks)
+    val bounded = Seq("symbol", "date", "sma_5", "sma_20", "sma_50",
+      "volume_ma_20", "bb_middle", "bb_upper", "bb_lower", "rsi",
+      "daily_return", "volatility_30d")
+    val cb = chunked.select(bounded.head, bounded.tail: _*)
+    val pb = plain.select(bounded.head, bounded.tail: _*)
+    assert(cb.exceptAll(pb).isEmpty && pb.exceptAll(cb).isEmpty)
+    val ewmCols = Seq("ema_12", "ema_26", "macd", "macd_signal", "macd_histogram")
+    val joined = chunked.select(col("symbol") +: col("date") +: ewmCols.map(col): _*)
+      .join(plain.select(col("symbol") +: col("date") +:
+        ewmCols.map(c => col(c).as(c + "_p")): _*), Seq("symbol", "date"))
+    assert(joined.count() == stocks.count())
+    val maxErr = joined.select(greatest(
+      ewmCols.map(c => abs(col(c) - col(c + "_p"))): _*).as("err"))
+      .agg(max(col("err"))).head().getDouble(0)
+    assert(maxErr < 1e-9, s"maxErr=$maxErr")
+  }
+
   test("the window stage partitions on (key, chunk), not key alone") {
     val chunked = WindowChunks
       .chunkedSmaGated(stocks, "symbol", "date", "close", smaN = 5, gatedN = 50)
