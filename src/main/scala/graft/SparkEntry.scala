@@ -54,11 +54,16 @@ object SparkEntry {
   private val cutoff99 = to_date(lit("1999-01-01"))
 
   /** Flagship query (driver smoke-checks rows>0 on sf0.001): the full E2
-    * indicator battery over the derived stocks table — S3 scan, symbol
-    * partition windows W1–W12, EWM family W4–W7.
+    * indicator battery over the derived stocks table — S3 scan, windows
+    * W1–W12, EWM family W4–W7 — evaluated through the CHUNKED scale
+    * path (keys × chunks parallelism; WindowChunksSpec proves it ≡
+    * [[Indicators.withAllIndicators]], and the population guard falls
+    * back to the exact plain plan wherever chunks run short, as the EWM
+    * pass does at this tiny SF).
     */
   def entry(spark: SparkSession): DataFrame =
-    Indicators.withAllIndicators(Tables.stocks(spark, "/root/testdata/sf0.001"))
+    graft.operators.WindowChunks
+      .chunkedAllIndicators(Tables.stocks(spark, "/root/testdata/sf0.001"))
 
   private def stocks(s: SparkSession, dir: String): DataFrame = Tables.stocks(s, dir)
 
