@@ -50,6 +50,17 @@ object ExtQueries {
       Dedup.dedupVerdicts(docs(s, d), pairs)
     }),
 
+    // the end-to-end cleaning verdict: exact-dup keeper + length gate +
+    // repetition filter in one pass; the repetition injection (every 7th
+    // doc) makes the 'repetitive' reason fire deterministically
+    "corpus_clean" -> ((s, d) => {
+      val injected = docs(s, d).withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), expr("repeat(' buy now click here', 12)")))
+          .otherwise(col("text")))
+      Corpus.cleanVerdicts(injected, minWords = 30)
+    }),
+
     // n-gram decontamination: train = doc_id < 400, eval = the rest
     // plus 10 planted copies of train docs (vec 10000+) that must flag
     // at ratio 1.0
@@ -575,6 +586,45 @@ object ExtQueries {
         | LEFT JOIN bagg USING (doc_id)
         | LEFT JOIN tagg USING (doc_id)
         | ORDER BY d.doc_id""".stripMargin,
+    "corpus_clean" ->
+      """WITH docs2 AS (
+        |   SELECT doc_id,
+        |     CASE WHEN doc_id % 7 = 0 THEN text || repeat(' buy now click here', 12)
+        |          ELSE text END AS text
+        |   FROM documents),
+        | wds AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs2),
+        | wagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words
+        |          FROM (SELECT doc_id, word, count(*) AS c
+        |                FROM (SELECT doc_id, unnest(w) AS word FROM wds)
+        |                GROUP BY doc_id, word)
+        |          GROUP BY doc_id),
+        | bagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram
+        |          FROM (SELECT doc_id, s, count(*) AS c
+        |                FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS s
+        |                      FROM wds, UNNEST(range(1, len(w))) AS t(i))
+        |                GROUP BY doc_id, s)
+        |          GROUP BY doc_id),
+        | tagg AS (SELECT doc_id, count(*) AS n_trigrams, count(DISTINCT s) AS n_distinct_trigrams
+        |          FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |                FROM wds, UNNEST(range(1, len(w) - 1)) AS t(i))
+        |          GROUP BY doc_id),
+        | sig AS (SELECT d.doc_id,
+        |           wagg.n_words,
+        |           (coalesce(round(top_bigram / n_bigrams, 4) > 0.18, false)
+        |            OR coalesce(round(1.0 - n_distinct_trigrams / n_trigrams, 4) > 0.3, false)) AS flag,
+        |           d.doc_id <> min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS is_dup
+        |         FROM docs2 d
+        |         LEFT JOIN wagg USING (doc_id)
+        |         LEFT JOIN bagg USING (doc_id)
+        |         LEFT JOIN tagg USING (doc_id))
+        | SELECT doc_id,
+        |   (concat_ws(',', CASE WHEN is_dup THEN 'exact_dup' END,
+        |                   CASE WHEN n_words < 30 THEN 'too_short' END,
+        |                   CASE WHEN flag AND n_words >= 30 THEN 'repetitive' END) = '') AS keep,
+        |   concat_ws(',', CASE WHEN is_dup THEN 'exact_dup' END,
+        |                  CASE WHEN n_words < 30 THEN 'too_short' END,
+        |                  CASE WHEN flag AND n_words >= 30 THEN 'repetitive' END) AS reasons
+        | FROM sig ORDER BY doc_id""".stripMargin,
     "pii_redact" ->
       s"""WITH f AS (
          |   SELECT doc_id,

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus cleaning: the composition a training-data pipeline
+  * actually runs — exact-dup keeper selection ([[Dedup.exact]]),
+  * length gate, and the Gopher-style repetition filter
+  * ([[TextOps.repetitionStats]]) — collapsed into one keep/drop verdict
+  * per document with machine-readable reasons.
+  *
+  * Shape: three independent per-doc signals (a fingerprint window, two
+  * n-gram aggregations) joined on doc_id — each linear, each
+  * hash-partitioned, no stage depends on another's completion until the
+  * final join, so the whole verdict is three parallel passes over the
+  * corpus plus one co-partitioned join.
+  */
+object Corpus {
+
+  def cleanVerdicts(docs: DataFrame, minWords: Long = 30): DataFrame = {
+    val rep = TextOps.repetitionStats(docs)
+      .select(col("doc_id"), col("n_words"), col("flag_repetitive"))
+    val dup = Dedup.exact(docs).select(col("doc_id"), col("is_dup"))
+    docs.select("doc_id")
+      .join(dup, Seq("doc_id"))
+      .join(rep, Seq("doc_id"))
+      // the repetition flag only applies at or above the length gate:
+      // below it the n-gram shares are dominated by tiny denominators
+      // (a 4-word doc's top bigram share is 1/3) and `too_short`
+      // already drops the doc — the same length-scoping Gopher's
+      // repetition rules use
+      .withColumn("reasons", concat_ws(",",
+        when(col("is_dup"), lit("exact_dup")),
+        when(col("n_words") < minWords, lit("too_short")),
+        when(col("flag_repetitive") && col("n_words") >= minWords,
+          lit("repetitive"))))
+      .withColumn("keep", col("reasons") === "")
+      .select("doc_id", "keep", "reasons")
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.Corpus
+
+/** End-to-end cleaning verdicts: each reason fires independently,
+  * keepers survive, and exactly one copy of a dup group is kept.
+  */
+class CorpusSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.map { case (i, t) => (i, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("cleanVerdicts: dup / short / repetitive / clean partition correctly") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val spam = long + " " + ("buy now click here " * 15).trim
+    val d = docs(
+      (0L, long), // clean keeper
+      (1L, long), // exact dup of 0 → dropped
+      (2L, "just a few words"), // too_short
+      (3L, spam), // repetitive (60 distinct + 60 spam words ≥ 30 → not short)
+      (4L, long + " extra")) // clean
+    val r = Corpus.cleanVerdicts(d, minWords = 30).collect()
+      .map(x => x.getLong(0) -> (x.getBoolean(1), x.getString(2))).toMap
+    assert(r(0L) == (true, ""))
+    assert(r(1L) == (false, "exact_dup"))
+    assert(r(2L) == (false, "too_short"))
+    assert(r(3L) == (false, "repetitive"))
+    assert(r(4L) == (true, ""))
+  }
+}
