@@ -16,16 +16,7 @@ object ExtQueries {
   /** One replay-drop directory per JVM (the stream_ema_replay side
     * effect), registered for exit cleanup.
     */
-  private lazy val streamReplayDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_stream_replay")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(p.toFile)
-    }
-    p.toString
-  }
+  private lazy val streamReplayDir: String = TempDirs.create("graft_stream_replay")
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
@@ -619,10 +610,10 @@ object ExtQueries {
         |         LEFT JOIN tagg USING (doc_id))
         | SELECT doc_id,
         |   (concat_ws(',', CASE WHEN is_dup THEN 'exact_dup' END,
-        |                   CASE WHEN n_words < 30 THEN 'too_short' END,
+        |                   CASE WHEN n_words IS NULL OR n_words < 30 THEN 'too_short' END,
         |                   CASE WHEN flag AND n_words >= 30 THEN 'repetitive' END) = '') AS keep,
         |   concat_ws(',', CASE WHEN is_dup THEN 'exact_dup' END,
-        |                  CASE WHEN n_words < 30 THEN 'too_short' END,
+        |                  CASE WHEN n_words IS NULL OR n_words < 30 THEN 'too_short' END,
         |                  CASE WHEN flag AND n_words >= 30 THEN 'repetitive' END) AS reasons
         | FROM sig ORDER BY doc_id""".stripMargin,
     "pii_redact" ->

@@ -38,16 +38,8 @@ object SparkEntry {
     df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
 
   /** One export directory per JVM, registered for exit cleanup. */
-  private lazy val csvExportDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_csv_export")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(p.toFile)
-    }
-    p.toString + "/stocks_af"
-  }
+  private lazy val csvExportDir: String =
+    TempDirs.create("graft_csv_export") + "/stocks_af"
 
   private val cutoff98 = to_date(lit("1998-01-01"))
   private val cutoffMid98 = to_date(lit("1998-07-01"))

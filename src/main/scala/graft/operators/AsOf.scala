@@ -87,10 +87,22 @@ object AsOf {
     val rest = leftCols.filterNot(c => keys.contains(c) || c == ts).toSeq
     val lb = left.withColumn("__bkt", bucketOf(col(ts)).cast("long"))
     val rb = right.withColumn("__bkt", bucketOf(col(ts)).cast("long"))
-    // latest reference row per (key, bucket) — per-bucket window, itself
-    // keys × buckets parallel
+    // latest reference VALUES per (key, bucket): per-column
+    // last(ignoreNulls) over the whole bucket, emitted on the bucket's
+    // last row. A plain latest-ROW tail would let a trailing in-bucket
+    // NULL clobber an earlier non-null value that [[joinAsOf]]'s
+    // ignoreNulls carry surfaces — per-column tails keep the salted
+    // plan identical under NULL value columns too (ts ties collapse to
+    // the same bucket-wide values, so the row_number tiebreak cannot
+    // leak nondeterminism).
+    val bucketAll = Window.partitionBy(keyCols :+ col("__bkt"): _*)
+      .orderBy(col(ts))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val tailW = Window.partitionBy(keyCols :+ col("__bkt"): _*).orderBy(col(ts).desc)
-    val rLast = rb.withColumn("__rn", row_number().over(tailW))
+    val rLast = valueCols.foldLeft(rb) {
+        (d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(bucketAll))
+      }
+      .withColumn("__rn", row_number().over(tailW))
       .filter(col("__rn") === 1).drop("__rn")
     // summary-level as-of: for each populated left (key, bucket), the
     // latest reference row from any STRICTLY earlier bucket

@@ -29,9 +29,12 @@ object Corpus {
       // (a 4-word doc's top bigram share is 1/3) and `too_short`
       // already drops the doc — the same length-scoping Gopher's
       // repetition rules use
+      // null text yields no word rows → n_words NULL: that is the
+      // emptiest possible document, so it drops as too_short (a bare
+      // `n_words < minWords` would null out and silently KEEP it)
       .withColumn("reasons", concat_ws(",",
         when(col("is_dup"), lit("exact_dup")),
-        when(col("n_words") < minWords, lit("too_short")),
+        when(col("n_words").isNull || col("n_words") < minWords, lit("too_short")),
         when(col("flag_repetitive") && col("n_words") >= minWords,
           lit("repetitive"))))
       .withColumn("keep", col("reasons") === "")

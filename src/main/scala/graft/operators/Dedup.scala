@@ -234,7 +234,12 @@ object Dedup {
     * graph — the standard distributed connected-components loop. Each
     * round is one shuffle join (labels across edges) + an aggregate;
     * rounds = O(component diameter). `localCheckpoint` cuts the growing
-    * lineage each round (without it the plan doubles per iteration).
+    * lineage each round (without it the plan doubles per iteration);
+    * each round's blocks are explicitly released once superseded
+    * (GraftShims.uncheckpoint). localCheckpoint blocks are not
+    * replicated — on a cluster where executor loss mid-iteration must
+    * be survivable, swap for reliable `checkpoint` against the
+    * checkpoint dir (same call shape, adds HDFS round-trips).
     * The converged fixpoint (min reachable id) is unique, so the result
     * is deterministic regardless of execution order. Measured against
     * pointer-jumping variants (1 and 3 path-halving hops per round) on
@@ -268,6 +273,11 @@ object Dedup {
       changed = updated.filter(col("next") =!= col("cluster")).count()
       labels = updated.select(col("id"), col("next").as("cluster"))
     }
+    // the returned labels read only the LAST round's checkpoint; the
+    // edge set — the one full-data-sized copy — is no longer referenced
+    // and is released eagerly. Per-round label checkpoints are
+    // node-sized and left to the context cleaner.
+    org.apache.spark.sql.GraftShims.uncheckpoint(edges)
     labels
   }
 
@@ -334,6 +344,9 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct().localCheckpoint()
       converged = small.exceptAll(edges).unionByName(edges.exceptAll(small)).isEmpty
+      // the convergence check was the last read of the previous round's
+      // edge set — release its checkpoint blocks
+      org.apache.spark.sql.GraftShims.uncheckpoint(edges)
       edges = small
     }
     // fixpoint is a star forest: each non-root has exactly one edge to

@@ -55,11 +55,17 @@ object WindowChunks {
     * @param guard     validate the chunk-population precondition first;
     *                  on violation, evaluate `build` over the plain
     *                  per-key spec instead (correct, key-parallel)
+    * @param guardOn   run the population check against this frame
+    *                  instead of `df` — pass the RAW input when `df` is
+    *                  itself an expensive derived plan with the same
+    *                  (key, time) row multiset, so the eager guard
+    *                  aggregate stays a cheap two-column scan
     */
   def chunkedEval(df: DataFrame, key: String, time: String, chunkExpr: Column,
-      carryRows: Int, guard: Boolean = true)
+      carryRows: Int, guard: Boolean = true,
+      guardOn: Option[DataFrame] = None)
       (build: WindowSpec => Seq[(String, Column)]): DataFrame = {
-    if (guard && !chunksSafe(df, key, chunkExpr, carryRows)) {
+    if (guard && !chunksSafe(guardOn.getOrElse(df), key, chunkExpr, carryRows)) {
       System.err.println(
         s"[WindowChunks] chunk population below carryRows=$carryRows (or a " +
           "chunk gap) detected; falling back to the plain per-key window plan")
@@ -173,7 +179,10 @@ object WindowChunks {
         "daily_return" -> dr,
         "volatility_30d" -> Indicators.gatedOver(w, 30, dr, stddev_samp))
     }
-    chunkedEmaMacd(pass1, key, time, "close")
+    // the EMA pass guards on the RAW input (same (key, time) rows as
+    // pass1) so the eager population check never executes the pass-1
+    // window plan just to count rows
+    chunkedEmaMacd(pass1, key, time, "close", guardOn = Some(df))
   }
 
   /** The EWM family (EMA 12/26, MACD, signal, histogram — chunked twin
@@ -191,9 +200,11 @@ object WindowChunks {
     * carryRows — again below ulp.
     */
   def chunkedEmaMacd(df: DataFrame, key: String, time: String, in: String,
-      bucketYears: Int = 3, carryRows: Int = 700): DataFrame =
+      bucketYears: Int = 3, carryRows: Int = 700,
+      guardOn: Option[DataFrame] = None): DataFrame =
     chunkedEval(df, key, time,
-      floor(year(col(time)) / lit(bucketYears)).cast("int"), carryRows) { w =>
+      floor(year(col(time)) / lit(bucketYears)).cast("int"), carryRows,
+      guardOn = guardOn) { w =>
       val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Seq(
         "ema_12" -> ewm(col(in), 12).over(run),

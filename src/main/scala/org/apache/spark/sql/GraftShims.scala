@@ -10,4 +10,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Release the storage blocks behind a `localCheckpoint()`ed frame.
+    * `Dataset.unpersist` only touches the cache manager, not the
+    * checkpoint RDD, so iterative algorithms that checkpoint per round
+    * would otherwise retain every round's blocks until the context
+    * cleaner's next GC-driven sweep. No-op for non-checkpoint plans.
+    */
+  def uncheckpoint(ds: Dataset[_]): Unit = ds.queryExecution.analyzed match {
+    case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false): Unit
+    case _ => ()
+  }
 }

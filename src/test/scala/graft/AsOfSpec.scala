@@ -53,6 +53,14 @@ class AsOfSpec extends SparkSpec {
       // collapse same-timestamp anchors: equal-ts reference rows would
       // make which-one-wins nondeterministic in BOTH plans
       .groupBy("symbol", "date").agg(org.apache.spark.sql.functions.max("anchor").as("anchor"))
+      // sprinkle NULL anchor values: the ignoreNulls carry must skip
+      // them identically in the plain and salted plans
+      .withColumn("anchor", org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("anchor").cast("long"),
+          org.apache.spark.sql.functions.lit(4)) === 0,
+        org.apache.spark.sql.functions.lit(null).cast("double"))
+        .otherwise(org.apache.spark.sql.functions.col("anchor")))
     val plain = AsOf.joinAsOf(left, right, Seq("symbol"), "date", Seq("anchor"))
     val salted = AsOf.joinAsOfSalted(left, right, Seq("symbol"), "date", Seq("anchor"))
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)

@@ -11,8 +11,9 @@ class CorpusSpec extends SparkSpec {
   private def docs(rows: (Long, String)*): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    rows.map { case (i, t) => (i, t, "en", "src", t.length.toLong) }
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    rows.map { case (i, t) =>
+      (i, t, "en", "src", Option(t).map(_.length.toLong).getOrElse(0L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
   test("cleanVerdicts: dup / short / repetitive / clean partition correctly") {
@@ -23,7 +24,8 @@ class CorpusSpec extends SparkSpec {
       (1L, long), // exact dup of 0 → dropped
       (2L, "just a few words"), // too_short
       (3L, spam), // repetitive (60 distinct + 60 spam words ≥ 30 → not short)
-      (4L, long + " extra")) // clean
+      (4L, long + " extra"), // clean
+      (5L, null)) // null text → the emptiest doc → too_short, never keep
     val r = Corpus.cleanVerdicts(d, minWords = 30).collect()
       .map(x => x.getLong(0) -> (x.getBoolean(1), x.getString(2))).toMap
     assert(r(0L) == (true, ""))
@@ -31,5 +33,6 @@ class CorpusSpec extends SparkSpec {
     assert(r(2L) == (false, "too_short"))
     assert(r(3L) == (false, "repetitive"))
     assert(r(4L) == (true, ""))
+    assert(r(5L) == (false, "too_short"))
   }
 }
