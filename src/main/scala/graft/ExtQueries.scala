@@ -145,6 +145,7 @@ object ExtQueries {
     "events_prop_stats" -> ((s, d) => EventsOps.propStats(ev(s, d))),
     "events_sessionize" -> ((s, d) => EventsOps.sessionize(ev(s, d), 30)),
     "events_percentiles" -> ((s, d) => EventsOps.valuePercentiles(ev(s, d))),
+    "events_sliding" -> ((s, d) => EventsOps.slidingValue(ev(s, d))),
 
     // ---- as-of join (union + ordered-window carry; oracle is DuckDB's
     // native ASOF JOIN, a cross-implementation equivalence check)
@@ -658,6 +659,20 @@ object ExtQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
         | count(DISTINCT user_id) AS n_users
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // each event lands in exactly two 2h/1h-slide windows: the ones
+    // starting at floor(ts, 1h) and one hour earlier
+    "events_sliding" ->
+      """WITH cand AS (
+        |   SELECT date_trunc('hour', ts) AS w0, event_type, value FROM events),
+        | x AS (
+        |   SELECT w0 AS ws, event_type, value FROM cand
+        |   UNION ALL
+        |   SELECT w0 - INTERVAL 1 HOUR, event_type, value FROM cand)
+        | SELECT CAST(ws AS TIMESTAMP) AS window_start,
+        |   CAST(ws + INTERVAL 2 HOUR AS TIMESTAMP) AS window_end,
+        |   event_type, count(*) AS n_events,
+        |   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        | FROM x GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin,
     "events_prop_stats" ->
       """WITH k AS (SELECT event_type,
         |     CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k

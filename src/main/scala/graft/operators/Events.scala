@@ -52,6 +52,25 @@ object EventsOps {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("hour", "event_type")
 
+  /** Sliding event-time windows (2 h window, 1 h slide) per event_type —
+    * the overlapping-window shape of Structured Streaming's
+    * `window(ts, "2 hours", "1 hour")`, expressed in batch. Spark's
+    * implementation assigns each event to window/slide = 2 windows; the
+    * oracle mirrors that by unioning the two candidate starts
+    * (floor(ts, 1h) and floor(ts, 1h) - 1h). Same exact-decimal sum as
+    * [[hourly]]; the window bounds are Spark's struct split into
+    * explicit start/end columns so the oracle can name them.
+    */
+  def slidingValue(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Relational.moneySum(col("value")).as("value_sum"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("value_sum"))
+      .orderBy("window_start", "event_type")
+
   /** JSON property extraction (props = {"k": int}) + per-type stats.
     * regexp-based so the oracle needs no JSON extension.
     */

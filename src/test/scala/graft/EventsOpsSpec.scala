@@ -26,4 +26,22 @@ class EventsOpsSpec extends SparkSpec {
     // single value: every percentile is that value
     assert(r("b").getDouble(1) == 5.0 && r("b").getDouble(2) == 5.0)
   }
+
+  test("slidingValue: every event lands in exactly two 2h/1h windows") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:15:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:45:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), "click", 4.0))
+      .toDF("ts", "event_type", "value")
+    val r = EventsOps.slidingValue(df).collect()
+      .map(x => x.getTimestamp(0).toString -> (x.getLong(3), x.getDouble(4))).toMap
+    // windows: 09-11 sees the two 10:xx events; 10-12 sees all three;
+    // 11-13 sees only the 11:05 event — 3 events x 2 windows = 6 slots
+    assert(r("2024-01-01 09:00:00.0") == (2L, 3.0))
+    assert(r("2024-01-01 10:00:00.0") == (3L, 7.0))
+    assert(r("2024-01-01 11:00:00.0") == (1L, 4.0))
+    assert(r.values.map(_._1).sum == 6L)
+  }
 }
