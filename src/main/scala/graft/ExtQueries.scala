@@ -82,9 +82,12 @@ object ExtQueries {
     "embed_topk_bucketed" -> ((s, d) => Similarity.bucketedTopK(emb(s, d), 10, 3)),
     // real IVF: deterministic Lloyd's k-means coarse quantizer (fixed
     // init from the first k vec_ids, 2 rounds, rounded distances) and
-    // cell-restricted search
-    "embed_kmeans_cells" -> ((s, d) => Similarity.kmeansAssign(emb(s, d), 8, 2)),
-    "embed_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d), 10, 3, 8, 2)),
+    // cell-restricted search. Both go through the per-session trained-
+    // quantizer cache keyed by the table dir — train once, search many.
+    "embed_kmeans_cells" -> ((s, d) =>
+      Similarity.kmeansAssignCached(emb(s, d), 8, 2, d).orderBy("vec_id")),
+    "embed_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(emb(s, d), 10, 3, 8, 2, corpusKey = Some(d))),
     "embed_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
     // near-dup pairs via sign-bit LSH banding. The testdata corpus has
     // no natural near-dups (max pairwise cosine 0.51 at sf0.01), so the
@@ -185,12 +188,20 @@ object ExtQueries {
       val cut2 = lit("1997-01-01").cast("date")
       stocks.filter(col("date") < cut1).coalesce(1)
         .write.mode("overwrite").parquet(dir + "/batch=a")
-      Thread.sleep(1100) // distinct mtimes → deterministic drop order
       stocks.filter(col("date") >= cut1 && col("date") < cut2).coalesce(1)
         .write.mode("overwrite").parquet(dir + "/batch=b")
-      Thread.sleep(1100)
       stocks.filter(col("date") >= cut2).coalesce(1)
         .write.mode("overwrite").parquet(dir + "/batch=c")
+      // FileStreamSource orders drops by modification time — stamp each
+      // batch dir with an explicit ascending mtime (fixed epoch, one
+      // minute apart) so chronological order never depends on write
+      // latency or filesystem mtime granularity
+      Seq("a", "b", "c").zipWithIndex.foreach { case (b, i) =>
+        val t = java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L)
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, s"batch=$b"))
+        try walk.forEach(f => java.nio.file.Files.setLastModifiedTime(f, t))
+        finally walk.close()
+      }
       val name = graft.streaming.IndicatorStream
         .runBounded(s, dir + "/batch=*", span = 12, "stream_ema_replay_tbl")
       s.table(name)
@@ -265,9 +276,17 @@ object ExtQueries {
     s"""$simhashSigSql,
        | chunks AS (SELECT doc_id, b, substr(simhash, b * 16 + 1, 16) AS bv
        |            FROM sig, UNNEST(range(0, 4)) AS t(b)),
-       | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |          FROM chunks a JOIN chunks b
-       |            ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       | bstat AS (SELECT b, bv, count(*) AS bn, min(doc_id) AS bmin
+       |           FROM chunks GROUP BY b, bv),
+       | cw AS (SELECT c.doc_id, c.b, c.bv, s.bn, s.bmin
+       |        FROM chunks c JOIN bstat s USING (b, bv)),
+       | cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |   FROM cw a JOIN cw b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |   WHERE a.bn <= ${Dedup.lshBucketCap}
+       |   UNION ALL
+       |   SELECT bmin AS doc_a, doc_id AS doc_b FROM cw
+       |   WHERE bn > ${Dedup.lshBucketCap} AND doc_id <> bmin)),
        | dists AS (
        |   SELECT doc_a, doc_b,
        |     CAST(list_sum(list_transform(range(1, 65), i ->
@@ -381,9 +400,18 @@ object ExtQueries {
                .map(j => s"h${b * Dedup.minhashBandSize + j}").mkString(", ")
              s"SELECT doc_id, $b AS band, concat_ws('_', $hs) AS bv FROM sig"
            }.mkString("\n   UNION ALL ")}),
-         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM bands a JOIN bands b
-         |            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         | mstat AS (SELECT band, bv, count(*) AS bn, min(doc_id) AS bmin
+         |           FROM bands GROUP BY band, bv),
+         | bw AS (SELECT d.doc_id, d.band, d.bv, s.bn, s.bmin
+         |        FROM bands d JOIN mstat s USING (band, bv)),
+         | cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+         |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |   FROM bw a JOIN bw b
+         |     ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |   WHERE a.bn <= ${Dedup.lshBucketCap}
+         |   UNION ALL
+         |   SELECT bmin AS doc_a, doc_id AS doc_b FROM bw
+         |   WHERE bn > ${Dedup.lshBucketCap} AND doc_id <> bmin)),
          | iv AS (SELECT doc_a, doc_b, count(*) AS n_common
          |        FROM cand
          |        JOIN sh sa ON sa.doc_id = doc_a

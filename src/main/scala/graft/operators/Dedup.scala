@@ -125,8 +125,52 @@ object Dedup {
     withBase.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs (same band value in any band) verified with
-    * exact Jaccard; output = verified near-dup pairs.
+  /** Max population of one (band, band-value) bucket before candidate
+    * generation switches from all-pairs to star-linking. 100 keeps
+    * all-pairs exact for every natural bucket in the small-SF corpora
+    * while bounding the measured sf0.1 hot bucket (~1.5k docs in one
+    * 16-bit SimHash chunk value) to O(B) candidates instead of ~1.9M.
+    */
+  val lshBucketCap = 100
+
+  /** Candidate pairs from banded signature rows (doc_id, band, bv),
+    * with a population cap per (band, bv) bucket.
+    *
+    * Buckets at or under [[lshBucketCap]] emit all intra-bucket pairs —
+    * exactly the classic banding. A bucket OVER the cap is, in a real
+    * corpus, either a boilerplate/template cluster or a degenerate band
+    * value (bit-biased SimHash chunks collect unrelated docs): all-pairs
+    * there is a B² island that no banding bounds, the normal failure
+    * mode of web-scale LSH dedup. Over-cap buckets emit STAR LINKS
+    * instead — every member pairs with the bucket's min doc_id — so
+    * candidates are O(B) per bucket and a genuine template cluster stays
+    * connected through its hub for downstream cluster resolution
+    * ([[dedupVerdicts]]). The documented recall tradeoff is pair-level
+    * only: inside an over-cap bucket a pair is reported iff each side
+    * verifies against the hub (near-identical template members do;
+    * unrelated docs sharing a degenerate band value never did belong
+    * together). The same cap logic is mirrored verbatim in the DuckDB
+    * oracle CTEs, so capped outputs stay hash-checked at every SF.
+    */
+  private[graft] def cappedBandCandidates(bands: DataFrame,
+      cap: Int = lshBucketCap): DataFrame = {
+    val stats = bands.groupBy("band", "bv")
+      .agg(count(lit(1)).as("bn"), min("doc_id").as("bmin"))
+    val tagged = bands.join(stats, Seq("band", "bv"))
+    val small = tagged.filter(col("bn") <= cap)
+    val smallPairs = small.as("a").join(small.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // bmin is the bucket minimum, so doc_a < doc_b holds by construction
+    val starLinks = tagged.filter(col("bn") > cap && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    smallPairs.unionByName(starLinks).distinct()
+  }
+
+  /** LSH candidate pairs (same band value in any band, bucket-capped —
+    * see [[cappedBandCandidates]]) verified with exact Jaccard;
+    * output = verified near-dup pairs.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     // the signature table is materialized eagerly (localCheckpoint, not
@@ -149,11 +193,7 @@ object Dedup {
     val bands = sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val cands = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cands = cappedBandCandidates(bands)
     // verify candidates with exact jaccard: shared shingles per pair
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     cands
@@ -171,9 +211,11 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64-bit signatures into 4×16-bit
     * chunks (pigeonhole: any pair within Hamming distance 3 shares at
-    * least one identical chunk → 100% recall at maxDist ≤ 3), join on
-    * chunk equality, verify with the codegen'd
-    * graft.functions.HammingDistance expression.
+    * least one identical chunk → 100% recall at maxDist ≤ 3 for pairs
+    * whose shared chunk's bucket is under [[lshBucketCap]]; over-cap
+    * buckets star-link through their hub — see
+    * [[cappedBandCandidates]]), join on chunk equality, verify with the
+    * codegen'd graft.functions.HammingDistance expression.
     */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     // eager materialization: three consumers (chunk generation + two
@@ -186,11 +228,7 @@ object Dedup {
     val chunks = sig.select(col("doc_id"),
         explode(array(chunkStructs: _*)).as("ch"))
       .select(col("doc_id"), col("ch.band").as("band"), col("ch.bv").as("bv"))
-    val cands = chunks.as("a").join(chunks.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cands = cappedBandCandidates(chunks)
     cands
       .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
       .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
@@ -251,15 +289,23 @@ object Dedup {
     */
   def resolveClusters(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    // materialize the incoming pair pipeline ONCE before anything refers
+    // to it twice: the symmetric union below has two branches, and
+    // without this checkpoint each branch re-evaluates the whole
+    // upstream candidate+verification chain inside one job (measured as
+    // the bulk of dedup_clusters' r3 bench time)
+    val p = pairs.select(col(aCol), col(bCol)).localCheckpoint()
     // localCheckpoint, not cache: the first round's join has several
     // consumers of the edge set (labels init, the join, the count) whose
     // jobs race a COLD cache and each recompute the whole upstream pair
     // pipeline (measured 6× concurrent recomputation of the simhash
     // chain, 210 s → 25 s cold at sf0.1); the eager checkpoint
     // materializes it exactly once and cuts the pair-pipeline lineage
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(p.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
+    // edges is materialized — the raw pair blocks are no longer needed
+    org.apache.spark.sql.GraftShims.uncheckpoint(p)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
     var changed = 1L
@@ -299,11 +345,14 @@ object Dedup {
     * lineage growth exactly as in the simple loop.
     *
     * Both variants converge to the unique fixpoint (min reachable id),
-    * so results are interchangeable; [[resolveClusters]] stays the
-    * default because the per-round cost is half and measured graphs
-    * (LSH near-dup output: diameter ≲ 10) converge in fewer total jobs.
-    * Use this one when components can be long chains (e.g. transitive
-    * URL-chain dedup, co-citation graphs).
+    * so results are interchangeable. This is the [[dedupVerdicts]]
+    * DEFAULT: its round count is diameter-safe (a chain component at
+    * corpus scale cannot stall it), and the driver-synchronous part of
+    * every round is count-gated — the set-equality convergence check
+    * (two exceptAll scans) only runs when the edge count repeats, so
+    * most rounds cost the two star shuffles plus one count on an
+    * already-materialized frame. [[resolveClusters]] remains for graphs
+    * measured to be shallow where its half-per-round cost wins locally.
     */
   def resolveClustersStar(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
@@ -311,17 +360,25 @@ object Dedup {
 
   private[graft] def resolveClustersStarWithRounds(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b"): (DataFrame, Int) = {
+    // materialize the pair pipeline ONCE — ids and the edge init below
+    // reference it three times, and each un-checkpointed reference would
+    // re-run the whole upstream candidate chain (see resolveClusters)
+    val p = pairs.select(col(aCol), col(bCol)).localCheckpoint()
     // canonical undirected edges (u > v), self-loops dropped — but
-    // remember every id that appeared, so isolated ids keep a label
-    val ids = pairs.select(col(aCol).as("id"))
-      .unionByName(pairs.select(col(bCol).as("id"))).distinct()
-    var edges = pairs
+    // remember every id that appeared, so isolated ids keep a label.
+    // ids is checkpointed too (node-sized): the final labels join reads
+    // it after the loop, long after p's blocks are released.
+    val ids = p.select(col(aCol).as("id"))
+      .unionByName(p.select(col(bCol).as("id"))).distinct().localCheckpoint()
+    var edges = p
       .select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct().localCheckpoint()
+    org.apache.spark.sql.GraftShims.uncheckpoint(p)
     var rounds = 0
-    var converged = edges.isEmpty
+    var prevCnt = edges.count()
+    var converged = prevCnt == 0L
     while (!converged) {
       rounds += 1
       // large-star: every node u (both edge directions) attaches its
@@ -343,11 +400,18 @@ object Dedup {
         .unionByName(minsS.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct().localCheckpoint()
-      converged = small.exceptAll(edges).unionByName(edges.exceptAll(small)).isEmpty
-      // the convergence check was the last read of the previous round's
-      // edge set — release its checkpoint blocks
+      // count-gated convergence: both frames are DISTINCT sets, so equal
+      // counts + an empty one-direction diff prove set equality. The
+      // count is a near-free job on the just-materialized checkpoint;
+      // the exceptAll scan only runs on rounds where the count repeats
+      // (normally just the final confirming round).
+      val cnt = small.count()
+      converged = cnt == prevCnt && small.exceptAll(edges).isEmpty
+      // that was the last read of the previous round's edge set —
+      // release its checkpoint blocks
       org.apache.spark.sql.GraftShims.uncheckpoint(edges)
       edges = small
+      prevCnt = cnt
     }
     // fixpoint is a star forest: each non-root has exactly one edge to
     // its root; roots and isolated ids label themselves
@@ -361,9 +425,14 @@ object Dedup {
     * keeper flag (keeper = the cluster's min doc_id); documents in no
     * pair form singleton clusters. `docs ✂ is_keeper` is the
     * deduplicated corpus.
+    *
+    * Resolution runs [[resolveClustersStar]] — O(log diameter) rounds,
+    * proven label-identical to the simple loop (DedupSpec) — so a
+    * chain-shaped component at corpus scale cannot turn resolution into
+    * thousands of synchronous Spark jobs.
     */
   def dedupVerdicts(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val labels = resolveClusters(pairs).withColumnRenamed("id", "doc_id")
+    val labels = resolveClustersStar(pairs).withColumnRenamed("id", "doc_id")
     docs.select("doc_id").join(labels, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
       .withColumn("is_keeper", col("cluster") === col("doc_id"))

@@ -141,6 +141,41 @@ class DedupSpec extends SparkSpec {
     assert(star == simple && star.nonEmpty)
   }
 
+  test("cappedBandCandidates: small buckets all-pairs, over-cap buckets star-link") {
+    val spark2 = spark
+    import spark2.implicits._
+    val n = (Dedup.lshBucketCap + 20).toLong
+    val big = (0L until n).map(i => (i, 0, "big"))
+    val small = Seq((1L, 1, "sm"), (2L, 1, "sm"), (3L, 1, "sm"))
+    val cands = Dedup.cappedBandCandidates((big ++ small).toDF("doc_id", "band", "bv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = (1L until n).map((0L, _)).toSet
+    assert(cands == star ++ Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("bucket cap: planted 500-doc boilerplate cluster → O(B) hub pairs, one connected cluster") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the web-scale dedup worst case: 500 identical template pages. All
+    // four 16-bit chunk buckets hold all 500 docs (far over the cap), so
+    // candidates must be the 499 star links through doc 0 — not the
+    // 124 750 all-pairs island
+    val boiler = (0L until 500L)
+      .map(i => (i, "buy now click here limited offer act today best price guaranteed"))
+      .toDF("doc_id", "text")
+    val pairsDf = Dedup.simhashNearDups(boiler, 3)
+    val pairs = pairsDf.collect()
+    assert(pairs.length == 499, s"expected 499 hub pairs, got ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(0) == 0L && r.getInt(2) == 0))
+    // the hub keeps the cluster connected for resolution: one component,
+    // exactly one keeper
+    val v = Dedup.dedupVerdicts(boiler.select("doc_id"),
+        pairsDf.select("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(v.forall(_._2 == 0L))
+    assert(v.count(_._3) == 1)
+  }
+
   test("simhash: 64-bit signatures, equal for equal text, close for near-dups") {
     val sig = Dedup.simhash(corpus).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

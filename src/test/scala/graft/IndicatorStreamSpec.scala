@@ -15,12 +15,18 @@ class IndicatorStreamSpec extends SparkSpec {
       .select("symbol", "date", "close")
     val cut = java.sql.Date.valueOf("1996-01-01")
     val dir = Files.createTempDirectory("graft-stream-ema").toString
-    // chronological drops: early history first, then the rest
+    // chronological drops: early history first, then the rest; explicit
+    // ascending mtimes (FileStreamSource orders by modification time)
     stocks.filter(col("date") < lit(cut)).coalesce(1)
       .write.mode("overwrite").parquet(dir + "/batch=a")
-    Thread.sleep(1100) // distinct mtimes → deterministic file order
     stocks.filter(col("date") >= lit(cut)).coalesce(1)
       .write.mode("overwrite").parquet(dir + "/batch=b")
+    Seq("a", "b").zipWithIndex.foreach { case (b, i) =>
+      val t = java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L)
+      val walk = Files.walk(java.nio.file.Paths.get(dir, s"batch=$b"))
+      try walk.forEach(f => Files.setLastModifiedTime(f, t))
+      finally walk.close()
+    }
     // the file source reads both subdirs; one file per trigger
     val name = IndicatorStream.runBounded(spark, dir + "/batch=*", span = 12,
       "ema_stream_spec")
