@@ -47,7 +47,18 @@ object Dedup {
     val raw = spread(docs).select(col("doc_id"), words.as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(grams).as("s"))
-    if (distinct) raw.distinct() else raw
+    if (distinct) {
+      // fixed-width exchange + partition-local dedup instead of a plain
+      // distinct(): hash partitioning on (doc_id, s) satisfies the
+      // dedup aggregate's required clustering, so no second exchange —
+      // and the reduce side keeps defaultParallelism tasks. A plain
+      // distinct() lets AQE coalesce its reduce side by shuffle BYTES,
+      // but shingle frames are CPU-heavy downstream (md5 polynomials,
+      // verification joins); the byte-based coalesce was measured
+      // leaving 28 of 32 cores idle on those stages.
+      val np = docs.sparkSession.sparkContext.defaultParallelism
+      raw.repartition(np, col("doc_id"), col("s")).dropDuplicates()
+    } else raw
   }
 
   /** Exact dedup by content hash: keeper = min doc_id per fingerprint. */
@@ -250,7 +261,9 @@ object Dedup {
     * total grams regardless of how many documents collide.
     */
   def contamination(train: DataFrame, eval: DataFrame, n: Int = 8): DataFrame = {
-    val trainGrams = shingles(train, n).select("s").distinct()
+    // non-distinct shingling: the per-(doc, gram) dedup would be thrown
+    // away by the gram-level distinct anyway — one shuffle, not two
+    val trainGrams = shingles(train, n, distinct = false).select("s").distinct()
     // two consumers (sizes, hits) — materialize the eval shingling once
     val evalGrams = shingles(eval, n).localCheckpoint()
     val sizes = evalGrams.groupBy("doc_id").agg(count(lit(1)).as("total_ngrams"))
