@@ -22,6 +22,18 @@ object ExtQueries {
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
 
+  /** The shared decontamination fixture: train = doc_id < 400, eval =
+    * the rest plus 10 planted verbatim train copies (doc_id 10000+).
+    */
+  private def trainEvalSplit(s: SparkSession, d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val all = docs(s, d)
+    val train = all.filter(col("doc_id") < 400).select("doc_id", "text")
+    val eval = all.filter(col("doc_id") >= 400).select("doc_id", "text")
+      .unionByName(all.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    (train, eval)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational (join / ranking / rollup)
     "join_revenue_by_region" -> ((s, d) => Relational.revenueByRegion(s, d)),
@@ -56,13 +68,24 @@ object ExtQueries {
     // plus 10 planted copies of train docs (vec 10000+) that must flag
     // at ratio 1.0
     "contamination_check" -> ((s, d) => {
-      val all = docs(s, d)
-      val train = all.filter(col("doc_id") < 400).select("doc_id", "text")
-      val eval = all.filter(col("doc_id") >= 400).select("doc_id", "text")
-        .unionByName(all.filter(col("doc_id") < 10)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val (train, eval) = trainEvalSplit(s, d)
       Dedup.contamination(train, eval, 8)
     }),
+    // the 100 TB shape of the same check: eval grams build a driver-side
+    // bloom filter, the train side is probed inside its narrow scan, the
+    // exact semi-join removes false positives — output row-identical to
+    // contamination_check, proven by sharing its oracle SQL
+    "contamination_bloom" -> ((s, d) => {
+      val (train, eval) = trainEvalSplit(s, d)
+      Dedup.contaminationBloom(train, eval, 8)
+    }),
+
+    // GPT-style sequence packing: concatenate docs in doc_id order, cut
+    // fixed 2048-token packs; chunked two-phase prefix sum (chunk = 100
+    // ids) so the total-order cumsum never runs on one partition
+    "pack_sequences" -> ((s, d) =>
+      Packing.packSequences(docs(s, d),
+        size(split(col("text"), " ")).cast("long"), 2048L, chunkSize = 100L)),
 
     // ---- deterministic sampling / splits (content-hash keyed)
     "sample_split" -> ((s, d) =>
@@ -296,6 +319,31 @@ object ExtQueries {
        |   JOIN sig sa ON sa.doc_id = doc_a
        |   JOIN sig sb ON sb.doc_id = doc_b)""".stripMargin
 
+  /** The decontamination oracle (shared by contamination_check and its
+    * bloom-pruned twin — same semantics by construction).
+    */
+  private lazy val contaminationOracle: String = {
+    val gram8 = (0 until 8).map(j => if (j == 0) "w[i]" else s"w[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+       | ev AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+       |        UNION ALL
+       |        SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10),
+       | tw AS (SELECT string_split(text, ' ') AS w FROM train),
+       | tg AS (SELECT DISTINCT $gram8 AS s
+       |        FROM tw, UNNEST(range(1, len(w) - 6)) AS t(i)),
+       | ew AS (SELECT doc_id, string_split(text, ' ') AS w FROM ev),
+       | eg AS (SELECT DISTINCT doc_id, $gram8 AS s
+       |        FROM ew, UNNEST(range(1, len(w) - 6)) AS t(i)),
+       | sizes AS (SELECT doc_id, count(*) AS total_ngrams FROM eg GROUP BY doc_id),
+       | hits AS (SELECT eg.doc_id, count(*) AS contaminated_ngrams
+       |          FROM eg JOIN tg USING (s) GROUP BY eg.doc_id)
+       | SELECT s.doc_id, s.total_ngrams,
+       |   coalesce(h.contaminated_ngrams, 0) AS contaminated_ngrams,
+       |   round(coalesce(h.contaminated_ngrams, 0) * 1.0 / s.total_ngrams, 4) AS contamination_ratio
+       | FROM sizes s LEFT JOIN hits h USING (doc_id) ORDER BY s.doc_id""".stripMargin
+  }
+
   /** The text_quality_score oracle body (reused by lang_quota). */
   private lazy val textQualityOracle: String = {
     val sw = TextOps.stopwords.map(s => s"'$s'").mkString(", ")
@@ -441,27 +489,22 @@ object ExtQueries {
          |   coalesce(l.cluster, d.doc_id) = d.doc_id AS is_keeper
          | FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
          | ORDER BY d.doc_id""".stripMargin,
-    "contamination_check" -> {
-      val gram8 = (0 until 8).map(j => if (j == 0) "w[i]" else s"w[i+$j]")
-        .mkString(" || ' ' || ")
-      s"""WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
-         | ev AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
-         |        UNION ALL
-         |        SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10),
-         | tw AS (SELECT string_split(text, ' ') AS w FROM train),
-         | tg AS (SELECT DISTINCT $gram8 AS s
-         |        FROM tw, UNNEST(range(1, len(w) - 6)) AS t(i)),
-         | ew AS (SELECT doc_id, string_split(text, ' ') AS w FROM ev),
-         | eg AS (SELECT DISTINCT doc_id, $gram8 AS s
-         |        FROM ew, UNNEST(range(1, len(w) - 6)) AS t(i)),
-         | sizes AS (SELECT doc_id, count(*) AS total_ngrams FROM eg GROUP BY doc_id),
-         | hits AS (SELECT eg.doc_id, count(*) AS contaminated_ngrams
-         |          FROM eg JOIN tg USING (s) GROUP BY eg.doc_id)
-         | SELECT s.doc_id, s.total_ngrams,
-         |   coalesce(h.contaminated_ngrams, 0) AS contaminated_ngrams,
-         |   round(coalesce(h.contaminated_ngrams, 0) * 1.0 / s.total_ngrams, 4) AS contamination_ratio
-         | FROM sizes s LEFT JOIN hits h USING (doc_id) ORDER BY s.doc_id""".stripMargin
-    },
+    "contamination_check" -> contaminationOracle,
+    // the bloom pre-filter is recall-preserving and verified by an exact
+    // join, so the 100 TB path must reproduce the naive oracle verbatim
+    "contamination_bloom" -> contaminationOracle,
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |     CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens FROM documents),
+        | c AS (SELECT doc_id, tokens,
+        |     CAST(coalesce(SUM(tokens) OVER (ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |   FROM t)
+        | SELECT doc_id, tokens, tok_offset,
+        |   CAST(tok_offset // 2048 AS BIGINT) AS pack_id,
+        |   CAST(tok_offset % 2048 AS BIGINT) AS pack_pos,
+        |   (tok_offset % 2048) + tokens > 2048 AS straddles
+        | FROM c ORDER BY doc_id""".stripMargin,
     "sample_split" ->
       s"""WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
          | b AS (SELECT doc_id, ($minhashBaseSql) % 100 AS bucket FROM h)

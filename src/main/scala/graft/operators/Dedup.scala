@@ -34,10 +34,17 @@ object Dedup {
   /** Spread a small-file table across the cluster before CPU-heavy
     * narrow projections — a one-file parquet scan otherwise serializes
     * the whole shingle/signature chain onto a single task. Round-robin
-    * is safe: every consumer re-groups by doc_id.
+    * is safe: every consumer re-groups by doc_id. GUARDED: only fires
+    * when the scan is actually narrower than the cluster — a corpus at
+    * scale already arrives in thousands of splits, and unconditionally
+    * round-robin-shuffling the full text payload would be the single
+    * biggest exchange in the pipeline for zero parallelism gain.
+    * (rdd.getNumPartitions compiles the plan but runs no job.)
     */
-  private def spread(docs: DataFrame): DataFrame =
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+  private def spread(docs: DataFrame): DataFrame = {
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions >= np) docs else docs.repartition(np)
+  }
 
   def shingles(docs: DataFrame, n: Int = 3, distinct: Boolean = true): DataFrame = {
     val words = split(col("text"), " ")
@@ -268,6 +275,38 @@ object Dedup {
     val evalGrams = shingles(eval, n).localCheckpoint()
     val sizes = evalGrams.groupBy("doc_id").agg(count(lit(1)).as("total_ngrams"))
     val hits = evalGrams.join(trainGrams, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("contaminated_ngrams"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .withColumn("contaminated_ngrams", coalesce(col("contaminated_ngrams"), lit(0L)))
+      .withColumn("contamination_ratio",
+        round(col("contaminated_ngrams") / col("total_ngrams"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Bloom-pre-filtered decontamination — the 100 TB shape of
+    * [[contamination]], row-identical output (same oracle SQL). The
+    * eval benchmark's distinct grams (the SMALL side — benchmarks are
+    * MBs) build a `BloomFilter` on the driver; the TRAINING corpus —
+    * petabyte-scale in production — is probed by the codegen'd
+    * [[graft.functions.BloomMightContain]] INSIDE its narrow shingling
+    * scan, so only matching grams plus an fpp fraction of false
+    * positives ever reach a shuffle. The exact semi-join against the
+    * surviving grams then removes the false positives: bloom filters
+    * have no false negatives, so exactness is preserved with the train
+    * side's shuffle volume cut from |train grams| to
+    * ≈ |true hits| + fpp·|train grams|.
+    */
+  def contaminationBloom(train: DataFrame, eval: DataFrame, n: Int = 8,
+      fpp: Double = 0.001): DataFrame = {
+    val evalGrams = shingles(eval, n).localCheckpoint()
+    val evalGramSet = evalGrams.select("s").distinct().localCheckpoint()
+    val bloom = evalGramSet.stat.bloomFilter("s",
+      math.max(evalGramSet.count(), 1L), fpp)
+    val trainSurvivors = shingles(train, n, distinct = false)
+      .filter(graft.functions.BloomMightContain.mightContain(col("s"), bloom))
+      .select("s").distinct()
+    val sizes = evalGrams.groupBy("doc_id").agg(count(lit(1)).as("total_ngrams"))
+    val hits = evalGrams.join(trainSurvivors, "s")
       .groupBy("doc_id").agg(count(lit(1)).as("contaminated_ngrams"))
     sizes.join(hits, Seq("doc_id"), "left")
       .withColumn("contaminated_ngrams", coalesce(col("contaminated_ngrams"), lit(0L)))

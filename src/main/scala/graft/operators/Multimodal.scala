@@ -37,12 +37,15 @@ object Multimodal {
   /** Build the media table from documents: binary payload + kind tag.
     * The round-robin repartition spreads a one-file source so the
     * decode stage isn't a single task; a real media table arrives as
-    * many files and skips it.
+    * many files and skips it (guarded: payload bytes must not shuffle
+    * when the scan is already wider than the cluster).
     */
   def mediaTable(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.repartition(spark.sparkContext.defaultParallelism).select(
+    val np = spark.sparkContext.defaultParallelism
+    val wide = if (docs.rdd.getNumPartitions >= np) docs else docs.repartition(np)
+    wide.select(
         col("doc_id"),
         // deterministic kind assignment in lieu of a real mime sniff
         element_at(lit(Array("image", "audio", "video")),

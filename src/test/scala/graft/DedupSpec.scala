@@ -95,6 +95,36 @@ class DedupSpec extends SparkSpec {
     assert(r(12L)._1 == 3L && r(12L)._2 == 2L)
   }
 
+  test("contaminationBloom ≡ contamination: the pre-filter drops no true hit") {
+    val train = docs(
+      (0L, "a b c d e f g h i j"),
+      (1L, "k l m n o p q r s t"))
+    val eval = docs(
+      (10L, "a b c d e f g h i j"),
+      (11L, "z y x w v u tt ss rr qq"),
+      (12L, "b c d e f g h i j extra"))
+    val naive = Dedup.contamination(train, eval, 8).collect().map(_.toSeq).toSeq
+    val bloomed = Dedup.contaminationBloom(train, eval, 8).collect().map(_.toSeq).toSeq
+    assert(bloomed == naive)
+  }
+
+  test("bloom_might_contain: members always pass, null stays null") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(100, 0.01)
+    Seq("alpha", "beta").foreach(bf.putString)
+    val r = Seq(("alpha", Option("beta")), ("gamma", None))
+      .toDF("a", "b")
+      .select(
+        graft.functions.BloomMightContain.mightContain(col("a"), bf).as("ma"),
+        graft.functions.BloomMightContain.mightContain(col("b"), bf).as("mb"))
+      .collect()
+    assert(r(0).getBoolean(0)) // member: guaranteed true
+    assert(r(0).getBoolean(1))
+    assert(r(1).isNullAt(1)) // null input → null
+  }
+
   test("resolveClusters: chain, triangle, and singleton get min-id clusters") {
     val spark2 = spark
     import spark2.implicits._
