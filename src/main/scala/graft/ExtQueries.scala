@@ -127,6 +127,9 @@ object ExtQueries {
 
     // ---- text analysis
     "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
+    // top-3 TF-IDF terms per doc; both factors rounded to 6 before the
+    // product so ranking never touches a raw float
+    "text_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(docs(s, d), 3)),
     "text_quality_score" -> ((s, d) => TextOps.qualityScore(docs(s, d))),
     "token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
     "token_stats_by_lang" -> ((s, d) => TextOps.tokenStatsByLang(docs(s, d))),
@@ -554,7 +557,7 @@ object ExtQueries {
          | SELECT qid, cell, rnk, vec_id, cos FROM r WHERE rnk <= 3
          | ORDER BY qid, rnk""".stripMargin,
     "embed_neardup_pairs" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |   SELECT vec_id, embedding FROM embeddings
         |   UNION ALL
         |   SELECT vec_id + 1000 AS vec_id,
@@ -565,10 +568,17 @@ object ExtQueries {
         |     string_agg(CASE WHEN embedding[CAST(i AS INT)] >= 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS bv
         |   FROM corpus, UNNEST(range(1, 65)) t(i)
         |   GROUP BY vec_id, (i - 1) // 16),
-        | cand AS (
-        |   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |   FROM chunks a JOIN chunks b
-        |     ON a.c = b.c AND a.bv = b.bv AND a.vec_id < b.vec_id),
+        | vstat AS (SELECT c, bv, count(*) AS bn, min(vec_id) AS bmin
+        |           FROM chunks GROUP BY c, bv),
+        | vw AS (SELECT k.vec_id, k.c, k.bv, s.bn, s.bmin
+        |        FROM chunks k JOIN vstat s USING (c, bv)),
+        | cand AS (SELECT DISTINCT vec_a, vec_b FROM (
+        |   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |   FROM vw a JOIN vw b ON a.c = b.c AND a.bv = b.bv AND a.vec_id < b.vec_id
+        |   WHERE a.bn <= ${Dedup.lshBucketCap}
+        |   UNION ALL
+        |   SELECT bmin AS vec_a, vec_id AS vec_b FROM vw
+        |   WHERE bn > ${Dedup.lshBucketCap} AND vec_id <> bmin)),
         | scored AS (
         |   SELECT vec_a, vec_b,
         |     round(SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) /
@@ -596,6 +606,20 @@ object ExtQueries {
          |   ON d.doc_id = b.doc_id
          | ORDER BY d.doc_id""".stripMargin,
     "text_quality_score" -> s"$textQualityOracle ORDER BY doc_id",
+    "text_tfidf" ->
+      """WITH wrds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        | tf AS (SELECT doc_id, word, count(*) AS tf FROM wrds GROUP BY doc_id, word),
+        | dl AS (SELECT doc_id, count(*) AS n_words FROM wrds GROUP BY doc_id),
+        | dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        | n AS (SELECT count(*) AS nd FROM documents),
+        | sc AS (SELECT t.doc_id, t.word, t.tf, dfq.df,
+        |     round(round(t.tf * 1.0 / dl.n_words, 6) * round(ln(n.nd * 1.0 / dfq.df), 6), 6) AS tfidf
+        |   FROM tf t JOIN dl USING (doc_id) JOIN dfq USING (word), n),
+        | rk AS (SELECT doc_id, word, tf, df, tfidf,
+        |     row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+        |   FROM sc)
+        | SELECT doc_id, rnk, word, tf, df, tfidf FROM rk WHERE rnk <= 3
+        | ORDER BY doc_id, rnk""".stripMargin,
     "token_count" ->
       s"""SELECT doc_id, lang,
          | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

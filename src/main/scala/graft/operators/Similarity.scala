@@ -195,7 +195,9 @@ object Similarity {
     *
     * Scale: no all-pairs join anywhere — the self-join is on
     * (band, 16-bit chunk value), so fan-out is bounded by band-bucket
-    * collision counts, independent of any label column. Signature rows
+    * collision counts, independent of any label column, and over-full
+    * buckets star-link through their min id (same population cap as the
+    * text LSH — see Dedup.cappedBandCandidates). Signature rows
     * carry (id, band, chunk) only; the 64-float embeddings rejoin after
     * candidate dedup. At larger corpora, raise `bands`/signature width
     * the same way SimHash text banding does (Dedup.simhashNearDups).
@@ -210,11 +212,13 @@ object Similarity {
     val chunks = emb.select(col("vec_id"),
         explode(array((0 until bands).map(chunk): _*)).as("ch"))
       .select(col("vec_id"), col("ch.band").as("band"), col("ch.bv").as("bv"))
-    val cand = chunks.as("a").join(chunks.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+    // population-capped banding, same hazard and same fix as the text
+    // LSH (Dedup.cappedBandCandidates): a degenerate sign pattern (e.g.
+    // an all-positive embedding region) or a template cluster would
+    // otherwise make one bucket a B² candidate island; over-cap buckets
+    // star-link through their min vec_id, mirrored in the oracle
+    val cand = Dedup.cappedBandCandidates(chunks.withColumnRenamed("vec_id", "doc_id"))
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     cand
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")

@@ -89,6 +89,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Top-k TF-IDF terms per document — the standard relevance/keyword
+    * surface over a corpus. tf is the within-doc frequency (count /
+    * doc words), idf = ln(N / df) over document frequency. Both factors
+    * round to 6 before multiplying so the product is bit-identical
+    * cross-engine (the ln is the one transcendental in the engine; its
+    * input N/df is a single exact division of integers, and rounding to
+    * 6 absorbs any last-ulp libm divergence), and ranking runs over the
+    * ROUNDED score with a word tiebreak — never over a raw float.
+    *
+    * Shape: one explode + two hash aggregations (term counts by (doc,
+    * word), document frequency by word) + one window top-k per doc. All
+    * shuffles key on word or doc_id — linear in corpus tokens. N comes
+    * from one driver-side count (a scalar, same as the oracle's
+    * subquery).
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val nDocs = docs.count()
+    val words = spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val docLens = words.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("word"))
+    tf.join(docLens, "doc_id").join(dfreq, "word")
+      .withColumn("tf_norm", round(col("tf") / col("n_words"), 6))
+      .withColumn("idf", round(log(lit(nDocs.toDouble) / col("df")), 6))
+      .withColumn("tfidf", round(col("tf_norm") * col("idf"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "word", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rnk")
+  }
+
   /** BPE-ish token regex: letter runs, digit runs, single other glyphs. */
   val tokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 

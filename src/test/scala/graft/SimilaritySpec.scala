@@ -97,6 +97,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.toSeq == Seq((0L, 1L), (2L, 3L)))
   }
 
+  test("nearDupPairs bucket cap: 150 identical vectors → hub links, not all-pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // every chunk bucket holds all 150 ids (over the 100 cap) → the
+    // candidate set must be the 149 star links through vec 0, and all
+    // verify at cos 1.0 — not the 11 175 all-pairs island
+    val clones = (0L until 150L)
+      .map(i => (i, Array(1.0f, 2.0f, 3.0f, 4.0f, -1.0f, -2.0f, -3.0f, -4.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(clones, threshold = 0.99, bands = 2, dims = 8)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.length == 149)
+    assert(pairs.forall(_._1 == 0L))
+  }
+
   test("banded nearDupPairs matches the quadratic all-pairs baseline") {
     val banded = Similarity.nearDupPairs(ndVecs, threshold = 0.9, bands = 2, dims = 8)
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),

@@ -93,4 +93,23 @@ class TextOpsSpec extends SparkSpec {
     assert(r(0).getString(2) == r(1).getString(2), "winnow equal")
     assert(r(2).isNullAt(2), "short doc has null winnow_min")
   }
+
+  test("tfidfTopTerms: rare terms outrank common ones, k caps per doc") {
+    val d = docs(
+      (0L, "apple banana apple", "en"),
+      (1L, "banana cherry", "en"),
+      (2L, "cherry cherry cherry", "en"))
+    val r = TextOps.tfidfTopTerms(d, 3).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Int]("rnk"),
+        x.getAs[String]("word"), x.getAs[Double]("tfidf")))
+    // doc 0: apple (df=1, tf 2/3) must beat banana (df=2, tf 1/3):
+    // 0.666667·ln(3) vs 0.333333·ln(1.5)
+    val doc0 = r.filter(_._1 == 0L)
+    assert(doc0.head._3 == "apple" && doc0.head._2 == 1)
+    assert(doc0.head._4 == math.rint(
+      math.rint(2.0 / 3 * 1e6) / 1e6 * math.rint(math.log(3.0) * 1e6) / 1e6 * 1e6) / 1e6)
+    // doc 2 has one distinct term → one row despite k=3
+    assert(r.count(_._1 == 2L) == 1)
+    assert(r.filter(_._1 == 2L).head._3 == "cherry")
+  }
 }
