@@ -54,14 +54,20 @@ object Bench {
     // Rep 1 at the timed SF also absorbs legitimate one-time costs
     // (the IVF quantizer trains once per corpus by design), so min
     // reflects the steady state a real deployment runs in.
+    // a failed rep must never enter the min — a fast analysis error
+    // would otherwise mask a real measurement with a near-zero time;
+    // if every rep fails, report the max elapsed so the failure is
+    // visible in the number too (stderr carries the exception)
     val results = names.map { name =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      val good = times.collect { case (true, t) => t }
+      name -> (if (good.nonEmpty) good.min else times.map(_._2).max)
     }
     val qj = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

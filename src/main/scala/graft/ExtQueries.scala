@@ -218,16 +218,7 @@ object ExtQueries {
         .write.mode("overwrite").parquet(dir + "/batch=b")
       stocks.filter(col("date") >= cut2).coalesce(1)
         .write.mode("overwrite").parquet(dir + "/batch=c")
-      // FileStreamSource orders drops by modification time — stamp each
-      // batch dir with an explicit ascending mtime (fixed epoch, one
-      // minute apart) so chronological order never depends on write
-      // latency or filesystem mtime granularity
-      Seq("a", "b", "c").zipWithIndex.foreach { case (b, i) =>
-        val t = java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L)
-        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, s"batch=$b"))
-        try walk.forEach(f => java.nio.file.Files.setLastModifiedTime(f, t))
-        finally walk.close()
-      }
+      graft.streaming.IndicatorStream.stampDropOrder(dir, Seq("a", "b", "c"))
       val name = graft.streaming.IndicatorStream
         .runBounded(s, dir + "/batch=*", span = 12, "stream_ema_replay_tbl")
       s.table(name)

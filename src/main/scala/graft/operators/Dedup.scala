@@ -31,20 +31,7 @@ object Dedup {
     * consumers (min-aggregates: MinHash signatures, winnowing minima);
     * set semantics (Jaccard counting) need the default distinct.
     */
-  /** Spread a small-file table across the cluster before CPU-heavy
-    * narrow projections — a one-file parquet scan otherwise serializes
-    * the whole shingle/signature chain onto a single task. Round-robin
-    * is safe: every consumer re-groups by doc_id. GUARDED: only fires
-    * when the scan is actually narrower than the cluster — a corpus at
-    * scale already arrives in thousands of splits, and unconditionally
-    * round-robin-shuffling the full text payload would be the single
-    * biggest exchange in the pipeline for zero parallelism gain.
-    * (rdd.getNumPartitions compiles the plan but runs no job.)
-    */
-  private def spread(docs: DataFrame): DataFrame = {
-    val np = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions >= np) docs else docs.repartition(np)
-  }
+  private def spread(docs: DataFrame): DataFrame = Spread.spread(docs)
 
   def shingles(docs: DataFrame, n: Int = 3, distinct: Boolean = true): DataFrame = {
     val words = split(col("text"), " ")
@@ -58,12 +45,18 @@ object Dedup {
       // fixed-width exchange + partition-local dedup instead of a plain
       // distinct(): hash partitioning on (doc_id, s) satisfies the
       // dedup aggregate's required clustering, so no second exchange —
-      // and the reduce side keeps defaultParallelism tasks. A plain
+      // and the reduce side keeps cluster-width tasks. A plain
       // distinct() lets AQE coalesce its reduce side by shuffle BYTES,
       // but shingle frames are CPU-heavy downstream (md5 polynomials,
       // verification joins); the byte-based coalesce was measured
-      // leaving 28 of 32 cores idle on those stages.
-      val np = docs.sparkSession.sparkContext.defaultParallelism
+      // leaving 28 of 32 cores idle on those stages. Width follows the
+      // session's shuffle sizing (never below core count) so a cluster
+      // deployment with shuffle.partitions in the thousands keeps its
+      // per-task volume — a hard core-count width would concentrate a
+      // corpus-scale gram stream into a handful of reducers.
+      val spark = docs.sparkSession
+      val np = math.max(spark.sparkContext.defaultParallelism,
+        spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
       raw.repartition(np, col("doc_id"), col("s")).dropDuplicates()
     } else raw
   }
@@ -302,6 +295,8 @@ object Dedup {
     val evalGramSet = evalGrams.select("s").distinct().localCheckpoint()
     val bloom = evalGramSet.stat.bloomFilter("s",
       math.max(evalGramSet.count(), 1L), fpp)
+    // the filter now lives on the driver — the gram-set blocks are done
+    org.apache.spark.sql.GraftShims.uncheckpoint(evalGramSet)
     val trainSurvivors = shingles(train, n, distinct = false)
       .filter(graft.functions.BloomMightContain.mightContain(col("s"), bloom))
       .select("s").distinct()

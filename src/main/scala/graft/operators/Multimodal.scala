@@ -35,17 +35,14 @@ object Multimodal {
       width: Int, height: Int, preview: String)
 
   /** Build the media table from documents: binary payload + kind tag.
-    * The round-robin repartition spreads a one-file source so the
-    * decode stage isn't a single task; a real media table arrives as
-    * many files and skips it (guarded: payload bytes must not shuffle
-    * when the scan is already wider than the cluster).
+    * Spread (guarded — see [[Spread]]) so a one-file source's decode
+    * stage isn't a single task; a real media table arrives as many
+    * files and skips the shuffle.
     */
   def mediaTable(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val np = spark.sparkContext.defaultParallelism
-    val wide = if (docs.rdd.getNumPartitions >= np) docs else docs.repartition(np)
-    wide.select(
+    Spread.spread(docs).select(
         col("doc_id"),
         // deterministic kind assignment in lieu of a real mime sniff
         element_at(lit(Array("image", "audio", "video")),

@@ -147,15 +147,29 @@ object Similarity {
     * top-k queries must not pay training per query. The key is the
     * caller's corpus identifier (e.g. the table directory); entries are
     * session-scoped because checkpointed blocks die with their session.
+    * Index-staleness is the usual ANN contract: if the data under a key
+    * changes mid-session, the caller owns retraining under a new key —
+    * exactly like any deployed IVF index.
     */
   private val quantizerCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
 
-  /** [[kmeansAssign]] through the trained-quantizer cache. */
+  /** [[kmeansAssign]] through the trained-quantizer cache. Training
+    * runs OUTSIDE the map lock (multi-job Lloyd's must not block
+    * unrelated keys in the same hash bin); a lost putIfAbsent race
+    * costs one redundant training, never a wrong result.
+    */
   def kmeansAssignCached(emb: DataFrame, k: Int, iters: Int,
-      corpusKey: String): DataFrame =
-    quantizerCache.computeIfAbsent((emb.sparkSession, corpusKey, k, iters),
-      _ => kmeansAssign(emb, k, iters).localCheckpoint())
+      corpusKey: String): DataFrame = {
+    val key = (emb.sparkSession, corpusKey, k, iters)
+    val hit = quantizerCache.get(key)
+    if (hit != null) hit
+    else {
+      val trained = kmeansAssign(emb, k, iters).localCheckpoint()
+      val prev = quantizerCache.putIfAbsent(key, trained)
+      if (prev != null) prev else trained
+    }
+  }
 
   /** IVF top-k: brute-force restricted to the query's k-means cell —
     * [[bucketedTopK]] with a real learned quantizer instead of the

@@ -16,17 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Spread a small-file table before CPU-heavy narrow projections —
-    * same rationale as Dedup: a one-file parquet scan otherwise runs
-    * the whole explode/regex chain on a single task. Round-robin is
-    * safe: consumers re-group or re-order by doc_id. Guarded like
-    * Dedup.spread: a corpus already wider than the cluster must NOT
-    * shuffle its full text payload for zero gain.
-    */
-  private def spread(docs: DataFrame): DataFrame = {
-    val np = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions >= np) docs else docs.repartition(np)
-  }
+  private def spread(docs: DataFrame): DataFrame = Spread.spread(docs)
 
   /** (lang, marker) rows — common function words per language. The
     * heuristic is honest: the synthetic corpus is English-ish word

@@ -62,6 +62,21 @@ object IndicatorStream {
       }
   }
 
+  /** Stamp batch-drop directories with explicit ascending mtimes
+    * (fixed epoch, one minute apart, in list order). FileStreamSource
+    * orders drops by modification time; stamping makes chronological
+    * order independent of write latency and filesystem mtime
+    * granularity. Shared by the replay query and its spec so the two
+    * can never drift.
+    */
+  def stampDropOrder(baseDir: String, batches: Seq[String]): Unit =
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val t = java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(baseDir, s"batch=$b"))
+      try walk.forEach(f => java.nio.file.Files.setLastModifiedTime(f, t))
+      finally walk.close()
+    }
+
   /** Bounded run into a memory sink (specs). */
   def runBounded(spark: SparkSession, dir: String, span: Int,
       name: String = "ema_stream"): String = {

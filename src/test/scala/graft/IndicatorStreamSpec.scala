@@ -21,12 +21,7 @@ class IndicatorStreamSpec extends SparkSpec {
       .write.mode("overwrite").parquet(dir + "/batch=a")
     stocks.filter(col("date") >= lit(cut)).coalesce(1)
       .write.mode("overwrite").parquet(dir + "/batch=b")
-    Seq("a", "b").zipWithIndex.foreach { case (b, i) =>
-      val t = java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L)
-      val walk = Files.walk(java.nio.file.Paths.get(dir, s"batch=$b"))
-      try walk.forEach(f => Files.setLastModifiedTime(f, t))
-      finally walk.close()
-    }
+    IndicatorStream.stampDropOrder(dir, Seq("a", "b"))
     // the file source reads both subdirs; one file per trigger
     val name = IndicatorStream.runBounded(spark, dir + "/batch=*", span = 12,
       "ema_stream_spec")
