@@ -99,6 +99,18 @@ object ExtQueries {
         .select("doc_id", "lang", "quality_score", "rn")
         .orderBy("lang", "rn")
     }),
+    // data-mixing: per language, best-quality docs first until a 5k
+    // token budget — the budget-crossing doc is kept (loader truncates)
+    "lang_token_budget" -> ((s, d) => {
+      val scored = TextOps.qualityScore(docs(s, d)).select("doc_id", "quality_score")
+      val base = docs(s, d).select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        .join(scored, "doc_id")
+      Sampling.tokenBudgetPerGroup(base, col("lang"), col("quality_score"),
+          col("doc_id"), col("tokens"), 5000L)
+        .select("doc_id", "lang", "quality_score", "tokens", "cum_tokens")
+        .orderBy("lang", "doc_id")
+    }),
 
     // ---- similarity search
     "embed_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), 10, 5)),
@@ -516,6 +528,18 @@ object ExtQueries {
          |   FROM j)
          | SELECT doc_id, lang, quality_score, rn FROM rk WHERE rn <= 20
          | ORDER BY lang, rn""".stripMargin,
+    "lang_token_budget" ->
+      s"""WITH q AS ($textQualityOracle),
+         | base AS (SELECT d.doc_id, d.lang,
+         |     CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tokens, q.quality_score
+         |   FROM documents d JOIN q ON d.doc_id = q.doc_id),
+         | c AS (SELECT doc_id, lang, quality_score, tokens,
+         |     CAST(SUM(tokens) OVER (PARTITION BY lang
+         |       ORDER BY quality_score DESC, doc_id
+         |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |   FROM base)
+         | SELECT doc_id, lang, quality_score, tokens, cum_tokens
+         | FROM c WHERE cum_tokens - tokens < 5000 ORDER BY lang, doc_id""".stripMargin,
     "embed_cosine_topk" -> embedTopkOracle(nQueries = 10, k = 5, bucketed = false),
     "embed_topk_bucketed" -> embedTopkOracle(nQueries = 10, k = 3, bucketed = true),
     "embed_quantize" ->

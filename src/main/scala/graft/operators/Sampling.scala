@@ -61,4 +61,26 @@ object Sampling {
     val w = Window.partitionBy(group).orderBy(score.desc, id.asc)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
   }
+
+  /** Token-budget selection per group — the data-MIXING primitive:
+    * within each group (language, source, domain), take documents in
+    * quality order (score desc, id asc tiebreak — score must already be
+    * ROUNDED for cross-engine determinism) until the group's cumulative
+    * token count reaches `budget`. A doc is kept iff the tokens BEFORE
+    * it leave room to start it (the budget-crossing doc is kept, as
+    * training mixtures do — truncation is the loader's job), so every
+    * group with any docs contributes at least one.
+    *
+    * Shape: one window shuffle on the group key (groups = languages /
+    * sources — thousands at most, each a running sum, not a global
+    * order); the same past-the-key-ceiling chunking as WindowChunks
+    * applies if one group ever dominates.
+    */
+  def tokenBudgetPerGroup(df: DataFrame, group: Column, score: Column,
+      id: Column, tokens: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(score.desc, id.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokens.cast("long")).over(w))
+      .filter(col("cum_tokens") - tokens.cast("long") < budget)
+  }
 }

@@ -50,4 +50,21 @@ class SamplingSpec extends SparkSpec {
     // en: 4 (1.0) then the id-tiebreak keeps 1 over 2; fr keeps both
     assert(q.toSeq == Seq(("en", 4L, 1), ("en", 1L, 2), ("fr", 6L, 1), ("fr", 5L, 2)))
   }
+
+  test("tokenBudgetPerGroup: quality order, crossing doc kept, every group contributes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      // en by score desc: id 1 (4 tok, cum 4), id 2 (4, cum 8), id 3 (4, cum 12)
+      ("en", 1L, 0.9, 4L), ("en", 2L, 0.8, 4L), ("en", 3L, 0.7, 4L),
+      // fr: one doc far over budget — still kept (starts at 0)
+      ("fr", 4L, 0.5, 100L)).toDF("lang", "id", "score", "tokens")
+    val kept = Sampling.tokenBudgetPerGroup(df, col("lang"), col("score"),
+        col("id"), col("tokens"), budget = 7L)
+      .orderBy("lang", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("cum_tokens")))
+    // en keeps ids 1 (starts at 0) and 2 (starts at 4 < 7, crosses to 8);
+    // id 3 starts at 8 ≥ 7 and is dropped; fr's single huge doc survives
+    assert(kept.toSeq == Seq(("en", 1L, 4L), ("en", 2L, 8L), ("fr", 4L, 100L)))
+  }
 }
