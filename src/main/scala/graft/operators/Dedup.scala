@@ -468,18 +468,84 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Size-adaptive cluster resolution — the selection policy over the
+    * two distributed resolvers and a driver-local solve:
+    *
+    *  - a pair graph at or under `localEdgeMax` edges (default 2²² ≈
+    *    4M pairs of longs, ~64 MB — same bounded-collect discipline as
+    *    `Sink.upsertPartitioned`'s partition list) collapses to ONE
+    *    collect + an in-memory union-find. Near-dup pair sets are
+    *    usually tiny relative to their corpus (pairs ≈ duplicates, not
+    *    rows), and the distributed loops pay a dozen synchronous
+    *    round-trip jobs that driver-local union-find replaces with one
+    *    — which also makes the query immune to per-job scheduling
+    *    jitter under cluster contention.
+    *  - larger graphs run [[resolveClustersStar]] — O(log diameter)
+    *    rounds, unbounded capacity.
+    *
+    * Non-integral id columns skip the local path (the union-find is
+    * Long-keyed). Labels are the unique fixpoint (component-min id)
+    * on every path — DedupSpec asserts all three agree.
+    */
+  def resolveClustersAdaptive(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      localEdgeMax: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralTypes: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    val integral = integralTypes.contains(pairs.schema(aCol).dataType) &&
+      integralTypes.contains(pairs.schema(bCol).dataType)
+    if (!integral) return resolveClustersStar(pairs, aCol, bCol)
+    val p = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .localCheckpoint()
+    if (p.count() > localEdgeMax) {
+      val out = resolveClustersStar(p, "a", "b")
+      org.apache.spark.sql.GraftShims.uncheckpoint(p)
+      return out
+    }
+    val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+    org.apache.spark.sql.GraftShims.uncheckpoint(p)
+    // union-find with path compression; second pass labels every id
+    // with its component minimum (the same fixpoint the loops reach)
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = parent.keys.toArray
+    val compMin = scala.collection.mutable.HashMap.empty[Long, Long]
+    ids.foreach { id =>
+      val r = find(id)
+      if (id < compMin.getOrElse(r, Long.MaxValue)) compMin(r) = id
+    }
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    ids.toSeq.sorted.map(id => (id, compMin(find(id))))
+      .toDF("id", "cluster")
+  }
+
   /** Per-document dedup verdicts from near-dup pairs: cluster id and
     * keeper flag (keeper = the cluster's min doc_id); documents in no
     * pair form singleton clusters. `docs ✂ is_keeper` is the
     * deduplicated corpus.
     *
-    * Resolution runs [[resolveClustersStar]] — O(log diameter) rounds,
-    * proven label-identical to the simple loop (DedupSpec) — so a
-    * chain-shaped component at corpus scale cannot turn resolution into
-    * thousands of synchronous Spark jobs.
+    * Resolution runs [[resolveClustersAdaptive]]: bounded graphs solve
+    * in one driver union-find job, larger graphs run the O(log d) star
+    * rounds — so a chain-shaped component at corpus scale cannot turn
+    * resolution into thousands of synchronous Spark jobs, and a small
+    * graph never pays a dozen of them.
     */
   def dedupVerdicts(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val labels = resolveClustersStar(pairs).withColumnRenamed("id", "doc_id")
+    val labels = resolveClustersAdaptive(pairs).withColumnRenamed("id", "doc_id")
     docs.select("doc_id").join(labels, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
       .withColumn("is_keeper", col("cluster") === col("doc_id"))

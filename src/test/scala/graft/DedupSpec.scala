@@ -171,6 +171,23 @@ class DedupSpec extends SparkSpec {
     assert(star == simple && star.nonEmpty)
   }
 
+  test("resolveClustersAdaptive: local union-find ≡ star ≡ simple loop") {
+    val spark2 = spark
+    import spark2.implicits._
+    val chain = (0 until 127).map(i => (i.toLong, i.toLong + 1))
+    val pairs = (chain ++ Seq((300L, 301L), (301L, 302L), (300L, 302L), (400L, 401L)))
+      .toDF("doc_a", "doc_b")
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = labelsOf(Dedup.resolveClustersAdaptive(pairs)) // tiny → driver path
+    val forcedStar = labelsOf(Dedup.resolveClustersAdaptive(pairs, localEdgeMax = 0L))
+    val simple = labelsOf(Dedup.resolveClusters(pairs))
+    assert(local == simple)
+    assert(forcedStar == simple)
+    assert((0 to 127).forall(i => local(i.toLong) == 0L))
+    assert(local(401L) == 400L)
+  }
+
   test("cappedBandCandidates: small buckets all-pairs, over-cap buckets star-link") {
     val spark2 = spark
     import spark2.implicits._
