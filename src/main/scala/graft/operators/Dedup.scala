@@ -329,10 +329,11 @@ object Dedup {
     * is deterministic regardless of execution order. Measured against
     * pointer-jumping variants (1 and 3 path-halving hops per round) on
     * the 105k-pair sf0.1 graph: the extra per-round joins cost more
-    * than the saved rounds, so the simple loop stays; for graphs whose
-    * diameter actually hurts, the known fix is alternating
-    * large-star/small-star rounds, which this loop structure admits
-    * without API change.
+    * than the saved rounds. This loop is the REFERENCE implementation
+    * and is no longer on any default path — [[resolveClustersAdaptive]]
+    * selects a driver union-find for bounded graphs and
+    * [[resolveClustersStar]] (O(log d) rounds) beyond; all three are
+    * spec-proven label-identical.
     */
   def resolveClusters(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
