@@ -19,7 +19,7 @@ import org.apache.spark.sql.DataFrame
   * - Non-file plans (in-memory test frames, pre-shuffled inputs) are
   *   returned untouched: they already carry their parallelism.
   */
-private[operators] object Spread {
+private[graft] object Spread {
   def spread(docs: DataFrame): DataFrame = {
     val np = docs.sparkSession.sparkContext.defaultParallelism
     val nFiles = docs.inputFiles.length
