@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -18,14 +19,15 @@ import org.apache.spark.util.sketch.BloomFilter
   * exactly what `BloomFilter.putString` hashes — with no per-row String
   * allocation and no UDF boxing.
   *
-  * The filter object travels with the serialized expression (an
-  * `fpp=0.1%` filter over 1M items is ~1.7 MB); at cluster scale wrap
-  * the build side in fewer, larger filters rather than many small ones,
-  * or move to a broadcast variable if a plan embeds several probes.
+  * The filter travels as a BROADCAST variable, not inside the
+  * serialized expression: an `fpp=0.1%` filter over 1M items is
+  * ~1.7 MB, and task closures ship per task while a broadcast is
+  * fetched once per executor — the difference between MBs × tasks and
+  * MBs × executors on a real cluster.
   * Guarantee: no false negatives — every true member passes — so an
   * exact join downstream restores exact semantics.
   */
-case class BloomMightContain(child: Expression, bloom: BloomFilter)
+case class BloomMightContain(child: Expression, bloom: Broadcast[BloomFilter])
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -37,11 +39,16 @@ case class BloomMightContain(child: Expression, bloom: BloomFilter)
   override def prettyName: String = "bloom_might_contain"
 
   override def nullSafeEval(v: Any): Any =
-    bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+    bloom.value.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bloom", bloom, classOf[BloomFilter].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.mightContainBinary($c.getBytes());")
+    val bc = ctx.addReferenceObj("bloomBc", bloom, classOf[Broadcast[_]].getName)
+    val filterCls = classOf[BloomFilter].getName
+    // resolve the broadcast once per operator instance, not per row
+    val filterRef = ctx.addMutableState(filterCls, "bloomFilter",
+      v => s"$v = ($filterCls) $bc.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $filterRef.mightContainBinary($c.getBytes());")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
@@ -49,6 +56,6 @@ case class BloomMightContain(child: Expression, bloom: BloomFilter)
 }
 
 object BloomMightContain {
-  def mightContain(c: Column, bloom: BloomFilter): Column =
+  def mightContain(c: Column, bloom: Broadcast[BloomFilter]): Column =
     GraftShims.column(BloomMightContain(GraftShims.expression(c), bloom))
 }

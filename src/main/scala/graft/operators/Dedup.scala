@@ -297,8 +297,11 @@ object Dedup {
       math.max(evalGramSet.count(), 1L), fpp)
     // the filter now lives on the driver — the gram-set blocks are done
     org.apache.spark.sql.GraftShims.uncheckpoint(evalGramSet)
+    // broadcast, not closure capture: fetched once per executor instead
+    // of shipping MBs with every task
+    val bloomBc = train.sparkSession.sparkContext.broadcast(bloom)
     val trainSurvivors = shingles(train, n, distinct = false)
-      .filter(graft.functions.BloomMightContain.mightContain(col("s"), bloom))
+      .filter(graft.functions.BloomMightContain.mightContain(col("s"), bloomBc))
       .select("s").distinct()
     val sizes = evalGrams.groupBy("doc_id").agg(count(lit(1)).as("total_ngrams"))
     val hits = evalGrams.join(trainSurvivors, "s")

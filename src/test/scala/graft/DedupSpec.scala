@@ -114,11 +114,12 @@ class DedupSpec extends SparkSpec {
     import org.apache.spark.util.sketch.BloomFilter
     val bf = BloomFilter.create(100, 0.01)
     Seq("alpha", "beta").foreach(bf.putString)
+    val bc = spark.sparkContext.broadcast(bf)
     val r = Seq(("alpha", Option("beta")), ("gamma", None))
       .toDF("a", "b")
       .select(
-        graft.functions.BloomMightContain.mightContain(col("a"), bf).as("ma"),
-        graft.functions.BloomMightContain.mightContain(col("b"), bf).as("mb"))
+        graft.functions.BloomMightContain.mightContain(col("a"), bc).as("ma"),
+        graft.functions.BloomMightContain.mightContain(col("b"), bc).as("mb"))
       .collect()
     assert(r(0).getBoolean(0)) // member: guaranteed true
     assert(r(0).getBoolean(1))
