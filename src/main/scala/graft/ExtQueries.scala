@@ -45,6 +45,8 @@ object ExtQueries {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d), 0.5)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), 0.5)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    // MOSS-style winnowing: ≥2 shared window-min fingerprints → pair
+    "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(docs(s, d), 5, 4, 2)),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashNearDups(docs(s, d), 3)),
     // pairs → connected components → keeper per cluster (the step that
     // turns pair lists into an actually-deduplicated corpus)
@@ -476,6 +478,33 @@ object ExtQueries {
          | WHERE $jaccardExpr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" ->
       s"$simhashSigSql SELECT doc_id, simhash FROM sig ORDER BY doc_id",
+    "dedup_winnow_pairs" ->
+      s"""WITH wds AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         | sh AS (SELECT doc_id, i AS pos,
+         |     md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) AS h
+         |   FROM wds, UNNEST(range(1, len(w) - 3)) t(i)),
+         | wmn AS (SELECT doc_id, pos,
+         |     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         |     max(pos) OVER (PARTITION BY doc_id) AS maxpos
+         |   FROM sh),
+         | fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM wmn WHERE pos <= maxpos - 3),
+         | wstat AS (SELECT fp, count(*) AS bn, min(doc_id) AS bmin FROM fps GROUP BY fp),
+         | fw AS (SELECT f.doc_id, f.fp, s.bn, s.bmin FROM fps f JOIN wstat s USING (fp)),
+         | cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+         |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |   FROM fw a JOIN fw b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |   WHERE a.bn <= ${Dedup.lshBucketCap}
+         |   UNION ALL
+         |   SELECT bmin AS doc_a, doc_id AS doc_b FROM fw
+         |   WHERE bn > ${Dedup.lshBucketCap} AND doc_id <> bmin)),
+         | shared AS (SELECT doc_a, doc_b, count(*) AS n_shared
+         |   FROM cand
+         |   JOIN fps fa ON fa.doc_id = doc_a
+         |   JOIN fps fb ON fb.doc_id = doc_b AND fb.fp = fa.fp
+         |   GROUP BY doc_a, doc_b)
+         | SELECT doc_a, doc_b, n_shared FROM shared WHERE n_shared >= 2
+         | ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""$simhashPairsCte
          | SELECT doc_a, doc_b, dist FROM dists WHERE dist <= 3

@@ -250,6 +250,52 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Winnowing fingerprint near-dup pairs (Schleimer et al.,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS scheme): hash positioned lowercase word n-grams, slide a
+    * w-window over each document's hash sequence, select the window
+    * minimum — the guarantee is that any match of length ≥ w+n-1 words
+    * between two documents shares at least one selected fingerprint.
+    * Near-dup pairs are documents sharing ≥ `minShared` fingerprints.
+    *
+    * Scale shape: fingerprints are ~1 per w shingles (the density
+    * bound), so the join side is a sparse (doc, fp) table; candidate
+    * generation reuses [[cappedBandCandidates]] (a boilerplate
+    * fingerprint shared by thousands of template docs star-links
+    * instead of exploding), and the shared-count verification joins
+    * only candidate pairs. Min over md5 hex strings is lexicographic in
+    * both engines, so selection is cross-engine exact.
+    */
+  def winnowPairs(docs: DataFrame, n: Int = 5, w: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    val words = split(lower(col("text")), " ")
+    val grams = expr(
+      s"""transform(sequence(1, size(wds) - ${n - 1}),
+         |  i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(wds, i + $j)").mkString(", ")}))""".stripMargin)
+    val hashed = spread(docs).select(col("doc_id"), words.as("wds"))
+      .filter(size(col("wds")) >= n)
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), md5(col("s")).as("h"))
+    // window minimum per start position; starts whose window would run
+    // past the end are dropped (both engines filter identically)
+    val sel = hashed
+      .withColumn("wmin", min("h").over(
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)))
+      .withColumn("maxpos", max("pos").over(Window.partitionBy("doc_id")))
+      .filter(col("pos") <= col("maxpos") - (w - 1))
+      .select(col("doc_id"), col("wmin").as("fp")).distinct()
+      .localCheckpoint()
+    val cand = cappedBandCandidates(
+      sel.select(col("doc_id"), lit(0).as("band"), col("fp").as("bv")))
+    cand
+      .join(sel.select(col("doc_id").as("doc_a"), col("fp")), "doc_a")
+      .join(sel.select(col("doc_id").as("doc_b"), col("fp")), Seq("doc_b", "fp"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select("doc_a", "doc_b", "n_shared")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Train/eval contamination check (decontamination): for every eval
     * document with at least `n` words, the count and share of its
     * distinct word n-grams that also appear anywhere in the training

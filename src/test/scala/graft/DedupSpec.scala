@@ -224,6 +224,18 @@ class DedupSpec extends SparkSpec {
     assert(v.count(_._3) == 1)
   }
 
+  test("winnowPairs: exact dups share all fingerprints, disjoint docs pair with nobody") {
+    // 9-word docs → five 5-grams, two valid 4-windows each
+    val pairs = Dedup.winnowPairs(corpus, n = 5, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_shared")))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 3L)), "exact dup pair must share fingerprints")
+    // doc 2 is fully disjoint text — it can share no 5-gram fingerprint
+    assert(pairs.forall(p => p._1 != 2L && p._2 != 2L))
+    val exact = pairs.find(p => (p._1, p._2) == (0L, 3L)).get
+    assert(exact._3 >= 1L)
+  }
+
   test("simhash: 64-bit signatures, equal for equal text, close for near-dups") {
     val sig = Dedup.simhash(corpus).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
