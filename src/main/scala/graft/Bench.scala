@@ -47,27 +47,43 @@ object Bench {
       try qs(n)(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] warm $n failed: $e") }
     }
-    // min of two timed reps per query: this box's wall clock swings
+    // min of timed reps per query: this box's wall clock swings
     // several-fold under external load bursts (PLANS.md measured a
     // 21-28 s headline spiking to 171 s under load-avg ~3), and min is
     // the standard noise-robust estimator for a deterministic workload.
     // Rep 1 at the timed SF also absorbs legitimate one-time costs
     // (the IVF quantizer trains once per corpus by design), so min
     // reflects the steady state a real deployment runs in.
+    // Reps are INTERLEAVED round-robin (every query once, then the
+    // whole list again) rather than back-to-back: a single multi-minute
+    // burst can then land on at most one rep of each query, never on
+    // both reps of the same query (BENCH_r04 recorded 29.9 s for a
+    // 3.7 s query because a burst swallowed both adjacent reps). If the
+    // two reps of a query still disagree by >3x, a third rep breaks the
+    // tie — two bursts minutes apart hitting the same query both times
+    // is the only way a contaminated min survives.
+    def timeOne(name: String): (Boolean, Double) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      (ok, (System.nanoTime() - t0) / 1e9)
+    }
+    val round1 = names.map(timeOne)
+    val round2 = names.map(timeOne)
+    val round3 = names.indices.flatMap { i =>
+      val (ok1, t1) = round1(i); val (ok2, t2) = round2(i)
+      val spread = math.max(t1, t2) / math.max(math.min(t1, t2), 1e-9)
+      if (!ok1 || !ok2 || spread > 3.0) Some(i -> timeOne(names(i))) else None
+    }.toMap
     // a failed rep must never enter the min — a fast analysis error
     // would otherwise mask a real measurement with a near-zero time;
     // if every rep fails, report the max elapsed so the failure is
     // visible in the number too (stderr carries the exception)
-    val results = names.map { name =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-        (ok, (System.nanoTime() - t0) / 1e9)
-      }
-      val good = times.collect { case (true, t) => t }
-      name -> (if (good.nonEmpty) good.min else times.map(_._2).max)
+    val results = names.zipWithIndex.map { case (name, i) =>
+      val reps = Seq(round1(i), round2(i)) ++ round3.get(i)
+      val good = reps.collect { case (true, t) => t }
+      name -> (if (good.nonEmpty) good.min else reps.map(_._2).max)
     }
     val qj = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

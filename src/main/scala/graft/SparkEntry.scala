@@ -231,9 +231,11 @@ object SparkEntry {
     }),
 
     // ---- EWM family (W4-W7; custom Catalyst aggregate). ema_macd is
-    // the full-precision surface (rows-only driver check + pandas
-    // goldens); ema_macd_checked rounds to 2 decimals and hash-matches
-    // a truncated-convolution DuckDB oracle (agreement ≤ 3e-10).
+    // the full-precision surface, hash-matched bit-for-bit against a
+    // DuckDB RECURSIVE CTE that replays the exact adjust=True recursion
+    // (emaMacdExactOracle); ema_macd_checked rounds to 2 decimals and
+    // hash-matches an independent truncated-convolution oracle — two
+    // structurally different oracles cross-checking one implementation.
     "ema_macd" -> ((s, d) =>
       Indicators.withEmaMacd(stocks(s, d))
         .select("symbol", "date", "close", "ema_12", "ema_26", "macd",
@@ -480,6 +482,7 @@ object SparkEntry {
          | WINDOW w AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
          | ORDER BY symbol, date""".stripMargin,
     "rsi" -> rsiOracle,
+    "ema_macd" -> emaMacdExactOracle,
     "ema_macd_checked" -> emaMacdCheckedOracle,
     "window_chunked_ema" -> emaMacdCheckedOracle,
     "dashboard_range_ma" ->
@@ -646,6 +649,57 @@ object SparkEntry {
     val d = s"(1.0 - 2.0 / ${span + 1}.0)"
     s"""(list_sum(list_transform(list_reverse($listCol), (x, i) -> x * pow($d, i - 1)))
        | / ((1.0 - pow($d, len($listCol))) / (2.0 / ${span + 1}.0)))""".stripMargin.replace("\n", "")
+  }
+
+  /** Exact full-precision oracle for `ema_macd`: a DuckDB RECURSIVE CTE
+    * replaying the adjust=True recursion bit-for-bit.
+    *
+    * EwmMean's per-row update is `num' = x + d*num`, `den' = 1 + d*den`,
+    * output `num/den` — three IEEE double ops per state. The recursion
+    * here carries all three EWM states (span 12 and 26 over close, span
+    * 9 over the derived macd) per (symbol, row) and performs the SAME
+    * ops in the SAME order on the SAME inputs, so every intermediate
+    * double is bit-identical to the Spark aggregate's buffer. Constants
+    * go through CAST(n AS DOUBLE) so DuckDB can't route `2.0/13.0`
+    * through DECIMAL arithmetic; the seeds (x + d*0, 1 + d*0, x/1 - x/1)
+    * are algebraically exact in IEEE, so literal 0/1 seeds are safe.
+    *
+    * Iteration count = max rows per symbol (~2.5k at sf0.01) with a
+    * 6-row frontier per step — cheap for the oracle's one-shot run.
+    */
+  private lazy val emaMacdExactOracle: String = {
+    def d(span: Int) =
+      s"(CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / CAST(${span + 1} AS DOUBLE))"
+    def ema12(p: String) = s"(o.close + ${d(12)} * $p.num12) / (CAST(1 AS DOUBLE) + ${d(12)} * $p.den12)"
+    def ema26(p: String) = s"(o.close + ${d(26)} * $p.num26) / (CAST(1 AS DOUBLE) + ${d(26)} * $p.den26)"
+    s"""${S.replaceFirst("WITH ", "WITH RECURSIVE ")}, ord AS (
+       |   SELECT symbol, date, close,
+       |     row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+       |   FROM stocks),
+       | rec AS (
+       |   SELECT symbol, date, rn, close,
+       |     close AS num12, CAST(1 AS DOUBLE) AS den12,
+       |     close AS num26, CAST(1 AS DOUBLE) AS den26,
+       |     CAST(0 AS DOUBLE) AS macd,
+       |     CAST(0 AS DOUBLE) AS nums, CAST(1 AS DOUBLE) AS dens
+       |   FROM ord WHERE rn = 1
+       |   UNION ALL
+       |   SELECT o.symbol, o.date, o.rn, o.close,
+       |     o.close + ${d(12)} * r.num12 AS num12,
+       |     CAST(1 AS DOUBLE) + ${d(12)} * r.den12 AS den12,
+       |     o.close + ${d(26)} * r.num26 AS num26,
+       |     CAST(1 AS DOUBLE) + ${d(26)} * r.den26 AS den26,
+       |     ${ema12("r")} - ${ema26("r")} AS macd,
+       |     (${ema12("r")} - ${ema26("r")}) + ${d(9)} * r.nums AS nums,
+       |     CAST(1 AS DOUBLE) + ${d(9)} * r.dens AS dens
+       |   FROM rec r JOIN ord o ON o.symbol = r.symbol AND o.rn = r.rn + 1)
+       | SELECT symbol, date, close,
+       |   num12 / den12 AS ema_12,
+       |   num26 / den26 AS ema_26,
+       |   macd,
+       |   nums / dens AS macd_signal,
+       |   macd - nums / dens AS macd_histogram
+       | FROM rec ORDER BY symbol, date""".stripMargin
   }
 
   private lazy val emaMacdCheckedOracle: String =
