@@ -48,6 +48,11 @@ object ExtQueries {
     // MOSS-style winnowing: ≥2 shared window-min fingerprints → pair
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(docs(s, d), 5, 4, 2)),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashNearDups(docs(s, d), 3)),
+    // the recall-preserving over-cap mode: sub-split on the other three
+    // chunks instead of star-linking, so template clusters emit their
+    // complete pair list (Dedup.subSplitBandCandidates)
+    "dedup_simhash_pairs_full" ->
+      ((s, d) => Dedup.simhashNearDups(docs(s, d), 3, fullRecall = true)),
     // pairs → connected components → keeper per cluster (the step that
     // turns pair lists into an actually-deduplicated corpus)
     "dedup_clusters" -> ((s, d) => {
@@ -318,14 +323,47 @@ object ExtQueries {
        |   UNION ALL
        |   SELECT bmin AS doc_a, doc_id AS doc_b FROM cw
        |   WHERE bn > ${Dedup.lshBucketCap} AND doc_id <> bmin)),
-       | dists AS (
-       |   SELECT doc_a, doc_b,
-       |     CAST(list_sum(list_transform(range(1, 65), i ->
-       |       CASE WHEN substr(sa.simhash, CAST(i AS INT), 1) <> substr(sb.simhash, CAST(i AS INT), 1)
-       |            THEN 1 ELSE 0 END)) AS INT) AS dist
-       |   FROM cand
-       |   JOIN sig sa ON sa.doc_id = doc_a
-       |   JOIN sig sb ON sb.doc_id = doc_b)""".stripMargin
+       | dists AS ($simhashDistSql)""".stripMargin
+
+  /** Hamming verification of `cand` against `sig` — shared by the
+    * star-capped and sub-split candidate chains. */
+  private val simhashDistSql: String =
+    """
+      |   SELECT doc_a, doc_b,
+      |     CAST(list_sum(list_transform(range(1, 65), i ->
+      |       CASE WHEN substr(sa.simhash, CAST(i AS INT), 1) <> substr(sb.simhash, CAST(i AS INT), 1)
+      |            THEN 1 ELSE 0 END)) AS INT) AS dist
+      |   FROM cand
+      |   JOIN sig sa ON sa.doc_id = doc_a
+      |   JOIN sig sb ON sb.doc_id = doc_b""".stripMargin
+
+  /** The sub-split (full-recall) candidate chain — mirrors
+    * Dedup.subSplitBandCandidates over the four 16-bit chunks: per
+    * (doc, chunk) the prefix keys at depths 0..3, each (doc, band)
+    * settling in its shallowest prefix bucket with population ≤ cap
+    * (full depth if none), all-pairs within settled buckets.
+    */
+  private lazy val simhashFullPairsCte: String = {
+    val keySelects = (for (b <- 0 until 4; d <- 0 to 3) yield {
+      val pieces = (b +: (0 until 4).filterNot(_ == b).take(d))
+        .map(j => s"substr(simhash, ${j * 16 + 1}, 16)")
+      s"SELECT doc_id, $b AS band, $d AS depth, ${pieces.mkString(" || '_' || ")} AS pk FROM sig"
+    }).mkString("\n   UNION ALL ")
+    s"""$simhashSigSql,
+       | keys AS (
+       |   $keySelects),
+       | kstat AS (SELECT band, depth, pk, count(*) AS bn
+       |           FROM keys GROUP BY band, depth, pk),
+       | settled AS (SELECT doc_id, band, depth, pk FROM (
+       |   SELECT k.doc_id, k.band, k.depth, k.pk,
+       |     row_number() OVER (PARTITION BY k.doc_id, k.band ORDER BY k.depth) AS rn
+       |   FROM keys k JOIN kstat s USING (band, depth, pk)
+       |   WHERE s.bn <= ${Dedup.lshBucketCap} OR k.depth = 3) WHERE rn = 1),
+       | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |   FROM settled a JOIN settled b ON a.band = b.band AND a.depth = b.depth
+       |     AND a.pk = b.pk AND a.doc_id < b.doc_id),
+       | dists AS ($simhashDistSql)""".stripMargin
+  }
 
   /** The decontamination oracle (shared by contamination_check and its
     * bloom-pruned twin — same semantics by construction).
@@ -507,6 +545,10 @@ object ExtQueries {
          | ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""$simhashPairsCte
+         | SELECT doc_a, doc_b, dist FROM dists WHERE dist <= 3
+         | ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash_pairs_full" ->
+      s"""$simhashFullPairsCte
          | SELECT doc_a, doc_b, dist FROM dists WHERE dist <= 3
          | ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_clusters" ->

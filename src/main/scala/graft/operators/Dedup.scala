@@ -179,11 +179,72 @@ object Dedup {
     smallPairs.unionByName(starLinks).distinct()
   }
 
+  /** Recall-preserving alternative to [[cappedBandCandidates]]'s star
+    * links: over-cap buckets SUB-SPLIT on extra signature material
+    * instead of collapsing to hub pairs.
+    *
+    * `bands` must carry, besides (doc_id, band, bv), an `ext` array
+    * column of `maxDepth` extra key pieces (for SimHash chunk b: the
+    * other three chunks; for MinHash band b: the other band values).
+    * Each (doc, band) row descends the prefix chain
+    * `bv, bv_e1, bv_e1_e2, …` and settles in its SHALLOWEST prefix
+    * bucket whose population is ≤ cap — or the full-depth bucket when
+    * none is. All-pairs are emitted within settled buckets only.
+    * The choice is consistent across a bucket (prefixes nest, so docs
+    * sharing a depth-d key share every ancestor's population), which
+    * keeps the output deterministic and SQL-mirrorable.
+    *
+    * Why this preserves the pairs a user actually wants:
+    *  - a DEGENERATE over-cap bucket (unrelated docs on a bit-biased
+    *    band value) scatters across sub-keys — each sub-bucket falls
+    *    under the cap fast and candidate count stays O(Σ small²);
+    *  - a GENUINE template cluster agrees on the extra pieces too, so
+    *    it rides to full depth intact and emits ALL its pairs — there
+    *    the candidate count equals the true duplicate-pair count, i.e.
+    *    output-bound work, not waste (a 500-doc boilerplate cluster
+    *    yields its full ~125k pair list instead of 499 hub links).
+    * The residual miss is a near-dup pair inside an over-cap bucket
+    * whose members disagree on every prefix — such pairs are still
+    * caught by any OTHER band they share under the cap (the standard
+    * multi-band recall argument).
+    *
+    * Cost: one extra explode ((maxDepth+1)× band rows) and one extra
+    * aggregate over (band, depth, key) — both linear; no B² island
+    * anywhere. Scale shape identical to the star path.
+    */
+  private[graft] def subSplitBandCandidates(bands: DataFrame, maxDepth: Int,
+      cap: Int = lshBucketCap): DataFrame = {
+    val keyStructs = (0 to maxDepth).map { d =>
+      val pieces = col("bv") +: (0 until d).map(j => col("ext")(j))
+      struct(lit(d).as("depth"), concat_ws("_", pieces: _*).as("key"))
+    }
+    val keyed = bands
+      .select(col("doc_id"), col("band"),
+        explode(array(keyStructs: _*)).as("dk"))
+      .select(col("doc_id"), col("band"),
+        col("dk.depth").as("depth"), col("dk.key").as("key"))
+    val counts = keyed.groupBy("band", "depth", "key").agg(count(lit(1)).as("bn"))
+    // each (doc, band, depth) has exactly one key, so min(struct) picks
+    // the shallowest eligible depth with its key
+    val chosen = keyed.join(counts, Seq("band", "depth", "key"))
+      .filter(col("bn") <= cap || col("depth") === maxDepth)
+      .groupBy("doc_id", "band")
+      .agg(min(struct(col("depth"), col("key"))).as("dk"))
+      .select(col("doc_id"), col("band"),
+        col("dk.depth").as("depth"), col("dk.key").as("key"))
+    chosen.as("a").join(chosen.as("b"),
+        col("a.band") === col("b.band") && col("a.depth") === col("b.depth") &&
+          col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** LSH candidate pairs (same band value in any band, bucket-capped —
     * see [[cappedBandCandidates]]) verified with exact Jaccard;
     * output = verified near-dup pairs.
     */
-  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
+      fullRecall: Boolean = false): DataFrame = {
     // the signature table is materialized eagerly (localCheckpoint, not
     // cache) — the band self-join and the candidate verification each
     // read it from BOTH join sides, and concurrent stages racing a cold
@@ -197,14 +258,20 @@ object Dedup {
     // plan into one AQE stage per branch per join side, and before the
     // cache is materialized those stages race to recompute the whole
     // signature subtree
-    val bandStructs = (0 until minhashSeeds / minhashBandSize).map { b =>
-      val cols = (0 until minhashBandSize).map(j => col(s"h${b * minhashBandSize + j}"))
-      struct(lit(b).as("band"), concat_ws("_", cols: _*).as("bv"))
+    val nBands = minhashSeeds / minhashBandSize
+    def bandValue(b: Int) = concat_ws("_",
+      (0 until minhashBandSize).map(j => col(s"h${b * minhashBandSize + j}")): _*)
+    val bandStructs = (0 until nBands).map { b =>
+      val others = (0 until nBands).filterNot(_ == b).map(bandValue)
+      struct(lit(b).as("band"), bandValue(b).as("bv"), array(others: _*).as("ext"))
     }
     val bands = sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val cands = cappedBandCandidates(bands)
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"),
+        col("bb.ext").as("ext"))
+    val cands =
+      if (fullRecall) subSplitBandCandidates(bands, maxDepth = nBands - 1)
+      else cappedBandCandidates(bands.drop("ext"))
     // verify candidates with exact jaccard: shared shingles per pair
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     cands
@@ -228,18 +295,29 @@ object Dedup {
     * [[cappedBandCandidates]]), join on chunk equality, verify with the
     * codegen'd graft.functions.HammingDistance expression.
     */
-  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
+      fullRecall: Boolean = false): DataFrame = {
     // eager materialization: three consumers (chunk generation + two
     // verification join-backs) would race a cold cache
     val sig = simhash(docs).localCheckpoint()
     // explode, not a 4-way union (see minhashLshPairs): one pass, one
     // AQE stage per join side instead of eight racing the cold cache
-    val chunkStructs = (0 until 4).map(b =>
-      struct(lit(b).as("band"), col("simhash").substr(b * 16 + 1, 16).as("bv")))
+    val chunkStructs = (0 until 4).map { b =>
+      val others = (0 until 4).filterNot(_ == b)
+        .map(j => col("simhash").substr(j * 16 + 1, 16))
+      struct(lit(b).as("band"), col("simhash").substr(b * 16 + 1, 16).as("bv"),
+        array(others: _*).as("ext"))
+    }
     val chunks = sig.select(col("doc_id"),
         explode(array(chunkStructs: _*)).as("ch"))
-      .select(col("doc_id"), col("ch.band").as("band"), col("ch.bv").as("bv"))
-    val cands = cappedBandCandidates(chunks)
+      .select(col("doc_id"), col("ch.band").as("band"), col("ch.bv").as("bv"),
+        col("ch.ext").as("ext"))
+    // star mode bounds over-cap buckets to hub links (pair recall
+    // traded for O(B)); full-recall mode sub-splits them on the other
+    // three chunks so template clusters keep their complete pair list
+    val cands =
+      if (fullRecall) subSplitBandCandidates(chunks, maxDepth = 3)
+      else cappedBandCandidates(chunks.drop("ext"))
     cands
       .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
       .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")

@@ -224,6 +224,61 @@ class DedupSpec extends SparkSpec {
     assert(v.count(_._3) == 1)
   }
 
+  test("subSplit: degenerate bucket scatters to bounded sub-buckets, agreeing docs keep all pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cap = 4
+    // one over-cap bucket (12 docs share bv) whose ext pieces split it
+    // 4-way at depth 1: docs 0-2 agree fully (template), docs 3-11
+    // scatter in threes; plus one under-cap bucket (docs 20-21) that
+    // must emit classic all-pairs at depth 0
+    val over = (0L until 12L).map(i =>
+      (i, 0, "deg", Seq(s"e${i % 4}", s"f$i")))
+    val under = Seq(
+      (20L, 1, "ok", Seq("x", "y")), (21L, 1, "ok", Seq("x", "y")))
+    val cands = Dedup.subSplitBandCandidates(
+        (over ++ under).toDF("doc_id", "band", "bv", "ext"), maxDepth = 2, cap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // depth-1 sub-buckets {0,4,8},{1,5,9},{2,6,10},{3,7,11} are ≤ cap →
+    // all-pairs within each, nothing across; under-cap bucket pairs as-is
+    val expected = (0 until 4).flatMap { e =>
+      val ds = (0L until 12L).filter(_ % 4 == e)
+      for (a <- ds; b <- ds if a < b) yield (a, b)
+    }.toSet + ((20L, 21L))
+    assert(cands == expected)
+  }
+
+  test("subSplit: full-depth agreement emits complete all-pairs (no cap collapse)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // every doc identical on bv AND all ext pieces: the bucket rides to
+    // full depth still over-cap and must emit ALL pairs — the genuine
+    // template-cluster case where candidate count = true pair count
+    val n = 10L
+    val rows = (0L until n).map(i => (i, 0, "t", Seq("a", "b")))
+    val cands = Dedup.subSplitBandCandidates(
+        rows.toDF("doc_id", "band", "bv", "ext"), maxDepth = 2, cap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = (for (a <- 0L until n; b <- 0L until n if a < b) yield (a, b)).toSet
+    assert(cands == all)
+  }
+
+  test("full-recall mode: planted 500-doc template cluster yields the complete pair list") {
+    val spark2 = spark
+    import spark2.implicits._
+    // same worst case as the star-mode spec above, but the user asked
+    // for the PAIR LIST: fullRecall sub-splits the over-cap chunks on
+    // the other three chunks (identical here → full depth → all-pairs),
+    // so all 124 750 pairs come back at dist 0 — candidate count equals
+    // output count, so the work is output-bound, not a cap artifact
+    val boiler = (0L until 500L)
+      .map(i => (i, "buy now click here limited offer act today best price guaranteed"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(boiler, 3, fullRecall = true)
+    assert(pairs.count() == 500L * 499L / 2)
+    assert(pairs.filter(col("dist") =!= 0).isEmpty)
+  }
+
   test("winnowPairs: exact dups share all fingerprints, disjoint docs pair with nobody") {
     // 9-word docs → five 5-grams, two valid 4-windows each
     val pairs = Dedup.winnowPairs(corpus, n = 5, w = 4, minShared = 1)
