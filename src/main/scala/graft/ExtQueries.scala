@@ -18,6 +18,9 @@ object ExtQueries {
     */
   private lazy val streamReplayDir: String = TempDirs.create("graft_stream_replay")
 
+  /** Replay-drop directory for the streaming near-dup query. */
+  private lazy val neardupReplayDir: String = TempDirs.create("graft_neardup_replay")
+
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
@@ -174,8 +177,15 @@ object ExtQueries {
       TextOps.redactPii(injected)
     }),
 
-    // ---- multimodal plumbing (stub decode; see Multimodal Scaladoc)
-    "multimodal_features" -> ((s, d) => Multimodal.features(docs(s, d))),
+    // ---- multimodal: REAL javax.imageio decode for image rows (the
+    // oracle mirrors the synthetic-PNG generation functions, so a hash
+    // match proves the encode→decode round trip recovered exact
+    // dimensions and pixels); audio/video dims remain the documented
+    // stub. PNG byte-level fields (n_bytes/checksum/preview) are not
+    // SQL-predictable and live on the Dataset API, spec-covered.
+    "multimodal_features" -> ((s, d) =>
+      Multimodal.features(docs(s, d))
+        .select("doc_id", "kind", "width", "height", "px_r", "px_g", "px_b")),
     // resize → frame-sample → join frames back to their source docs;
     // every stage narrow until the final small join.
     "multimodal_frames" -> ((s, d) => {
@@ -246,6 +256,27 @@ object ExtQueries {
         .orderBy("symbol", "date")
     }),
 
+    // streaming near-dup replay on the oracle surface: the corpus lands
+    // in three file drops → several micro-batches; per-(band, bv) bucket
+    // state pairs docs ACROSS batches and the collected candidates
+    // exact-verify against the static corpus — the result equals the
+    // batch MinHash LSH path wherever no bucket crosses the cap during
+    // replay (max sf0.01 bucket = 3), so it shares dedup_minhash_lsh's
+    // oracle SQL verbatim. Intra-bucket all-pairs is arrival-order
+    // INVARIANT under the cap, so no drop-order stamping is needed.
+    // SIDE EFFECT: writes the replay drops under one per-JVM temp dir.
+    "stream_neardup_replay" -> ((s, d) => {
+      val dir = neardupReplayDir
+      val all = docs(s, d).select("doc_id", "text", "lang", "source", "n_chars")
+      Seq(("a", 0), ("b", 1), ("c", 2)).foreach { case (tag, r) =>
+        all.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
+          .write.mode("overwrite").parquet(dir + s"/drop=$tag")
+      }
+      graft.streaming.DedupStream.runBoundedNearDups(
+        s, dir + "/drop=*", 0.5, "stream_neardup_tbl",
+        staticDocs = Some(all.select("doc_id", "text")))
+    }),
+
     // ---- skew-salted join (result ≡ plain equi-join; the salt only
     // changes task distribution, which the oracle proves)
     "skew_salted_join" -> ((s, d) => {
@@ -304,6 +335,45 @@ object ExtQueries {
     (1 to 8).map(i =>
       s"CAST(ascii(substr(m, $i, 1)) AS BIGINT) * ${math.pow(128, 8 - i).toLong}")
       .mkString(" + ")
+
+  /** MinHash+LSH near-dup pair SQL (signatures → capped banding →
+    * exact-Jaccard verify) — shared by dedup_minhash_lsh and its
+    * streaming replay twin stream_neardup_replay.
+    */
+  private lazy val minhashLshOracleSql: String =
+    s"""$SH3,
+       | shx AS (SELECT doc_id, ($minhashBaseSql) % ${Dedup.minhashP} AS x
+       |         FROM (SELECT doc_id, md5(s) AS m FROM sh)),
+       | sig AS (SELECT doc_id,
+       |   ${Dedup.minhashParams.zipWithIndex.map { case ((a, b), k) =>
+           s"min(($a * x + $b) % ${Dedup.minhashP}) AS h$k" }.mkString(", ")}
+       |   FROM shx GROUP BY doc_id),
+       | bands AS (
+       |   ${(0 until Dedup.minhashSeeds / Dedup.minhashBandSize).map { b =>
+           val hs = (0 until Dedup.minhashBandSize)
+             .map(j => s"h${b * Dedup.minhashBandSize + j}").mkString(", ")
+           s"SELECT doc_id, $b AS band, concat_ws('_', $hs) AS bv FROM sig"
+         }.mkString("\n   UNION ALL ")}),
+       | mstat AS (SELECT band, bv, count(*) AS bn, min(doc_id) AS bmin
+       |           FROM bands GROUP BY band, bv),
+       | bw AS (SELECT d.doc_id, d.band, d.bv, s.bn, s.bmin
+       |        FROM bands d JOIN mstat s USING (band, bv)),
+       | cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |   FROM bw a JOIN bw b
+       |     ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |   WHERE a.bn <= ${Dedup.lshBucketCap}
+       |   UNION ALL
+       |   SELECT bmin AS doc_a, doc_id AS doc_b FROM bw
+       |   WHERE bn > ${Dedup.lshBucketCap} AND doc_id <> bmin)),
+       | iv AS (SELECT doc_a, doc_b, count(*) AS n_common
+       |        FROM cand
+       |        JOIN sh sa ON sa.doc_id = doc_a
+       |        JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+       |        GROUP BY doc_a, doc_b)
+       | SELECT doc_a, doc_b, $jaccardExpr AS jaccard
+       | FROM iv JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       | WHERE $jaccardExpr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
   /** SimHash near-dup pair CTE chain (… → sig → chunks → cand → dists)
     * shared by dedup_simhash_pairs and dedup_clusters.
@@ -480,40 +550,11 @@ object ExtQueries {
          |   $jaccardExpr AS jaccard
          | FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          | WHERE $jaccardExpr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_minhash_lsh" ->
-      s"""$SH3,
-         | shx AS (SELECT doc_id, ($minhashBaseSql) % ${Dedup.minhashP} AS x
-         |         FROM (SELECT doc_id, md5(s) AS m FROM sh)),
-         | sig AS (SELECT doc_id,
-         |   ${Dedup.minhashParams.zipWithIndex.map { case ((a, b), k) =>
-             s"min(($a * x + $b) % ${Dedup.minhashP}) AS h$k" }.mkString(", ")}
-         |   FROM shx GROUP BY doc_id),
-         | bands AS (
-         |   ${(0 until Dedup.minhashSeeds / Dedup.minhashBandSize).map { b =>
-             val hs = (0 until Dedup.minhashBandSize)
-               .map(j => s"h${b * Dedup.minhashBandSize + j}").mkString(", ")
-             s"SELECT doc_id, $b AS band, concat_ws('_', $hs) AS bv FROM sig"
-           }.mkString("\n   UNION ALL ")}),
-         | mstat AS (SELECT band, bv, count(*) AS bn, min(doc_id) AS bmin
-         |           FROM bands GROUP BY band, bv),
-         | bw AS (SELECT d.doc_id, d.band, d.bv, s.bn, s.bmin
-         |        FROM bands d JOIN mstat s USING (band, bv)),
-         | cand AS (SELECT DISTINCT doc_a, doc_b FROM (
-         |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |   FROM bw a JOIN bw b
-         |     ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-         |   WHERE a.bn <= ${Dedup.lshBucketCap}
-         |   UNION ALL
-         |   SELECT bmin AS doc_a, doc_id AS doc_b FROM bw
-         |   WHERE bn > ${Dedup.lshBucketCap} AND doc_id <> bmin)),
-         | iv AS (SELECT doc_a, doc_b, count(*) AS n_common
-         |        FROM cand
-         |        JOIN sh sa ON sa.doc_id = doc_a
-         |        JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
-         |        GROUP BY doc_a, doc_b)
-         | SELECT doc_a, doc_b, $jaccardExpr AS jaccard
-         | FROM iv JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-         | WHERE $jaccardExpr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_lsh" -> minhashLshOracleSql,
+    // the streaming replay reproduces the batch LSH pairs exactly
+    // (under-cap buckets are arrival-order invariant), so it is held to
+    // the identical oracle
+    "stream_neardup_replay" -> minhashLshOracleSql,
     "dedup_simhash" ->
       s"$simhashSigSql SELECT doc_id, simhash FROM sig ORDER BY doc_id",
     "dedup_winnow_pairs" ->
@@ -814,11 +855,13 @@ object ExtQueries {
     "multimodal_features" ->
       """SELECT doc_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | md5(text) AS checksum,
-        | CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-        | CAST(octet_length(encode(text)) % 480 AS INT) AS height,
-        | substr(text, 1, 16) AS preview
+        | CASE WHEN doc_id % 3 = 0 THEN CAST(16 + doc_id % 48 AS INT)
+        |      ELSE CAST(octet_length(encode(text)) % 640 AS INT) END AS width,
+        | CASE WHEN doc_id % 3 = 0 THEN CAST(16 + (doc_id * 7) % 32 AS INT)
+        |      ELSE CAST(octet_length(encode(text)) % 480 AS INT) END AS height,
+        | CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS INT) END AS px_r,
+        | CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 3) % 256 AS INT) END AS px_g,
+        | CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 5) % 256 AS INT) END AS px_b
         | FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_frames" ->
       """WITH m AS (

@@ -114,7 +114,7 @@ object Dedup {
     * md5 hex digest — one md5 per shingle, 32 bits of entropy, exact in
     * both engines (each term < 128^8 < 2^56).
     */
-  private def shingleBase(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def shingleBase(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val m = md5(s)
     val x = (1 to 8).map(i => ascii(m.substr(i, 1)) * lit(math.pow(128, 8 - i).toLong))
       .reduce(_ + _)
@@ -273,6 +273,15 @@ object Dedup {
       if (fullRecall) subSplitBandCandidates(bands, maxDepth = nBands - 1)
       else cappedBandCandidates(bands.drop("ext"))
     // verify candidates with exact jaccard: shared shingles per pair
+    jaccardVerify(sh, cands, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against a distinct
+    * shingle table `sh` (doc_id, s) — shared by the batch LSH path and
+    * the streaming near-dup runner so both verify through one plan.
+    */
+  private[graft] def jaccardVerify(sh: DataFrame, cands: DataFrame,
+      threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     cands
       .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")

@@ -7,14 +7,19 @@ import org.apache.spark.sql.functions._
   * with typed metadata, decode/feature-extract as a partition-mapped
   * stage.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * clearly-marked deterministic STUB ([[Multimodal.stubDecode]]) — what
-  * is real and tested is the Spark-side shape a production pipeline
-  * needs: a binary column + metadata travelling together in a typed
-  * Dataset, a mapPartitions feature stage (one codec/model handle per
-  * partition, not per row — the same batching contract a Pandas-UDF /
-  * mapInPandas stage has in PySpark), and partitioning that keeps
-  * payloads spread by id.
+  * IMAGE decode is REAL: [[withRealImages]] encodes a deterministic
+  * synthetic PNG per image-kind row (javax.imageio — pure JVM, no
+  * container codecs needed) and [[extractFeatures]] decodes it back,
+  * so width/height/top-left pixel are genuine decoder outputs — the
+  * multimodal_features oracle checks the full encode→decode round trip
+  * against the known generation functions. Audio/video decode stays a
+  * clearly-marked deterministic STUB (no codecs in the container);
+  * what is real and tested there is the Spark-side shape a production
+  * pipeline needs: a binary column + metadata travelling together in a
+  * typed Dataset, a mapPartitions feature stage (one codec/model
+  * handle per partition, not per row — the same batching contract a
+  * Pandas-UDF / mapInPandas stage has in PySpark), and partitioning
+  * that keeps payloads spread by id.
   *
   * Scale notes: payload bytes dominate — never shuffle them through a
   * wide transform. The feature stage here is narrow (mapPartitions, no
@@ -29,10 +34,46 @@ object Multimodal {
     */
   case class MediaRecord(doc_id: Long, kind: String, media: Array[Byte])
 
-  /** Extracted features (the small side that flows downstream). */
+  /** Extracted features (the small side that flows downstream).
+    * px_* are the decoded top-left pixel channels — None for non-image
+    * rows and payloads the decoder rejects.
+    */
   case class MediaFeatures(
       doc_id: Long, kind: String, n_bytes: Long, checksum: String,
-      width: Int, height: Int, preview: String)
+      width: Int, height: Int,
+      px_r: Option[Int], px_g: Option[Int], px_b: Option[Int],
+      preview: String)
+
+  /** Deterministic synthetic-image parameters: dimensions and fill
+    * color as pure functions of doc_id, mirrored in the
+    * multimodal_features oracle SQL — the decoder recovering exactly
+    * these values from the PNG bytes is what proves the decode real.
+    */
+  def imageWidth(docId: Long): Int = 16 + (docId % 48).toInt
+  def imageHeight(docId: Long): Int = 16 + ((docId * 7) % 32).toInt
+  def imageRgb(docId: Long): (Int, Int, Int) =
+    ((docId % 256).toInt, ((docId * 3) % 256).toInt, ((docId * 5) % 256).toInt)
+
+  /** Encode one synthetic PNG: solid fill at the doc's deterministic
+    * dimensions/color. PNG is lossless RGB, so decode recovers the
+    * exact channel values.
+    */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val (w, h) = (imageWidth(docId), imageHeight(docId))
+    val (r, g, b) = imageRgb(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 
   /** Build the media table from documents: binary payload + kind tag.
     * Spread (guarded — see [[Spread]]) so a one-file source's decode
@@ -51,41 +92,70 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decode — a real pipeline would open a codec here (one per
-    * partition, reused across rows). Deterministic fake: dimensions
-    * derived from the byte length, checksum = md5 hex, preview = first
-    * 16 bytes as UTF-8. Replace the body to integrate a real codec.
+  /** The encode side of the real-decode round trip: image-kind rows
+    * get a genuine PNG payload ([[syntheticPng]]); audio/video keep
+    * their stand-in bytes (no codecs in the container). Narrow map —
+    * no shuffle, payload bytes stay where they are.
     */
-  def stubDecode(r: MediaRecord, md: java.security.MessageDigest): MediaFeatures = {
+  def withRealImages(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map(r =>
+      if (r.kind == "image") r.copy(media = syntheticPng(r.doc_id)) else r)
+  }
+
+  /** Decode one record. Image rows decode FOR REAL through
+    * javax.imageio — width/height/top-left pixel come from the decoded
+    * raster; a payload ImageIO rejects (not actually an image) falls
+    * back to the stub fields with null pixels. Audio/video decode is a
+    * deterministic STUB (dimensions from byte length) — replace that
+    * branch to integrate a real codec.
+    */
+  def decode(r: MediaRecord, md: java.security.MessageDigest): MediaFeatures = {
     md.reset()
     val checksum = md.digest(r.media).map("%02x".format(_)).mkString
+    val decoded: Option[java.awt.image.BufferedImage] =
+      if (r.kind == "image")
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media)))
+      else None
+    val (w, h) = decoded
+      .map(img => (img.getWidth, img.getHeight))
+      .getOrElse(((r.media.length % 640).toInt, (r.media.length % 480).toInt))
+    val px = decoded.map(_.getRGB(0, 0))
     MediaFeatures(
       doc_id = r.doc_id,
       kind = r.kind,
       n_bytes = r.media.length.toLong,
       checksum = checksum,
-      width = (r.media.length % 640).toInt,
-      height = (r.media.length % 480).toInt,
+      width = w,
+      height = h,
+      px_r = px.map(p => (p >> 16) & 0xff),
+      px_g = px.map(p => (p >> 8) & 0xff),
+      px_b = px.map(p => p & 0xff),
       preview = new String(r.media.take(16), java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** The partition-mapped feature stage: per-partition codec handle
-    * (here a MessageDigest), rows streamed through it.
+  /** The partition-mapped feature stage: per-partition codec handles
+    * (a MessageDigest; ImageIO with its disk cache off), rows streamed
+    * through them.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
       val md = java.security.MessageDigest.getInstance("MD5")
-      it.map(r => stubDecode(r, md))
+      it.map(r => decode(r, md))
     }
   }
 
-  /** End-to-end: documents → media table → feature extraction. */
+  /** End-to-end: documents → media table → real PNG payloads for the
+    * image rows → feature extraction (real decode for images).
+    */
   def features(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    extractFeatures(mediaTable(docs)).toDF().orderBy("doc_id")
+    extractFeatures(withRealImages(mediaTable(docs))).toDF().orderBy("doc_id")
   }
 
   /** STUB resize — a real implementation decodes, scales, re-encodes.

@@ -1,7 +1,8 @@
 package graft
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.functions._
+import graft.operators.Dedup
 import graft.streaming.DedupStream
 
 /** Streaming exact dedup: feeding the same document file twice must
@@ -30,5 +31,85 @@ class DedupStreamSpec extends SparkSpec {
     val all = docs.select(md5(col("text")).as("fp")).distinct()
       .collect().map(_.getString(0)).toSet
     assert(kept == all)
+  }
+
+  private def landOneFile(df: org.apache.spark.sql.DataFrame,
+      dir: Path, fname: String): Unit = {
+    val tmp = Files.createTempDirectory("graft-neardup-tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(p =>
+      p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    Files.copy(part, dir.resolve(fname), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("streaming signature projection is bit-identical to the batch groupBy signatures") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "the quick brown fox jumps over the lazy cat",
+      2L -> "completely different words about spark engines here today",
+      3L -> "x y").toDF("doc_id", "text")
+    val streamSide = DedupStream.minhashSigProjection(
+        docs.withColumn("arrival", current_timestamp()))
+      .drop("arrival").collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val batchSide = Dedup.minhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamSide == batchSide)
+    // the 2-word doc has no 3-shingles: absent from BOTH signature sets
+    assert(!streamSide.contains(3L) && !batchSide.contains(3L))
+  }
+
+  test("streaming near-dup pairs ≡ batch minhashLshPairs, pairing across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    val all = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en", "web", 43L),
+      (1L, "the quick brown fox jumps over the lazy cat", "en", "web", 43L),
+      (2L, "completely different words about spark engines here today", "en", "web", 57L),
+      (3L, "the quick brown fox jumps over the lazy dog", "en", "web", 43L))
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-neardup-stream")
+    // docs 0-1 land in micro-batch 1, docs 2-3 in micro-batch 2: the
+    // exact-dup pair (0, 3) can only come from bucket STATE carried
+    // across batches
+    landOneFile(all.take(2).toDF(cols: _*), dir, "a.parquet")
+    landOneFile(all.drop(2).toDF(cols: _*), dir, "b.parquet")
+    val streamed = DedupStream.runBoundedNearDups(
+        spark, dir.toString, 0.5, "neardup_stream_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.minhashLshPairs(
+        all.map(t => (t._1, t._2)).toDF("doc_id", "text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.contains((0L, 3L, 1.0)),
+      "the cross-micro-batch exact-dup pair must surface via bucket state")
+  }
+
+  test("bounded replay of the sf0.001 corpus matches the batch LSH pair list") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // replay ≡ batch holds wherever no bucket crossed the cap during
+    // the replay (over-cap buckets star-link in arrival order, batch in
+    // global-min order) — assert the precondition rather than assume it
+    val nBands = Dedup.minhashSeeds / Dedup.minhashBandSize
+    val sig = Dedup.minhashSignatures(docs)
+    val maxBucket = (0 until nBands).map { b =>
+      val bv = concat_ws("_", (0 until Dedup.minhashBandSize)
+        .map(j => col(s"h${b * Dedup.minhashBandSize + j}")): _*)
+      sig.groupBy(bv.as("bv")).count().agg(max("count")).head.getLong(0)
+    }.max
+    assert(maxBucket <= Dedup.lshBucketCap,
+      s"replay-equality precondition violated: max bucket $maxBucket")
+
+    val dir = Files.createTempDirectory("graft-neardup-sf")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("docs.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val streamed = DedupStream.runBoundedNearDups(
+        spark, dir.toString, 0.5, "neardup_sf_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.minhashLshPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
   }
 }

@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
 /** Multimodal plumbing: binary payload + metadata through the
-  * mapPartitions feature stage (decode is a deterministic stub — the
-  * Spark-side schema/partitioning/batching is what is under test).
+  * mapPartitions feature stage. Image decode is REAL (javax.imageio
+  * round trip over synthetic PNGs); audio/video decode is the
+  * documented deterministic stub.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -16,22 +17,51 @@ class MultimodalSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
-  test("feature extraction preserves rows and computes exact features") {
-    val d = docs(0L -> "hello world", 1L -> "spark", 2L -> "abc")
+  test("feature extraction: real PNG decode for images, stub for audio/video") {
+    val d = docs(0L -> "hello world", 1L -> "spark", 2L -> "abc", 33L -> "img2")
     val f = Multimodal.features(d).collect()
-    assert(f.length == 3)
+    assert(f.length == 4)
     val r0 = f(0)
     assert(r0.getAs[String]("kind") == "image") // doc_id 0 % 3
     assert(f(1).getAs[String]("kind") == "audio")
     assert(f(2).getAs[String]("kind") == "video")
-    assert(r0.getAs[Long]("n_bytes") == 11L)
-    assert(r0.getAs[String]("preview") == "hello world")
-    // checksum equals Spark's own md5 of the same bytes
-    val expected = d.filter(col("doc_id") === 0)
+    // image row: width/height/pixel are DECODED from the PNG bytes and
+    // must equal the generation functions — the real round trip
+    assert(r0.getAs[Int]("width") == Multimodal.imageWidth(0L))
+    assert(r0.getAs[Int]("height") == Multimodal.imageHeight(0L))
+    assert((r0.getAs[Int]("px_r"), r0.getAs[Int]("px_g"), r0.getAs[Int]("px_b")) ==
+      Multimodal.imageRgb(0L))
+    val r33 = f(3)
+    assert(r33.getAs[Int]("width") == 16 + 33 % 48)
+    assert(r33.getAs[Int]("height") == 16 + (33 * 7) % 32)
+    assert((r33.getAs[Int]("px_r"), r33.getAs[Int]("px_g"), r33.getAs[Int]("px_b")) ==
+      ((33 % 256, 99 % 256, 165 % 256)))
+    // image payload really is a PNG: signature bytes + checksum = md5 of
+    // the encoded payload, deterministic across encodes
+    val png = Multimodal.syntheticPng(0L)
+    assert(png.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+    assert(r0.getAs[Long]("n_bytes") == png.length.toLong)
+    val mdd = java.security.MessageDigest.getInstance("MD5")
+    assert(r0.getAs[String]("checksum") ==
+      mdd.digest(png).map("%02x".format(_)).mkString)
+    // audio row: stand-in payload, stub dims, null pixels
+    val r1 = f(1)
+    assert(r1.getAs[Long]("n_bytes") == 5L)
+    assert(r1.getAs[String]("preview") == "spark")
+    val expected = d.filter(col("doc_id") === 1)
       .select(md5(col("text").cast("binary"))).head.getString(0)
-    assert(r0.getAs[String]("checksum") == expected)
-    assert(r0.getAs[Int]("width") == 11 % 640)
-    assert(r0.getAs[Int]("height") == 11 % 480)
+    assert(r1.getAs[String]("checksum") == expected)
+    assert(r1.getAs[Int]("width") == 5 % 640)
+    assert(r1.getAs[Int]("height") == 5 % 480)
+    assert(r1.isNullAt(r1.fieldIndex("px_r")) && r1.isNullAt(r1.fieldIndex("px_b")))
+  }
+
+  test("decode rejects a non-PNG image payload gracefully (stub fallback, null pixels)") {
+    val bogus = Multimodal.MediaRecord(9L, "image", "not a png".getBytes("UTF-8"))
+    val mdd = java.security.MessageDigest.getInstance("MD5")
+    val r = Multimodal.decode(bogus, mdd)
+    assert(r.width == 9 % 640 && r.height == 9 % 480)
+    assert(r.px_r.isEmpty && r.px_g.isEmpty && r.px_b.isEmpty)
   }
 
   test("media table keeps payload binary and id-partitionable") {
