@@ -72,16 +72,31 @@ object Tables {
     * sorted by date in-file); the in-memory persist is the local[n]
     * stand-in.
     */
-  def stocks(spark: SparkSession, dir: String): DataFrame =
-    stocksCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+  def stocks(spark: SparkSession, dir: String): DataFrame = {
+    SessionCaches.watch(spark)
+    stocksCache.getOrElseUpdate((spark, dir), {
       deriveStocks(spark, dir)
         .repartition(col("symbol"))
         .sortWithinPartitions("symbol", "date")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
+  // keyed by the session itself (the cached frame references it anyway);
+  // SessionCaches evicts entries — with an unpersist while the context
+  // is alive — on tenant eviction or context stop
   private val stocksCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  locally {
+    SessionCaches.register(
+      evict = s => stocksCache.keys.filter(_._1 eq s).toSeq.foreach { k =>
+        stocksCache.remove(k).foreach { df =>
+          if (!s.sparkContext.isStopped) df.unpersist(blocking = false)
+        }
+      },
+      sweep = () => stocksCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped))
+  }
 
   /** The raw (unmaterialized) derivation. */
   def deriveStocks(spark: SparkSession, dir: String): DataFrame =

@@ -111,10 +111,23 @@ object Similarity {
     * explode in the update stage moves rows×dims elements through a
     * map-side-combined avg, bounded by the corpus size, not k.
     */
-  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansAssignInternal(emb, k, iters)._1
+
+  /** Training with the final centroid checkpoint exposed: a caller that
+    * MATERIALIZES the returned assignment (cache/checkpoint) should then
+    * release the centroid blocks via GraftShims.uncheckpoint — after
+    * that, the un-materialized assignment plan must not be executed
+    * again (its LogicalRDD leaves are gone). Earlier rounds' centroid
+    * checkpoints are released inside the loop as soon as the next
+    * round's (eager) checkpoint replaces them.
+    */
+  private[graft] def kmeansAssignInternal(emb: DataFrame, k: Int,
+      iters: Int): (DataFrame, Option[DataFrame]) = {
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
     var centroids = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("v").as("c"))
+    var checkpointed: Option[DataFrame] = None
     def assigned = {
       val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cell"))
       e.crossJoin(broadcast(centroids))
@@ -136,8 +149,12 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ps"))
         .select(col("cell"), transform(col("ps"), p => p.getField("m")).as("c"))
         .localCheckpoint()
+      // the new checkpoint is eager, so the previous round's blocks are
+      // no longer reachable from any live plan — release them now
+      checkpointed.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
+      checkpointed = Some(centroids)
     }
-    assigned.orderBy("vec_id")
+    (assigned.orderBy("vec_id"), checkpointed)
   }
 
   /** Per-session trained-quantizer cache: Lloyd's runs once per
@@ -154,6 +171,23 @@ object Similarity {
   private val quantizerCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
 
+  locally {
+    graft.SessionCaches.register(
+      evict = s => {
+        val it = quantizerCache.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getKey._1 eq s) {
+            if (!s.sparkContext.isStopped)
+              org.apache.spark.sql.GraftShims.uncheckpoint(e.getValue)
+            it.remove()
+          }
+        }
+      },
+      sweep = () => quantizerCache.keySet()
+        .removeIf(k => k._1.sparkContext.isStopped): Unit)
+  }
+
   /** [[kmeansAssign]] through the trained-quantizer cache. Training
     * runs OUTSIDE the map lock (multi-job Lloyd's must not block
     * unrelated keys in the same hash bin); a lost putIfAbsent race
@@ -161,11 +195,16 @@ object Similarity {
     */
   def kmeansAssignCached(emb: DataFrame, k: Int, iters: Int,
       corpusKey: String): DataFrame = {
+    graft.SessionCaches.watch(emb.sparkSession)
     val key = (emb.sparkSession, corpusKey, k, iters)
     val hit = quantizerCache.get(key)
     if (hit != null) hit
     else {
-      val trained = kmeansAssign(emb, k, iters).localCheckpoint()
+      val (assigned, centroids) = kmeansAssignInternal(emb, k, iters)
+      val trained = assigned.localCheckpoint()
+      // the assignment checkpoint is eager; the centroid blocks behind
+      // the (now superseded) training plan can be released
+      centroids.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
       val prev = quantizerCache.putIfAbsent(key, trained)
       if (prev != null) prev else trained
     }
@@ -183,7 +222,11 @@ object Similarity {
     // when the caller names the corpus; checkpointed either way.
     val cellOf = corpusKey match {
       case Some(key) => kmeansAssignCached(emb, cells, iters, key).select("vec_id", "cell")
-      case None => kmeansAssign(emb, cells, iters).select("vec_id", "cell").localCheckpoint()
+      case None =>
+        val (assigned, centroids) = kmeansAssignInternal(emb, cells, iters)
+        val cp = assigned.select("vec_id", "cell").localCheckpoint()
+        centroids.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
+        cp
     }
     val withCell = emb.join(cellOf, "vec_id")
     val q = withCell.filter(col("vec_id") < nQueries)

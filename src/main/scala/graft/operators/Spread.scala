@@ -18,6 +18,13 @@ import org.apache.spark.sql.DataFrame
   *   for zero parallelism gain.
   * - Non-file plans (in-memory test frames, pre-shuffled inputs) are
   *   returned untouched: they already carry their parallelism.
+  *
+  * Deliberately NO byte-size guard: every caller runs a CPU-heavy
+  * chain (md5 polynomials, regex batteries) where even a few MB of
+  * one-file input deserves full-width tasks — bytes are the wrong
+  * proxy for that work. If you reuse this for a CHEAP projection over
+  * a small dimension table, don't: the exchange would cost more than
+  * the single task it replaces.
   */
 private[graft] object Spread {
   def spread(docs: DataFrame): DataFrame = {

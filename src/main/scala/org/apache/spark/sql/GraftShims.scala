@@ -21,4 +21,15 @@ object GraftShims {
     case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false): Unit
     case _ => ()
   }
+
+  /** Storage level of the RDD behind a checkpointed frame — None for
+    * non-checkpoint plans. Lets specs assert block release for a
+    * SPECIFIC frame instead of diffing the context-global persistent-RDD
+    * census (which races with concurrently-running suites).
+    */
+  def checkpointStorageLevel(ds: Dataset[_]): Option[org.apache.spark.storage.StorageLevel] =
+    ds.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD => Some(lr.rdd.getStorageLevel)
+      case _ => None
+    }
 }
