@@ -56,6 +56,9 @@ object ExtQueries {
     // complete pair list (Dedup.subSplitBandCandidates)
     "dedup_simhash_pairs_full" ->
       ((s, d) => Dedup.simhashNearDups(docs(s, d), 3, fullRecall = true)),
+    // exact repeated-substring spans (Lee et al. 2022 granularity):
+    // maximal word runs whose every 8-gram appears in ≥2 distinct docs
+    "dedup_substring_spans" -> ((s, d) => Dedup.substringSpans(docs(s, d), 8, 2)),
     // pairs → connected components → keeper per cluster (the step that
     // turns pair lists into an actually-deduplicated corpus)
     "dedup_clusters" -> ((s, d) => {
@@ -139,13 +142,14 @@ object ExtQueries {
     // corpus unions deterministic perturbed twins (x·1.05 + 0.001,
     // vec_id+1000) of the first 50 vectors — the banding must recover
     // exactly those 50 pairs at cos ≥ 0.99.
-    "embed_neardup_pairs" -> ((s, d) => {
-      val base = emb(s, d).select("vec_id", "embedding")
-      val twins = emb(s, d).filter(col("vec_id") < 50).select(
-        (col("vec_id") + 1000).as("vec_id"),
-        transform(col("embedding"), x => (x * 1.05 + 0.001).cast("float")).as("embedding"))
-      Similarity.nearDupPairs(base.unionByName(twins), 0.99)
-    }),
+    "embed_neardup_pairs" -> ((s, d) =>
+      Similarity.nearDupPairs(perturbedCorpus(emb(s, d)), 0.99)),
+    // SemDeDup over the same planted-twin corpus: k-means cells, then
+    // intra-cell pruning — each twin must be dropped against its
+    // (closer-to-centroid, lower-id) original at cos ≥ 0.95
+    "embed_semdedup" -> ((s, d) =>
+      Similarity.semDedup(perturbedCorpus(emb(s, d)), 0.95, 8, 2,
+        corpusKey = Some(d + "#semdedup"))),
 
     // ---- text analysis
     "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
@@ -485,9 +489,13 @@ object ExtQueries {
     * a1 = argmin over c0, c1 = rounded per-cell means, a2 = final
     * assignment with rounded squared distances.
     */
-  private val kmeansCte: String =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |           FROM embeddings),
+  /** The deterministic-Lloyd's CTE chain (e … a2) over `src`, shared by
+    * every oracle that needs the k-means assignment; `src` must expose
+    * (vec_id, embedding).
+    */
+  private def kmeansBody(src: String): String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM $src),
       | c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),
       | d1 AS (SELECT e.vec_id, c0.cell,
       |          round(SUM((e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i])), 6) AS d
@@ -509,6 +517,30 @@ object ExtQueries {
       |          SELECT vec_id, cell, d,
       |            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
       |          FROM d2) WHERE rn = 1)""".stripMargin
+
+  private val kmeansCte: String = s"WITH ${kmeansBody("embeddings")}"
+
+  /** The embeddings corpus with deterministic perturbed twins of the
+    * first 50 vectors (x·1.05 + 0.001, vec_id+1000) — the planted
+    * near-dups for the neardup/semdedup fixtures (the raw testdata has
+    * no natural near-dups: max pairwise cosine 0.51 at sf0.01).
+    */
+  private val perturbedCorpusSql: String =
+    """corpus AS (
+      |   SELECT vec_id, embedding FROM embeddings
+      |   UNION ALL
+      |   SELECT vec_id + 1000 AS vec_id,
+      |     list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.05 + 0.001 AS FLOAT)) AS embedding
+      |   FROM embeddings WHERE vec_id < 50)""".stripMargin
+
+  /** Spark twin of [[perturbedCorpusSql]]. */
+  private def perturbedCorpus(e: DataFrame): DataFrame = {
+    val base = e.select("vec_id", "embedding")
+    val twins = e.filter(col("vec_id") < 50).select(
+      (col("vec_id") + 1000).as("vec_id"),
+      transform(col("embedding"), x => (x * 1.05 + 0.001).cast("float")).as("embedding"))
+    base.unionByName(twins)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "join_revenue_by_region" ->
@@ -592,6 +624,23 @@ object ExtQueries {
       s"""$simhashFullPairsCte
          | SELECT doc_a, doc_b, dist FROM dists WHERE dist <= 3
          | ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_substring_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(ws[i:i+7], ' ') AS gram
+        |       FROM w, UNNEST(range(1, len(ws) - 6)) t(i)
+        |       WHERE len(ws) >= 8),
+        | df AS (SELECT gram FROM (
+        |          SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+        |        WHERE df >= 2),
+        | f AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (gram)),
+        | isl AS (SELECT doc_id, pos,
+        |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+        |         FROM f),
+        | sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+        |          count(*) AS dup_grams
+        |        FROM isl GROUP BY doc_id, k)
+        | SELECT doc_id, span_start, span_end, dup_grams FROM sp
+        | ORDER BY doc_id, span_start""".stripMargin,
     "dedup_clusters" ->
       s"""${"WITH RECURSIVE " + simhashPairsCte.stripPrefix("WITH ")},
          | p AS (SELECT doc_a, doc_b FROM dists WHERE dist <= 3),
@@ -684,12 +733,7 @@ object ExtQueries {
          | SELECT qid, cell, rnk, vec_id, cos FROM r WHERE rnk <= 3
          | ORDER BY qid, rnk""".stripMargin,
     "embed_neardup_pairs" ->
-      s"""WITH corpus AS (
-        |   SELECT vec_id, embedding FROM embeddings
-        |   UNION ALL
-        |   SELECT vec_id + 1000 AS vec_id,
-        |     list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.05 + 0.001 AS FLOAT)) AS embedding
-        |   FROM embeddings WHERE vec_id < 50),
+      s"""WITH $perturbedCorpusSql,
         | chunks AS (
         |   SELECT vec_id, (i - 1) // 16 AS c,
         |     string_agg(CASE WHEN embedding[CAST(i AS INT)] >= 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS bv
@@ -716,6 +760,23 @@ object ExtQueries {
         |   GROUP BY vec_a, vec_b)
         | SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.99
         | ORDER BY vec_a, vec_b""".stripMargin,
+    "embed_semdedup" ->
+      s"""WITH $perturbedCorpusSql,
+        | ${kmeansBody("corpus")},
+        | rk AS (SELECT vec_id, cell, d,
+        |          row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) AS rk
+        |        FROM a2),
+        | pairs AS (SELECT b.vec_id,
+        |     round(SUM(ea.v[i] * eb.v[i]) /
+        |       (sqrt(SUM(ea.v[i] * ea.v[i])) * sqrt(SUM(eb.v[i] * eb.v[i]))), 4) AS cos
+        |   FROM rk a JOIN rk b ON a.cell = b.cell AND a.rk < b.rk
+        |   JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id,
+        |   UNNEST(range(1, 65)) t(i)
+        |   GROUP BY a.vec_id, b.vec_id),
+        | dropped AS (SELECT DISTINCT vec_id FROM pairs WHERE cos >= 0.95)
+        | SELECT r.vec_id, r.cell, r.d, r.rk, dr.vec_id IS NULL AS is_kept
+        | FROM rk r LEFT JOIN dropped dr ON r.vec_id = dr.vec_id
+        | ORDER BY r.vec_id""".stripMargin,
     "text_langid" ->
       s"""WITH m(mlang, marker) AS (VALUES ${TextOps.markers.map {
            case (l, w) => s"('$l', '$w')" }.mkString(", ")}),

@@ -722,4 +722,56 @@ object Dedup {
       .select("doc_id", "simhash")
       .orderBy("doc_id")
   }
+
+  /** Exact repeated-substring spans — the dedup granularity between
+    * whole-document exact dedup and document-level near-dup: find, per
+    * document, the maximal word spans whose every `n`-gram also occurs
+    * in at least `minDf` distinct documents (so a span is a verbatim
+    * run shared across the corpus — boilerplate, licence headers,
+    * templated passages). This is the distributed analog of
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", 2022): where a single node
+    * builds a suffix array, the cluster shape is a gram-frequency
+    * shuffle plus a per-document gaps-and-islands merge.
+    *
+    * Plan: positions explode to (doc_id, pos, md5(gram)) — the join and
+    * df aggregation move 128-bit hashes, never gram text; document
+    * frequency is a distinct-(hash, doc) count (cross-document only: a
+    * phrase repeated inside ONE doc is repetitionStats' job, not a
+    * corpus-level duplicate); flagged positions semi-join back and
+    * merge into maximal spans with the pos − row_number() island trick
+    * inside a per-doc window. Every stage is key-partitioned (gram
+    * hash, then doc_id) — no broadcast, no driver state; the gram-df
+    * aggregate is the same linear shuffle the contamination check pays,
+    * which is the inherent cost of EXACT (not sketched) substring
+    * matching at corpus scale.
+    *
+    * Output: (doc_id, span_start, span_end, dup_grams) with 1-based
+    * inclusive word indices, span_end = last flagged gram's start
+    * + n − 1, dup_grams = number of flagged grams merged into the span.
+    */
+  def substringSpans(docs: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
+    val words = split(col("text"), " ")
+    val gramArr = expr(
+      s"""transform(sequence(1, size(w) - ${n - 1}),
+         |  i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(w, i + $j)").mkString(", ")}))""".stripMargin)
+    val grams = spread(docs).select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(gramArr).as(Seq("p0", "s")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), md5(col("s")).as("h"))
+    val flagged = grams.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("h")
+    val hits = grams.join(flagged, Seq("h"), "left_semi")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("isl", col("pos") - row_number().over(byDoc))
+      .groupBy("doc_id", "isl")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (n - 1)).as("span_end"),
+        count(lit(1)).as("dup_grams"))
+      .select("doc_id", "span_start", "span_end", "dup_grams")
+      .orderBy("doc_id", "span_start")
+  }
 }

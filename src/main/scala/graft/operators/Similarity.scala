@@ -284,4 +284,54 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): cluster the corpus with the k-means coarse
+    * quantizer, then prune within each cluster — a vector is dropped
+    * when it has cosine ≥ `tau` with any higher-priority vector of the
+    * same cell, priority = closer to the cell centroid (ties by
+    * vec_id). This is the non-recursive variant of the paper's
+    * per-cluster pruning: "similar to any higher-priority item" rather
+    * than "similar to a surviving item" — deterministic, one join, and
+    * strictly more aggressive (anything the recursive rule drops, this
+    * drops too).
+    *
+    * Scale: the expensive comparison is confined to intra-cell pairs —
+    * exactly the paper's cost model, O(Σ |cell|²) instead of O(N²).
+    * Parallelism equals the cell count, so `cells` must grow with the
+    * corpus (the paper runs 50k clusters on LAION); the quantizer
+    * trains once per corpus via the per-session cache. Only (vec_id,
+    * cell, rank) rows shuffle into the pair join; embeddings attach by
+    * vec_id join on each side.
+    *
+    * Output: (vec_id, cell, d, rk, is_kept), one row per input vector.
+    */
+  def semDedup(emb: DataFrame, tau: Double = 0.95, cells: Int = 8,
+      iters: Int = 2, corpusKey: Option[String] = None): DataFrame = {
+    val assigned = corpusKey match {
+      case Some(key) => kmeansAssignCached(emb, cells, iters, key)
+      case None =>
+        val (a, centroids) = kmeansAssignInternal(emb, cells, iters)
+        val cp = a.localCheckpoint()
+        centroids.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
+        cp
+    }
+    val byCell = Window.partitionBy("cell").orderBy(col("d"), col("vec_id"))
+    val ranked = assigned.withColumn("rk", row_number().over(byCell).cast("long"))
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val hi = ranked.join(vecs, "vec_id")
+      .select(col("cell").as("cell_a"), col("rk").as("rk_a"), col("embedding").as("ea"))
+    val lo = ranked.join(vecs, "vec_id")
+      .select(col("vec_id").as("vid_b"), col("cell").as("cell_b"),
+        col("rk").as("rk_b"), col("embedding").as("eb"))
+    val dropped = hi.join(lo, col("cell_a") === col("cell_b") && col("rk_a") < col("rk_b"))
+      .filter(cosine(col("ea"), col("eb")) >= tau)
+      .select(col("vid_b").as("vec_id")).distinct()
+      .withColumn("__dropped", lit(true))
+    ranked.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("d"), col("rk"),
+        col("__dropped").isNull.as("is_kept"))
+      .orderBy("vec_id")
+  }
 }

@@ -299,4 +299,26 @@ class DedupSpec extends SparkSpec {
     def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
     assert(hamming(sig(0L), sig(1L)) < hamming(sig(0L), sig(2L)))
   }
+
+  test("substringSpans: shared run becomes one maximal span per doc, cross-doc only") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val planted = docs(
+      0L -> s"u01 u02 $shared u03 u04", // run at words 3..12
+      1L -> s"v01 $shared v02 v03 v04", // same run at words 2..11
+      2L -> "w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 w11 w12") // disjoint
+    val spans = Dedup.substringSpans(planted, n = 8, minDf = 2).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("dup_grams")))
+    // a 10-word run holds three 8-grams; boundary grams mixing filler
+    // words differ between the docs, so the span is exactly the run
+    assert(spans.toSeq == Seq((0L, 3L, 12L, 3L), (1L, 2L, 11L, 3L)))
+  }
+
+  test("substringSpans: a phrase repeated inside one doc only is not a span") {
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val selfRep = docs(
+      0L -> s"$run a01 a02 $run", // twice in the SAME doc
+      1L -> "b01 b02 b03 b04 b05 b06 b07 b08 b09")
+    assert(Dedup.substringSpans(selfRep, n = 8, minDf = 2).isEmpty)
+  }
 }

@@ -124,4 +124,18 @@ class SimilaritySpec extends SparkSpec {
         r.getAs[Double]("cos"))).toSet
     assert(banded == brute)
   }
+
+  test("semDedup: near-twin dropped against its closer-to-centroid original") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0.99f, 0.01f, 0f, 0f)), // cos(0,2) ≈ 0.99995 — dup of 0
+      (3L, Seq(0f, 1f, 1f, 0f))) // cos(1,3) ≈ 0.7071 — kept
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(vs, tau = 0.95, cells = 2, iters = 2)
+      .collect().map(x => x.getAs[Long]("vec_id") -> x.getAs[Boolean]("is_kept")).toMap
+    assert(r == Map(0L -> true, 1L -> true, 2L -> false, 3L -> true))
+  }
 }
