@@ -21,6 +21,12 @@ object ExtQueries {
   /** Replay-drop directory for the streaming near-dup query. */
   private lazy val neardupReplayDir: String = TempDirs.create("graft_neardup_replay")
 
+  /** One JSONL export directory per JVM (the jsonl_export_roundtrip
+    * side effect), registered for exit cleanup.
+    */
+  private lazy val jsonlExportDir: String =
+    TempDirs.create("graft_jsonl_export") + "/documents"
+
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
@@ -151,6 +157,10 @@ object ExtQueries {
       Similarity.semDedup(perturbedCorpus(emb(s, d)), 0.95, 8, 2,
         corpusKey = Some(d + "#semdedup"))),
 
+    // cross-source leakage matrix: distinct shared 8-grams + gram-set
+    // Jaccard per source pair — the corpus-level mixture/provenance view
+    "source_overlap" -> ((s, d) => Dedup.sourceOverlap(docs(s, d), 8)),
+
     // ---- text analysis
     "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
     // top-3 TF-IDF terms per doc; both factors rounded to 6 before the
@@ -169,6 +179,20 @@ object ExtQueries {
           concat(col("text"), expr("repeat(' buy now click here', 12)")))
           .otherwise(col("text")))
       TextOps.repetitionStats(injected)
+    }),
+    // RAG/embedding chunking: 64-word windows every 48 words — each doc
+    // becomes the overlapping chunk rows an embedding pass would consume
+    "chunk_documents" -> ((s, d) => TextOps.chunkWords(docs(s, d), 64, 48)),
+    // JSONL round-trip (the training-data interchange format): write the
+    // documents table as JSON lines, read it back with the pinned
+    // schema — oracle equality proves the round-trip lossless.
+    // SIDE EFFECT: writes the export under one per-JVM temp dir
+    // (overwrite mode handles re-runs).
+    "jsonl_export_roundtrip" -> ((s, d) => {
+      val out = jsonlExportDir
+      val slice = docs(s, d)
+      Sink.exportJsonl(slice, out)
+      Sink.readJsonl(s, out, slice.schema).orderBy("doc_id")
     }),
     // PII scrub on a PII-injected corpus: every 5th doc gains an email
     // + phone; counts and the redacted content hash are oracle-checked
@@ -660,6 +684,36 @@ object ExtQueries {
     // the bloom pre-filter is recall-preserving and verified by an exact
     // join, so the 100 TB path must reproduce the naive oracle verbatim
     "contamination_bloom" -> contaminationOracle,
+    "source_overlap" -> {
+      val gram8 = (0 until 8).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         | g AS (SELECT DISTINCT source, $gram8 AS s
+         |       FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)),
+         | sizes AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+         | ov AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_grams
+         |        FROM g a JOIN g b ON a.s = b.s AND a.source < b.source
+         |        GROUP BY a.source, b.source)
+         | SELECT ov.src_a, ov.src_b, ov.shared_grams, sa.n AS na, sb.n AS nb,
+         |   round(ov.shared_grams * 1.0 / (sa.n + sb.n - ov.shared_grams), 4) AS jaccard
+         | FROM ov JOIN sizes sa ON sa.source = ov.src_a
+         |         JOIN sizes sb ON sb.source = ov.src_b
+         | ORDER BY src_a, src_b""".stripMargin
+    },
+    "chunk_documents" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | n AS (SELECT doc_id, ws,
+        |         CASE WHEN len(ws) <= 64 THEN 1
+        |              ELSE CAST(ceil((len(ws) - 64) / 48.0) AS BIGINT) + 1 END AS nc
+        |       FROM w),
+        | c AS (SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+        |         list_slice(ws, CAST(j * 48 + 1 AS BIGINT), CAST(j * 48 + 64 AS BIGINT)) AS cw
+        |       FROM n, UNNEST(range(0, nc)) AS t(j))
+        | SELECT doc_id, chunk_idx, array_to_string(cw, ' ') AS chunk_text,
+        |   CAST(len(cw) AS INT) AS n_words
+        | FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "jsonl_export_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |     CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens FROM documents),

@@ -446,6 +446,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source n-gram leakage matrix: for every pair of sources, the
+    * number of distinct word n-grams they share and the gram-set
+    * Jaccard — the corpus-level twin of [[contamination]] (per-doc):
+    * "how much of source A is also in source B" drives mixture and
+    * provenance decisions before training.
+    *
+    * Shape: [[shingles]] keyed by source collapses the corpus to one
+    * distinct (source, gram) set — linear in corpus grams, hash
+    * partitioned on the gram — and the pair join fans out at most
+    * (#sources choose 2) rows per gram, so a bounded source count keeps
+    * the whole matrix linear at 100 TB. No doc×doc work anywhere.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 8): DataFrame = {
+    // shingles is keyed by a `doc_id` column — feed it the source label
+    // instead (it never assumes numeric ids), giving distinct
+    // (source, gram) directly; checkpoint once for the two consumers
+    val g = shingles(docs.select(col("source").as("doc_id"), col("text")), n)
+      .select(col("doc_id").as("source"), col("s"))
+      .localCheckpoint()
+    val sizes = g.groupBy("source").agg(count(lit(1)).as("n"))
+    g.as("a").join(g.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .withColumn("jaccard",
+        round(col("shared_grams") / (col("na") + col("nb") - col("shared_grams")), 4))
+      .select("src_a", "src_b", "shared_grams", "na", "nb", "jaccard")
+      .orderBy("src_a", "src_b")
+  }
+
   /** Duplicate-cluster resolution: near-dup PAIRS → per-doc cluster id
     * (the min doc_id in its connected component). Near-duplicate is not
     * transitive, but dedup policy treats the union of pairs as an

@@ -154,6 +154,22 @@ object Sink {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** JSONL export — the LLM-training-data interchange format (one JSON
+    * object per line, one file per partition; sharded .jsonl is what
+    * tokenizer/loader pipelines consume). Same Hadoop-FS path semantics
+    * as [[exportCsv]] (s3a:// works unchanged on a cluster).
+    */
+  def exportJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Read back an [[exportJsonl]] export with an explicit schema —
+    * skipping inference avoids the extra full scan AND pins types
+    * (inference would widen e.g. int-valued doubles).
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Reject side-output sink (SURVEY §2.1 S9 / §2.8 Q4): quality
     * rejects land next to the main table, partitioned the same way.
     */

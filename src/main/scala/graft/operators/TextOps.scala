@@ -207,6 +207,36 @@ object TextOps {
         md5(col("redacted")).as("redacted_md5"))
       .orderBy("doc_id")
 
+  /** Overlapping word-window chunks per document — the embedding/RAG
+    * ingestion shape (each chunk later becomes one embedding row, e.g.
+    * for the [[Similarity]] index). Chunk j covers words
+    * [j·stride+1, j·stride+width]; a doc yields
+    * ceil((len−width)/stride)+1 chunks (one when len ≤ width), so
+    * consecutive chunks overlap by width−stride words and the final
+    * chunk may run short.
+    *
+    * Shape: a pure narrow flatMap (split → sequence → explode → slice)
+    * — no shuffle until the caller's sink; at 100 TB chunking is free
+    * next to the embedding pass it feeds, and the ~width/stride
+    * blow-up is the expected cost of overlap, not a plan defect.
+    */
+  def chunkWords(docs: DataFrame, width: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && stride <= width,
+      s"need 0 < stride <= width, got width=$width stride=$stride")
+    val nChunks = when(col("len") <= width, lit(1L))
+      .otherwise(ceil((col("len") - width) / lit(stride.toDouble)) + 1L)
+    spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("len", size(col("w")))
+      .withColumn("cix", explode(sequence(lit(0L), nChunks - 1)))
+      .select(col("doc_id"), col("cix").cast("int").as("chunk_idx"),
+        slice(col("w"), (col("cix") * stride + 1).cast("int"), lit(width)).as("cw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", col("cw")).as("chunk_text"),
+        size(col("cw")).as("n_words"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Document fingerprints: whole-content hash of normalized text plus
     * a winnowing-style minimum over 5-word rolling shingle hashes.
     */

@@ -25,6 +25,27 @@ class DedupSpec extends SparkSpec {
     assert(sh == Set((0L, "a b c"), (0L, "b c d")))
   }
 
+  test("sourceOverlap: shared 8-grams per source pair, disjoint pairs absent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ") // 13 internal 8-grams
+    val d = Seq(
+      (0L, shared + " xa xb xc", "en", "srcA", 0L),
+      (1L, shared + " ya yb yc", "en", "srcB", 0L),
+      (2L, (1 to 30).map(i => s"z$i").mkString(" "), "en", "srcC", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.sourceOverlap(d, 8).collect()
+    // srcC shares nothing → only the (srcA, srcB) row exists
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "srcA" && row.getString(1) == "srcB")
+    // 23 words → 16 grams per doc; the 13 grams fully inside the shared
+    // 20-word prefix are common, the 3 crossing into the distinct tail
+    // are not
+    assert(row.getLong(2) == 13 && row.getLong(3) == 16 && row.getLong(4) == 16)
+    assert(row.getDouble(5) == math.round(13.0 / 19.0 * 10000) / 10000.0)
+  }
+
   test("exact dedup: keeper is min doc_id, dup flagged") {
     val r = Dedup.exact(corpus.withColumn("lang", lit("en")))
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keeper"),

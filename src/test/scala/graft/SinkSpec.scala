@@ -23,6 +23,25 @@ class SinkSpec extends SparkSpec {
       plan.contains("symbol"), s"expected partition pruning in:\n$plan")
   }
 
+  test("JSONL export round-trips rows and schema exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft-jsonl").toString + "/docs"
+    val d = Seq(
+      (0L, "plain words", "en", "srcA", 11L),
+      (1L, "quotes \" and back\\slash and tab\tline", "de", "srcB", 36L),
+      (2L, "", "fr", "srcC", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Sink.exportJsonl(d, dir)
+    val back = Sink.readJsonl(spark, dir, d.schema)
+    // JSON columns are always nullable on read — names and types must hold
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      d.schema.map(f => (f.name, f.dataType)))
+    val a = back.orderBy("doc_id").collect().map(_.toSeq)
+    val b = d.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("upsertInto: create, then last-wins merge, idempotent") {
     val dir = Files.createTempDirectory("graft-upsert").toString + "/stocks"
     val v1 = bars("AA", Seq(10.0, 11.0))

@@ -53,6 +53,32 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1L).getString(3) != null && r(1L).getString(3) != plainMd5)
   }
 
+  test("chunkWords: chunk count, stride starts, overlap, short tails") {
+    val d = docs(
+      (0L, (1 to 150).map(i => s"w$i").mkString(" "), "en"), // 3 chunks
+      (1L, (1 to 64).map(i => s"a$i").mkString(" "), "en"), // exactly width
+      (2L, "tiny doc", "en"), // shorter than width
+      (3L, (1 to 65).map(i => s"b$i").mkString(" "), "en")) // width + 1
+    val r = TextOps.chunkWords(d, 64, 48).collect()
+    val byDoc = r.groupBy(_.getLong(0))
+    // ceil((150-64)/48) + 1 = 3 chunks; starts 1, 49, 97
+    assert(byDoc(0L).length == 3)
+    val c1 = byDoc(0L).find(_.getInt(1) == 1).get
+    assert(c1.getString(2).startsWith("w49 ") && c1.getInt(3) == 64)
+    val c2 = byDoc(0L).find(_.getInt(1) == 2).get
+    assert(c2.getString(2).startsWith("w97 ") &&
+      c2.getString(2).endsWith(" w150") && c2.getInt(3) == 54)
+    // every word covered exactly (overlap regions shared, none lost)
+    assert(byDoc(0L).flatMap(_.getString(2).split(" ")).distinct.length == 150)
+    assert(byDoc(1L).length == 1 && byDoc(1L).head.getInt(3) == 64)
+    assert(byDoc(2L).length == 1 && byDoc(2L).head.getString(2) == "tiny doc" &&
+      byDoc(2L).head.getInt(3) == 2)
+    // 65 words: second chunk is the 17-word tail starting at b49
+    assert(byDoc(3L).length == 2)
+    val t = byDoc(3L).find(_.getInt(1) == 1).get
+    assert(t.getString(2).startsWith("b49 ") && t.getInt(3) == 17)
+  }
+
   test("langId: marker argmax with unknown fallback") {
     val d = docs(
       (0L, "der hund und die katze ist hier", "de"),
