@@ -161,6 +161,22 @@ object ExtQueries {
     // Jaccard per source pair — the corpus-level mixture/provenance view
     "source_overlap" -> ((s, d) => Dedup.sourceOverlap(docs(s, d), 8)),
 
+    // incremental ingest dedup: classify a NEW batch (docs ≥ 400, plus
+    // 10 planted verbatim copies and 10 planted near-copies of existing
+    // docs) against the EXISTING corpus (docs < 400) — exact/near/new
+    // without ever re-deduping the corpus itself
+    "dedup_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      val existing = all.filter(col("doc_id") < 400).select("doc_id", "text")
+      val batch = all.filter(col("doc_id") >= 400).select("doc_id", "text")
+        .unionByName(all.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(all.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" zq1 zq2 zq3")).as("text")))
+      Dedup.incrementalDedup(existing, batch, 0.5)
+    }),
+
     // ---- text analysis
     "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
     // top-3 TF-IDF terms per doc; both factors rounded to 6 before the
@@ -402,6 +418,74 @@ object ExtQueries {
        | SELECT doc_a, doc_b, $jaccardExpr AS jaccard
        | FROM iv JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
        | WHERE $jaccardExpr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Asymmetric (batch vs existing corpus) MinHash-LSH dedup oracle —
+    * mirrors Dedup.incrementalDedup over the planted-batch fixture:
+    * exact via the md5 → min(doc_id) store, near via batch bands
+    * probing the capped existing band table, best partner on rounded
+    * jaccard with doc_id tiebreak.
+    */
+  private lazy val incrementalDedupOracle: String = {
+    val sigAggs = Dedup.minhashParams.zipWithIndex.map { case ((a, b), k) =>
+      s"min(($a * x + $b) % ${Dedup.minhashP}) AS h$k" }.mkString(", ")
+    def bandsUnion(src: String) =
+      (0 until Dedup.minhashSeeds / Dedup.minhashBandSize).map { b =>
+        val hs = (0 until Dedup.minhashBandSize)
+          .map(j => s"h${b * Dedup.minhashBandSize + j}").mkString(", ")
+        s"SELECT doc_id, $b AS band, concat_ws('_', $hs) AS bv FROM $src"
+      }.mkString("\n   UNION ALL ")
+    s"""WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+       | nb AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+       |        UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10
+       |        UNION ALL SELECT doc_id + 20000, text || ' zq1 zq2 zq3'
+       |          FROM documents WHERE doc_id >= 10 AND doc_id < 20),
+       | exw AS (SELECT doc_id, string_split(text, ' ') AS w FROM ex),
+       | exsh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |          FROM exw, UNNEST(range(1, len(w) - 1)) AS t(i)),
+       | nbw AS (SELECT doc_id, string_split(text, ' ') AS w FROM nb),
+       | nbsh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |          FROM nbw, UNNEST(range(1, len(w) - 1)) AS t(i)),
+       | exx AS (SELECT doc_id, ($minhashBaseSql) % ${Dedup.minhashP} AS x
+       |         FROM (SELECT doc_id, md5(s) AS m FROM exsh)),
+       | exsig AS (SELECT doc_id, $sigAggs FROM exx GROUP BY doc_id),
+       | nbx AS (SELECT doc_id, ($minhashBaseSql) % ${Dedup.minhashP} AS x
+       |         FROM (SELECT doc_id, md5(s) AS m FROM nbsh)),
+       | nbsig AS (SELECT doc_id, $sigAggs FROM nbx GROUP BY doc_id),
+       | exbands AS (${bandsUnion("exsig")}),
+       | nbbands AS (${bandsUnion("nbsig")}),
+       | excap AS (SELECT doc_id, band, bv FROM (
+       |     SELECT doc_id, band, bv,
+       |       row_number() OVER (PARTITION BY band, bv ORDER BY doc_id) AS rn
+       |     FROM exbands) WHERE rn <= ${Dedup.lshBucketCap}),
+       | cand AS (SELECT DISTINCT q.doc_id AS doc_a, e.doc_id AS doc_b
+       |          FROM nbbands q JOIN excap e USING (band, bv)),
+       | nbsz AS (SELECT doc_id, count(*) AS n FROM nbsh GROUP BY doc_id),
+       | exsz AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
+       | iv AS (SELECT doc_a, doc_b, count(*) AS n_common
+       |        FROM cand
+       |        JOIN nbsh sa ON sa.doc_id = doc_a
+       |        JOIN exsh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+       |        GROUP BY doc_a, doc_b),
+       | ver AS (SELECT doc_a, doc_b, $jaccardExpr AS jaccard
+       |         FROM iv JOIN nbsz sa ON doc_a = sa.doc_id
+       |                 JOIN exsz sb ON doc_b = sb.doc_id
+       |         WHERE $jaccardExpr >= 0.5),
+       | best AS (SELECT doc_a, doc_b, jaccard FROM (
+       |     SELECT doc_a, doc_b, jaccard,
+       |       row_number() OVER (PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) AS rn
+       |     FROM ver) WHERE rn = 1),
+       | exfp AS (SELECT md5(text) AS fp, min(doc_id) AS ex_exact FROM ex GROUP BY fp),
+       | bfp AS (SELECT doc_id, md5(text) AS fp FROM nb)
+       | SELECT b.doc_id,
+       |   CASE WHEN f.ex_exact IS NOT NULL THEN 'exact'
+       |        WHEN bst.doc_b IS NOT NULL THEN 'near'
+       |        ELSE 'new' END AS verdict,
+       |   coalesce(f.ex_exact, bst.doc_b) AS dup_of,
+       |   CASE WHEN f.ex_exact IS NULL THEN bst.jaccard END AS jaccard
+       | FROM bfp b LEFT JOIN exfp f USING (fp)
+       | LEFT JOIN best bst ON bst.doc_a = b.doc_id
+       | ORDER BY b.doc_id""".stripMargin
+  }
 
   /** SimHash near-dup pair CTE chain (… → sig → chunks → cand → dists)
     * shared by dedup_simhash_pairs and dedup_clusters.
@@ -684,6 +768,7 @@ object ExtQueries {
     // the bloom pre-filter is recall-preserving and verified by an exact
     // join, so the 100 TB path must reproduce the naive oracle verbatim
     "contamination_bloom" -> contaminationOracle,
+    "dedup_incremental" -> incrementalDedupOracle,
     "source_overlap" -> {
       val gram8 = (0 until 8).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]")
         .mkString(" || ' ' || ")

@@ -248,27 +248,16 @@ object Dedup {
     // the signature table is materialized eagerly (localCheckpoint, not
     // cache) — the band self-join and the candidate verification each
     // read it from BOTH join sides, and concurrent stages racing a cold
-    // cache recompute the whole shingle+aggregate subtree per side;
-    // signatures use non-distinct shingles (min is
-    // duplicate-insensitive), the Jaccard verification needs the
-    // distinct set
+    // cache recompute the whole shingle+aggregate subtree per side.
+    // Signatures derive FROM the materialized distinct shingle table:
+    // min is duplicate-insensitive, so the distinct set gives the same
+    // minima as the raw multiset — and the verification needs the
+    // distinct table anyway, so one shingle chain feeds both instead of
+    // re-running the scan+split+md5 chain a second time
     val sh = shingles(docs).localCheckpoint()
-    val sig = minhashSignaturesFrom(shingles(docs, distinct = false)).localCheckpoint()
-    // one explode pass over sig, not a bands-way union: a union fans the
-    // plan into one AQE stage per branch per join side, and before the
-    // cache is materialized those stages race to recompute the whole
-    // signature subtree
+    val sig = minhashSignaturesFrom(sh).localCheckpoint()
+    val bands = minhashBandRows(sig)
     val nBands = minhashSeeds / minhashBandSize
-    def bandValue(b: Int) = concat_ws("_",
-      (0 until minhashBandSize).map(j => col(s"h${b * minhashBandSize + j}")): _*)
-    val bandStructs = (0 until nBands).map { b =>
-      val others = (0 until nBands).filterNot(_ == b).map(bandValue)
-      struct(lit(b).as("band"), bandValue(b).as("bv"), array(others: _*).as("ext"))
-    }
-    val bands = sig.select(col("doc_id"),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"),
-        col("bb.ext").as("ext"))
     val cands =
       if (fullRecall) subSplitBandCandidates(bands, maxDepth = nBands - 1)
       else cappedBandCandidates(bands.drop("ext"))
@@ -276,24 +265,122 @@ object Dedup {
     jaccardVerify(sh, cands, threshold)
   }
 
+  /** Banded rows (doc_id, band, bv, ext) from a MinHash signature table
+    * — one explode pass over sig, not a bands-way union: a union fans
+    * the plan into one AQE stage per branch per join side, and before
+    * the signature cache is materialized those stages race to recompute
+    * the whole signature subtree. `ext` carries the other bands' values
+    * for [[subSplitBandCandidates]].
+    */
+  private[graft] def minhashBandRows(sig: DataFrame): DataFrame = {
+    val nBands = minhashSeeds / minhashBandSize
+    def bandValue(b: Int) = concat_ws("_",
+      (0 until minhashBandSize).map(j => col(s"h${b * minhashBandSize + j}")): _*)
+    val bandStructs = (0 until nBands).map { b =>
+      val others = (0 until nBands).filterNot(_ == b).map(bandValue)
+      struct(lit(b).as("band"), bandValue(b).as("bv"), array(others: _*).as("ext"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"),
+        col("bb.ext").as("ext"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs against a distinct
     * shingle table `sh` (doc_id, s) — shared by the batch LSH path and
     * the streaming near-dup runner so both verify through one plan.
     */
   private[graft] def jaccardVerify(sh: DataFrame, cands: DataFrame,
-      threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      threshold: Double): DataFrame =
+    jaccardVerifyAsym(sh, sh, cands, threshold)
+
+  /** [[jaccardVerify]] with distinct per-side shingle tables — doc_a
+    * resolves in `shA`, doc_b in `shB` (the incremental batch-vs-corpus
+    * path, where the two id spaces come from different frames).
+    */
+  private[graft] def jaccardVerifyAsym(shA: DataFrame, shB: DataFrame,
+      cands: DataFrame, threshold: Double): DataFrame = {
+    val sizesA = shA.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("n"))
     cands
-      .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "s"))
+      .join(shA.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(shB.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "s"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .join(sizesA.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizesB.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jaccard",
         round(col("n_common") / (col("na") + col("nb") - col("n_common")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Incremental ingest dedup — the production dedup shape at 100 TB:
+    * the corpus is never re-deduped per ingest; each NEW batch is
+    * classified against the EXISTING corpus. Verdict per batch doc:
+    * 'exact' (verbatim copy of an existing doc), 'near' (verified
+    * n-gram Jaccard ≥ threshold against an existing doc, found via
+    * asymmetric MinHash-LSH banding), or 'new'. `dup_of` is the min
+    * existing doc for exact copies, else the best verified partner
+    * (max rounded jaccard, min doc_id); `jaccard` is reported for near
+    * verdicts only (exact is 1.0 by definition).
+    *
+    * Shape — everything scales with the BATCH, not the corpus:
+    * exact is one md5 left join against the fp → min(doc_id) store;
+    * near joins batch band rows against existing band rows on
+    * (band, bv) — never batch×batch or existing×existing — and only
+    * collision pairs reach the Jaccard verification. Existing-side
+    * buckets are capped at [[lshBucketCap]] members (lowest doc_ids —
+    * deterministic and oracle-mirrorable): a batch doc colliding with a
+    * corpus-scale template cluster verifies against its cap lowest
+    * members instead of the whole island, which still finds the
+    * verdict (template members are mutually similar) at O(cap) cost.
+    * A deployment persists the fp/signature/band tables and appends
+    * each accepted batch; here they derive from `existing` per call.
+    */
+  def incrementalDedup(existing: DataFrame, batch: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    // exact store: content hash → min existing doc
+    val exFp = existing.select(md5(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp").agg(min("doc_id").as("ex_exact"))
+    val bFp = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+
+    // asymmetric banding: batch signatures probe the existing band
+    // table. One shingle chain per side — the checkpointed distinct
+    // table feeds both the signatures (min is duplicate-insensitive)
+    // and the Jaccard verification
+    val exSh = shingles(existing).localCheckpoint()
+    val bSh = shingles(batch).localCheckpoint()
+    val exBands = minhashBandRows(minhashSignaturesFrom(exSh)).drop("ext")
+    val bBands = minhashBandRows(minhashSignaturesFrom(bSh)).drop("ext")
+    val exCapped = exBands
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("band", "bv").orderBy("doc_id")))
+      .filter(col("rn") <= lshBucketCap).drop("rn")
+    val cands = bBands.as("q").join(exCapped.as("e"),
+        col("q.band") === col("e.band") && col("q.bv") === col("e.bv"))
+      .select(col("q.doc_id").as("doc_a"), col("e.doc_id").as("doc_b"))
+      .distinct()
+    val verified = jaccardVerifyAsym(bSh, exSh, cands, threshold)
+    // best partner per batch doc, on the ROUNDED jaccard (cross-engine
+    // deterministic), doc_id ascending tiebreak
+    val best = verified
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_a").orderBy(desc("jaccard"), col("doc_b"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("ex_near"),
+        col("jaccard").as("near_jaccard"))
+
+    bFp.join(exFp, Seq("fp"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("ex_exact").isNotNull, lit("exact"))
+          .when(col("ex_near").isNotNull, lit("near"))
+          .otherwise(lit("new")))
+      .withColumn("dup_of", coalesce(col("ex_exact"), col("ex_near")))
+      .withColumn("jaccard",
+        when(col("ex_exact").isNull, col("near_jaccard")))
+      .select("doc_id", "verdict", "dup_of", "jaccard")
+      .orderBy("doc_id")
   }
 
   /** SimHash near-dup pairs: band the 64-bit signatures into 4×16-bit

@@ -319,14 +319,33 @@ object Similarity {
     }
     val byCell = Window.partitionBy("cell").orderBy(col("d"), col("vec_id"))
     val ranked = assigned.withColumn("rk", row_number().over(byCell).cast("long"))
-    val vecs = emb.select(col("vec_id"), col("embedding"))
+    // per-vector self-norm computed ONCE: the pair cosine divides by the
+    // two cached norms — the same IEEE values as folding both
+    // self-products per pair (identical ops on identical inputs), at a
+    // third of the per-pair fold work
+    val vecs = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (acc, x) => acc + x)))
+    // the pair join's only equi-key is `cell` — `cells` distinct values
+    // means `cells` tasks no matter the core count (and one fat cell is
+    // one straggler). Salt it: lo rows take grp = rk mod G, hi rows
+    // replicate G ways (rows × G of rank+vector — trivial next to the
+    // pairwise stage), join on (cell, grp) → cells × G tasks, result
+    // identical. G follows the session's parallelism.
+    val g = math.max(1,
+      emb.sparkSession.sparkContext.defaultParallelism / math.max(cells, 1))
     val hi = ranked.join(vecs, "vec_id")
-      .select(col("cell").as("cell_a"), col("rk").as("rk_a"), col("embedding").as("ea"))
+      .select(col("cell").as("cell_a"), col("rk").as("rk_a"),
+        col("v").as("ea"), col("nrm").as("na"))
+      .withColumn("grp_a", explode(sequence(lit(0), lit(g - 1))))
     val lo = ranked.join(vecs, "vec_id")
       .select(col("vec_id").as("vid_b"), col("cell").as("cell_b"),
-        col("rk").as("rk_b"), col("embedding").as("eb"))
-    val dropped = hi.join(lo, col("cell_a") === col("cell_b") && col("rk_a") < col("rk_b"))
-      .filter(cosine(col("ea"), col("eb")) >= tau)
+        col("rk").as("rk_b"), col("v").as("eb"), col("nrm").as("nb"))
+      .withColumn("grp_b", pmod(col("rk_b"), lit(g.toLong)).cast("int"))
+    val dropped = hi.join(lo,
+        col("cell_a") === col("cell_b") && col("grp_a") === col("grp_b") &&
+          col("rk_a") < col("rk_b"))
+      .filter(round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4) >= tau)
       .select(col("vid_b").as("vec_id")).distinct()
       .withColumn("__dropped", lit(true))
     ranked.join(dropped, Seq("vec_id"), "left")

@@ -46,6 +46,28 @@ class DedupSpec extends SparkSpec {
     assert(row.getDouble(5) == math.round(13.0 / 19.0 * 10000) / 10000.0)
   }
 
+  test("incrementalDedup: exact copy, near copy, and novel batch docs classified") {
+    val existing = docs(
+      0L -> "the quick brown fox jumps over the lazy dog and keeps running all day long",
+      1L -> "completely different words about spark engines here today for testing purposes")
+    val batch = docs(
+      10L -> "the quick brown fox jumps over the lazy dog and keeps running all day long",
+      11L -> "the quick brown fox jumps over the lazy dog and keeps running all day long extra",
+      12L -> "nothing in common with anything stored before at all whatsoever in this text")
+    val r = Dedup.incrementalDedup(existing, batch, 0.5).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(10L, 11L, 12L))
+    // verbatim copy → exact, partner 0, no jaccard reported
+    assert(r(10L).getString(1) == "exact" && r(10L).getLong(2) == 0L &&
+      r(10L).isNullAt(3))
+    // one appended word → near of 0: 15 words = 13 trigrams shared of
+    // 14 in the extended doc → jaccard 13/14
+    assert(r(11L).getString(1) == "near" && r(11L).getLong(2) == 0L, r(11L).toString)
+    assert(r(11L).getDouble(3) == 0.9286)
+    // no overlap → new, both partner columns null
+    assert(r(12L).getString(1) == "new" && r(12L).isNullAt(2) && r(12L).isNullAt(3))
+  }
+
   test("exact dedup: keeper is min doc_id, dup flagged") {
     val r = Dedup.exact(corpus.withColumn("lang", lit("en")))
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keeper"),
