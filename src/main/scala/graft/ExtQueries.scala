@@ -111,6 +111,14 @@ object ExtQueries {
       Sampling.withSplit(docs(s, d).select("doc_id", "text"), col("text"), 90, 5)
         .select("doc_id", "bucket", "split")
         .orderBy("doc_id")),
+    // deterministic global shuffle into 16 trainer shards: content-hash
+    // shard + hash-order position — a reproducible global permutation
+    // with no RNG (the "shuffle the corpus once" training stage)
+    "shuffle_shards" -> ((s, d) =>
+      Sampling.shuffleShards(docs(s, d).select("doc_id", "text"),
+          col("text"), col("doc_id"), 16)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")),
     "lang_quota" -> ((s, d) => {
       val scored = TextOps.qualityScore(docs(s, d)).select("doc_id", "quality_score")
       val j = docs(s, d).select("doc_id", "lang").join(scored, "doc_id")
@@ -818,6 +826,12 @@ object ExtQueries {
          |   CASE WHEN bucket < 90 THEN 'train'
          |        WHEN bucket < 95 THEN 'val'
          |        ELSE 'test' END AS split
+         | FROM b ORDER BY doc_id""".stripMargin,
+    "shuffle_shards" ->
+      s"""WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+         | b AS (SELECT doc_id, m, ($minhashBaseSql) % 16 AS shard FROM h)
+         | SELECT doc_id, shard,
+         |   CAST(row_number() OVER (PARTITION BY shard ORDER BY m, doc_id) AS BIGINT) - 1 AS pos
          | FROM b ORDER BY doc_id""".stripMargin,
     "lang_quota" ->
       s"""WITH q AS ($textQualityOracle),

@@ -62,6 +62,31 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
   }
 
+  /** Deterministic global shuffle into trainer shards — the "shuffle
+    * 100 TB once" stage a training run reads: each row lands in a
+    * content-hash shard with a position given by its hash order inside
+    * the shard. Reading shards 0..n-1 in position order yields a
+    * reproducible pseudo-random global permutation — no RNG, stable
+    * under task retries and corpus rebuilds (same property as
+    * [[withSplit]]), and any contiguous doc-id run (a crawl batch, one
+    * source's dump) scatters across all shards.
+    *
+    * Shape at scale: ONE hash-partition exchange (on `shard`) + a
+    * per-shard window over the hash — parallelism = shard count, so
+    * `shards` should be ≥ the cluster's write parallelism (training
+    * setups use thousands). `pos` ties break by `id` for the
+    * (astronomically unlikely, but cross-engine-reproducible) md5
+    * collision case.
+    */
+  def shuffleShards(df: DataFrame, key: Column, id: Column,
+      shards: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("__h").asc, id.asc)
+    df.withColumn("__h", md5(key))
+      .withColumn("shard", hashBucket(key, shards))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .drop("__h")
+  }
+
   /** Token-budget selection per group — the data-MIXING primitive:
     * within each group (language, source, domain), take documents in
     * quality order (score desc, id asc tiebreak — score must already be

@@ -27,6 +27,28 @@ class SamplingSpec extends SparkSpec {
     assert(counts("train") > counts.getOrElse("val", 0L))
   }
 
+  test("shuffleShards: every doc placed once, dense positions, stable, scattered") {
+    val sh = Sampling.shuffleShards(docs.select("doc_id", "text"),
+      col("text"), col("doc_id"), 16)
+    val rows = sh.select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a permutation: one row per doc, shards in range
+    assert(rows.length == docs.count())
+    assert(rows.forall { case (_, s, _) => s >= 0 && s < 16 })
+    // positions are dense 0..n_i-1 within each shard
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length).toSeq)
+    }
+    // contiguous doc-id runs scatter: the first 32 ids hit many shards
+    assert(rows.filter(_._1 < 32).map(_._2).distinct.length >= 8)
+    // stable across re-evaluation
+    val again = Sampling.shuffleShards(docs.select("doc_id", "text"),
+      col("text"), col("doc_id"), 16)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("sampleByHash: edge rates, monotone containment, determinism") {
     assert(Sampling.sampleByHash(docs, col("text"), 0.0).count() == 0)
     assert(Sampling.sampleByHash(docs, col("text"), 1.0).count() == docs.count())
