@@ -191,6 +191,9 @@ object ExtQueries {
     // product so ranking never touches a raw float
     "text_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(docs(s, d), 3)),
     "text_quality_score" -> ((s, d) => TextOps.qualityScore(docs(s, d))),
+    // bigram-LM mean log-prob per doc (the perplexity-filter shape,
+    // corpus-trained add-one model so the oracle replays it exactly)
+    "text_lm_score" -> ((s, d) => TextOps.lmScore(docs(s, d))),
     "token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
     "token_stats_by_lang" -> ((s, d) => TextOps.tokenStatsByLang(docs(s, d))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
@@ -947,6 +950,22 @@ object ExtQueries {
          |   ON d.doc_id = b.doc_id
          | ORDER BY d.doc_id""".stripMargin,
     "text_quality_score" -> s"$textQualityOracle ORDER BY doc_id",
+    "text_lm_score" ->
+      """WITH wrds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        | uni AS (SELECT w, count(*) AS cw FROM wrds GROUP BY w),
+        | v AS (SELECT count(DISTINCT w) AS vs FROM wrds),
+        | wl AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | big AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS s
+        |         FROM wl, UNNEST(range(1, len(ws))) AS t(i)),
+        | bc AS (SELECT s, count(*) AS cb FROM big GROUP BY s),
+        | lp AS (SELECT big.doc_id,
+        |          CAST(round(ln((bc.cb + 1) * 1.0 / (uni.cw + v.vs)), 6) AS DECIMAL(18,6)) AS lp
+        |        FROM big JOIN bc USING (s) JOIN uni ON uni.w = big.w1 CROSS JOIN v),
+        | agg AS (SELECT doc_id, count(*) AS n_bigrams,
+        |           round(CAST(SUM(lp) AS DOUBLE) / count(*), 4) AS avg_logp
+        |         FROM lp GROUP BY doc_id)
+        | SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
+        | FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH wrds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         | tf AS (SELECT doc_id, word, count(*) AS tf FROM wrds GROUP BY doc_id, word),

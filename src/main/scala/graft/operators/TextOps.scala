@@ -207,6 +207,48 @@ object TextOps {
         md5(col("redacted")).as("redacted_md5"))
       .orderBy("doc_id")
 
+  /** Bigram language-model scoring — the perplexity-style quality
+    * filter training pipelines run (CCNet/KenLM shape, reduced to a
+    * corpus-trained add-one-smoothed bigram model so both engines can
+    * replay it exactly): per document, the mean log-probability of its
+    * bigram tokens under P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V). Low
+    * scores mark text the corpus finds improbable (gibberish, wrong
+    * language, boilerplate-free noise); a deployment would train the
+    * counts on a held-out reference corpus — same plan, different
+    * input.
+    *
+    * Determinism: (cb+1)/(cw+V) divides exact integers (correctly
+    * rounded, bit-identical cross-engine), ln rounds to 6 (absorbing
+    * last-ulp libm divergence — the [[tfidfTopTerms]] precedent), and
+    * the per-doc sum runs over DECIMAL(18,6) — exact, order-independent
+    * — before the final rounded division.
+    *
+    * Shape: one explode + two hash aggregations (unigram, bigram
+    * counts) + key joins — linear in corpus tokens, shuffles keyed on
+    * word/bigram/doc_id only. V is one driver-side distinct count (a
+    * scalar, as in [[tfidfTopTerms]]).
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val words = spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val uni = words.groupBy("w").agg(count(lit(1)).as("cw"))
+    val vocab = words.select("w").distinct().count()
+    val big = Dedup.shingles(docs, 2, distinct = false)
+      .withColumn("w1", split(col("s"), " ")(0))
+    val bc = big.groupBy("s").agg(count(lit(1)).as("cb"))
+    val lp = big.join(bc, "s").join(uni.withColumnRenamed("w", "w1"), "w1")
+      .withColumn("lp",
+        round(log((col("cb") + lit(1)) / (col("cw") + lit(vocab))), 6)
+          .cast("decimal(18,6)"))
+    val agg = lp.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      round(sum(col("lp")).cast("double") / count(lit(1)), 4).as("avg_logp"))
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .select("doc_id", "n_bigrams", "avg_logp")
+      .orderBy("doc_id")
+  }
+
   /** Overlapping word-window chunks per document — the embedding/RAG
     * ingestion shape (each chunk later becomes one embedding row, e.g.
     * for the [[Similarity]] index). Chunk j covers words

@@ -53,6 +53,19 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1L).getString(3) != null && r(1L).getString(3) != plainMd5)
   }
 
+  test("lmScore: common phrases outscore rare ones; bigram counts; short docs null") {
+    val d = docs(
+      (0L, "alpha beta gamma alpha beta gamma alpha beta gamma alpha beta gamma", "en"),
+      (1L, "unique1 unique2 unique3 unique4", "en"),
+      (2L, "one", "en"))
+    val r = TextOps.lmScore(d).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getLong(1) == 11) // 12 words → 11 bigram tokens
+    assert(r(1L).getLong(1) == 3)
+    assert(r(2L).getLong(1) == 0 && r(2L).isNullAt(2))
+    // the corpus LM finds the repeated phrase far more probable
+    assert(r(0L).getDouble(2) > r(1L).getDouble(2))
+  }
+
   test("chunkWords: chunk count, stride starts, overlap, short tails") {
     val d = docs(
       (0L, (1 to 150).map(i => s"w$i").mkString(" "), "en"), // 3 chunks
