@@ -151,6 +151,20 @@ object ExtQueries {
     "embed_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), 10, 3, 8, 2, corpusKey = Some(d))),
     "embed_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
+    // the ANN quality gate: recall@3 of the IVF search against the
+    // brute-force ground truth, per query — the measurement that
+    // decides whether a cell count / nprobe setting is shippable
+    "embed_ivf_recall" -> ((s, d) => {
+      val bf = Similarity.bruteForceTopK(emb(s, d), 10, 3)
+        .select(col("qid"), col("vec_id"))
+      val iv = Similarity.ivfTopK(emb(s, d), 10, 3, 8, 2, corpusKey = Some(d))
+        .select(col("qid"), col("vec_id")).withColumn("__hit", lit(1))
+      bf.join(iv, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("hits"))
+        .withColumn("recall_at_3", round(col("hits") / lit(3.0), 4))
+        .orderBy("qid")
+    }),
     // near-dup pairs via sign-bit LSH banding. The testdata corpus has
     // no natural near-dups (max pairwise cosine 0.51 at sf0.01), so the
     // corpus unions deterministic perturbed twins (x·1.05 + 0.001,
@@ -888,6 +902,39 @@ object ExtQueries {
          |       FROM p)
          | SELECT qid, cell, rnk, vec_id, cos FROM r WHERE rnk <= 3
          | ORDER BY qid, rnk""".stripMargin,
+    "embed_ivf_recall" ->
+      s"""$kmeansCte,
+         | wc AS (SELECT emb.vec_id, emb.embedding, a2.cell
+         |        FROM embeddings emb JOIN a2 USING (vec_id)),
+         | q AS (SELECT vec_id AS qid, embedding AS qe, cell AS qcell
+         |       FROM wc WHERE vec_id < 10),
+         | ip AS (SELECT qid, wc.vec_id,
+         |         round(SUM(CAST(qe[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)) /
+         |           (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+         |            sqrt(SUM(CAST(wc.embedding[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)))), 4) AS cos
+         |       FROM q JOIN wc ON q.qcell = wc.cell AND q.qid <> wc.vec_id,
+         |            UNNEST(range(1, 65)) t(i)
+         |       GROUP BY qid, wc.vec_id),
+         | ik AS (SELECT qid, vec_id FROM (
+         |         SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |         FROM ip) WHERE rnk <= 3),
+         | bp AS (SELECT qid, e.vec_id,
+         |         round(SUM(CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) /
+         |           (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+         |            sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))), 4) AS cos
+         |       FROM q JOIN embeddings e ON q.qid <> e.vec_id,
+         |            UNNEST(range(1, 65)) t(i)
+         |       GROUP BY qid, e.vec_id),
+         | bk AS (SELECT qid, vec_id FROM (
+         |         SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |         FROM bp) WHERE rnk <= 3)
+         | SELECT bk.qid,
+         |   CAST(count(ik.vec_id) AS BIGINT) AS hits,
+         |   round(count(ik.vec_id) / 3.0, 4) AS recall_at_3
+         | FROM bk LEFT JOIN ik ON ik.qid = bk.qid AND ik.vec_id = bk.vec_id
+         | GROUP BY bk.qid ORDER BY bk.qid""".stripMargin,
     "embed_neardup_pairs" ->
       s"""WITH $perturbedCorpusSql,
         | chunks AS (

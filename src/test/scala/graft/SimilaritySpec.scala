@@ -34,6 +34,22 @@ class SimilaritySpec extends SparkSpec {
     assert(top.toSeq == Seq((1, 1L, 1.0), (2, 3L, 0.7071), (3, 2L, 0.0), (4, 4L, -1.0)))
   }
 
+  test("ivf recall@3 vs brute force: one row per query, hits in range, deterministic") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def recall() = {
+      val bf = Similarity.bruteForceTopK(e, 10, 3).select("qid", "vec_id")
+      val iv = Similarity.ivfTopK(e, 10, 3, 8, 2)
+        .select("qid", "vec_id").withColumn("__hit", lit(1))
+      bf.join(iv, Seq("qid", "vec_id"), "left")
+        .groupBy("qid").agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
+        .orderBy("qid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val r1 = recall()
+    assert(r1.length == 10)
+    assert(r1.forall { case (_, h) => h >= 0 && h <= 3 })
+    assert(r1.toSeq == recall().toSeq) // fixed quantizer ⇒ stable measurement
+  }
+
   test("bucketed top-k only scores same-label candidates") {
     val top = Similarity.bucketedTopK(vecs, nQueries = 1, k = 4).collect()
       .map(r => r.getAs[Long]("vec_id")).toSet
