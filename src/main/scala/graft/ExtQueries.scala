@@ -271,6 +271,8 @@ object ExtQueries {
     "events_hourly" -> ((s, d) => EventsOps.hourly(ev(s, d))),
     "events_prop_stats" -> ((s, d) => EventsOps.propStats(ev(s, d))),
     "events_sessionize" -> ((s, d) => EventsOps.sessionize(ev(s, d), 30)),
+    // hourly-volume z-score anomalies per type (rounded z vs 3.0)
+    "events_anomaly" -> ((s, d) => EventsOps.hourlyAnomaly(ev(s, d), 3.0)),
     "events_percentiles" -> ((s, d) => EventsOps.valuePercentiles(ev(s, d))),
     "events_sliding" -> ((s, d) => EventsOps.slidingValue(ev(s, d))),
 
@@ -1163,6 +1165,21 @@ object ExtQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
         | count(DISTINCT user_id) AS n_users
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_anomaly" ->
+      """WITH h AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |             count(*) AS n_events,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        |           FROM events GROUP BY 1, 2),
+        | s AS (SELECT hour, event_type, n_events, value_sum,
+        |         avg(value_sum) OVER (PARTITION BY event_type) AS m,
+        |         stddev_samp(value_sum) OVER (PARTITION BY event_type) AS sd
+        |       FROM h),
+        | z AS (SELECT hour, event_type, n_events, value_sum,
+        |         CASE WHEN sd > 0 THEN round((value_sum - m) / sd, 4) END AS z
+        |       FROM s)
+        | SELECT hour, event_type, n_events, value_sum, z,
+        |   coalesce(abs(z) > 3.0, FALSE) AS is_anomaly
+        | FROM z ORDER BY hour, event_type""".stripMargin,
     // each event lands in exactly two 2h/1h-slide windows: the ones
     // starting at floor(ts, 1h) and one hour earlier
     "events_sliding" ->

@@ -71,6 +71,34 @@ object EventsOps {
         col("event_type"), col("n_events"), col("value_sum"))
       .orderBy("window_start", "event_type")
 
+  /** Hourly volume anomalies per event_type — the ops/monitoring view:
+    * z-score of each hour's exact value sum against the type's
+    * distribution over the whole horizon, |z| > zThresh flags.
+    *
+    * Determinism: hourly sums are exact (decimal); the mean/stddev fold
+    * noise (~1e-12 across ~10³ exact values) is absorbed by rounding z
+    * to 4 before comparing (the threshold_classify precedent). A
+    * zero-variance type yields null z / no flag on both engines (the
+    * guard avoids engine-specific x/0 semantics).
+    *
+    * Shape: the hourly aggregate shuffles on (hour, type) with map-side
+    * combine over raw events; the z pass windows over event_type ROWS
+    * of hourly totals — hours-per-horizon rows per type, never raw
+    * events, so the single-key window is a non-issue at any scale.
+    */
+  def hourlyAnomaly(events: DataFrame, zThresh: Double = 3.0): DataFrame = {
+    val byType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    hourly(events)
+      .withColumn("__m", avg(col("value_sum")).over(byType))
+      .withColumn("__sd", stddev_samp(col("value_sum")).over(byType))
+      .withColumn("z",
+        when(col("__sd") > 0,
+          round((col("value_sum") - col("__m")) / col("__sd"), 4)))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > zThresh, lit(false)))
+      .select("hour", "event_type", "n_events", "value_sum", "z", "is_anomaly")
+      .orderBy("hour", "event_type")
+  }
+
   /** JSON property extraction (props = {"k": int}) + per-type stats.
     * regexp-based so the oracle needs no JSON extension.
     */

@@ -27,6 +27,30 @@ class EventsOpsSpec extends SparkSpec {
     assert(r("b").getDouble(1) == 5.0 && r("b").getDouble(2) == 5.0)
   }
 
+  test("hourlyAnomaly: spike hour flags, steady hours do not, zero-variance type null") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 11 near-steady hours (1.00..1.10) + one 100.0 spike → spike z ≈ 3.18
+    val steady = (0 until 11).map { h =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00"), "click", 1.0 + h * 0.01, h.toLong)
+    }
+    val spike = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 11:30:00"), "click", 100.0, 99L))
+    val flat = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), "flat", 5.0, 1L),
+      (java.sql.Timestamp.valueOf("2024-01-01 01:30:00"), "flat", 5.0, 2L))
+    val df = (steady ++ spike ++ flat).toDF("ts", "event_type", "value", "user_id")
+    val r = EventsOps.hourlyAnomaly(df, 3.0).collect()
+    val click = r.filter(_.getString(1) == "click")
+    assert(click.length == 12)
+    val flagged = click.filter(_.getBoolean(5))
+    assert(flagged.length == 1 && flagged.head.getDouble(3) == 100.0)
+    // constant sums → sd = 0 → null z, never flagged
+    val flatRows = r.filter(_.getString(1) == "flat")
+    assert(flatRows.length == 2)
+    assert(flatRows.forall(x => x.isNullAt(4) && !x.getBoolean(5)))
+  }
+
   test("slidingValue: every event lands in exactly two 2h/1h windows") {
     val spark2 = spark
     import spark2.implicits._
