@@ -208,6 +208,8 @@ object ExtQueries {
     // bigram-LM mean log-prob per doc (the perplexity-filter shape,
     // corpus-trained add-one model so the oracle replays it exactly)
     "text_lm_score" -> ((s, d) => TextOps.lmScore(docs(s, d))),
+    // corpus heavy hitters: global top-20 5-grams (boilerplate view)
+    "corpus_top_ngrams" -> ((s, d) => TextOps.topNgrams(docs(s, d), 5, 20)),
     "token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
     "token_stats_by_lang" -> ((s, d) => TextOps.tokenStatsByLang(docs(s, d))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
@@ -846,6 +848,15 @@ object ExtQueries {
          |        WHEN bucket < 95 THEN 'val'
          |        ELSE 'test' END AS split
          | FROM b ORDER BY doc_id""".stripMargin,
+    "corpus_top_ngrams" -> {
+      val gram5 = (0 until 5).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         | g AS (SELECT doc_id, $gram5 AS s
+         |       FROM w, UNNEST(range(1, len(ws) - 3)) AS t(i))
+         | SELECT s, count(*) AS occurrences, count(DISTINCT doc_id) AS n_docs
+         | FROM g GROUP BY s ORDER BY occurrences DESC, s LIMIT 20""".stripMargin
+    },
     "shuffle_shards" ->
       s"""WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
          | b AS (SELECT doc_id, m, ($minhashBaseSql) % 16 AS shard FROM h)

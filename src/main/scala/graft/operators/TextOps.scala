@@ -207,6 +207,20 @@ object TextOps {
         md5(col("redacted")).as("redacted_md5"))
       .orderBy("doc_id")
 
+  /** Corpus-wide top-k n-grams by occurrence — the boilerplate/heavy-
+    * hitter view (repeated headers, license blurbs, templates surface
+    * here first; what it finds feeds the substring-dedup and repetition
+    * filters). One non-distinct shingle pass + one hash aggregate with
+    * map-side combine; the final top-k is a single-partition sort of k
+    * rows. Ties break lexicographically so the cut is deterministic.
+    */
+  def topNgrams(docs: DataFrame, n: Int = 5, k: Int = 20): DataFrame =
+    Dedup.shingles(docs, n, distinct = false)
+      .groupBy("s").agg(count(lit(1)).as("occurrences"),
+        countDistinct("doc_id").as("n_docs"))
+      .orderBy(desc("occurrences"), col("s"))
+      .limit(k)
+
   /** Bigram language-model scoring — the perplexity-style quality
     * filter training pipelines run (CCNet/KenLM shape, reduced to a
     * corpus-trained add-one-smoothed bigram model so both engines can

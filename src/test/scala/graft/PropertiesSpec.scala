@@ -107,6 +107,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: chunkWords covers every word at its position, for arbitrary geometry") {
+    val spark2 = spark
+    import spark2.implicits._
+    val geomGen = for {
+      len <- Gen.choose(1, 300)
+      width <- Gen.choose(1, 80)
+      stride <- Gen.choose(1, width)
+    } yield (len, width, stride)
+    cases(geomGen, 12).foreach { case (len, width, stride) =>
+      val text = (1 to len).map(i => s"w$i").mkString(" ")
+      val d = Seq((0L, text)).toDF("doc_id", "text")
+      val chunks = graft.operators.TextOps.chunkWords(d, width, stride)
+        .collect().map(r => (r.getInt(1), r.getString(2).split(" "), r.getInt(3)))
+      // chunk j starts at word j·stride+1 and holds min(width, len-j·stride) words
+      chunks.foreach { case (j, ws, nw) =>
+        assert(ws.head == s"w${j * stride + 1}", s"geom=($len,$width,$stride) chunk $j")
+        assert(nw == math.min(width, len - j * stride) && ws.length == nw)
+      }
+      // expected chunk count, and the union of chunks covers every word
+      val expected = if (len <= width) 1
+        else math.ceil((len - width).toDouble / stride).toInt + 1
+      assert(chunks.length == expected, s"geom=($len,$width,$stride)")
+      assert(chunks.flatMap(_._2).distinct.length == len)
+    }
+  }
+
   test("property: Ingest.canonical is padding/case-invariant and never mis-maps") {
     val fields = Seq("date", "open", "high", "low", "close", "volume", "symbol")
     val padGen = Gen.oneOf("", " ", "  ", "\t")
