@@ -51,6 +51,17 @@ object ExtQueries {
 
     // ---- dedup family
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+    // fuzzy-exact dedup: case/punct/whitespace variants (15 planted
+    // mangled twins, doc_id 30000+) collapse to their originals'
+    // fingerprint under text normalization
+    "dedup_normalized" -> ((s, d) => {
+      val all = docs(s, d)
+      val noisy = all.select("doc_id", "text")
+        .unionByName(all.filter(col("doc_id") < 15).select(
+          (col("doc_id") + 30000).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit(" !!! ")).as("text")))
+      Dedup.exactNormalized(noisy)
+    }),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d), 0.5)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), 0.5)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
@@ -719,6 +730,21 @@ object ExtQueries {
          |   $jaccardExpr AS jaccard
          | FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          | WHERE $jaccardExpr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_normalized" ->
+      """WITH nb AS (SELECT doc_id, text FROM documents
+        |            UNION ALL
+        |            SELECT doc_id + 30000, '  ' || upper(text) || ' !!! '
+        |            FROM documents WHERE doc_id < 15),
+        | n AS (SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+        |       FROM nb),
+        | f AS (SELECT doc_id, md5(t) AS fp FROM n),
+        | st AS (SELECT fp, min(doc_id) AS keeper, count(*) AS n_copies
+        |        FROM f GROUP BY fp)
+        | SELECT f.doc_id, f.fp, st.keeper, st.n_copies,
+        |   f.doc_id <> st.keeper AS is_dup
+        | FROM f JOIN st USING (fp) ORDER BY f.doc_id""".stripMargin,
     "dedup_minhash_lsh" -> minhashLshOracleSql,
     // the streaming replay reproduces the batch LSH pairs exactly
     // (under-cap buckets are arrival-order invariant), so it is held to

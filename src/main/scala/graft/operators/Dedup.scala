@@ -72,6 +72,24 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Canonical text normalization for fuzzy-exact dedup: lowercase,
+    * strip everything but letters/digits/spaces, collapse whitespace
+    * runs, trim. Kept to constructs with identical Java-regex/RE2
+    * semantics so the oracle applies the same function.
+    */
+  def normalizeText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** [[exact]] over NORMALIZED text — the normalize→hash "fuzzy-exact"
+    * pass production pipelines run before any near-dup stage: case,
+    * punctuation, and whitespace variants of the same content collapse
+    * to one fingerprint at hash-groupBy cost, leaving the expensive
+    * LSH machinery only the genuinely paraphrased pairs.
+    */
+  def exactNormalized(docs: DataFrame): DataFrame =
+    exact(docs.withColumn("text", normalizeText(col("text"))))
+
   /** Pairwise n-gram Jaccard near-dup pairs (quadratic baseline):
     * join docs on shared shingles, jaccard = |∩| / (|A|+|B|-|∩|).
     */

@@ -76,6 +76,20 @@ class DedupSpec extends SparkSpec {
       (2L, 2L, 1L, false), (3L, 0L, 2L, true)))
   }
 
+  test("exactNormalized: case/punct/whitespace variants collapse, distinct content stays") {
+    val d = docs(
+      0L -> "Hello, World! This is FINE.",
+      1L -> "  hello world this is fine  ",
+      2L -> "hello world this is fine!!!",
+      3L -> "different content entirely here")
+    val r = Dedup.exactNormalized(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3), x.getBoolean(4))).toMap
+    assert(r(0L) == ((0L, 3L, false)))
+    assert(r(1L) == ((0L, 3L, true)))
+    assert(r(2L) == ((0L, 3L, true)))
+    assert(r(3L) == ((3L, 1L, false)))
+  }
+
   test("ngram jaccard pairs finds the near-dup and exact-dup pairs only") {
     val pairs = Dedup.ngramJaccardPairs(corpus, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
