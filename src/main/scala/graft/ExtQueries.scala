@@ -286,6 +286,27 @@ object ExtQueries {
     "events_sessionize" -> ((s, d) => EventsOps.sessionize(ev(s, d), 30)),
     // hourly-volume z-score anomalies per type (rounded z vs 3.0)
     "events_anomaly" -> ((s, d) => EventsOps.hourlyAnomaly(ev(s, d), 3.0)),
+    // interval (range) join via time-binning: every 50th event opens a
+    // 2-hour window; count/sum the same-type events inside each window
+    // through a (key, bucket) EQUI-join + exact BETWEEN filter — never
+    // a per-key cross product
+    "events_interval_join" -> ((s, d) => {
+      val events = ev(s, d)
+      val iv = events.filter(col("event_id") % 50 === 0)
+        .select(col("event_id").as("interval_id"), col("event_type"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+      val inside = IntervalJoin.joinBinned(
+          events.select("event_id", "event_type", "ts", "value"), iv,
+          Seq("event_type"), "ts", "start_ts", "end_ts", binWidthSec = 7200L)
+        .groupBy("interval_id", "event_type")
+        .agg(count(lit(1)).as("n_inside"),
+          Relational.moneySum(col("value")).as("value_sum"))
+      iv.select("interval_id", "event_type")
+        .join(inside, Seq("interval_id", "event_type"), "left")
+        .withColumn("n_inside", coalesce(col("n_inside"), lit(0L)))
+        .orderBy("interval_id")
+    }),
     "events_percentiles" -> ((s, d) => EventsOps.valuePercentiles(ev(s, d))),
     "events_sliding" -> ((s, d) => EventsOps.slidingValue(ev(s, d))),
 
@@ -1202,6 +1223,18 @@ object ExtQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
         | count(DISTINCT user_id) AS n_users
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_interval_join" ->
+      """WITH iv AS (SELECT event_id AS interval_id, event_type,
+        |              ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts
+        |            FROM events WHERE event_id % 50 = 0)
+        | SELECT iv.interval_id, iv.event_type,
+        |   count(e.event_id) AS n_inside,
+        |   CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        | FROM iv LEFT JOIN events e
+        |   ON e.event_type = iv.event_type
+        |  AND e.ts BETWEEN iv.start_ts AND iv.end_ts
+        | GROUP BY iv.interval_id, iv.event_type
+        | ORDER BY iv.interval_id""".stripMargin,
     "events_anomaly" ->
       """WITH h AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |             count(*) AS n_events,
