@@ -322,6 +322,18 @@ object ExtQueries {
         .orderBy("symbol", "date")
     }),
 
+    // FORWARD as-of — next month-start anchor at or after each row —
+    // against DuckDB's native forward ASOF (probe.ts <= ref.ts)
+    "asof_forward_ratio" -> ((s, d) => {
+      val stocks = Tables.stocks(s, d)
+      val anchors = stocks.filter(dayofmonth(col("date")) === 1)
+        .select(col("symbol"), col("date"), col("close").as("anchor_close"))
+      AsOf.joinAsOfForward(stocks, anchors, Seq("symbol"), "date", Seq("anchor_close"))
+        .withColumn("ratio", round(col("close") / col("anchor_close"), 4))
+        .select("symbol", "date", "close", "anchor_close", "ratio")
+        .orderBy("symbol", "date")
+    }),
+
     // the hot-key salted as-of (year-bucket partitions + replicated
     // boundary anchors) against the SAME DuckDB ASOF oracle — the hash
     // match proves the salted plan result-identical to the plain one
@@ -1322,6 +1334,15 @@ object ExtQueries {
          |   round(s.close / a.anchor_close, 4) AS ratio
          | FROM stocks s ASOF LEFT JOIN anchors a
          |   ON s.symbol = a.symbol AND s.date >= a.adate
+         | ORDER BY s.symbol, s.date""".stripMargin,
+    "asof_forward_ratio" ->
+      s"""${Tables.stocksCte},
+         | anchors AS (SELECT symbol, date AS adate, close AS anchor_close
+         |             FROM stocks WHERE day(date) = 1)
+         | SELECT s.symbol, s.date, s.close, a.anchor_close,
+         |   round(s.close / a.anchor_close, 4) AS ratio
+         | FROM stocks s ASOF LEFT JOIN anchors a
+         |   ON s.symbol = a.symbol AND s.date <= a.adate
          | ORDER BY s.symbol, s.date""".stripMargin,
     // truncated-convolution EWM mirror (same bound as ema_macd_checked):
     // num = Σ d^j·x over the last 700 rows, den closed-form

@@ -60,6 +60,40 @@ object AsOf {
     carried.filter(col("__side") === 1).drop("__side")
   }
 
+  /** Forward as-of: left rows enriched with the EARLIEST right-side
+    * values at or after each left timestamp — the "next scheduled
+    * event" direction (next earnings date, next rebalance). Mirror of
+    * [[joinAsOf]]: at equal ts the left row sorts first and the
+    * following-window still sees the reference row, so ties are
+    * inclusive, matching DuckDB's native forward ASOF (`probe.ts <=
+    * ref.ts`), which the oracle uses. Same cost model and the same
+    * salting recipe apply (buckets + boundary anchors, reversed).
+    */
+  def joinAsOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val taggedLeft = left
+      .withColumn("__side", lit(1))
+      .select(keys.map(col) ++ Seq(col(ts), col("__side")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        leftCols.filterNot(c => keys.contains(c) || c == ts).map(col): _*)
+    val taggedRight = right
+      .withColumn("__side", lit(0))
+      .select(keys.map(col) ++ Seq(col(ts), col("__side")) ++ valueCols.map(col) ++
+        leftCols.filterNot(c => keys.contains(c) || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // left (1) sorts before right (0) at equal ts; the FOLLOWING frame
+    // starts at the current row, so the equal-ts reference still matches
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = valueCols.foldLeft(taggedLeft.unionByName(taggedRight)) {
+      (df, c) => df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__side")
+  }
+
   /** [[joinAsOf]] with hot-key time-bucket salting — the 100 TB path for
     * keys whose history is NOT bounded: the plain plan sorts each key's
     * entire timeline in one task, so one hot key (an index symbol with

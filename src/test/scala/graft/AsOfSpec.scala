@@ -35,6 +35,26 @@ class AsOfSpec extends SparkSpec {
       ("B", "2020-01-07", None))) // other key never sees A's anchors
   }
 
+  test("forward as-of carries the earliest reference at or after each probe row") {
+    val left = tbl(
+      ("A", "2020-01-01", 1.0), ("A", "2020-01-05", 2.0),
+      ("A", "2020-01-10", 3.0), ("A", "2020-01-15", 4.0),
+      ("B", "2020-01-07", 9.0))
+    val right = tbl(("A", "2020-01-05", 50.0), ("A", "2020-01-12", 60.0))
+      .withColumnRenamed("v", "anchor")
+    val r = AsOf.joinAsOfForward(left, right, Seq("symbol"), "date", Seq("anchor"))
+      .orderBy("symbol", "date")
+      .collect()
+      .map(row => (row.getAs[String]("symbol"), row.getAs[Date]("date").toString,
+        Option(row.getAs[java.lang.Double]("anchor")).map(_.doubleValue)))
+    assert(r.toSeq == Seq(
+      ("A", "2020-01-01", Some(50.0)),
+      ("A", "2020-01-05", Some(50.0)), // tie is inclusive
+      ("A", "2020-01-10", Some(60.0)),
+      ("A", "2020-01-15", None), // after the last anchor
+      ("B", "2020-01-07", None))) // other key never sees A's anchors
+  }
+
   test("property: time-bucket-salted as-of ≡ plain as-of, and partitions on (key, bucket)") {
     // deterministic pseudo-random data spanning 5 years, anchors sparse
     // relative to probes so bucket-boundary carry is exercised heavily
