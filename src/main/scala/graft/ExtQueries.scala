@@ -162,6 +162,8 @@ object ExtQueries {
     "embed_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), 10, 3, 8, 2, corpusKey = Some(d))),
     "embed_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
+    // per-label mean-pooled centroids, long format (label, dim, mean)
+    "embed_label_centroids" -> ((s, d) => Similarity.groupCentroids(emb(s, d))),
     // the ANN quality gate: recall@3 of the IVF search against the
     // brute-force ground truth, per query — the measurement that
     // decides whether a cell count / nprobe setting is shippable
@@ -974,6 +976,12 @@ object ExtQueries {
          |       FROM p)
          | SELECT qid, cell, rnk, vec_id, cos FROM r WHERE rnk <= 3
          | ORDER BY qid, rnk""".stripMargin,
+    "embed_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS i,
+        |   round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m,
+        |   count(*) AS n_vectors
+        | FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+        | GROUP BY label, i ORDER BY label, i""".stripMargin,
     "embed_ivf_recall" ->
       s"""$kmeansCte,
          | wc AS (SELECT emb.vec_id, emb.embedding, a2.cell

@@ -285,6 +285,23 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Per-group embedding centroids (mean pooling) in long format — one
+    * row per (group, dimension): the class-centroid primitive behind
+    * prototype classifiers and centroid-based data selection. Long
+    * format keeps the oracle exact (no array/string round-trip);
+    * callers needing vectors re-assemble with the same
+    * sort-collect_list fold the k-means update uses.
+    *
+    * Shape: one posexplode (rows × dims) through a map-side-combined
+    * avg keyed on (group, dim) — linear, groups × dims output rows.
+    * The mean rounds to 6 to absorb fold-order ulp, as everywhere.
+    */
+  def groupCentroids(emb: DataFrame, group: String = "label"): DataFrame =
+    emb.select(col(group), posexplode(toDouble(col("embedding"))).as(Seq("i", "x")))
+      .groupBy(group, "i")
+      .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("n_vectors"))
+      .orderBy(group, "i")
+
   /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication", 2023): cluster the corpus with the k-means coarse
