@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended technical indicators beyond the reference's W1-W15 battery
+  * (reference scope: /root/reference/analyze_visualize.py:98-141). These
+  * are the indicators a user of the reference pipeline asks for next —
+  * ATR, stochastic oscillator, OBV, rolling VWAP, drawdown, moving-average
+  * crossovers, rolling pair correlation, and market beta — expressed as
+  * the same `PARTITION BY symbol ORDER BY date` window family, so Catalyst
+  * fuses each batch into the one existing symbol-shuffle + sort. At 100 TB
+  * every transformer here stays a per-symbol window or a keyed aggregate:
+  * no driver collection, no cross-symbol shuffle beyond the final summary
+  * group-bys.
+  *
+  * Determinism rules (same contract as [[Indicators]] / the oracle gate):
+  * min/max/lag are selections (exact); averages follow the established
+  * round-after-window pattern; every SUM that feeds a formula with more
+  * than one float term runs over DECIMAL (exact in any order) and is cast
+  * to double only for the final fixed-shape expression tree, which both
+  * Spark and DuckDB evaluate with identical IEEE operations.
+  */
+object IndicatorsExt {
+
+  private val w = Window.partitionBy("symbol").orderBy("date")
+  private def trailing(n: Int) = w.rowsBetween(-(n - 1), 0)
+  private val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+
+  /** True range + ATR(n). TR on each symbol's first row falls back to
+    * high-low (Wilder's convention: no previous close). ATR is the
+    * n-row SMA of TR with the default-min_periods gate, matching the
+    * W2 family's null semantics. Two window passes (TR uses lag, ATR
+    * aggregates TR), both over the same spec → one shuffle.
+    */
+  def withAtr(df: DataFrame, n: Int = 14): DataFrame = {
+    val prev = lag(col("close"), 1).over(w)
+    val tr = when(prev.isNull, col("high") - col("low"))
+      .otherwise(greatest(
+        col("high") - col("low"),
+        abs(col("high") - prev),
+        abs(col("low") - prev)))
+    df.withColumn("tr", tr)
+      .withColumn("atr", Indicators.gatedOver(w, n, col("tr"), avg))
+  }
+
+  /** Stochastic oscillator: %K over the n-day high/low channel, %D the
+    * d-day SMA of %K. Channel min/max are selections (exact); the %K
+    * division is a single fixed expression rounded before %D averages
+    * it, so %D is an average of already-rounded values.
+    */
+  def withStochastic(df: DataFrame, n: Int = 14, d: Int = 3, scale: Int = 4): DataFrame = {
+    val lo = min(col("low")).over(trailing(n))
+    val hi = max(col("high")).over(trailing(n))
+    val k = when(count(col("close")).over(trailing(n)) === n && hi =!= lo,
+      (col("close") - lo) / (hi - lo) * lit(100.0))
+    df.withColumn("stoch_k", round(k, scale))
+      .withColumn("stoch_d", round(Indicators.gatedOver(w, d, col("stoch_k"), avg), scale))
+  }
+
+  /** On-balance volume: cumulative volume signed by the close-to-close
+    * direction (first row contributes 0 — null delta). Volume is
+    * integral, so the running sum is exact long arithmetic in any
+    * evaluation order.
+    */
+  def withObv(df: DataFrame): DataFrame = {
+    val delta = col("close") - lag(col("close"), 1).over(w)
+    val signed = when(delta > 0, col("volume"))
+      .when(delta < 0, -col("volume"))
+      .otherwise(lit(0L))
+    df.withColumn("obv_step", signed)
+      .withColumn("obv", sum(col("obv_step")).over(cum))
+      .drop("obv_step")
+  }
+
+  /** Rolling VWAP over n days: sum(close·volume)/sum(volume). Both sums
+    * run over DECIMAL (close is a 2-decimal price, volume integral →
+    * products and sums are exact in any order); the single division is
+    * done in double and rounded.
+    */
+  def withVwap(df: DataFrame, n: Int = 20, scale: Int = 6): DataFrame = {
+    val pv = col("close").cast("decimal(18,2)") * col("volume").cast("decimal(18,0)")
+    val sumPv = sum(pv).over(trailing(n))
+    val sumV = sum(col("volume").cast("decimal(18,0)")).over(trailing(n))
+    df.withColumn("vwap",
+      round(sumPv.cast("double") / sumV.cast("double"), scale))
+  }
+
+  /** Running peak close and drawdown-from-peak (%). Peak is a running
+    * max (selection, exact); the drawdown is one division rounded per
+    * row, so the per-symbol minimum in [[maxDrawdown]] compares already
+    * rounded values.
+    */
+  def withDrawdown(df: DataFrame, scale: Int = 6): DataFrame = {
+    val peak = max(col("close")).over(cum)
+    df.withColumn("peak", peak)
+      .withColumn("drawdown_pct",
+        round((col("close") / peak - lit(1.0)) * lit(100.0), scale))
+  }
+
+  /** Per-symbol max-drawdown summary: worst drawdown, days underwater,
+    * and trading-day count. One window pass + one group-by on the same
+    * key — the aggregate is partial (map-side combine) and exact.
+    */
+  def maxDrawdown(df: DataFrame): DataFrame =
+    withDrawdown(df)
+      .groupBy("symbol")
+      .agg(
+        min(col("drawdown_pct")).as("max_drawdown_pct"),
+        sum(when(col("drawdown_pct") < 0, 1L).otherwise(0L)).as("days_underwater"),
+        count(lit(1)).as("trading_days"))
+
+  /** Moving-average crossover events: rows where the fast gated SMA
+    * crosses the slow one. Both SMAs are rounded before the boolean
+    * state compare, so the flip detection never touches raw float
+    * noise; `lag(state)` confines the event test to consecutive rows
+    * where both MAs exist.
+    */
+  def crossovers(df: DataFrame, fast: Int = 50, slow: Int = 200, scale: Int = 6): DataFrame = {
+    val withMa = df
+      .withColumn("ma_fast", round(Indicators.gatedOver(w, fast, col("close"), avg), scale))
+      .withColumn("ma_slow", round(Indicators.gatedOver(w, slow, col("close"), avg), scale))
+    val state = when(col("ma_fast").isNotNull && col("ma_slow").isNotNull,
+      col("ma_fast") > col("ma_slow"))
+    withMa
+      .withColumn("above", state)
+      .withColumn("prev_above", lag(col("above"), 1).over(w))
+      .filter(col("above").isNotNull && col("prev_above").isNotNull &&
+        col("above") =!= col("prev_above"))
+      .withColumn("signal", when(col("above"), lit("golden_cross")).otherwise(lit("death_cross")))
+      .select("symbol", "date", "ma_fast", "ma_slow", "signal")
+  }
+
+  /** Daily return rounded to 8dp as DECIMAL(12,8) — the exact-arithmetic
+    * carrier for the correlation/beta formulas below. Null on each
+    * symbol's first row (no previous close).
+    */
+  private def returnDec = round(
+    (col("close") / lag(col("close"), 1).over(w) - lit(1.0)) * lit(100.0), 8)
+    .cast("decimal(12,8)")
+
+  /** Rolling n-day correlation between two symbols' daily returns.
+    *
+    * Shape: two filtered branches of the same scan joined on date (a
+    * 2-symbol frame — broadcastable; at 100 TB the per-symbol branches
+    * are partition-pruned scans), then one date-ordered window. The
+    * five sums (Σx, Σy, Σxy, Σx², Σy²) run over DECIMAL — products of
+    * DECIMAL(12,8) are DECIMAL(25,16), exact — and only the final
+    * Pearson expression is evaluated in double with a fixed tree:
+    * (nΣxy−ΣxΣy)/√((nΣxx−Σx²)(nΣyy−Σy²)).
+    */
+  def pairReturnCorr(df: DataFrame, symA: String, symB: String, n: Int = 20,
+      scale: Int = 6): DataFrame = {
+    def branch(sym: String, as: String) =
+      df.filter(col("symbol") === sym)
+        .withColumn(as, returnDec)
+        .filter(col(as).isNotNull)
+        .select(col("date"), col(as))
+    val joined = branch(symA, "x").join(branch(symB, "y"), Seq("date"))
+    val ow = Window.orderBy("date").rowsBetween(-(n - 1), 0)
+    val cnt = count(lit(1)).over(ow)
+    def s(c: org.apache.spark.sql.Column) = sum(c).over(ow).cast("double")
+    val (sx, sy, sxy, sxx, syy) =
+      (s(col("x")), s(col("y")), s(col("x") * col("y")),
+        s(col("x") * col("x")), s(col("y") * col("y")))
+    val nd = cnt.cast("double")
+    val den = sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    val corr = when(cnt === n && den > 0, (nd * sxy - sx * sy) / den)
+    joined
+      .withColumn("corr_ret", round(corr, scale))
+      .select(col("date"), col("x").cast("double").as("ret_a"),
+        col("y").cast("double").as("ret_b"), col("corr_ret"))
+  }
+
+  /** Per-symbol beta/alpha against the equal-weight market return.
+    *
+    * market(date) = mean of all symbols' returns that date, computed as
+    * an exact DECIMAL sum / count and re-rounded to the same 8dp carrier.
+    * Each symbol's (return, market) pairs then aggregate to the five
+    * exact sums and the closed-form OLS slope/intercept in double:
+    * beta = (nΣxy−ΣxΣy)/(nΣxx−Σx²), alpha = (Σy−βΣx)/n, with x the
+    * market and y the symbol. Two shuffles total (date, then symbol),
+    * both partial-aggregated; nothing is ordered, which is safe because
+    * every sum is decimal-exact.
+    */
+  def betaVsMarket(df: DataFrame, scale: Int = 6): DataFrame = {
+    val rets = df.withColumn("r", returnDec).filter(col("r").isNotNull)
+      .select("symbol", "date", "r")
+    val market = rets.groupBy("date")
+      .agg(round(sum(col("r")).cast("double") / count(lit(1)), 8)
+        .cast("decimal(12,8)").as("m"))
+    val joined = rets.join(market, Seq("date"))
+    def s(c: org.apache.spark.sql.Column) = sum(c).cast("double")
+    val agg = joined.groupBy("symbol").agg(
+      count(lit(1)).cast("double").as("n"),
+      s(col("m")).as("sx"), s(col("r")).as("sy"),
+      s(col("m") * col("r")).as("sxy"), s(col("m") * col("m")).as("sxx"))
+    agg.select(
+      col("symbol"),
+      col("n").cast("long").as("n_days"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), scale).as("beta"),
+      round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), scale)
+        .as("alpha"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.IndicatorsExt
+
+/** Hand-computed goldens for the extended indicator family (ATR,
+  * stochastic, OBV, VWAP, drawdown, crossovers, pair corr, beta).
+  * The bars fixture gives high=close+1, low=close-1, volume=100+i.
+  */
+class IndicatorsExtSpec extends SparkSpec {
+
+  test("ATR: TR falls back to high-low on the first row, gated SMA after") {
+    val df = IndicatorsExt.withAtr(bars("A", Seq(10.0, 11.0, 9.0, 12.0)), 2)
+    // TR: row0 high-low=2; row1 max(2,|12-10|,|10-10|)=2;
+    // row2 max(2,|10-11|,|8-11|)=3; row3 max(2,|13-9|,|11-9|)=4
+    assertColumn(df, "tr", Seq(2.0, 2.0, 3.0, 4.0))
+    assertColumn(df, "atr", Seq(Double.NaN, 2.0, 2.5, 3.5))
+  }
+
+  test("stochastic %K uses the n-day high/low channel, %D averages rounded %K") {
+    val df = IndicatorsExt.withStochastic(bars("A", Seq(10.0, 11.0, 9.0, 12.0, 14.0)), 3, 3)
+    // row2: (9-8)/(12-8)*100=25; row3: (12-8)/(13-8)*100=80;
+    // row4: (14-8)/(15-8)*100=85.7143
+    assertColumn(df, "stoch_k", Seq(Double.NaN, Double.NaN, 25.0, 80.0, 85.7143))
+    assertColumn(df, "stoch_d", Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN, 63.5714))
+  }
+
+  test("OBV signs volume by close direction, first row contributes zero") {
+    val df = IndicatorsExt.withObv(bars("A", Seq(10.0, 11.0, 9.0, 12.0)))
+    assertColumn(df.withColumn("obv_d", col("obv").cast("double")), "obv_d",
+      Seq(0.0, 101.0, -1.0, 102.0))
+  }
+
+  test("rolling VWAP = exact decimal sum(close*volume)/sum(volume)") {
+    val df = IndicatorsExt.withVwap(bars("A", Seq(10.0, 11.0, 9.0, 12.0)), 2)
+    assertColumn(df, "vwap", Seq(10.0, 10.502488, 9.995074, 10.507317))
+  }
+
+  test("drawdown tracks the running peak; summary picks the worst") {
+    val df = IndicatorsExt.withDrawdown(bars("A", Seq(10.0, 11.0, 9.0, 12.0)))
+    assertColumn(df, "drawdown_pct", Seq(0.0, 0.0, -18.181818, 0.0))
+    val s = IndicatorsExt.maxDrawdown(bars("A", Seq(10.0, 11.0, 9.0, 12.0))).collect()(0)
+    assert(s.getAs[Double]("max_drawdown_pct") == -18.181818)
+    assert(s.getAs[Long]("days_underwater") == 1L)
+    assert(s.getAs[Long]("trading_days") == 4L)
+  }
+
+  test("crossovers emit golden/death events only on state flips") {
+    val df = IndicatorsExt.crossovers(
+      bars("A", Seq(10.0, 11.0, 9.0, 12.0, 13.0, 9.0, 8.0)), 2, 3)
+    val rows = df.orderBy("date").collect()
+    // ma2 vs ma3: false,false,true(row4),false(row5),false → flip at
+    // rows 4 (golden) and 5 (death)
+    assert(rows.map(_.getAs[String]("signal")).toSeq == Seq("golden_cross", "death_cross"))
+    assert(rows.map(_.getAs[java.sql.Date]("date").toString).toSeq ==
+      Seq("2020-01-05", "2020-01-06"))
+  }
+
+  test("pair correlation of identical return series is 1 at full windows") {
+    val closes = Seq(10.0, 11.0, 9.0, 12.0)
+    val df = IndicatorsExt.pairReturnCorr(
+      bars("AF", closes).unionByName(bars("NO", closes)), "AF", "NO", 3)
+    assertColumn(df, "corr_ret", Seq(Double.NaN, Double.NaN, 1.0))
+  }
+
+  test("beta against the equal-weight market recovers the return multiple") {
+    // B's returns are exactly 2x A's → market = 1.5x A's returns,
+    // beta_A = 1/1.5, beta_B = 2/1.5, both alphas 0
+    val df = IndicatorsExt.betaVsMarket(
+      bars("A", Seq(100.0, 110.0, 99.0)).unionByName(bars("B", Seq(100.0, 120.0, 96.0))))
+    val rows = df.orderBy("symbol").collect()
+    assert(rows.map(_.getAs[Long]("n_days")).toSeq == Seq(2L, 2L))
+    assert(rows.map(_.getAs[Double]("beta")).toSeq == Seq(0.666667, 1.333333))
+    assert(rows.map(_.getAs[Double]("alpha")).toSeq == Seq(0.0, 0.0))
+  }
+}
