@@ -224,6 +224,24 @@ object ExtQueries {
     // corpus heavy hitters: global top-20 5-grams (boilerplate view)
     "corpus_top_ngrams" -> ((s, d) => TextOps.topNgrams(docs(s, d), 5, 20)),
     "token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
+    "word_entropy" -> ((s, d) => TextOps.wordEntropy(docs(s, d))),
+    "gopher_quality" -> ((s, d) => TextOps.gopherQuality(docs(s, d))),
+    "doc_length_histogram" -> ((s, d) => TextOps.lengthHistogram(docs(s, d))),
+    // template-prefix grouping on a planted-template corpus: 12 docs
+    // get a twin sharing their first 8 words but a different tail;
+    // each pair must group, the word-salad rest must not
+    "template_prefix_groups" -> ((s, d) => {
+      val all = docs(s, d)
+      val planted = all.filter(col("doc_id") < 12).select(
+        (col("doc_id") + 40000).as("doc_id"),
+        concat(
+          array_join(slice(split(col("text"), " "), 1, 8), " "),
+          lit(" planted tail variant "),
+          col("doc_id").cast("string")).as("text"))
+      TextOps.templatePrefixGroups(
+        all.select("doc_id", "text").unionByName(planted), 8)
+        .orderBy("prefix")
+    }),
     "token_stats_by_lang" -> ((s, d) => TextOps.tokenStatsByLang(docs(s, d))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
     // Gopher-style repetition filter on a repetition-injected corpus:
@@ -348,6 +366,42 @@ object ExtQueries {
         .select("symbol", "date", "close", "anchor_close", "ratio")
         .orderBy("symbol", "date")
     }),
+
+    // ---- extended indicators (IndicatorsExt): the next tier of
+    // technical analysis a reference user asks for — all per-symbol
+    // windows over the one existing symbol shuffle, plus two exact-sum
+    // cross-sectional stats (pair correlation, market beta)
+    "atr" -> ((s, d) =>
+      IndicatorsExt.withAtr(Tables.stocks(s, d), 14)
+        .select(col("symbol"), col("date"),
+          round(col("tr"), 6).as("tr"), round(col("atr"), 6).as("atr_14"))
+        .orderBy("symbol", "date")),
+    "stochastic_osc" -> ((s, d) =>
+      IndicatorsExt.withStochastic(Tables.stocks(s, d), 14, 3)
+        .select("symbol", "date", "stoch_k", "stoch_d")
+        .orderBy("symbol", "date")),
+    "obv" -> ((s, d) =>
+      IndicatorsExt.withObv(Tables.stocks(s, d))
+        .select("symbol", "date", "volume", "obv")
+        .orderBy("symbol", "date")),
+    "vwap_20" -> ((s, d) =>
+      IndicatorsExt.withVwap(Tables.stocks(s, d), 20)
+        .select("symbol", "date", "close", "vwap")
+        .orderBy("symbol", "date")),
+    "drawdown" -> ((s, d) =>
+      IndicatorsExt.withDrawdown(Tables.stocks(s, d))
+        .select("symbol", "date", "close", "peak", "drawdown_pct")
+        .orderBy("symbol", "date")),
+    "max_drawdown" -> ((s, d) =>
+      IndicatorsExt.maxDrawdown(Tables.stocks(s, d)).orderBy("symbol")),
+    "ma_crossover" -> ((s, d) =>
+      IndicatorsExt.crossovers(Tables.stocks(s, d), 20, 50)
+        .orderBy("symbol", "date")),
+    "pair_corr" -> ((s, d) =>
+      IndicatorsExt.pairReturnCorr(Tables.stocks(s, d), "AF", "NO", 20)
+        .orderBy("date")),
+    "beta_market" -> ((s, d) =>
+      IndicatorsExt.betaVsMarket(Tables.stocks(s, d)).orderBy("symbol")),
 
     // streaming EMA replay on the oracle surface: three chronological
     // file drops → three micro-batches; the (num, den) keyed state
@@ -1093,6 +1147,53 @@ object ExtQueries {
         |         FROM lp GROUP BY doc_id)
         | SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
         | FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "word_entropy" ->
+      """WITH wrds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        | c AS (SELECT doc_id, w, count(*) AS c FROM wrds GROUP BY doc_id, w),
+        | t AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t, count(*) AS n_distinct FROM c GROUP BY doc_id),
+        | terms AS (
+        |   SELECT c.doc_id, t.t, t.n_distinct,
+        |     CAST(round((c.c * 1.0 / t.t) * ln(c.c * 1.0 / t.t), 6) AS DECIMAL(18,6)) AS term
+        |   FROM c JOIN t USING (doc_id))
+        | SELECT doc_id, max(t) AS n_words, max(n_distinct) AS n_distinct,
+        |   round(CAST(sum(term) * -1 AS DOUBLE), 6) AS entropy
+        | FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "gopher_quality" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | m AS (
+        |   SELECT doc_id,
+        |     CAST(len(ws) AS BIGINT) AS n_words,
+        |     round(list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws), 4) AS mean_word_len,
+        |     round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(ws), 4) AS alpha_frac,
+        |     CAST(len(list_filter(ws, x -> x IN ('the','be','to','of','and','that','have','with','a','in'))) AS BIGINT) AS n_stop_hits
+        |   FROM w)
+        | SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop_hits,
+        |   (n_words BETWEEN 20 AND 1000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |     AND alpha_frac >= 0.8 AND n_stop_hits >= 2 AS gopher_pass
+        | FROM m ORDER BY doc_id""".stripMargin,
+    "doc_length_histogram" ->
+      """WITH t AS (
+        |   SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |     CAST(length(bin(len(string_split(text, ' ')))) - 1 AS INTEGER) AS bucket
+        |   FROM documents)
+        | SELECT lang, bucket, count(*) AS n_docs,
+        |   CAST(sum(n) AS BIGINT) AS total_tokens,
+        |   min(n) AS min_tokens, max(n) AS max_tokens
+        | FROM t GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    "template_prefix_groups" ->
+      """WITH u AS (
+        |   SELECT doc_id, text FROM documents
+        |   UNION ALL
+        |   SELECT doc_id + 40000 AS doc_id,
+        |     array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+        |       || ' planted tail variant ' || CAST(doc_id AS VARCHAR) AS text
+        |   FROM documents WHERE doc_id < 12),
+        | p AS (SELECT doc_id,
+        |         array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS prefix
+        |       FROM u)
+        | SELECT prefix, count(*) AS n_docs,
+        |   min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        | FROM p GROUP BY prefix HAVING count(*) > 1 ORDER BY prefix""".stripMargin,
     "text_tfidf" ->
       """WITH wrds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         | tf AS (SELECT doc_id, word, count(*) AS tf FROM wrds GROUP BY doc_id, word),
@@ -1352,6 +1453,141 @@ object ExtQueries {
          | FROM stocks s ASOF LEFT JOIN anchors a
          |   ON s.symbol = a.symbol AND s.date <= a.adate
          | ORDER BY s.symbol, s.date""".stripMargin,
+    // extended indicators — window mirrors; the corr/beta oracles
+    // repeat the Spark expression tree verbatim over the same exact
+    // DECIMAL sums, so the final doubles are bit-identical
+    "atr" ->
+      s"""${Tables.stocksCte},
+         | t AS (
+         |   SELECT symbol, date,
+         |     CASE WHEN lag(close, 1) OVER w IS NULL THEN high - low
+         |          ELSE greatest(high - low,
+         |                        abs(high - lag(close, 1) OVER w),
+         |                        abs(low - lag(close, 1) OVER w)) END AS tr
+         |   FROM stocks WINDOW w AS (PARTITION BY symbol ORDER BY date))
+         | SELECT symbol, date, round(tr, 6) AS tr,
+         |   CASE WHEN count(*) OVER f = 14 THEN round(avg(tr) OVER f, 6) END AS atr_14
+         | FROM t
+         | WINDOW f AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         | ORDER BY symbol, date""".stripMargin,
+    "stochastic_osc" ->
+      s"""${Tables.stocksCte},
+         | k AS (
+         |   SELECT symbol, date,
+         |     CASE WHEN count(*) OVER f = 14 AND max(high) OVER f <> min(low) OVER f
+         |          THEN round((close - min(low) OVER f) / (max(high) OVER f - min(low) OVER f) * 100.0, 4)
+         |     END AS stoch_k
+         |   FROM stocks
+         |   WINDOW f AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         | SELECT symbol, date, stoch_k,
+         |   CASE WHEN count(stoch_k) OVER g = 3 THEN round(avg(stoch_k) OVER g, 4) END AS stoch_d
+         | FROM k
+         | WINDOW g AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         | ORDER BY symbol, date""".stripMargin,
+    "obv" ->
+      s"""${Tables.stocksCte},
+         | t AS (
+         |   SELECT symbol, date, volume,
+         |     CASE WHEN close - lag(close, 1) OVER w > 0 THEN volume
+         |          WHEN close - lag(close, 1) OVER w < 0 THEN -volume
+         |          ELSE 0 END AS step
+         |   FROM stocks WINDOW w AS (PARTITION BY symbol ORDER BY date))
+         | SELECT symbol, date, volume,
+         |   CAST(sum(step) OVER (PARTITION BY symbol ORDER BY date ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+         | FROM t ORDER BY symbol, date""".stripMargin,
+    "vwap_20" ->
+      s"""${Tables.stocksCte}
+         | SELECT symbol, date, close,
+         |   round(CAST(sum(CAST(close AS DECIMAL(18,2)) * CAST(volume AS DECIMAL(18,0))) OVER f AS DOUBLE)
+         |       / CAST(sum(CAST(volume AS DECIMAL(18,0))) OVER f AS DOUBLE), 6) AS vwap
+         | FROM stocks
+         | WINDOW f AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         | ORDER BY symbol, date""".stripMargin,
+    "drawdown" ->
+      s"""${Tables.stocksCte}
+         | SELECT symbol, date, close,
+         |   max(close) OVER cum AS peak,
+         |   round((close / max(close) OVER cum - 1.0) * 100.0, 6) AS drawdown_pct
+         | FROM stocks
+         | WINDOW cum AS (PARTITION BY symbol ORDER BY date ROWS UNBOUNDED PRECEDING)
+         | ORDER BY symbol, date""".stripMargin,
+    "max_drawdown" ->
+      s"""${Tables.stocksCte},
+         | dd AS (
+         |   SELECT symbol,
+         |     round((close / max(close) OVER cum - 1.0) * 100.0, 6) AS d
+         |   FROM stocks
+         |   WINDOW cum AS (PARTITION BY symbol ORDER BY date ROWS UNBOUNDED PRECEDING))
+         | SELECT symbol, min(d) AS max_drawdown_pct,
+         |   CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS days_underwater,
+         |   count(*) AS trading_days
+         | FROM dd GROUP BY symbol ORDER BY symbol""".stripMargin,
+    "ma_crossover" ->
+      s"""${Tables.stocksCte},
+         | m AS (
+         |   SELECT symbol, date,
+         |     CASE WHEN count(*) OVER f = 20 THEN round(avg(close) OVER f, 6) END AS ma_fast,
+         |     CASE WHEN count(*) OVER g = 50 THEN round(avg(close) OVER g, 6) END AS ma_slow
+         |   FROM stocks
+         |   WINDOW f AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         |          g AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)),
+         | st AS (
+         |   SELECT symbol, date, ma_fast, ma_slow,
+         |     CASE WHEN ma_fast IS NOT NULL AND ma_slow IS NOT NULL THEN ma_fast > ma_slow END AS above,
+         |     lag(CASE WHEN ma_fast IS NOT NULL AND ma_slow IS NOT NULL THEN ma_fast > ma_slow END, 1)
+         |       OVER (PARTITION BY symbol ORDER BY date) AS prev_above
+         |   FROM m)
+         | SELECT symbol, date, ma_fast, ma_slow,
+         |   CASE WHEN above THEN 'golden_cross' ELSE 'death_cross' END AS signal
+         | FROM st
+         | WHERE above IS NOT NULL AND prev_above IS NOT NULL AND above <> prev_above
+         | ORDER BY symbol, date""".stripMargin,
+    "pair_corr" ->
+      s"""${Tables.stocksCte},
+         | r AS (
+         |   SELECT symbol, date,
+         |     CAST(round((close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date) - 1.0) * 100.0, 8)
+         |          AS DECIMAL(12,8)) AS r
+         |   FROM stocks),
+         | j AS (
+         |   SELECT a.date, a.r AS x, b.r AS y
+         |   FROM (SELECT date, r FROM r WHERE symbol = 'AF' AND r IS NOT NULL) a
+         |   JOIN (SELECT date, r FROM r WHERE symbol = 'NO' AND r IS NOT NULL) b USING (date)),
+         | s AS (
+         |   SELECT date, CAST(x AS DOUBLE) AS ret_a, CAST(y AS DOUBLE) AS ret_b,
+         |     count(*) OVER f AS cnt, CAST(count(*) OVER f AS DOUBLE) AS n,
+         |     CAST(sum(x) OVER f AS DOUBLE) AS sx, CAST(sum(y) OVER f AS DOUBLE) AS sy,
+         |     CAST(sum(CAST(x AS DECIMAL(24,8)) * y) OVER f AS DOUBLE) AS sxy,
+         |     CAST(sum(CAST(x AS DECIMAL(24,8)) * x) OVER f AS DOUBLE) AS sxx,
+         |     CAST(sum(CAST(y AS DECIMAL(24,8)) * y) OVER f AS DOUBLE) AS syy
+         |   FROM j WINDOW f AS (ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         | SELECT date, ret_a, ret_b,
+         |   CASE WHEN cnt = 20 AND sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0
+         |        THEN round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         |   END AS corr_ret
+         | FROM s ORDER BY date""".stripMargin,
+    "beta_market" ->
+      s"""${Tables.stocksCte},
+         | r AS (
+         |   SELECT symbol, date,
+         |     CAST(round((close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date) - 1.0) * 100.0, 8)
+         |          AS DECIMAL(12,8)) AS r
+         |   FROM stocks),
+         | rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+         | mkt AS (
+         |   SELECT date, CAST(round(CAST(sum(r) AS DOUBLE) / count(*), 8) AS DECIMAL(12,8)) AS m
+         |   FROM rr GROUP BY date),
+         | j AS (SELECT rr.symbol, rr.r, mkt.m FROM rr JOIN mkt USING (date)),
+         | a AS (
+         |   SELECT symbol, CAST(count(*) AS DOUBLE) AS n,
+         |     CAST(sum(m) AS DOUBLE) AS sx, CAST(sum(r) AS DOUBLE) AS sy,
+         |     CAST(sum(CAST(m AS DECIMAL(24,8)) * r) AS DOUBLE) AS sxy,
+         |     CAST(sum(CAST(m AS DECIMAL(24,8)) * m) AS DOUBLE) AS sxx
+         |   FROM j GROUP BY symbol)
+         | SELECT symbol, CAST(n AS BIGINT) AS n_days,
+         |   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+         |   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS alpha
+         | FROM a ORDER BY symbol""".stripMargin,
     // truncated-convolution EWM mirror (same bound as ema_macd_checked):
     // num = Σ d^j·x over the last 700 rows, den closed-form
     "stream_ema_replay" ->

@@ -293,6 +293,99 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Per-document unigram entropy in nats — the vocabulary-diversity
+    * quality signal (low entropy ⇒ repetitive/template text, the same
+    * family as [[repetitionStats]] but distribution-level).
+    *
+    * Shape: one explode + two hash aggregations keyed on (doc_id, word)
+    * then doc_id — linear in corpus tokens, partial-aggregated. Each
+    * −p·ln p term is rounded to 6dp and summed over DECIMAL, so the
+    * per-doc entropy is fold-order independent (same contract as
+    * [[lmScore]]).
+    */
+  def wordEntropy(docs: DataFrame): DataFrame = {
+    val words = spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val counts = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("doc_id")
+      .agg(sum("c").as("t"), count(lit(1)).as("n_distinct"))
+    val p = col("c") * lit(1.0) / col("t")
+    counts.join(totals, "doc_id")
+      .withColumn("term", round(p * log(p), 6).cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(
+        max(col("t")).as("n_words"),
+        max(col("n_distinct")).as("n_distinct"),
+        round((sum(col("term")) * lit(-1)).cast("double"), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style quality-rule battery (Rae et al. 2021, "Scaling
+    * Language Models" §A1.1, public filter set): word-count bounds,
+    * mean word length, alphabetic-word fraction, and stop-word hits,
+    * with a combined pass verdict. Pure per-row projection over the
+    * split array — no shuffle, fully codegen'd; at 100 TB this is a
+    * narrow scan whose selectivity feeds the corpus-clean sink.
+    */
+  def gopherQuality(docs: DataFrame,
+      minWords: Int = 20, maxWords: Int = 1000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+    val sw = stop.map(s => s"'$s'").mkString(", ")
+    spread(docs)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("mean_word_len", round(
+        expr("aggregate(ws, 0L, (acc, x) -> acc + length(x))") * lit(1.0) / col("n_words"), 4))
+      .withColumn("alpha_frac", round(
+        expr("size(filter(ws, x -> x rlike '[a-z]'))") * lit(1.0) / col("n_words"), 4))
+      .withColumn("n_stop_hits", expr(s"size(filter(ws, x -> x IN ($sw)))").cast("long"))
+      .withColumn("gopher_pass",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("n_stop_hits") >= minStopHits)
+      .select("doc_id", "n_words", "mean_word_len", "alpha_frac", "n_stop_hits", "gopher_pass")
+      .orderBy("doc_id")
+  }
+
+  /** Token-count histogram on log2 buckets per language — the corpus
+    * shape report (sequence-length planning for packing/truncation).
+    * The bucket is `length(bin(n)) - 1` = ⌊log2 n⌋ in exact integer/
+    * string arithmetic — no float log at bucket boundaries. One narrow
+    * projection + one small hash aggregate.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bucket", (length(bin(col("n"))) - 1).cast("int"))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n").as("total_tokens"),
+        min("n").as("min_tokens"),
+        max("n").as("max_tokens"))
+      .orderBy("lang", "bucket")
+
+  /** Template detection by shared k-word prefix: documents that open
+    * identically (mail templates, boilerplate headers, scraped forms)
+    * group on their prefix. One projection + one hash aggregate keyed
+    * on the prefix string; at 100 TB the prefix should be hashed
+    * (md5) before the shuffle — kept as text here so the groups are
+    * human-readable.
+    */
+  def templatePrefixGroups(docs: DataFrame, k: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, k), " ").as("prefix"))
+      .groupBy("prefix")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+      .filter(col("n_docs") > 1)
+
   /** Document fingerprints: whole-content hash of normalized text plus
     * a winnowing-style minimum over 5-word rolling shingle hashes.
     */
