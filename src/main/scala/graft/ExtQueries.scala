@@ -178,6 +178,27 @@ object ExtQueries {
         .withColumn("recall_at_3", round(col("hits") / lit(3.0), 4))
         .orderBy("qid")
     }),
+    // product quantization (Jégou et al. 2011): 4 subspaces × 16 dims,
+    // 8 codes each via the same deterministic Lloyd's as the IVF
+    // quantizer; the ADC search joins int codes against a broadcast
+    // per-query lookup table — embeddings never shuffle
+    "embed_pq_codes" -> ((s, d) => Similarity.pqCodes(emb(s, d), 4, 16, 8, 2)),
+    "embed_pq_topk" -> ((s, d) => Similarity.pqAdcTopK(emb(s, d), 10, 3, 4, 16, 8, 2)),
+    // the PQ quality gate: recall@3 of the ADC search against the
+    // exact squared-L2 ground truth. The synthetic gaussian corpus is
+    // PQ's worst case (no cluster structure, so quantization error
+    // swamps the tiny neighbor gaps): ~0.2 here across m/k settings —
+    // the gate exists to MEASURE that honestly, as with embed_ivf_recall
+    "embed_pq_recall" -> ((s, d) => {
+      val bf = Similarity.l2TopK(emb(s, d), 10, 3).select(col("qid"), col("vec_id"))
+      val pq = Similarity.pqAdcTopK(emb(s, d), 10, 3, 4, 16, 8, 2)
+        .select(col("qid"), col("vec_id")).withColumn("__hit", lit(1))
+      bf.join(pq, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("hits"))
+        .withColumn("recall_at_3", round(col("hits") / lit(3.0), 4))
+        .orderBy("qid")
+    }),
     // near-dup pairs via sign-bit LSH banding. The testdata corpus has
     // no natural near-dups (max pairwise cosine 0.51 at sf0.01), so the
     // corpus unions deterministic perturbed twins (x·1.05 + 0.001,
@@ -757,6 +778,60 @@ object ExtQueries {
 
   private val kmeansCte: String = s"WITH ${kmeansBody("embeddings")}"
 
+  /** Per-subspace PQ training mirror: the [[kmeansBody]] chain over
+    * `list_slice(embedding, lo, hi)` with suffix `_<sub>`, plus the
+    * per-query ADC lookup table against the trained (round-2) centroids.
+    */
+  private def pqSubBody(sub: Int, k: Int, subDim: Int, nQ: Int): String = {
+    val lo = sub * subDim + 1
+    val hi = (sub + 1) * subDim
+    val r = s"range(1, ${subDim + 1})"
+    val x = s"_$sub"
+    s"""e$x AS (SELECT vec_id, list_transform(list_slice(embedding, $lo, $hi), x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       | c0$x AS (SELECT vec_id AS cell, v AS c FROM e$x WHERE vec_id < $k),
+       | d1$x AS (SELECT e$x.vec_id, c0$x.cell,
+       |            round(SUM((e$x.v[i] - c0$x.c[i]) * (e$x.v[i] - c0$x.c[i])), 6) AS d
+       |          FROM e$x, c0$x, UNNEST($r) t(i) GROUP BY e$x.vec_id, c0$x.cell),
+       | a1$x AS (SELECT vec_id, cell FROM (
+       |            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |            FROM d1$x) WHERE rn = 1),
+       | m1$x AS (SELECT cell, i, round(avg(e$x.v[i]), 6) AS m
+       |          FROM a1$x JOIN e$x USING (vec_id), UNNEST($r) t(i) GROUP BY cell, i),
+       | c1$x AS (SELECT cell, list(m ORDER BY i) AS c FROM m1$x GROUP BY cell),
+       | d2$x AS (SELECT e$x.vec_id, c1$x.cell,
+       |            round(SUM((e$x.v[i] - c1$x.c[i]) * (e$x.v[i] - c1$x.c[i])), 6) AS d
+       |          FROM e$x, c1$x, UNNEST($r) t(i) GROUP BY e$x.vec_id, c1$x.cell),
+       | a2$x AS (SELECT vec_id, cell, d FROM (
+       |            SELECT vec_id, cell, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |            FROM d2$x) WHERE rn = 1),
+       | lut$x AS (SELECT q.vec_id AS qid, c1$x.cell,
+       |             round(SUM((q.v[i] - c1$x.c[i]) * (q.v[i] - c1$x.c[i])), 6) AS dist
+       |           FROM (SELECT * FROM e$x WHERE vec_id < $nQ) q, c1$x, UNNEST($r) t(i)
+       |           GROUP BY q.vec_id, c1$x.cell)""".stripMargin
+  }
+
+  /** The four-subspace PQ chain (m=4, 16 dims, 8 codes, 10 queries)
+    * through the scored/ranked ADC CTEs `sc`/`rk`.
+    */
+  private val pqCte: String = {
+    val bodies = (0 until 4).map(pqSubBody(_, 8, 16, 10)).mkString(",\n ")
+    val codeUnion = (0 until 4)
+      .map(s => s"SELECT $s AS sub, vec_id, cell AS code, d FROM a2_$s")
+      .mkString("\n   UNION ALL ")
+    val partUnion = (0 until 4)
+      .map(s => s"SELECT $s AS sub, a2_$s.vec_id, lut_$s.qid, lut_$s.dist FROM a2_$s JOIN lut_$s USING (cell)")
+      .mkString("\n   UNION ALL ")
+    s"""WITH $bodies,
+       | codes AS ($codeUnion),
+       | pr AS ($partUnion),
+       | sc AS (SELECT qid, vec_id, SUM(CAST(dist AS DECIMAL(18,6))) AS adist
+       |        FROM pr WHERE qid <> vec_id GROUP BY qid, vec_id),
+       | rk AS (SELECT qid, vec_id, adist,
+       |          row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rnk
+       |        FROM sc)""".stripMargin
+  }
+
   /** The embeddings corpus with deterministic perturbed twins of the
     * first 50 vectors (x·1.05 + 0.001, vec_id+1000) — the planted
     * near-dups for the neardup/semdedup fixtures (the raw testdata has
@@ -1012,6 +1087,30 @@ object ExtQueries {
         | FROM m ORDER BY vec_id""".stripMargin,
     "embed_kmeans_cells" ->
       s"$kmeansCte SELECT vec_id, cell, d FROM a2 ORDER BY vec_id",
+    "embed_pq_codes" ->
+      s"$pqCte SELECT sub, vec_id, code, d FROM codes ORDER BY sub, vec_id",
+    "embed_pq_topk" ->
+      s"""$pqCte
+         | SELECT qid, rnk, vec_id, CAST(adist AS DOUBLE) AS adc_dist
+         | FROM rk WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "embed_pq_recall" ->
+      s"""$pqCte,
+         | ef AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings),
+         | qf AS (SELECT vec_id AS qid, v AS qv FROM ef WHERE vec_id < 10),
+         | bfd AS (SELECT qf.qid, ef.vec_id,
+         |           round(SUM((qf.qv[i] - ef.v[i]) * (qf.qv[i] - ef.v[i])), 6) AS dist
+         |         FROM qf JOIN ef ON qf.qid <> ef.vec_id, UNNEST(range(1, 65)) t(i)
+         |         GROUP BY qf.qid, ef.vec_id),
+         | bk AS (SELECT qid, vec_id FROM (
+         |          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+         |          FROM bfd) WHERE rnk <= 3),
+         | pk AS (SELECT qid, vec_id FROM rk WHERE rnk <= 3)
+         | SELECT bk.qid,
+         |   CAST(count(pk.vec_id) AS BIGINT) AS hits,
+         |   round(count(pk.vec_id) / 3.0, 4) AS recall_at_3
+         | FROM bk LEFT JOIN pk ON bk.qid = pk.qid AND bk.vec_id = pk.vec_id
+         | GROUP BY bk.qid ORDER BY bk.qid""".stripMargin,
     "embed_ivf_topk" ->
       s"""$kmeansCte,
          | wc AS (SELECT emb.vec_id, emb.embedding, a2.cell

@@ -370,4 +370,84 @@ object Similarity {
         col("__dropped").isNull.as("is_kept"))
       .orderBy("vec_id")
   }
+
+  /** The m disjoint subvector views of the embedding column — the
+    * product-quantization decomposition (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI). Slicing
+    * happens BEFORE the double cast so each subspace pipeline is
+    * byte-identical to running [[kmeansAssignInternal]] on a narrower
+    * corpus.
+    */
+  private def subspaces(emb: DataFrame, m: Int, subDim: Int): Seq[(Int, DataFrame)] =
+    (0 until m).map { s =>
+      (s, emb.select(col("vec_id"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("embedding")))
+    }
+
+  /** PQ codes: each vector compressed to m sub-codes, one per subspace,
+    * via the same deterministic Lloyd's as the IVF coarse quantizer
+    * (k codes per subspace, `iters` rounds, 6dp rounding, ties by cell
+    * id). Output (sub, vec_id, code, d) — 64 float dims become m small
+    * ints, the 16-32× compression a 100 TB embedding corpus ships to
+    * its search tier.
+    */
+  def pqCodes(emb: DataFrame, m: Int = 4, subDim: Int = 16, k: Int = 8,
+      iters: Int = 2): DataFrame =
+    subspaces(emb, m, subDim).map { case (s, e) =>
+      kmeansAssign(e, k, iters)
+        .select(lit(s).as("sub"), col("vec_id"), col("cell").as("code"), col("d"))
+    }.reduce(_ unionByName _).orderBy("sub", "vec_id")
+
+  /** Asymmetric-distance (ADC) PQ top-k: per query, a lookup table of
+    * squared L2 distances from its raw subvectors to every subspace
+    * centroid (nQueries × m × k rows — tiny, broadcast), then each
+    * database vector's approximate distance is the exact DECIMAL sum of
+    * its m table entries. The corpus side of the join moves only
+    * (sub, code, vec_id) ints — never embeddings — which is the whole
+    * point of PQ at scale; ranking ties break by vec_id on exact
+    * decimal distances.
+    */
+  def pqAdcTopK(emb: DataFrame, nQueries: Int = 10, kTop: Int = 3,
+      m: Int = 4, subDim: Int = 16, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(iters >= 2, "PQ search needs trained centroids (iters >= 2)")
+    val parts = subspaces(emb, m, subDim).map { case (s, e) =>
+      val (assigned, cOpt) = kmeansAssignInternal(e, k, iters)
+      val centroids = cOpt.get
+      val codes = assigned.select(lit(s).as("sub"), col("vec_id"), col("cell"))
+      val lut = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qv"))
+        .crossJoin(centroids)
+        .select(lit(s).as("sub"), col("qid"), col("cell"),
+          l2sq(col("qv"), col("c")).as("dist"))
+      (codes, lut)
+    }
+    val codes = parts.map(_._1).reduce(_ unionByName _)
+    val luts = parts.map(_._2).reduce(_ unionByName _)
+    val scored = codes.join(broadcast(luts), Seq("sub", "cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("dist").cast("decimal(18,6)")).as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kTop)
+      .select(col("qid"), col("rnk"), col("vec_id"),
+        col("adist").cast("double").as("adc_dist"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Exact squared-L2 top-k — the ground truth for [[pqAdcTopK]]'s
+    * recall gate (cosine [[bruteForceTopK]] ranks a different metric).
+    */
+  def l2TopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .withColumn("dist", l2sq(col("qv"), col("v")))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "dist")
+      .orderBy("qid", "rnk")
+  }
 }
