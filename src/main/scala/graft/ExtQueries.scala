@@ -21,6 +21,9 @@ object ExtQueries {
   /** Replay-drop directory for the streaming near-dup query. */
   private lazy val neardupReplayDir: String = TempDirs.create("graft_neardup_replay")
 
+  /** Replay-drop directory for the streaming sessionization query. */
+  private lazy val sessionsReplayDir: String = TempDirs.create("graft_sessions_replay")
+
   /** One JSONL export directory per JVM (the jsonl_export_roundtrip
     * side effect), registered for exit cleanup.
     */
@@ -469,6 +472,42 @@ object ExtQueries {
       graft.streaming.DedupStream.runBoundedNearDups(
         s, dir + "/drop=*", 0.5, "stream_neardup_tbl",
         staticDocs = Some(all.select("doc_id", "text")))
+    }),
+
+    // streaming sessionization replay on the oracle surface: three
+    // chronological event drops exercise cross-batch session state,
+    // then two far-future sentinel drops (user -1) push the watermark
+    // past every gap horizon so the EventTimeTimeout path flushes every
+    // real session — the replay must reproduce the batch sessionizer
+    // (same oracle SQL as events_sessionize) exactly, open sessions
+    // included. SIDE EFFECT: writes the replay drops under a per-JVM
+    // temp dir.
+    "stream_sessions_replay" -> ((s, d) => {
+      val dir = sessionsReplayDir
+      val ev3 = ev(s, d).select("user_id", "ts", "value")
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      def sentinel(at: String) = ev3.sparkSession.range(1).select(
+        lit(-1L).as("user_id"), lit(at).cast("timestamp").as("ts"),
+        lit(0.0).as("value"))
+      Seq(
+        ("a", ev3.filter(col("ts") < cut1)),
+        ("b", ev3.filter(col("ts") >= cut1 && col("ts") < cut2)),
+        ("c", ev3.filter(col("ts") >= cut2)),
+        ("d", sentinel("2024-03-01 00:00:00")),
+        ("e", sentinel("2024-04-01 00:00:00"))).foreach { case (tag, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(dir + s"/batch=$tag")
+      }
+      graft.streaming.IndicatorStream.stampDropOrder(dir, Seq("a", "b", "c", "d", "e"))
+      val name = graft.streaming.SessionStream.runReplay(s, dir, "stream_sessions_tbl", 30)
+      val seqW = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("session_start")
+      s.table(name)
+        .filter(col("user_id") >= 0)
+        .withColumn("session_seq", row_number().over(seqW).cast("long"))
+        .select("user_id", "session_seq", "session_start", "session_end",
+          "n_events", "value_sum")
+        .orderBy("user_id", "session_seq")
     }),
 
     // ---- skew-salted join (result ≡ plain equi-join; the salt only
@@ -1494,6 +1533,30 @@ object ExtQueries {
         |   min(k) AS k_min, max(k) AS k_max
         | FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_sessionize" ->
+      """WITH g AS (
+        |   SELECT user_id, ts, event_id, value,
+        |     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |   FROM events),
+        | s AS (
+        |   SELECT user_id, ts, event_id, value,
+        |     CASE WHEN prev_ts IS NULL
+        |            OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |          THEN 1 ELSE 0 END AS is_start
+        |   FROM g),
+        | sq AS (
+        |   SELECT user_id, ts, value,
+        |     CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |   FROM s)
+        | SELECT user_id, session_seq,
+        |   CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |   CAST(max(ts) AS TIMESTAMP) AS session_end,
+        |   count(*) AS n_events,
+        |   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        | FROM sq GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // the streaming replay must reproduce the batch sessionizer exactly
+    // — identical oracle SQL to events_sessionize
+    "stream_sessions_replay" ->
       """WITH g AS (
         |   SELECT user_id, ts, event_id, value,
         |     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -24,10 +24,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object SessionStream {
 
   case class Ev(user_id: Long, ts: Timestamp, value: Double)
-  case class OpenSession(startUs: Long, endUs: Long, n: Long, sum: Double)
+
+  /** The open session's value sum is carried as an exact scaled long
+    * (value rounded to 4dp × 10⁴, the same `Decimal(18,4)` view of a
+    * double that Relational.moneySum takes), so the emitted sum is
+    * bit-identical to the batch decimal sum regardless of arrival
+    * order or batch boundaries.
+    */
+  case class OpenSession(startUs: Long, endUs: Long, n: Long, sumScaled: Long)
   case class SessionOut(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, value_sum: Double)
+
+  /** 4dp-scaled exact view of a value, matching Spark's
+    * `cast(v as decimal(18,4))` (Double.toString-based BigDecimal,
+    * HALF_UP).
+    */
+  private def scaled(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .movePointRight(4).longValueExact()
 
   /** Timestamp ⇄ exact microseconds: getTime is millis only — the µs
     * fraction is in getNanos.
@@ -41,7 +57,7 @@ object SessionStream {
   }
 
   private def out(uid: Long, s: OpenSession): SessionOut =
-    SessionOut(uid, fromUs(s.startUs), fromUs(s.endUs), s.n, s.sum)
+    SessionOut(uid, fromUs(s.startUs), fromUs(s.endUs), s.n, s.sumScaled / 10000.0)
 
   def sessionizer(gapMinutes: Int)(
       uid: Long, events: Iterator[Ev], state: GroupState[OpenSession]): Iterator[SessionOut] = {
@@ -58,12 +74,13 @@ object SessionStream {
         val us = toUs(e.ts)
         open match {
           case Some(s) if us - s.endUs <= gapUs =>
-            open = Some(OpenSession(s.startUs, math.max(s.endUs, us), s.n + 1, s.sum + e.value))
+            open = Some(OpenSession(s.startUs, math.max(s.endUs, us), s.n + 1,
+              s.sumScaled + scaled(e.value)))
           case Some(s) =>
             closed += out(uid, s)
-            open = Some(OpenSession(us, us, 1, e.value))
+            open = Some(OpenSession(us, us, 1, scaled(e.value)))
           case None =>
-            open = Some(OpenSession(us, us, 1, e.value))
+            open = Some(OpenSession(us, us, 1, scaled(e.value)))
         }
       }
       open.foreach { s =>
@@ -86,6 +103,33 @@ object SessionStream {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         sessionizer(gapMinutes))
+  }
+
+  /** Replay run over ordered `batch=*` drops, one micro-batch per drop
+    * (maxFilesPerTrigger=1 + mtime stamping), memory sink. The caller
+    * plants far-future sentinel drops so the event-time watermark
+    * passes every real session's gap horizon and the timeout path
+    * flushes them — the bounded replay then emits EXACTLY the batch
+    * sessionizer's output for real users (the sentinel user's sessions
+    * are the caller's to filter).
+    */
+  def runReplay(spark: SparkSession, baseDir: String,
+      name: String = "sessions_replay", gapMinutes: Int = 30): String = {
+    import spark.implicits._
+    val evs = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(baseDir + "/batch=*")
+      .as[Ev]
+    val q = sessions(evs, gapMinutes)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    name
   }
 
   /** Bounded run over a static events directory → memory sink. */
