@@ -353,6 +353,14 @@ object ExtQueries {
     }),
     "events_percentiles" -> ((s, d) => EventsOps.valuePercentiles(ev(s, d))),
     "events_sliding" -> ((s, d) => EventsOps.slidingValue(ev(s, d))),
+    // ordered first-touch funnel + cohort retention — the two classic
+    // product-analytics aggregates over the events stream
+    "events_funnel" -> ((s, d) => EventsOps.funnel(ev(s, d))),
+    "events_retention" -> ((s, d) => EventsOps.retention(ev(s, d))),
+    // pandas-resample surface over the derived bars: weekly OHLCV and
+    // calendar reindex + forward-fill
+    "stocks_weekly" -> ((s, d) => Resample.weekly(Tables.stocks(s, d))),
+    "stocks_ffill_calendar" -> ((s, d) => Resample.ffillCalendar(Tables.stocks(s, d))),
 
     // ---- as-of join (union + ordered-window carry; oracle is DuckDB's
     // native ASOF JOIN, a cross-implementation equivalence check)
@@ -1615,6 +1623,51 @@ object ExtQueries {
          | FROM stocks s ASOF LEFT JOIN anchors a
          |   ON s.symbol = a.symbol AND s.date <= a.adate
          | ORDER BY s.symbol, s.date""".stripMargin,
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id),
+        | s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |        WHERE e.event_type = 'click' AND epoch_us(e.ts) >= epoch_us(s1.t) GROUP BY e.user_id),
+        | s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= epoch_us(s2.t) GROUP BY e.user_id),
+        | c AS (SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_users FROM s1
+        |       UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |       UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        | SELECT stage, event_type, n_users,
+        |   round(n_users / lag(n_users, 1) OVER (ORDER BY stage), 4) AS conv_from_prev,
+        |   round(n_users / first_value(n_users) OVER (ORDER BY stage ROWS UNBOUNDED PRECEDING), 4) AS conv_from_first
+        | FROM c ORDER BY stage""".stripMargin,
+    "events_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id),
+        | a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        | cs AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY cohort_day),
+        | cell AS (SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day) AS day_offset,
+        |            count(*) AS n_users
+        |          FROM a JOIN f USING (user_id)
+        |          GROUP BY f.cohort_day, date_diff('day', f.cohort_day, a.day))
+        | SELECT cell.cohort_day, day_offset, n_users, cohort_size,
+        |   round(n_users / cohort_size, 4) AS retention
+        | FROM cell JOIN cs ON cell.cohort_day = cs.cohort_day
+        | ORDER BY cell.cohort_day, day_offset""".stripMargin,
+    "stocks_weekly" ->
+      s"""${Tables.stocksCte}
+         | SELECT symbol, CAST(date_trunc('week', date) AS DATE) AS week,
+         |   arg_min(open, date) AS open, max(high) AS high, min(low) AS low,
+         |   arg_max(close, date) AS close,
+         |   CAST(sum(volume) AS BIGINT) AS volume, count(*) AS n_days
+         | FROM stocks
+         | GROUP BY symbol, CAST(date_trunc('week', date) AS DATE)
+         | ORDER BY symbol, week""".stripMargin,
+    "stocks_ffill_calendar" ->
+      s"""${Tables.stocksCte},
+         | b AS (SELECT symbol, min(date) AS d0, max(date) AS d1 FROM stocks GROUP BY symbol),
+         | cal AS (SELECT symbol, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS date FROM b),
+         | j AS (SELECT cal.symbol, cal.date, s.close
+         |       FROM cal LEFT JOIN stocks s ON s.symbol = cal.symbol AND s.date = cal.date)
+         | SELECT symbol, date,
+         |   last_value(close IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY date
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill,
+         |   close IS NULL AS is_gap
+         | FROM j ORDER BY symbol, date""".stripMargin,
     // extended indicators — window mirrors; the corr/beta oracles
     // repeat the Spark expression tree verbatim over the same exact
     // DECIMAL sums, so the final doubles are bit-identical

@@ -99,6 +99,63 @@ object EventsOps {
       .orderBy("hour", "event_type")
   }
 
+  /** Ordered funnel analysis over event stages: stage i counts users
+    * whose earliest stage-i event occurs at-or-after their
+    * funnel-entry time through stage i-1 (the classic
+    * first-touch-ordered funnel). Per stage: one filtered aggregate
+    * keyed on user_id + one broadcastable join against the previous
+    * stage's (user, ts) frame — events shuffle once per stage on
+    * user_id, and the final 3-row frame computes conversion ratios in
+    * a trivial single-partition window.
+    */
+  def funnel(events: DataFrame, stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty)
+    var prev: DataFrame = null
+    val counts = stages.zipWithIndex.map { case (stage, i) =>
+      val base = events.filter(col("event_type") === stage)
+        .select(col("user_id"), col("ts"))
+      val reached =
+        if (i == 0) base.groupBy("user_id").agg(min("ts").as("t"))
+        else base.join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+          .filter(col("ts") >= col("t_prev"))
+          .groupBy("user_id").agg(min("ts").as("t"))
+      prev = reached
+      reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(stage).as("event_type"), col("n_users"))
+    }
+    val w = org.apache.spark.sql.expressions.Window.orderBy("stage")
+    counts.reduce(_ unionByName _)
+      .withColumn("conv_from_prev",
+        round(col("n_users") / lag(col("n_users"), 1).over(w), 4))
+      .withColumn("conv_from_first",
+        round(col("n_users") / first(col("n_users")).over(
+          w.rowsBetween(Long.MinValue, 0)), 4))
+      .orderBy("stage")
+  }
+
+  /** Cohort retention, long format: cohort = each user's first active
+    * day; a (cohort_day, day_offset) cell counts the cohort's users
+    * active that many days later, with the retention ratio against the
+    * cohort size. Exact integer/date arithmetic throughout — two hash
+    * aggregates (user firsts, distinct active days) plus one
+    * cohort-keyed join.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val active = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohortSize = firstDay.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    active.join(firstDay, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .join(cohortSize, "cohort_day")
+      .withColumn("retention", round(col("n_users") / col("cohort_size"), 4))
+      .select("cohort_day", "day_offset", "n_users", "cohort_size", "retention")
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** JSON property extraction (props = {"k": int}) + per-type stats.
     * regexp-based so the oracle needs no JSON extension.
     */

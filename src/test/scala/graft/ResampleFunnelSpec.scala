@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.DataFrame
+import graft.operators.{EventsOps, Resample}
+
+/** Goldens for weekly resampling, calendar forward-fill, funnel
+  * ordering semantics, and cohort retention.
+  */
+class ResampleFunnelSpec extends SparkSpec {
+
+  private def ev(rows: (Long, String, String)*): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.zipWithIndex.map { case ((uid, ts, et), i) =>
+      (i.toLong, Timestamp.valueOf(ts), uid, et, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("weekly bars: ISO Monday weeks, first open / last close selection") {
+    // 2020-01-01 is a Wednesday → week of Mon 2019-12-30; the 6th
+    // close lands in the next week (Mon 2020-01-06)
+    val r = Resample.weekly(bars("A", Seq(10.0, 11.0, 9.0, 12.0, 13.0, 14.0)))
+      .collect()
+    assert(r.length == 2)
+    val w1 = r(0)
+    assert(w1.getAs[Date]("week").toString == "2019-12-30")
+    assert(w1.getAs[Double]("open") == 9.5) // open = close - 0.5 of day 1
+    assert(w1.getAs[Double]("close") == 13.0) // last close of the week (Sun 01-05)
+    assert(w1.getAs[Double]("high") == 14.0) // max(high) = 13 + 1
+    assert(w1.getAs[Long]("n_days") == 5L)
+    assert(r(1).getAs[Date]("week").toString == "2020-01-06")
+    assert(r(1).getAs[Long]("n_days") == 1L)
+  }
+
+  test("ffillCalendar fills gaps from the last close and flags them") {
+    val withGap = bars("A", Seq(10.0, 11.0, 12.0, 13.0))
+      .filter(org.apache.spark.sql.functions.col("close") =!= 12.0)
+    val r = Resample.ffillCalendar(withGap).collect()
+    assert(r.length == 4) // full calendar 01-01..01-04 despite the hole
+    assert(r.map(_.getAs[Double]("close_ffill")).toSeq == Seq(10.0, 11.0, 11.0, 13.0))
+    assert(r.map(_.getAs[Boolean]("is_gap")).toSeq == Seq(false, false, true, false))
+  }
+
+  test("funnel counts only stage events at-or-after the previous stage") {
+    val d = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:05:00", "click"),
+      (1L, "2024-01-01 10:10:00", "purchase"),
+      (2L, "2024-01-01 11:00:00", "view"),
+      (2L, "2024-01-01 11:30:00", "purchase"), // no click → can't convert
+      (3L, "2024-01-01 12:00:00", "click"), // never viewed → not in funnel
+      (4L, "2024-01-01 13:05:00", "click"), // click BEFORE view → doesn't count
+      (4L, "2024-01-01 13:10:00", "view"))
+    val r = EventsOps.funnel(d).collect()
+    assert(r.map(x => (x.getAs[Int]("stage"), x.getAs[Long]("n_users"))).toSeq ==
+      Seq((1, 3L), (2, 1L), (3, 1L)))
+    assert(r(0).isNullAt(r(0).fieldIndex("conv_from_prev")))
+    assert(r(1).getAs[Double]("conv_from_prev") == 0.3333)
+    assert(r(2).getAs[Double]("conv_from_first") == 0.3333)
+  }
+
+  test("retention cells count distinct active users per day offset") {
+    val d = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 15:00:00", "click"), // same day: still one active day
+      (1L, "2024-01-03 10:00:00", "view"), // offset 2
+      (2L, "2024-01-01 10:00:00", "view"), // same cohort, only day 0
+      (3L, "2024-01-02 10:00:00", "view")) // later cohort
+    val r = EventsOps.retention(d).collect()
+      .map(x => (x.getAs[Date]("cohort_day").toString, x.getAs[Long]("day_offset")) ->
+        (x.getAs[Long]("n_users"), x.getAs[Double]("retention"))).toMap
+    assert(r == Map(
+      ("2024-01-01", 0L) -> (2L, 1.0),
+      ("2024-01-01", 2L) -> (1L, 0.5),
+      ("2024-01-02", 0L) -> (1L, 1.0)))
+  }
+}
