@@ -51,6 +51,30 @@ object ExtQueries {
     "join_revenue_by_region" -> ((s, d) => Relational.revenueByRegion(s, d)),
     "topk_orders_per_segment" -> ((s, d) => Relational.topOrdersPerSegment(s, d, 3)),
     "orders_rollup" -> ((s, d) => Relational.ordersRollup(s, d)),
+    // market-basket co-occurrence: part pairs shipping together, with
+    // support and lift over the distinct (order, part) incidence
+    "market_basket" -> ((s, d) => Basket.pairCounts(Tables.lineitem(s, d), 20)),
+    // z-order layout audit: Morton-interleave (custkey, order-day),
+    // tile into 32 z-ranges, report each tile's bounding box in BOTH
+    // dimensions — the min/max file-stats pruning story made checkable
+    // (ntile stands in for repartitionByRange, which the operator
+    // itself uses; see Layout.clusterByZ)
+    "zorder_layout" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val x = col("o_custkey").bitwiseAND(lit(65535L))
+      val y = datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+        .cast("long").bitwiseAND(lit(65535L))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("z"), col("o_orderkey"))
+      o.select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("odate"),
+          Layout.zValue(x, y, 16).as("z"))
+        .withColumn("bucket", ntile(32).over(w))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("o_custkey").as("cust_min"), max("o_custkey").as("cust_max"),
+          min("odate").as("date_min"), max("odate").as("date_max"))
+        .orderBy("bucket")
+    }),
 
     // ---- dedup family
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
@@ -1623,6 +1647,38 @@ object ExtQueries {
          | FROM stocks s ASOF LEFT JOIN anchors a
          |   ON s.symbol = a.symbol AND s.date <= a.adate
          | ORDER BY s.symbol, s.date""".stripMargin,
+    "market_basket" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+        | t AS (SELECT count(DISTINCT okey) AS total FROM items),
+        | np AS (SELECT part, count(*) AS n_part FROM items GROUP BY part),
+        | p AS (SELECT a.part AS part1, b.part AS part2, count(*) AS n_both
+        |       FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+        |       GROUP BY a.part, b.part)
+        | SELECT part1, part2, n_both, np1.n_part AS n1, np2.n_part AS n2,
+        |   round(n_both / (total * 1.0), 6) AS support,
+        |   round(n_both * (total * 1.0) / (np1.n_part * np2.n_part), 4) AS lift
+        | FROM p
+        | JOIN np np1 ON p.part1 = np1.part
+        | JOIN np np2 ON p.part2 = np2.part
+        | CROSS JOIN t
+        | ORDER BY n_both DESC, part1, part2 LIMIT 20""".stripMargin,
+    "zorder_layout" -> {
+      // NB: DuckDB gives |, & and << equal precedence (left-to-right),
+      // so every shift is fully parenthesized
+      val zExpr = (0 until 16).map { i =>
+        s"((((o_custkey & 65535) >> $i) & 1) << ${2 * i}) | " +
+          s"((((date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) & 65535) >> $i) & 1) << ${2 * i + 1})"
+      }.mkString("(", ") | (", ")")
+      s"""WITH b AS (
+         |   SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS odate,
+         |     ($zExpr) AS z
+         |   FROM orders),
+         | nt AS (SELECT *, ntile(32) OVER (ORDER BY z, o_orderkey) AS bucket FROM b)
+         | SELECT bucket, count(*) AS n,
+         |   min(o_custkey) AS cust_min, max(o_custkey) AS cust_max,
+         |   min(odate) AS date_min, max(odate) AS date_max
+         | FROM nt GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
     "events_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id),
         | s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
