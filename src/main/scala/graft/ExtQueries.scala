@@ -34,6 +34,26 @@ object ExtQueries {
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
 
+  /** TPC-H Q1 as ONE engine-neutral SQL text: Spark executes exactly
+    * this string (over a temp view of the lineitem scan) and the oracle
+    * runs exactly this string in DuckDB — the same determinism rules as
+    * the DataFrame surface (decimal sums → double, rounded averages).
+    */
+  private[graft] val tpchQ1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      | round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+      | round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+      | round(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+      | count(*) AS count_order
+      | FROM lineitem
+      | WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      | GROUP BY l_returnflag, l_linestatus
+      | ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** The shared decontamination fixture: train = doc_id < 400, eval =
     * the rest plus 10 planted verbatim train copies (doc_id 10000+).
     */
@@ -54,6 +74,22 @@ object ExtQueries {
     // market-basket co-occurrence: part pairs shipping together, with
     // support and lift over the distinct (order, part) incidence
     "market_basket" -> ((s, d) => Basket.pairCounts(Tables.lineitem(s, d), 20)),
+    // RFM customer scoring (recency/frequency/monetary quintiles)
+    "customer_rfm" -> ((s, d) => Relational.customerRfm(s, d)),
+    // the spark.sql TEXT surface: TPC-H Q1 as one engine-neutral SQL
+    // string — Spark executes the IDENTICAL text the DuckDB oracle
+    // runs, proving the SQL API end of the library, not just the
+    // DataFrame end
+    "sql_tpch_q1" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(tpchQ1Sql)
+    }),
+    // unpivot/melt: OHLC wide → long via stack()
+    "stocks_melt" -> ((s, d) =>
+      Tables.stocks(s, d)
+        .selectExpr("symbol", "date",
+          "stack(4, 'open', open, 'high', high, 'low', low, 'close', close) AS (field, value)")
+        .orderBy("symbol", "date", "field")),
     // z-order layout audit: Morton-interleave (custkey, order-day),
     // tile into 32 z-ranges, report each tile's bounding box in BOTH
     // dimensions — the min/max file-stats pruning story made checkable
@@ -209,8 +245,10 @@ object ExtQueries {
     // 8 codes each via the same deterministic Lloyd's as the IVF
     // quantizer; the ADC search joins int codes against a broadcast
     // per-query lookup table — embeddings never shuffle
-    "embed_pq_codes" -> ((s, d) => Similarity.pqCodes(emb(s, d), 4, 16, 8, 2)),
-    "embed_pq_topk" -> ((s, d) => Similarity.pqAdcTopK(emb(s, d), 10, 3, 4, 16, 8, 2)),
+    "embed_pq_codes" -> ((s, d) =>
+      Similarity.pqCodes(emb(s, d), 4, 16, 8, 2, corpusKey = Some(d + "#pq"))),
+    "embed_pq_topk" -> ((s, d) =>
+      Similarity.pqAdcTopK(emb(s, d), 10, 3, 4, 16, 8, 2, corpusKey = Some(d + "#pq"))),
     // the PQ quality gate: recall@3 of the ADC search against the
     // exact squared-L2 ground truth. The synthetic gaussian corpus is
     // PQ's worst case (no cluster structure, so quantization error
@@ -218,7 +256,8 @@ object ExtQueries {
     // the gate exists to MEASURE that honestly, as with embed_ivf_recall
     "embed_pq_recall" -> ((s, d) => {
       val bf = Similarity.l2TopK(emb(s, d), 10, 3).select(col("qid"), col("vec_id"))
-      val pq = Similarity.pqAdcTopK(emb(s, d), 10, 3, 4, 16, 8, 2)
+      val pq = Similarity.pqAdcTopK(emb(s, d), 10, 3, 4, 16, 8, 2,
+          corpusKey = Some(d + "#pq"))
         .select(col("qid"), col("vec_id")).withColumn("__hit", lit(1))
       bf.join(pq, Seq("qid", "vec_id"), "left")
         .groupBy("qid")
@@ -381,6 +420,8 @@ object ExtQueries {
     // product-analytics aggregates over the events stream
     "events_funnel" -> ((s, d) => EventsOps.funnel(ev(s, d))),
     "events_retention" -> ((s, d) => EventsOps.retention(ev(s, d))),
+    // first-order Markov transition matrix of user journeys
+    "events_transitions" -> ((s, d) => EventsOps.transitionMatrix(ev(s, d))),
     // pandas-resample surface over the derived bars: weekly OHLCV and
     // calendar reindex + forward-fill
     "stocks_weekly" -> ((s, d) => Resample.weekly(Tables.stocks(s, d))),
@@ -1662,6 +1703,40 @@ object ExtQueries {
         | JOIN np np2 ON p.part2 = np2.part
         | CROSS JOIN t
         | ORDER BY n_both DESC, part1, part2 LIMIT 20""".stripMargin,
+    "sql_tpch_q1" -> tpchQ1Sql,
+    "customer_rfm" ->
+      """WITH a AS (
+        |   SELECT o_custkey AS custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+        |     count(*) AS frequency,
+        |     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        |   FROM orders GROUP BY o_custkey)
+        | SELECT custkey, last_order, frequency, monetary,
+        |   ntile(5) OVER (ORDER BY last_order DESC, custkey) AS r_score,
+        |   ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+        |   ntile(5) OVER (ORDER BY monetary DESC, custkey) AS m_score,
+        |   CAST(ntile(5) OVER (ORDER BY last_order DESC, custkey) AS VARCHAR)
+        |     || CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS VARCHAR)
+        |     || CAST(ntile(5) OVER (ORDER BY monetary DESC, custkey) AS VARCHAR) AS segment
+        | FROM a ORDER BY custkey""".stripMargin,
+    "stocks_melt" ->
+      s"""${Tables.stocksCte},
+         | m AS (
+         |   SELECT symbol, date, 'open' AS field, open AS value FROM stocks
+         |   UNION ALL SELECT symbol, date, 'high', high FROM stocks
+         |   UNION ALL SELECT symbol, date, 'low', low FROM stocks
+         |   UNION ALL SELECT symbol, date, 'close', close FROM stocks)
+         | SELECT symbol, date, field, value FROM m
+         | ORDER BY symbol, date, field""".stripMargin,
+    "events_transitions" ->
+      """WITH t AS (
+        |   SELECT event_type AS from_type,
+        |     lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |   FROM events),
+        | c AS (SELECT from_type, to_type, count(*) AS n
+        |       FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        | SELECT from_type, to_type, n,
+        |   round(n / (SUM(n) OVER (PARTITION BY from_type)), 4) AS p
+        | FROM c ORDER BY from_type, to_type""".stripMargin,
     "zorder_layout" -> {
       // NB: DuckDB gives |, & and << equal precedence (left-to-right),
       // so every shift is fully parenthesized

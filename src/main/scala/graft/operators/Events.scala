@@ -99,6 +99,24 @@ object EventsOps {
       .orderBy("hour", "event_type")
   }
 
+  /** Event-type transition matrix (first-order Markov view of user
+    * journeys): consecutive event pairs per user with per-source-type
+    * transition probabilities. One user-keyed window + one small hash
+    * aggregate; the probability divides two exact longs.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val byFrom = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+    events
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(byFrom), 4))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Ordered funnel analysis over event stages: stage i counts users
     * whose earliest stage-i event occurs at-or-after their
     * funnel-entry time through stage i-1 (the classic

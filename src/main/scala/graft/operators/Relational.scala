@@ -59,6 +59,34 @@ object Relational {
       .orderBy("c_mktsegment", "rnk")
   }
 
+  /** RFM customer scoring: recency (last order date), frequency (order
+    * count), monetary (exact money sum), each quintiled with a custkey
+    * tie-break so bucket edges never depend on float noise (monetary is
+    * an exact decimal rendered to double, identical in any engine).
+    * The three ntiles run over one single-partition window pass — fine
+    * for a customer dimension (customers ≪ facts); at larger
+    * cardinality the same scores come from approx quantile boundaries.
+    */
+  def customerRfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        moneySum(col("o_totalprice")).as("monetary"))
+    agg
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(desc("last_order"), col("custkey"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(desc("frequency"), col("custkey"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(desc("monetary"), col("custkey"))))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy("custkey")
+  }
+
   /** Rollup over (orderstatus, orderpriority): grouping-sets category. */
   def ordersRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -384,6 +384,76 @@ object Similarity {
         slice(col("embedding"), s * subDim + 1, subDim).as("embedding")))
     }
 
+  /** Per-session trained-PQ cache, the [[quantizerCache]] twin: a PQ
+    * index trains once per (session, corpus, geometry) and is searched
+    * many times. Holds (codes, centroids), both localCheckpointed.
+    */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int, Int, Int), (DataFrame, DataFrame)]()
+
+  locally {
+    graft.SessionCaches.register(
+      evict = s => {
+        val it = pqCache.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getKey._1 eq s) {
+            if (!s.sparkContext.isStopped) {
+              org.apache.spark.sql.GraftShims.uncheckpoint(e.getValue._1)
+              org.apache.spark.sql.GraftShims.uncheckpoint(e.getValue._2)
+            }
+            it.remove()
+          }
+        }
+      },
+      sweep = () => pqCache.keySet()
+        .removeIf(k => k._1.sparkContext.isStopped): Unit)
+  }
+
+  /** Train (or fetch) the PQ index: per-subspace Lloyd's → one
+    * (sub, vec_id, code, d) codes frame and one (sub, cell, c)
+    * centroids frame, both eagerly materialized so repeated searches
+    * (and the codes/search/recall query trio) pay training once per
+    * (session, corpusKey, geometry).
+    */
+  private[graft] def pqTrained(emb: DataFrame, m: Int, subDim: Int, k: Int,
+      iters: Int, corpusKey: Option[String]): (DataFrame, DataFrame) = {
+    require(iters >= 2, "PQ needs trained centroids (iters >= 2)")
+    def train(): (DataFrame, DataFrame) = {
+      val parts = subspaces(emb, m, subDim).map { case (s, e) =>
+        val (assigned, cOpt) = kmeansAssignInternal(e, k, iters)
+        (assigned.select(lit(s).as("sub"), col("vec_id"),
+          col("cell").as("code"), col("d")),
+          cOpt.get.select(lit(s).as("sub"), col("cell"), col("c")))
+      }
+      val codes = parts.map(_._1).reduce(_ unionByName _).localCheckpoint()
+      val cents = parts.map(_._2).reduce(_ unionByName _).localCheckpoint()
+      // both unions are eagerly materialized — the per-subspace training
+      // checkpoints behind them can be released
+      parts.foreach { case (_, c) =>
+        org.apache.spark.sql.GraftShims.uncheckpoint(c)
+      }
+      (codes, cents)
+    }
+    corpusKey match {
+      case None => train()
+      case Some(ck) =>
+        graft.SessionCaches.watch(emb.sparkSession)
+        val key = (emb.sparkSession, ck, m, subDim, k, iters)
+        val hit = pqCache.get(key)
+        if (hit != null) hit
+        else {
+          val trained = train()
+          val prev = pqCache.putIfAbsent(key, trained)
+          if (prev != null) {
+            org.apache.spark.sql.GraftShims.uncheckpoint(trained._1)
+            org.apache.spark.sql.GraftShims.uncheckpoint(trained._2)
+            prev
+          } else trained
+        }
+    }
+  }
+
   /** PQ codes: each vector compressed to m sub-codes, one per subspace,
     * via the same deterministic Lloyd's as the IVF coarse quantizer
     * (k codes per subspace, `iters` rounds, 6dp rounding, ties by cell
@@ -392,11 +462,8 @@ object Similarity {
     * its search tier.
     */
   def pqCodes(emb: DataFrame, m: Int = 4, subDim: Int = 16, k: Int = 8,
-      iters: Int = 2): DataFrame =
-    subspaces(emb, m, subDim).map { case (s, e) =>
-      kmeansAssign(e, k, iters)
-        .select(lit(s).as("sub"), col("vec_id"), col("cell").as("code"), col("d"))
-    }.reduce(_ unionByName _).orderBy("sub", "vec_id")
+      iters: Int = 2, corpusKey: Option[String] = None): DataFrame =
+    pqTrained(emb, m, subDim, k, iters, corpusKey)._1.orderBy("sub", "vec_id")
 
   /** Asymmetric-distance (ADC) PQ top-k: per query, a lookup table of
     * squared L2 distances from its raw subvectors to every subspace
@@ -408,22 +475,18 @@ object Similarity {
     * decimal distances.
     */
   def pqAdcTopK(emb: DataFrame, nQueries: Int = 10, kTop: Int = 3,
-      m: Int = 4, subDim: Int = 16, k: Int = 8, iters: Int = 2): DataFrame = {
-    require(iters >= 2, "PQ search needs trained centroids (iters >= 2)")
-    val parts = subspaces(emb, m, subDim).map { case (s, e) =>
-      val (assigned, cOpt) = kmeansAssignInternal(e, k, iters)
-      val centroids = cOpt.get
-      val codes = assigned.select(lit(s).as("sub"), col("vec_id"), col("cell"))
-      val lut = e.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qv"))
-        .crossJoin(centroids)
-        .select(lit(s).as("sub"), col("qid"), col("cell"),
-          l2sq(col("qv"), col("c")).as("dist"))
-      (codes, lut)
-    }
-    val codes = parts.map(_._1).reduce(_ unionByName _)
-    val luts = parts.map(_._2).reduce(_ unionByName _)
-    val scored = codes.join(broadcast(luts), Seq("sub", "cell"))
+      m: Int = 4, subDim: Int = 16, k: Int = 8, iters: Int = 2,
+      corpusKey: Option[String] = None): DataFrame = {
+    val (codes, cents) = pqTrained(emb, m, subDim, k, iters, corpusKey)
+    val qsub = subspaces(emb.filter(col("vec_id") < nQueries), m, subDim)
+      .map { case (s, e) =>
+        e.select(lit(s).as("sub"), col("vec_id").as("qid"),
+          toDouble(col("embedding")).as("qv"))
+      }.reduce(_ unionByName _)
+    val luts = qsub.join(cents, "sub")
+      .select(col("sub"), col("qid"), col("cell").as("code"),
+        l2sq(col("qv"), col("c")).as("dist"))
+    val scored = codes.join(broadcast(luts), Seq("sub", "code"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy("qid", "vec_id")
       .agg(sum(col("dist").cast("decimal(18,6)")).as("adist"))
