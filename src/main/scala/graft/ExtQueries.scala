@@ -312,6 +312,10 @@ object ExtQueries {
     "corpus_top_ngrams" -> ((s, d) => TextOps.topNgrams(docs(s, d), 5, 20)),
     "token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
     "word_entropy" -> ((s, d) => TextOps.wordEntropy(docs(s, d))),
+    // BPE training, first merge iteration: char-pair frequencies
+    "bpe_pair_counts" -> ((s, d) => TextOps.bpePairCounts(docs(s, d), 20)),
+    // per-source PSI drift of the token-length distribution
+    "source_drift_psi" -> ((s, d) => Corpus.sourceDrift(docs(s, d))),
     "gopher_quality" -> ((s, d) => TextOps.gopherQuality(docs(s, d))),
     "doc_length_histogram" -> ((s, d) => TextOps.lengthHistogram(docs(s, d))),
     // template-prefix grouping on a planted-template corpus: 12 docs
@@ -1369,6 +1373,33 @@ object ExtQueries {
         | SELECT doc_id, max(t) AS n_words, max(n_distinct) AS n_distinct,
         |   round(CAST(sum(term) * -1 AS DOUBLE), 6) AS entropy
         | FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "bpe_pair_counts" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        | wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        | p AS (SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, cnt
+        |       FROM wc, UNNEST(range(1, length(word))) t(i)
+        |       WHERE length(word) >= 2)
+        | SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+        | FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "source_drift_psi" ->
+      """WITH b AS (SELECT source,
+        |             CAST(length(bin(len(string_split(text, ' ')))) - 1 AS INTEGER) AS bucket
+        |           FROM documents),
+        | bs AS (SELECT source, bucket, count(*) AS c FROM b GROUP BY source, bucket),
+        | bb AS (SELECT bucket, count(*) AS ct FROM b GROUP BY bucket),
+        | st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM bs GROUP BY source),
+        | tot AS (SELECT count(*) AS total FROM documents),
+        | nbk AS (SELECT count(*) AS nb FROM bb),
+        | grid AS (SELECT st.source, st.n_src, bb.bucket, bb.ct FROM st CROSS JOIN bb),
+        | cells AS (SELECT g.source, g.n_src, g.bucket, g.ct, coalesce(bs.c, 0) AS c
+        |           FROM grid g LEFT JOIN bs ON g.source = bs.source AND g.bucket = bs.bucket),
+        | terms AS (SELECT source, n_src,
+        |             CAST(round(((c + 1) / (n_src + nb) - (ct - c + 1) / (total - n_src + nb))
+        |               * ln(((c + 1) / (n_src + nb)) / ((ct - c + 1) / (total - n_src + nb))), 8)
+        |               AS DECIMAL(18,8)) AS term
+        |           FROM cells CROSS JOIN tot CROSS JOIN nbk)
+        | SELECT source, max(n_src) AS n_docs, round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        | FROM terms GROUP BY source ORDER BY source""".stripMargin,
     "gopher_quality" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         | m AS (

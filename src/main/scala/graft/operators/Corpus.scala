@@ -17,6 +17,41 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Per-source distribution drift via the Population Stability Index
+    * over log2 token-length buckets: each source's length distribution
+    * against the pooled rest of the corpus,
+    * PSI = Σ_b (p_src − p_rest)·ln(p_src/p_rest), Laplace-smoothed so
+    * empty buckets stay finite. The monitoring gate a multi-source
+    * training pipeline runs per ingest batch — a source whose PSI
+    * jumps is shifting shape. Exact integer bucketing
+    * (`length(bin(n))−1` = ⌊log2 n⌋), per-term 8dp rounding with a
+    * DECIMAL sum (fold-order free), two small hash aggregates over one
+    * corpus scan.
+    */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val bucketed = docs
+      .withColumn("bucket",
+        (length(bin(size(split(col("text"), " ")).cast("long"))) - 1).cast("int"))
+    val bySrc = bucketed.groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+    val byBucket = bucketed.groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val srcTotals = bySrc.groupBy("source").agg(sum("c").as("n_src"))
+    val total = docs.count()
+    // every (source, bucket) cell, zero counts included
+    val grid = srcTotals.select("source", "n_src").crossJoin(byBucket)
+    val cells = grid.join(bySrc, Seq("source", "bucket"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val nb = byBucket.count()
+    val pa = (col("c") + lit(1)) / (col("n_src") + lit(nb))
+    val pb = (col("ct") - col("c") + lit(1)) / (lit(total) - col("n_src") + lit(nb))
+    cells
+      .withColumn("term", round((pa - pb) * log(pa / pb), 8).cast("decimal(18,8)"))
+      .groupBy("source")
+      .agg(
+        max(col("n_src")).as("n_docs"),
+        round(sum(col("term")).cast("double"), 6).as("psi"))
+      .orderBy("source")
+  }
+
   def cleanVerdicts(docs: DataFrame, minWords: Long = 30): DataFrame = {
     val rep = TextOps.repetitionStats(docs)
       .select(col("doc_id"), col("n_words"), col("flag_repetitive"))

@@ -368,6 +368,25 @@ object TextOps {
         max("n").as("max_tokens"))
       .orderBy("lang", "bucket")
 
+  /** BPE training, first merge iteration: corpus-weighted counts of
+    * adjacent character pairs within words (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units") —
+    * the pair-merge frequency table a tokenizer trainer builds each
+    * round. Counting runs over DISTINCT words weighted by word
+    * frequency, so the explode is vocabulary-sized, not corpus-sized;
+    * the top-k is a distributed TakeOrdered, never a global sort.
+    */
+  def bpePairCounts(docs: DataFrame, k: Int = 20): DataFrame =
+    spread(docs)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(length(col("word")) >= 2)
+      .withColumn("i", explode(sequence(lit(1), length(col("word")) - 1)))
+      .withColumn("pair", expr("substring(word, i, 2)"))
+      .groupBy("pair").agg(sum("cnt").as("n"))
+      .orderBy(desc("n"), col("pair"))
+      .limit(k)
+
   /** Template detection by shared k-word prefix: documents that open
     * identically (mail templates, boilerplate headers, scraped forms)
     * group on their prefix. One projection + one hash aggregate keyed

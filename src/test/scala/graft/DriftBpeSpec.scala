@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.{Corpus, TextOps}
+
+/** PSI source drift + BPE pair-count goldens. */
+class DriftBpeSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String, String)*): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.map { case (i, t, src) => (i, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("sourceDrift: identical sources score identically, a shifted one scores higher") {
+    val four = "a b c d"
+    val thirtyTwo = (1 to 32).map(_ => "w").mkString(" ")
+    val d = docs(
+      (0 until 10).map(i => (i.toLong, four, "srcA")) ++
+        (10 until 20).map(i => (i.toLong, four, "srcB")) ++
+        (20 until 30).map(i => (i.toLong, thirtyTwo, "srcC")): _*)
+    val r = Corpus.sourceDrift(d).collect()
+      .map(x => x.getString(0) -> x.getAs[Double]("psi")).toMap
+    assert(r("srcA") == r("srcB"))
+    assert(r("srcC") > r("srcA"))
+    assert(r("srcC") > 1.0, s"shifted source PSI ${r("srcC")} should be large")
+  }
+
+  test("bpePairCounts weights pairs by word frequency over the distinct vocab") {
+    val d = docs(
+      (0L, "ab ab cd abc", "s"),
+      (1L, "ab x", "s")) // single-char word 'x' contributes no pair
+    val r = TextOps.bpePairCounts(d, 10).collect()
+      .map(x => x.getString(0) -> x.getLong(1))
+    // vocab: ab(cnt 3), cd(1), abc(1) → ab: 3+1=4, bc: 1, cd: 1
+    assert(r.toSeq == Seq("ab" -> 4L, "bc" -> 1L, "cd" -> 1L))
+  }
+}
