@@ -76,6 +76,8 @@ object ExtQueries {
     "market_basket" -> ((s, d) => Basket.pairCounts(Tables.lineitem(s, d), 20)),
     // RFM customer scoring (recency/frequency/monetary quintiles)
     "customer_rfm" -> ((s, d) => Relational.customerRfm(s, d)),
+    // sweep-line interval aggregate: daily open-order backlog
+    "orders_backlog" -> ((s, d) => Relational.openOrdersOverTime(s, d)),
     // the spark.sql TEXT surface: TPC-H Q1 as one engine-neutral SQL
     // string — Spark executes the IDENTICAL text the DuckDB oracle
     // runs, proving the SQL API end of the library, not just the
@@ -260,6 +262,20 @@ object ExtQueries {
           corpusKey = Some(d + "#pq"))
         .select(col("qid"), col("vec_id")).withColumn("__hit", lit(1))
       bf.join(pq, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("hits"))
+        .withColumn("recall_at_3", round(col("hits") / lit(3.0), 4))
+        .orderBy("qid")
+    }),
+    // Matryoshka truncated-prefix retrieval (first 16 of 64 dims) and
+    // its recall gate against the full-dimension ground truth
+    "embed_mrl_topk" -> ((s, d) => Similarity.prefixTopK(emb(s, d), 10, 3, 16)),
+    "embed_mrl_recall" -> ((s, d) => {
+      val full = Similarity.bruteForceTopK(emb(s, d), 10, 3)
+        .select(col("qid"), col("vec_id"))
+      val pre = Similarity.prefixTopK(emb(s, d), 10, 3, 16)
+        .select(col("qid"), col("vec_id")).withColumn("__hit", lit(1))
+      full.join(pre, Seq("qid", "vec_id"), "left")
         .groupBy("qid")
         .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("hits"))
         .withColumn("recall_at_3", round(col("hits") / lit(3.0), 4))
@@ -1203,6 +1219,54 @@ object ExtQueries {
         | FROM m ORDER BY vec_id""".stripMargin,
     "embed_kmeans_cells" ->
       s"$kmeansCte SELECT vec_id, cell, d FROM a2 ORDER BY vec_id",
+    "orders_backlog" ->
+      """WITH closes AS (SELECT l_orderkey AS okey, max(CAST(l_shipdate AS DATE)) AS close_date
+        |               FROM lineitem GROUP BY l_orderkey),
+        | opens AS (SELECT o_orderkey AS okey, CAST(o_orderdate AS DATE) AS open_date FROM orders),
+        | j AS (SELECT open_date, close_date FROM opens JOIN closes USING (okey)),
+        | deltas AS (SELECT date, CAST(sum(delta) AS BIGINT) AS net FROM (
+        |     SELECT open_date AS date, 1 AS delta FROM j
+        |     UNION ALL SELECT close_date, -1 FROM j) GROUP BY date)
+        | SELECT date, net,
+        |   CAST(sum(net) OVER (ORDER BY date ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_orders
+        | FROM deltas ORDER BY date""".stripMargin,
+    "embed_mrl_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        | p AS (SELECT qid, vec_id,
+        |         round(SUM(CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) /
+        |           (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+        |            sqrt(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 4) AS cos
+        |       FROM q, embeddings, UNNEST(range(1, 17)) AS t(i)
+        |       WHERE qid <> vec_id GROUP BY ALL),
+        | r AS (SELECT qid, vec_id, cos,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+        |       FROM p)
+        | SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "embed_mrl_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        | fp AS (SELECT qid, vec_id,
+        |          round(SUM(CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) /
+        |            (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+        |             sqrt(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 4) AS cos
+        |        FROM q, embeddings, UNNEST(range(1, 65)) AS t(i)
+        |        WHERE qid <> vec_id GROUP BY ALL),
+        | fk AS (SELECT qid, vec_id FROM (
+        |          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+        |          FROM fp) WHERE rnk <= 3),
+        | pp AS (SELECT qid, vec_id,
+        |          round(SUM(CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) /
+        |            (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+        |             sqrt(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 4) AS cos
+        |        FROM q, embeddings, UNNEST(range(1, 17)) AS t(i)
+        |        WHERE qid <> vec_id GROUP BY ALL),
+        | pk AS (SELECT qid, vec_id FROM (
+        |          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+        |          FROM pp) WHERE rnk <= 3)
+        | SELECT fk.qid,
+        |   CAST(count(pk.vec_id) AS BIGINT) AS hits,
+        |   round(count(pk.vec_id) / 3.0, 4) AS recall_at_3
+        | FROM fk LEFT JOIN pk ON fk.qid = pk.qid AND fk.vec_id = pk.vec_id
+        | GROUP BY fk.qid ORDER BY fk.qid""".stripMargin,
     "embed_pq_codes" ->
       s"$pqCte SELECT sub, vec_id, code, d FROM codes ORDER BY sub, vec_id",
     "embed_pq_topk" ->

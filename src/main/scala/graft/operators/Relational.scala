@@ -59,6 +59,29 @@ object Relational {
       .orderBy("c_mktsegment", "rnk")
   }
 
+  /** Open-order backlog over time, the sweep-line interval aggregate:
+    * each order contributes +1 at its order date and −1 at its last
+    * ship date, deltas pre-aggregate per day BEFORE the running sum, so
+    * the one unpartitioned cumulative window sees only distinct-day
+    * rows (thousands), never the fact table — the scale-safe shape for
+    * interval counting. Exact integer arithmetic throughout.
+    */
+  def openOrdersOverTime(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val closes = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(max(to_date(col("l_shipdate"))).as("close_date"))
+    val opens = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("okey"), to_date(col("o_orderdate")).as("open_date"))
+    val joined = opens.join(closes, "okey")
+    joined.select(col("open_date").as("date"), lit(1L).as("delta"))
+      .unionByName(joined.select(col("close_date").as("date"), lit(-1L).as("delta")))
+      .groupBy("date").agg(sum("delta").as("net"))
+      .withColumn("open_orders", sum(col("net")).over(
+        Window.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("date")
+  }
+
   /** RFM customer scoring: recency (last order date), frequency (order
     * count), monetary (exact money sum), each quintiled with a custkey
     * tie-break so bucket edges never depend on float noise (monetary is

@@ -498,6 +498,19 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Matryoshka-style truncated search (Kusupati et al. 2022, "MRL"):
+    * cosine top-k over only the first `dims` dimensions — the cheap
+    * first-stage retrieval an MRL-trained embedding enables (prefix
+    * dims carry most of the signal; the synthetic gaussian corpus has
+    * no such structure, so its recall gate measures the honest floor,
+    * as with PQ/IVF).
+    */
+  def prefixTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
+      dims: Int = 16): DataFrame =
+    bruteForceTopK(
+      emb.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding")),
+      nQueries, k)
+
   /** Exact squared-L2 top-k — the ground truth for [[pqAdcTopK]]'s
     * recall gate (cosine [[bruteForceTopK]] ranks a different metric).
     */

@@ -75,4 +75,23 @@ class ResampleFunnelSpec extends SparkSpec {
       ("2024-01-01", 2L) -> (1L, 0.5),
       ("2024-01-02", 0L) -> (1L, 1.0)))
   }
+
+  test("open-order sweep line: pre-aggregated deltas, exact running total") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-backlog").toString
+    // orders 1:[d1,d3] 2:[d1,d2] 3:[d2,d4] → open: d1=2, d2=2, d3=1, d4=0
+    Seq((1L, "1995-01-01"), (2L, "1995-01-01"), (3L, "1995-01-02"))
+      .toDF("o_orderkey", "ods")
+      .selectExpr("o_orderkey", "CAST(ods AS TIMESTAMP) AS o_orderdate")
+      .write.parquet(dir + "/orders.parquet")
+    Seq((1L, "1995-01-03"), (2L, "1995-01-02"), (3L, "1995-01-04"), (3L, "1995-01-02"))
+      .toDF("l_orderkey", "lds")
+      .selectExpr("l_orderkey", "CAST(lds AS TIMESTAMP) AS l_shipdate")
+      .write.parquet(dir + "/lineitem.parquet")
+    val r = graft.operators.Relational.openOrdersOverTime(spark, dir).collect()
+      .map(x => x.getAs[java.sql.Date]("date").toString -> x.getAs[Long]("open_orders"))
+    assert(r.toSeq == Seq(
+      "1995-01-01" -> 2L, "1995-01-02" -> 2L, "1995-01-03" -> 1L, "1995-01-04" -> 0L))
+  }
 }
