@@ -267,6 +267,10 @@ object ExtQueries {
         .withColumn("recall_at_3", round(col("hits") / lit(3.0), 4))
         .orderBy("qid")
     }),
+    // two-stage retrieval: PQ candidates re-ranked by exact cosine
+    "embed_pq_rerank" -> ((s, d) =>
+      Similarity.pqRerankTopK(emb(s, d), 10, 3, 10, 4, 16, 8, 2,
+        corpusKey = Some(d + "#pq"))),
     // Matryoshka truncated-prefix retrieval (first 16 of 64 dims) and
     // its recall gate against the full-dimension ground truth
     "embed_mrl_topk" -> ((s, d) => Similarity.prefixTopK(emb(s, d), 10, 3, 16)),
@@ -565,6 +569,60 @@ object ExtQueries {
       graft.streaming.DedupStream.runBoundedNearDups(
         s, dir + "/drop=*", 0.5, "stream_neardup_tbl",
         staticDocs = Some(all.select("doc_id", "text")))
+    }),
+
+    // gaps-and-islands: contiguous runs of the RSI threshold state per
+    // symbol — the SCD-2 validity-interval build expressed as the
+    // row_number-difference island id (one window pass, no self-join)
+    "signal_islands" -> ((s, d) => {
+      val bySym = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol").orderBy("date")
+      val bySymState = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol", "state").orderBy("date")
+      Tables.stocks(s, d)
+        .withColumn("rsi", round(Indicators.rsi(14), 4))
+        .withColumn("state", Indicators.rsiSignal(col("rsi")))
+        .withColumn("island",
+          row_number().over(bySym) - row_number().over(bySymState))
+        .groupBy("symbol", "state", "island")
+        .agg(min("date").as("valid_from"), max("date").as("valid_to"),
+          count(lit(1)).as("n_days"))
+        .select("symbol", "state", "valid_from", "valid_to", "n_days")
+        .orderBy("symbol", "valid_from")
+    }),
+
+    // NEAREST as-of: closer of the backward and forward month-start
+    // anchors, ties to backward — composed from the two existing as-of
+    // joins, each carrying its anchor date for the distance compare
+    "asof_nearest_ratio" -> ((s, d) => {
+      val st = Tables.stocks(s, d)
+      val anchors = st.filter(dayofmonth(col("date")) === 1)
+        .select(col("symbol"), col("date"), col("close").as("anchor_close"))
+      val back = AsOf.joinAsOf(st.select("symbol", "date", "close"),
+          anchors.withColumn("bdate", col("date")),
+          Seq("symbol"), "date", Seq("anchor_close", "bdate"))
+        .withColumnRenamed("anchor_close", "b_close")
+      val fwd = AsOf.joinAsOfForward(st.select("symbol", "date", "close"),
+          anchors.withColumn("fdate", col("date")),
+          Seq("symbol"), "date", Seq("anchor_close", "fdate"))
+        .select(col("symbol"), col("date"),
+          col("anchor_close").as("f_close"), col("fdate"))
+      val nearest = when(col("f_close").isNull, col("b_close"))
+        .when(col("b_close").isNull, col("f_close"))
+        .when(datediff(col("date"), col("bdate")) <= datediff(col("fdate"), col("date")),
+          col("b_close"))
+        .otherwise(col("f_close"))
+      val dir = when(col("f_close").isNull, lit("backward"))
+        .when(col("b_close").isNull, lit("forward"))
+        .when(datediff(col("date"), col("bdate")) <= datediff(col("fdate"), col("date")),
+          lit("backward"))
+        .otherwise(lit("forward"))
+      back.join(fwd, Seq("symbol", "date"))
+        .withColumn("anchor_close", nearest)
+        .withColumn("direction", dir)
+        .withColumn("ratio", round(col("close") / col("anchor_close"), 4))
+        .select("symbol", "date", "close", "anchor_close", "direction", "ratio")
+        .orderBy("symbol", "date")
     }),
 
     // streaming sessionization replay on the oracle surface: three
@@ -1267,6 +1325,86 @@ object ExtQueries {
         |   round(count(pk.vec_id) / 3.0, 4) AS recall_at_3
         | FROM fk LEFT JOIN pk ON fk.qid = pk.qid AND fk.vec_id = pk.vec_id
         | GROUP BY fk.qid ORDER BY fk.qid""".stripMargin,
+    "embed_pq_rerank" ->
+      s"""$pqCte,
+         | cand AS (SELECT qid, vec_id FROM rk WHERE rnk <= 10),
+         | qv AS (SELECT vec_id AS cqid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         | rr AS (SELECT c.qid, c.vec_id,
+         |          round(SUM(CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) /
+         |            (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+         |             sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))), 4) AS cos
+         |        FROM cand c
+         |        JOIN embeddings e ON c.vec_id = e.vec_id
+         |        JOIN qv ON qv.cqid = c.qid, UNNEST(range(1, 65)) t(i)
+         |        GROUP BY c.qid, c.vec_id),
+         | rr2 AS (SELECT qid, vec_id, cos,
+         |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |         FROM rr)
+         | SELECT qid, rnk, vec_id, cos FROM rr2 WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "signal_islands" ->
+      s"""${Tables.stocksCte},
+         | delta AS (
+         |   SELECT symbol, date,
+         |     close - lag(close, 1) OVER (PARTITION BY symbol ORDER BY date) AS d
+         |   FROM stocks),
+         | gl AS (
+         |   SELECT symbol, date,
+         |     CASE WHEN d > 0 THEN d ELSE 0.0 END AS gain,
+         |     CASE WHEN d < 0 THEN -d ELSE 0.0 END AS loss
+         |   FROM delta),
+         | ga AS (
+         |   SELECT symbol, date,
+         |     CASE WHEN count(*) OVER w = 14 THEN avg(gain) OVER w END AS ag,
+         |     CASE WHEN count(*) OVER w = 14 THEN avg(loss) OVER w END AS al
+         |   FROM gl
+         |   WINDOW w AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         | r AS (
+         |   SELECT symbol, date,
+         |     CASE WHEN al > 0 THEN round(100.0 - 100.0 / (1.0 + ag / al), 4)
+         |          WHEN al = 0 AND ag > 0 THEN 100.0 END AS rsi
+         |   FROM ga),
+         | st AS (
+         |   SELECT symbol, date,
+         |     CASE WHEN rsi > 70 THEN 'Overbought'
+         |          WHEN rsi < 30 THEN 'Oversold'
+         |          ELSE 'Neutral' END AS state
+         |   FROM r),
+         | g AS (
+         |   SELECT symbol, date, state,
+         |     row_number() OVER (PARTITION BY symbol ORDER BY date)
+         |       - row_number() OVER (PARTITION BY symbol, state ORDER BY date) AS island
+         |   FROM st)
+         | SELECT symbol, state, min(date) AS valid_from, max(date) AS valid_to,
+         |   count(*) AS n_days
+         | FROM g GROUP BY symbol, state, island
+         | ORDER BY symbol, valid_from""".stripMargin,
+    "asof_nearest_ratio" ->
+      s"""${Tables.stocksCte},
+         | anchors AS (SELECT symbol, date AS adate, close AS anchor_close
+         |             FROM stocks WHERE day(date) = 1),
+         | b AS (SELECT s.symbol, s.date, s.close,
+         |         a.anchor_close AS b_close, a.adate AS bdate
+         |       FROM stocks s ASOF LEFT JOIN anchors a
+         |         ON s.symbol = a.symbol AND s.date >= a.adate),
+         | f AS (SELECT s.symbol, s.date,
+         |         a.anchor_close AS f_close, a.adate AS fdate
+         |       FROM stocks s ASOF LEFT JOIN anchors a
+         |         ON s.symbol = a.symbol AND s.date <= a.adate)
+         | SELECT b.symbol, b.date, b.close,
+         |   CASE WHEN f_close IS NULL THEN b_close
+         |        WHEN b_close IS NULL THEN f_close
+         |        WHEN date_diff('day', bdate, b.date) <= date_diff('day', b.date, fdate) THEN b_close
+         |        ELSE f_close END AS anchor_close,
+         |   CASE WHEN f_close IS NULL THEN 'backward'
+         |        WHEN b_close IS NULL THEN 'forward'
+         |        WHEN date_diff('day', bdate, b.date) <= date_diff('day', b.date, fdate) THEN 'backward'
+         |        ELSE 'forward' END AS direction,
+         |   round(b.close / (CASE WHEN f_close IS NULL THEN b_close
+         |        WHEN b_close IS NULL THEN f_close
+         |        WHEN date_diff('day', bdate, b.date) <= date_diff('day', b.date, fdate) THEN b_close
+         |        ELSE f_close END), 4) AS ratio
+         | FROM b JOIN f ON b.symbol = f.symbol AND b.date = f.date
+         | ORDER BY b.symbol, b.date""".stripMargin,
     "embed_pq_codes" ->
       s"$pqCte SELECT sub, vec_id, code, d FROM codes ORDER BY sub, vec_id",
     "embed_pq_topk" ->

@@ -498,6 +498,31 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Two-stage retrieval, the production ANN serving shape: cheap PQ
+    * ADC candidates (top `cand` per query) re-ranked by EXACT cosine
+    * over the raw vectors to the final top `k`. Only candidates×dims
+    * floats are touched in stage two — the full corpus never leaves
+    * its int codes — and the rerank join is broadcast on the tiny
+    * query/candidate side.
+    */
+  def pqRerankTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
+      cand: Int = 10, m: Int = 4, subDim: Int = 16, kc: Int = 8,
+      iters: Int = 2, corpusKey: Option[String] = None): DataFrame = {
+    val candidates = pqAdcTopK(emb, nQueries, cand, m, subDim, kc, iters, corpusKey)
+      .select(col("qid"), col("vec_id"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val rer = candidates
+      .join(emb.select("vec_id", "embedding"), "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    rer.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "cos")
+      .orderBy("qid", "rnk")
+  }
+
   /** Matryoshka-style truncated search (Kusupati et al. 2022, "MRL"):
     * cosine top-k over only the first `dims` dimensions — the cheap
     * first-stage retrieval an MRL-trained embedding enables (prefix

@@ -41,6 +41,14 @@ class PqSpec extends SparkSpec {
     assert(byQ(1L).getAs[Long]("vec_id") == 101L && byQ(1L).getAs[Double]("adc_dist") == 0.0)
   }
 
+  test("pqRerankTopK: exact-cosine rerank puts the twin first with cos 1.0") {
+    val top = Similarity.pqRerankTopK(corpus, nQueries = 2, k = 1, cand = 3,
+      m = 2, subDim = 4, kc = 8, iters = 2).collect()
+    val byQ = top.map(r => r.getAs[Long]("qid") -> r).toMap
+    assert(byQ(0L).getAs[Long]("vec_id") == 100L && byQ(0L).getAs[Double]("cos") == 1.0)
+    assert(byQ(1L).getAs[Long]("vec_id") == 101L && byQ(1L).getAs[Double]("cos") == 1.0)
+  }
+
   test("l2TopK: exact ground truth ranks the twin first, orthogonal anchors after") {
     val top = Similarity.l2TopK(corpus, nQueries = 1, k = 3).collect()
     assert(top(0).getAs[Long]("vec_id") == 100L && top(0).getAs[Double]("dist") == 0.0)
