@@ -129,6 +129,21 @@ object ExtQueries {
     }),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d), 0.5)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), 0.5)),
+    // MinHash estimator gate: signature-agreement Jaccard estimate vs
+    // exact, per confirmed pair
+    "dedup_minhash_estimate" -> ((s, d) => Dedup.minhashJaccardEstimate(docs(s, d), 0.5)),
+    // Benford first-digit forensics over trade volumes
+    "volume_benford" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      Tables.stocks(s, d)
+        .filter(col("volume") > 0)
+        .withColumn("digit", substring(col("volume").cast("string"), 1, 1).cast("int"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("obs_freq", round(col("n") / sum(col("n")).over(w), 6))
+        .withColumn("benford_freq", round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+        .withColumn("diff", round(col("obs_freq") - col("benford_freq"), 6))
+        .orderBy("digit")
+    }),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     // MOSS-style winnowing: ≥2 shared window-min fingerprints → pair
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(docs(s, d), 5, 4, 2)),
@@ -724,7 +739,10 @@ object ExtQueries {
     * exact-Jaccard verify) — shared by dedup_minhash_lsh and its
     * streaming replay twin stream_neardup_replay.
     */
-  private lazy val minhashLshOracleSql: String =
+  /** The shared MinHash chain: shingles → signatures → capped banding →
+    * verified `jp(doc_a, doc_b, jaccard)` pairs at the 0.5 threshold.
+    */
+  private lazy val minhashPairsCte: String =
     s"""$SH3,
        | shx AS (SELECT doc_id, ($minhashBaseSql) % ${Dedup.minhashP} AS x
        |         FROM (SELECT doc_id, md5(s) AS m FROM sh)),
@@ -754,10 +772,13 @@ object ExtQueries {
        |        FROM cand
        |        JOIN sh sa ON sa.doc_id = doc_a
        |        JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
-       |        GROUP BY doc_a, doc_b)
-       | SELECT doc_a, doc_b, $jaccardExpr AS jaccard
-       | FROM iv JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-       | WHERE $jaccardExpr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+       |        GROUP BY doc_a, doc_b),
+       | jp AS (SELECT doc_a, doc_b, $jaccardExpr AS jaccard
+       |   FROM iv JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |   WHERE $jaccardExpr >= 0.5)""".stripMargin
+
+  private lazy val minhashLshOracleSql: String =
+    s"$minhashPairsCte SELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b"
 
   /** Asymmetric (batch vs existing corpus) MinHash-LSH dedup oracle —
     * mirrors Dedup.incrementalDedup over the planted-batch fixture:
@@ -1100,6 +1121,26 @@ object ExtQueries {
         |   f.doc_id <> st.keeper AS is_dup
         | FROM f JOIN st USING (fp) ORDER BY f.doc_id""".stripMargin,
     "dedup_minhash_lsh" -> minhashLshOracleSql,
+    "dedup_minhash_estimate" ->
+      s"""$minhashPairsCte,
+         | est AS (SELECT jp.doc_a, jp.doc_b, jp.jaccard,
+         |   round((${(0 until Dedup.minhashParams.size)
+               .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+               .mkString(" + ")}) / ${Dedup.minhashParams.size}.0, 4) AS est
+         |   FROM jp JOIN sig a ON a.doc_id = jp.doc_a
+         |   JOIN sig b ON b.doc_id = jp.doc_b)
+         | SELECT doc_a, doc_b, jaccard, est, round(abs(est - jaccard), 4) AS abs_err
+         | FROM est ORDER BY doc_a, doc_b""".stripMargin,
+    "volume_benford" ->
+      s"""${Tables.stocksCte},
+         | dg AS (SELECT CAST(substring(CAST(volume AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         |        FROM stocks WHERE volume > 0),
+         | c AS (SELECT digit, count(*) AS n FROM dg GROUP BY digit)
+         | SELECT digit, n,
+         |   round(n / (SUM(n) OVER ()), 6) AS obs_freq,
+         |   round(log10(1.0 + 1.0 / digit), 6) AS benford_freq,
+         |   round(round(n / (SUM(n) OVER ()), 6) - round(log10(1.0 + 1.0 / digit), 6), 6) AS diff
+         | FROM c ORDER BY digit""".stripMargin,
     // the streaming replay reproduces the batch LSH pairs exactly
     // (under-cap buckets are arrival-order invariant), so it is held to
     // the identical oracle

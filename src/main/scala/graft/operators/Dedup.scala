@@ -911,4 +911,28 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "dup_grams")
       .orderBy("doc_id", "span_start")
   }
+
+  /** MinHash estimator quality gate: for every LSH-confirmed pair, the
+    * Jaccard ESTIMATE from signature agreement (matching components /
+    * K) next to the exact distinct-shingle Jaccard and the absolute
+    * error — the measurement that justifies (or indicts) the signature
+    * width K, the same gate family as the IVF/PQ recall queries. One
+    * signature self-join over the already-verified pair list; exact
+    * integer match counts, one division, rounded.
+    */
+  def minhashJaccardEstimate(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val k = minhashParams.size
+    val pairs = minhashLshPairs(docs, threshold).select("doc_a", "doc_b", "jaccard")
+    val sig = minhashSignatures(docs)
+    val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else c + "_a"): _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else c + "_b"): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("est", round(matches / lit(k.toDouble), 4))
+      .withColumn("abs_err", round(abs(col("est") - col("jaccard")), 4))
+      .select("doc_a", "doc_b", "jaccard", "est", "abs_err")
+      .orderBy("doc_a", "doc_b")
+  }
 }
