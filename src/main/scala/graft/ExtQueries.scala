@@ -461,6 +461,10 @@ object ExtQueries {
     "events_retention" -> ((s, d) => EventsOps.retention(ev(s, d))),
     // first-order Markov transition matrix of user journeys
     "events_transitions" -> ((s, d) => EventsOps.transitionMatrix(ev(s, d))),
+    // DAU / trailing-7d WAU / stickiness (exact, explode-contribution)
+    "events_dau_wau" -> ((s, d) => EventsOps.activeUsers(ev(s, d))),
+    // skewness / excess kurtosis of returns via exact power sums
+    "return_moments" -> ((s, d) => IndicatorsExt.returnMoments(Tables.stocks(s, d))),
     // pandas-resample surface over the derived bars: weekly OHLCV and
     // calendar reindex + forward-fill
     "stocks_weekly" -> ((s, d) => Resample.weekly(Tables.stocks(s, d))),
@@ -2001,6 +2005,37 @@ object ExtQueries {
          |   UNION ALL SELECT symbol, date, 'close', close FROM stocks)
          | SELECT symbol, date, field, value FROM m
          | ORDER BY symbol, date, field""".stripMargin,
+    "events_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        | dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        | contrib AS (SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS day
+        |             FROM ud, UNNEST(range(0, 7)) t(i)),
+        | wau AS (SELECT day, count(*) AS wau FROM contrib GROUP BY day)
+        | SELECT dau.day, dau.dau, wau.wau, round(dau.dau / wau.wau, 4) AS stickiness
+        | FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day""".stripMargin,
+    "return_moments" ->
+      s"""${Tables.stocksCte},
+         | r0 AS (SELECT symbol,
+         |          CAST(round((close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date) - 1.0) * 100.0, 4)
+         |               AS DECIMAL(8,4)) AS r
+         |        FROM stocks),
+         | rr AS (SELECT symbol, r FROM r0 WHERE r IS NOT NULL),
+         | a AS (SELECT symbol, CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(r) AS DOUBLE) AS s1,
+         |         CAST(sum(r * r) AS DOUBLE) AS s2,
+         |         CAST(sum(CAST(r * r AS DECIMAL(20,8)) * r) AS DOUBLE) AS s3,
+         |         CAST(sum(CAST(r * r AS DECIMAL(20,8)) * (r * r)) AS DOUBLE) AS s4
+         |       FROM rr GROUP BY symbol),
+         | m AS (SELECT symbol, n, s1 / n AS m1, s2, s3, s4 FROM a),
+         | c AS (SELECT symbol, n, m1,
+         |         s2 / n - m1 * m1 AS m2,
+         |         s3 / n - 3.0 * m1 * (s2 / n) + 2.0 * (m1 * m1 * m1) AS m3,
+         |         s4 / n - 4.0 * m1 * (s3 / n) + 6.0 * (m1 * m1) * (s2 / n) - 3.0 * ((m1 * m1) * (m1 * m1)) AS m4
+         |       FROM m)
+         | SELECT symbol, CAST(n AS BIGINT) AS n_days,
+         |   round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+         |   round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+         | FROM c ORDER BY symbol""".stripMargin,
     "events_transitions" ->
       """WITH t AS (
         |   SELECT event_type AS from_type,

@@ -99,6 +99,25 @@ object EventsOps {
       .orderBy("hour", "event_type")
   }
 
+  /** DAU / trailing-7-day WAU / stickiness. WAU is computed EXACTLY by
+    * exploding each (user, active-day) into its 7 contribution days and
+    * re-distincting — linear in active-user-days × 7, no distinct-over-
+    * window (which Spark cannot do) and no self-join. At 100 TB the
+    * same query runs on HLL sketches; this is the exact twin that
+    * validates them.
+    */
+  def activeUsers(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .withColumn("day2", explode(sequence(col("day"), date_add(col("day"), 6))))
+      .select(col("user_id"), col("day2").as("day")).distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .withColumn("stickiness", round(col("dau") / col("wau"), 4))
+      .orderBy("day")
+  }
+
   /** Event-type transition matrix (first-order Markov view of user
     * journeys): consecutive event pairs per user with per-source-type
     * transition probabilities. One user-keyed window + one small hash

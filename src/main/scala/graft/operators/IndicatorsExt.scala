@@ -173,6 +173,40 @@ object IndicatorsExt {
         col("y").cast("double").as("ret_b"), col("corr_ret"))
   }
 
+  /** Per-symbol skewness and excess kurtosis of daily returns via
+    * exact decimal power sums: returns round to 4dp DECIMAL(8,4), so
+    * r², r³, r⁴ stay inside DECIMAL(38) exactly in both engines, the
+    * group sums are fold-order free, and only the fixed moment formulas
+    * run in double (skew = m₃/(m₂·√m₂), kurt = m₄/m₂² − 3, central
+    * moments expanded in raw power sums). One hash aggregate.
+    */
+  def returnMoments(df: DataFrame, scale: Int = 6): DataFrame = {
+    val r = round(
+      (col("close") / lag(col("close"), 1).over(w) - lit(1.0)) * lit(100.0), 4)
+      .cast("decimal(8,4)")
+    val base = df.withColumn("r", r).filter(col("r").isNotNull)
+    val r2 = col("r") * col("r")
+    val agg = base.groupBy("symbol").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("r")).cast("double").as("s1"),
+      sum(r2).cast("double").as("s2"),
+      sum(r2 * col("r")).cast("double").as("s3"),
+      sum(r2 * r2).cast("double").as("s4"))
+    val m1 = col("s1") / col("n")
+    val m2 = col("s2") / col("n") - m1 * m1
+    val m3 = col("s3") / col("n") - lit(3.0) * m1 * (col("s2") / col("n")) +
+      lit(2.0) * (m1 * m1 * m1)
+    val m4 = col("s4") / col("n") - lit(4.0) * m1 * (col("s3") / col("n")) +
+      lit(6.0) * (m1 * m1) * (col("s2") / col("n")) -
+      lit(3.0) * ((m1 * m1) * (m1 * m1))
+    agg.select(
+      col("symbol"),
+      col("n").cast("long").as("n_days"),
+      round(m3 / (m2 * sqrt(m2)), scale).as("skewness"),
+      round(m4 / (m2 * m2) - lit(3.0), scale).as("excess_kurtosis"))
+      .orderBy("symbol")
+  }
+
   /** Per-symbol beta/alpha against the equal-weight market return.
     *
     * market(date) = mean of all symbols' returns that date, computed as

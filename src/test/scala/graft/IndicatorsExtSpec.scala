@@ -63,6 +63,16 @@ class IndicatorsExtSpec extends SparkSpec {
     assertColumn(df, "corr_ret", Seq(Double.NaN, Double.NaN, 1.0))
   }
 
+  test("returnMoments: alternating ±10% returns give zero skew, kurtosis -2") {
+    // closes engineered so the rounded returns are exactly +10,-10,+10,-10
+    val df = IndicatorsExt.returnMoments(
+      bars("A", Seq(100.0, 110.0, 99.0, 108.9, 98.01)))
+    val r = df.collect()(0)
+    assert(r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[Double]("skewness") == 0.0)
+    assert(r.getAs[Double]("excess_kurtosis") == -2.0)
+  }
+
   test("beta against the equal-weight market recovers the return multiple") {
     // B's returns are exactly 2x A's → market = 1.5x A's returns,
     // beta_A = 1/1.5, beta_B = 2/1.5, both alphas 0

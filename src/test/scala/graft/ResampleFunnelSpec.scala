@@ -76,6 +76,21 @@ class ResampleFunnelSpec extends SparkSpec {
       ("2024-01-02", 0L) -> (1L, 1.0)))
   }
 
+  test("DAU/WAU: trailing-7-day distinct users via contribution explode") {
+    val d = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 11:00:00", "view"),
+      (2L, "2024-01-04 11:00:00", "view"), // day 3: dau 1, wau 2 (user 1 still in window)
+      (1L, "2024-01-09 10:00:00", "view")) // day 8: user 2's day-3 activity still in window
+    val r = EventsOps.activeUsers(d).collect()
+      .map(x => x.getAs[java.sql.Date]("day").toString ->
+        (x.getAs[Long]("dau"), x.getAs[Long]("wau"), x.getAs[Double]("stickiness")))
+    assert(r.toSeq == Seq(
+      "2024-01-01" -> (2L, 2L, 1.0),
+      "2024-01-04" -> (1L, 2L, 0.5),
+      "2024-01-09" -> (1L, 2L, 0.5)))
+  }
+
   test("open-order sweep line: pre-aggregated deltas, exact running total") {
     val spark2 = spark
     import spark2.implicits._
