@@ -24,6 +24,9 @@ object ExtQueries {
   /** Replay-drop directory for the streaming sessionization query. */
   private lazy val sessionsReplayDir: String = TempDirs.create("graft_sessions_replay")
 
+  /** Replay-drop directory for the append-mode hourly query. */
+  private lazy val hourlyReplayDir: String = TempDirs.create("graft_hourly_replay")
+
   /** One JSONL export directory per JVM (the jsonl_export_roundtrip
     * side effect), registered for exit cleanup.
     */
@@ -588,6 +591,33 @@ object ExtQueries {
       graft.streaming.DedupStream.runBoundedNearDups(
         s, dir + "/drop=*", 0.5, "stream_neardup_tbl",
         staticDocs = Some(all.select("doc_id", "text")))
+    }),
+
+    // APPEND-mode streaming hourly replay: every window emits exactly
+    // once when the watermark closes it (production sink semantics);
+    // sentinel drops close the tail windows, so the replay equals the
+    // batch hourly aggregate. SIDE EFFECT: writes drops to a temp dir.
+    "stream_hourly_replay" -> ((s, d) => {
+      val dir = hourlyReplayDir
+      val ev3 = ev(s, d).select("ts", "event_type", "value")
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      def sentinel(at: String) = s.range(1).select(
+        lit(at).cast("timestamp").as("ts"),
+        lit("__sentinel").as("event_type"), lit(0.0).as("value"))
+      Seq(
+        ("a", ev3.filter(col("ts") < cut1)),
+        ("b", ev3.filter(col("ts") >= cut1 && col("ts") < cut2)),
+        ("c", ev3.filter(col("ts") >= cut2)),
+        ("d", sentinel("2024-03-01 00:00:00")),
+        ("e", sentinel("2024-04-01 00:00:00"))).foreach { case (tag, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(dir + s"/batch=$tag")
+      }
+      graft.streaming.IndicatorStream.stampDropOrder(dir, Seq("a", "b", "c", "d", "e"))
+      val name = graft.streaming.EventStream.runReplayAppend(s, dir, "stream_hourly_tbl")
+      s.table(name)
+        .filter(col("event_type") =!= "__sentinel")
+        .orderBy("hour", "event_type")
     }),
 
     // gaps-and-islands: contiguous runs of the RSI threshold state per
@@ -1832,6 +1862,11 @@ object ExtQueries {
         | count(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
         | count(DISTINCT user_id) AS n_users
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_hourly_replay" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        | count(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_interval_join" ->
       """WITH iv AS (SELECT event_id AS interval_id, event_type,

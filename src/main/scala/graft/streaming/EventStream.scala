@@ -59,6 +59,30 @@ object EventStream {
         col("win.start").as("hour"),
         col("event_type"), col("n_events"), col("value_sum"))
 
+  /** APPEND-mode replay over ordered `batch=*` drops (one micro-batch
+    * each): every window emits exactly once, when the event-time
+    * watermark passes its close — the production sink semantics, not
+    * Complete-mode re-emission. The caller plants far-future sentinel
+    * drops so the watermark passes every real window before input ends;
+    * sentinel rows are the caller's to filter.
+    */
+  def runReplayAppend(spark: SparkSession, baseDir: String,
+      name: String = "events_hourly_replay"): String = {
+    val evs = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(baseDir + "/batch=*")
+    val q = hourlyAgg(evs)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    name
+  }
+
   /** Bounded run to a memory sink: processes everything currently in
     * the directory (AvailableNow) and terminates. Complete mode so the
     * final windows — which the watermark has not yet closed when input
