@@ -354,6 +354,32 @@ object ExtQueries {
     "bpe_pair_counts" -> ((s, d) => TextOps.bpePairCounts(docs(s, d), 20)),
     // per-source PSI drift of the token-length distribution
     "source_drift_psi" -> ((s, d) => Corpus.sourceDrift(docs(s, d))),
+    // data-mix inequality: Gini over per-source token totals
+    "source_gini" -> ((s, d) => Corpus.sourceGini(docs(s, d))),
+    // CCNet-style head/middle/tail perplexity binning over the LM score
+    "ccnet_buckets" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("avg_logp").desc_nulls_last, col("doc_id"))
+      TextOps.lmScore(docs(s, d))
+        .withColumn("bucket", ntile(3).over(w))
+        .withColumn("ccnet_bin",
+          when(col("bucket") === 1, "head")
+            .when(col("bucket") === 2, "middle").otherwise("tail"))
+        .select("doc_id", "avg_logp", "bucket", "ccnet_bin")
+        .orderBy("doc_id")
+    }),
+    // packing-quality gate over the 2048-token stream packs
+    "packing_efficiency" -> ((s, d) =>
+      Packing.packSequences(docs(s, d),
+          size(split(col("text"), " ")).cast("long"), 2048L, chunkSize = 100L)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("tokens").as("total_tokens"),
+          (max("pack_id") + 1).as("n_packs"),
+          sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddles"))
+        .withColumn("straddle_frac", round(col("n_straddles") / col("n_docs"), 6))
+        .withColumn("tail_waste",
+          col("n_packs") * lit(2048L) - col("total_tokens"))),
     "gopher_quality" -> ((s, d) => TextOps.gopherQuality(docs(s, d))),
     "doc_length_histogram" -> ((s, d) => TextOps.lengthHistogram(docs(s, d))),
     // template-prefix grouping on a planted-template corpus: 12 docs
@@ -773,6 +799,27 @@ object ExtQueries {
     * exact-Jaccard verify) — shared by dedup_minhash_lsh and its
     * streaming replay twin stream_neardup_replay.
     */
+  /** Shared bigram-LM chain → `lmres(doc_id, n_bigrams, avg_logp)` —
+    * the TextOps.lmScore mirror, reused by the score and the CCNet
+    * binning oracles.
+    */
+  private lazy val lmScoreCte: String =
+    """WITH wrds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      | uni AS (SELECT w, count(*) AS cw FROM wrds GROUP BY w),
+      | v AS (SELECT count(DISTINCT w) AS vs FROM wrds),
+      | wl AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      | big AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS s
+      |         FROM wl, UNNEST(range(1, len(ws))) AS t(i)),
+      | bc AS (SELECT s, count(*) AS cb FROM big GROUP BY s),
+      | lp AS (SELECT big.doc_id,
+      |          CAST(round(ln((bc.cb + 1) * 1.0 / (uni.cw + v.vs)), 6) AS DECIMAL(18,6)) AS lp
+      |        FROM big JOIN bc USING (s) JOIN uni ON uni.w = big.w1 CROSS JOIN v),
+      | agg AS (SELECT doc_id, count(*) AS n_bigrams,
+      |           round(CAST(SUM(lp) AS DOUBLE) / count(*), 4) AS avg_logp
+      |         FROM lp GROUP BY doc_id),
+      | lmres AS (SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
+      |           FROM documents d LEFT JOIN agg a USING (doc_id))""".stripMargin
+
   /** The shared MinHash chain: shingles → signatures → capped banding →
     * verified `jp(doc_a, doc_b, jaccard)` pairs at the 0.5 threshold.
     */
@@ -1624,21 +1671,17 @@ object ExtQueries {
          | ORDER BY d.doc_id""".stripMargin,
     "text_quality_score" -> s"$textQualityOracle ORDER BY doc_id",
     "text_lm_score" ->
-      """WITH wrds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        | uni AS (SELECT w, count(*) AS cw FROM wrds GROUP BY w),
-        | v AS (SELECT count(DISTINCT w) AS vs FROM wrds),
-        | wl AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        | big AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS s
-        |         FROM wl, UNNEST(range(1, len(ws))) AS t(i)),
-        | bc AS (SELECT s, count(*) AS cb FROM big GROUP BY s),
-        | lp AS (SELECT big.doc_id,
-        |          CAST(round(ln((bc.cb + 1) * 1.0 / (uni.cw + v.vs)), 6) AS DECIMAL(18,6)) AS lp
-        |        FROM big JOIN bc USING (s) JOIN uni ON uni.w = big.w1 CROSS JOIN v),
-        | agg AS (SELECT doc_id, count(*) AS n_bigrams,
-        |           round(CAST(SUM(lp) AS DOUBLE) / count(*), 4) AS avg_logp
-        |         FROM lp GROUP BY doc_id)
-        | SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
-        | FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+      s"$lmScoreCte SELECT doc_id, n_bigrams, avg_logp FROM lmres ORDER BY doc_id",
+    // CCNet-style perplexity binning: head/middle/tail thirds by the
+    // bigram-LM score (Wenzek et al. 2020) — deterministic ntile over
+    // the rounded score with a doc_id tiebreak
+    "ccnet_buckets" ->
+      s"""$lmScoreCte
+         | SELECT doc_id, avg_logp,
+         |   ntile(3) OVER (ORDER BY avg_logp DESC NULLS LAST, doc_id) AS bucket,
+         |   CASE ntile(3) OVER (ORDER BY avg_logp DESC NULLS LAST, doc_id)
+         |     WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ccnet_bin
+         | FROM lmres ORDER BY doc_id""".stripMargin,
     "word_entropy" ->
       """WITH wrds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         | c AS (SELECT doc_id, w, count(*) AS c FROM wrds GROUP BY doc_id, w),
@@ -1677,6 +1720,34 @@ object ExtQueries {
         |           FROM cells CROSS JOIN tot CROSS JOIN nbk)
         | SELECT source, max(n_src) AS n_docs, round(CAST(sum(term) AS DOUBLE), 6) AS psi
         | FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    "source_gini" ->
+      """WITH t AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+        |           FROM documents GROUP BY source),
+        | r AS (SELECT source, t, CAST(row_number() OVER (ORDER BY t, source) AS BIGINT) AS i FROM t),
+        | a AS (SELECT count(*) AS n_sources, CAST(sum(t) AS BIGINT) AS total_tokens,
+        |         CAST(sum(i * t) AS BIGINT) AS swi FROM r)
+        | SELECT n_sources, total_tokens,
+        |   round(2.0 * swi / (n_sources * total_tokens) - (n_sources + 1.0) / n_sources, 6) AS gini
+        | FROM a""".stripMargin,
+    "packing_efficiency" ->
+      """WITH t AS (SELECT doc_id,
+        |     CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens FROM documents),
+        | c AS (SELECT doc_id, tokens,
+        |     CAST(coalesce(SUM(tokens) OVER (ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |   FROM t),
+        | p AS (SELECT tokens,
+        |     CAST(tok_offset // 2048 AS BIGINT) AS pack_id,
+        |     (tok_offset % 2048) + tokens > 2048 AS straddles
+        |   FROM c),
+        | agg AS (SELECT count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |           CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+        |           CAST(sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddles
+        |         FROM p)
+        | SELECT n_docs, total_tokens, n_packs, n_straddles,
+        |   round(n_straddles / n_docs, 6) AS straddle_frac,
+        |   n_packs * 2048 - total_tokens AS tail_waste
+        | FROM agg""".stripMargin,
     "gopher_quality" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         | m AS (

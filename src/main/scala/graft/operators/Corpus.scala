@@ -52,6 +52,28 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** Gini coefficient of the token distribution across sources — the
+    * data-mix inequality number (0 = perfectly balanced mix, →1 = one
+    * source dominates). Exact integer rank/sum arithmetic over the
+    * ascending-sorted source totals (G = 2Σ i·tᵢ /(nΣt) − (n+1)/n);
+    * the single-partition window sees one row per SOURCE.
+    */
+  def sourceGini(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("t", "source")
+    docs
+      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source").agg(sum("tokens").as("t"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(
+        count(lit(1)).as("n_sources"),
+        sum("t").as("total_tokens"),
+        sum(col("i") * col("t")).as("swi"))
+      .withColumn("gini", round(
+        lit(2.0) * col("swi") / (col("n_sources") * col("total_tokens")) -
+          (col("n_sources") + lit(1.0)) / col("n_sources"), 6))
+      .select("n_sources", "total_tokens", "gini")
+  }
+
   def cleanVerdicts(docs: DataFrame, minWords: Long = 30): DataFrame = {
     val rep = TextOps.repetitionStats(docs)
       .select(col("doc_id"), col("n_words"), col("flag_repetitive"))
