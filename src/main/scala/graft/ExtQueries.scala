@@ -380,6 +380,11 @@ object ExtQueries {
         .withColumn("straddle_frac", round(col("n_straddles") / col("n_docs"), 6))
         .withColumn("tail_waste",
           col("n_packs") * lit(2048L) - col("total_tokens"))),
+    // Okapi BM25 lexical retrieval against a fixed query-term bag
+    "text_bm25_topk" -> ((s, d) =>
+      TextOps.bm25TopK(docs(s, d), Seq("hash", "merge", "scan"))),
+    // per-source lexical-diversity profile (types / hapax / TTR)
+    "source_vocab_stats" -> ((s, d) => Corpus.sourceVocabStats(docs(s, d))),
     "gopher_quality" -> ((s, d) => TextOps.gopherQuality(docs(s, d))),
     "doc_length_histogram" -> ((s, d) => TextOps.lengthHistogram(docs(s, d))),
     // template-prefix grouping on a planted-template corpus: 12 docs
@@ -497,7 +502,10 @@ object ExtQueries {
     // pandas-resample surface over the derived bars: weekly OHLCV and
     // calendar reindex + forward-fill
     "stocks_weekly" -> ((s, d) => Resample.weekly(Tables.stocks(s, d))),
+    "stocks_monthly" -> ((s, d) => Resample.monthly(Tables.stocks(s, d))),
     "stocks_ffill_calendar" -> ((s, d) => Resample.ffillCalendar(Tables.stocks(s, d))),
+    // robust outlier days: median/MAD modified z-score on daily returns
+    "return_outliers_mad" -> ((s, d) => IndicatorsExt.madOutliers(Tables.stocks(s, d))),
 
     // ---- as-of join (union + ordered-window carry; oracle is DuckDB's
     // native ASOF JOIN, a cross-implementation equivalence check)
@@ -1748,6 +1756,39 @@ object ExtQueries {
         |   round(n_straddles / n_docs, 6) AS straddle_frac,
         |   n_packs * 2048 - total_tokens AS tail_waste
         | FROM agg""".stripMargin,
+    // BM25: every float is rounded before reuse; per-term scores sum as
+    // exact DECIMAL(18,6) and the ranking orders by that exact sum
+    "text_bm25_topk" ->
+      """WITH wrds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM wrds GROUP BY doc_id),
+        | n AS (SELECT count(*) AS nd FROM documents),
+        | ad AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT nd FROM n) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, word, count(*) AS tf FROM wrds
+        |        WHERE word IN ('hash', 'merge', 'scan') GROUP BY doc_id, word),
+        | dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        | sc AS (SELECT tf.doc_id,
+        |     CAST(round(
+        |       round(ln(((SELECT nd FROM n) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0), 6)
+        |       * (tf.tf * 2.2)
+        |       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * round(dl.dl / (SELECT avgdl FROM ad), 6))),
+        |       6) AS DECIMAL(18,6)) AS term_score
+        |   FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id)),
+        | pd AS (SELECT doc_id, sum(term_score) AS score_d, count(*) AS n_terms
+        |        FROM sc GROUP BY doc_id),
+        | rk AS (SELECT row_number() OVER (ORDER BY score_d DESC, doc_id) AS rnk,
+        |          doc_id, n_terms, CAST(score_d AS DOUBLE) AS score FROM pd)
+        | SELECT rnk, doc_id, n_terms, score FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    "source_vocab_stats" ->
+      """WITH wrds AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        | c AS (SELECT source, word, count(*) AS c FROM wrds GROUP BY source, word),
+        | v AS (SELECT source, count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        |       FROM c GROUP BY source),
+        | nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        | SELECT v.source, nd.n_docs, v.n_tokens, v.n_types, v.hapax,
+        |   round(v.n_types / v.n_tokens, 6) AS ttr,
+        |   round(v.hapax / v.n_types, 6) AS hapax_frac
+        | FROM v JOIN nd USING (source) ORDER BY v.source""".stripMargin,
     "gopher_quality" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         | m AS (
@@ -2203,6 +2244,36 @@ object ExtQueries {
          | FROM stocks
          | GROUP BY symbol, CAST(date_trunc('week', date) AS DATE)
          | ORDER BY symbol, week""".stripMargin,
+    "stocks_monthly" ->
+      s"""${Tables.stocksCte},
+         | m AS (SELECT symbol, CAST(date_trunc('month', date) AS DATE) AS month,
+         |   arg_min(open, date) AS open, max(high) AS high, min(low) AS low,
+         |   arg_max(close, date) AS close,
+         |   CAST(sum(volume) AS BIGINT) AS volume, count(*) AS n_days
+         | FROM stocks
+         | GROUP BY symbol, CAST(date_trunc('month', date) AS DATE))
+         | SELECT symbol, month, open, high, low, close, volume, n_days,
+         |   round((close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY month)
+         |     - 1.0) * 100.0, 4) AS mom_return
+         | FROM m ORDER BY symbol, month""".stripMargin,
+    "return_outliers_mad" ->
+      s"""${Tables.stocksCte},
+         | r AS (SELECT symbol, date,
+         |     round((close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date)
+         |       - 1.0) * 100.0, 8) AS ret
+         |   FROM stocks),
+         | rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
+         | m AS (SELECT symbol, round(quantile_cont(ret, 0.5), 8) AS med
+         |       FROM rr GROUP BY symbol),
+         | d AS (SELECT rr.symbol, rr.date, rr.ret, m.med,
+         |         round(abs(rr.ret - m.med), 8) AS dev
+         |       FROM rr JOIN m USING (symbol)),
+         | md AS (SELECT symbol, round(quantile_cont(dev, 0.5), 8) AS mad
+         |        FROM d GROUP BY symbol)
+         | SELECT d.symbol, d.date, d.ret,
+         |   round(0.6745 * (d.ret - d.med) / nullif(md.mad, 0.0), 4) AS rob_z,
+         |   abs(round(0.6745 * (d.ret - d.med) / nullif(md.mad, 0.0), 4)) > 3.5 AS is_outlier
+         | FROM d JOIN md USING (symbol) ORDER BY d.symbol, d.date""".stripMargin,
     "stocks_ffill_calendar" ->
       s"""${Tables.stocksCte},
          | b AS (SELECT symbol, min(date) AS d0, max(date) AS d1 FROM stocks GROUP BY symbol),

@@ -74,6 +74,31 @@ object Corpus {
       .select("n_sources", "total_tokens", "gini")
   }
 
+  /** Per-source vocabulary profile: distinct word types, token totals,
+    * hapax legomena (types seen once within the source), type-token
+    * ratio, and hapax fraction — the lexical-diversity diagnostics that
+    * flag templated/machine-generated sources (low TTR, low hapax) vs
+    * noisy OCR (hapax-heavy). Two hash aggregates keyed (source, word)
+    * then source; the doc counts ride a third tiny aggregate joined on
+    * source. All counts exact longs; the two ratios are single rounded
+    * divisions.
+    */
+  def sourceVocabStats(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("word"))
+    val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    words.groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_types"),
+        sum("c").as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .join(nDocs, "source")
+      .withColumn("ttr", round(col("n_types") / col("n_tokens"), 6))
+      .withColumn("hapax_frac", round(col("hapax") / col("n_types"), 6))
+      .select("source", "n_docs", "n_tokens", "n_types", "hapax", "ttr", "hapax_frac")
+      .orderBy("source")
+  }
+
   def cleanVerdicts(docs: DataFrame, minWords: Long = 30): DataFrame = {
     val rep = TextOps.repetitionStats(docs)
       .select(col("doc_id"), col("n_words"), col("flag_repetitive"))

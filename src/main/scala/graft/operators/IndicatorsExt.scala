@@ -207,6 +207,44 @@ object IndicatorsExt {
       .orderBy("symbol")
   }
 
+  /** Robust per-symbol outlier days: modified z-score on daily returns
+    * via median/MAD (Iglewicz-Hoaglin, |0.6745·(r−med)/MAD| > 3.5) —
+    * the outlier detector that survives fat-tailed return distributions
+    * where mean/stddev z-scores drown (the spike inflates the stddev
+    * that is supposed to catch it).
+    *
+    * Determinism: returns are rounded-8dp doubles; both medians are
+    * Spark's exact interpolating `percentile` ≡ DuckDB `quantile_cont`
+    * over identical multisets (the Events.scala precedent); every
+    * derived float is rounded before reuse. MAD = 0 (a symbol with ≥50%
+    * identical deviations) null-safes the division via nullif.
+    *
+    * Shape: two grouped exact percentiles + two co-partitioned joins,
+    * all keyed on symbol — the symbol shuffle is reused throughout. At
+    * 100 TB exact per-group percentiles materialize each group's
+    * returns (bounded: days per symbol), same trade as valuePercentiles.
+    */
+  def madOutliers(df: DataFrame, scale: Int = 4): DataFrame = {
+    val base = df
+      .withColumn("ret", round(
+        (col("close") / lag(col("close"), 1).over(w) - lit(1.0)) * lit(100.0), 8))
+      .filter(col("ret").isNotNull)
+      .select("symbol", "date", "ret")
+    val med = base.groupBy("symbol")
+      .agg(round(expr("percentile(ret, 0.5)"), 8).as("med"))
+    val dev = base.join(med, Seq("symbol"))
+      .withColumn("dev", round(abs(col("ret") - col("med")), 8))
+    val mad = dev.groupBy("symbol")
+      .agg(round(expr("percentile(dev, 0.5)"), 8).as("mad"))
+    val z = round(lit(0.6745) * (col("ret") - col("med")) /
+      expr("nullif(mad, 0.0)"), scale)
+    dev.join(mad, Seq("symbol"))
+      .withColumn("rob_z", z)
+      .withColumn("is_outlier", abs(col("rob_z")) > lit(3.5))
+      .select("symbol", "date", "ret", "rob_z", "is_outlier")
+      .orderBy("symbol", "date")
+  }
+
   /** Per-symbol beta/alpha against the equal-weight market return.
     *
     * market(date) = mean of all symbols' returns that date, computed as

@@ -32,6 +32,27 @@ object Resample {
         count(lit(1)).as("n_days"))
       .orderBy("symbol", "week")
 
+  /** Daily → monthly OHLCV bars plus the month-over-month close return
+    * (pandas `resample('ME')` + `pct_change`). Same selection/integer
+    * shape as [[weekly]]; the return is the one float — a single
+    * division on bit-identical closes, rounded to 4.
+    */
+  def monthly(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("month")
+    df.groupBy(col("symbol"),
+        date_trunc("month", col("date")).cast("date").as("month"))
+      .agg(
+        min_by(col("open"), col("date")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("date")).as("close"),
+        sum(col("volume")).as("volume"),
+        count(lit(1)).as("n_days"))
+      .withColumn("mom_return",
+        round((col("close") / lag("close", 1).over(w) - lit(1.0)) * lit(100.0), 4))
+      .orderBy("symbol", "month")
+  }
+
   /** Reindex each symbol to its full daily calendar and forward-fill
     * the close (pandas `asfreq('D').ffill()`): per-symbol min/max date
     * bounds generate the calendar (`sequence` — a narrow explode, no

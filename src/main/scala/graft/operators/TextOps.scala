@@ -112,6 +112,50 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Okapi BM25 retrieval: rank the corpus against a fixed bag of query
+    * terms (Robertson-Sparck Jones idf, k1/b length normalization) —
+    * the lexical-retrieval baseline every RAG/data-curation stack keeps
+    * next to its embedding index.
+    *
+    * Shape: the tf aggregate filters to the query terms BEFORE the
+    * shuffle, so the scored frame is |terms|-bounded per doc; doc
+    * lengths reuse the same exploded scan. N and total tokens are two
+    * driver scalars (same as the oracle's subqueries). Per-term scores
+    * are rounded-6dp doubles summed as exact DECIMAL(18,6) — ranking
+    * orders by the exact decimal, never a computed float — with doc_id
+    * as the total tiebreak.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val nDocs = docs.count()
+    val words = spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val totalTokens = words.count()
+    val avgdl = totalTokens.toDouble / nDocs
+    val docLens = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = words.filter(col("word").isin(terms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val idf = round(log(
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 6)
+    val norm = round(col("dl") / lit(avgdl), 6)
+    val scored = tf.join(dfreq, "word").join(docLens, "doc_id")
+      .withColumn("term_score", round(
+        idf * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * norm)), 6)
+        .cast("decimal(18,6)"))
+    val perDoc = scored.groupBy("doc_id").agg(
+      sum("term_score").as("score_d"), count(lit(1)).as("n_terms"))
+    // top-k of a |matching docs|-sized frame: the single-partition
+    // window sees only docs containing ≥1 query term
+    val rw = Window.orderBy(desc("score_d"), col("doc_id"))
+    perDoc.withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= k)
+      .select(col("rnk"), col("doc_id"), col("n_terms"),
+        col("score_d").cast("double").as("score"))
+      .orderBy("rnk")
+  }
+
   /** BPE-ish token regex: letter runs, digit runs, single other glyphs. */
   val tokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 

@@ -16,6 +16,25 @@ class CorpusSpec extends SparkSpec {
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  test("sourceVocabStats: types, hapax, and TTR per source") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq(
+      (0L, "a b a", "en", "srcA", 5L),
+      (1L, "c a", "en", "srcA", 3L),
+      (2L, "x x x x", "en", "srcB", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.sourceVocabStats(d).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    val a = r("srcA")
+    assert(a.getAs[Long]("n_docs") == 2L && a.getAs[Long]("n_tokens") == 5L)
+    assert(a.getAs[Long]("n_types") == 3L && a.getAs[Long]("hapax") == 2L)
+    assert(a.getAs[Double]("ttr") == 0.6 && a.getAs[Double]("hapax_frac") == 0.666667)
+    val b = r("srcB")
+    assert(b.getAs[Long]("n_types") == 1L && b.getAs[Long]("hapax") == 0L)
+    assert(b.getAs[Double]("ttr") == 0.25 && b.getAs[Double]("hapax_frac") == 0.0)
+  }
+
   test("cleanVerdicts: dup / short / repetitive / clean partition correctly") {
     val long = (1 to 60).map(i => s"w$i").mkString(" ")
     val spam = long + " " + ("buy now click here " * 15).trim

@@ -56,6 +56,25 @@ class IndicatorsExtSpec extends SparkSpec {
       Seq("2020-01-05", "2020-01-06"))
   }
 
+  test("MAD outliers: the spike day flags, steady days do not") {
+    // returns ≈ 1% four times then +92.3% — mean/stddev z would be
+    // diluted by the spike itself; the MAD z isolates it
+    val df = IndicatorsExt.madOutliers(
+      bars("A", Seq(10.0, 10.1, 10.2, 10.3, 10.4, 20.0)))
+    val rows = df.orderBy("date").collect()
+    assert(rows.length == 5) // first day has no return
+    assert(rows.map(_.getAs[Boolean]("is_outlier")).toSeq ==
+      Seq(false, false, false, false, true))
+    assert(rows.last.getAs[Double]("rob_z") > 3.5)
+  }
+
+  test("MAD outliers: constant returns give MAD 0 and null-safe z") {
+    val df = IndicatorsExt.madOutliers(bars("A", Seq(10.0, 10.0, 10.0)))
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.isNullAt(rows.head.fieldIndex("rob_z"))))
+  }
+
   test("pair correlation of identical return series is 1 at full windows") {
     val closes = Seq(10.0, 11.0, 9.0, 12.0)
     val df = IndicatorsExt.pairReturnCorr(

@@ -17,6 +17,22 @@ class ResampleFunnelSpec extends SparkSpec {
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
+  test("monthly bars: calendar months, exact volume sums, MoM return") {
+    // 35 consecutive days from 2020-01-01: 31 in Jan, 4 in Feb
+    val r = Resample.monthly(bars("A", (1 to 35).map(_.toDouble)))
+      .collect()
+    assert(r.length == 2)
+    val jan = r(0); val feb = r(1)
+    assert(jan.getAs[java.sql.Date]("month").toString == "2020-01-01")
+    assert(jan.getAs[Long]("n_days") == 31L && feb.getAs[Long]("n_days") == 4L)
+    assert(jan.getAs[Double]("open") == 0.5 && jan.getAs[Double]("close") == 31.0)
+    assert(feb.getAs[Double]("open") == 31.5 && feb.getAs[Double]("close") == 35.0)
+    assert(jan.getAs[Long]("volume") == (100L to 130L).sum)
+    assert(feb.getAs[Long]("volume") == (131L to 134L).sum)
+    assert(jan.isNullAt(jan.fieldIndex("mom_return")))
+    assert(feb.getAs[Double]("mom_return") == 12.9032) // (35/31-1)*100
+  }
+
   test("weekly bars: ISO Monday weeks, first open / last close selection") {
     // 2020-01-01 is a Wednesday → week of Mon 2019-12-30; the 6th
     // close lands in the next week (Mon 2020-01-06)

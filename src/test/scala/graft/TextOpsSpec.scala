@@ -15,6 +15,22 @@ class TextOpsSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  test("BM25: rarer terms and higher tf outrank; term-free docs absent") {
+    // N=4, df(cat)=3, df(dog)=2, all dl=4 → norm=1. Hand BM25:
+    // doc3 (dog×3, cat×1) ≈ 1.4459 > doc0 (cat×2, dog×1) ≈ 1.1836
+    // > doc1 (cat×1) ≈ 0.3567; doc2 matches nothing.
+    val d = docs(
+      (0L, "cat cat dog x", "en"),
+      (1L, "cat x y z", "en"),
+      (2L, "x y z w", "en"),
+      (3L, "dog dog dog cat", "en"))
+    val rows = TextOps.bm25TopK(d, Seq("cat", "dog"), 10).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L, 0L, 1L))
+    assert(rows.map(_.getAs[Long]("n_terms")).toSeq == Seq(2L, 2L, 1L))
+    assert(rows.map(_.getAs[Int]("rnk")).toSeq == Seq(1, 2, 3))
+    assert(math.abs(rows.head.getAs[Double]("score") - 1.445906) < 1e-4)
+  }
+
   test("repetitionStats: spammy repetition flags, varied text does not") {
     val varied = (1 to 60).map(i => s"w$i").mkString(" ")
     val spam = "buy now click here " * 15
