@@ -506,6 +506,12 @@ object ExtQueries {
     "stocks_ffill_calendar" -> ((s, d) => Resample.ffillCalendar(Tables.stocks(s, d))),
     // robust outlier days: median/MAD modified z-score on daily returns
     "return_outliers_mad" -> ((s, d) => IndicatorsExt.madOutliers(Tables.stocks(s, d))),
+    // historical 95% VaR + expected shortfall per symbol
+    "risk_var_cvar" -> ((s, d) => Risk.varCvar(Tables.stocks(s, d))),
+    // trailing 20d annualized Sharpe / Sortino
+    "rolling_sharpe" -> ((s, d) => Risk.rollingSharpe(Tables.stocks(s, d))),
+    // per-symbol OLS close-vs-day trend with R²
+    "trend_ols" -> ((s, d) => Risk.trendOls(Tables.stocks(s, d))),
 
     // ---- as-of join (union + ordered-window carry; oracle is DuckDB's
     // native ASOF JOIN, a cross-implementation equivalence check)
@@ -2274,6 +2280,66 @@ object ExtQueries {
          |   round(0.6745 * (d.ret - d.med) / nullif(md.mad, 0.0), 4) AS rob_z,
          |   abs(round(0.6745 * (d.ret - d.med) / nullif(md.mad, 0.0), 4)) > 3.5 AS is_outlier
          | FROM d JOIN md USING (symbol) ORDER BY d.symbol, d.date""".stripMargin,
+    "risk_var_cvar" ->
+      s"""${Tables.stocksCte},
+         | r AS (SELECT symbol, date,
+         |     CAST(round((close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date)
+         |       - 1.0) * 100.0, 8) AS DECIMAL(12,8)) AS ret
+         |   FROM stocks),
+         | rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
+         | v AS (SELECT symbol, round(quantile_cont(CAST(ret AS DOUBLE), 0.05), 8) AS var95,
+         |         count(*) AS n_days
+         |       FROM rr GROUP BY symbol),
+         | t AS (SELECT rr.symbol, v.n_days, v.var95, rr.ret
+         |       FROM rr JOIN v USING (symbol)
+         |       WHERE CAST(rr.ret AS DOUBLE) <= v.var95)
+         | SELECT symbol, any_value(n_days) AS n_days,
+         |   round(any_value(var95), 6) AS var95,
+         |   round(CAST(sum(ret) AS DOUBLE) / count(*), 6) AS cvar95,
+         |   count(*) AS n_tail
+         | FROM t GROUP BY symbol ORDER BY symbol""".stripMargin,
+    "rolling_sharpe" ->
+      s"""${Tables.stocksCte},
+         | r AS (SELECT symbol, date,
+         |     CAST(round((close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date)
+         |       - 1.0) * 100.0, 8) AS DECIMAL(12,8)) AS ret
+         |   FROM stocks),
+         | rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
+         | s AS (SELECT symbol, date,
+         |     count(*) OVER wdw AS cnt,
+         |     CAST(SUM(ret) OVER wdw AS DOUBLE) AS s1,
+         |     CAST(SUM(CAST(ret AS DECIMAL(20,8)) * CAST(ret AS DECIMAL(20,8)))
+         |       OVER wdw AS DOUBLE) AS s2,
+         |     CAST(SUM(CAST(CASE WHEN ret < 0 THEN ret ELSE 0 END AS DECIMAL(20,8))
+         |       * CAST(CASE WHEN ret < 0 THEN ret ELSE 0 END AS DECIMAL(20,8)))
+         |       OVER wdw AS DOUBLE) AS sd2
+         |   FROM rr
+         |   WINDOW wdw AS (PARTITION BY symbol ORDER BY date
+         |                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         | SELECT symbol, date,
+         |   CASE WHEN cnt >= 20 THEN round(sqrt(252.0) * (s1 / cnt)
+         |     / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1.0)), 4) END AS sharpe,
+         |   CASE WHEN cnt >= 20 THEN round(sqrt(252.0) * (s1 / cnt)
+         |     / nullif(sqrt(sd2 / cnt), 0.0), 4) END AS sortino
+         | FROM s ORDER BY symbol, date""".stripMargin,
+    "trend_ols" ->
+      s"""${Tables.stocksCte},
+         | b AS (SELECT symbol,
+         |     CAST(row_number() OVER (PARTITION BY symbol ORDER BY date) AS BIGINT) AS x,
+         |     CAST(round(close, 6) AS DECIMAL(18,6)) AS y
+         |   FROM stocks),
+         | a AS (SELECT symbol, CAST(count(*) AS DOUBLE) AS n,
+         |     CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(x * x) AS DOUBLE) AS sxx,
+         |     CAST(sum(y) AS DOUBLE) AS sy,
+         |     CAST(sum(CAST(y AS DECIMAL(20,6)) * CAST(y AS DECIMAL(20,6))) AS DOUBLE) AS syy,
+         |     CAST(sum(CAST(x AS DECIMAL(20,0)) * CAST(y AS DECIMAL(20,6))) AS DOUBLE) AS sxy
+         |   FROM b GROUP BY symbol)
+         | SELECT symbol, CAST(n AS BIGINT) AS n_days,
+         |   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+         |   round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+         |     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+         | FROM a ORDER BY symbol""".stripMargin,
     "stocks_ffill_calendar" ->
       s"""${Tables.stocksCte},
          | b AS (SELECT symbol, min(date) AS d0, max(date) AS d1 FROM stocks GROUP BY symbol),

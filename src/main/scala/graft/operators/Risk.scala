@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Risk analytics over the derived bars: historical VaR/CVaR, rolling
+  * Sharpe/Sortino, and per-symbol OLS trend — the portfolio-risk
+  * surface a finance-pipeline user builds right after the indicator
+  * battery.
+  *
+  * Determinism contract (same as IndicatorsExt): daily returns are
+  * rounded-8dp values carried as DECIMAL(12,8); every multi-row sum
+  * runs over exact DECIMALs (order-independent); the closed-form float
+  * expressions evaluate once, on exact inputs, with a fixed tree; and
+  * quantiles use Spark's exact interpolating `percentile` ≡ DuckDB
+  * `quantile_cont`. Everything shuffles once on symbol.
+  */
+object Risk {
+
+  private val w = Window.partitionBy("symbol").orderBy("date")
+
+  /** Rounded-8dp daily return as the exact DECIMAL carrier. */
+  private def retDec = round(
+    (col("close") / lag(col("close"), 1).over(w) - lit(1.0)) * lit(100.0), 8)
+    .cast("decimal(12,8)")
+
+  private def withRet(df: DataFrame): DataFrame =
+    df.withColumn("ret", retDec).filter(col("ret").isNotNull)
+      .select("symbol", "date", "ret")
+
+  /** Historical 95% VaR and CVaR (expected shortfall) per symbol:
+    * VaR = the 5th percentile of daily returns (exact interpolation),
+    * CVaR = mean of the returns at or below it. The tail mean is an
+    * exact DECIMAL sum over the filtered tail divided once — no
+    * order-dependent double accumulation.
+    */
+  def varCvar(df: DataFrame, alpha: Double = 0.05, scale: Int = 6): DataFrame = {
+    val rets = withRet(df)
+    val v = rets.groupBy("symbol")
+      .agg(round(expr(s"percentile(CAST(ret AS DOUBLE), $alpha)"), 8).as("var95"),
+        count(lit(1)).as("n_days"))
+    rets.join(v, Seq("symbol"))
+      .filter(col("ret").cast("double") <= col("var95"))
+      .groupBy("symbol")
+      .agg(
+        first("n_days").as("n_days"),
+        round(first("var95"), scale).as("var95"),
+        round(sum("ret").cast("double") / count(lit(1)), scale).as("cvar95"),
+        count(lit(1)).as("n_tail"))
+      .select("symbol", "n_days", "var95", "cvar95", "n_tail")
+      .orderBy("symbol")
+  }
+
+  /** Trailing n-day annualized Sharpe and Sortino ratios (rf = 0).
+    *
+    * Per row: mean = Σr/n, sample var = (Σr² − (Σr)²/n)/(n−1), downside
+    * deviation = √(Σ min(r,0)²/n); sharpe = √252·mean/√var, sortino =
+    * √252·mean/dd. Σr, Σr², Σmin(r,0)² run over DECIMAL (products of
+    * DECIMAL(12,8) are exact), so the window is order-safe; rows before
+    * a full window emit null, and dd = 0 (no down days) null-safes
+    * sortino. One symbol-partitioned window pass.
+    */
+  def rollingSharpe(df: DataFrame, n: Int = 20, scale: Int = 4): DataFrame = {
+    val ow = w.rowsBetween(-(n - 1), 0)
+    val downDec = when(col("ret") < 0, col("ret")).otherwise(lit(0).cast("decimal(12,8)"))
+    val base = withRet(df)
+      .withColumn("cnt", count(lit(1)).over(ow))
+      .withColumn("s1", sum(col("ret")).over(ow).cast("double"))
+      .withColumn("s2", sum(col("ret") * col("ret")).over(ow).cast("double"))
+      .withColumn("sd2", sum(downDec * downDec).over(ow).cast("double"))
+    val nn = col("cnt").cast("double")
+    val mean = col("s1") / nn
+    val variance = (col("s2") - col("s1") * col("s1") / nn) / (nn - lit(1.0))
+    val dd = sqrt(col("sd2") / nn)
+    val ann = lit(math.sqrt(252.0))
+    base
+      .withColumn("sharpe", when(col("cnt") >= n,
+        round(ann * mean / sqrt(variance), scale)))
+      .withColumn("sortino", when(col("cnt") >= n,
+        round(ann * mean / expr("nullif(sqrt(sd2 / CAST(cnt AS DOUBLE)), 0.0)"), scale)))
+      .select("symbol", "date", "sharpe", "sortino")
+      .orderBy("symbol", "date")
+  }
+
+  /** Per-symbol OLS trend of close on the trading-day index (1-based,
+    * date order): slope/intercept per day plus R². x is an exact
+    * integer, y the close rounded to DECIMAL(18,6) — all five sums are
+    * exact, and the normal-equation expressions evaluate once in
+    * double: slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept =
+    * (Σy−slope·Σx)/n, R² = (nΣxy−ΣxΣy)²/((nΣx²−(Σx)²)(nΣy²−(Σy)²)).
+    */
+  def trendOls(df: DataFrame, scale: Int = 6): DataFrame = {
+    val base = df
+      .withColumn("x", row_number().over(w).cast("long"))
+      .withColumn("y", round(col("close"), 6).cast("decimal(18,6)"))
+    def d(c: org.apache.spark.sql.Column) = sum(c).cast("double")
+    val agg = base.groupBy("symbol").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("x").cast("double").as("sx"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      d(col("y")).as("sy"),
+      d(col("y") * col("y")).as("syy"),
+      d(col("x") * col("y")).as("sxy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = cov / vx
+    agg.select(
+      col("symbol"),
+      col("n").cast("long").as("n_days"),
+      round(slope, scale).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), scale).as("intercept"),
+      round(cov * cov / (vx * vy), scale).as("r2"))
+      .orderBy("symbol")
+  }
+}

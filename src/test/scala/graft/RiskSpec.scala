@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Risk
+
+/** Goldens for the risk family: historical VaR/CVaR, rolling
+  * Sharpe/Sortino gating, OLS trend on a perfectly linear series.
+  */
+class RiskSpec extends SparkSpec {
+
+  test("VaR/CVaR: 5th-percentile cut and exact tail mean") {
+    // returns: -10, +11.11111111, -10, +11.11111111, -10
+    // sorted 5th pct interpolates inside the -10 run → var95 = -10;
+    // tail = the three -10 days → cvar = -10
+    val r = Risk.varCvar(bars("A", Seq(10.0, 9.0, 10.0, 9.0, 10.0, 9.0))).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_days") == 5L)
+    assert(r(0).getAs[Double]("var95") == -10.0)
+    assert(r(0).getAs[Double]("cvar95") == -10.0)
+    assert(r(0).getAs[Long]("n_tail") == 3L)
+  }
+
+  test("rolling Sharpe gates on full windows; Sortino nulls with no down days") {
+    val df = Risk.rollingSharpe(bars("A", Seq(10.0, 10.1, 10.2, 10.3)), n = 3)
+    val rows = df.orderBy("date").collect()
+    assert(rows.length == 3)
+    val si = rows.head.fieldIndex("sharpe")
+    assert(rows(0).isNullAt(si) && rows(1).isNullAt(si)) // short windows
+    assert(!rows(2).isNullAt(si) && rows(2).getAs[Double]("sharpe") > 0)
+    // all three returns positive → downside deviation 0 → sortino null
+    assert(rows(2).isNullAt(rows(2).fieldIndex("sortino")))
+  }
+
+  test("rolling Sortino emits once a down day enters the window") {
+    val df = Risk.rollingSharpe(bars("A", Seq(10.0, 9.0, 10.0, 9.0)), n = 3)
+    val last = df.orderBy("date").collect().last
+    assert(!last.isNullAt(last.fieldIndex("sortino")))
+    assert(last.getAs[Double]("sortino") < 0) // mean return negative
+  }
+
+  test("OLS trend: a perfectly linear close gives slope 1, R² 1") {
+    val r = Risk.trendOls(bars("A", Seq(10.0, 11.0, 12.0, 13.0))).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_days") == 4L)
+    assert(r(0).getAs[Double]("slope") == 1.0)
+    assert(r(0).getAs[Double]("intercept") == 9.0) // y = 9 + x, x = 1..4
+    assert(r(0).getAs[Double]("r2") == 1.0)
+  }
+}
