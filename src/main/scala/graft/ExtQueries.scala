@@ -383,6 +383,12 @@ object ExtQueries {
     // Okapi BM25 lexical retrieval against a fixed query-term bag
     "text_bm25_topk" -> ((s, d) =>
       TextOps.bm25TopK(docs(s, d), Seq("hash", "merge", "scan"))),
+    // sklearn-style min_df/max_df vocabulary pruning. The synthetic
+    // vocab is 31 near-uniform words (df ≈ 75-80% of docs), so the
+    // standard max_df = 0.5 would keep almost nothing — 0.78 lands the
+    // cut inside the observed df range and exercises both bounds.
+    "vocab_prune" -> ((s, d) =>
+      TextOps.vocabPrune(docs(s, d), minDf = 5, maxDfFrac = 0.78)),
     // per-source lexical-diversity profile (types / hapax / TTR)
     "source_vocab_stats" -> ((s, d) => Corpus.sourceVocabStats(docs(s, d))),
     "gopher_quality" -> ((s, d) => TextOps.gopherQuality(docs(s, d))),
@@ -512,6 +518,10 @@ object ExtQueries {
     "rolling_sharpe" -> ((s, d) => Risk.rollingSharpe(Tables.stocks(s, d))),
     // per-symbol OLS close-vs-day trend with R²
     "trend_ols" -> ((s, d) => Risk.trendOls(Tables.stocks(s, d))),
+    // all-pairs return correlation matrix (upper triangle)
+    "corr_matrix" -> ((s, d) => Risk.corrMatrix(Tables.stocks(s, d))),
+    // cumulative wealth index via exact log-growth running sums
+    "wealth_index" -> ((s, d) => Risk.wealthIndex(Tables.stocks(s, d))),
 
     // ---- as-of join (union + ordered-window carry; oracle is DuckDB's
     // native ASOF JOIN, a cross-implementation equivalence check)
@@ -1784,6 +1794,15 @@ object ExtQueries {
         | rk AS (SELECT row_number() OVER (ORDER BY score_d DESC, doc_id) AS rnk,
         |          doc_id, n_terms, CAST(score_d AS DOUBLE) AS score FROM pd)
         | SELECT rnk, doc_id, n_terms, score FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    "vocab_prune" ->
+      """WITH wrds AS (SELECT DISTINCT doc_id, word FROM
+        |   (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
+        | dfq AS (SELECT word, count(*) AS df FROM wrds GROUP BY word),
+        | n AS (SELECT count(*) AS nd FROM documents)
+        | SELECT row_number() OVER (ORDER BY df DESC, word) AS rnk, word, df
+        | FROM dfq
+        | WHERE df >= 5 AND df <= floor(0.78 * (SELECT nd FROM n))
+        | ORDER BY rnk""".stripMargin,
     "source_vocab_stats" ->
       """WITH wrds AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
         | c AS (SELECT source, word, count(*) AS c FROM wrds GROUP BY source, word),
@@ -2340,6 +2359,40 @@ object ExtQueries {
          |   round((n * sxy - sx * sy) * (n * sxy - sx * sy)
          |     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
          | FROM a ORDER BY symbol""".stripMargin,
+    "corr_matrix" ->
+      s"""${Tables.stocksCte},
+         | r AS (SELECT symbol, date,
+         |     CAST(round((close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date)
+         |       - 1.0) * 100.0, 8) AS DECIMAL(12,8)) AS ret
+         |   FROM stocks),
+         | rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
+         | j AS (SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+         |         a.ret AS x, b.ret AS y
+         |       FROM rr a JOIN rr b USING (date) WHERE a.symbol < b.symbol),
+         | g AS (SELECT symbol_a, symbol_b, CAST(count(*) AS DOUBLE) AS n,
+         |     CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |     CAST(sum(CAST(x AS DECIMAL(20,8)) * CAST(y AS DECIMAL(20,8))) AS DOUBLE) AS sxy,
+         |     CAST(sum(CAST(x AS DECIMAL(20,8)) * CAST(x AS DECIMAL(20,8))) AS DOUBLE) AS sxx,
+         |     CAST(sum(CAST(y AS DECIMAL(20,8)) * CAST(y AS DECIMAL(20,8))) AS DOUBLE) AS syy
+         |   FROM j GROUP BY symbol_a, symbol_b)
+         | SELECT symbol_a, symbol_b, CAST(n AS BIGINT) AS n_days,
+         |   round((n * sxy - sx * sy)
+         |     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+         | FROM g ORDER BY symbol_a, symbol_b""".stripMargin,
+    "wealth_index" ->
+      s"""${Tables.stocksCte},
+         | r AS (SELECT symbol, date,
+         |     round((close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date)
+         |       - 1.0) * 100.0, 8) AS ret
+         |   FROM stocks),
+         | rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
+         | lg AS (SELECT symbol, date, ret,
+         |     CAST(round(ln(1.0 + ret / 100.0), 10) AS DECIMAL(18,10)) AS lg
+         |   FROM rr)
+         | SELECT symbol, date, ret,
+         |   round(100.0 * exp(CAST(SUM(lg) OVER (PARTITION BY symbol ORDER BY date
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 4) AS wealth
+         | FROM lg ORDER BY symbol, date""".stripMargin,
     "stocks_ffill_calendar" ->
       s"""${Tables.stocksCte},
          | b AS (SELECT symbol, min(date) AS d0, max(date) AS d1 FROM stocks GROUP BY symbol),

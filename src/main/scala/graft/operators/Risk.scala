@@ -83,6 +83,58 @@ object Risk {
       .orderBy("symbol", "date")
   }
 
+  /** Full-period correlation matrix across every symbol pair (upper
+    * triangle, symbol_a < symbol_b): the pairwise extension of
+    * IndicatorsExt.pairReturnCorr. One date-keyed self-join emits
+    * S(S−1)/2 pair rows per date, then one hash aggregate per pair runs
+    * the five exact DECIMAL sums and a single double Pearson
+    * evaluation.
+    *
+    * Scale note: the join fan-out is quadratic in SYMBOL COUNT per
+    * date, not in rows — correlation matrices are inherently S² and
+    * this stays cheap while S is portfolio-sized. The date join key
+    * makes both sides co-partition on the same shuffle.
+    */
+  def corrMatrix(df: DataFrame, scale: Int = 6): DataFrame = {
+    val rets = withRet(df)
+    val a = rets.select(col("symbol").as("symbol_a"), col("date"), col("ret").as("x"))
+    val b = rets.select(col("symbol").as("symbol_b"), col("date"), col("ret").as("y"))
+    val joined = a.join(b, Seq("date")).filter(col("symbol_a") < col("symbol_b"))
+    def s(c: org.apache.spark.sql.Column) = sum(c).cast("double")
+    val agg = joined.groupBy("symbol_a", "symbol_b").agg(
+      count(lit(1)).cast("double").as("n"),
+      s(col("x")).as("sx"), s(col("y")).as("sy"),
+      s(col("x") * col("y")).as("sxy"),
+      s(col("x") * col("x")).as("sxx"), s(col("y") * col("y")).as("syy"))
+    agg.select(
+      col("symbol_a"), col("symbol_b"),
+      col("n").cast("long").as("n_days"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), scale).as("corr"))
+      .orderBy("symbol_a", "symbol_b")
+  }
+
+  /** Cumulative wealth index per symbol: 100·Π(1+rᵢ/100) expressed as
+    * an order-safe running sum — each day's log growth ln(1+r/100) is
+    * rounded to 10dp and carried as DECIMAL(18,10), the cumulative
+    * window sums exactly, and one exp per row maps back. The rounding
+    * makes the accumulated quantity exact (so Spark and the oracle
+    * agree regardless of summation order) at a per-day relative error
+    * of 5e-11 — invisible at the 4dp output.
+    */
+  def wealthIndex(df: DataFrame, scale: Int = 4): DataFrame = {
+    val cw = w.rowsBetween(Window.unboundedPreceding, 0)
+    withRet(df)
+      .withColumn("lg", round(log(lit(1.0) + col("ret").cast("double") / lit(100.0)), 10)
+        .cast("decimal(18,10)"))
+      .withColumn("wealth",
+        round(lit(100.0) * exp(sum(col("lg")).over(cw).cast("double")), scale))
+      .select(col("symbol"), col("date"),
+        col("ret").cast("double").as("ret"), col("wealth"))
+      .orderBy("symbol", "date")
+  }
+
   /** Per-symbol OLS trend of close on the trading-day index (1-based,
     * date order): slope/intercept per day plus R². x is an exact
     * integer, y the close rounded to DECIMAL(18,6) — all five sums are

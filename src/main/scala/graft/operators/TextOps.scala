@@ -156,6 +156,27 @@ object TextOps {
       .orderBy("rnk")
   }
 
+  /** Vocabulary pruning (the sklearn `min_df`/`max_df` step): keep
+    * words whose document frequency lands in [minDf, maxDfFrac·N] —
+    * dropping typo-noise below and corpus stopwords above — ranked by
+    * (df desc, word). One explode + one distinct-by-construction
+    * aggregate keyed on word; N is a driver scalar like the oracle's
+    * subquery.
+    */
+  def vocabPrune(docs: DataFrame, minDf: Long = 5,
+      maxDfFrac: Double = 0.5): DataFrame = {
+    val nDocs = docs.count()
+    val maxDf = math.floor(maxDfFrac * nDocs).toLong
+    val dfreq = spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    dfreq.filter(col("df") >= minDf && col("df") <= maxDf)
+      .withColumn("rnk", row_number().over(Window.orderBy(desc("df"), col("word"))))
+      .select("rnk", "word", "df")
+      .orderBy("rnk")
+  }
+
   /** BPE-ish token regex: letter runs, digit runs, single other glyphs. */
   val tokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 

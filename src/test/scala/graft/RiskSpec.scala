@@ -37,6 +37,27 @@ class RiskSpec extends SparkSpec {
     assert(last.getAs[Double]("sortino") < 0) // mean return negative
   }
 
+  test("correlation matrix: proportional series correlate at 1, all pairs emitted") {
+    val closes = Seq(10.0, 11.0, 9.0, 12.0, 13.0)
+    val df = bars("A", closes)
+      .union(bars("B", closes.map(_ * 2))) // identical returns
+      .union(bars("C", Seq(5.0, 4.0, 6.0, 5.5, 5.0)))
+    val rows = Risk.corrMatrix(df).collect()
+    assert(rows.length == 3) // AB, AC, BC
+    val byPair = rows.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getAs[Double]("corr")).toMap
+    assert(byPair(("A", "B")) == 1.0)
+    assert(byPair(("A", "C")) == byPair(("B", "C"))) // same series vs C
+    assert(rows.forall(_.getAs[Long]("n_days") == 4L))
+  }
+
+  test("wealth index compounds returns through the exact log-sum path") {
+    // +10% then -10%: wealth 110 → 99
+    val rows = Risk.wealthIndex(bars("A", Seq(10.0, 11.0, 9.9)))
+      .orderBy("date").collect()
+    assert(rows.map(_.getAs[Double]("wealth")).toSeq == Seq(110.0, 99.0))
+  }
+
   test("OLS trend: a perfectly linear close gives slope 1, R² 1") {
     val r = Risk.trendOls(bars("A", Seq(10.0, 11.0, 12.0, 13.0))).collect()
     assert(r.length == 1)

@@ -31,6 +31,18 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("score") - 1.445906) < 1e-4)
   }
 
+  test("vocabPrune keeps words inside the df band, tf does not leak in") {
+    val d = docs(
+      (0L, "common mid rare rare rare", "en"), // tf(rare)=3 but df=1
+      (1L, "common mid", "en"),
+      (2L, "common", "en"),
+      (3L, "common", "en"))
+    val rows = TextOps.vocabPrune(d, minDf = 2, maxDfFrac = 0.5).collect()
+    // common df=4 > 2 = floor(0.5*4); rare df=1 < 2; mid df=2 stays
+    assert(rows.map(r => (r.getAs[Int]("rnk"), r.getAs[String]("word"),
+      r.getAs[Long]("df"))).toSeq == Seq((1, "mid", 2L)))
+  }
+
   test("repetitionStats: spammy repetition flags, varied text does not") {
     val varied = (1 to 60).map(i => s"w$i").mkString(" ")
     val spam = "buy now click here " * 15
