@@ -569,6 +569,9 @@ object ExtQueries {
         .select(col("symbol"), col("date"),
           round(col("tr"), 6).as("tr"), round(col("atr"), 6).as("atr_14"))
         .orderBy("symbol", "date")),
+    // Keltner channels: exact-EWM midline, ATR(10) bands
+    "keltner_channels" -> ((s, d) =>
+      IndicatorsExt.withKeltner(Tables.stocks(s, d), 20, 10)),
     "stochastic_osc" -> ((s, d) =>
       IndicatorsExt.withStochastic(Tables.stocks(s, d), 14, 3)
         .select("symbol", "date", "stoch_k", "stoch_d")
@@ -2421,6 +2424,45 @@ object ExtQueries {
          | FROM t
          | WINDOW f AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
          | ORDER BY symbol, date""".stripMargin,
+    // the EWM midline replays the EwmMean recursion bit-for-bit
+    // (num' = typ + d·num, den' = 1 + d·den — the ema_macd precedent);
+    // constants go through CAST(n AS DOUBLE) so DuckDB can't route them
+    // through DECIMAL arithmetic
+    "keltner_channels" -> {
+      val d20 = "(CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / CAST(21 AS DOUBLE))"
+      s"""${Tables.stocksCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         | ord AS (SELECT symbol, date, high, low, close,
+         |     (high + low + close) / CAST(3 AS DOUBLE) AS typ,
+         |     row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+         |   FROM stocks),
+         | rec AS (
+         |   SELECT symbol, date, rn, typ AS num, CAST(1 AS DOUBLE) AS den
+         |   FROM ord WHERE rn = 1
+         |   UNION ALL
+         |   SELECT o.symbol, o.date, o.rn,
+         |     o.typ + $d20 * r.num AS num,
+         |     CAST(1 AS DOUBLE) + $d20 * r.den AS den
+         |   FROM rec r JOIN ord o ON o.symbol = r.symbol AND o.rn = r.rn + 1),
+         | t AS (
+         |   SELECT symbol, date,
+         |     CASE WHEN lag(close, 1) OVER wd IS NULL THEN high - low
+         |          ELSE greatest(high - low,
+         |                        abs(high - lag(close, 1) OVER wd),
+         |                        abs(low - lag(close, 1) OVER wd)) END AS tr
+         |   FROM stocks WINDOW wd AS (PARTITION BY symbol ORDER BY date)),
+         | a AS (
+         |   SELECT symbol, date,
+         |     CASE WHEN count(*) OVER f = 10 THEN avg(tr) OVER f END AS atr
+         |   FROM t
+         |   WINDOW f AS (PARTITION BY symbol ORDER BY date
+         |                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         | SELECT rec.symbol, rec.date,
+         |   round(rec.num / rec.den, 4) AS kc_mid,
+         |   round(rec.num / rec.den + CAST(2 AS DOUBLE) * a.atr, 4) AS kc_upper,
+         |   round(rec.num / rec.den - CAST(2 AS DOUBLE) * a.atr, 4) AS kc_lower
+         | FROM rec JOIN a ON a.symbol = rec.symbol AND a.date = rec.date
+         | ORDER BY rec.symbol, rec.date""".stripMargin
+    },
     "stochastic_osc" ->
       s"""${Tables.stocksCte},
          | k AS (

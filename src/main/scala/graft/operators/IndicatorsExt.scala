@@ -45,6 +45,29 @@ object IndicatorsExt {
       .withColumn("atr", Indicators.gatedOver(w, n, col("tr"), avg))
   }
 
+  /** Keltner channels: midline = EMA(typical price, span) via the exact
+    * EWM Catalyst aggregate, bands = mid ± 2·ATR(atrN). Typical price
+    * is (high+low+close)/3 with a fixed tree; the midline's oracle is a
+    * recursive CTE replaying the EWM recursion bit-for-bit (the
+    * ema_macd precedent), and the bands inherit withAtr's full-window
+    * null gate. One shuffle, two window passes over the same spec.
+    */
+  def withKeltner(df: DataFrame, span: Int = 20, atrN: Int = 10,
+      scale: Int = 4): DataFrame = {
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = withAtr(df, atrN)
+      .withColumn("typical",
+        (col("high") + col("low") + col("close")) / lit(3.0))
+      .withColumn("kc_mid_raw",
+        graft.functions.EwmMean.ewm(col("typical"), span).over(running))
+    base.select(
+      col("symbol"), col("date"),
+      round(col("kc_mid_raw"), scale).as("kc_mid"),
+      round(col("kc_mid_raw") + lit(2.0) * col("atr"), scale).as("kc_upper"),
+      round(col("kc_mid_raw") - lit(2.0) * col("atr"), scale).as("kc_lower"))
+      .orderBy("symbol", "date")
+  }
+
   /** Stochastic oscillator: %K over the n-day high/low channel, %D the
     * d-day SMA of %K. Channel min/max are selections (exact); the %K
     * division is a single fixed expression rounded before %D averages

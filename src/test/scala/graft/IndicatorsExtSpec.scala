@@ -56,6 +56,18 @@ class IndicatorsExtSpec extends SparkSpec {
       Seq("2020-01-05", "2020-01-06"))
   }
 
+  test("Keltner: span-1 midline collapses to typical price; bands gate on ATR") {
+    // bars fixture: typical = ((c+1)+(c-1)+c)/3 = c; span=1 → decay 0,
+    // EWM = last value; atrN=2 gates the first row's bands
+    val df = IndicatorsExt.withKeltner(bars("A", Seq(10.0, 11.0)), span = 1, atrN = 2)
+    val rows = df.orderBy("date").collect()
+    assert(rows.map(_.getAs[Double]("kc_mid")).toSeq == Seq(10.0, 11.0))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("kc_upper")))
+    // tr row1 = max(high-low=2, |12-10|=2, |10-10|=0) = 2; atr = (2+2)/2 = 2
+    assert(rows(1).getAs[Double]("kc_upper") == 15.0)
+    assert(rows(1).getAs[Double]("kc_lower") == 7.0)
+  }
+
   test("MAD outliers: the spike day flags, steady days do not") {
     // returns ≈ 1% four times then +92.3% — mean/stddev z would be
     // diluted by the spike itself; the MAD z isolates it
