@@ -135,6 +135,10 @@ object ExtQueries {
     // MinHash estimator gate: signature-agreement Jaccard estimate vs
     // exact, per confirmed pair
     "dedup_minhash_estimate" -> ((s, d) => Dedup.minhashJaccardEstimate(docs(s, d), 0.5)),
+    // PageRank over the undirected MinHash similarity graph — 10 fixed
+    // iterations, exact-decimal contribution sums
+    "graph_pagerank" -> ((s, d) =>
+      Graph.pageRank(Dedup.minhashLshPairs(docs(s, d), 0.5))),
     // Benford first-digit forensics over trade volumes
     "volume_benford" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy()
@@ -1255,6 +1259,31 @@ object ExtQueries {
     "stream_neardup_replay" -> minhashLshOracleSql,
     "dedup_simhash" ->
       s"$simhashSigSql SELECT doc_id, simhash FROM sig ORDER BY doc_id",
+    // PageRank unrolled: r_k mirrors the Spark iteration exactly —
+    // contributions round(rank/deg, 12) sum as DECIMAL(20,12), new rank
+    // = one fixed double tree (teleport + d·Σ) re-rounded, constants
+    // through CAST so DuckDB can't route them through DECIMAL
+    "graph_pagerank" -> {
+      val d = "(CAST(85 AS DOUBLE) / CAST(100 AS DOUBLE))"
+      val tele = s"((CAST(1 AS DOUBLE) - $d) / (SELECT n FROM nn))"
+      val iters = (1 to 10).map { i =>
+        s""" r$i AS (SELECT e.dst AS node,
+           |     round($tele + $d * CAST(sum(CAST(round(r.rank / dg.deg, 12)
+           |       AS DECIMAL(20,12))) AS DOUBLE), 12) AS rank
+           |   FROM e JOIN r${i - 1} r ON r.node = e.src JOIN dg ON dg.src = e.src
+           |   GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""$minhashPairsCte,
+         | e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |       UNION ALL SELECT doc_b AS src, doc_a AS dst FROM jp),
+         | dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         | nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dg),
+         | r0 AS (SELECT src AS node,
+         |     round(CAST(1 AS DOUBLE) / (SELECT n FROM nn), 12) AS rank FROM dg),
+         |$iters
+         | SELECT r10.node AS doc_id, dg.deg AS degree, r10.rank
+         | FROM r10 JOIN dg ON dg.src = r10.node ORDER BY doc_id""".stripMargin
+    },
     "dedup_winnow_pairs" ->
       s"""WITH wds AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
          | sh AS (SELECT doc_id, i AS pos,
