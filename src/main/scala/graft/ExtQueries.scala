@@ -74,6 +74,10 @@ object ExtQueries {
     "join_revenue_by_region" -> ((s, d) => Relational.revenueByRegion(s, d)),
     "topk_orders_per_segment" -> ((s, d) => Relational.topOrdersPerSegment(s, d, 3)),
     "orders_rollup" -> ((s, d) => Relational.ordersRollup(s, d)),
+    // CUBE + grouping_id (the other grouping-sets shape)
+    "orders_cube" -> ((s, d) => Relational.ordersCube(s, d)),
+    // percent_rank / cume_dist / decile of customer revenue per nation
+    "customer_revenue_rank" -> ((s, d) => Relational.customerRevenueRank(s, d)),
     // market-basket co-occurrence: part pairs shipping together, with
     // support and lift over the distinct (order, part) incidence
     "market_basket" -> ((s, d) => Basket.pairCounts(Tables.lineitem(s, d), 20)),
@@ -1201,6 +1205,26 @@ object ExtQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
         | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         | ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "orders_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | GROUPING(o_orderstatus, o_orderpriority) AS gid, count(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        | FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        | ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "customer_revenue_rank" ->
+      """WITH rev AS (SELECT o_custkey AS custkey,
+        |     SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS revd,
+        |     count(*) AS n_orders
+        |   FROM orders GROUP BY o_custkey),
+        | j AS (SELECT c.c_nationkey AS nationkey, r.custkey, r.revd, r.n_orders
+        |       FROM rev r JOIN customer c ON c.c_custkey = r.custkey)
+        | SELECT nationkey, custkey, CAST(revd AS DOUBLE) AS revenue, n_orders,
+        |   round(percent_rank() OVER wn, 6) AS pct_rank,
+        |   round(cume_dist() OVER wn, 6) AS cume,
+        |   ntile(10) OVER wn AS decile
+        | FROM j
+        | WINDOW wn AS (PARTITION BY nationkey ORDER BY revd DESC, custkey)
+        | ORDER BY nationkey, custkey""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS fp,
         | min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,

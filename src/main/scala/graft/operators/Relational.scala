@@ -119,4 +119,45 @@ object Relational {
         moneySum(col("o_totalprice")).as("total_price"))
       .orderBy(
         asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** CUBE over the same pair, with `grouping_id` disambiguating real
+    * NULL groups from aggregated ones — the remaining grouping-sets
+    * shape next to [[ordersRollup]] (one Expand + one hash aggregate;
+    * Spark and SQL both put the leftmost column in the high bit).
+    */
+  def ordersCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_price"))
+      .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
+      .orderBy(col("gid"),
+        asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** Rank analytics: each customer's revenue standing within their
+    * nation — percent_rank, cume_dist, and revenue decile. Revenue
+    * accumulates as exact DECIMAL so the window ORDER BY never touches
+    * a computed float (custkey breaks ties totally); the rank fractions
+    * are exact integer rationals evaluated once in double. Customers
+    * with no orders are absent by construction (inner join).
+    */
+  def customerRevenueRank(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("revd"),
+        count(lit(1)).as("n_orders"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"), col("c_nationkey").as("nationkey"))
+    val wn = Window.partitionBy("nationkey").orderBy(desc("revd"), col("custkey"))
+    rev.join(cust, "custkey")
+      .withColumn("pct_rank", round(percent_rank().over(wn), 6))
+      .withColumn("cume", round(cume_dist().over(wn), 6))
+      .withColumn("decile", ntile(10).over(wn))
+      .select(col("nationkey"), col("custkey"),
+        col("revd").cast("double").as("revenue"), col("n_orders"),
+        col("pct_rank"), col("cume"), col("decile"))
+      .orderBy("nationkey", "custkey")
+  }
 }
