@@ -143,6 +143,8 @@ object ExtQueries {
     // iterations, exact-decimal contribution sums
     "graph_pagerank" -> ((s, d) =>
       Graph.pageRank(Dedup.minhashLshPairs(docs(s, d), 0.5))),
+    // edit-distance near-dups: prefix/suffix blocking + levenshtein verify
+    "dedup_levenshtein" -> ((s, d) => Dedup.levenshteinPairs(docs(s, d))),
     // Benford first-digit forensics over trade volumes
     "volume_benford" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy()
@@ -1283,6 +1285,30 @@ object ExtQueries {
     "stream_neardup_replay" -> minhashLshOracleSql,
     "dedup_simhash" ->
       s"$simhashSigSql SELECT doc_id, simhash FROM sig ORDER BY doc_id",
+    "dedup_levenshtein" ->
+      s"""WITH nrm AS (SELECT doc_id, lower(text) AS n FROM documents),
+         | bnd AS (SELECT doc_id, 0 AS band, substr(n, 1, 12) AS bv FROM nrm
+         |         UNION ALL
+         |         SELECT doc_id, 1 AS band, substr(reverse(n), 1, 12) AS bv FROM nrm),
+         | bstat AS (SELECT band, bv, count(*) AS bn, min(doc_id) AS bmin
+         |           FROM bnd GROUP BY band, bv),
+         | tb AS (SELECT b.doc_id, b.band, b.bv, s.bn, s.bmin
+         |        FROM bnd b JOIN bstat s USING (band, bv)),
+         | cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+         |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |   FROM tb a JOIN tb b
+         |     ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |   WHERE a.bn <= ${Dedup.lshBucketCap}
+         |   UNION ALL
+         |   SELECT bmin AS doc_a, doc_id AS doc_b FROM tb
+         |   WHERE bn > ${Dedup.lshBucketCap} AND doc_id <> bmin)),
+         | v AS (SELECT c.doc_a, c.doc_b,
+         |     levenshtein(substr(na.n, 1, 64), substr(nb.n, 1, 64)) AS lev
+         |   FROM cand c
+         |   JOIN nrm na ON na.doc_id = c.doc_a
+         |   JOIN nrm nb ON nb.doc_id = c.doc_b)
+         | SELECT doc_a, doc_b, lev FROM v WHERE lev <= 5
+         | ORDER BY doc_a, doc_b""".stripMargin,
     // PageRank unrolled: r_k mirrors the Spark iteration exactly —
     // contributions round(rank/deg, 12) sum as DECIMAL(20,12), new rank
     // = one fixed double tree (teleport + d·Σ) re-rounded, constants

@@ -498,6 +498,41 @@ object Dedup {
     * shuffles, no pairwise doc×doc work anywhere, so cost is linear in
     * total grams regardless of how many documents collide.
     */
+  /** Edit-distance near-dup pairs: prefix/suffix blocking + a
+    * codegen'd `levenshtein` verify — the fuzzy-matching family member
+    * that catches typo-level variants exact normalization and
+    * shingle-set methods both miss (Levenshtein 1966; standard
+    * entity-resolution blocking shape).
+    *
+    * Blocking bands: band 0 = the first `blockLen` chars of
+    * lower(text), band 1 = the first `blockLen` of its REVERSE (a
+    * suffix block, so an edit near one end still collides on the
+    * other). Candidates route through [[cappedBandCandidates]] — the
+    * same population cap + star-link discipline as the LSH families,
+    * mirrored in the oracle CTE. The verify runs Spark's built-in
+    * levenshtein (identical unit-cost semantics in DuckDB) on the
+    * first `verifyLen` chars: O(verifyLen²) per candidate, constant
+    * per pair, and only (doc_id, block) rows ever shuffle.
+    */
+  def levenshteinPairs(docs: DataFrame, maxDist: Int = 5,
+      blockLen: Int = 12, verifyLen: Int = 64): DataFrame = {
+    val nrm = docs.select(col("doc_id"), lower(col("text")).as("n"))
+      .localCheckpoint()
+    val bands = nrm.select(col("doc_id"), lit(0).as("band"),
+        substring(col("n"), 1, blockLen).as("bv"))
+      .unionByName(nrm.select(col("doc_id"), lit(1).as("band"),
+        substring(reverse(col("n")), 1, blockLen).as("bv")))
+    val cands = cappedBandCandidates(bands)
+    cands
+      .join(nrm.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(nrm.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("lev", levenshtein(
+        substring(col("na"), 1, verifyLen), substring(col("nb"), 1, verifyLen)))
+      .filter(col("lev") <= maxDist)
+      .select("doc_a", "doc_b", "lev")
+      .orderBy("doc_a", "doc_b")
+  }
+
   def contamination(train: DataFrame, eval: DataFrame, n: Int = 8): DataFrame = {
     // non-distinct shingling: the per-(doc, gram) dedup would be thrown
     // away by the gram-level distinct anyway — one shuffle, not two

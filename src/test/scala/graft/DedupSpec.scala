@@ -378,4 +378,22 @@ class DedupSpec extends SparkSpec {
       1L -> "b01 b02 b03 b04 b05 b06 b07 b08 b09")
     assert(Dedup.substringSpans(selfRep, n = 8, minDf = 2).isEmpty)
   }
+
+  test("levenshteinPairs: prefix and suffix blocks each catch their typo twin") {
+    val d = docs(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "the quick brown fax jumps over the lazy dog", // 1 sub, prefix block
+      2L -> "xhe quick brown fox jumps over the lazy dog", // head edit → suffix block only
+      3L -> "completely unrelated text about spark engines")
+    val pairs = Dedup.levenshteinPairs(d, maxDist = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("lev"))).toSet
+    assert(pairs == Set((0L, 1L, 1), (0L, 2L, 1), (1L, 2L, 2)))
+  }
+
+  test("levenshteinPairs: beyond-threshold edits are verified away") {
+    val d = docs(
+      0L -> "aaaaaaaaaaaaaa bbbbbb cccccc dddddd",
+      1L -> "aaaaaaaaaaaaaa zzzzzz yyyyyy xxxxxx") // shared prefix, 18 subs
+    assert(Dedup.levenshteinPairs(d, maxDist = 5).isEmpty)
+  }
 }
