@@ -530,6 +530,10 @@ object ExtQueries {
     "trend_ols" -> ((s, d) => Risk.trendOls(Tables.stocks(s, d))),
     // all-pairs return correlation matrix (upper triangle)
     "corr_matrix" -> ((s, d) => Risk.corrMatrix(Tables.stocks(s, d))),
+    // day-of-week return seasonality
+    "seasonality_dow" -> ((s, d) => Risk.dowSeasonality(Tables.stocks(s, d))),
+    // volume-at-price distribution per symbol
+    "volume_profile" -> ((s, d) => Risk.volumeProfile(Tables.stocks(s, d))),
     // cumulative wealth index via exact log-growth running sums
     "wealth_index" -> ((s, d) => Risk.wealthIndex(Tables.stocks(s, d))),
 
@@ -2461,6 +2465,30 @@ object ExtQueries {
          |   round((n * sxy - sx * sy)
          |     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
          | FROM g ORDER BY symbol_a, symbol_b""".stripMargin,
+    "seasonality_dow" ->
+      s"""${Tables.stocksCte},
+         | r AS (SELECT symbol, date,
+         |     CAST(round((close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date)
+         |       - 1.0) * 100.0, 8) AS DECIMAL(12,8)) AS ret
+         |   FROM stocks),
+         | rr AS (SELECT * FROM r WHERE ret IS NOT NULL)
+         | SELECT symbol, CAST(dayofweek(date) AS BIGINT) AS dow,
+         |   count(*) AS n_days,
+         |   round(CAST(sum(ret) AS DOUBLE) / count(*), 6) AS mean_ret,
+         |   round(sum(CASE WHEN ret > 0 THEN 1 ELSE 0 END) / count(*), 6) AS up_frac
+         | FROM rr GROUP BY symbol, CAST(dayofweek(date) AS BIGINT)
+         | ORDER BY symbol, dow""".stripMargin,
+    "volume_profile" ->
+      s"""${Tables.stocksCte},
+         | b AS (SELECT symbol, CAST(floor(close / 1000.0) AS BIGINT) AS bucket,
+         |         volume
+         |       FROM stocks),
+         | g AS (SELECT symbol, bucket, count(*) AS n_days,
+         |         CAST(sum(volume) AS BIGINT) AS volume
+         |       FROM b GROUP BY symbol, bucket)
+         | SELECT symbol, bucket, n_days, volume,
+         |   round(volume / sum(volume) OVER (PARTITION BY symbol), 6) AS vol_share
+         | FROM g ORDER BY symbol, bucket""".stripMargin,
     "wealth_index" ->
       s"""${Tables.stocksCte},
          | r AS (SELECT symbol, date,

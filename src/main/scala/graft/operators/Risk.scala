@@ -83,6 +83,39 @@ object Risk {
       .orderBy("symbol", "date")
   }
 
+  /** Day-of-week return seasonality per symbol: mean return, up-day
+    * fraction, and sample count by weekday (0 = Sunday, matching
+    * DuckDB's `dayofweek`). Means are exact DECIMAL sums divided once;
+    * one hash aggregate over the existing symbol shuffle.
+    */
+  def dowSeasonality(df: DataFrame, scale: Int = 6): DataFrame =
+    withRet(df)
+      .withColumn("dow", (dayofweek(col("date")) - lit(1)).cast("long"))
+      .groupBy("symbol", "dow")
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(sum("ret").cast("double") / count(lit(1)), scale).as("mean_ret"),
+        round(sum(when(col("ret") > 0, 1L).otherwise(0L)) / count(lit(1)), scale)
+          .as("up_frac"))
+      .orderBy("symbol", "dow")
+
+  /** Volume profile: share of each symbol's lifetime volume traded in
+    * each 1000-unit price bucket — the volume-at-price distribution.
+    * Counts and volume are exact longs; the share is one division
+    * against a per-symbol window total.
+    */
+  def volumeProfile(df: DataFrame, bucketWidth: Double = 1000.0,
+      scale: Int = 6): DataFrame = {
+    val sw = Window.partitionBy("symbol")
+    df.withColumn("bucket", floor(col("close") / lit(bucketWidth)).cast("long"))
+      .groupBy("symbol", "bucket")
+      .agg(count(lit(1)).as("n_days"), sum("volume").as("volume"))
+      .withColumn("vol_share",
+        round(col("volume") / sum("volume").over(sw), scale))
+      .select("symbol", "bucket", "n_days", "volume", "vol_share")
+      .orderBy("symbol", "bucket")
+  }
+
   /** Full-period correlation matrix across every symbol pair (upper
     * triangle, symbol_a < symbol_b): the pairwise extension of
     * IndicatorsExt.pairReturnCorr. One date-keyed self-join emits

@@ -58,6 +58,30 @@ class RiskSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("wealth")).toSeq == Seq(110.0, 99.0))
   }
 
+  test("day-of-week seasonality buckets returns by weekday") {
+    // bars start Wed 2020-01-01; returns exist from Thu. 8 closes →
+    // one return per weekday Thu..Wed
+    val rows = Risk.dowSeasonality(
+      bars("A", Seq(10.0, 11.0, 12.0, 11.0, 11.0, 12.0, 13.0, 14.0)))
+      .collect()
+    assert(rows.map(_.getAs[Long]("dow")).toSet == (0L to 6L).toSet)
+    assert(rows.map(_.getAs[Long]("n_days")).forall(_ == 1L))
+    // Saturday 2020-01-04: 11 -> 12 ... wait; Thu=+10%, Sat close 11->11
+    val byDow = rows.map(r => r.getAs[Long]("dow") -> r.getAs[Double]("up_frac")).toMap
+    assert(byDow(4L) == 1.0) // Thu 2020-01-02: 10 -> 11
+    assert(byDow(0L) == 0.0) // Sun 2020-01-05: 11 -> 11, not an up day
+  }
+
+  test("volume profile shares sum to 1 per symbol with exact bucketing") {
+    val df = Risk.volumeProfile(
+      bars("A", Seq(500.0, 600.0, 1500.0, 2500.0)), bucketWidth = 1000.0)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.map(_.getAs[Long]("n_days")).toSeq == Seq(2L, 1L, 1L))
+    // each share is rounded to 6dp, so the sum can be off by n·5e-7
+    assert(math.abs(rows.map(_.getAs[Double]("vol_share")).sum - 1.0) < 2e-6)
+  }
+
   test("OLS trend: a perfectly linear close gives slope 1, R² 1") {
     val r = Risk.trendOls(bars("A", Seq(10.0, 11.0, 12.0, 13.0))).collect()
     assert(r.length == 1)
