@@ -135,14 +135,17 @@ object ExtQueries {
       Dedup.exactNormalized(noisy)
     }),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d), 0.5)),
-    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), 0.5)),
+    // the pair list, the estimator gate, and PageRank consume the
+    // identical verified-pair chain → session pair cache (compute once)
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairsCached(docs(s, d), d, 0.5)),
     // MinHash estimator gate: signature-agreement Jaccard estimate vs
     // exact, per confirmed pair
-    "dedup_minhash_estimate" -> ((s, d) => Dedup.minhashJaccardEstimate(docs(s, d), 0.5)),
+    "dedup_minhash_estimate" -> ((s, d) =>
+      Dedup.minhashJaccardEstimate(docs(s, d), 0.5, corpusKey = Some(d))),
     // PageRank over the undirected MinHash similarity graph — 10 fixed
     // iterations, exact-decimal contribution sums
     "graph_pagerank" -> ((s, d) =>
-      Graph.pageRank(Dedup.minhashLshPairs(docs(s, d), 0.5))),
+      Graph.pageRank(Dedup.minhashLshPairsCached(docs(s, d), d, 0.5))),
     // edit-distance near-dups: prefix/suffix blocking + levenshtein verify
     "dedup_levenshtein" -> ((s, d) => Dedup.levenshteinPairs(docs(s, d))),
     // Benford first-digit forensics over trade volumes

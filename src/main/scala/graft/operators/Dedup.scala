@@ -261,6 +261,50 @@ object Dedup {
     * see [[cappedBandCandidates]]) verified with exact Jaccard;
     * output = verified near-dup pairs.
     */
+  /** Session-scoped cache of the verified MinHash pair list, keyed by
+    * a caller-supplied corpus tag (the sf dir) — the trained-quantizer
+    * precedent: the pair list, the estimator gate, and PageRank all
+    * consume the IDENTICAL chain, so compute it once per (session,
+    * corpus, threshold). Entries are localCheckpoint'd; SessionCaches
+    * releases the blocks on tenant eviction or context stop.
+    */
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  locally {
+    graft.SessionCaches.register(
+      evict = s => {
+        val it = pairsCache.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getKey._1 eq s) {
+            if (!s.sparkContext.isStopped)
+              org.apache.spark.sql.GraftShims.uncheckpoint(e.getValue)
+            it.remove()
+          }
+        }
+      },
+      sweep = () => pairsCache.keySet()
+        .removeIf(k => k._1.sparkContext.isStopped): Unit)
+  }
+
+  /** [[minhashLshPairs]] through the session pair cache. The chain runs
+    * OUTSIDE the map lock; a lost putIfAbsent race costs one redundant
+    * computation, never a wrong result.
+    */
+  def minhashLshPairsCached(docs: DataFrame, corpusKey: String,
+      threshold: Double = 0.5): DataFrame = {
+    graft.SessionCaches.watch(docs.sparkSession)
+    val key = (docs.sparkSession, corpusKey, threshold.toString)
+    val hit = pairsCache.get(key)
+    if (hit != null) hit
+    else {
+      val pairs = minhashLshPairs(docs, threshold).localCheckpoint()
+      val prev = pairsCache.putIfAbsent(key, pairs)
+      if (prev != null) prev else pairs
+    }
+  }
+
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
       fullRecall: Boolean = false): DataFrame = {
     // the signature table is materialized eagerly (localCheckpoint, not
@@ -955,9 +999,13 @@ object Dedup {
     * signature self-join over the already-verified pair list; exact
     * integer match counts, one division, rounded.
     */
-  def minhashJaccardEstimate(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def minhashJaccardEstimate(docs: DataFrame, threshold: Double = 0.5,
+      corpusKey: Option[String] = None): DataFrame = {
     val k = minhashParams.size
-    val pairs = minhashLshPairs(docs, threshold).select("doc_a", "doc_b", "jaccard")
+    val pairs = (corpusKey match {
+      case Some(tag) => minhashLshPairsCached(docs, tag, threshold)
+      case None => minhashLshPairs(docs, threshold)
+    }).select("doc_a", "doc_b", "jaccard")
     val sig = minhashSignatures(docs)
     val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else c + "_a"): _*)
     val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else c + "_b"): _*)
