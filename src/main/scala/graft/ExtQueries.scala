@@ -258,6 +258,8 @@ object ExtQueries {
     "embed_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), 10, 3, 8, 2, corpusKey = Some(d))),
     "embed_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
+    // 1-bit sign signatures + Hamming top-k (codegen'd HammingDistance)
+    "embed_binary_topk" -> ((s, d) => Similarity.binaryTopK(emb(s, d))),
     // per-label mean-pooled centroids, long format (label, dim, mean)
     "embed_label_centroids" -> ((s, d) => Similarity.groupCentroids(emb(s, d))),
     // the ANN quality gate: recall@3 of the IVF search against the
@@ -1510,6 +1512,19 @@ object ExtQueries {
         |     CAST(CAST(CASE WHEN max_abs = 0 THEN 0
         |                    ELSE floor(CAST(x AS DOUBLE) / max_abs * 127 + 0.5) END AS INT) AS VARCHAR)), ',') AS q_csv
         | FROM m ORDER BY vec_id""".stripMargin,
+    "embed_binary_topk" ->
+      """WITH sig AS (SELECT vec_id,
+        |     array_to_string(list_transform(embedding,
+        |       x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS s
+        |   FROM embeddings),
+        | q AS (SELECT vec_id AS qid, s AS qsig FROM sig WHERE vec_id < 10),
+        | sc AS (SELECT q.qid, s.vec_id,
+        |     CAST(hamming(q.qsig, s.s) AS INTEGER) AS hd
+        |   FROM q JOIN sig s ON s.vec_id <> q.qid),
+        | rk AS (SELECT qid, vec_id, hd,
+        |     CAST(row_number() OVER (PARTITION BY qid ORDER BY hd, vec_id) AS INTEGER) AS rnk
+        |   FROM sc)
+        | SELECT qid, rnk, vec_id, hd FROM rk WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "embed_kmeans_cells" ->
       s"$kmeansCte SELECT vec_id, cell, d FROM a2 ORDER BY vec_id",
     "orders_backlog" ->

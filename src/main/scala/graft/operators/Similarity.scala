@@ -68,6 +68,29 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Binary-embedding retrieval: 1-bit-per-dimension sign signatures
+    * (64-char bit strings) searched by Hamming distance through the
+    * codegen'd [[graft.functions.HammingDistance]] — the 32×-compressed
+    * retrieval tier below int8 and PQ (sign-random-projection LSH with
+    * coordinate hyperplanes; Charikar 2002). The query side broadcasts;
+    * the corpus moves only (vec_id, 64-byte signature) rows, never
+    * floats. Ties break (distance, vec_id) — all-integer, total order.
+    */
+  def binaryTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val sig = emb.select(col("vec_id"),
+      array_join(transform(col("embedding"),
+        x => when(x >= lit(0.0f), lit("1")).otherwise(lit("0"))), "").as("sig"))
+    val q = sig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("sig").as("qsig"))
+    val scored = broadcast(q).join(sig, col("qid") =!= col("vec_id"))
+      .withColumn("hd", graft.functions.HammingDistance.hamming(col("qsig"), col("sig")))
+    val w = Window.partitionBy("qid").orderBy(col("hd"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "hd")
+      .orderBy("qid", "rnk")
+  }
+
   /** Int8 max-abs quantization of the embedding column — the storage
     * shape a large embedding corpus actually ships (4× smaller than
     * float32, int-arithmetic dot products). Symmetric per-vector

@@ -34,6 +34,13 @@ class SimilaritySpec extends SparkSpec {
     assert(top.toSeq == Seq((1, 1L, 1.0), (2, 3L, 0.7071), (3, 2L, 0.0), (4, 4L, -1.0)))
   }
 
+  test("binary top-k: sign signatures rank by Hamming with vec_id tiebreak") {
+    // signatures (x >= 0 → '1'): v0..v3 = "1111", v4 = "0111"
+    val top = Similarity.binaryTopK(vecs, nQueries = 1, k = 4).collect()
+      .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("vec_id"), r.getAs[Int]("hd")))
+    assert(top.toSeq == Seq((1, 1L, 0), (2, 2L, 0), (3, 3L, 0), (4, 4L, 1)))
+  }
+
   test("ivf recall@3 vs brute force: one row per query, hits in range, deterministic") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     def recall() = {
