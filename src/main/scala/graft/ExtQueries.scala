@@ -591,6 +591,12 @@ object ExtQueries {
     // Keltner channels: exact-EWM midline, ATR(10) bands
     "keltner_channels" -> ((s, d) =>
       IndicatorsExt.withKeltner(Tables.stocks(s, d), 20, 10)),
+    // open-vs-prev-close gap screen beyond ±2%
+    "overnight_gaps" -> ((s, d) => IndicatorsExt.overnightGaps(Tables.stocks(s, d))),
+    // shipping-delay distribution per ship mode (exact percentiles)
+    "ship_delay_stats" -> ((s, d) => Relational.shipDelayStats(s, d)),
+    // per-type inter-arrival gap distribution over each user's stream
+    "events_interarrival" -> ((s, d) => EventsOps.interArrival(ev(s, d))),
     "stochastic_osc" -> ((s, d) =>
       IndicatorsExt.withStochastic(Tables.stocks(s, d), 14, 3)
         .select("symbol", "date", "stoch_k", "stoch_d")
@@ -2588,6 +2594,40 @@ object ExtQueries {
          | FROM rec JOIN a ON a.symbol = rec.symbol AND a.date = rec.date
          | ORDER BY rec.symbol, rec.date""".stripMargin
     },
+    "overnight_gaps" ->
+      s"""${Tables.stocksCte},
+         | g AS (SELECT symbol, date, open,
+         |     lag(close, 1) OVER (PARTITION BY symbol ORDER BY date) AS prev_close
+         |   FROM stocks),
+         | g2 AS (SELECT symbol, date, prev_close, open,
+         |     round((open / prev_close - 1.0) * 100.0, 4) AS gap_pct
+         |   FROM g WHERE prev_close IS NOT NULL),
+         | g3 AS (SELECT *, CASE WHEN gap_pct > 2.0 THEN 'gap_up'
+         |                       WHEN gap_pct < -2.0 THEN 'gap_down'
+         |                       ELSE 'none' END AS gap_dir FROM g2)
+         | SELECT symbol, date, prev_close, open, gap_pct, gap_dir
+         | FROM g3 WHERE gap_dir <> 'none' ORDER BY symbol, date""".stripMargin,
+    "ship_delay_stats" ->
+      """WITH d AS (SELECT o.o_orderpriority AS priority,
+        |     date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS delay
+        |   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        | SELECT priority, count(*) AS n_items,
+        |   round(CAST(sum(delay) AS BIGINT) / count(*), 6) AS mean_days,
+        |   round(quantile_cont(delay, 0.5), 6) AS p50,
+        |   round(quantile_cont(delay, 0.9), 6) AS p90,
+        |   round(quantile_cont(delay, 0.99), 6) AS p99
+        | FROM d GROUP BY priority ORDER BY priority""".stripMargin,
+    "events_interarrival" ->
+      """WITH g AS (SELECT event_type,
+        |     epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |   FROM events),
+        | gg AS (SELECT * FROM g WHERE gap_us IS NOT NULL)
+        | SELECT event_type, count(*) AS n_gaps,
+        |   round(CAST(sum(gap_us) AS BIGINT) / count(*) / CAST(1000000 AS DOUBLE), 6) AS mean_s,
+        |   round(quantile_cont(gap_us, 0.5) / CAST(1000000 AS DOUBLE), 6) AS p50_s,
+        |   round(quantile_cont(gap_us, 0.9) / CAST(1000000 AS DOUBLE), 6) AS p90_s
+        | FROM gg GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stochastic_osc" ->
       s"""${Tables.stocksCte},
          | k AS (

@@ -136,6 +136,28 @@ object EventsOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Inter-arrival-time distribution per event type: microsecond gaps
+    * between each user's consecutive events (total order (ts,
+    * event_id)), attributed to the LATER event's type, summarized as
+    * exact-long mean and exact interpolating percentiles in seconds.
+    * One user-keyed window pass + one hash aggregate.
+    */
+  def interArrival(events: DataFrame, scale: Int = 6): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("gap_us", unix_micros(col("ts")) -
+        lag(unix_micros(col("ts")), 1).over(byUser))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(sum("gap_us") / count(lit(1)) / lit(1000000.0), scale).as("mean_s"),
+        round(expr("percentile(gap_us, 0.5)") / lit(1000000.0), scale).as("p50_s"),
+        round(expr("percentile(gap_us, 0.9)") / lit(1000000.0), scale).as("p90_s"))
+      .orderBy("event_type")
+  }
+
   /** Ordered funnel analysis over event stages: stage i counts users
     * whose earliest stage-i event occurs at-or-after their
     * funnel-entry time through stage i-1 (the classic

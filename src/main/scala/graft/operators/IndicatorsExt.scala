@@ -45,6 +45,25 @@ object IndicatorsExt {
       .withColumn("atr", Indicators.gatedOver(w, n, col("tr"), avg))
   }
 
+  /** Overnight gap days: open vs previous close beyond ±threshold% —
+    * the gap-up/gap-down screen. One lag window; the gap is a single
+    * rounded division, and the direction classifies the ROUNDED value
+    * so the threshold compare is engine-identical.
+    */
+  def overnightGaps(df: DataFrame, thresholdPct: Double = 2.0,
+      scale: Int = 4): DataFrame =
+    df.withColumn("prev_close", lag(col("close"), 1).over(w))
+      .filter(col("prev_close").isNotNull)
+      .withColumn("gap_pct", round(
+        (col("open") / col("prev_close") - lit(1.0)) * lit(100.0), scale))
+      .withColumn("gap_dir",
+        when(col("gap_pct") > lit(thresholdPct), "gap_up")
+          .when(col("gap_pct") < lit(-thresholdPct), "gap_down")
+          .otherwise("none"))
+      .filter(col("gap_dir") =!= "none")
+      .select("symbol", "date", "prev_close", "open", "gap_pct", "gap_dir")
+      .orderBy("symbol", "date")
+
   /** Keltner channels: midline = EMA(typical price, span) via the exact
     * EWM Catalyst aggregate, bands = mid ± 2·ATR(atrN). Typical price
     * is (high+low+close)/3 with a fixed tree; the midline's oracle is a

@@ -136,6 +136,31 @@ object Relational {
       .orderBy(col("gid"),
         asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Order-to-ship latency distribution per order priority: exact
+    * integer day diffs (lineitem ship date − order date over the
+    * orderkey join), mean as one division over an exact long sum, and
+    * p50/p90/p99 via the exact interpolating percentile ≡
+    * quantile_cont. One fact-fact join on orderkey + one hash
+    * aggregate; the exact percentile materializes each priority's
+    * delays (bounded: rows per priority), the valuePercentiles trade.
+    */
+  def shipDelayStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay",
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum("delay") / count(lit(1)), 6).as("mean_days"),
+        round(expr("percentile(delay, 0.5)"), 6).as("p50"),
+        round(expr("percentile(delay, 0.9)"), 6).as("p90"),
+        round(expr("percentile(delay, 0.99)"), 6).as("p99"))
+      .orderBy("priority")
+
   /** Rank analytics: each customer's revenue standing within their
     * nation — percent_rank, cume_dist, and revenue decile. Revenue
     * accumulates as exact DECIMAL so the window ORDER BY never touches

@@ -8,6 +8,24 @@ import graft.operators.EventsOps
   */
 class EventsOpsSpec extends SparkSpec {
 
+  test("interArrival attributes each gap to the later event's type") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", 1.0, "{}"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), 1L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:40"), 1L, "view", 1.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventsOps.interArrival(df).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    // user 1: 10s gap → click, 30s gap → view; user 2 has no gap
+    assert(r("click").getAs[Long]("n_gaps") == 1L)
+    assert(r("click").getAs[Double]("mean_s") == 10.0)
+    assert(r("view").getAs[Long]("n_gaps") == 1L)
+    assert(r("view").getAs[Double]("p50_s") == 30.0)
+  }
+
   test("valuePercentiles interpolates at rank p·(n-1) and ignores nulls") {
     val spark2 = spark
     import spark2.implicits._

@@ -56,6 +56,18 @@ class IndicatorsExtSpec extends SparkSpec {
       Seq("2020-01-05", "2020-01-06"))
   }
 
+  test("overnight gaps: only beyond-threshold days survive, signed correctly") {
+    // bars: open = close - 0.5. closes 10, 10.1 → day2 gap =
+    // (9.6/10 - 1)·100 = -4% (down); closes 10.1, 10.6 → day3 gap =
+    // (10.1/10.1 - 1) = 0% (filtered)
+    val rows = IndicatorsExt.overnightGaps(
+      bars("A", Seq(10.0, 10.1, 10.6, 11.5)), thresholdPct = 2.0).collect()
+    // day2: -4 (down); day3: 0 (none); day4: (11.0/10.6-1)·100 = +3.77 (up)
+    assert(rows.map(r => (r.getAs[java.sql.Date]("date").toString,
+      r.getAs[String]("gap_dir"))).toSeq ==
+      Seq(("2020-01-02", "gap_down"), ("2020-01-04", "gap_up")))
+  }
+
   test("Keltner: span-1 midline collapses to typical price; bands gate on ATR") {
     // bars fixture: typical = ((c+1)+(c-1)+c)/3 = c; span=1 → decay 0,
     // EWM = last value; atrN=2 gates the first row's bands
