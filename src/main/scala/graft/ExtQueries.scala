@@ -593,6 +593,9 @@ object ExtQueries {
       IndicatorsExt.withKeltner(Tables.stocks(s, d), 20, 10)),
     // open-vs-prev-close gap screen beyond ±2%
     "overnight_gaps" -> ((s, d) => IndicatorsExt.overnightGaps(Tables.stocks(s, d))),
+    // Holt linear-trend one-step forecast (second custom EWM aggregate)
+    "holt_forecast" -> ((s, d) =>
+      IndicatorsExt.holtForecast(Tables.stocks(s, d), 0.2, 0.1)),
     // shipping-delay distribution per ship mode (exact percentiles)
     "ship_delay_stats" -> ((s, d) => Relational.shipDelayStats(s, d)),
     // per-type inter-arrival gap distribution over each user's stream
@@ -2593,6 +2596,31 @@ object ExtQueries {
          |   round(rec.num / rec.den - CAST(2 AS DOUBLE) * a.atr, 4) AS kc_lower
          | FROM rec JOIN a ON a.symbol = rec.symbol AND a.date = rec.date
          | ORDER BY rec.symbol, rec.date""".stripMargin
+    },
+    // replays HoltLinear's update tree bit-for-bit: constants through
+    // CAST divisions so DuckDB computes the same doubles as the Scala
+    // literals (2/10 = 0.2's nearest double, etc.)
+    "holt_forecast" -> {
+      val a = "(CAST(2 AS DOUBLE) / CAST(10 AS DOUBLE))"
+      val ia = s"(CAST(1 AS DOUBLE) - $a)"
+      val b = "(CAST(1 AS DOUBLE) / CAST(10 AS DOUBLE))"
+      val ib = s"(CAST(1 AS DOUBLE) - $b)"
+      val newL = s"$a * o.close + $ia * (r.level + r.trend)"
+      s"""${Tables.stocksCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         | ord AS (SELECT symbol, date, close,
+         |     row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+         |   FROM stocks),
+         | rec AS (
+         |   SELECT symbol, date, rn, close,
+         |     close AS level, CAST(0 AS DOUBLE) AS trend
+         |   FROM ord WHERE rn = 1
+         |   UNION ALL
+         |   SELECT o.symbol, o.date, o.rn, o.close,
+         |     $newL AS level,
+         |     $b * (($newL) - r.level) + $ib * r.trend AS trend
+         |   FROM rec r JOIN ord o ON o.symbol = r.symbol AND o.rn = r.rn + 1)
+         | SELECT symbol, date, close, round(level + trend, 6) AS forecast_next
+         | FROM rec ORDER BY symbol, date""".stripMargin
     },
     "overnight_gaps" ->
       s"""${Tables.stocksCte},

@@ -45,6 +45,22 @@ object IndicatorsExt {
       .withColumn("atr", Indicators.gatedOver(w, n, col("tr"), avg))
   }
 
+  /** One-step-ahead Holt linear-trend forecast of the close — the
+    * second custom EWM-family Catalyst aggregate
+    * ([[graft.functions.HoltLinear]]): O(1) state per (symbol) over the
+    * running frame, oracle = recursive CTE replaying the level/trend
+    * recursion bit-for-bit.
+    */
+  def holtForecast(df: DataFrame, alpha: Double = 0.2, beta: Double = 0.1,
+      scale: Int = 6): DataFrame = {
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("forecast_next",
+        round(graft.functions.HoltLinear.holt(col("close"), alpha, beta)
+          .over(running), scale))
+      .select("symbol", "date", "close", "forecast_next")
+      .orderBy("symbol", "date")
+  }
+
   /** Overnight gap days: open vs previous close beyond ±threshold% —
     * the gap-up/gap-down screen. One lag window; the gap is a single
     * rounded division, and the direction classifies the ROUNDED value

@@ -56,6 +56,16 @@ class IndicatorsExtSpec extends SparkSpec {
       Seq("2020-01-05", "2020-01-06"))
   }
 
+  test("Holt forecast follows the level/trend recursion by hand") {
+    // α = β = 0.5, closes 10, 12, 11:
+    // t1: l=10, b=0 → f=10
+    // t2: l=.5·12+.5·10=11, b=.5·(11−10)=0.5 → f=11.5
+    // t3: l=.5·11+.5·11.5=11.25, b=.5·0.25+.5·0.5=0.375 → f=11.625
+    val df = IndicatorsExt.holtForecast(
+      bars("A", Seq(10.0, 12.0, 11.0)), alpha = 0.5, beta = 0.5)
+    assertColumn(df, "forecast_next", Seq(10.0, 11.5, 11.625))
+  }
+
   test("overnight gaps: only beyond-threshold days survive, signed correctly") {
     // bars: open = close - 0.5. closes 10, 10.1 → day2 gap =
     // (9.6/10 - 1)·100 = -4% (down); closes 10.1, 10.6 → day3 gap =
