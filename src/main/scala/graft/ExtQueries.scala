@@ -537,6 +537,17 @@ object ExtQueries {
     "corr_matrix" -> ((s, d) => Risk.corrMatrix(Tables.stocks(s, d))),
     // day-of-week return seasonality
     "seasonality_dow" -> ((s, d) => Risk.dowSeasonality(Tables.stocks(s, d))),
+    // SMA-signal momentum backtest vs buy-and-hold (no lookahead)
+    "backtest_sma" -> ((s, d) => Risk.smaBacktest(Tables.stocks(s, d), 50)),
+    // CDC snapshot diff: the merge_upsert fixture classified per PK
+    "snapshot_diff" -> ((s, d) => {
+      val t = Tables.stocks(s, d)
+      val old = t.filter(col("date") < to_date(lit("1999-01-01")))
+      val updates = t.filter(col("date") >= to_date(lit("1998-07-01")))
+        .withColumn("open", col("open") * 1.02)
+        .withColumn("close", col("close") * 1.02)
+      Merge.snapshotDiff(old, Merge.upsert(t, updates))
+    }),
     // volume-at-price distribution per symbol
     "volume_profile" -> ((s, d) => Risk.volumeProfile(Tables.stocks(s, d))),
     // cumulative wealth index via exact log-growth running sums
@@ -2492,6 +2503,46 @@ object ExtQueries {
          |   round((n * sxy - sx * sy)
          |     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
          | FROM g ORDER BY symbol_a, symbol_b""".stripMargin,
+    "backtest_sma" ->
+      s"""${Tables.stocksCte},
+         | m AS (SELECT symbol, date, close,
+         |     CASE WHEN count(*) OVER f = 50 THEN avg(close) OVER f END AS ma
+         |   FROM stocks
+         |   WINDOW f AS (PARTITION BY symbol ORDER BY date
+         |                ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)),
+         | s2 AS (SELECT symbol, date, close, close > ma AS sig FROM m),
+         | p AS (SELECT symbol, date, close,
+         |     coalesce(lag(sig, 1) OVER wd, false) AS position,
+         |     round((close / lag(close, 1) OVER wd - 1.0) * 100.0, 8) AS ret
+         |   FROM s2 WINDOW wd AS (PARTITION BY symbol ORDER BY date)),
+         | pp AS (SELECT * FROM p WHERE ret IS NOT NULL),
+         | lg AS (SELECT symbol, date, position, ret,
+         |     CAST(round(ln(1.0 + (CASE WHEN position THEN ret ELSE 0.0 END) / 100.0), 10)
+         |       AS DECIMAL(18,10)) AS slg,
+         |     CAST(round(ln(1.0 + ret / 100.0), 10) AS DECIMAL(18,10)) AS blg
+         |   FROM pp)
+         | SELECT symbol, date, position, ret,
+         |   round(100.0 * exp(CAST(SUM(slg) OVER wc AS DOUBLE)), 4) AS strat_wealth,
+         |   round(100.0 * exp(CAST(SUM(blg) OVER wc AS DOUBLE)), 4) AS bh_wealth
+         | FROM lg
+         | WINDOW wc AS (PARTITION BY symbol ORDER BY date
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         | ORDER BY symbol, date""".stripMargin,
+    "snapshot_diff" ->
+      s"""${Tables.stocksCte},
+         | old AS (SELECT symbol, date, close FROM stocks
+         |         WHERE date < CAST('1999-01-01' AS DATE)),
+         | newt AS (SELECT symbol, date,
+         |     CASE WHEN date >= CAST('1998-07-01' AS DATE) THEN close * 1.02
+         |          ELSE close END AS close
+         |   FROM stocks)
+         | SELECT symbol, date, o.close AS old_close, n.close AS new_close,
+         |   CASE WHEN o.close IS NULL THEN 'added'
+         |        WHEN n.close IS NULL THEN 'removed'
+         |        WHEN o.close = n.close THEN 'unchanged'
+         |        ELSE 'changed' END AS change_type
+         | FROM old o FULL OUTER JOIN newt n USING (symbol, date)
+         | ORDER BY symbol, date""".stripMargin,
     "seasonality_dow" ->
       s"""${Tables.stocksCte},
          | r AS (SELECT symbol, date,

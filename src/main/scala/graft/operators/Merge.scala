@@ -52,6 +52,24 @@ object Merge {
       .filter(col("__rn") === 1)
       .drop("__rn")
 
+  /** Snapshot diff (the CDC classify step): full-outer join on the PK
+    * comparing the close, emitting added / removed / changed /
+    * unchanged per key. Equality compares the stored doubles
+    * bit-for-bit — correct for change capture, where "unchanged" means
+    * the value was not rewritten. One PK shuffle on each side.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val o = oldDf.select(col("symbol"), col("date"), col("close").as("old_close"))
+    val n = newDf.select(col("symbol"), col("date"), col("close").as("new_close"))
+    o.join(n, pk, "full_outer")
+      .withColumn("change_type",
+        when(col("old_close").isNull, "added")
+          .when(col("new_close").isNull, "removed")
+          .when(col("old_close") === col("new_close"), "unchanged")
+          .otherwise("changed"))
+      .orderBy("symbol", "date")
+  }
+
   /** I1: per-symbol high-watermark (`MAX(date) WHERE symbol=?` for all
     * symbols at once — /root/reference/fetch_and_store_multi.py:29-39).
     */

@@ -83,6 +83,39 @@ object Risk {
       .orderBy("symbol", "date")
   }
 
+  /** SMA-signal momentum backtest: yesterday's close>SMA(n) signal is
+    * today's position (no lookahead — the signal lags one day);
+    * strategy return = position·daily return; both the strategy and
+    * buy-and-hold wealth curves compound through the exact
+    * log-sum-decimal path ([[wealthIndex]]). Warmup rows (no full SMA
+    * window yet) hold no position. One symbol shuffle, three window
+    * passes over the same spec.
+    */
+  def smaBacktest(df: DataFrame, n: Int = 50, scale: Int = 4): DataFrame = {
+    val cw = w.rowsBetween(Window.unboundedPreceding, 0)
+    val trail = w.rowsBetween(-(n - 1), 0)
+    val base = df
+      .withColumn("ma",
+        when(count(lit(1)).over(trail) === n, avg(col("close")).over(trail)))
+      .withColumn("sig", col("close") > col("ma"))
+      .withColumn("position", coalesce(lag(col("sig"), 1).over(w), lit(false)))
+      .withColumn("ret", round(
+        (col("close") / lag(col("close"), 1).over(w) - lit(1.0)) * lit(100.0), 8))
+      .filter(col("ret").isNotNull)
+    val strat = when(col("position"), col("ret")).otherwise(lit(0.0))
+    base
+      .withColumn("slg", round(log(lit(1.0) + strat / lit(100.0)), 10)
+        .cast("decimal(18,10)"))
+      .withColumn("blg", round(log(lit(1.0) + col("ret") / lit(100.0)), 10)
+        .cast("decimal(18,10)"))
+      .withColumn("strat_wealth",
+        round(lit(100.0) * exp(sum(col("slg")).over(cw).cast("double")), scale))
+      .withColumn("bh_wealth",
+        round(lit(100.0) * exp(sum(col("blg")).over(cw).cast("double")), scale))
+      .select("symbol", "date", "position", "ret", "strat_wealth", "bh_wealth")
+      .orderBy("symbol", "date")
+  }
+
   /** Day-of-week return seasonality per symbol: mean return, up-day
     * fraction, and sample count by weekday (0 = Sunday, matching
     * DuckDB's `dayofweek`). Means are exact DECIMAL sums divided once;

@@ -22,6 +22,23 @@ class MergeSpec extends SparkSpec {
   private def asMap(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getDouble(2)).toMap
 
+  test("snapshotDiff classifies added / removed / changed / unchanged") {
+    val oldT = tbl(
+      ("A", "2020-01-01", 1.0), ("A", "2020-01-02", 1.0), ("B", "2020-01-01", 1.0))
+    val newT = tbl(
+      ("A", "2020-01-02", 1.0), // unchanged
+      ("B", "2020-01-01", 2.0), // changed
+      ("C", "2020-01-01", 3.0)) // added; A/2020-01-01 removed
+    val r = Merge.snapshotDiff(oldT, newT).collect()
+      .map(x => (x.getString(0), x.getDate(1).toString) ->
+        x.getAs[String]("change_type")).toMap
+    assert(r == Map(
+      ("A", "2020-01-01") -> "removed",
+      ("A", "2020-01-02") -> "unchanged",
+      ("B", "2020-01-01") -> "changed",
+      ("C", "2020-01-01") -> "added"))
+  }
+
   test("upsert (J1): new rows win on the PK overlap, unseen PKs insert") {
     val m = asMap(Merge.upsert(target, updates))
     assert(m.size == 4)

@@ -58,6 +58,21 @@ class RiskSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("wealth")).toSeq == Seq(110.0, 99.0))
   }
 
+  test("SMA backtest lags the signal one day and compounds only in-position days") {
+    // n=2: ma full from day2. sig2 = 12 > 11 → true; position3 = sig2.
+    // Day3 return = (11/12−1)·100 → strategy takes the −8.33% hit;
+    // day2 position is false (day1 sig null) so strategy holds at 100.
+    val rows = Risk.smaBacktest(bars("A", Seq(10.0, 12.0, 11.0, 13.0)), n = 2)
+      .orderBy("date").collect()
+    assert(rows.map(_.getAs[Boolean]("position")).toSeq ==
+      Seq(false, true, false))
+    val sw = rows.map(_.getAs[Double]("strat_wealth"))
+    assert(sw(0) == 100.0) // flat day
+    assert(math.abs(sw(1) - 91.6667) < 1e-3) // in position for the drop
+    assert(sw(2) == sw(1)) // sig3 false (11 < 11.5) → out for day 4
+    assert(math.abs(rows.last.getAs[Double]("bh_wealth") - 130.0) < 1e-3)
+  }
+
   test("day-of-week seasonality buckets returns by weekday") {
     // bars start Wed 2020-01-01; returns exist from Thu. 8 closes →
     // one return per weekday Thu..Wed
