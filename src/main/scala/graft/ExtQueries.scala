@@ -354,6 +354,10 @@ object ExtQueries {
 
     // ---- text analysis
     "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
+    // declared-vs-detected language confusion matrix
+    "lang_confusion" -> ((s, d) => TextOps.langConfusion(docs(s, d))),
+    // trending: top event types per hour
+    "events_hourly_top" -> ((s, d) => EventsOps.hourlyTopTypes(ev(s, d))),
     // top-3 TF-IDF terms per doc; both factors rounded to 6 before the
     // product so ranking never touches a raw float
     "text_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(docs(s, d), 3)),
@@ -1817,6 +1821,31 @@ object ExtQueries {
          | FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
          |   ON d.doc_id = b.doc_id
          | ORDER BY d.doc_id""".stripMargin,
+    "lang_confusion" ->
+      s"""WITH m(mlang, marker) AS (VALUES ${TextOps.markers.map {
+           case (l, w) => s"('$l', '$w')" }.mkString(", ")}),
+         | wrds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         | hits AS (SELECT doc_id, mlang, count(*) AS hits
+         |          FROM wrds JOIN m ON word = marker GROUP BY doc_id, mlang),
+         | best AS (SELECT doc_id, mlang, hits,
+         |            row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, mlang) AS rn
+         |          FROM hits),
+         | lc AS (SELECT d.lang, coalesce(b.mlang, 'unknown') AS predicted
+         |        FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+         |          ON d.doc_id = b.doc_id),
+         | g AS (SELECT lang, predicted, count(*) AS n FROM lc GROUP BY lang, predicted)
+         | SELECT lang, predicted, n,
+         |   round(n / sum(n) OVER (PARTITION BY lang), 4) AS row_frac
+         | FROM g ORDER BY lang, predicted""".stripMargin,
+    "events_hourly_top" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |           FROM events GROUP BY date_trunc('hour', ts), event_type),
+        | rk AS (SELECT hour, event_type, n,
+        |     CAST(row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type)
+        |       AS INTEGER) AS rnk
+        |   FROM c)
+        | SELECT hour, rnk, event_type, n FROM rk WHERE rnk <= 3
+        | ORDER BY hour, rnk""".stripMargin,
     "text_quality_score" -> s"$textQualityOracle ORDER BY doc_id",
     "text_lm_score" ->
       s"$lmScoreCte SELECT doc_id, n_bigrams, avg_logp FROM lmres ORDER BY doc_id",

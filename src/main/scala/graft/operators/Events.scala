@@ -52,6 +52,22 @@ object EventsOps {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("hour", "event_type")
 
+  /** Top-k event types per hour by count (ties → event_type order) —
+    * the trending view over [[hourly]]. The rank window partitions on
+    * hour over an already-aggregated frame; all-integer ordering.
+    */
+  def hourlyTopTypes(events: DataFrame, k: Int = 3): DataFrame = {
+    val counts = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour").orderBy(desc("n"), col("event_type"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("hour", "rnk", "event_type", "n")
+      .orderBy("hour", "rnk")
+  }
+
   /** Sliding event-time windows (2 h window, 1 h slide) per event_type —
     * the overlapping-window shape of Structured Streaming's
     * `window(ts, "2 hours", "1 hour")`, expressed in batch. Spark's

@@ -53,6 +53,19 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Language confusion matrix: declared vs detected language with
+    * per-row fractions — the drift diagnostic over [[langId]]'s
+    * heuristic. One extra hash aggregate + a lang-partitioned window
+    * over the (langs × langs)-bounded grouped frame.
+    */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val wl = Window.partitionBy("lang")
+    langId(docs)
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .withColumn("row_frac", round(col("n") / sum("n").over(wl), 4))
+      .orderBy("lang", "predicted")
+  }
+
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "is", "in", "to", "for", "on", "with")
 

@@ -8,6 +8,22 @@ import graft.operators.EventsOps
   */
 class EventsOpsSpec extends SparkSpec {
 
+  test("hourlyTopTypes ranks within each hour with type tiebreak") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      ("view", "2024-01-01 10:05:00"), ("view", "2024-01-01 10:10:00"),
+      ("click", "2024-01-01 10:20:00"), ("buy", "2024-01-01 10:21:00"),
+      ("view", "2024-01-01 11:00:00"))
+      .zipWithIndex.map { case ((et, ts), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(ts), 1L, et, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventsOps.hourlyTopTypes(rows, k = 2).collect()
+      .map(x => (x.getAs[Int]("rnk"), x.getAs[String]("event_type")))
+    // hour 10: view (2) then buy/click tie at 1 → 'buy' wins the tiebreak
+    assert(r.toSeq == Seq((1, "view"), (2, "buy"), (1, "view")))
+  }
+
   test("interArrival attributes each gap to the later event's type") {
     val spark2 = spark
     import spark2.implicits._

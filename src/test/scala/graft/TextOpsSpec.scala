@@ -31,6 +31,19 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("score") - 1.445906) < 1e-4)
   }
 
+  test("langConfusion: diagonal mass for marker-bearing docs, row fractions") {
+    val d = docs(
+      (0L, "the cat and the dog", "en"), // 'the'/'and' markers → en
+      (1L, "el gato y el perro", "es"), // 'el'/'y' markers → es
+      (2L, "zz yy xx ww", "en")) // no markers → unknown
+    val r = TextOps.langConfusion(d).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[String]("predicted")) ->
+        (x.getAs[Long]("n"), x.getAs[Double]("row_frac"))).toMap
+    assert(r(("en", "en")) == ((1L, 0.5)))
+    assert(r(("en", "unknown")) == ((1L, 0.5)))
+    assert(r(("es", "es")) == ((1L, 1.0)))
+  }
+
   test("vocabPrune keeps words inside the df band, tf does not leak in") {
     val d = docs(
       (0L, "common mid rare rare rare", "en"), // tf(rare)=3 but df=1
