@@ -543,6 +543,8 @@ object ExtQueries {
     "seasonality_dow" -> ((s, d) => Risk.dowSeasonality(Tables.stocks(s, d))),
     // SMA-signal momentum backtest vs buy-and-hold (no lookahead)
     "backtest_sma" -> ((s, d) => Risk.smaBacktest(Tables.stocks(s, d), 50)),
+    // lead-lag cross-correlation: corr(x_t, y_{t+lag}), lag ∈ [-3, 3]
+    "leadlag_corr" -> ((s, d) => Risk.leadLagCorr(Tables.stocks(s, d), "AF", "NO")),
     // CDC snapshot diff: the merge_upsert fixture classified per PK
     "snapshot_diff" -> ((s, d) => {
       val t = Tables.stocks(s, d)
@@ -2532,6 +2534,28 @@ object ExtQueries {
          |   round((n * sxy - sx * sy)
          |     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
          | FROM g ORDER BY symbol_a, symbol_b""".stripMargin,
+    "leadlag_corr" ->
+      s"""${Tables.stocksCte},
+         | r AS (SELECT symbol, date,
+         |     CAST(round((close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date)
+         |       - 1.0) * 100.0, 8) AS DECIMAL(12,8)) AS ret
+         |   FROM stocks),
+         | rr AS (SELECT symbol, ret,
+         |     row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+         |   FROM r WHERE ret IS NOT NULL),
+         | a AS (SELECT rn AS rn_a, ret AS x FROM rr WHERE symbol = 'AF'),
+         | b AS (SELECT rn - t.lag AS rn_match, CAST(t.lag AS INTEGER) AS lag, ret AS y
+         |       FROM rr, UNNEST(range(-3, 4)) AS t(lag) WHERE symbol = 'NO'),
+         | g AS (SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+         |     CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |     CAST(sum(CAST(x AS DECIMAL(20,8)) * CAST(y AS DECIMAL(20,8))) AS DOUBLE) AS sxy,
+         |     CAST(sum(CAST(x AS DECIMAL(20,8)) * CAST(x AS DECIMAL(20,8))) AS DOUBLE) AS sxx,
+         |     CAST(sum(CAST(y AS DECIMAL(20,8)) * CAST(y AS DECIMAL(20,8))) AS DOUBLE) AS syy
+         |   FROM a JOIN b ON a.rn_a = b.rn_match GROUP BY lag)
+         | SELECT lag, CAST(n AS BIGINT) AS n_days,
+         |   round((n * sxy - sx * sy)
+         |     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+         | FROM g ORDER BY lag""".stripMargin,
     "backtest_sma" ->
       s"""${Tables.stocksCte},
          | m AS (SELECT symbol, date, close,

@@ -83,6 +83,37 @@ object Risk {
       .orderBy("symbol", "date")
   }
 
+  /** Lead-lag cross-correlation between two symbols' returns:
+    * corr(x_t, y_{t+lag}) for every lag in [−maxLag, maxLag] over the
+    * trading-day index — the "who moves first" diagnostic completing
+    * the correlation family. One explode fans the y branch across the
+    * 2·maxLag+1 offsets; each lag's five sums run over exact DECIMAL
+    * and Pearson evaluates once in double. The two branches are
+    * single-symbol frames, so the rn join broadcasts at any scale.
+    */
+  def leadLagCorr(df: DataFrame, symA: String, symB: String,
+      maxLag: Int = 3, scale: Int = 6): DataFrame = {
+    val idx = withRet(df).withColumn("rn", row_number().over(w))
+    val a = idx.filter(col("symbol") === symA)
+      .select(col("rn").as("rn_a"), col("ret").as("x"))
+    val b = idx.filter(col("symbol") === symB)
+      .select(col("rn"), col("ret").as("y"))
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .withColumn("rn_match", col("rn") - col("lag"))
+    def s(c: org.apache.spark.sql.Column) = sum(c).cast("double")
+    val agg = a.join(b, col("rn_a") === col("rn_match"))
+      .groupBy("lag").agg(
+        count(lit(1)).cast("double").as("n"),
+        s(col("x")).as("sx"), s(col("y")).as("sy"),
+        s(col("x") * col("y")).as("sxy"),
+        s(col("x") * col("x")).as("sxx"), s(col("y") * col("y")).as("syy"))
+    agg.select(col("lag"), col("n").cast("long").as("n_days"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), scale).as("corr"))
+      .orderBy("lag")
+  }
+
   /** SMA-signal momentum backtest: yesterday's close>SMA(n) signal is
     * today's position (no lookahead — the signal lags one day);
     * strategy return = position·daily return; both the strategy and

@@ -58,6 +58,20 @@ class RiskSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("wealth")).toSeq == Seq(110.0, 99.0))
   }
 
+  test("lead-lag correlation peaks at the planted offset") {
+    // B's returns repeat A's one day later: corr at lag +1 is exactly 1
+    val closesA = Seq(10.0, 11.0, 9.0, 12.0, 13.0, 11.0)
+    // b(t) = b(t-1) · a(t-1)/a(t-2): B's day-t return = A's day-(t-1)
+    val closesB = (2 until closesA.length).scanLeft(Seq(100.0, 100.0)) {
+      (acc, t) => acc :+ acc.last * closesA(t - 1) / closesA(t - 2)
+    }.last
+    val df = bars("A", closesA).union(bars("B", closesB))
+    val r = Risk.leadLagCorr(df, "A", "B", maxLag = 2).collect()
+      .map(x => x.getAs[Int]("lag") -> x.getAs[Double]("corr")).toMap
+    assert(r(1) == 1.0) // y_{t+1} tracks x_t exactly
+    assert(r.keySet == Set(-2, -1, 0, 1, 2))
+  }
+
   test("SMA backtest lags the signal one day and compounds only in-position days") {
     // n=2: ma full from day2. sig2 = 12 > 11 → true; position3 = sig2.
     // Day3 return = (11/12−1)·100 → strategy takes the −8.33% hit;
