@@ -358,6 +358,8 @@ object ExtQueries {
     "lang_confusion" -> ((s, d) => TextOps.langConfusion(docs(s, d))),
     // trending: top event types per hour
     "events_hourly_top" -> ((s, d) => EventsOps.hourlyTopTypes(ev(s, d))),
+    // DAU decomposition: new / returning / resurrected per day
+    "events_growth" -> ((s, d) => EventsOps.growthAccounting(ev(s, d))),
     // top-3 TF-IDF terms per doc; both factors rounded to 6 before the
     // product so ranking never touches a raw float
     "text_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(docs(s, d), 3)),
@@ -1839,6 +1841,15 @@ object ExtQueries {
          | SELECT lang, predicted, n,
          |   round(n / sum(n) OVER (PARTITION BY lang), 4) AS row_frac
          | FROM g ORDER BY lang, predicted""".stripMargin,
+    "events_growth" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        | c AS (SELECT day,
+        |     CASE WHEN lag(day, 1) OVER wu IS NULL THEN 'new'
+        |          WHEN date_diff('day', lag(day, 1) OVER wu, day) > 7 THEN 'resurrected'
+        |          ELSE 'returning' END AS status
+        |   FROM d WINDOW wu AS (PARTITION BY user_id ORDER BY day))
+        | SELECT day, status, count(*) AS n_users
+        | FROM c GROUP BY day, status ORDER BY day, status""".stripMargin,
     "events_hourly_top" ->
       """WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
         |           FROM events GROUP BY date_trunc('hour', ts), event_type),

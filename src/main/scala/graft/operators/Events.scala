@@ -52,6 +52,25 @@ object EventsOps {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("hour", "event_type")
 
+  /** Growth accounting: classify each user's active days as new (first
+    * ever), resurrected (returns after > gapDays inactive), or
+    * returning, and count per day — the standard DAU decomposition.
+    * One distinct on (user, day), one user-keyed lag, one hash
+    * aggregate; all-integer logic.
+    */
+  def growthAccounting(events: DataFrame, gapDays: Int = 7): DataFrame = {
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("prev_day", lag(col("day"), 1).over(wU))
+      .withColumn("status",
+        when(col("prev_day").isNull, "new")
+          .when(datediff(col("day"), col("prev_day")) > gapDays, "resurrected")
+          .otherwise("returning"))
+      .groupBy("day", "status").agg(count(lit(1)).as("n_users"))
+      .orderBy("day", "status")
+  }
+
   /** Top-k event types per hour by count (ties → event_type order) —
     * the trending view over [[hourly]]. The rank window partitions on
     * hour over an already-aggregated frame; all-integer ordering.

@@ -85,6 +85,26 @@ class EventsOpsSpec extends SparkSpec {
     assert(flatRows.forall(x => x.isNullAt(4) && !x.getBoolean(5)))
   }
 
+  test("growthAccounting classifies new / returning / resurrected days") {
+    val spark2 = spark
+    import spark2.implicits._
+    // user 1: day1 (new), day2 (returning), day12 (gap 10 > 7 → resurrected)
+    // user 2: day2 (new); duplicate events on one day collapse to one status
+    val df = Seq(
+      (1L, "2024-01-01 09:00:00"), (1L, "2024-01-01 15:00:00"),
+      (1L, "2024-01-02 09:00:00"), (1L, "2024-01-12 09:00:00"),
+      (2L, "2024-01-02 09:00:00"))
+      .map { case (u, ts) => (u, java.sql.Timestamp.valueOf(ts)) }
+      .toDF("user_id", "ts")
+    val r = EventsOps.growthAccounting(df).collect()
+      .map(x => (x.getDate(0).toString, x.getString(1)) -> x.getLong(2)).toMap
+    assert(r == Map(
+      ("2024-01-01", "new") -> 1L,
+      ("2024-01-02", "new") -> 1L,
+      ("2024-01-02", "returning") -> 1L,
+      ("2024-01-12", "resurrected") -> 1L))
+  }
+
   test("slidingValue: every event lands in exactly two 2h/1h windows") {
     val spark2 = spark
     import spark2.implicits._
