@@ -360,6 +360,10 @@ object ExtQueries {
     "events_hourly_top" -> ((s, d) => EventsOps.hourlyTopTypes(ev(s, d))),
     // DAU decomposition: new / returning / resurrected per day
     "events_growth" -> ((s, d) => EventsOps.growthAccounting(ev(s, d))),
+    // L28 power-user curve: users histogrammed by trailing-28d active days
+    "events_l28" -> ((s, d) => EventsOps.activityHistogram(ev(s, d), 28)),
+    // temperature-scaled (τ=1/2) source sampling weights for data mixing
+    "source_mix_weights" -> ((s, d) => Corpus.sourceMixWeights(docs(s, d))),
     // top-3 TF-IDF terms per doc; both factors rounded to 6 before the
     // product so ranking never touches a raw float
     "text_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(docs(s, d), 3)),
@@ -645,6 +649,20 @@ object ExtQueries {
         .orderBy("date")),
     "beta_market" -> ((s, d) =>
       IndicatorsExt.betaVsMarket(Tables.stocks(s, d)).orderBy("symbol")),
+    // Donchian channels + prior-band breakout flag
+    "donchian" -> ((s, d) =>
+      IndicatorsExt.withDonchian(Tables.stocks(s, d), 20)
+        .select("symbol", "date", "dc_upper", "dc_lower", "dc_mid", "breakout")
+        .orderBy("symbol", "date")),
+    // Parkinson / Garman-Klass range volatility (21d, annualized)
+    "range_vol" -> ((s, d) =>
+      IndicatorsExt.rangeVol(Tables.stocks(s, d), 21).orderBy("symbol", "date")),
+    // return autocorrelation at lags 1..5 per symbol
+    "return_acf" -> ((s, d) => IndicatorsExt.returnAcf(Tables.stocks(s, d), 5)),
+    // Amihud illiquidity per symbol-month
+    "amihud_illiq" -> ((s, d) => Risk.amihudIlliq(Tables.stocks(s, d))),
+    // TPC-H Q14 shape: promo revenue share per ship month
+    "promo_revenue" -> ((s, d) => Relational.promoRevenueShare(s, d)),
 
     // streaming EMA replay on the oracle surface: three chronological
     // file drops → three micro-batches; the (num, den) keyed state
@@ -1841,6 +1859,28 @@ object ExtQueries {
          | SELECT lang, predicted, n,
          |   round(n / sum(n) OVER (PARTITION BY lang), 4) AS row_frac
          | FROM g ORDER BY lang, predicted""".stripMargin,
+    "events_l28" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        | m AS (SELECT max(day) AS max_day FROM days),
+        | iw AS (SELECT user_id, day FROM days, m WHERE day > max_day - INTERVAL 28 DAY),
+        | ua AS (SELECT user_id, count(*) AS days_active FROM iw GROUP BY user_id)
+        | SELECT days_active, count(*) AS n_users
+        | FROM ua GROUP BY days_active ORDER BY days_active""".stripMargin,
+    // √-token weights: sqrt is IEEE-exact in both engines; the 6dp
+    // DECIMAL carrier makes the denominator sum fold-order free; boost
+    // repeats the two rounded ratios verbatim
+    "source_mix_weights" ->
+      """WITH s AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+        |           FROM documents GROUP BY source),
+        | q AS (SELECT source, t,
+        |     CAST(round(sqrt(CAST(t AS DOUBLE)), 6) AS DECIMAL(24,6)) AS sq FROM s),
+        | tot AS (SELECT CAST(sum(t) AS BIGINT) AS tot, sum(sq) AS sq_tot FROM q)
+        | SELECT source, t AS n_tokens,
+        |   round(CAST(t AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS w_prop,
+        |   round(CAST(sq AS DOUBLE) / CAST(sq_tot AS DOUBLE), 6) AS w_temp,
+        |   round(round(CAST(sq AS DOUBLE) / CAST(sq_tot AS DOUBLE), 6) /
+        |         round(CAST(t AS DOUBLE) / CAST(tot AS DOUBLE), 6), 4) AS boost
+        | FROM q, tot ORDER BY source""".stripMargin,
     "events_growth" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         | c AS (SELECT day,
@@ -2673,6 +2713,104 @@ object ExtQueries {
          | FROM t
          | WINDOW f AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
          | ORDER BY symbol, date""".stripMargin,
+    // Donchian: max/min are selections (exact); the breakout CASE
+    // compares today's close to YESTERDAY'S gated band, like the Spark
+    // side
+    "donchian" ->
+      s"""${Tables.stocksCte},
+         | t AS (
+         |   SELECT symbol, date, close,
+         |     CASE WHEN count(*) OVER f = 20 THEN max(high) OVER f END AS dc_upper,
+         |     CASE WHEN count(*) OVER f = 20 THEN min(low) OVER f END AS dc_lower
+         |   FROM stocks
+         |   WINDOW f AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         | SELECT symbol, date, dc_upper, dc_lower,
+         |   round((dc_upper + dc_lower) / CAST(2 AS DOUBLE), 6) AS dc_mid,
+         |   CASE WHEN close > lag(dc_upper, 1) OVER w THEN 'up'
+         |        WHEN close < lag(dc_lower, 1) OVER w THEN 'down' END AS breakout
+         | FROM t WINDOW w AS (PARTITION BY symbol ORDER BY date)
+         | ORDER BY symbol, date""".stripMargin,
+    // range vol: the two 8dp DECIMAL log carriers make the window sums
+    // exact; 0.6931471805599453 is the double nearest ln 2 — the same
+    // bit pattern Scala's math.log(2.0) folds into the plan
+    "range_vol" ->
+      s"""${Tables.stocksCte},
+         | t AS (SELECT symbol, date,
+         |     CAST(round(ln(high / low), 8) AS DECIMAL(12,8)) AS u,
+         |     CAST(round(ln(close / open), 8) AS DECIMAL(12,8)) AS v
+         |   FROM stocks),
+         | a AS (SELECT symbol, date,
+         |     CASE WHEN count(*) OVER f = 21 THEN CAST(sum(u * u) OVER f AS DOUBLE) END AS su2,
+         |     CASE WHEN count(*) OVER f = 21 THEN CAST(sum(v * v) OVER f AS DOUBLE) END AS sv2
+         |   FROM t
+         |   WINDOW f AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 20 PRECEDING AND CURRENT ROW))
+         | SELECT symbol, date,
+         |   round(sqrt(CAST(252 AS DOUBLE)) * sqrt(su2 /
+         |     (CAST(4 AS DOUBLE) * 0.6931471805599453 * CAST(21 AS DOUBLE))), 6) AS park_vol,
+         |   CASE WHEN (su2 / CAST(2 AS DOUBLE) -
+         |       (CAST(2 AS DOUBLE) * 0.6931471805599453 - CAST(1 AS DOUBLE)) * sv2) / CAST(21 AS DOUBLE) >= 0
+         |     THEN round(sqrt(CAST(252 AS DOUBLE)) * sqrt((su2 / CAST(2 AS DOUBLE) -
+         |       (CAST(2 AS DOUBLE) * 0.6931471805599453 - CAST(1 AS DOUBLE)) * sv2) / CAST(21 AS DOUBLE)), 6)
+         |   END AS gk_vol
+         | FROM a ORDER BY symbol, date""".stripMargin,
+    // ACF: one lag layer, one grouped block of 5×6 exact DECIMAL sums,
+    // unioned per lag — the Pearson tree repeats the Spark expressions
+    // verbatim on identical doubles
+    "return_acf" -> {
+      val lagCols = (1 to 5).map(k => s"lag(r, $k) OVER w AS r_$k").mkString(", ")
+      val sums = (1 to 5).map { k =>
+        s"""CAST(count(r_$k) AS DOUBLE) AS n_$k,
+           | CAST(sum(CASE WHEN r_$k IS NOT NULL THEN r END) AS DOUBLE) AS sx_$k,
+           | CAST(sum(r_$k) AS DOUBLE) AS sy_$k,
+           | CAST(sum(r * r_$k) AS DOUBLE) AS sxy_$k,
+           | CAST(sum(CASE WHEN r_$k IS NOT NULL THEN r * r END) AS DOUBLE) AS sxx_$k,
+           | CAST(sum(r_$k * r_$k) AS DOUBLE) AS syy_$k""".stripMargin
+      }.mkString(",\n ")
+      val branches = (1 to 5).map { k =>
+        s"""SELECT symbol, $k AS lag, CAST(n_$k AS BIGINT) AS n_pairs,
+           | round(CASE WHEN sqrt((n_$k * sxx_$k - sx_$k * sx_$k) * (n_$k * syy_$k - sy_$k * sy_$k)) > 0
+           |   THEN (n_$k * sxy_$k - sx_$k * sy_$k) /
+           |     sqrt((n_$k * sxx_$k - sx_$k * sx_$k) * (n_$k * syy_$k - sy_$k * sy_$k)) END, 6) AS acf
+           | FROM g""".stripMargin
+      }.mkString("\n UNION ALL\n ")
+      s"""${Tables.stocksCte},
+         | rr AS (SELECT symbol, date,
+         |     CAST(round((close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date)
+         |       - CAST(1 AS DOUBLE)) * CAST(100 AS DOUBLE), 8) AS DECIMAL(20,8)) AS r
+         |   FROM stocks),
+         | b AS (SELECT symbol, date, r FROM rr WHERE r IS NOT NULL),
+         | l AS (SELECT symbol, r, $lagCols
+         |   FROM b WINDOW w AS (PARTITION BY symbol ORDER BY date)),
+         | g AS (SELECT symbol, $sums FROM l GROUP BY symbol)
+         | SELECT * FROM ($branches)
+         | ORDER BY symbol, lag""".stripMargin
+    },
+    // Amihud: the 10dp DECIMAL daily-ratio carrier makes the monthly
+    // mean fold-order free
+    "amihud_illiq" ->
+      s"""${Tables.stocksCte},
+         | r AS (SELECT symbol, date, close, volume,
+         |     (close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date)
+         |       - CAST(1 AS DOUBLE)) * CAST(100 AS DOUBLE) AS ret
+         |   FROM stocks),
+         | d AS (SELECT symbol, strftime(date, '%Y-%m') AS month,
+         |     CAST(round(CAST(1000000 AS DOUBLE) * abs(ret) / (close * CAST(volume AS DOUBLE)), 10)
+         |       AS DECIMAL(28,10)) AS illiq
+         |   FROM r WHERE ret IS NOT NULL AND volume > 0)
+         | SELECT symbol, month, count(*) AS n_days,
+         |   round(CAST(sum(illiq) AS DOUBLE) / count(*), 6) AS amihud_illiq
+         | FROM d GROUP BY symbol, month ORDER BY symbol, month""".stripMargin,
+    "promo_revenue" ->
+      """SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+        | CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+        | round(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |     THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) /
+        |   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_share_pct
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | GROUP BY strftime(CAST(l_shipdate AS DATE), '%Y-%m')
+        | ORDER BY ship_month""".stripMargin,
     // the EWM midline replays the EwmMean recursion bit-for-bit
     // (num' = typ + d·num, den' = 1 + d·den — the ema_macd precedent);
     // constants go through CAST(n AS DOUBLE) so DuckDB can't route them

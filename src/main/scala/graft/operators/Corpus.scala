@@ -123,4 +123,34 @@ object Corpus {
       .select("doc_id", "keep", "reasons")
       .orderBy("doc_id")
   }
+
+  /** Temperature-scaled multinomial sampling weights per source:
+    * wᵢ = tᵢ^τ / Σⱼ tⱼ^τ with τ = 1/2 — the data-mixing recipe
+    * (multilingual-BERT / XLM exponent-smoothed sampling) that
+    * up-weights small sources relative to proportional sampling. Also
+    * emits the proportional weight and the boost ratio so the mix
+    * change is readable per source.
+    *
+    * τ is fixed at 1/2 because √ is IEEE-correctly-rounded (bit-equal
+    * in every engine) while pow(x, 0.5) is not; the √-token values
+    * round to 6dp DECIMAL(24,6) so both denominators are exact sums in
+    * any fold order. One hash aggregate over sources, the scalar
+    * totals broadcast back, every ratio divides once and rounds.
+    */
+  def sourceMixWeights(docs: DataFrame): DataFrame = {
+    val perSource = docs
+      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source").agg(sum("tokens").as("t"))
+      .withColumn("sq", round(sqrt(col("t").cast("double")), 6).cast("decimal(24,6)"))
+    val totals = perSource.agg(
+      sum("t").as("tot"), sum("sq").as("sq_tot"))
+    perSource.crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("t").as("n_tokens"),
+        round(col("t").cast("double") / col("tot").cast("double"), 6).as("w_prop"),
+        round(col("sq").cast("double") / col("sq_tot").cast("double"), 6)
+          .as("w_temp"))
+      .withColumn("boost", round(col("w_temp") / col("w_prop"), 4))
+      .orderBy("source")
+  }
 }

@@ -289,4 +289,22 @@ object EventsOps {
         Relational.moneySum(col("value")).as("value_sum"))
       .orderBy("user_id", "session_seq")
   }
+
+  /** L-N engagement histogram: over the trailing n-day window ending at
+    * the corpus's last event day, count each user's active days, then
+    * histogram users by that count — the power-user curve (L28 smile)
+    * growth teams read weekly. All-integer logic: a distinct on
+    * (user, day) inside the window, two hash aggregates; the window
+    * bound broadcasts as a scalar subquery (no driver collect).
+    */
+  def activityHistogram(events: DataFrame, n: Int = 28): DataFrame = {
+    val days = events.select(col("user_id"), to_date(col("ts")).as("day"))
+    val maxDay = days.agg(max("day").as("max_day"))
+    val inWindow = days.join(broadcast(maxDay),
+        col("day") > date_sub(col("max_day"), n), "inner")
+      .select("user_id", "day").distinct()
+    inWindow.groupBy("user_id").agg(count(lit(1)).as("days_active"))
+      .groupBy("days_active").agg(count(lit(1)).as("n_users"))
+      .orderBy("days_active")
+  }
 }

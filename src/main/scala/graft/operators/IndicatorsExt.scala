@@ -335,4 +335,99 @@ object IndicatorsExt {
         (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), scale)
         .as("alpha"))
   }
+
+  /** Donchian channels: upper/lower = n-day rolling max-high/min-low
+    * (selections — exact bit patterns, no float accumulation), mid =
+    * their average, and a breakout flag comparing today's close against
+    * YESTERDAY'S channel (the trading rule: a close above the prior
+    * upper band is an upside breakout; using today's band would make a
+    * breakout definitionally impossible since close ≤ high ≤ upper).
+    * Same full-window gate as ATR: null until n rows exist. One
+    * symbol-window pass; all comparisons run on identical doubles in
+    * both engines. The mid rounds at 6dp, NOT 4: band sums have exactly
+    * five decimal digits (4dp prices / 2), so a 4dp round sits on the
+    * half boundary where the engines' double→decimal paths disagree.
+    */
+  def withDonchian(df: DataFrame, n: Int = 20, scale: Int = 6): DataFrame =
+    df.withColumn("dc_upper", Indicators.gatedOver(w, n, col("high"), max))
+      .withColumn("dc_lower", Indicators.gatedOver(w, n, col("low"), min))
+      .withColumn("dc_mid",
+        round((col("dc_upper") + col("dc_lower")) / lit(2.0), scale))
+      .withColumn("breakout",
+        when(col("close") > lag(col("dc_upper"), 1).over(w), "up")
+          .when(col("close") < lag(col("dc_lower"), 1).over(w), "down"))
+
+  /** Range-based volatility estimators over a trailing n-day window:
+    * Parkinson (high/low range) and Garman-Klass (OHLC), annualized by
+    * √252. Both use intraday range instead of close-to-close moves, so
+    * they converge ~5× faster than [[Indicators]] W12's stddev.
+    *
+    * σ²_P  = (1/(4·ln2·n)) Σ ln(h/l)²
+    * σ²_GK = (1/n) Σ [ ln(h/l)²/2 − (2·ln2−1)·ln(c/o)² ]
+    *
+    * Determinism: the two per-day log terms round to 8dp DECIMAL(12,8)
+    * carriers, their squares are DECIMAL(25,16) (exact sums in any
+    * fold order), and only the fixed scalar formula runs in double.
+    * Gated at a full n-row window like the W-family.
+    */
+  def rangeVol(df: DataFrame, n: Int = 21, scale: Int = 6): DataFrame = {
+    val u = round(log(col("high") / col("low")), 8).cast("decimal(12,8)")
+    val v = round(log(col("close") / col("open")), 8).cast("decimal(12,8)")
+    val f = trailing(n)
+    val su2 = when(count(col("u")).over(f) === n,
+      sum(col("u") * col("u")).over(f).cast("double"))
+    val sv2 = when(count(col("v")).over(f) === n,
+      sum(col("v") * col("v")).over(f).cast("double"))
+    val ann = lit(math.sqrt(252.0))
+    val ln2 = lit(math.log(2.0))
+    val gkInner = (su2 / lit(2.0) - (lit(2.0) * ln2 - lit(1.0)) * sv2) / lit(n.toDouble)
+    df.withColumn("u", u).withColumn("v", v)
+      .withColumn("park_vol",
+        round(ann * sqrt(su2 / (lit(4.0) * ln2 * lit(n.toDouble))), scale))
+      // GK's drift-correction term can push the estimate below zero on
+      // windows dominated by open→close jumps; null there, like the gate
+      .withColumn("gk_vol",
+        round(when(gkInner >= 0, ann * sqrt(gkInner)), scale))
+      .select("symbol", "date", "park_vol", "gk_vol")
+  }
+
+  /** Autocorrelation function of daily returns at lags 1..maxLag per
+    * symbol — the serial-dependence diagnostic behind momentum/mean-
+    * reversion screens (near-zero ACF ⇒ efficient; negative lag-1 ⇒
+    * bid-ask bounce). For each lag k, Pearson corr over the aligned
+    * (r_t, r_{t−k}) pairs via the five exact DECIMAL power sums (the
+    * [[pairReturnCorr]] recipe), formula in double at the end.
+    *
+    * Shape: ONE symbol-window pass materializes all lag columns, then a
+    * single hash aggregate computes every lag's sums together (5·maxLag
+    * conditional sums) — not maxLag separate passes. The lag dimension
+    * unpivots driver-side from the one aggregated row per symbol
+    * (bounded: symbols × 1), never touching the row-level frame again.
+    */
+  def returnAcf(df: DataFrame, maxLag: Int = 5, scale: Int = 6): DataFrame = {
+    val base = df.withColumn("r", returnDec).filter(col("r").isNotNull)
+    val lagged = (1 to maxLag).foldLeft(base) { (d, k) =>
+      d.withColumn(s"r_$k", lag(col("r"), k).over(w))
+    }
+    def s(c: org.apache.spark.sql.Column) = sum(c).cast("double")
+    val aggs = (1 to maxLag).flatMap { k =>
+      val y = col(s"r_$k")
+      val x = when(y.isNotNull, col("r"))
+      Seq(
+        count(y).cast("double").as(s"n_$k"),
+        s(x).as(s"sx_$k"), s(y).as(s"sy_$k"),
+        s(x * y).as(s"sxy_$k"), s(x * x).as(s"sxx_$k"), s(y * y).as(s"syy_$k"))
+    }
+    val wide = lagged.groupBy("symbol").agg(aggs.head, aggs.tail: _*)
+    val perLag = (1 to maxLag).map { k =>
+      val (n, sx, sy, sxy, sxx, syy) =
+        (col(s"n_$k"), col(s"sx_$k"), col(s"sy_$k"),
+          col(s"sxy_$k"), col(s"sxx_$k"), col(s"syy_$k"))
+      val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      wide.select(
+        col("symbol"), lit(k).as("lag"), n.cast("long").as("n_pairs"),
+        round(when(den > 0, (n * sxy - sx * sy) / den), scale).as("acf"))
+    }
+    perLag.reduce(_ unionByName _).orderBy("symbol", "lag")
+  }
 }

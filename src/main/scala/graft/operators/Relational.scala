@@ -185,4 +185,26 @@ object Relational {
         col("pct_rank"), col("cume"), col("decile"))
       .orderBy("nationkey", "custkey")
   }
+
+  /** Promotion revenue share per ship month (the TPC-H Q14 shape over
+    * the whole date range): 100 · Σ_promo rev / Σ rev, where promo
+    * lineitems ship parts with p_type = 'PROMO'. Both sums accumulate
+    * in DECIMAL (fold-order free); the share divides once and rounds.
+    * Shape: fact-to-part equi-join — part is the small side and
+    * broadcasts, so the only shuffle is the month hash aggregate.
+    */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        moneySum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        moneySum(rev).as("total_revenue"))
+      .withColumn("promo_share_pct",
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4))
+      .orderBy("ship_month")
+  }
 }

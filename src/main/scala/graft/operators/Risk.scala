@@ -263,4 +263,33 @@ object Risk {
       round(cov * cov / (vx * vy), scale).as("r2"))
       .orderBy("symbol")
   }
+
+  /** Amihud (2002) illiquidity per (symbol, month): the monthly mean of
+    * 10⁶·|return| / dollar-volume — the standard price-impact proxy
+    * (how many percent a million currency units of flow moves the
+    * price). Days with zero volume are excluded (undefined impact), as
+    * in the original paper.
+    *
+    * Determinism: the daily ratio is one double division on exact
+    * inputs, rounded to 10dp and carried as DECIMAL(28,10) so the
+    * monthly sum is fold-order free; the mean divides once and rounds.
+    * Shape: the symbol window for returns, then one hash aggregate on
+    * (symbol, month) — at 100 TB both partial-aggregate map-side.
+    */
+  def amihudIlliq(df: DataFrame, scale: Int = 6): DataFrame = {
+    val r = (col("close") / lag(col("close"), 1).over(w) - lit(1.0)) * lit(100.0)
+    val dollarVol = col("close") * col("volume").cast("double")
+    // the when() guard keeps the division out of ANSI's reach on
+    // zero-volume days (CASE branches evaluate lazily)
+    val daily = when(col("volume") > 0,
+      round(lit(1000000.0) * abs(r) / dollarVol, 10).cast("decimal(28,10)"))
+    df.withColumn("illiq", daily)
+      .filter(col("illiq").isNotNull)
+      .groupBy(col("symbol"), date_format(col("date"), "yyyy-MM").as("month"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(sum(col("illiq")).cast("double") / count(lit(1)), scale)
+          .as("amihud_illiq"))
+      .orderBy("symbol", "month")
+  }
 }

@@ -54,4 +54,28 @@ class CorpusSpec extends SparkSpec {
     assert(r(4L) == (true, ""))
     assert(r(5L) == (false, "too_short"))
   }
+
+  test("sourceMixWeights: τ=1/2 up-weights the small source, weights sum to 1") {
+    val spark2 = spark
+    import spark2.implicits._
+    // srcA 9 tokens (√=3), srcB 16 tokens (√=4): w_prop 0.36/0.64,
+    // w_temp 3/7 and 4/7 — the small source's share rises
+    val d = Seq(
+      (0L, (1 to 9).map(_ => "t").mkString(" "), "en", "srcA", 9L),
+      (1L, (1 to 16).map(_ => "t").mkString(" "), "en", "srcB", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.sourceMixWeights(d).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (wtA, wtB) = (r6(3.0 / 7.0), r6(4.0 / 7.0))
+    assert(r("srcA").getAs[Long]("n_tokens") == 9L)
+    assert(r("srcA").getAs[Double]("w_prop") == 0.36)
+    assert(r("srcA").getAs[Double]("w_temp") == wtA)
+    assert(r("srcB").getAs[Double]("w_prop") == 0.64)
+    assert(r("srcB").getAs[Double]("w_temp") == wtB)
+    assert(r("srcA").getAs[Double]("boost") == r4(wtA / 0.36))
+    assert(r("srcB").getAs[Double]("boost") == r4(wtB / 0.64))
+    assert(r("srcA").getAs[Double]("boost") > 1.0 && r("srcB").getAs[Double]("boost") < 1.0)
+  }
 }

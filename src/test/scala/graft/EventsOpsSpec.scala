@@ -122,4 +122,21 @@ class EventsOpsSpec extends SparkSpec {
     assert(r("2024-01-01 11:00:00.0") == (1L, 4.0))
     assert(r.values.map(_._1).sum == 6L)
   }
+
+  test("activityHistogram counts distinct active days in the trailing window only") {
+    val spark2 = spark
+    import spark2.implicits._
+    def e(id: Long, user: Long, day: Int) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), user, "view", 1.0, "{}")
+    // max day = Jan 28; n=3 → window {26,27,28}. user 1 active 3 days
+    // (two events on the 28th must count once); user 2 active 1 day;
+    // user 3 only outside the window
+    val df = Seq(
+      e(0, 1, 26), e(1, 1, 27), e(2, 1, 28), e(3, 1, 28),
+      e(4, 2, 28), e(5, 3, 20))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventsOps.activityHistogram(df, n = 3).collect()
+      .map(x => x.getAs[Long]("days_active") -> x.getAs[Long]("n_users"))
+    assert(r.toSeq == Seq(1L -> 1L, 3L -> 1L))
+  }
 }

@@ -126,6 +126,63 @@ class IndicatorsExtSpec extends SparkSpec {
     assert(r.getAs[Double]("excess_kurtosis") == -2.0)
   }
 
+  test("Donchian: selection bands, gated start, breakout vs yesterday's band") {
+    // highs = close+1, lows = close-1
+    val df = IndicatorsExt.withDonchian(bars("A", Seq(10.0, 12.0, 9.0, 15.0, 7.0)), 2)
+    assertColumn(df, "dc_upper", Seq(Double.NaN, 13.0, 13.0, 16.0, 16.0))
+    assertColumn(df, "dc_lower", Seq(Double.NaN, 9.0, 8.0, 8.0, 6.0))
+    assertColumn(df, "dc_mid", Seq(Double.NaN, 11.0, 10.5, 12.0, 11.0))
+    val b = df.orderBy("date").collect().map(r =>
+      Option(r.getAs[String]("breakout")))
+    // row3: close 15 > yesterday's upper 13 → up;
+    // row4: close 7 < yesterday's lower 8 → down; others null
+    assert(b.toSeq == Seq(None, None, None, Some("up"), Some("down")))
+  }
+
+  test("range vol: Parkinson from the 8dp log carriers; GK nulls when negative") {
+    val spark2 = spark
+    import spark2.implicits._
+    // second bar is deliberately inconsistent (high/low inside the
+    // open→close move): u=ln2, v=ln8 → GK inner < 0 → null, park real
+    val df = Seq(
+      ("A", "2020-01-01", 1.0, 4.0, 1.0, 4.0, 1L),
+      ("A", "2020-01-02", 1.0, 2.0, 1.0, 8.0, 1L))
+      .toDF("symbol", "ds", "open", "high", "low", "close", "volume")
+      .selectExpr("symbol", "CAST(ds AS DATE) AS date", "open", "high", "low", "close", "volume")
+    val r = IndicatorsExt.rangeVol(df, n = 1).orderBy("date").collect()
+    def park(u: Double): Double = {
+      // mirror the operator: 8dp DECIMAL carrier, exact decimal square,
+      // then the double formula and the 6dp final round
+      val u8 = BigDecimal(u).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      val su2 = (u8 * u8).toDouble
+      BigDecimal(math.sqrt(252.0) * math.sqrt(su2 / (4.0 * math.log(2.0) * 1.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(r(0).getAs[Double]("park_vol") == park(math.log(4.0)))
+    // day 1: u = v = ln4 → inner = u²(1/2 − (2ln2−1)) > 0 → GK real
+    assert(!r(0).isNullAt(r(0).fieldIndex("gk_vol")))
+    assert(r(1).getAs[Double]("park_vol") == park(math.log(2.0)))
+    assert(r(1).isNullAt(r(1).fieldIndex("gk_vol")))
+  }
+
+  test("return ACF: alternating ±10% returns give -1/+1/-1 at lags 1/2/3") {
+    // closes → rounded returns exactly +10,-10,+10,-10,+10
+    val df = IndicatorsExt.returnAcf(
+      bars("A", Seq(100.0, 110.0, 99.0, 108.9, 98.01, 107.811)), maxLag = 5)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    val byLag = rows.map(r => r.getAs[Int]("lag") -> r).toMap
+    assert(byLag(1).getAs[Long]("n_pairs") == 4L)
+    assert(byLag(1).getAs[Double]("acf") == -1.0)
+    assert(byLag(2).getAs[Double]("acf") == 1.0)
+    assert(byLag(3).getAs[Double]("acf") == -1.0)
+    // lag 4: one pair → zero variance → null; lag 5: no pairs → null
+    assert(byLag(4).getAs[Long]("n_pairs") == 1L)
+    assert(byLag(4).isNullAt(byLag(4).fieldIndex("acf")))
+    assert(byLag(5).getAs[Long]("n_pairs") == 0L)
+    assert(byLag(5).isNullAt(byLag(5).fieldIndex("acf")))
+  }
+
   test("beta against the equal-weight market recovers the return multiple") {
     // B's returns are exactly 2x A's → market = 1.5x A's returns,
     // beta_A = 1/1.5, beta_B = 2/1.5, both alphas 0

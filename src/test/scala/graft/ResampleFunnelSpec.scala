@@ -125,4 +125,29 @@ class ResampleFunnelSpec extends SparkSpec {
     assert(r.toSeq == Seq(
       "1995-01-01" -> 2L, "1995-01-02" -> 2L, "1995-01-03" -> 1L, "1995-01-04" -> 0L))
   }
+
+  test("promo revenue share: DECIMAL sums per ship month, share of promo parts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-promo").toString
+    Seq((1L, "PROMO"), (2L, "ECONOMY")).toDF("p_partkey", "p_type")
+      .write.parquet(dir + "/part.parquet")
+    // Jan: promo 100·(1−0.1)=90, other 200·(1−0.25)=150 → 37.5%
+    // Feb: only the non-promo part ships → 0%
+    Seq(
+      (1L, 100.0, 0.10, "1995-01-05"),
+      (2L, 200.0, 0.25, "1995-01-20"),
+      (2L, 50.0, 0.00, "1995-02-01"))
+      .toDF("l_partkey", "l_extendedprice", "l_discount", "lds")
+      .selectExpr("l_partkey", "l_extendedprice", "l_discount",
+        "CAST(lds AS TIMESTAMP) AS l_shipdate")
+      .write.parquet(dir + "/lineitem.parquet")
+    val r = graft.operators.Relational.promoRevenueShare(spark, dir).collect()
+      .map(x => x.getAs[String]("ship_month") ->
+        (x.getAs[Double]("promo_revenue"), x.getAs[Double]("total_revenue"),
+          x.getAs[Double]("promo_share_pct")))
+    assert(r.toSeq == Seq(
+      "1995-01" -> (90.0, 240.0, 37.5),
+      "1995-02" -> (0.0, 50.0, 0.0)))
+  }
 }

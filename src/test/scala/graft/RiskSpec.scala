@@ -111,6 +111,25 @@ class RiskSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getAs[Double]("vol_share")).sum - 1.0) < 2e-6)
   }
 
+  test("Amihud illiquidity: monthly mean of 10dp daily carriers, zero-volume excluded") {
+    import org.apache.spark.sql.functions._
+    // bars volumes are 100+i; zero out the last day to test the exclusion
+    val df = bars("A", Seq(10.0, 11.0, 9.9, 12.0))
+      .withColumn("volume", when(col("close") === 12.0, 0L).otherwise(col("volume")))
+    val r = Risk.amihudIlliq(df).collect()
+    assert(r.length == 1) // one (symbol, month); day 1 has no return, day 4 zero volume
+    def daily(c0: Double, c1: Double, vol: Double): BigDecimal = {
+      val ret = (c1 / c0 - 1.0) * 100.0
+      BigDecimal(1000000.0 * math.abs(ret) / (c1 * vol))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val exp = BigDecimal((daily(10.0, 11.0, 101.0) + daily(11.0, 9.9, 102.0)).toDouble / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0).getAs[String]("month") == "2020-01")
+    assert(r(0).getAs[Long]("n_days") == 2L)
+    assert(r(0).getAs[Double]("amihud_illiq") == exp)
+  }
+
   test("OLS trend: a perfectly linear close gives slope 1, R² 1") {
     val r = Risk.trendOls(bars("A", Seq(10.0, 11.0, 12.0, 13.0))).collect()
     assert(r.length == 1)
