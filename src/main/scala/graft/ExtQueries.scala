@@ -663,6 +663,12 @@ object ExtQueries {
     "amihud_illiq" -> ((s, d) => Risk.amihudIlliq(Tables.stocks(s, d))),
     // TPC-H Q14 shape: promo revenue share per ship month
     "promo_revenue" -> ((s, d) => Relational.promoRevenueShare(s, d)),
+    // TPC-H Q13 shape: order-count histogram including the zero bucket
+    "tpch_q13_custdist" -> ((s, d) => Relational.customerOrderDistribution(s, d)),
+    // TPC-H Q22 shape: above-average-balance customers with no orders
+    "tpch_q22_idle_rich" -> ((s, d) => Relational.idleRichCustomers(s, d)),
+    // TPC-H Q18 shape: orders whose total quantity exceeds 300
+    "tpch_q18_big_orders" -> ((s, d) => Relational.largeVolumeOrders(s, d)),
 
     // streaming EMA replay on the oracle surface: three chronological
     // file drops → three micro-batches; the (num, den) keyed state
@@ -2800,6 +2806,38 @@ object ExtQueries {
          | SELECT symbol, month, count(*) AS n_days,
          |   round(CAST(sum(illiq) AS DOUBLE) / count(*), 6) AS amihud_illiq
          | FROM d GROUP BY symbol, month ORDER BY symbol, month""".stripMargin,
+    "tpch_q13_custdist" ->
+      """WITH oc AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey),
+        | j AS (SELECT coalesce(cnt, 0) AS c_count
+        |       FROM customer LEFT JOIN oc ON c_custkey = o_custkey)
+        | SELECT c_count, count(*) AS custdist FROM j
+        | GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // the mean accumulates in DECIMAL and divides once, so the
+    // threshold double is bit-identical in both engines
+    "tpch_q22_idle_rich" ->
+      """WITH a AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        |           FROM customer WHERE c_acctbal > 0),
+        | m AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_day FROM orders),
+        | rec AS (SELECT DISTINCT o_custkey FROM orders, m
+        |         WHERE CAST(o_orderdate AS DATE) > max_day - INTERVAL 365 DAY),
+        | b AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer, a
+        |       WHERE c_acctbal > avg_bal),
+        | i AS (SELECT * FROM b WHERE NOT EXISTS
+        |       (SELECT 1 FROM rec WHERE o_custkey = c_custkey))
+        | SELECT n_name, count(*) AS numcust,
+        |   CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        | FROM i JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // the quantity threshold compares on the exact DECIMAL sum
+    "tpch_q18_big_orders" ->
+      """WITH q AS (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |           FROM lineitem GROUP BY l_orderkey
+        |           HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        | SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |   o_totalprice, CAST(qty AS DOUBLE) AS sum_qty
+        | FROM orders JOIN q ON o_orderkey = l_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
     "promo_revenue" ->
       """SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
         | CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'

@@ -186,6 +186,80 @@ object Relational {
       .orderBy("nationkey", "custkey")
   }
 
+  /** Customer order-count distribution (the TPC-H Q13 shape): how many
+    * customers placed exactly k orders, INCLUDING the zero-order bucket
+    * the inner join would silently drop. Shape: pre-aggregate orders to
+    * (custkey, count) BEFORE the join — the join's build side shrinks
+    * from the order count to the customer count and the heavy aggregate
+    * partial-combines map-side; the left outer join then only fills the
+    * zero bucket. Ordering is (custdist, c_count) desc — both integers,
+    * so the total order is exact.
+    */
+  def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    Tables.customer(spark, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** Idle high-balance customers per nation (the TPC-H Q22 shape):
+    * customers whose account balance beats the mean positive balance
+    * but who placed no order in the trailing 365 days of the data —
+    * the anti-join + scalar-subquery pattern. ("never ordered" would be
+    * vacuous here: every generated customer has orders.) The mean
+    * accumulates in DECIMAL(18,2) (exact in any fold order) and divides
+    * once; the comparison then runs on the same double in both engines.
+    * Shape: two 1-row scalar aggregates broadcast as build sides, a
+    * LEFT ANTI join against the distinct recent-buyer custkeys
+    * (semi-join-sized, partial-aggregated), nation broadcast.
+    */
+  def idleRichCustomers(spark: SparkSession, dir: String, idleDays: Int = 365): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+    val maxDay = o.agg(max("od").as("max_day"))
+    val recentBuyers = o.join(broadcast(maxDay),
+        col("od") > date_sub(col("max_day"), idleDays))
+      .select(col("o_custkey")).distinct()
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recentBuyers, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"), moneySum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("n_name")
+  }
+
+  /** Large-volume orders (the TPC-H Q18 shape): orders whose total
+    * lineitem quantity exceeds `minQty`, with their customer. The
+    * quantity sum accumulates in DECIMAL(18,2) and the threshold
+    * compares ON THE DECIMAL (exact — no double boundary flutter), so
+    * the selected set is identical in any engine. Shape: the lineitem
+    * aggregate partial-combines before its shuffle, the surviving
+    * handful of orderkeys semi-join orders, and customer joins last —
+    * by then the row count is the result size, not the fact size.
+    */
+  def largeVolumeOrders(spark: SparkSession, dir: String, minQty: Int = 300): DataFrame = {
+    val qty = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+      .filter(col("qty") > minQty)
+    val o = Tables.orders(spark, dir)
+    o.join(qty, o("o_orderkey") === qty("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"),
+        col("qty").cast("double").as("sum_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+  }
+
   /** Promotion revenue share per ship month (the TPC-H Q14 shape over
     * the whole date range): 100 · Σ_promo rev / Σ rev, where promo
     * lineitems ship parts with p_type = 'PROMO'. Both sums accumulate

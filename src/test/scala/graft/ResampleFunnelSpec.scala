@@ -150,4 +150,59 @@ class ResampleFunnelSpec extends SparkSpec {
       "1995-01" -> (90.0, 240.0, 37.5),
       "1995-02" -> (0.0, 50.0, 0.0)))
   }
+
+  test("Q13 custdist includes the zero-order bucket via the left outer join") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q13").toString
+    Seq((1L, 50.0, 0L), (2L, 60.0, 0L), (3L, 70.0, 0L))
+      .toDF("c_custkey", "c_acctbal", "c_nationkey").write.parquet(dir + "/customer.parquet")
+    // cust 1 has two orders, cust 2 one, cust 3 none
+    Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(dir + "/orders.parquet")
+    val r = graft.operators.Relational.customerOrderDistribution(spark, dir).collect()
+      .map(x => x.getAs[Long]("c_count") -> x.getAs[Long]("custdist"))
+    // equal custdist ties order by c_count desc
+    assert(r.toSeq == Seq(2L -> 1L, 1L -> 1L, 0L -> 1L))
+  }
+
+  test("Q22 idle-rich: above-mean balance, no recent order, negative bal excluded from mean") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q22").toString
+    // positive balances 100/300/200 → mean 200; strict > keeps only cust 2;
+    // the -50 row must not drag the mean down
+    Seq((1L, 100.0, 0L), (2L, 300.0, 0L), (3L, -50.0, 1L), (4L, 200.0, 1L))
+      .toDF("c_custkey", "c_acctbal", "c_nationkey").write.parquet(dir + "/customer.parquet")
+    // max day 2001-01-01; cust 2's only order is >365d older → idle
+    Seq((10L, 1L, "2001-01-01"), (11L, 2L, "1999-06-01"))
+      .toDF("o_orderkey", "o_custkey", "ods")
+      .selectExpr("o_orderkey", "o_custkey", "CAST(ods AS TIMESTAMP) AS o_orderdate")
+      .write.parquet(dir + "/orders.parquet")
+    Seq((0L, "ALPHA"), (1L, "BETA")).toDF("n_nationkey", "n_name")
+      .write.parquet(dir + "/nation.parquet")
+    val r = graft.operators.Relational.idleRichCustomers(spark, dir).collect()
+      .map(x => (x.getAs[String]("n_name"), x.getAs[Long]("numcust"), x.getAs[Double]("totacctbal")))
+    assert(r.toSeq == Seq(("ALPHA", 1L, 300.0)))
+  }
+
+  test("Q18 large-volume orders: decimal quantity sum gates strictly above the threshold") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q18").toString
+    // order 10 sums to 7 (> 5), order 11 to exactly 5 (excluded: strict >)
+    Seq((10L, 3.0), (10L, 4.0), (11L, 5.0)).toDF("l_orderkey", "l_quantity")
+      .write.parquet(dir + "/lineitem.parquet")
+    Seq((10L, 1L, 500.0, "1995-03-01"), (11L, 1L, 900.0, "1995-04-01"))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "ods")
+      .selectExpr("o_orderkey", "o_custkey", "o_totalprice", "CAST(ods AS TIMESTAMP) AS o_orderdate")
+      .write.parquet(dir + "/orders.parquet")
+    Seq((1L, "Customer#1")).toDF("c_custkey", "c_name")
+      .write.parquet(dir + "/customer.parquet")
+    val r = graft.operators.Relational.largeVolumeOrders(spark, dir, minQty = 5).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("o_orderkey") == 10L)
+    assert(r(0).getAs[String]("c_name") == "Customer#1")
+    assert(r(0).getAs[Double]("sum_qty") == 7.0)
+  }
 }
