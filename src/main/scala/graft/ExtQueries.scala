@@ -364,6 +364,12 @@ object ExtQueries {
     "events_l28" -> ((s, d) => EventsOps.activityHistogram(ev(s, d), 28)),
     // temperature-scaled (τ=1/2) source sampling weights for data mixing
     "source_mix_weights" -> ((s, d) => Corpus.sourceMixWeights(docs(s, d))),
+    // bottom-k (KMV) distinct-3-gram estimate per source + exact twin
+    "sketch_kmv_ngrams" -> ((s, d) => Sketch.kmvDistinctNgrams(docs(s, d), 3, 128)),
+    // DSIR importance weights toward the src0 "target domain"
+    "dsir_weights" -> ((s, d) => Sampling.dsirWeights(docs(s, d), "src0")),
+    // weekly cohort LTV curves over events
+    "events_cohort_ltv" -> ((s, d) => EventsOps.cohortLtv(ev(s, d))),
     // top-3 TF-IDF terms per doc; both factors rounded to 6 before the
     // product so ranking never touches a raw float
     "text_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(docs(s, d), 3)),
@@ -661,6 +667,11 @@ object ExtQueries {
     "return_acf" -> ((s, d) => IndicatorsExt.returnAcf(Tables.stocks(s, d), 5)),
     // Amihud illiquidity per symbol-month
     "amihud_illiq" -> ((s, d) => Risk.amihudIlliq(Tables.stocks(s, d))),
+    // Roll implied effective spread per symbol-month
+    "roll_spread" -> ((s, d) => Risk.rollSpread(Tables.stocks(s, d))),
+    // candlestick pattern screen (engulfing/hammer/star/doji)
+    "candlesticks" -> ((s, d) =>
+      IndicatorsExt.candlestickPatterns(Tables.stocks(s, d))),
     // TPC-H Q14 shape: promo revenue share per ship month
     "promo_revenue" -> ((s, d) => Relational.promoRevenueShare(s, d)),
     // TPC-H Q13 shape: order-count histogram including the zero bucket
@@ -1887,6 +1898,70 @@ object ExtQueries {
         |   round(round(CAST(sq AS DOUBLE) / CAST(sq_tot AS DOUBLE), 6) /
         |         round(CAST(t AS DOUBLE) / CAST(tot AS DOUBLE), 6), 4) AS boost
         | FROM q, tot ORDER BY source""".stripMargin,
+    // KMV: the bottom-k rows and the estimator constants (127·2⁵⁶ has
+    // 7 significant bits — exact as a double) mirror Sketch verbatim;
+    // the hash is the md5's leading 14 nibbles assembled base-16
+    // (uniform on [0, 2⁵⁶) — the ascii polynomial is lumpy and would
+    // bias the order statistic)
+    "sketch_kmv_ngrams" -> {
+      val nibbleSql = (1 to 14).map { i =>
+        s"(CAST(ascii(substr(m, $i, 1)) AS BIGINT) - CASE WHEN ascii(substr(m, $i, 1)) >= 97 THEN 87 ELSE 48 END) * ${1L << (4 * (14 - i))}"
+      }.mkString(" + ")
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         | g AS (SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+         |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         | h AS (SELECT DISTINCT source, ($nibbleSql) AS h
+         |       FROM (SELECT source, md5(s) AS m FROM g)),
+         | r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+         | sk AS (SELECT source, max(h) AS h_k, count(*) AS k_eff FROM r WHERE rn <= 128 GROUP BY source),
+         | e AS (SELECT source, count(*) AS exact_distinct FROM g GROUP BY source),
+         | j AS (SELECT source, exact_distinct, k_eff, h_k,
+         |   round(CASE WHEN k_eff < 128 THEN CAST(k_eff AS DOUBLE)
+         |     ELSE CAST(127 AS DOUBLE) * 72057594037927936.0 / CAST(h_k AS DOUBLE) END, 2) AS est_distinct
+         |   FROM sk JOIN e USING (source))
+         | SELECT source, exact_distinct, k_eff, h_k, est_distinct,
+         |   round((est_distinct - CAST(exact_distinct AS DOUBLE)) /
+         |         CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+         | FROM j ORDER BY source""".stripMargin
+    },
+    // DSIR: bucket counts are exact ints; each bucket's log-ratio
+    // (fixed tree, α=½, αB=4096) rounds to an 8dp DECIMAL carrier so
+    // the per-doc sum is fold-order free
+    "dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),
+         | hb AS (SELECT doc_id, source, ($minhashBaseSql) % 8192 AS b
+         |        FROM (SELECT doc_id, source, md5(tok) AS m FROM t)),
+         | ct AS (SELECT b, count(*) AS c_t FROM hb WHERE source = 'src0' GROUP BY b),
+         | cr AS (SELECT b, count(*) AS c_r FROM hb GROUP BY b),
+         | tot AS (SELECT (SELECT sum(c_r) FROM cr) AS n_r, (SELECT sum(c_t) FROM ct) AS n_t),
+         | lr AS (SELECT b,
+         |     CAST(round(ln(((coalesce(c_t, 0) + 0.5) / (CAST(n_t AS DOUBLE) + 4096.0)) /
+         |       ((c_r + 0.5) / (CAST(n_r AS DOUBLE) + 4096.0))), 8) AS DECIMAL(14,8)) AS lr
+         |   FROM cr LEFT JOIN ct USING (b), tot),
+         | d AS (SELECT doc_id, count(*) AS n_tokens,
+         |     round(CAST(sum(lr) AS DOUBLE), 6) AS dsir_logw
+         |   FROM hb JOIN lr USING (b) GROUP BY doc_id)
+         | SELECT d.doc_id, s.source, n_tokens, dsir_logw
+         | FROM d JOIN (SELECT doc_id, source FROM documents) s ON d.doc_id = s.doc_id
+         | ORDER BY d.doc_id""".stripMargin,
+    "events_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week, value FROM events),
+        | fs AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+        | sz AS (SELECT cohort_week, count(*) AS cohort_users FROM fs GROUP BY cohort_week),
+        | cells AS (SELECT fs.cohort_week,
+        |     CAST(date_diff('day', fs.cohort_week, e.week) / 7 AS BIGINT) AS age_week,
+        |     count(DISTINCT e.user_id) AS n_active,
+        |     sum(CAST(e.value AS DECIMAL(18,4))) AS v
+        |   FROM e JOIN fs USING (user_id)
+        |   GROUP BY fs.cohort_week, CAST(date_diff('day', fs.cohort_week, e.week) / 7 AS BIGINT)),
+        | cum AS (SELECT cohort_week, age_week, n_active, v,
+        |     sum(v) OVER (PARTITION BY cohort_week ORDER BY age_week) AS cum_v
+        |   FROM cells)
+        | SELECT cohort_week, age_week, cohort_users, n_active,
+        |   CAST(v AS DOUBLE) AS value_sum,
+        |   round(CAST(cum_v AS DOUBLE) / cohort_users, 4) AS ltv_per_user
+        | FROM cum JOIN sz USING (cohort_week)
+        | ORDER BY cohort_week, age_week""".stripMargin,
     "events_growth" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         | c AS (SELECT day,
@@ -2791,6 +2866,51 @@ object ExtQueries {
          | SELECT * FROM ($branches)
          | ORDER BY symbol, lag""".stripMargin
     },
+    // Roll: Δp carries as 6dp DECIMAL so the monthly power sums are
+    // exact; the covariance/spread tree repeats the Spark expressions
+    // on identical doubles
+    "roll_spread" ->
+      s"""${Tables.stocksCte},
+         | d AS (SELECT symbol, date,
+         |     CAST(round(close - lag(close, 1) OVER w, 2) AS DECIMAL(12,2)) AS dp
+         |   FROM stocks WINDOW w AS (PARTITION BY symbol ORDER BY date)),
+         | p AS (SELECT symbol, date, dp, lag(dp, 1) OVER w AS dp_prev
+         |   FROM d WINDOW w AS (PARTITION BY symbol ORDER BY date)),
+         | g AS (SELECT symbol, strftime(date, '%Y-%m') AS month,
+         |     count(*) AS n_pairs,
+         |     CAST(sum(dp) AS DOUBLE) AS sx, CAST(sum(dp_prev) AS DOUBLE) AS sy,
+         |     CAST(sum(dp * dp_prev) AS DOUBLE) AS sxy
+         |   FROM p WHERE dp IS NOT NULL AND dp_prev IS NOT NULL
+         |   GROUP BY symbol, strftime(date, '%Y-%m'))
+         | SELECT symbol, month, n_pairs,
+         |   round(CASE WHEN (sxy - sx * sy / CAST(n_pairs AS DOUBLE)) / CAST(n_pairs AS DOUBLE) < 0
+         |     THEN CAST(2 AS DOUBLE) * sqrt(-((sxy - sx * sy / CAST(n_pairs AS DOUBLE)) / CAST(n_pairs AS DOUBLE)))
+         |   END, 6) AS roll_spread
+         | FROM g ORDER BY symbol, month""".stripMargin,
+    // candlesticks: pure comparisons on stored doubles; label priority
+    // mirrors the Spark CASE order
+    "candlesticks" ->
+      s"""${Tables.stocksCte},
+         | b AS (SELECT symbol, date, open, high, low, close,
+         |     abs(close - open) AS body, high - low AS rng,
+         |     high - greatest(open, close) AS upper, least(open, close) - low AS lower,
+         |     lag(open, 1) OVER w AS prev_open, lag(close, 1) OVER w AS prev_close
+         |   FROM stocks WINDOW w AS (PARTITION BY symbol ORDER BY date)),
+         | c AS (SELECT symbol, date,
+         |     CASE
+         |       WHEN prev_open > prev_close AND close > open
+         |            AND open <= prev_close AND close >= prev_open THEN 'bullish_engulfing'
+         |       WHEN prev_close > prev_open AND open > close
+         |            AND open >= prev_close AND close <= prev_open THEN 'bearish_engulfing'
+         |       WHEN NOT (rng > 0 AND body <= 0.1 * rng) AND body > 0
+         |            AND lower >= CAST(2 AS DOUBLE) * body AND upper <= body THEN 'hammer'
+         |       WHEN NOT (rng > 0 AND body <= 0.1 * rng) AND body > 0
+         |            AND upper >= CAST(2 AS DOUBLE) * body AND lower <= body THEN 'shooting_star'
+         |       WHEN rng > 0 AND body <= 0.1 * rng THEN 'doji'
+         |     END AS pattern
+         |   FROM b)
+         | SELECT symbol, date, pattern FROM c WHERE pattern IS NOT NULL
+         | ORDER BY symbol, date""".stripMargin,
     // Amihud: the 10dp DECIMAL daily-ratio carrier makes the monthly
     // mean fold-order free
     "amihud_illiq" ->

@@ -290,6 +290,44 @@ object EventsOps {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Cohort LTV curves: users cohorted by the ISO week of their first
+    * event; for each (cohort_week, age_week) cell, the active-user
+    * count, the value booked that week, and the running value per
+    * cohort member — the lifetime-value curve growth teams overlay per
+    * cohort. Value sums accumulate in DECIMAL(18,4) (exact in any fold
+    * order) including the running sum, which divides by the cohort size
+    * once at the end.
+    *
+    * Shape: the first-seen aggregate and the cell aggregate both
+    * partial-combine map-side; the cumulative window partitions by
+    * cohort (cells per cohort = weeks of history — tiny), and the
+    * cohort-size join broadcasts (one row per cohort week).
+    */
+  def cohortLtv(events: DataFrame, scale: Int = 4): DataFrame = {
+    val e = events.select(col("user_id"),
+      to_date(date_trunc("week", col("ts"))).as("week"), col("value"))
+    val firstSeen = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = firstSeen.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = e.join(firstSeen, "user_id")
+      .withColumn("age_week",
+        (datediff(col("week"), col("cohort_week")) / lit(7)).cast("long"))
+      .groupBy("cohort_week", "age_week")
+      .agg(
+        countDistinct("user_id").as("n_active"),
+        sum(col("value").cast("decimal(18,4)")).as("v"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_week").orderBy("age_week")
+    cells.join(broadcast(sizes), "cohort_week")
+      .withColumn("cum_v", sum(col("v")).over(wc))
+      .select(
+        col("cohort_week"), col("age_week"), col("cohort_users"), col("n_active"),
+        col("v").cast("double").as("value_sum"),
+        round(col("cum_v").cast("double") / col("cohort_users"), scale)
+          .as("ltv_per_user"))
+      .orderBy("cohort_week", "age_week")
+  }
+
   /** L-N engagement histogram: over the trailing n-day window ending at
     * the corpus's last event day, count each user's active days, then
     * histogram users by that count — the power-user curve (L28 smile)

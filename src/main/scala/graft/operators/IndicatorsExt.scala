@@ -391,6 +391,48 @@ object IndicatorsExt {
       .select("symbol", "date", "park_vol", "gk_vol")
   }
 
+  /** Candlestick pattern screen: classify each bar by the classic
+    * single/two-bar shapes, priority-ordered so a bar gets ONE label —
+    * engulfing (two-bar reversal) beats hammer/shooting-star (shadow
+    * shapes) beats doji (indecision). Definitions:
+    *   body = |close−open|, upper/lower = shadow above/below the body;
+    *   doji: body ≤ 10% of the high-low range;
+    *   hammer: lower shadow ≥ 2·body and upper ≤ body (non-doji);
+    *   shooting star: the mirror image;
+    *   bullish engulfing: red bar then a green bar whose body covers it
+    *   (bearish symmetric).
+    * Every comparison runs on raw stored doubles with identical
+    * expression trees in both engines — no float output at all, so the
+    * hash compare is on (symbol, date, label). One symbol window pass
+    * for the previous-bar columns; emits only pattern rows.
+    */
+  def candlestickPatterns(df: DataFrame): DataFrame = {
+    val body = abs(col("close") - col("open"))
+    val range = col("high") - col("low")
+    val upper = col("high") - greatest(col("open"), col("close"))
+    val lower = least(col("open"), col("close")) - col("low")
+    val green = col("close") > col("open")
+    val red = col("open") > col("close")
+    val prevOpen = lag(col("open"), 1).over(w)
+    val prevClose = lag(col("close"), 1).over(w)
+    val bullEngulf = (prevOpen > prevClose) && green &&
+      (col("open") <= prevClose) && (col("close") >= prevOpen)
+    val bearEngulf = (prevClose > prevOpen) && red &&
+      (col("open") >= prevClose) && (col("close") <= prevOpen)
+    val doji = (range > 0) && (body <= lit(0.1) * range)
+    val hammer = !doji && (body > 0) && (lower >= lit(2.0) * body) && (upper <= body)
+    val star = !doji && (body > 0) && (upper >= lit(2.0) * body) && (lower <= body)
+    df.withColumn("pattern",
+        when(bullEngulf, "bullish_engulfing")
+          .when(bearEngulf, "bearish_engulfing")
+          .when(hammer, "hammer")
+          .when(star, "shooting_star")
+          .when(doji, "doji"))
+      .filter(col("pattern").isNotNull)
+      .select("symbol", "date", "pattern")
+      .orderBy("symbol", "date")
+  }
+
   /** Autocorrelation function of daily returns at lags 1..maxLag per
     * symbol — the serial-dependence diagnostic behind momentum/mean-
     * reversion screens (near-zero ACF ⇒ efficient; negative lag-1 ⇒

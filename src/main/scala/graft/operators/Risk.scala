@@ -264,6 +264,45 @@ object Risk {
       .orderBy("symbol")
   }
 
+  /** Roll (1984) implied effective spread per (symbol, month):
+    * s = 2·√(−cov(Δp_t, Δp_{t−1})) — bid-ask bounce makes consecutive
+    * trade-price changes negatively autocorrelated, and the magnitude
+    * of that covariance recovers the spread. Months where the serial
+    * covariance is non-negative (trending price, no bounce signal)
+    * yield NULL, the standard convention.
+    *
+    * Determinism: Δp rounds to 6dp DECIMAL(18,6); the four power sums
+    * per month accumulate exact DECIMALs; the population-covariance
+    * and spread formulas run once in double. Shape: one symbol window
+    * for the two lag layers, one hash aggregate on (symbol, month) —
+    * both partial-aggregate map-side at scale.
+    */
+  def rollSpread(df: DataFrame, scale: Int = 6): DataFrame = {
+    // close is exact 2dp data, so Δp is exactly 2dp: the narrow carrier
+    // keeps dp·dp_prev inside DuckDB's int64 decimal-multiply width
+    val dp = round(col("close") - lag(col("close"), 1).over(w), 2)
+      .cast("decimal(12,2)")
+    val paired = df.withColumn("dp", dp)
+      .withColumn("dp_prev", lag(col("dp"), 1).over(w))
+      .filter(col("dp").isNotNull && col("dp_prev").isNotNull)
+    def s(c: org.apache.spark.sql.Column) = sum(c).cast("double")
+    val g = paired
+      .groupBy(col("symbol"), date_format(col("date"), "yyyy-MM").as("month"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        s(col("dp")).as("sx"), s(col("dp_prev")).as("sy"),
+        s(col("dp") * col("dp_prev")).as("sxy"))
+    val n = col("n_pairs").cast("double")
+    val cov = (col("sxy") - col("sx") * col("sy") / n) / n
+    // no cov column in the output: at |cov| ~ 1e9 a fixed-dp double
+    // round is ulp-unstable across engines; the spread (√-scaled back
+    // to price units) is the deliverable and rounds cleanly
+    g.select(
+      col("symbol"), col("month"), col("n_pairs"),
+      round(when(cov < 0, lit(2.0) * sqrt(-cov)), scale).as("roll_spread"))
+      .orderBy("symbol", "month")
+  }
+
   /** Amihud (2002) illiquidity per (symbol, month): the monthly mean of
     * 10⁶·|return| / dollar-volume — the standard price-impact proxy
     * (how many percent a million currency units of flow moves the

@@ -108,4 +108,55 @@ object Sampling {
     df.withColumn("cum_tokens", sum(tokens.cast("long")).over(w))
       .filter(col("cum_tokens") - tokens.cast("long") < budget)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, hashed-unigram
+    * variant): per document, the log-likelihood ratio of a target
+    * domain's token distribution vs the whole corpus, estimated over
+    * `buckets` hash buckets with add-½ smoothing —
+    * logw(d) = Σ_tokens ln(p_target(b(t)) / p_corpus(b(t))). Documents
+    * scoring high look like the target domain; sampling ∝ exp(logw)
+    * reweights a raw corpus toward it.
+    *
+    * Determinism: bucket counts are exact integers; each bucket's
+    * log-ratio evaluates once in double with a fixed tree and rounds to
+    * an 8dp DECIMAL carrier, so the per-document sum (a DECIMAL
+    * aggregate over tokens) is fold-order free.
+    *
+    * Shape at corpus scale: the two count tables are `buckets`-bounded
+    * (default 8192 rows) — one hash aggregate each, then the log-ratio
+    * table BROADCASTS to the token stream, whose per-doc sum
+    * partial-combines map-side. Nothing document-sized ever shuffles
+    * except the (doc_id, sum) rows.
+    */
+  def dsirWeights(docs: DataFrame, targetSource: String,
+      buckets: Int = 8192, scale: Int = 6): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b", hashBucket(col("tok"), buckets))
+    val target = toks.filter(col("source") === targetSource)
+      .groupBy("b").agg(count(lit(1)).as("c_t"))
+    val corpus = toks.groupBy("b").agg(count(lit(1)).as("c_r"))
+    // token totals come from the bucket tables themselves (8192 rows) —
+    // no driver-side count, one broadcast 1-row build side
+    val totals = corpus.agg(sum("c_r").as("n_r"))
+      .crossJoin(target.agg(sum("c_t").as("n_t")))
+    val alphaB = lit(buckets / 2.0) // α·B with α = ½
+    val ratios = corpus.join(target, Seq("b"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log(
+          ((coalesce(col("c_t"), lit(0L)).cast("double") + lit(0.5)) /
+            (col("n_t").cast("double") + alphaB)) /
+            ((col("c_r").cast("double") + lit(0.5)) /
+              (col("n_r").cast("double") + alphaB))), 8)
+          .cast("decimal(14,8)").as("lr"))
+    toks.join(broadcast(ratios), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lr")).cast("double"), scale).as("dsir_logw"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("doc_id", "source", "n_tokens", "dsir_logw")
+      .orderBy("doc_id")
+  }
 }

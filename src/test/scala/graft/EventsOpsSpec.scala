@@ -123,6 +123,27 @@ class EventsOpsSpec extends SparkSpec {
     assert(r.values.map(_._1).sum == 6L)
   }
 
+  test("cohortLtv: weekly cohorts, running value per cohort member") {
+    val spark2 = spark
+    import spark2.implicits._
+    def e(id: Long, user: Long, day: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(s"2024-01-$day 10:00:00"), user, "buy", v, "{}")
+    // weeks are Mon-anchored: Jan 1 2024 is a Monday; users 1,2 start
+    // week 1, user 3 starts week 2; user 1 returns in week 2
+    val df = Seq(
+      e(0, 1, "02", 10.0), e(1, 2, "03", 30.0),
+      e(2, 1, "09", 20.0), e(3, 3, "10", 40.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventsOps.cohortLtv(df).collect()
+      .map(x => (x.getAs[java.sql.Date]("cohort_week").toString, x.getAs[Long]("age_week")) ->
+        (x.getAs[Long]("cohort_users"), x.getAs[Long]("n_active"),
+          x.getAs[Double]("value_sum"), x.getAs[Double]("ltv_per_user")))
+    assert(r.toSeq == Seq(
+      ("2024-01-01", 0L) -> (2L, 2L, 40.0, 20.0),
+      ("2024-01-01", 1L) -> (2L, 1L, 20.0, 30.0),
+      ("2024-01-08", 0L) -> (1L, 1L, 40.0, 40.0)))
+  }
+
   test("activityHistogram counts distinct active days in the trailing window only") {
     val spark2 = spark
     import spark2.implicits._

@@ -165,6 +165,27 @@ class IndicatorsExtSpec extends SparkSpec {
     assert(r(1).isNullAt(r(1).fieldIndex("gk_vol")))
   }
 
+  test("candlesticks: one label per bar in priority order, plain bars absent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      // (day, open, high, low, close) — see expected labels below
+      (1, 11.0, 11.2, 9.9, 10.0), // plain red bar (engulf anchor)
+      (2, 9.9, 11.3, 9.8, 11.2), // engulfs day 1 → bullish_engulfing
+      (3, 10.0, 10.6, 8.0, 10.5), // long lower shadow → hammer
+      (4, 10.4, 12.5, 9.9, 10.0), // long upper shadow → shooting_star
+      (5, 10.0, 11.0, 9.5, 10.05), // tiny body vs range → doji
+      (6, 10.0, 11.5, 9.8, 11.0)) // nothing
+      .map { case (d, o, h, l, c) =>
+        ("A", java.sql.Date.valueOf(f"2020-01-$d%02d"), o, h, l, c) }
+      .toDF("symbol", "date", "open", "high", "low", "close")
+    val r = IndicatorsExt.candlestickPatterns(rows).collect()
+      .map(x => x.getAs[java.sql.Date]("date").toString -> x.getAs[String]("pattern"))
+    assert(r.toSeq == Seq(
+      "2020-01-02" -> "bullish_engulfing", "2020-01-03" -> "hammer",
+      "2020-01-04" -> "shooting_star", "2020-01-05" -> "doji"))
+  }
+
   test("return ACF: alternating ±10% returns give -1/+1/-1 at lags 1/2/3") {
     // closes → rounded returns exactly +10,-10,+10,-10,+10
     val df = IndicatorsExt.returnAcf(

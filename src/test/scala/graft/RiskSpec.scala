@@ -130,6 +130,22 @@ class RiskSpec extends SparkSpec {
     assert(r(0).getAs[Double]("amihud_illiq") == exp)
   }
 
+  test("Roll spread: alternating bounce gives 2·√(-cov); trending month nulls") {
+    // A: closes 10,11,10,11,10 → Δp ±1 alternating → 3 pairs, cov = -8/9
+    // B: monotone up → cov = 0 → null spread
+    val df = bars("A", Seq(10.0, 11.0, 10.0, 11.0, 10.0))
+      .unionByName(bars("B", Seq(10.0, 11.0, 12.0, 13.0)))
+    val r = Risk.rollSpread(df).collect()
+      .map(x => x.getAs[String]("symbol") -> x).toMap
+    assert(r("A").getAs[Long]("n_pairs") == 3L)
+    val covA = (-3.0 - (-1.0 * 1.0) / 3.0) / 3.0
+    val exp = BigDecimal(2.0 * math.sqrt(-covA))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r("A").getAs[Double]("roll_spread") == exp)
+    assert(r("B").getAs[Long]("n_pairs") == 2L)
+    assert(r("B").isNullAt(r("B").fieldIndex("roll_spread")))
+  }
+
   test("OLS trend: a perfectly linear close gives slope 1, R² 1") {
     val r = Risk.trendOls(bars("A", Seq(10.0, 11.0, 12.0, 13.0))).collect()
     assert(r.length == 1)

@@ -89,4 +89,24 @@ class SamplingSpec extends SparkSpec {
     // id 3 starts at 8 ≥ 7 and is dropped; fr's single huge doc survives
     assert(kept.toSeq == Seq(("en", 1L, 4L), ("en", 2L, 8L), ("fr", 4L, 100L)))
   }
+
+  test("dsirWeights ranks target-like documents above off-domain ones") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq(
+      (0L, "alpha beta gamma delta", "wiki"),
+      (1L, "alpha beta gamma delta", "web"), // looks exactly like the target
+      (2L, "spam click buy now", "web"), // shares nothing with the target
+      (3L, "alpha beta spam click", "web")) // half-and-half
+      .map { case (i, t, s) => (i, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Sampling.dsirWeights(d, "wiki", buckets = 64).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Double]("dsir_logw"))).toMap
+    assert(r.values.forall(_._1 == 4L))
+    // target-vocabulary docs must outscore the disjoint-vocabulary doc,
+    // with the mixed doc in between
+    assert(r(1L)._2 == r(0L)._2) // identical text → identical weight
+    assert(r(1L)._2 > r(3L)._2 && r(3L)._2 > r(2L)._2)
+  }
 }
