@@ -146,6 +146,9 @@ object ExtQueries {
     // iterations, exact-decimal contribution sums
     "graph_pagerank" -> ((s, d) =>
       Graph.pageRank(Dedup.minhashLshPairsCached(docs(s, d), d, 0.5))),
+    // triangle counts + local clustering over the same similarity graph
+    "graph_triangles" -> ((s, d) =>
+      Graph.triangleStats(Dedup.minhashLshPairsCached(docs(s, d), d, 0.5))),
     // edit-distance near-dups: prefix/suffix blocking + levenshtein verify
     "dedup_levenshtein" -> ((s, d) => Dedup.levenshteinPairs(docs(s, d))),
     // Benford first-digit forensics over trade volumes
@@ -368,8 +371,12 @@ object ExtQueries {
     "sketch_kmv_ngrams" -> ((s, d) => Sketch.kmvDistinctNgrams(docs(s, d), 3, 128)),
     // DSIR importance weights toward the src0 "target domain"
     "dsir_weights" -> ((s, d) => Sampling.dsirWeights(docs(s, d), "src0")),
+    // KMV sketch set algebra: union/Jaccard/intersection per source pair
+    "sketch_kmv_overlap" -> ((s, d) => Sketch.kmvSourceOverlap(docs(s, d), 3, 128)),
     // weekly cohort LTV curves over events
     "events_cohort_ltv" -> ((s, d) => EventsOps.cohortLtv(ev(s, d))),
+    // top-10 session-opening paths (first 3 event types per session)
+    "events_top_paths" -> ((s, d) => EventsOps.topSessionPaths(ev(s, d))),
     // top-3 TF-IDF terms per doc; both factors rounded to 6 before the
     // product so ranking never touches a raw float
     "text_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(docs(s, d), 3)),
@@ -655,6 +662,9 @@ object ExtQueries {
         .orderBy("date")),
     "beta_market" -> ((s, d) =>
       IndicatorsExt.betaVsMarket(Tables.stocks(s, d)).orderBy("symbol")),
+    // trailing-60d rolling beta vs the equal-weight market
+    "rolling_beta" -> ((s, d) =>
+      IndicatorsExt.rollingBeta(Tables.stocks(s, d), 60)),
     // Donchian channels + prior-band breakout flag
     "donchian" -> ((s, d) =>
       IndicatorsExt.withDonchian(Tables.stocks(s, d), 20)
@@ -1381,6 +1391,28 @@ object ExtQueries {
          |   JOIN nrm nb ON nb.doc_id = c.doc_b)
          | SELECT doc_a, doc_b, lev FROM v WHERE lev <= 5
          | ORDER BY doc_a, doc_b""".stripMargin,
+    // ordered-orientation triangle enumeration: a<b<c found once via
+    // the (a,b)⋈(b,c) wedge closed by (a,c); all-integer until the one
+    // rounded clustering ratio
+    "graph_triangles" -> {
+      s"""$minhashPairsCte,
+         | e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM jp),
+         | tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |   FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         | pn AS (SELECT doc_id, count(*) AS triangles FROM (
+         |     SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri
+         |     UNION ALL SELECT c FROM tri) GROUP BY doc_id),
+         | dg AS (SELECT doc_id, count(*) AS degree FROM (
+         |     SELECT doc_a AS doc_id FROM jp UNION ALL SELECT doc_b FROM jp)
+         |   GROUP BY doc_id)
+         | SELECT dg.doc_id, degree, coalesce(triangles, 0) AS triangles,
+         |   round(CASE WHEN degree >= 2
+         |     THEN CAST(2 AS DOUBLE) * coalesce(triangles, 0) /
+         |       (CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - CAST(1 AS DOUBLE)))
+         |     ELSE CAST(0 AS DOUBLE) END, 6) AS clustering
+         | FROM dg LEFT JOIN pn USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
     // PageRank unrolled: r_k mirrors the Spark iteration exactly —
     // contributions round(rank/deg, 12) sum as DECIMAL(20,12), new rank
     // = one fixed double tree (teleport + d·Σ) re-rounded, constants
@@ -1924,6 +1956,45 @@ object ExtQueries {
          |         CAST(exact_distinct AS DOUBLE), 4) AS rel_err
          | FROM j ORDER BY source""".stripMargin
     },
+    // KMV set algebra: the merged sketch is window-limited to k rows
+    // per pair; estimators mirror Sketch verbatim (inter from the two
+    // rounded factors)
+    "sketch_kmv_overlap" -> {
+      val nibbleSql = (1 to 14).map { i =>
+        s"(CAST(ascii(substr(m, $i, 1)) AS BIGINT) - CASE WHEN ascii(substr(m, $i, 1)) >= 97 THEN 87 ELSE 48 END) * ${1L << (4 * (14 - i))}"
+      }.mkString(" + ")
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         | g AS (SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+         |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         | h AS (SELECT DISTINCT source, ($nibbleSql) AS h
+         |       FROM (SELECT source, md5(s) AS m FROM g)),
+         | r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+         | sk AS (SELECT source, h FROM r WHERE rn <= 128),
+         | srcs AS (SELECT DISTINCT source FROM sk),
+         | pairs AS (SELECT a.source AS sa, b.source AS sb
+         |           FROM srcs a, srcs b WHERE a.source < b.source),
+         | un AS (SELECT sa, sb, h,
+         |     max(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS in_a,
+         |     max(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS in_b
+         |   FROM (
+         |     SELECT p.sa, p.sb, s.h, 'a' AS side FROM pairs p JOIN sk s ON s.source = p.sa
+         |     UNION ALL
+         |     SELECT p.sa, p.sb, s.h, 'b' AS side FROM pairs p JOIN sk s ON s.source = p.sb)
+         |   GROUP BY sa, sb, h),
+         | rr AS (SELECT sa, sb, h, in_a, in_b,
+         |     row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM un),
+         | agg AS (SELECT sa, sb, max(h) AS kth, count(*) AS m_k,
+         |     sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS c_both
+         |   FROM rr WHERE rn <= 128 GROUP BY sa, sb),
+         | est AS (SELECT sa, sb,
+         |     round(CASE WHEN m_k < 128 THEN CAST(m_k AS DOUBLE)
+         |       ELSE CAST(127 AS DOUBLE) * 72057594037927936.0 / CAST(kth AS DOUBLE) END, 2) AS union_est,
+         |     round(CAST(c_both AS DOUBLE) / CAST(m_k AS DOUBLE), 6) AS jaccard_est
+         |   FROM agg)
+         | SELECT sa AS src_a, sb AS src_b, union_est, jaccard_est,
+         |   round(jaccard_est * union_est, 2) AS inter_est
+         | FROM est ORDER BY src_a, src_b""".stripMargin
+    },
     // DSIR: bucket counts are exact ints; each bucket's log-ratio
     // (fixed tree, α=½, αB=4096) rounds to an 8dp DECIMAL carrier so
     // the per-doc sum is fold-order free
@@ -2342,6 +2413,36 @@ object ExtQueries {
         |   round(avg(k), 4) AS k_avg,
         |   min(k) AS k_min, max(k) AS k_max
         | FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // paths: sessionize gap rule, then conditional-aggregate the first
+    // three ranked types; ties rank by path text
+    "events_top_paths" ->
+      """WITH g AS (
+        |   SELECT user_id, ts, event_id, event_type,
+        |     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |   FROM events),
+        | s AS (
+        |   SELECT user_id, ts, event_id, event_type,
+        |     CASE WHEN prev_ts IS NULL
+        |            OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |          THEN 1 ELSE 0 END AS is_start
+        |   FROM g),
+        | sq AS (
+        |   SELECT user_id, ts, event_id, event_type,
+        |     SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS session_seq
+        |   FROM s),
+        | rk AS (
+        |   SELECT user_id, session_seq, event_type,
+        |     row_number() OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS rn
+        |   FROM sq),
+        | p AS (
+        |   SELECT user_id, session_seq, concat_ws(' > ',
+        |       max(CASE WHEN rn = 1 THEN event_type END),
+        |       max(CASE WHEN rn = 2 THEN event_type END),
+        |       max(CASE WHEN rn = 3 THEN event_type END)) AS path
+        |   FROM rk WHERE rn <= 3 GROUP BY user_id, session_seq)
+        | SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+        | ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
     "events_sessionize" ->
       """WITH g AS (
         |   SELECT user_id, ts, event_id, value,
@@ -3163,6 +3264,33 @@ object ExtQueries {
          |        THEN round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
          |   END AS corr_ret
          | FROM s ORDER BY date""".stripMargin,
+    // rolling beta: same market/carrier recipe as beta_market; the
+    // widened DECIMAL(24,8) cast keeps the window products on DuckDB's
+    // int128 path
+    "rolling_beta" ->
+      s"""${Tables.stocksCte},
+         | r AS (
+         |   SELECT symbol, date,
+         |     CAST(round((close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date) - 1.0) * 100.0, 8)
+         |          AS DECIMAL(12,8)) AS r
+         |   FROM stocks),
+         | rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+         | mkt AS (
+         |   SELECT date, CAST(round(CAST(sum(r) AS DOUBLE) / count(*), 8) AS DECIMAL(12,8)) AS m
+         |   FROM rr GROUP BY date),
+         | j AS (SELECT rr.symbol, rr.date, rr.r, mkt.m FROM rr JOIN mkt USING (date)),
+         | a AS (
+         |   SELECT symbol, date, count(*) OVER f AS cnt,
+         |     CAST(sum(m) OVER f AS DOUBLE) AS sx, CAST(sum(r) OVER f AS DOUBLE) AS sy,
+         |     CAST(sum(CAST(m AS DECIMAL(24,8)) * r) OVER f AS DOUBLE) AS sxy,
+         |     CAST(sum(CAST(m AS DECIMAL(24,8)) * m) OVER f AS DOUBLE) AS sxx
+         |   FROM j
+         |   WINDOW f AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 59 PRECEDING AND CURRENT ROW))
+         | SELECT symbol, date,
+         |   round(CASE WHEN cnt = 60 AND (CAST(cnt AS DOUBLE) * sxx - sx * sx) > 0
+         |     THEN (CAST(cnt AS DOUBLE) * sxy - sx * sy) / (CAST(cnt AS DOUBLE) * sxx - sx * sx)
+         |   END, 6) AS beta
+         | FROM a ORDER BY symbol, date""".stripMargin,
     "beta_market" ->
       s"""${Tables.stocksCte},
          | r AS (

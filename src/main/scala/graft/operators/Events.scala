@@ -290,6 +290,44 @@ object EventsOps {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Top-k session paths: the first `depth` event types of every
+    * session (the [[sessionize]] gap rule) joined into a path string,
+    * ranked by session count — the "how do sessions start" view behind
+    * funnel design. Ties rank by path text, so the top-k is total-
+    * ordered. The path builds from conditional aggregates over the
+    * first `depth` ranked rows (no collect_list — its array order is
+    * not an engine contract); concat_ws skips the nulls of short
+    * sessions in both engines.
+    *
+    * Shape: the session window is the sessionize shuffle; the path
+    * aggregate partial-combines; the final top-k is a count-sized
+    * sort + limit.
+    */
+  def topSessionPaths(events: DataFrame, depth: Int = 3, k: Int = 10,
+      gapMinutes: Int = 30): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_start",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("is_start")).over(byUser.rowsBetween(Long.MinValue, 0)))
+    val bySess = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    val steps = (1 to depth).map(i =>
+      max(when(col("rn") === i, col("event_type"))))
+    sess.withColumn("rn", row_number().over(bySess))
+      .filter(col("rn") <= depth)
+      .groupBy("user_id", "session_seq")
+      .agg(concat_ws(" > ", steps: _*).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(k)
+  }
+
   /** Cohort LTV curves: users cohorted by the ISO week of their first
     * event; for each (cohort_week, age_week) cell, the active-user
     * count, the value booked that week, and the running value per

@@ -54,4 +54,45 @@ object Graph {
       .select(col("node").as("doc_id"), col("deg").as("degree"), col("rank"))
       .orderBy("doc_id")
   }
+
+  /** Per-node triangle count and local clustering coefficient over an
+    * undirected pair graph — the "how template-y is this doc's
+    * neighborhood" diagnostic (a near-dup cluster is a near-clique:
+    * clustering ≈ 1; a hub stitching unrelated docs: ≈ 0).
+    *
+    * Triangle enumeration uses the ordered orientation: pairs arrive
+    * as doc_a < doc_b, so a triangle a<b<c is found EXACTLY once by
+    * joining (a,b)⋈(b,c) into wedges and closing with (a,c). All-
+    * integer logic; the clustering ratio is the only double and rounds
+    * once.
+    *
+    * Scale: two equi-joins on edge keys — the wedge count is
+    * Σ_v deg_low(v)², the quantity the low→high orientation minimizes
+    * (every vertex forwards only to higher ids, so hub wedges split).
+    * With the LSH bucket cap bounding degrees upstream, wedges stay
+    * O(edges·cap). Co-partitioned by the join key; no driver state.
+    */
+  def triangleStats(pairs: DataFrame, scale: Int = 6): DataFrame = {
+    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint()
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val closing = e.select(col("a").as("ta"), col("b").as("tc"))
+    val tri = wedges.join(closing,
+      col("a") === col("ta") && col("c") === col("tc"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
+    val deg = e.select(col("a").as("doc_id"))
+      .unionByName(e.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    val t0 = coalesce(col("triangles"), lit(0L))
+    val dd = col("degree").cast("double")
+    deg.join(perNode, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("degree"), t0.as("triangles"),
+        round(when(col("degree") >= 2,
+          lit(2.0) * t0.cast("double") / (dd * (dd - lit(1.0))))
+          .otherwise(lit(0.0)), scale).as("clustering"))
+      .orderBy("doc_id")
+  }
 }

@@ -336,6 +336,40 @@ object IndicatorsExt {
         .as("alpha"))
   }
 
+  /** Rolling n-day beta per (symbol, date) against the equal-weight
+    * market — [[betaVsMarket]]'s time-varying sibling, the regime
+    * diagnostic behind hedging ratios. Same market construction (exact
+    * DECIMAL date-mean re-rounded to the 8dp carrier), then the four
+    * trailing sums run as window aggregates over exact DECIMAL products
+    * and the slope evaluates once in double. Rows before a full window
+    * — and windows with zero market variance — are null.
+    *
+    * Shape: one date aggregate (broadcast back — dates are bounded),
+    * one symbol-window pass. The market join key is the date, so at
+    * scale the join is a broadcast of trading-calendar size.
+    */
+  def rollingBeta(df: DataFrame, n: Int = 60, scale: Int = 6): DataFrame = {
+    val rets = df.withColumn("r", returnDec).filter(col("r").isNotNull)
+      .select("symbol", "date", "r")
+    val market = rets.groupBy("date")
+      .agg(round(sum(col("r")).cast("double") / count(lit(1)), 8)
+        .cast("decimal(12,8)").as("m"))
+    val f = trailing(n)
+    def s(c: org.apache.spark.sql.Column) = sum(c).over(f).cast("double")
+    val joined = rets.join(broadcast(market), Seq("date"))
+      .withColumn("cnt", count(lit(1)).over(f))
+      .withColumn("sx", s(col("m"))).withColumn("sy", s(col("r")))
+      .withColumn("sxy", s(col("m") * col("r")))
+      .withColumn("sxx", s(col("m") * col("m")))
+    val nn = col("cnt").cast("double")
+    val den = nn * col("sxx") - col("sx") * col("sx")
+    joined.select(
+      col("symbol"), col("date"),
+      round(when(col("cnt") === n && den > 0,
+        (nn * col("sxy") - col("sx") * col("sy")) / den), scale).as("beta"))
+      .orderBy("symbol", "date")
+  }
+
   /** Donchian channels: upper/lower = n-day rolling max-high/min-low
     * (selections — exact bit patterns, no float accumulation), mid =
     * their average, and a breakout flag comparing today's close against

@@ -69,12 +69,72 @@ object Sketch {
   /** The sketch half of [[kmvDistinctNgrams]]: (source, h_k, k_eff) —
     * the only piece a petabyte corpus computes.
     */
-  def kmvSketchOnly(docs: DataFrame, n: Int = 3, k: Int = 128): DataFrame = {
+  def kmvSketchOnly(docs: DataFrame, n: Int = 3, k: Int = 128): DataFrame =
+    bottomK(docs, n, k)
+      .groupBy("source").agg(max("h").as("h_k"), count(lit(1)).as("k_eff"))
+
+  /** Estimated union size, Jaccard, and intersection size for every
+    * source pair, from merged bottom-k sketches — the theta-sketch-
+    * style set algebra that answers "how much does source A overlap
+    * source B" without ever joining the gram streams.
+    *
+    * KMV merge property: bottom-k(A ∪ B) ⊆ bottom-k(A) ∪ bottom-k(B),
+    * and membership of a merged-sketch hash in A is decidable from
+    * sketch_A alone (h ≤ kth-min(A∪B) ≤ kth-min(A)). So the pair pass
+    * touches only sketch rows — sources × k of them, corpus size gone.
+    * Estimators: n̂_∪ = (k−1)·2⁵⁶/h_k on the merged sketch, Ĵ =
+    * |both-flagged ∩ bottom-k| / k, n̂_∩ = Ĵ·n̂_∪ (computed from the
+    * two ROUNDED factors so the product is reproducible).
+    *
+    * Shape: the pair fan-out is two equi-joins of the sketch table
+    * against the source-pair list (dimension-bounded: sources², each
+    * pair carrying ≤ 2k rows), then one window + one aggregate per
+    * pair. Nothing here scales with the corpus.
+    */
+  def kmvSourceOverlap(docs: DataFrame, n: Int = 3, k: Int = 128,
+      scale: Int = 6): DataFrame = {
+    val sk = bottomK(docs, n, k).select("source", "h")
+    val srcs = sk.select("source").distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .crossJoin(srcs.select(col("source").as("sb")))
+      .filter(col("sa") < col("sb"))
+    val sideA = sk.join(broadcast(pairs), col("source") === col("sa"))
+      .select(col("sa"), col("sb"), col("h"), lit(1).as("ia"), lit(0).as("ib"))
+    val sideB = sk.join(broadcast(pairs), col("source") === col("sb"))
+      .select(col("sa"), col("sb"), col("h"), lit(0).as("ia"), lit(1).as("ib"))
+    val merged = sideA.unionByName(sideB)
+      .groupBy("sa", "sb", "h")
+      .agg(max("ia").as("in_a"), max("ib").as("in_b"))
+    val w = Window.partitionBy("sa", "sb").orderBy("h")
+    val agg = merged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("sa", "sb")
+      .agg(max("h").as("kth"), count(lit(1)).as("m_k"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1).otherwise(0))
+          .as("c_both"))
+    val unionEst = round(
+      when(col("m_k") < k, col("m_k").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 56)) /
+          col("kth").cast("double")), 2)
+    agg
+      .withColumn("union_est", unionEst)
+      .withColumn("jaccard_est",
+        round(col("c_both").cast("double") / col("m_k").cast("double"), scale))
+      .withColumn("inter_est", round(col("jaccard_est") * col("union_est"), 2))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        col("union_est"), col("jaccard_est"), col("inter_est"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Per-source bottom-k distinct gram hashes: (source, h) with ≤ k
+    * rows per source, via the WindowGroupLimit-optimized row_number
+    * filter.
+    */
+  private def bottomK(docs: DataFrame, n: Int, k: Int): DataFrame = {
     val hs = grams(docs, n)
       .select(col("source"), rawHash56(col("s")).as("h")).distinct()
     val w = Window.partitionBy("source").orderBy("h")
     hs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .groupBy("source").agg(max("h").as("h_k"), count(lit(1)).as("k_eff"))
   }
 
   /** (source, gram) stream — the [[Dedup.shingles]] construction with

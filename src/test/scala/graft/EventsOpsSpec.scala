@@ -123,6 +123,26 @@ class EventsOpsSpec extends SparkSpec {
     assert(r.values.map(_._1).sum == 6L)
   }
 
+  test("topSessionPaths: first-3 path per session, counted across users") {
+    val spark2 = spark
+    import spark2.implicits._
+    def e(id: Long, user: Long, t: String, et: String) =
+      (id, java.sql.Timestamp.valueOf(s"2024-01-01 $t"), user, et, 1.0, "{}")
+    val df = Seq(
+      // user 1 session 1: 4 events → path is the first three
+      e(0, 1, "10:00:00", "view"), e(1, 1, "10:01:00", "click"),
+      e(2, 1, "10:02:00", "buy"), e(3, 1, "10:03:00", "view"),
+      // user 1 session 2 (gap > 30 min): 2 events → short path
+      e(4, 1, "12:00:00", "view"), e(5, 1, "12:05:00", "click"),
+      // user 2: same opening as user 1's session 1
+      e(6, 2, "09:00:00", "view"), e(7, 2, "09:01:00", "click"),
+      e(8, 2, "09:02:00", "buy"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventsOps.topSessionPaths(df).collect()
+      .map(x => x.getAs[String]("path") -> x.getAs[Long]("n_sessions"))
+    assert(r.toSeq == Seq("view > click > buy" -> 2L, "view > click" -> 1L))
+  }
+
   test("cohortLtv: weekly cohorts, running value per cohort member") {
     val spark2 = spark
     import spark2.implicits._

@@ -165,6 +165,19 @@ class IndicatorsExtSpec extends SparkSpec {
     assert(r(1).isNullAt(r(1).fieldIndex("gk_vol")))
   }
 
+  test("rolling beta recovers the return multiple once the window fills") {
+    // B's returns are exactly 2x A's → market = 1.5x A → betas 2/3, 4/3
+    val df = bars("A", Seq(100.0, 110.0, 99.0))
+      .unionByName(bars("B", Seq(100.0, 120.0, 96.0)))
+    val r = IndicatorsExt.rollingBeta(df, n = 2).collect()
+      .map(x => (x.getAs[String]("symbol"), x.getAs[java.sql.Date]("date").toString) ->
+        Option(x.getAs[java.lang.Double]("beta")))
+      .toMap
+    assert(r(("A", "2020-01-02")).isEmpty) // one return: window not full
+    assert(r(("A", "2020-01-03")).contains(0.666667))
+    assert(r(("B", "2020-01-03")).contains(1.333333))
+  }
+
   test("candlesticks: one label per bar in priority order, plain bars absent") {
     val spark2 = spark
     import spark2.implicits._

@@ -40,6 +40,22 @@ class SketchSpec extends SparkSpec {
     assert(err <= 3.0 / math.sqrt(64.0), s"rel_err $err out of bound")
   }
 
+  test("sketch set algebra: identical sources give J=1, disjoint give J=0") {
+    // srcA ≡ srcB (same text → same gram set, 3 grams each);
+    // srcC disjoint (3 other grams); all below k → exact counts
+    val d = docs(
+      (0L, "a b c d e", "srcA"),
+      (1L, "a b c d e", "srcB"),
+      (2L, "v w x y z", "srcC"))
+    val r = Sketch.kmvSourceOverlap(d, 3, 128).collect()
+      .map(x => (x.getAs[String]("src_a"), x.getAs[String]("src_b")) ->
+        (x.getAs[Double]("union_est"), x.getAs[Double]("jaccard_est"),
+          x.getAs[Double]("inter_est"))).toMap
+    assert(r(("srcA", "srcB")) == ((3.0, 1.0, 3.0)))
+    assert(r(("srcA", "srcC")) == ((6.0, 0.0, 0.0)))
+    assert(r(("srcB", "srcC")) == ((6.0, 0.0, 0.0)))
+  }
+
   test("the bottom-k filter compiles to a WindowGroupLimit partial top-k") {
     val d = docs((0L, "a b c d e f g", "srcA"))
     val plan = Sketch.kmvSketchOnly(d, 3, 8).queryExecution.executedPlan.toString
