@@ -2672,20 +2672,38 @@ object ExtQueries {
     "return_outliers_mad" ->
       s"""${Tables.stocksCte},
          | r AS (SELECT symbol, date,
-         |     round((close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date)
-         |       - 1.0) * 100.0, 8) AS ret
+         |     CAST(round((close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date)
+         |       - 1.0) * 100.0, 8) AS DECIMAL(12,8)) AS ret
          |   FROM stocks),
          | rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
-         | m AS (SELECT symbol, round(quantile_cont(ret, 0.5), 8) AS med
-         |       FROM rr GROUP BY symbol),
-         | d AS (SELECT rr.symbol, rr.date, rr.ret, m.med,
-         |         round(abs(rr.ret - m.med), 8) AS dev
-         |       FROM rr JOIN m USING (symbol)),
-         | md AS (SELECT symbol, round(quantile_cont(dev, 0.5), 8) AS mad
-         |        FROM d GROUP BY symbol)
-         | SELECT d.symbol, d.date, d.ret,
-         |   round(0.6745 * (d.ret - d.med) / nullif(md.mad, 0.0), 4) AS rob_z,
-         |   abs(round(0.6745 * (d.ret - d.med) / nullif(md.mad, 0.0), 4)) > 3.5 AS is_outlier
+         | rk AS (SELECT symbol, date, ret,
+         |     row_number() OVER (PARTITION BY symbol ORDER BY ret) AS rn,
+         |     count(*) OVER (PARTITION BY symbol) AS n
+         |   FROM rr),
+         | rk2 AS (SELECT *, CAST(floor((n + 1) / 2.0) AS INT) AS lo,
+         |     CAST(floor((n + 2) / 2.0) AS INT) AS hi FROM rk),
+         | m AS (SELECT symbol,
+         |     sum(CASE WHEN rn BETWEEN lo AND hi THEN ret END) *
+         |       max(CASE WHEN lo = hi THEN 2 ELSE 1 END) AS med2
+         |   FROM rk2 GROUP BY symbol),
+         | d AS (SELECT rr.symbol, rr.date, rr.ret, m.med2,
+         |     abs(rr.ret * 2 - m.med2) AS dev2
+         |   FROM rr JOIN m USING (symbol)),
+         | dk AS (SELECT symbol, date, ret, med2, dev2,
+         |     row_number() OVER (PARTITION BY symbol ORDER BY dev2) AS rn,
+         |     count(*) OVER (PARTITION BY symbol) AS n
+         |   FROM d),
+         | dk2 AS (SELECT *, CAST(floor((n + 1) / 2.0) AS INT) AS lo,
+         |     CAST(floor((n + 2) / 2.0) AS INT) AS hi FROM dk),
+         | md AS (SELECT symbol,
+         |     sum(CASE WHEN rn BETWEEN lo AND hi THEN dev2 END) *
+         |       max(CASE WHEN lo = hi THEN 2 ELSE 1 END) AS mad4
+         |   FROM dk2 GROUP BY symbol)
+         | SELECT d.symbol, d.date, CAST(d.ret AS DOUBLE) AS ret,
+         |   round(0.6745 * CAST(d.ret * 2 - d.med2 AS DOUBLE) * 2.0
+         |     / nullif(CAST(md.mad4 AS DOUBLE), 0.0), 4) AS rob_z,
+         |   abs(round(0.6745 * CAST(d.ret * 2 - d.med2 AS DOUBLE) * 2.0
+         |     / nullif(CAST(md.mad4 AS DOUBLE), 0.0), 4)) > 3.5 AS is_outlier
          | FROM d JOIN md USING (symbol) ORDER BY d.symbol, d.date""".stripMargin,
     "risk_var_cvar" ->
       s"""${Tables.stocksCte},

@@ -271,35 +271,58 @@ object IndicatorsExt {
     * where mean/stddev z-scores drown (the spike inflates the stddev
     * that is supposed to catch it).
     *
-    * Determinism: returns are rounded-8dp doubles; both medians are
-    * Spark's exact interpolating `percentile` ≡ DuckDB `quantile_cont`
-    * over identical multisets (the Events.scala precedent); every
-    * derived float is rounded before reuse. MAD = 0 (a symbol with ≥50%
-    * identical deviations) null-safes the division via nullif.
+    * Determinism (the r5 fix): interpolated `percentile` chained twice
+    * (median of deviations from a median) left a 1-ulp fp divergence vs
+    * DuckDB `quantile_cont` that the 0.6745·(r−med)/mad division then
+    * amplified past the 4dp rounding boundary. Both medians are now
+    * RANK-EXACT over DECIMAL(12,8) returns: row_number picks the middle
+    * one/two values and the "average of two" is carried DOUBLED so it
+    * stays a sum of 8dp decimals — med2 = 2·median and mad4 = 4·MAD are
+    * exact DECIMALs, bit-identical on any engine and in any aggregation
+    * order. The sole fp operation is the final fixed-shape double
+    * expression 0.6745·(2r−med2)·2/mad4, identical IEEE ops on both
+    * sides. mad4 = 0 (a symbol with ≥50% identical deviations)
+    * null-safes the division via nullif.
     *
-    * Shape: two grouped exact percentiles + two co-partitioned joins,
-    * all keyed on symbol — the symbol shuffle is reused throughout. At
-    * 100 TB exact per-group percentiles materialize each group's
-    * returns (bounded: days per symbol), same trade as valuePercentiles.
+    * Shape: two per-symbol rank windows + two co-partitioned joins, all
+    * keyed on symbol — the symbol shuffle is reused throughout. At
+    * 100 TB the rank window materializes each group's returns (bounded:
+    * days per symbol), the same trade as any exact per-group quantile.
     */
   def madOutliers(df: DataFrame, scale: Int = 4): DataFrame = {
+    val wAll = Window.partitionBy("symbol")
+    // rank-exact doubled median of `valCol` (DECIMAL) per symbol:
+    // positions lo=floor((n+1)/2), hi=floor((n+2)/2); med2 = value sum
+    // over [lo,hi], doubled when n is odd → always 2×median, exactly.
+    def doubledMedian(in: DataFrame, valCol: String, out: String): DataFrame = {
+      val ranked = in
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("symbol").orderBy(valCol)))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("lo", floor((col("n") + lit(1)) / lit(2.0)).cast("int"))
+        .withColumn("hi", floor((col("n") + lit(2)) / lit(2.0)).cast("int"))
+      ranked.groupBy("symbol").agg(
+        (sum(when(col("rn").between(col("lo"), col("hi")), col(valCol))) *
+          max(when(col("lo") === col("hi"), 2).otherwise(1))).as(out))
+    }
     val base = df
       .withColumn("ret", round(
-        (col("close") / lag(col("close"), 1).over(w) - lit(1.0)) * lit(100.0), 8))
+        (col("close") / lag(col("close"), 1).over(w) - lit(1.0)) * lit(100.0), 8)
+        .cast("decimal(12,8)"))
       .filter(col("ret").isNotNull)
       .select("symbol", "date", "ret")
-    val med = base.groupBy("symbol")
-      .agg(round(expr("percentile(ret, 0.5)"), 8).as("med"))
-    val dev = base.join(med, Seq("symbol"))
-      .withColumn("dev", round(abs(col("ret") - col("med")), 8))
-    val mad = dev.groupBy("symbol")
-      .agg(round(expr("percentile(dev, 0.5)"), 8).as("mad"))
-    val z = round(lit(0.6745) * (col("ret") - col("med")) /
-      expr("nullif(mad, 0.0)"), scale)
-    dev.join(mad, Seq("symbol"))
+    val med2 = doubledMedian(base, "ret", "med2")
+    val dev = base.join(med2, Seq("symbol"))
+      .withColumn("dev2", abs(col("ret") * lit(2) - col("med2")))
+    val mad4 = doubledMedian(dev.select("symbol", "date", "dev2"), "dev2", "mad4")
+    val z = round(lit(0.6745) *
+      (col("ret") * lit(2) - col("med2")).cast("double") * lit(2.0) /
+      expr("nullif(cast(mad4 as double), 0.0)"), scale)
+    dev.join(mad4, Seq("symbol"))
       .withColumn("rob_z", z)
       .withColumn("is_outlier", abs(col("rob_z")) > lit(3.5))
-      .select("symbol", "date", "ret", "rob_z", "is_outlier")
+      .select(col("symbol"), col("date"), col("ret").cast("double").as("ret"),
+        col("rob_z"), col("is_outlier"))
       .orderBy("symbol", "date")
   }
 
