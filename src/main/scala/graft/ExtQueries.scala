@@ -2669,11 +2669,15 @@ object ExtQueries {
          |   round((close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY month)
          |     - 1.0) * 100.0, 4) AS mom_return
          | FROM m ORDER BY symbol, month""".stripMargin,
+    // The odd-n doubling is folded per-row (× DECIMAL(1,0)) so the sum
+    // chains stay ≤38 digits at scale 8 on both engines (a post-sum ×int
+    // rescaled Spark's result to scale 6 past the cap); `+ 0.0` on rob_z
+    // normalizes DuckDB's round(−tiny) = −0.0 vs Spark's BigDecimal +0.0.
     "return_outliers_mad" ->
       s"""${Tables.stocksCte},
          | r AS (SELECT symbol, date,
          |     CAST(round((close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY date)
-         |       - 1.0) * 100.0, 8) AS DECIMAL(12,8)) AS ret
+         |       - 1.0) * 100.0, 8) AS DECIMAL(18,8)) AS ret
          |   FROM stocks),
          | rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
          | rk AS (SELECT symbol, date, ret,
@@ -2683,11 +2687,11 @@ object ExtQueries {
          | rk2 AS (SELECT *, CAST(floor((n + 1) / 2.0) AS INT) AS lo,
          |     CAST(floor((n + 2) / 2.0) AS INT) AS hi FROM rk),
          | m AS (SELECT symbol,
-         |     sum(CASE WHEN rn BETWEEN lo AND hi THEN ret END) *
-         |       max(CASE WHEN lo = hi THEN 2 ELSE 1 END) AS med2
+         |     sum(CASE WHEN rn BETWEEN lo AND hi THEN
+         |       ret * CAST(CASE WHEN lo = hi THEN 2 ELSE 1 END AS DECIMAL(1,0)) END) AS med2
          |   FROM rk2 GROUP BY symbol),
          | d AS (SELECT rr.symbol, rr.date, rr.ret, m.med2,
-         |     abs(rr.ret * 2 - m.med2) AS dev2
+         |     CAST(abs(rr.ret * CAST(2 AS DECIMAL(1,0)) - m.med2) AS DECIMAL(16,8)) AS dev2
          |   FROM rr JOIN m USING (symbol)),
          | dk AS (SELECT symbol, date, ret, med2, dev2,
          |     row_number() OVER (PARTITION BY symbol ORDER BY dev2) AS rn,
@@ -2696,14 +2700,14 @@ object ExtQueries {
          | dk2 AS (SELECT *, CAST(floor((n + 1) / 2.0) AS INT) AS lo,
          |     CAST(floor((n + 2) / 2.0) AS INT) AS hi FROM dk),
          | md AS (SELECT symbol,
-         |     sum(CASE WHEN rn BETWEEN lo AND hi THEN dev2 END) *
-         |       max(CASE WHEN lo = hi THEN 2 ELSE 1 END) AS mad4
+         |     sum(CASE WHEN rn BETWEEN lo AND hi THEN
+         |       dev2 * CAST(CASE WHEN lo = hi THEN 2 ELSE 1 END AS DECIMAL(1,0)) END) AS mad4
          |   FROM dk2 GROUP BY symbol)
          | SELECT d.symbol, d.date, CAST(d.ret AS DOUBLE) AS ret,
          |   round(0.6745 * CAST(d.ret * 2 - d.med2 AS DOUBLE) * 2.0
-         |     / nullif(CAST(md.mad4 AS DOUBLE), 0.0), 4) AS rob_z,
+         |     / nullif(CAST(md.mad4 AS DOUBLE), 0.0), 4) + 0.0 AS rob_z,
          |   abs(round(0.6745 * CAST(d.ret * 2 - d.med2 AS DOUBLE) * 2.0
-         |     / nullif(CAST(md.mad4 AS DOUBLE), 0.0), 4)) > 3.5 AS is_outlier
+         |     / nullif(CAST(md.mad4 AS DOUBLE), 0.0), 4) + 0.0) > 3.5 AS is_outlier
          | FROM d JOIN md USING (symbol) ORDER BY d.symbol, d.date""".stripMargin,
     "risk_var_cvar" ->
       s"""${Tables.stocksCte},

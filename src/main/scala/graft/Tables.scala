@@ -39,22 +39,34 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark 4
-    * rejects natively; sessions set
-    * spark.sql.legacy.parquet.nanosAsLong=true and this loader converts
-    * the nano count to a microsecond TimestampType (exact — the data is
-    * µs-granular).
+  /** events.parquet has shipped with three `ts` encodings across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (Spark reads as LongType under
+    * spark.sql.legacy.parquet.nanosAsLong), TIMESTAMP_MICROS with
+    * isAdjustedToUTC=0 (Spark reads as TIMESTAMP_NTZ), and plain
+    * TIMESTAMP. This loader normalizes all three to a microsecond
+    * TimestampType so every downstream `unix_micros`/window call site is
+    * encoding-agnostic. The NTZ→TIMESTAMP cast is exact because the
+    * session timezone is pinned UTC.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = table(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(table(spark, dir, "events"))
+
+  /** Encoding-agnostic ts normalization (shared with the streaming
+    * reader): LongType nanos → µs timestamp; TIMESTAMP_NTZ → TIMESTAMP
+    * (exact under the pinned-UTC session tz); TimestampType passes
+    * through.
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integer `div`, not `/`: double division loses µs precision at
         // ~1.7e18 ns magnitudes (53-bit mantissa)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

@@ -18,15 +18,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Loud tripwire: a query that throws here silently VANISHES from the
+    // driver's correctness report (absent ≠ red), so a testdata
+    // re-encoding can shrink the gate unnoticed. Summarize explicitly.
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] SUMMARY: ${failed.size}/${selected.size} queries FAILED to dump: " +
+          failed.sorted.mkString(", "))
+    else
+      System.err.println(s"[verify] SUMMARY: all ${selected.size} queries dumped OK")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

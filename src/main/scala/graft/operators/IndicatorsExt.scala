@@ -294,6 +294,14 @@ object IndicatorsExt {
     // rank-exact doubled median of `valCol` (DECIMAL) per symbol:
     // positions lo=floor((n+1)/2), hi=floor((n+2)/2); med2 = value sum
     // over [lo,hi], doubled when n is odd → always 2×median, exactly.
+    // The odd-n doubling is folded into the per-row term (value ×
+    // DECIMAL(1,0) factor) rather than multiplying the aggregate by an
+    // int afterwards: sum(DECIMAL(p,8)) * int adds 11 digits of
+    // precision, and once that crosses the 38-digit cap Spark's
+    // ALLOW_PRECISION_LOSS silently rescales to scale 6 while DuckDB
+    // keeps scale 8 — a ~5e-7 divergence that can cross the 4dp
+    // rounding boundary. Per-row folding keeps the whole chain ≤38
+    // digits at scale 8 on both engines, so med2/mad4 stay exact.
     def doubledMedian(in: DataFrame, valCol: String, out: String): DataFrame = {
       val ranked = in
         .withColumn("rn", row_number().over(
@@ -302,22 +310,35 @@ object IndicatorsExt {
         .withColumn("lo", floor((col("n") + lit(1)) / lit(2.0)).cast("int"))
         .withColumn("hi", floor((col("n") + lit(2)) / lit(2.0)).cast("int"))
       ranked.groupBy("symbol").agg(
-        (sum(when(col("rn").between(col("lo"), col("hi")), col(valCol))) *
-          max(when(col("lo") === col("hi"), 2).otherwise(1))).as(out))
+        sum(when(col("rn").between(col("lo"), col("hi")),
+          col(valCol) * when(col("lo") === col("hi"), lit(2))
+            .otherwise(lit(1)).cast("decimal(1,0)"))).as(out))
     }
+    // DECIMAL(18,8) carrier: 10 integer digits, so even a 1e10-percent
+    // single-day return cannot overflow the cast (a (12,8) carrier
+    // NULLed-and-dropped such rows on Spark under ANSI-off while DuckDB
+    // errored — divergent engines on extreme-but-legal data).
     val base = df
       .withColumn("ret", round(
         (col("close") / lag(col("close"), 1).over(w) - lit(1.0)) * lit(100.0), 8)
-        .cast("decimal(12,8)"))
+        .cast("decimal(18,8)"))
       .filter(col("ret").isNotNull)
       .select("symbol", "date", "ret")
     val med2 = doubledMedian(base, "ret", "med2")
+    // dev2 ≤ 2·|ret| + |med2| — well under 1e8 for any sane return
+    // series; the (16,8) cast keeps the second median's sum chain tight
+    // (16+1+1 per-row, +10 for the sum = 28 digits, exact at scale 8).
     val dev = base.join(med2, Seq("symbol"))
-      .withColumn("dev2", abs(col("ret") * lit(2) - col("med2")))
+      .withColumn("dev2",
+        abs(col("ret") * lit(2).cast("decimal(1,0)") - col("med2"))
+          .cast("decimal(16,8)"))
     val mad4 = doubledMedian(dev.select("symbol", "date", "dev2"), "dev2", "mad4")
+    // `+ 0.0` normalizes IEEE signed zero: Spark's round goes through
+    // BigDecimal (never −0.0) while DuckDB's round preserves the sign of
+    // a tiny negative quotient — the r6 one-bit hash mismatch.
     val z = round(lit(0.6745) *
       (col("ret") * lit(2) - col("med2")).cast("double") * lit(2.0) /
-      expr("nullif(cast(mad4 as double), 0.0)"), scale)
+      expr("nullif(cast(mad4 as double), 0.0)"), scale) + lit(0.0)
     dev.join(mad4, Seq("symbol"))
       .withColumn("rob_z", z)
       .withColumn("is_outlier", abs(col("rob_z")) > lit(3.5))

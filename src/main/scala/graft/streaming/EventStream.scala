@@ -22,26 +22,25 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** ts is declared long (nanos) — the files store INT64
-    * TIMESTAMP(NANOS), which Spark reads only via
-    * spark.sql.legacy.parquet.nanosAsLong; the stream converts to a
-    * microsecond timestamp immediately (cf. Tables.events).
+  /** readStream over a parquet directory of events.
+    *
+    * Streaming sources require a user-declared schema, but the testdata's
+    * `ts` physical encoding has changed across generations (INT64 nanos →
+    * TIMESTAMP_MICROS/NTZ → TIMESTAMP). Hard-coding one encoding silently
+    * corrupts timestamps when the files change, so we probe the actual
+    * schema with a batch read (footer metadata only — no data scan) and
+    * declare exactly what the files store, then apply the same
+    * normalization as the batch loader ([[graft.Tables.normalizeEventTs]]).
+    * Batch and stream therefore agree on `ts` for any encoding.
     */
-  val schema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** readStream over a parquet directory of events. */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", 4)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(dir).schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(dir))
+  }
 
   /** Watermarked tumbling-hour aggregate (the streaming twin of
     * EventsOps.hourly).
