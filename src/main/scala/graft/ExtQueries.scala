@@ -100,20 +100,28 @@ object ExtQueries {
           "stack(4, 'open', open, 'high', high, 'low', low, 'close', close) AS (field, value)")
         .orderBy("symbol", "date", "field")),
     // z-order layout audit: Morton-interleave (custkey, order-day),
-    // tile into 32 z-ranges, report each tile's bounding box in BOTH
-    // dimensions — the min/max file-stats pruning story made checkable
-    // (ntile stands in for repartitionByRange, which the operator
-    // itself uses; see Layout.clusterByZ)
+    // tile into 32 fixed-width z-ranges, report each tile's bounding box
+    // in BOTH dimensions — the min/max file-stats pruning story made
+    // checkable. Bucket membership is a pure function of z and the
+    // broadcast global (min,max) — the scale-safe analogue of
+    // repartitionByRange boundaries (see Layout.clusterByZ). The earlier
+    // ntile() formulation ranked the whole table through ONE partition
+    // (a driver-throughput bottleneck at scale); this shape is one cheap
+    // global agg + a map-side bucket expression + the grouped agg.
     "zorder_layout" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val x = col("o_custkey").bitwiseAND(lit(65535L))
       val y = datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
         .cast("long").bitwiseAND(lit(65535L))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("z"), col("o_orderkey"))
-      o.select(col("o_orderkey"), col("o_custkey"),
-          to_date(col("o_orderdate")).as("odate"),
-          Layout.zValue(x, y, 16).as("z"))
-        .withColumn("bucket", ntile(32).over(w))
+      val base = o.select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("odate"),
+        Layout.zValue(x, y, 16).as("z"))
+      val bounds = base.agg(min("z").as("zmin"), max("z").as("zmax"))
+      // exact integer arithmetic: z < 2^32, ×32 < 2^37 — no overflow;
+      // both engines floor-divide non-negative longs identically
+      base.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          (expr("((z - zmin) * 32) div (zmax - zmin + 1)") + lit(1)).cast("int"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           min("o_custkey").as("cust_min"), max("o_custkey").as("cust_max"),
@@ -492,6 +500,12 @@ object ExtQueries {
     "multimodal_features" -> ((s, d) =>
       Multimodal.features(docs(s, d))
         .select("doc_id", "kind", "width", "height", "px_r", "px_g", "px_b")),
+    // real WAV round trip: audio rows get honest PCM RIFF/WAVE payloads,
+    // the header parser recovers rate/channels/bits/frames from the
+    // BYTES, and the oracle recomputes the expected values from the
+    // generation functions — a hash match proves the parse real.
+    // duration_us and n_bytes are exact integer arithmetic on both sides.
+    "multimodal_audio" -> ((s, d) => Multimodal.audioFeatures(docs(s, d))),
     // resize → frame-sample → join frames back to their source docs;
     // every stage narrow until the final small join.
     "multimodal_frames" -> ((s, d) => {
@@ -2178,7 +2192,7 @@ object ExtQueries {
         |   SELECT doc_id,
         |     CAST(len(ws) AS BIGINT) AS n_words,
         |     round(list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws), 4) AS mean_word_len,
-        |     round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(ws), 4) AS alpha_frac,
+        |     round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(ws), 4) AS alpha_frac,
         |     CAST(len(list_filter(ws, x -> x IN ('the','be','to','of','and','that','have','with','a','in'))) AS BIGINT) AS n_stop_hits
         |   FROM w)
         | SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop_hits,
@@ -2338,6 +2352,20 @@ object ExtQueries {
         | CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 3) % 256 AS INT) END AS px_g,
         | CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 5) % 256 AS INT) END AS px_b
         | FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_audio" ->
+      """WITH a AS (
+        |   SELECT doc_id,
+        |     CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |          WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+        |     CAST(1 + doc_id % 2 AS INT) AS n_channels,
+        |     CAST(16 AS INT) AS bits_per_sample,
+        |     CAST(100 + (doc_id * 13) % 400 AS INT) AS n_samples
+        |   FROM documents WHERE doc_id % 3 = 1)
+        | SELECT doc_id, CAST(sample_rate AS INT) AS sample_rate, n_channels,
+        |   bits_per_sample, n_samples,
+        |   CAST(n_samples AS BIGINT) * 1000000 // sample_rate AS duration_us,
+        |   CAST(44 + n_samples * n_channels * 2 AS BIGINT) AS n_bytes
+        | FROM a ORDER BY doc_id""".stripMargin,
     "multimodal_frames" ->
       """WITH m AS (
         |   SELECT doc_id, lang, text,
@@ -2617,7 +2645,10 @@ object ExtQueries {
          |   SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS odate,
          |     ($zExpr) AS z
          |   FROM orders),
-         | nt AS (SELECT *, ntile(32) OVER (ORDER BY z, o_orderkey) AS bucket FROM b)
+         | bounds AS (SELECT min(z) AS zmin, max(z) AS zmax FROM b),
+         | nt AS (SELECT b.*,
+         |     CAST(((z - zmin) * 32) // (zmax - zmin + 1) + 1 AS INT) AS bucket
+         |   FROM b CROSS JOIN bounds)
          | SELECT bucket, count(*) AS n,
          |   min(o_custkey) AS cust_min, max(o_custkey) AS cust_max,
          |   min(odate) AS date_min, max(odate) AS date_max
@@ -2843,13 +2874,15 @@ object ExtQueries {
          | newt AS (SELECT symbol, date,
          |     CASE WHEN date >= CAST('1998-07-01' AS DATE) THEN close * 1.02
          |          ELSE close END AS close
-         |   FROM stocks)
+         |   FROM stocks),
+         | o2 AS (SELECT *, TRUE AS in_old FROM old),
+         | n2 AS (SELECT *, TRUE AS in_new FROM newt)
          | SELECT symbol, date, o.close AS old_close, n.close AS new_close,
-         |   CASE WHEN o.close IS NULL THEN 'added'
-         |        WHEN n.close IS NULL THEN 'removed'
-         |        WHEN o.close = n.close THEN 'unchanged'
+         |   CASE WHEN o.in_old IS NULL THEN 'added'
+         |        WHEN n.in_new IS NULL THEN 'removed'
+         |        WHEN o.close IS NOT DISTINCT FROM n.close THEN 'unchanged'
          |        ELSE 'changed' END AS change_type
-         | FROM old o FULL OUTER JOIN newt n USING (symbol, date)
+         | FROM o2 o FULL OUTER JOIN n2 n USING (symbol, date)
          | ORDER BY symbol, date""".stripMargin,
     "seasonality_dow" ->
       s"""${Tables.stocksCte},

@@ -57,3 +57,72 @@ object SessionCaches {
     }
   }
 }
+
+/** Access-ordered LRU cache bounded at `maxEntries` — the storage-safety
+  * companion to [[SessionCaches]]: session-scoped caches of
+  * localCheckpoint'ed frames ([[operators.Similarity]] quantizer/PQ,
+  * [[operators.Dedup]] pair lists) previously grew without bound for the
+  * session's lifetime, pinning one set of checkpoint blocks per distinct
+  * (corpus, geometry) key. This bounds the footprint: inserting past the
+  * cap evicts the least-recently-used entry and hands it to `release`
+  * (uncheckpoint/unpersist), which runs OUTSIDE the lock.
+  *
+  * Eviction contract: a caller that still holds an evicted frame sees
+  * its blocks released — subsequent actions on it fail rather than
+  * silently recompute (checkpoint lineage is truncated). Caps are
+  * therefore sized well above any realistic concurrent working set;
+  * eviction is a leak backstop, not a hot path.
+  */
+final class BoundedLruCache[K, V](maxEntries: Int, release: V => Unit) {
+  require(maxEntries > 0, "maxEntries must be positive")
+  // accessOrder=true: get() refreshes recency, so the evictee is the
+  // least-recently-USED key, not merely the oldest insertion
+  private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true)
+
+  def get(k: K): Option[V] = synchronized { Option(m.get(k)) }
+
+  def size: Int = synchronized { m.size() }
+
+  /** putIfAbsent semantics plus the LRU bound: returns the value that
+    * won (the existing one on a lost race — the caller releases its
+    * loser). Values evicted by the bound are released after the lock is
+    * dropped, so a slow unpersist never blocks unrelated keys.
+    */
+  def putIfAbsent(k: K, v: V): V = {
+    var evicted = List.empty[V]
+    val winner = synchronized {
+      val prev = m.get(k)
+      if (prev != null) prev
+      else {
+        m.put(k, v)
+        while (m.size() > maxEntries) {
+          val it = m.entrySet().iterator()
+          evicted ::= it.next().getValue
+          it.remove()
+        }
+        v
+      }
+    }
+    evicted.foreach(release)
+    winner
+  }
+
+  /** Remove entries whose key matches `p`. `releaseRemoved` = false when
+    * the owning context already stopped (its blocks died with the
+    * executors; only the JVM references need dropping).
+    */
+  def removeIf(p: K => Boolean, releaseRemoved: Boolean): Unit = {
+    var removed = List.empty[V]
+    synchronized {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (p(e.getKey)) {
+          if (releaseRemoved) removed ::= e.getValue
+          it.remove()
+        }
+      }
+    }
+    removed.foreach(release)
+  }
+}

@@ -268,24 +268,19 @@ object Dedup {
     * corpus, threshold). Entries are localCheckpoint'd; SessionCaches
     * releases the blocks on tenant eviction or context stop.
     */
-  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
+  private val pairsCache =
+    new graft.BoundedLruCache[(SparkSession, String, String), DataFrame](
+      maxEntries = 16,
+      release = df =>
+        if (!df.sparkSession.sparkContext.isStopped)
+          org.apache.spark.sql.GraftShims.uncheckpoint(df))
 
   locally {
     graft.SessionCaches.register(
-      evict = s => {
-        val it = pairsCache.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getKey._1 eq s) {
-            if (!s.sparkContext.isStopped)
-              org.apache.spark.sql.GraftShims.uncheckpoint(e.getValue)
-            it.remove()
-          }
-        }
-      },
-      sweep = () => pairsCache.keySet()
-        .removeIf(k => k._1.sparkContext.isStopped): Unit)
+      evict = s => pairsCache.removeIf(_._1 eq s,
+        releaseRemoved = !s.sparkContext.isStopped),
+      sweep = () => pairsCache.removeIf(_._1.sparkContext.isStopped,
+        releaseRemoved = false))
   }
 
   /** [[minhashLshPairs]] through the session pair cache. The chain runs
@@ -296,12 +291,12 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     graft.SessionCaches.watch(docs.sparkSession)
     val key = (docs.sparkSession, corpusKey, threshold.toString)
-    val hit = pairsCache.get(key)
-    if (hit != null) hit
-    else {
+    pairsCache.get(key).getOrElse {
       val pairs = minhashLshPairs(docs, threshold).localCheckpoint()
-      val prev = pairsCache.putIfAbsent(key, pairs)
-      if (prev != null) prev else pairs
+      val winner = pairsCache.putIfAbsent(key, pairs)
+      if (winner ne pairs)  // lost the race: release the loser's blocks
+        org.apache.spark.sql.GraftShims.uncheckpoint(pairs)
+      winner
     }
   }
 

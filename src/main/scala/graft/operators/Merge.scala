@@ -54,19 +54,26 @@ object Merge {
 
   /** Snapshot diff (the CDC classify step): full-outer join on the PK
     * comparing the close, emitting added / removed / changed /
-    * unchanged per key. Equality compares the stored doubles
+    * unchanged per key. Presence is carried by EXPLICIT marker columns,
+    * not inferred from close nullity — a present row whose close is
+    * null would otherwise misclassify as added/removed — and the value
+    * comparison is null-safe (`<=>`), so null→null is "unchanged" and
+    * null↔value is "changed". Equality compares the stored doubles
     * bit-for-bit — correct for change capture, where "unchanged" means
     * the value was not rewritten. One PK shuffle on each side.
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
-    val o = oldDf.select(col("symbol"), col("date"), col("close").as("old_close"))
-    val n = newDf.select(col("symbol"), col("date"), col("close").as("new_close"))
+    val o = oldDf.select(col("symbol"), col("date"),
+      col("close").as("old_close"), lit(true).as("__in_old"))
+    val n = newDf.select(col("symbol"), col("date"),
+      col("close").as("new_close"), lit(true).as("__in_new"))
     o.join(n, pk, "full_outer")
       .withColumn("change_type",
-        when(col("old_close").isNull, "added")
-          .when(col("new_close").isNull, "removed")
-          .when(col("old_close") === col("new_close"), "unchanged")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("old_close") <=> col("new_close"), "unchanged")
           .otherwise("changed"))
+      .drop("__in_old", "__in_new")
       .orderBy("symbol", "date")
   }
 

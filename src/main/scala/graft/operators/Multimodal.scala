@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   * container codecs needed) and [[extractFeatures]] decodes it back,
   * so width/height/top-left pixel are genuine decoder outputs — the
   * multimodal_features oracle checks the full encode→decode round trip
-  * against the known generation functions. Audio/video decode stays a
-  * clearly-marked deterministic STUB (no codecs in the container);
+  * against the known generation functions. AUDIO decode is real at the
+  * container level: [[syntheticWav]] emits honest 16-bit PCM RIFF/WAVE
+  * and [[parseWav]] walks the chunk list for sample-rate / channels /
+  * bits / frame count (multimodal_audio oracle-checks the round trip).
+  * Video decode stays a clearly-marked deterministic STUB (a real
+  * implementation needs a container demuxer);
   * what is real and tested there is the Spark-side shape a production
   * pipeline needs: a binary column + metadata travelling together in a
   * typed Dataset, a mapPartitions feature stage (one codec/model
@@ -156,6 +160,120 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     extractFeatures(withRealImages(mediaTable(docs))).toDF().orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // Audio: real RIFF/WAVE header codec (pure JVM, no container codecs) —
+  // the audio twin of the ImageIO move. Synthetic-WAV parameters are
+  // pure functions of doc_id, mirrored in the multimodal_audio oracle
+  // SQL; the parser recovering exactly those values from the bytes is
+  // what proves the decode real. Video decode remains the documented
+  // stub (a real implementation needs a container demuxer).
+  // ---------------------------------------------------------------------
+
+  /** Deterministic synthetic-audio parameters (oracle-mirrored). */
+  def audioSampleRate(docId: Long): Int =
+    Array(8000, 16000, 22050, 44100)((docId % 4).toInt)
+  def audioChannels(docId: Long): Int = 1 + (docId % 2).toInt
+  def audioSamples(docId: Long): Int = 100 + ((docId * 13) % 400).toInt
+
+  /** Parsed WAV facts — everything the 44-byte canonical header plus
+    * the data-chunk length determine. duration_us is exact integer
+    * micros (frames * 1_000_000 / rate, floor division).
+    */
+  case class AudioFeatures(
+      doc_id: Long, sample_rate: Int, n_channels: Int, bits_per_sample: Int,
+      n_samples: Int, duration_us: Long, n_bytes: Long)
+
+  /** Encode one canonical 16-bit PCM WAV: 12-byte RIFF header, 24-byte
+    * fmt chunk, 8-byte data header, then little-endian samples. The
+    * sample values are a deterministic sawtooth — irrelevant to the
+    * header parse but they make the payload honest PCM.
+    */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val rate = audioSampleRate(docId)
+    val ch = audioChannels(docId)
+    val frames = audioSamples(docId)
+    val dataLen = frames * ch * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(ch.toShort)
+      .putInt(rate)
+      .putInt(rate * ch * 2) // byte rate
+      .putShort((ch * 2).toShort) // block align
+      .putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < frames * ch) {
+      buf.putShort((((docId + i * 37) % 65536) - 32768).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Real WAV header parse: validate RIFF/WAVE magic, walk the chunk
+    * list (word-aligned, per the RIFF spec), read fmt_ fields and the
+    * data-chunk length. None for anything that is not a WAV — callers
+    * fall back to the stub path, same contract as ImageIO returning
+    * null for a non-image.
+    */
+  def parseWav(bytes: Array[Byte]): Option[AudioFeatures] = {
+    if (bytes.length < 44) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+    var off = 12
+    var rate, ch, bits = -1
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (rate < 0 || dataLen < 0)) {
+      val id = fourcc(off)
+      val size = buf.getInt(off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          ch = buf.getShort(off + 10).toInt
+          rate = buf.getInt(off + 12)
+          bits = buf.getShort(off + 22).toInt
+        case "data" => dataLen = size
+        case _ => ()
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (rate <= 0 || ch <= 0 || bits <= 0 || dataLen < 0) None
+    else {
+      val frames = dataLen / (ch * (bits / 8))
+      Some(AudioFeatures(0L, rate, ch, bits, frames,
+        frames.toLong * 1000000L / rate, bytes.length.toLong))
+    }
+  }
+
+  /** The encode side for audio rows: genuine WAV payloads (cf.
+    * [[withRealImages]]). Narrow map, no shuffle.
+    */
+  def withRealAudio(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map(r =>
+      if (r.kind == "audio") r.copy(media = syntheticWav(r.doc_id)) else r)
+  }
+
+  /** End-to-end audio: documents → media table → real WAV payloads →
+    * header parse. Only audio-kind rows flow; the parse is a narrow
+    * map (pure byte inspection — no per-partition handle needed).
+    */
+  def audioFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withRealAudio(mediaTable(docs))
+      .filter(_.kind == "audio")
+      .flatMap(r => parseWav(r.media).map(_.copy(doc_id = r.doc_id)))
+      .toDF().orderBy("doc_id")
   }
 
   /** STUB resize — a real implementation decodes, scales, re-encodes.

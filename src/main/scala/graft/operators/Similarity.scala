@@ -192,23 +192,18 @@ object Similarity {
     * exactly like any deployed IVF index.
     */
   private val quantizerCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
+    new graft.BoundedLruCache[(SparkSession, String, Int, Int), DataFrame](
+      maxEntries = 16,
+      release = df =>
+        if (!df.sparkSession.sparkContext.isStopped)
+          org.apache.spark.sql.GraftShims.uncheckpoint(df))
 
   locally {
     graft.SessionCaches.register(
-      evict = s => {
-        val it = quantizerCache.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getKey._1 eq s) {
-            if (!s.sparkContext.isStopped)
-              org.apache.spark.sql.GraftShims.uncheckpoint(e.getValue)
-            it.remove()
-          }
-        }
-      },
-      sweep = () => quantizerCache.keySet()
-        .removeIf(k => k._1.sparkContext.isStopped): Unit)
+      evict = s => quantizerCache.removeIf(_._1 eq s,
+        releaseRemoved = !s.sparkContext.isStopped),
+      sweep = () => quantizerCache.removeIf(_._1.sparkContext.isStopped,
+        releaseRemoved = false))
   }
 
   /** [[kmeansAssign]] through the trained-quantizer cache. Training
@@ -220,16 +215,16 @@ object Similarity {
       corpusKey: String): DataFrame = {
     graft.SessionCaches.watch(emb.sparkSession)
     val key = (emb.sparkSession, corpusKey, k, iters)
-    val hit = quantizerCache.get(key)
-    if (hit != null) hit
-    else {
+    quantizerCache.get(key).getOrElse {
       val (assigned, centroids) = kmeansAssignInternal(emb, k, iters)
       val trained = assigned.localCheckpoint()
       // the assignment checkpoint is eager; the centroid blocks behind
       // the (now superseded) training plan can be released
       centroids.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
-      val prev = quantizerCache.putIfAbsent(key, trained)
-      if (prev != null) prev else trained
+      val winner = quantizerCache.putIfAbsent(key, trained)
+      if (winner ne trained)  // lost the race: release the loser
+        org.apache.spark.sql.GraftShims.uncheckpoint(trained)
+      winner
     }
   }
 
@@ -411,26 +406,22 @@ object Similarity {
     * index trains once per (session, corpus, geometry) and is searched
     * many times. Holds (codes, centroids), both localCheckpointed.
     */
-  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int, Int, Int), (DataFrame, DataFrame)]()
+  private val pqCache = new graft.BoundedLruCache[
+    (SparkSession, String, Int, Int, Int, Int), (DataFrame, DataFrame)](
+      maxEntries = 8,
+      release = { case (codes, cents) =>
+        if (!codes.sparkSession.sparkContext.isStopped) {
+          org.apache.spark.sql.GraftShims.uncheckpoint(codes)
+          org.apache.spark.sql.GraftShims.uncheckpoint(cents)
+        }
+      })
 
   locally {
     graft.SessionCaches.register(
-      evict = s => {
-        val it = pqCache.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getKey._1 eq s) {
-            if (!s.sparkContext.isStopped) {
-              org.apache.spark.sql.GraftShims.uncheckpoint(e.getValue._1)
-              org.apache.spark.sql.GraftShims.uncheckpoint(e.getValue._2)
-            }
-            it.remove()
-          }
-        }
-      },
-      sweep = () => pqCache.keySet()
-        .removeIf(k => k._1.sparkContext.isStopped): Unit)
+      evict = s => pqCache.removeIf(_._1 eq s,
+        releaseRemoved = !s.sparkContext.isStopped),
+      sweep = () => pqCache.removeIf(_._1.sparkContext.isStopped,
+        releaseRemoved = false))
   }
 
   /** Train (or fetch) the PQ index: per-subspace Lloyd's → one
@@ -463,16 +454,14 @@ object Similarity {
       case Some(ck) =>
         graft.SessionCaches.watch(emb.sparkSession)
         val key = (emb.sparkSession, ck, m, subDim, k, iters)
-        val hit = pqCache.get(key)
-        if (hit != null) hit
-        else {
+        pqCache.get(key).getOrElse {
           val trained = train()
-          val prev = pqCache.putIfAbsent(key, trained)
-          if (prev != null) {
+          val winner = pqCache.putIfAbsent(key, trained)
+          if (winner ne trained) {  // lost the race: release the loser
             org.apache.spark.sql.GraftShims.uncheckpoint(trained._1)
             org.apache.spark.sql.GraftShims.uncheckpoint(trained._2)
-            prev
-          } else trained
+          }
+          winner
         }
     }
   }

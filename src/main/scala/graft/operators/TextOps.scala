@@ -416,8 +416,10 @@ object TextOps {
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("mean_word_len", round(
         expr("aggregate(ws, 0L, (acc, x) -> acc + length(x))") * lit(1.0) / col("n_words"), 4))
+      // case-insensitive: an ALL-CAPS word is still alphabetic (the
+      // Gopher rule is about symbol/digit noise, not capitalization)
       .withColumn("alpha_frac", round(
-        expr("size(filter(ws, x -> x rlike '[a-z]'))") * lit(1.0) / col("n_words"), 4))
+        expr("size(filter(ws, x -> x rlike '[A-Za-z]'))") * lit(1.0) / col("n_words"), 4))
       .withColumn("n_stop_hits", expr(s"size(filter(ws, x -> x IN ($sw)))").cast("long"))
       .withColumn("gopher_pass",
         col("n_words").between(minWords, maxWords) &&

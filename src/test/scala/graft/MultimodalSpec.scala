@@ -82,6 +82,31 @@ class MultimodalSpec extends SparkSpec {
     assert(halved.media.length == 320)
   }
 
+  test("WAV encode→parse round trip recovers the generation parameters") {
+    for (docId <- Seq(1L, 4L, 7L, 10L, 30001L)) {
+      val bytes = Multimodal.syntheticWav(docId)
+      val parsed = Multimodal.parseWav(bytes)
+      assert(parsed.isDefined, s"doc $docId failed to parse")
+      val f = parsed.get
+      assert(f.sample_rate == Multimodal.audioSampleRate(docId))
+      assert(f.n_channels == Multimodal.audioChannels(docId))
+      assert(f.bits_per_sample == 16)
+      assert(f.n_samples == Multimodal.audioSamples(docId))
+      assert(f.duration_us ==
+        f.n_samples.toLong * 1000000L / f.sample_rate)
+      assert(f.n_bytes == bytes.length.toLong)
+    }
+  }
+
+  test("parseWav rejects non-WAV payloads") {
+    assert(Multimodal.parseWav("not a wav at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseWav(Array.emptyByteArray).isEmpty)
+    // RIFF magic but truncated body
+    assert(Multimodal.parseWav("RIFF0000WAVE".getBytes("US-ASCII")).isEmpty)
+    // a PNG is not a WAV
+    assert(Multimodal.parseWav(Multimodal.syntheticPng(3L)).isEmpty)
+  }
+
   test("frame sampling emits exactly n frames per record, empty included") {
     val media = Multimodal.mediaTable(
       docs(0L -> "abcdefghijklmnopqrstuvwxyz", 1L -> ""))
