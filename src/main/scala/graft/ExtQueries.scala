@@ -402,12 +402,20 @@ object ExtQueries {
     "source_drift_psi" -> ((s, d) => Corpus.sourceDrift(docs(s, d))),
     // data-mix inequality: Gini over per-source token totals
     "source_gini" -> ((s, d) => Corpus.sourceGini(docs(s, d))),
-    // CCNet-style head/middle/tail perplexity binning over the LM score
+    // CCNet-style head/middle/tail perplexity binning over the LM score.
+    // The tertile is an exact chunked ntile (GlobalRank): coarse bucket
+    // = negated 1/16-wide avg_logp band (nulls to the +inf band so they
+    // land last, matching desc_nulls_last), never a single-partition
+    // sort over the doc-cardinality frame.
     "ccnet_buckets" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("avg_logp").desc_nulls_last, col("doc_id"))
-      TextOps.lmScore(docs(s, d))
-        .withColumn("bucket", ntile(3).over(w))
+      val scored = TextOps.lmScore(docs(s, d))
+      val total = scored.agg(count(lit(1)).as("__grtotal"))
+      graft.operators.GlobalRank.chunkedNtile(
+          scored.crossJoin(broadcast(total)),
+          when(col("avg_logp").isNull, lit(Long.MaxValue))
+            .otherwise(-floor(col("avg_logp") * lit(16)).cast("long")),
+          Seq(col("avg_logp").desc_nulls_last, col("doc_id")),
+          "__grtotal", 3, "bucket")
         .withColumn("ccnet_bin",
           when(col("bucket") === 1, "head")
             .when(col("bucket") === 2, "middle").otherwise("tail"))

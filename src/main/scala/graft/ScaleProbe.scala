@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Scale probe for the heavy dedup/similarity operators: replicate the
+  * sf0.1 documents/embeddings corpus ×N (default 10 → an sf1-equivalent
+  * row count) and time the five heaviest pipeline operators on it, so
+  * the 100 TB plan-shape arguments (capped LSH buckets, count-gated
+  * clustering, bloom-prefiltered contamination, cell-bucketed semdedup)
+  * carry at least one measured scaling point instead of being argument-
+  * only.
+  *
+  * Replicas are made DISTINCT on purpose: every token gets a per-replica
+  * prefix (so every shingle/minhash/simhash signature differs across
+  * replicas) and every embedding component gets a deterministic
+  * per-replica perturbation (so replicas don't collapse into cos=1
+  * twins). A naive byte-copy replication would instead multiply the
+  * near-dup cluster sizes — measuring a pathological corpus, not a
+  * bigger one. Inputs are localCheckpoint'd so generation cost is not
+  * billed to the operators.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ScaleProbe [factor]
+  * Prints one JSON line {"factor":N,"queries":{name:sec,...}}.
+  */
+object ScaleProbe {
+
+  def replicateDocs(docs: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      docs.select(
+        (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        // prefix EVERY token so no shingle survives across replicas
+        concat(lit(s"r${r}_"), regexp_replace(col("text"), " ", s" r${r}_"))
+          .as("text"))
+    }.reduce(_ unionByName _)
+
+  def replicateEmb(emb: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      emb.select(
+        (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        // deterministic per-(replica, dim) perturbation decorrelates
+        // replicas (cosine is scale-invariant, so a plain scalar
+        // multiple would leave every replica a cos=1 twin)
+        expr(s"transform(embedding, (x, i) -> cast(x + sin((i + 1) * ${r + 1}) * 0.3d as float))")
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = replicateDocs(
+      Tables.documents(spark, sfDir).select("doc_id", "text"), factor)
+      .repartition(cpus.toInt).localCheckpoint()
+    val emb = replicateEmb(
+      Tables.embeddings(spark, sfDir), factor)
+      .repartition(cpus.toInt).localCheckpoint()
+    System.err.println(s"[probe] docs=${docs.count()} emb=${emb.count()} factor=$factor")
+
+    def time(name: String)(f: => DataFrame): (String, Double) = {
+      val t0 = System.nanoTime()
+      val n =
+        try { f.write.format("noop").mode("overwrite").save(); "ok" }
+        catch { case e: Throwable => System.err.println(s"[probe] $name FAILED: $e"); "fail" }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[probe] $name%-24s $dt%8.2f s ($n)")
+      name -> dt
+    }
+
+    val results = Seq(
+      time("dedup_simhash_pairs") { Dedup.simhashNearDups(docs, 3) },
+      time("dedup_minhash_lsh") { Dedup.minhashLshPairs(docs, 0.5) },
+      time("dedup_clusters") {
+        val pairs = Dedup.simhashNearDups(docs, 3).select("doc_a", "doc_b")
+        Dedup.dedupVerdicts(docs, pairs)
+      },
+      time("contamination_bloom") {
+        // first half of the replicas as train, second half as eval:
+        // both sides scale with the factor
+        val replica = expr("doc_id div 10000000")
+        val train = docs.filter(replica < lit(factor / 2))
+        val eval = docs.filter(replica >= lit(factor / 2))
+        Dedup.contaminationBloom(train, eval, 8)
+      },
+      time("embed_semdedup") { Similarity.semDedup(emb, 0.95, 8, 2) })
+
+    val qj = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","queries":$qj}""")
+    spark.stop()
+  }
+}

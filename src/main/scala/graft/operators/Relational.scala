@@ -86,25 +86,33 @@ object Relational {
     * count), monetary (exact money sum), each quintiled with a custkey
     * tie-break so bucket edges never depend on float noise (monetary is
     * an exact decimal rendered to double, identical in any engine).
-    * The three ntiles run over one single-partition window pass — fine
-    * for a customer dimension (customers ≪ facts); at larger
-    * cardinality the same scores come from approx quantile boundaries.
+    *
+    * The quintiles are EXACT rank-based ntiles but never run a
+    * single-partition sort: each is a [[GlobalRank.chunkedNtile]] over
+    * a coarse monotone bucket (order month for recency, the count value
+    * for frequency, a 1e3-wide value band for monetary — all negated
+    * because the sorts are descending). Bit-identical to plain ntile
+    * (the oracle keeps using DuckDB's), parallelism = bucket count
+    * instead of 1 — the shape that survives a customer dimension in the
+    * hundreds of millions.
     */
   def customerRfm(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val agg = Tables.orders(spark, dir)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(
         max(to_date(col("o_orderdate"))).as("last_order"),
         count(lit(1)).as("frequency"),
         moneySum(col("o_totalprice")).as("monetary"))
-    agg
-      .withColumn("r_score",
-        ntile(5).over(Window.orderBy(desc("last_order"), col("custkey"))))
-      .withColumn("f_score",
-        ntile(5).over(Window.orderBy(desc("frequency"), col("custkey"))))
-      .withColumn("m_score",
-        ntile(5).over(Window.orderBy(desc("monetary"), col("custkey"))))
+    val total = agg.agg(count(lit(1)).as("__grtotal"))
+    val base = agg.crossJoin(broadcast(total))
+    val r = GlobalRank.chunkedNtile(base,
+      -(year(col("last_order")) * lit(12) + month(col("last_order"))).cast("long"),
+      Seq(desc("last_order"), col("custkey")), "__grtotal", 5, "r_score")
+    val f = GlobalRank.chunkedNtile(r, -col("frequency"),
+      Seq(desc("frequency"), col("custkey")), "__grtotal", 5, "f_score")
+    val m = GlobalRank.chunkedNtile(f, -floor(col("monetary") / lit(1000.0)).cast("long"),
+      Seq(desc("monetary"), col("custkey")), "__grtotal", 5, "m_score")
+    m.drop("__grtotal")
       .withColumn("segment",
         concat(col("r_score"), col("f_score"), col("m_score")))
       .orderBy("custkey")

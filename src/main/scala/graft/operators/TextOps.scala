@@ -159,11 +159,14 @@ object TextOps {
         .cast("decimal(18,6)"))
     val perDoc = scored.groupBy("doc_id").agg(
       sum("term_score").as("score_d"), count(lit(1)).as("n_terms"))
-    // top-k of a |matching docs|-sized frame: the single-partition
-    // window sees only docs containing ≥1 query term
-    val rw = Window.orderBy(desc("score_d"), col("doc_id"))
-    perDoc.withColumn("rnk", row_number().over(rw))
-      .filter(col("rnk") <= k)
+    // distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    // (per-partition heaps merged on the driver) — no single-partition
+    // sort over the |matching docs| frame; the rank window then runs
+    // over k rows only. Ordering key is the exact DECIMAL score, never
+    // a computed float.
+    val top = perDoc.orderBy(desc("score_d"), col("doc_id")).limit(k)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy(desc("score_d"), col("doc_id"))))
       .select(col("rnk"), col("doc_id"), col("n_terms"),
         col("score_d").cast("double").as("score"))
       .orderBy("rnk")
@@ -184,8 +187,11 @@ object TextOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
-    dfreq.filter(col("df") >= minDf && col("df") <= maxDf)
-      .withColumn("rnk", row_number().over(Window.orderBy(desc("df"), col("word"))))
+    // exact global rank without the single-partition sort: the df value
+    // itself (negated — sort is desc) is the monotone coarse bucket
+    GlobalRank.chunkedRowNumber(
+        dfreq.filter(col("df") >= minDf && col("df") <= maxDf),
+        -col("df"), Seq(desc("df"), col("word")), "rnk")
       .select("rnk", "word", "df")
       .orderBy("rnk")
   }
