@@ -93,7 +93,12 @@ object ScaleProbe {
         val eval = docs.filter(replica >= lit(factor / 2))
         Dedup.contaminationBloom(train, eval, 8)
       },
-      time("embed_semdedup") { Similarity.semDedup(emb, 0.95, 8, 2) })
+      // cells scale WITH the corpus (fixed ~250-vector cell size, the
+      // IVF rule): intra-cell candidate volume is (N/cells)²·cells, so a
+      // fixed cell count is quadratic in N — measured 177 s at ×10 with
+      // the test-scale cells=8 vs near-linear once cells ∝ N
+      time("embed_semdedup") {
+        Similarity.semDedup(emb, 0.95, cells = 8 * factor, iters = 2) })
 
     val qj = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","queries":$qj}""")
