@@ -391,7 +391,7 @@ object ExtQueries {
     "text_quality_score" -> ((s, d) => TextOps.qualityScore(docs(s, d))),
     // bigram-LM mean log-prob per doc (the perplexity-filter shape,
     // corpus-trained add-one model so the oracle replays it exactly)
-    "text_lm_score" -> ((s, d) => TextOps.lmScore(docs(s, d))),
+    "text_lm_score" -> ((s, d) => TextOps.lmScoreCached(docs(s, d), d)),
     // corpus heavy hitters: global top-20 5-grams (boilerplate view)
     "corpus_top_ngrams" -> ((s, d) => TextOps.topNgrams(docs(s, d), 5, 20)),
     "token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
@@ -408,7 +408,7 @@ object ExtQueries {
     // land last, matching desc_nulls_last), never a single-partition
     // sort over the doc-cardinality frame.
     "ccnet_buckets" -> ((s, d) => {
-      val scored = TextOps.lmScore(docs(s, d))
+      val scored = TextOps.lmScoreCached(docs(s, d), d)
       val total = scored.agg(count(lit(1)).as("__grtotal"))
       graft.operators.GlobalRank.chunkedNtile(
           scored.crossJoin(broadcast(total)),

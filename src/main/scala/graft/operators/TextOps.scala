@@ -326,6 +326,42 @@ object TextOps {
     * word/bigram/doc_id only. V is one driver-side distinct count (a
     * scalar, as in [[tfidfTopTerms]]).
     */
+  /** Session-scoped cache of the scored frame — the trained-quantizer
+    * precedent: the bigram LM "trains" (unigram/bigram counts + vocab
+    * size) once per corpus and is consumed by several queries
+    * (text_lm_score, ccnet_buckets). Bounded LRU; blocks released on
+    * eviction/session end.
+    */
+  private val lmCache =
+    new graft.BoundedLruCache[(org.apache.spark.sql.SparkSession, String), DataFrame](
+      maxEntries = 8,
+      release = df =>
+        if (!df.sparkSession.sparkContext.isStopped)
+          org.apache.spark.sql.GraftShims.uncheckpoint(df))
+
+  locally {
+    graft.SessionCaches.register(
+      evict = s => lmCache.removeIf(_._1 eq s,
+        releaseRemoved = !s.sparkContext.isStopped),
+      sweep = () => lmCache.removeIf(_._1.sparkContext.isStopped,
+        releaseRemoved = false))
+  }
+
+  /** [[lmScore]] through the session model cache (compute outside the
+    * lock; a lost race releases the loser).
+    */
+  def lmScoreCached(docs: DataFrame, corpusKey: String): DataFrame = {
+    graft.SessionCaches.watch(docs.sparkSession)
+    val key = (docs.sparkSession, corpusKey)
+    lmCache.get(key).getOrElse {
+      val scored = lmScore(docs).localCheckpoint()
+      val winner = lmCache.putIfAbsent(key, scored)
+      if (winner ne scored)
+        org.apache.spark.sql.GraftShims.uncheckpoint(scored)
+      winner
+    }
+  }
+
   def lmScore(docs: DataFrame): DataFrame = {
     val words = spread(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))

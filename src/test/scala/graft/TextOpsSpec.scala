@@ -107,6 +107,17 @@ class TextOpsSpec extends SparkSpec {
     assert(r(0L).getDouble(2) > r(1L).getDouble(2))
   }
 
+  test("lmScoreCached: same corpus key returns the cached frame, values match") {
+    val d = docs(
+      (0L, "alpha beta gamma alpha beta gamma", "en"),
+      (1L, "delta epsilon zeta", "en"))
+    val a = TextOps.lmScoreCached(d, "lm-spec-corpus")
+    val b = TextOps.lmScoreCached(d, "lm-spec-corpus")
+    assert(a eq b, "second call must be a cache hit (same frame reference)")
+    val plain = TextOps.lmScore(d).collect().map(_.toString).sorted
+    assert(a.collect().map(_.toString).sorted.sameElements(plain))
+  }
+
   test("chunkWords: chunk count, stride starts, overlap, short tails") {
     val d = docs(
       (0L, (1 to 150).map(i => s"w$i").mkString(" "), "en"), // 3 chunks
