@@ -360,7 +360,10 @@ object ExtQueries {
         .unionByName(all.filter(col("doc_id") >= 10 && col("doc_id") < 20)
           .select((col("doc_id") + 20000).as("doc_id"),
             concat(col("text"), lit(" zq1 zq2 zq3")).as("text")))
-      Dedup.incrementalDedup(existing, batch, 0.5)
+      // keyed: the existing-corpus index (fingerprints + shingles +
+      // capped bands) is the production stored index, built once
+      Dedup.incrementalDedup(existing, batch, 0.5,
+        existingKey = Some(d + "#inc-existing"))
     }),
 
     // ---- text analysis

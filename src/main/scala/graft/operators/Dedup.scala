@@ -394,25 +394,68 @@ object Dedup {
     * A deployment persists the fp/signature/band tables and appends
     * each accepted batch; here they derive from `existing` per call.
     */
-  def incrementalDedup(existing: DataFrame, batch: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
-    // exact store: content hash → min existing doc
-    val exFp = existing.select(md5(col("text")).as("fp"), col("doc_id"))
-      .groupBy("fp").agg(min("doc_id").as("ex_exact"))
-    val bFp = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+  /** The existing-corpus dedup index (exact-fingerprint store, shingle
+    * table, capped band table), cached per (session, corpusKey). In
+    * production this is a PERSISTED index the increment loop appends to
+    * per batch — recomputing it for every incoming batch would make each
+    * increment cost O(corpus), which is exactly what incremental dedup
+    * exists to avoid. Bounded LRU; blocks released on eviction.
+    */
+  private val incIndexCache = new graft.BoundedLruCache[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame)](
+    maxEntries = 8,
+    release = { case (fp, sh, bands) =>
+      if (!fp.sparkSession.sparkContext.isStopped) {
+        org.apache.spark.sql.GraftShims.uncheckpoint(fp)
+        org.apache.spark.sql.GraftShims.uncheckpoint(sh)
+        org.apache.spark.sql.GraftShims.uncheckpoint(bands)
+      }
+    })
 
-    // asymmetric banding: batch signatures probe the existing band
-    // table. One shingle chain per side — the checkpointed distinct
-    // table feeds both the signatures (min is duplicate-insensitive)
-    // and the Jaccard verification
-    val exSh = shingles(existing).localCheckpoint()
+  locally {
+    graft.SessionCaches.register(
+      evict = s => incIndexCache.removeIf(_._1 eq s,
+        releaseRemoved = !s.sparkContext.isStopped),
+      sweep = () => incIndexCache.removeIf(_._1.sparkContext.isStopped,
+        releaseRemoved = false))
+  }
+
+  def incrementalDedup(existing: DataFrame, batch: DataFrame,
+      threshold: Double = 0.5, existingKey: Option[String] = None): DataFrame = {
+    // the existing-corpus index: exact store (content hash → min doc),
+    // shingle table (feeds signatures AND Jaccard verification — min is
+    // duplicate-insensitive), capped band table the batch probes
+    def buildIndex(): (DataFrame, DataFrame, DataFrame) = {
+      val fp = existing.select(md5(col("text")).as("fp"), col("doc_id"))
+        .groupBy("fp").agg(min("doc_id").as("ex_exact"))
+        .localCheckpoint()
+      val sh = shingles(existing).localCheckpoint()
+      val capped = minhashBandRows(minhashSignaturesFrom(sh)).drop("ext")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("band", "bv").orderBy("doc_id")))
+        .filter(col("rn") <= lshBucketCap).drop("rn")
+        .localCheckpoint()
+      (fp, sh, capped)
+    }
+    val (exFp, exSh, exCapped) = existingKey match {
+      case None => buildIndex()
+      case Some(ck) =>
+        graft.SessionCaches.watch(existing.sparkSession)
+        val key = (existing.sparkSession, ck)
+        incIndexCache.get(key).getOrElse {
+          val built = buildIndex()
+          val winner = incIndexCache.putIfAbsent(key, built)
+          if (winner ne built) {  // lost the race: release the loser
+            org.apache.spark.sql.GraftShims.uncheckpoint(built._1)
+            org.apache.spark.sql.GraftShims.uncheckpoint(built._2)
+            org.apache.spark.sql.GraftShims.uncheckpoint(built._3)
+          }
+          winner
+        }
+    }
+    val bFp = batch.select(col("doc_id"), md5(col("text")).as("fp"))
     val bSh = shingles(batch).localCheckpoint()
-    val exBands = minhashBandRows(minhashSignaturesFrom(exSh)).drop("ext")
     val bBands = minhashBandRows(minhashSignaturesFrom(bSh)).drop("ext")
-    val exCapped = exBands
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("band", "bv").orderBy("doc_id")))
-      .filter(col("rn") <= lshBucketCap).drop("rn")
     val cands = bBands.as("q").join(exCapped.as("e"),
         col("q.band") === col("e.band") && col("q.bv") === col("e.bv"))
       .select(col("q.doc_id").as("doc_a"), col("e.doc_id").as("doc_b"))
