@@ -343,6 +343,15 @@ object ExtQueries {
       Similarity.semDedup(perturbedCorpus(emb(s, d)), 0.95, 8, 2,
         corpusKey = Some(d + "#semdedup"))),
 
+    // the scale rung past flat IVF: coarse Lloyd's, independent fine
+    // Lloyd's inside each coarse cell, same intra-cell pruning on the
+    // composite cell. No SQL oracle (two nested Lloyd's in a CTE chain
+    // is not reasonably expressible) → rows-only driver check; the
+    // correctness evidence is SimilaritySpec's soundness + planted-twin
+    // recall assertions, the ema_macd precedent.
+    "embed_semdedup_2level" -> ((s, d) =>
+      Similarity.semDedupTwoLevel(perturbedCorpus(emb(s, d)), 0.95, 4, 4, 2)),
+
     // cross-source leakage matrix: distinct shared 8-grams + gram-set
     // Jaccard per source pair — the corpus-level mixture/provenance view
     "source_overlap" -> ((s, d) => Dedup.sourceOverlap(docs(s, d), 8)),

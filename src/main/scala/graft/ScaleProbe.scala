@@ -98,7 +98,14 @@ object ScaleProbe {
       // fixed cell count is quadratic in N — measured 177 s at ×10 with
       // the test-scale cells=8 vs near-linear once cells ∝ N
       time("embed_semdedup") {
-        Similarity.semDedup(emb, 0.95, cells = 8 * factor, iters = 2) })
+        Similarity.semDedup(emb, 0.95, cells = 8 * factor, iters = 2) },
+      // the two-level split: same total cell count (coarse·fine =
+      // 8·factor) so the pairing term matches the flat run above, but
+      // assignment costs N·(coarse+fine) ≈ N·2√cells instead of N·cells
+      time("embed_semdedup_2level") {
+        val side = math.max(2, math.ceil(math.sqrt(8.0 * factor)).toInt)
+        Similarity.semDedupTwoLevel(emb, 0.95,
+          coarseCells = side, fineCells = side, iters = 2) })
 
     val qj = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","queries":$qj}""")

@@ -352,6 +352,17 @@ object Similarity {
         centroids.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
         cp
     }
+    pruneWithinCells(emb, assigned, tau, cells)
+  }
+
+  /** The SemDeDup pruning stage over an arbitrary cell assignment
+    * (vec_id, cell, d): rank within cell by (distance, id), drop any
+    * vector with cos ≥ tau against a lower-ranked cellmate. Shared by
+    * the flat and two-level quantizer paths — the cell column is opaque
+    * here, so a composite (coarse, fine) id works unchanged.
+    */
+  private def pruneWithinCells(emb: DataFrame, assigned: DataFrame,
+      tau: Double, cells: Int): DataFrame = {
     val byCell = Window.partitionBy("cell").orderBy(col("d"), col("vec_id"))
     val ranked = assigned.withColumn("rk", row_number().over(byCell).cast("long"))
     // per-vector self-norm computed ONCE: the pair cosine divides by the
@@ -387,6 +398,75 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("d"), col("rk"),
         col("__dropped").isNull.as("is_kept"))
       .orderBy("vec_id")
+  }
+
+  /** Per-parent Lloyd's: the [[kmeansAssignInternal]] recipe run
+    * INDEPENDENTLY inside every parent cell in one distributed pass.
+    * Centroid tables are keyed (pcell, cell) and the assignment joins on
+    * pcell instead of cross-joining the full centroid set — with
+    * coarse ≈ fine ≈ √cells, per-vector assignment work drops from
+    * O(cells) to O(2√cells). Same determinism: init = the k lowest
+    * vec_ids per parent, means rounded to 6dp, ties by cell id.
+    */
+  private def kmeansAssignWithin(parents: DataFrame, emb: DataFrame,
+      k: Int, iters: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .join(parents, "vec_id") // (vec_id, v, pcell)
+    var centroids = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pcell").orderBy("vec_id")))
+      .filter(col("rn") <= k)
+      .select(col("pcell"), (col("rn") - 1).as("cell"), col("v").as("c"))
+      .localCheckpoint()
+    var previous: Option[DataFrame] = Some(centroids)
+    def assigned = {
+      val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cell"))
+      e.join(centroids, "pcell")
+        .withColumn("d", l2sq(col("v"), col("c")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "pcell", "cell", "d")
+    }
+    for (_ <- 1 until iters) {
+      val means = assigned.join(e.select("vec_id", "v"), "vec_id")
+        .select(col("pcell"), col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("pcell", "cell", "i").agg(round(avg(col("x")), 6).as("m"))
+      centroids = means
+        .groupBy("pcell", "cell")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ps"))
+        .select(col("pcell"), col("cell"),
+          transform(col("ps"), p => p.getField("m")).as("c"))
+        .localCheckpoint()
+      previous.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
+      previous = Some(centroids)
+    }
+    val out = assigned.localCheckpoint()
+    previous.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
+    out
+  }
+
+  /** Two-level SemDeDup — the scale rung past flat IVF: coarse Lloyd's
+    * over the corpus, then an independent fine Lloyd's INSIDE each
+    * coarse cell, then the standard intra-cell pruning within
+    * (coarse, fine). Flat IVF with cells ∝ √N makes both the assignment
+    * (N·cells) and the pairing (N²/cells) terms N^1.5 — measured on the
+    * ×30 probe; the two-level split keeps the pairing term identical
+    * (total cells = coarse·fine) while cutting assignment to
+    * N·(coarse + fine) = O(N·√cells). Same pruning semantics; cell ids
+    * are the composite coarse·fine + fine index.
+    */
+  def semDedupTwoLevel(emb: DataFrame, tau: Double = 0.95,
+      coarseCells: Int = 8, fineCells: Int = 8, iters: Int = 2): DataFrame = {
+    val (coarse, cCent) = kmeansAssignInternal(emb, coarseCells, iters)
+    val coarseCp = coarse.select(col("vec_id"), col("cell").as("pcell"))
+      .localCheckpoint()
+    cCent.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
+    val fine = kmeansAssignWithin(coarseCp, emb, fineCells, iters)
+    val composite = fine.select(col("vec_id"),
+      (col("pcell") * fineCells + col("cell")).as("cell"), col("d"))
+    val out = pruneWithinCells(emb, composite, tau, coarseCells * fineCells)
+    org.apache.spark.sql.GraftShims.uncheckpoint(coarseCp)
+    out
   }
 
   /** The m disjoint subvector views of the embedding column — the

@@ -161,4 +161,62 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(x => x.getAs[Long]("vec_id") -> x.getAs[Boolean]("is_kept")).toMap
     assert(r == Map(0L -> true, 1L -> true, 2L -> false, 3L -> true))
   }
+
+  test("semDedupTwoLevel: sound drops, exact twins always caught") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 40 pseudo-random 16-dim base vectors + 8 exact twins (id 100+i of
+    // i): an identical vector shares its original's coarse AND fine
+    // cell and ranks behind it (vec_id tiebreak at equal distance), so
+    // a twin must ALWAYS drop — even if its original itself drops to a
+    // third vector v (then cos(v, twin) = cos(v, original) ≥ tau and v
+    // ranks earlier still)
+    val base = (0 until 40).map { i =>
+      val v = Array.tabulate(16)(j =>
+        math.sin(i * 7919.0 + j * 104729.0).toFloat)
+      (i.toLong, v.toSeq)
+    }
+    val twins = (0 until 8).map(i => (100L + i, base(i)._2))
+    val vs = (base ++ twins).toDF("vec_id", "embedding")
+    val out = Similarity.semDedupTwoLevel(vs, tau = 0.95,
+      coarseCells = 3, fineCells = 3, iters = 2).collect()
+    val kept = out.filter(_.getAs[Boolean]("is_kept")).map(_.getAs[Long]("vec_id")).toSet
+    val dropped = out.filterNot(_.getAs[Boolean]("is_kept")).map(_.getAs[Long]("vec_id")).toSet
+    // recall: every planted twin dropped
+    (0 until 8).foreach { i =>
+      assert(dropped.contains(100L + i), s"twin ${100 + i} must drop")
+    }
+    // soundness: every drop is justified by SOME lower-ranked cellmate
+    // at cos ≥ tau (kept or itself dropped — the SemDeDup rule compares
+    // against every earlier cellmate, same as the flat path)
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val vecs = (base ++ twins).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    dropped.foreach { d =>
+      val rd = byId(d)
+      val ok = out.exists { r =>
+        r.getAs[Long]("cell") == rd.getAs[Long]("cell") &&
+          r.getAs[Long]("rk") < rd.getAs[Long]("rk") &&
+          cos(vecs(r.getAs[Long]("vec_id")), vecs(d)) >= 0.95 - 1e-4
+      }
+      assert(ok, s"drop $d has no qualifying earlier cellmate")
+    }
+    // and no kept vector should have been droppable: completeness
+    kept.foreach { kId =>
+      val rk = byId(kId)
+      val shouldDrop = out.exists { r =>
+        r.getAs[Long]("cell") == rk.getAs[Long]("cell") &&
+          r.getAs[Long]("rk") < rk.getAs[Long]("rk") &&
+          cos(vecs(r.getAs[Long]("vec_id")), vecs(kId)) >= 0.95 + 1e-4
+      }
+      assert(!shouldDrop, s"kept $kId had an earlier cellmate over tau")
+    }
+    // every vector accounted for exactly once
+    assert(out.length == 48 && (kept ++ dropped).size == 48)
+  }
 }
