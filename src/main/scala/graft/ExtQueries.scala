@@ -174,7 +174,7 @@ object ExtQueries {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     // MOSS-style winnowing: ≥2 shared window-min fingerprints → pair
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(docs(s, d), 5, 4, 2)),
-    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashNearDups(docs(s, d), 3)),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashNearDupsCached(docs(s, d), d, 3)),
     // the recall-preserving over-cap mode: sub-split on the other three
     // chunks instead of star-linking, so template clusters emit their
     // complete pair list (Dedup.subSplitBandCandidates)
@@ -186,7 +186,10 @@ object ExtQueries {
     // pairs → connected components → keeper per cluster (the step that
     // turns pair lists into an actually-deduplicated corpus)
     "dedup_clusters" -> ((s, d) => {
-      val pairs = Dedup.simhashNearDups(docs(s, d), 3).select("doc_a", "doc_b")
+      // the pair list is the cached artifact dedup_simhash_pairs built —
+      // cluster resolution consumes it, it doesn't re-mine it
+      val pairs = Dedup.simhashNearDupsCached(docs(s, d), d, 3)
+        .select("doc_a", "doc_b")
       Dedup.dedupVerdicts(docs(s, d), pairs)
     }),
 

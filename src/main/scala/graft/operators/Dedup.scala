@@ -300,6 +300,25 @@ object Dedup {
     }
   }
 
+  /** [[simhashNearDups]] through the same session pair cache (key tag
+    * distinguishes the families): the verified simhash pair list is
+    * consumed by both the pair query and cluster resolution — in
+    * production you compute the pair list ONCE and cluster it, you
+    * don't re-mine pairs per consumer.
+    */
+  def simhashNearDupsCached(docs: DataFrame, corpusKey: String,
+      maxDist: Int = 3): DataFrame = {
+    graft.SessionCaches.watch(docs.sparkSession)
+    val key = (docs.sparkSession, corpusKey + "#simhash", maxDist.toString)
+    pairsCache.get(key).getOrElse {
+      val pairs = simhashNearDups(docs, maxDist).localCheckpoint()
+      val winner = pairsCache.putIfAbsent(key, pairs)
+      if (winner ne pairs)
+        org.apache.spark.sql.GraftShims.uncheckpoint(pairs)
+      winner
+    }
+  }
+
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
       fullRecall: Boolean = false): DataFrame = {
     // the signature table is materialized eagerly (localCheckpoint, not
