@@ -348,10 +348,10 @@ object ExtQueries {
 
     // the scale rung past flat IVF: coarse Lloyd's, independent fine
     // Lloyd's inside each coarse cell, same intra-cell pruning on the
-    // composite cell. No SQL oracle (two nested Lloyd's in a CTE chain
-    // is not reasonably expressible) → rows-only driver check; the
-    // correctness evidence is SimilaritySpec's soundness + planted-twin
-    // recall assertions, the ema_macd precedent.
+    // composite cell. Hash-checked like everything else: the oracle
+    // unrolls BOTH Lloyd's passes in DuckDB (the flat kmeansBody chain
+    // at k=4, then the same two rounds per coarse cell) — the
+    // recursive-CTE-style precedent set by ema_macd.
     "embed_semdedup_2level" -> ((s, d) =>
       Similarity.semDedupTwoLevel(perturbedCorpus(emb(s, d)), 0.95, 4, 4, 2)),
 
@@ -1199,10 +1199,10 @@ object ExtQueries {
     * every oracle that needs the k-means assignment; `src` must expose
     * (vec_id, embedding).
     */
-  private def kmeansBody(src: String): String =
+  private def kmeansBody(src: String, k: Int = 8): String =
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |           FROM $src),
-      | c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),
+      | c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < $k),
       | d1 AS (SELECT e.vec_id, c0.cell,
       |          round(SUM((e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i])), 6) AS d
       |        FROM e, c0, UNNEST(range(1, 65)) t(i)
@@ -1912,6 +1912,58 @@ object ExtQueries {
         | dropped AS (SELECT DISTINCT vec_id FROM pairs WHERE cos >= 0.95)
         | SELECT r.vec_id, r.cell, r.d, r.rk, dr.vec_id IS NULL AS is_kept
         | FROM rk r LEFT JOIN dropped dr ON r.vec_id = dr.vec_id
+        | ORDER BY r.vec_id""".stripMargin,
+    // two-level SemDeDup: the coarse Lloyd's chain (kmeansBody, k=4) is
+    // round-for-round the flat oracle's; the fine pass re-runs the same
+    // two unrolled rounds INDEPENDENTLY per coarse cell (f0 init = the 4
+    // lowest vec_ids per pcell, fine cell = rank-1 — mirroring
+    // Similarity.kmeansAssignWithin), and the pruning CTEs are verbatim
+    // the flat ones over the composite cell pcell*4+fine.
+    "embed_semdedup_2level" ->
+      s"""WITH $perturbedCorpusSql,
+        | ${kmeansBody("corpus", 4)},
+        | p AS (SELECT vec_id, cell AS pcell FROM a2),
+        | fe AS (SELECT e.vec_id, p.pcell, e.v FROM e JOIN p USING (vec_id)),
+        | f0 AS (SELECT pcell, rn - 1 AS cell, v AS c FROM (
+        |          SELECT pcell, vec_id, v,
+        |            row_number() OVER (PARTITION BY pcell ORDER BY vec_id) AS rn
+        |          FROM fe) WHERE rn <= 4),
+        | fd1 AS (SELECT fe.vec_id, f0.cell,
+        |           round(SUM((fe.v[i] - f0.c[i]) * (fe.v[i] - f0.c[i])), 6) AS d
+        |         FROM fe JOIN f0 USING (pcell), UNNEST(range(1, 65)) t(i)
+        |         GROUP BY fe.vec_id, f0.cell),
+        | fa1 AS (SELECT vec_id, cell FROM (
+        |           SELECT vec_id, cell,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |           FROM fd1) WHERE rn = 1),
+        | fm1 AS (SELECT fe.pcell, fa1.cell, i, round(avg(fe.v[i]), 6) AS m
+        |         FROM fa1 JOIN fe USING (vec_id), UNNEST(range(1, 65)) t(i)
+        |         GROUP BY fe.pcell, fa1.cell, i),
+        | fc1 AS (SELECT pcell, cell, list(m ORDER BY i) AS c
+        |         FROM fm1 GROUP BY pcell, cell),
+        | fd2 AS (SELECT fe.vec_id, fc1.cell,
+        |           round(SUM((fe.v[i] - fc1.c[i]) * (fe.v[i] - fc1.c[i])), 6) AS d
+        |         FROM fe JOIN fc1 USING (pcell), UNNEST(range(1, 65)) t(i)
+        |         GROUP BY fe.vec_id, fc1.cell),
+        | fa2 AS (SELECT vec_id, cell, d FROM (
+        |           SELECT vec_id, cell, d,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |           FROM fd2) WHERE rn = 1),
+        | comp AS (SELECT fa2.vec_id, p.pcell * 4 + fa2.cell AS cell, fa2.d AS d
+        |          FROM fa2 JOIN p USING (vec_id)),
+        | crk AS (SELECT vec_id, cell, d,
+        |          row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) AS rk
+        |        FROM comp),
+        | cpairs AS (SELECT b.vec_id,
+        |     round(SUM(ea.v[i] * eb.v[i]) /
+        |       (sqrt(SUM(ea.v[i] * ea.v[i])) * sqrt(SUM(eb.v[i] * eb.v[i]))), 4) AS cos
+        |   FROM crk a JOIN crk b ON a.cell = b.cell AND a.rk < b.rk
+        |   JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id,
+        |   UNNEST(range(1, 65)) t(i)
+        |   GROUP BY a.vec_id, b.vec_id),
+        | cdropped AS (SELECT DISTINCT vec_id FROM cpairs WHERE cos >= 0.95)
+        | SELECT r.vec_id, r.cell, r.d, r.rk, dr.vec_id IS NULL AS is_kept
+        | FROM crk r LEFT JOIN cdropped dr ON r.vec_id = dr.vec_id
         | ORDER BY r.vec_id""".stripMargin,
     "text_langid" ->
       s"""WITH m(mlang, marker) AS (VALUES ${TextOps.markers.map {
