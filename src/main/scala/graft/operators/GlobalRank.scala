@@ -32,6 +32,19 @@ object GlobalRank {
   /** Global `row_number() OVER (ORDER BY order…)` as `out`, decomposed
     * over `bucket` (monotone non-decreasing along `order` — the caller
     * negates descending keys).
+    *
+    * The monotonicity precondition is CHECKED, not trusted: the
+    * decomposition is exact iff concatenating the buckets' sorted runs
+    * in bucket order yields a globally sorted sequence, which holds iff
+    * every per-bucket boundary row (first/last in sort order) is
+    * bucket-ordered when the boundary rows are globally sorted — and no
+    * full sort key repeats across two buckets (an equal key straddling
+    * a boundary would make the split of its tie group arbitrary). Both
+    * conditions fold into the offsets side as an `assert_true` that the
+    * broadcast join cannot prune, so a non-monotone bucket fails the
+    * job loudly instead of mis-ranking. Cost: one extra pass over `df`
+    * (window + boundary filter) and one window over ≤2 rows per bucket
+    * — the same bucket-cardinality bound as the offsets window.
     */
   def chunkedRowNumber(df: DataFrame, bucket: Column, order: Seq[Column],
       out: String = "rnk"): DataFrame = {
@@ -43,7 +56,38 @@ object GlobalRank {
         sum("__grn").over(Window.orderBy("__grb")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__grb", "__groff")
-    withB.join(broadcast(offsets), "__grb")
+    // guard: per-bucket boundary rows, globally sorted by the caller's
+    // order (bucket appended ascending so cross-bucket ties land
+    // bucket-ascending and are caught by the key-equality term, not
+    // missed by the decrease term). The key VALUES are projected out
+    // (the order columns may be desc-wrapped SortOrders — split via the
+    // shim and re-applied to the projected fields)
+    val split = order.map(org.apache.spark.sql.GraftShims.splitSortOrder)
+    val keys = struct(split.zipWithIndex.map {
+      case ((k, _), i) => k.as(s"k$i") }: _*)
+    val wInB = Window.partitionBy("__grb").orderBy(order: _*)
+    val bounds = withB
+      .withColumn("__grrn", row_number().over(wInB))
+      .withColumn("__grcnt", count(lit(1)).over(Window.partitionBy("__grb")))
+      .filter(col("__grrn") === 1 || col("__grrn") === col("__grcnt"))
+      .select(col("__grb"), keys.as("__grkey"))
+    val boundOrder = split.zipWithIndex.map {
+      case ((_, reapply), i) => reapply(col("__grkey")(s"k$i")) }
+    val wBounds = Window.orderBy(boundOrder :+ col("__grb").asc: _*)
+    val viol = bounds
+      .withColumn("__grpb", lag("__grb", 1).over(wBounds))
+      .withColumn("__grpk", lag("__grkey", 1).over(wBounds))
+      .agg(sum(when(col("__grpb") > col("__grb") ||
+          (col("__grpb") =!= col("__grb") && (col("__grpk") <=> col("__grkey"))),
+        1L).otherwise(0L)).as("__grviol"))
+    val checked = offsets.crossJoin(viol)
+      .withColumn("__groff", col("__groff") + coalesce(
+        assert_true(coalesce(col("__grviol"), lit(0L)) === 0L,
+          lit("GlobalRank: bucket is not monotone non-decreasing along " +
+            "the sort order (or a full sort key repeats across buckets) " +
+            "— the chunked rank would be wrong")).cast("long"), lit(0L)))
+      .select("__grb", "__groff")
+    withB.join(broadcast(checked), "__grb")
       .withColumn(out,
         (col("__groff") +
           row_number().over(Window.partitionBy("__grb").orderBy(order: _*)))

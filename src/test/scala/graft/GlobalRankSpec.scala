@@ -42,6 +42,33 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("a non-monotone bucket fails loudly instead of mis-ranking") {
+    // bucket = v % 3 is NOT monotone along ORDER BY v: bucket-0 rows
+    // (v=0,3,6…) interleave with bucket-1/2 rows in sort order
+    val bad = GlobalRank.chunkedRowNumber(
+      data, col("v") % 3, Seq(col("v"), col("id")))
+    val e = intercept[Throwable](bad.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("monotone")),
+      s"expected the monotonicity assertion, got: $e")
+  }
+
+  test("a full sort key repeated across two buckets fails loudly") {
+    import spark.implicits._
+    // key (v) is equal across rows that land in different buckets —
+    // the tie group would be split arbitrarily by the decomposition
+    val ties = Seq((1L, 5L), (2L, 5L), (3L, 9L)).toDF("id", "v")
+    val bad = GlobalRank.chunkedRowNumber(ties, col("id"), Seq(col("v")))
+    val e = intercept[Throwable](bad.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("monotone")),
+      s"expected the monotonicity assertion, got: $e")
+  }
+
   test("executed plan has no unpartitioned table-sized window") {
     val chunked = GlobalRank.chunkedRowNumber(
       data, -col("v"), Seq(desc("v"), col("id")))
