@@ -83,12 +83,22 @@ object Bench {
     val results = names.zipWithIndex.map { case (name, i) =>
       val reps = Seq(round1(i), round2(i)) ++ round3.get(i)
       val good = reps.collect { case (true, t) => t }
-      name -> (if (good.nonEmpty) good.min else reps.map(_._2).max)
+      // min = the headline steady-state metric (noise-robust, absorbs
+      // legitimate once-per-corpus costs like quantizer training into
+      // rep 1); max carries the cold/first-rep cost so cache-hit
+      // accounting is auditable from the artifact itself, not only
+      // from PLANS.md. All-failed keeps reporting the max elapsed in
+      // both slots so the failure stays visible in the number.
+      name -> (if (good.nonEmpty) (good.min, good.max)
+               else { val m = reps.map(_._2).max; (m, m) })
     }
-    val qj = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qj,"sf":"$sfDir"}""")
+    def jmap(f: ((String, (Double, Double))) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + f((k, v)) }
+        .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${jmap(_._2._1)},"queries_max":${jmap(_._2._2)},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }
