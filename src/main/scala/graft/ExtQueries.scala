@@ -355,6 +355,14 @@ object ExtQueries {
     "embed_semdedup_2level" -> ((s, d) =>
       Similarity.semDedupTwoLevel(perturbedCorpus(emb(s, d)), 0.95, 4, 4, 2)),
 
+    // the DEFAULT semantic-dedup entry point: quantizer sized from the
+    // corpus (cells = ceil(sqrt(N)), flat at this scale), rung selected
+    // by Similarity.semDedupRung. The oracle computes k with the same
+    // ceil(sqrt(count(*))) so it tracks testdata row-count changes.
+    "embed_semdedup_auto" -> ((s, d) =>
+      Similarity.semDedupAuto(perturbedCorpus(emb(s, d)), 0.95, 2,
+        corpusKey = Some(d + "#semdedup-auto"))),
+
     // cross-source leakage matrix: distinct shared 8-grams + gram-set
     // Jaccard per source pair — the corpus-level mixture/provenance view
     "source_overlap" -> ((s, d) => Dedup.sourceOverlap(docs(s, d), 8)),
@@ -1199,7 +1207,7 @@ object ExtQueries {
     * every oracle that needs the k-means assignment; `src` must expose
     * (vec_id, embedding).
     */
-  private def kmeansBody(src: String, k: Int = 8): String =
+  private def kmeansBody(src: String, k: String = "8"): String =
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |           FROM $src),
       | c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < $k),
@@ -1921,7 +1929,7 @@ object ExtQueries {
     // the flat ones over the composite cell pcell*4+fine.
     "embed_semdedup_2level" ->
       s"""WITH $perturbedCorpusSql,
-        | ${kmeansBody("corpus", 4)},
+        | ${kmeansBody("corpus", "4")},
         | p AS (SELECT vec_id, cell AS pcell FROM a2),
         | fe AS (SELECT e.vec_id, p.pcell, e.v FROM e JOIN p USING (vec_id)),
         | f0 AS (SELECT pcell, rn - 1 AS cell, v AS c FROM (
@@ -1964,6 +1972,27 @@ object ExtQueries {
         | cdropped AS (SELECT DISTINCT vec_id FROM cpairs WHERE cos >= 0.95)
         | SELECT r.vec_id, r.cell, r.d, r.rk, dr.vec_id IS NULL AS is_kept
         | FROM crk r LEFT JOIN cdropped dr ON r.vec_id = dr.vec_id
+        | ORDER BY r.vec_id""".stripMargin,
+    // auto rung at verify scale resolves to the flat chain with
+    // k = ceil(sqrt(N)) — computed IN SQL so the oracle follows the
+    // corpus count exactly as Similarity.semDedupAuto does
+    "embed_semdedup_auto" ->
+      s"""WITH $perturbedCorpusSql,
+        | ${kmeansBody("corpus",
+            "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM corpus)")},
+        | rk AS (SELECT vec_id, cell, d,
+        |          row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) AS rk
+        |        FROM a2),
+        | pairs AS (SELECT b.vec_id,
+        |     round(SUM(ea.v[i] * eb.v[i]) /
+        |       (sqrt(SUM(ea.v[i] * ea.v[i])) * sqrt(SUM(eb.v[i] * eb.v[i]))), 4) AS cos
+        |   FROM rk a JOIN rk b ON a.cell = b.cell AND a.rk < b.rk
+        |   JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id,
+        |   UNNEST(range(1, 65)) t(i)
+        |   GROUP BY a.vec_id, b.vec_id),
+        | dropped AS (SELECT DISTINCT vec_id FROM pairs WHERE cos >= 0.95)
+        | SELECT r.vec_id, r.cell, r.d, r.rk, dr.vec_id IS NULL AS is_kept
+        | FROM rk r LEFT JOIN dropped dr ON r.vec_id = dr.vec_id
         | ORDER BY r.vec_id""".stripMargin,
     "text_langid" ->
       s"""WITH m(mlang, marker) AS (VALUES ${TextOps.markers.map {

@@ -355,6 +355,40 @@ object Similarity {
     pruneWithinCells(emb, assigned, tau, cells)
   }
 
+  /** The pure rung-selection rule behind [[semDedupAuto]]:
+    * cells = ⌈√N⌉ (the IVF sizing rule — cell population ≈ √N bounds
+    * the intra-cell pair term at N·√N), Left(cells) = flat single-level
+    * while cells ≤ `maxFlatCells` (flat assignment costs N·cells),
+    * Right(coarse, fine) with coarse = fine = ⌈√cells⌉ above it
+    * (assignment drops to N·2√cells; measured 3.1× faster at ×30 —
+    * PLANS.md scale table). Pure so the boundary is unit-testable
+    * without a session.
+    */
+  private[graft] def semDedupRung(n: Long,
+      maxFlatCells: Int = 64): Either[Int, (Int, Int)] = {
+    val cells = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    if (cells <= maxFlatCells) Left(cells)
+    else {
+      val side = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+      Right((side, side))
+    }
+  }
+
+  /** Semantic dedup with the scale-safe plan as the DEFAULT: sizes the
+    * quantizer from the corpus (one column-pruned count(), amortized by
+    * the Lloyd's passes that follow) and routes through [[semDedup]] or
+    * [[semDedupTwoLevel]] per [[semDedupRung]] — a caller no longer
+    * opts in to the two-level rung, it arrives when the corpus needs
+    * it. Same pruning semantics either way.
+    */
+  def semDedupAuto(emb: DataFrame, tau: Double = 0.95, iters: Int = 2,
+      maxFlatCells: Int = 64, corpusKey: Option[String] = None): DataFrame =
+    semDedupRung(emb.count(), maxFlatCells) match {
+      case Left(cells) => semDedup(emb, tau, cells, iters, corpusKey)
+      case Right((coarse, fine)) =>
+        semDedupTwoLevel(emb, tau, coarse, fine, iters)
+    }
+
   /** The SemDeDup pruning stage over an arbitrary cell assignment
     * (vec_id, cell, d): rank within cell by (distance, id), drop any
     * vector with cos ≥ tau against a lower-ranked cellmate. Shared by

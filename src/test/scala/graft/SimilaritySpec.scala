@@ -219,4 +219,43 @@ class SimilaritySpec extends SparkSpec {
     // every vector accounted for exactly once
     assert(out.length == 48 && (kept ++ dropped).size == 48)
   }
+
+  test("semDedupRung: IVF sizing and the flat/two-level boundary") {
+    // cells = ceil(sqrt(n)); flat while cells <= 64
+    assert(Similarity.semDedupRung(1L) == Left(1))
+    assert(Similarity.semDedupRung(550L) == Left(24))
+    assert(Similarity.semDedupRung(4096L) == Left(64)) // boundary: 64 cells, still flat
+    assert(Similarity.semDedupRung(4225L) == Right((9, 9))) // 65 cells -> side ceil(sqrt(65))=9
+    assert(Similarity.semDedupRung(100000000L) == Right((100, 100))) // 1e8 vectors: 10k cells
+  }
+
+  test("semDedupAuto: both rungs drop the planted twins; each rung's " +
+      "output is byte-identical to its explicit twin") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(j =>
+        math.sin(i * 7919.0 + j * 104729.0).toFloat).toSeq)
+    }
+    val twins = (0 until 8).map(i => (100L + i, base(i)._2))
+    val vs = (base ++ twins).toDF("vec_id", "embedding")
+    def keyOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Double]("d"), r.getAs[Long]("rk"), r.getAs[Boolean]("is_kept"))).toSeq
+    // n=48 -> Left(7): the auto path IS the flat path with cells=7
+    val auto = keyOf(Similarity.semDedupAuto(vs, 0.95, 2))
+    assert(auto == keyOf(Similarity.semDedup(vs, 0.95, 7, 2)))
+    // forced past the boundary (maxFlatCells=1): cells=7 -> side=3 ->
+    // the auto path IS the two-level path with coarse=fine=3
+    val auto2 = keyOf(Similarity.semDedupAuto(vs, 0.95, 2, maxFlatCells = 1))
+    assert(auto2 == keyOf(Similarity.semDedupTwoLevel(vs, 0.95, 3, 3, 2)))
+    // both rungs agree on the semantics that matter: every planted twin
+    // drops, on the flat AND the two-level rung
+    def droppedOf(rows: Seq[(Long, Long, Double, Long, Boolean)]) =
+      rows.filterNot(_._5).map(_._1).toSet
+    (0 until 8).foreach { i =>
+      assert(droppedOf(auto).contains(100L + i), s"flat rung must drop twin ${100 + i}")
+      assert(droppedOf(auto2).contains(100L + i), s"two-level rung must drop twin ${100 + i}")
+    }
+  }
 }
