@@ -2826,7 +2826,7 @@ object ExtQueries {
          |       ret * CAST(CASE WHEN lo = hi THEN 2 ELSE 1 END AS DECIMAL(1,0)) END) AS med2
          |   FROM rk2 GROUP BY symbol),
          | d AS (SELECT rr.symbol, rr.date, rr.ret, m.med2,
-         |     CAST(abs(rr.ret * CAST(2 AS DECIMAL(1,0)) - m.med2) AS DECIMAL(16,8)) AS dev2
+         |     CAST(abs(rr.ret * CAST(2 AS DECIMAL(1,0)) - m.med2) AS DECIMAL(20,8)) AS dev2
          |   FROM rr JOIN m USING (symbol)),
          | dk AS (SELECT symbol, date, ret, med2, dev2,
          |     row_number() OVER (PARTITION BY symbol ORDER BY dev2) AS rn,

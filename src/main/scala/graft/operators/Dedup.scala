@@ -489,7 +489,7 @@ object Dedup {
       .select(col("doc_a").as("doc_id"), col("doc_b").as("ex_near"),
         col("jaccard").as("near_jaccard"))
 
-    bFp.join(exFp, Seq("fp"), "left")
+    val result = bFp.join(exFp, Seq("fp"), "left")
       .join(best, Seq("doc_id"), "left")
       .withColumn("verdict",
         when(col("ex_exact").isNotNull, lit("exact"))
@@ -500,6 +500,21 @@ object Dedup {
         when(col("ex_exact").isNull, col("near_jaccard")))
       .select("doc_id", "verdict", "dup_of", "jaccard")
       .orderBy("doc_id")
+      // eager: the verdict frame is batch-sized (tiny next to the index);
+      // materializing it here lets every transient block behind it be
+      // released NOW instead of pinning three block sets per keyless
+      // call until the RDDs are GC'd
+      .localCheckpoint()
+    org.apache.spark.sql.GraftShims.uncheckpoint(bSh)
+    if (existingKey.isEmpty) {
+      // keyless path: the index was built for this one call — release
+      // it (the cached path's index belongs to the LRU, which releases
+      // on eviction)
+      org.apache.spark.sql.GraftShims.uncheckpoint(exFp)
+      org.apache.spark.sql.GraftShims.uncheckpoint(exSh)
+      org.apache.spark.sql.GraftShims.uncheckpoint(exCapped)
+    }
+    result
   }
 
   /** SimHash near-dup pairs: band the 64-bit signatures into 4×16-bit

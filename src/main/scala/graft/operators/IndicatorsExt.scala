@@ -325,13 +325,16 @@ object IndicatorsExt {
       .filter(col("ret").isNotNull)
       .select("symbol", "date", "ret")
     val med2 = doubledMedian(base, "ret", "med2")
-    // dev2 ≤ 2·|ret| + |med2| — well under 1e8 for any sane return
-    // series; the (16,8) cast keeps the second median's sum chain tight
-    // (16+1+1 per-row, +10 for the sum = 28 digits, exact at scale 8).
+    // dev2 ≤ 2·|ret| + |med2| ≤ ~3e10 for a ret at the (18,8) carrier's
+    // edge — the carrier must be at least as wide as what feeds it, or
+    // the overflow the (18,8) ret cast was widened to avoid just moves
+    // one step later (Spark ANSI-off NULLs, DuckDB errors). (20,8):
+    // 12 integer digits hold 4·10^10; the second median's sum chain is
+    // 20+1+1 per-row +10 for the sum = 32 digits, exact at scale 8.
     val dev = base.join(med2, Seq("symbol"))
       .withColumn("dev2",
         abs(col("ret") * lit(2).cast("decimal(1,0)") - col("med2"))
-          .cast("decimal(16,8)"))
+          .cast("decimal(20,8)"))
     val mad4 = doubledMedian(dev.select("symbol", "date", "dev2"), "dev2", "mad4")
     // `+ 0.0` normalizes IEEE signed zero: Spark's round goes through
     // BigDecimal (never −0.0) while DuckDB's round preserves the sign of

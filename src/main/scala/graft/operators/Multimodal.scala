@@ -228,24 +228,30 @@ object Multimodal {
     def fourcc(off: Int): String =
       new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
-    var off = 12
+    // chunk-walk offsets in LONG: a declared chunk size near
+    // Int.MaxValue would wrap `off + 8 + size` negative in Int math,
+    // slip past the bounds check, and turn a malformed input into an
+    // executor exception instead of the contractual None
+    var off = 12L
     var rate, ch, bits = -1
     var dataLen = -1
     while (off + 8 <= bytes.length && (rate < 0 || dataLen < 0)) {
-      val id = fourcc(off)
-      val size = buf.getInt(off + 4)
-      if (size < 0 || off + 8 + size > bytes.length) return None
+      val id = fourcc(off.toInt)
+      val size = buf.getInt(off.toInt + 4)
+      if (size < 0 || off + 8 + size.toLong > bytes.length) return None
       id match {
         case "fmt " if size >= 16 =>
-          ch = buf.getShort(off + 10).toInt
-          rate = buf.getInt(off + 12)
-          bits = buf.getShort(off + 22).toInt
+          ch = buf.getShort(off.toInt + 10).toInt
+          rate = buf.getInt(off.toInt + 12)
+          bits = buf.getShort(off.toInt + 22).toInt
         case "data" => dataLen = size
         case _ => ()
       }
-      off += 8 + size + (size & 1) // chunks are word-aligned
+      off += 8 + size.toLong + (size & 1) // chunks are word-aligned
     }
-    if (rate <= 0 || ch <= 0 || bits <= 0 || dataLen < 0) None
+    // bits must be a positive whole number of bytes — 1..7 would make
+    // the frame-size divisor zero (ArithmeticException, not None)
+    if (rate <= 0 || ch <= 0 || bits < 8 || bits % 8 != 0 || dataLen < 0) None
     else {
       val frames = dataLen / (ch * (bits / 8))
       Some(AudioFeatures(0L, rate, ch, bits, frames,

@@ -33,8 +33,27 @@ object EventStream {
     * normalization as the batch loader ([[graft.Tables.normalizeEventTs]]).
     * Batch and stream therefore agree on `ts` for any encoding.
     */
+  /** Canonical events schema — the schema-inference fallback for a
+    * stream directory that is empty at start (files arriving later): a
+    * batch probe cannot infer from zero footers, but a stream must
+    * still be able to START and pick files up as they land. Matches the
+    * current testdata encoding; an older nanos/NTZ drop landing later
+    * would need the probe path (non-empty dir at start).
+    */
+  private val canonicalEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val fileSchema = spark.read.parquet(dir).schema
+    val fileSchema =
+      try spark.read.parquet(dir).schema
+      catch {
+        // 'Unable to infer schema' — empty or not-yet-populated
+        // directory; declare the canonical schema so the stream starts
+        // and picks up files as they arrive (the pre-probe behavior)
+        case _: org.apache.spark.sql.AnalysisException => canonicalEventSchema
+      }
     graft.Tables.normalizeEventTs(
       spark.readStream
         .schema(fileSchema)

@@ -107,6 +107,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWav(Multimodal.syntheticPng(3L)).isEmpty)
   }
 
+  test("parseWav returns None (never throws) on adversarial headers") {
+    // fractional-byte bits_per_sample: bits=4 passes a bits>0 check but
+    // makes ch*(bits/8) == 0 — must be None, not ArithmeticException
+    val fractional = Multimodal.syntheticWav(1L).clone()
+    val bb = java.nio.ByteBuffer.wrap(fractional)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(34, 4.toShort) // fmt_ bits_per_sample field
+    assert(Multimodal.parseWav(fractional).isEmpty)
+    // chunk size near Int.MaxValue: off+8+size wraps negative in Int
+    // math — must be None, not an index exception on a negative offset
+    val overflow = Multimodal.syntheticWav(1L).clone()
+    java.nio.ByteBuffer.wrap(overflow)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, Int.MaxValue - 4) // fmt chunk's declared size
+    assert(Multimodal.parseWav(overflow).isEmpty)
+  }
+
   test("frame sampling emits exactly n frames per record, empty included") {
     val media = Multimodal.mediaTable(
       docs(0L -> "abcdefghijklmnopqrstuvwxyz", 1L -> ""))

@@ -11,6 +11,26 @@ import graft.streaming.EventStream
   */
 class StreamingSpec extends SparkSpec {
 
+  test("read starts on an empty directory and picks up files that arrive later") {
+    val src = Paths.get("/root/testdata/sf0.001/events.parquet")
+    val dir = Files.createTempDirectory("graft-stream-empty")
+    // empty at stream declaration: schema inference is impossible, the
+    // canonical-schema fallback must let the stream START anyway
+    val stream = EventStream.read(spark, dir.toString)
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.contains("ts"))
+    // a file lands after the stream was declared; a bounded run now
+    // must process it through the same declared schema
+    Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = EventStream.hourlyAgg(stream)
+      .writeStream.format("memory").queryName("empty_start_spec")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table("empty_start_spec").count() > 0)
+  }
+
   test("bounded stream run equals the batch hourly aggregate") {
     val src = Paths.get("/root/testdata/sf0.001/events.parquet")
     val dir = Files.createTempDirectory("graft-stream-events")
