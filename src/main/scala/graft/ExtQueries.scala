@@ -537,6 +537,11 @@ object ExtQueries {
     // generation functions — a hash match proves the parse real.
     // duration_us and n_bytes are exact integer arithmetic on both sides.
     "multimodal_audio" -> ((s, d) => Multimodal.audioFeatures(docs(s, d))),
+    // real GIF round trip: video rows get honest animated-GIF payloads,
+    // the container parser recovers dimensions/frames/duration from the
+    // BYTES, and the oracle recomputes the expected values from the
+    // generation functions — the video twin of multimodal_audio.
+    "multimodal_video" -> ((s, d) => Multimodal.videoFeatures(docs(s, d))),
     // resize → frame-sample → join frames back to their source docs;
     // every stage narrow until the final small join.
     "multimodal_frames" -> ((s, d) => {
@@ -2470,6 +2475,17 @@ object ExtQueries {
         |   CAST(n_samples AS BIGINT) * 1000000 // sample_rate AS duration_us,
         |   CAST(44 + n_samples * n_channels * 2 AS BIGINT) AS n_bytes
         | FROM a ORDER BY doc_id""".stripMargin,
+    "multimodal_video" ->
+      """WITH v AS (
+        |   SELECT doc_id,
+        |     CAST(8 + doc_id % 24 AS INT) AS width,
+        |     CAST(8 + (doc_id * 5) % 16 AS INT) AS height,
+        |     CAST(2 + (doc_id * 11) % 14 AS INT) AS n_frames,
+        |     CAST(4 + doc_id % 12 AS BIGINT) AS delay_cs
+        |   FROM documents WHERE doc_id % 3 = 2)
+        | SELECT doc_id, width, height, n_frames,
+        |   n_frames * delay_cs * 10000 AS duration_us
+        | FROM v ORDER BY doc_id""".stripMargin,
     "multimodal_frames" ->
       """WITH m AS (
         |   SELECT doc_id, lang, text,

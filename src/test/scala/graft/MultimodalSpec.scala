@@ -107,6 +107,47 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWav(Multimodal.syntheticPng(3L)).isEmpty)
   }
 
+  test("GIF encode→parse round trip recovers the generation parameters") {
+    for (docId <- Seq(2L, 5L, 11L, 14L, 30002L)) {
+      val bytes = Multimodal.syntheticGif(docId)
+      val parsed = Multimodal.parseGif(bytes)
+      assert(parsed.isDefined, s"doc $docId failed to parse")
+      val f = parsed.get
+      assert(f.width == Multimodal.videoWidth(docId))
+      assert(f.height == Multimodal.videoHeight(docId))
+      assert(f.n_frames == Multimodal.videoFrames(docId))
+      assert(f.duration_us ==
+        f.n_frames.toLong * Multimodal.videoDelayCs(docId) * 10000L)
+    }
+  }
+
+  test("syntheticGif is a VALID animated GIF: ImageIO decodes every frame") {
+    // independent decoder cross-check — proves the hand-rolled LZW and
+    // block structure are honest GIF, not merely self-consistent
+    val docId = 5L
+    val bytes = Multimodal.syntheticGif(docId)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    assert(reader.getNumImages(true) == Multimodal.videoFrames(docId))
+    val img = reader.read(0)
+    assert(img.getWidth == Multimodal.videoWidth(docId))
+    assert(img.getHeight == Multimodal.videoHeight(docId))
+    reader.dispose()
+  }
+
+  test("parseGif rejects non-GIF and truncated payloads") {
+    assert(Multimodal.parseGif("not a gif".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseGif(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.parseGif(Multimodal.syntheticPng(3L)).isEmpty)
+    assert(Multimodal.parseGif(Multimodal.syntheticWav(3L)).isEmpty)
+    // structurally truncated: cut mid-frame, no trailer reachable
+    val whole = Multimodal.syntheticGif(7L)
+    assert(Multimodal.parseGif(whole.take(whole.length / 2)).isEmpty)
+    // magic but nothing else
+    assert(Multimodal.parseGif("GIF89a".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("parseWav returns None (never throws) on adversarial headers") {
     // fractional-byte bits_per_sample: bits=4 passes a bits>0 check but
     // makes ch*(bits/8) == 0 — must be None, not ArithmeticException
