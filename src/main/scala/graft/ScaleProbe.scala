@@ -50,6 +50,9 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = args.headOption.map(_.toInt).getOrElse(10)
+    // optional trailing args restrict to the named operators — a ×100
+    // point of one op must not require re-running the whole battery
+    val only = args.drop(1).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -68,14 +71,15 @@ object ScaleProbe {
       .repartition(cpus.toInt).localCheckpoint()
     System.err.println(s"[probe] docs=${docs.count()} emb=${emb.count()} factor=$factor")
 
-    def time(name: String)(f: => DataFrame): (String, Double) = {
+    def time(name: String)(f: => DataFrame): Option[(String, Double)] = {
+      if (only.nonEmpty && !only(name)) return None
       val t0 = System.nanoTime()
       val n =
         try { f.write.format("noop").mode("overwrite").save(); "ok" }
         catch { case e: Throwable => System.err.println(s"[probe] $name FAILED: $e"); "fail" }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[probe] $name%-24s $dt%8.2f s ($n)")
-      name -> dt
+      Some(name -> dt)
     }
 
     val results = Seq(
@@ -105,7 +109,12 @@ object ScaleProbe {
       time("embed_semdedup_2level") {
         val side = math.max(2, math.ceil(math.sqrt(8.0 * factor)).toInt)
         Similarity.semDedupTwoLevel(emb, 0.95,
-          coarseCells = side, fineCells = side, iters = 2) })
+          coarseCells = side, fineCells = side, iters = 2) },
+      // the production default: semDedupAuto sizes cells = ceil(sqrt(N))
+      // and picks the rung itself (two-level at every probe factor) —
+      // the N·(coarse+fine) assignment law is measured on THIS path
+      time("embed_semdedup_auto") {
+        Similarity.semDedupAuto(emb, 0.95, 2) }).flatten
 
     val qj = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","queries":$qj}""")

@@ -71,13 +71,22 @@ object SessionCaches {
   * its blocks released — subsequent actions on it fail rather than
   * silently recompute (checkpoint lineage is truncated). Caps are
   * therefore sized well above any realistic concurrent working set;
-  * eviction is a leak backstop, not a hot path.
+  * eviction is a leak backstop, not a hot path. As an extra cushion
+  * against the get-then-evicted race (a frame fetched by one thread
+  * while another thread's insert evicts it), release is DEFERRED by
+  * one eviction generation: the blocks behind generation g's evictees
+  * are freed when generation g+1 evicts — a holder would have to stay
+  * mid-computation across two full cap-overflow cycles to observe a
+  * released block. Worst-case extra footprint: one generation
+  * (typically a single entry).
   */
 final class BoundedLruCache[K, V](maxEntries: Int, release: V => Unit) {
   require(maxEntries > 0, "maxEntries must be positive")
   // accessOrder=true: get() refreshes recency, so the evictee is the
   // least-recently-USED key, not merely the oldest insertion
   private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true)
+  // evictees awaiting release until the next eviction generation
+  private var deferred = List.empty[V]
 
   def get(k: K): Option[V] = synchronized { Option(m.get(k)) }
 
@@ -85,31 +94,42 @@ final class BoundedLruCache[K, V](maxEntries: Int, release: V => Unit) {
 
   /** putIfAbsent semantics plus the LRU bound: returns the value that
     * won (the existing one on a lost race — the caller releases its
-    * loser). Values evicted by the bound are released after the lock is
-    * dropped, so a slow unpersist never blocks unrelated keys.
+    * loser). Values evicted by the bound are parked for one generation
+    * and released after the lock is dropped, so a slow unpersist never
+    * blocks unrelated keys.
     */
   def putIfAbsent(k: K, v: V): V = {
-    var evicted = List.empty[V]
+    var toRelease = List.empty[V]
     val winner = synchronized {
       val prev = m.get(k)
       if (prev != null) prev
       else {
         m.put(k, v)
+        var evicted = List.empty[V]
         while (m.size() > maxEntries) {
           val it = m.entrySet().iterator()
           evicted ::= it.next().getValue
           it.remove()
         }
+        if (evicted.nonEmpty) {
+          // release the PREVIOUS generation, park this one
+          toRelease = deferred
+          deferred = evicted
+        }
         v
       }
     }
-    evicted.foreach(release)
+    toRelease.foreach(release)
     winner
   }
 
   /** Remove entries whose key matches `p`. `releaseRemoved` = false when
     * the owning context already stopped (its blocks died with the
-    * executors; only the JVM references need dropping).
+    * executors; only the JVM references need dropping). A releasing
+    * removal also drains the deferred generation — an explicit
+    * session-end call must not leave parked blocks behind (their keys
+    * are gone, so they can't be matched against `p`; releasing early is
+    * their destiny anyway).
     */
   def removeIf(p: K => Boolean, releaseRemoved: Boolean): Unit = {
     var removed = List.empty[V]
@@ -121,6 +141,12 @@ final class BoundedLruCache[K, V](maxEntries: Int, release: V => Unit) {
           if (releaseRemoved) removed ::= e.getValue
           it.remove()
         }
+      }
+      // drain the deferred generation only when this call actually
+      // released something — an unrelated no-match admin call must not
+      // re-open the race for a live session's parked frames
+      if (releaseRemoved && removed.nonEmpty) {
+        removed = removed ++ deferred; deferred = Nil
       }
     }
     removed.foreach(release)
