@@ -404,6 +404,15 @@ object ExtQueries {
     "dsir_weights" -> ((s, d) => Sampling.dsirWeights(docs(s, d), "src0")),
     // KMV sketch set algebra: union/Jaccard/intersection per source pair
     "sketch_kmv_overlap" -> ((s, d) => Sketch.kmvSourceOverlap(docs(s, d), 3, 128)),
+    // HLL (m=512) distinct-3-gram estimate per source + exact twin;
+    // both the raw and the linear-counting branch fire across sources
+    "sketch_hll_distinct" -> ((s, d) => Sketch.hllDistinctNgrams(docs(s, d), 3, 9)),
+    // corpus-wide distinct via element-wise-max MERGE of the per-source
+    // HLL register files — the no-reshuffle union property, hash-proven
+    "sketch_hll_union" -> ((s, d) => Sketch.hllUnion(docs(s, d), 3, 9)),
+    // Count-Min (4×4096) point-query check for the exact top-20 grams:
+    // est ≥ exact one-sided error, exact-integer cells
+    "sketch_cms_heavy" -> ((s, d) => Sketch.cmsHeavyHitters(docs(s, d), 3, 4, 4096, 20)),
     // weekly cohort LTV curves over events
     "events_cohort_ltv" -> ((s, d) => EventsOps.cohortLtv(ev(s, d))),
     // top-10 session-opening paths (first 3 event types per session)
@@ -2117,6 +2126,103 @@ object ExtQueries {
          | SELECT sa AS src_a, sb AS src_b, union_est, jaccard_est,
          |   round(jaccard_est * union_est, 2) AS inter_est
          | FROM est ORDER BY src_a, src_b""".stripMargin
+    },
+    // HLL: registers from the top-9/low-47 bit split of the uniform
+    // 56-bit hash; rank via the bin-length log2 trick; the register
+    // sum is the EXACT integer Σ 2^(48−M_b) so both engines' doubles
+    // start from identical operands. α and the estimator chain are
+    // written as all-DOUBLE casts (a bare 0.7197… literal is DECIMAL
+    // in DuckDB and its arithmetic rounds differently); the mults
+    // are exact power-of-two scalings so the one rounding is the
+    // final division — IEEE-identical to the Spark side.
+    "sketch_hll_distinct" -> {
+      val nibbleSql = (1 to 14).map { i =>
+        s"(CAST(ascii(substr(m, $i, 1)) AS BIGINT) - CASE WHEN ascii(substr(m, $i, 1)) >= 97 THEN 87 ELSE 48 END) * ${1L << (4 * (14 - i))}"
+      }.mkString(" + ")
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         | g AS (SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+         |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         | h AS (SELECT DISTINCT source, ($nibbleSql) AS h
+         |       FROM (SELECT source, md5(s) AS m FROM g)),
+         | br AS (SELECT source, h // 140737488355328 AS b, h % 140737488355328 AS w56 FROM h),
+         | rk AS (SELECT source, b, CASE WHEN w56 = 0 THEN 48 ELSE 48 - length(bin(w56)) END AS r FROM br),
+         | reg AS (SELECT source, b, max(r) AS m_b FROM rk GROUP BY source, b),
+         | sk AS (SELECT source, CAST(sum(CAST(power(2, 48 - m_b) AS BIGINT)) AS BIGINT) AS s_present,
+         |               count(*) AS n_present FROM reg GROUP BY source),
+         | est0 AS (SELECT source,
+         |     s_present + (512 - n_present) * CAST(281474976710656 AS BIGINT) AS s_int,
+         |     512 - n_present AS v_zero FROM sk),
+         | est AS (SELECT source, s_int, v_zero,
+         |     (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(512 AS DOUBLE)))
+         |       * 512.0 * 512.0 * 281474976710656.0 / CAST(s_int AS DOUBLE) AS e_raw
+         |   FROM est0),
+         | fin AS (SELECT source, s_int, v_zero,
+         |     CASE WHEN e_raw <= 1280.0 AND v_zero > 0 THEN 1 ELSE 0 END AS corrected,
+         |     round(CASE WHEN e_raw <= 1280.0 AND v_zero > 0
+         |                THEN 512.0 * ln(512.0 / CAST(v_zero AS DOUBLE))
+         |                ELSE e_raw END, 2) AS est_distinct
+         |   FROM est),
+         | e AS (SELECT source, count(*) AS exact_distinct FROM g GROUP BY source)
+         | SELECT source, exact_distinct, v_zero, s_int, corrected, est_distinct,
+         |   round((est_distinct - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+         | FROM fin JOIN e USING (source) ORDER BY source""".stripMargin
+    },
+    // HLL union: the oracle computes the GLOBAL register file straight
+    // from the corpus; the Spark side max-merges the per-source files —
+    // a hash match proves the merge, not just the formula
+    "sketch_hll_union" -> {
+      val nibbleSql = (1 to 14).map { i =>
+        s"(CAST(ascii(substr(m, $i, 1)) AS BIGINT) - CASE WHEN ascii(substr(m, $i, 1)) >= 97 THEN 87 ELSE 48 END) * ${1L << (4 * (14 - i))}"
+      }.mkString(" + ")
+      s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         | g AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+         |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         | h AS (SELECT DISTINCT ($nibbleSql) AS h
+         |       FROM (SELECT md5(s) AS m FROM g)),
+         | br AS (SELECT h // 140737488355328 AS b, h % 140737488355328 AS w56 FROM h),
+         | rk AS (SELECT b, CASE WHEN w56 = 0 THEN 48 ELSE 48 - length(bin(w56)) END AS r FROM br),
+         | reg AS (SELECT b, max(r) AS m_b FROM rk GROUP BY b),
+         | sk AS (SELECT CAST(sum(CAST(power(2, 48 - m_b) AS BIGINT)) AS BIGINT) AS s_present,
+         |               count(*) AS n_present FROM reg),
+         | est0 AS (SELECT
+         |     s_present + (512 - n_present) * CAST(281474976710656 AS BIGINT) AS s_int,
+         |     512 - n_present AS v_zero FROM sk),
+         | est AS (SELECT s_int, v_zero,
+         |     (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(512 AS DOUBLE)))
+         |       * 512.0 * 512.0 * 281474976710656.0 / CAST(s_int AS DOUBLE) AS e_raw
+         |   FROM est0),
+         | fin AS (SELECT s_int, v_zero,
+         |     CASE WHEN e_raw <= 1280.0 AND v_zero > 0 THEN 1 ELSE 0 END AS corrected,
+         |     round(CASE WHEN e_raw <= 1280.0 AND v_zero > 0
+         |                THEN 512.0 * ln(512.0 / CAST(v_zero AS DOUBLE))
+         |                ELSE e_raw END, 2) AS est_distinct
+         |   FROM est),
+         | e AS (SELECT count(*) AS exact_distinct FROM g)
+         | SELECT exact_distinct, v_zero, s_int, corrected, est_distinct,
+         |   round((est_distinct - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+         | FROM fin, e""".stripMargin
+    },
+    // Count-Min: exact-BIGINT cell grid, point query = min over the
+    // depth cells; est ≥ exact is the sketch's one-sided guarantee
+    "sketch_cms_heavy" -> {
+      val nibbleSql = (1 to 14).map { i =>
+        s"(CAST(ascii(substr(m, $i, 1)) AS BIGINT) - CASE WHEN ascii(substr(m, $i, 1)) >= 97 THEN 87 ELSE 48 END) * ${1L << (4 * (14 - i))}"
+      }.mkString(" + ")
+      s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         | g AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+         |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         | wc AS (SELECT s, count(*) AS cnt FROM g GROUP BY s),
+         | hb AS (SELECT s, cnt, d, ($nibbleSql) % 4096 AS b
+         |        FROM (SELECT s, cnt, d, md5(d || ':' || s) AS m
+         |              FROM wc, UNNEST(['0','1','2','3']) AS t(d))),
+         | sk AS (SELECT d, b, sum(cnt) AS c FROM hb GROUP BY d, b),
+         | top AS (SELECT s, cnt FROM wc ORDER BY cnt DESC, s LIMIT 20),
+         | pt AS (SELECT t.s, t.cnt, min(sk.c) AS est
+         |        FROM top t JOIN hb ON hb.s = t.s JOIN sk ON sk.d = hb.d AND sk.b = hb.b
+         |        GROUP BY t.s, t.cnt)
+         | SELECT s AS gram, cnt AS exact_cnt, CAST(est AS BIGINT) AS est_cnt,
+         |        CAST(est - cnt AS BIGINT) AS overcount
+         | FROM pt ORDER BY exact_cnt DESC, gram""".stripMargin
     },
     // DSIR: bucket counts are exact ints; each bucket's log-ratio
     // (fixed tree, α=½, αB=4096) rounds to an 8dp DECIMAL carrier so

@@ -126,6 +126,146 @@ object Sketch {
       .orderBy("src_a", "src_b")
   }
 
+  /** Per-source HyperLogLog distinct-n-gram estimate (Flajolet et al.
+    * 2007), with the exact count alongside as the verification twin.
+    *
+    * The sketch is m = 2^p registers per source; each distinct gram
+    * hash routes to register b = ⌊h / 2^(56-p)⌋ (top p bits) and
+    * contributes rank r = (position of the first 1-bit in the
+    * remaining K = 56-p bits, 1-indexed; K+1 if they are all zero).
+    * The register keeps max(r). The raw estimate is
+    * α_m·m²/Σ 2^(−M_b); below 2.5·m with empty registers present, the
+    * standard linear-counting correction m·ln(m/V) applies — at the
+    * test corpus' ~1300 grams/source with m=512, BOTH branches fire
+    * across sources, so the oracle checks each.
+    *
+    * Engine-reproducibility: the register sum is carried as the EXACT
+    * integer S = Σ 2^(K+1−M_b) (≤ m·2^(K+1) = 2^57 at p=9 — fits a
+    * long), so the double arithmetic on both engines starts from
+    * identical operands; `s_int` itself is in the output as the
+    * hash-check anchor for the whole register file. rank uses the
+    * [[TextOps]] log2 trick: floor(log2(w)) = length(bin(w)) − 1 on
+    * both engines.
+    *
+    * Scale shape: one partial-aggregated groupBy(source, b) over the
+    * distinct-gram stream (map-side max combine), then a sources×m
+    * frame — the corpus never moves. Registers merge by element-wise
+    * max, which is what [[hllUnion]] exercises.
+    */
+  def hllDistinctNgrams(docs: DataFrame, n: Int = 3, p: Int = 9): DataFrame = {
+    val m = 1 << p
+    val reg = registers(grams(docs, n), n, p, Seq(col("source")))
+    val exact = grams(docs, n).distinct()
+      .groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+    estimate(reg.groupBy("source"), p)
+      .join(exact, "source")
+      .withColumn("rel_err",
+        round((col("est_distinct") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double"), 4))
+      .select("source", "exact_distinct", "v_zero", "s_int", "corrected",
+        "est_distinct", "rel_err")
+      .orderBy("source")
+  }
+
+  /** Corpus-wide distinct estimate from the MERGED per-source HLL
+    * sketches — registers combine by element-wise max, the property
+    * that lets a 1000-executor job sketch each partition independently
+    * and union the results without reshuffling data. This deliberately
+    * computes per-(source, b) registers FIRST and max-merges them; the
+    * oracle computes the global sketch directly from the corpus, so a
+    * hash match proves merge associativity end-to-end, not just the
+    * formula.
+    */
+  def hllUnion(docs: DataFrame, n: Int = 3, p: Int = 9): DataFrame = {
+    val perSource = registers(grams(docs, n), n, p, Seq(col("source")))
+    val merged = perSource.groupBy("b").agg(max("m_b").as("m_b"))
+    val exact = grams(docs, n).select("s").distinct()
+      .agg(count(lit(1)).as("exact_distinct"))
+    estimate(merged.groupBy(), p)
+      .crossJoin(broadcast(exact))
+      .withColumn("rel_err",
+        round((col("est_distinct") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double"), 4))
+      .select("exact_distinct", "v_zero", "s_int", "corrected",
+        "est_distinct", "rel_err")
+  }
+
+  /** (group…, b, m_b) register file over the DISTINCT gram stream. */
+  private def registers(g: DataFrame, n: Int, p: Int,
+      group: Seq[Column]): DataFrame = {
+    val kBits = 56 - p
+    val shift = 1L << kBits
+    val h = g.select((group :+ col("s")): _*).distinct()
+      .select((group :+ rawHash56(col("s")).as("h")): _*)
+    val br = h
+      .withColumn("b", expr(s"h div ${shift}L"))
+      .withColumn("w56", col("h") % shift)
+    val rk = br.withColumn("r",
+      when(col("w56") === 0, kBits + 1)
+        .otherwise(lit(kBits + 1) - length(expr("bin(w56)"))))
+    rk.groupBy((group :+ col("b")): _*).agg(max("r").as("m_b"))
+  }
+
+  /** HLL estimator over a grouped register frame: exact-integer
+    * register sum, raw α_m·m²·2^(K+1)/S, linear-counting branch.
+    */
+  private def estimate(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+      p: Int): DataFrame = {
+    val m = 1 << p
+    val kBits = 56 - p
+    val full = 1L << (kBits + 1)
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    grouped
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${kBits + 1} - m_b)"))
+        .as("s_present"), count(lit(1)).as("n_present"))
+      .withColumn("s_int",
+        col("s_present") + (lit(m.toLong) - col("n_present")) * lit(full))
+      .withColumn("v_zero", lit(m.toLong) - col("n_present"))
+      .withColumn("e_raw",
+        lit(alpha) * lit(m.toDouble) * lit(m.toDouble) * lit(full.toDouble) /
+          col("s_int").cast("double"))
+      .withColumn("corrected",
+        when(col("e_raw") <= lit(2.5 * m) && col("v_zero") > 0, 1).otherwise(0))
+      .withColumn("est_distinct",
+        round(when(col("corrected") === 1,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
+          .otherwise(col("e_raw")), 2))
+  }
+
+  /** Count-Min point-query check for the corpus' exact top-k n-grams
+    * (Cormode & Muthukrishnan 2005): depth×width integer cell grid,
+    * cell (d, hash_d(gram) mod width) accumulates the gram's count;
+    * a point query reads min over the depth cells. The output carries
+    * exact vs estimated count per heavy hitter plus the overcount —
+    * est ≥ exact ALWAYS (one-sided error), and E[over] ≤ e·N/width.
+    *
+    * Scale shape: the gram stream collapses to (gram, cnt) with one
+    * partial-aggregated groupBy before any sketch work, the grid build
+    * fans that vocabulary-sized frame out ×depth and re-aggregates to
+    * depth·width cells, and the top-k comes from orderBy+limit
+    * (TakeOrderedAndProject — no global sort). Point lookups join an
+    * 80-row broadcast side against the grid. All arithmetic is exact
+    * BIGINT — bit-reproducible on any engine or partitioning.
+    */
+  def cmsHeavyHitters(docs: DataFrame, n: Int = 3, depth: Int = 4,
+      width: Int = 4096, k: Int = 20): DataFrame = {
+    val wc = grams(docs, n).groupBy("s").agg(count(lit(1)).as("cnt"))
+    val dArr = array((0 until depth).map(i => lit(i.toString)): _*)
+    val hb = wc
+      .withColumn("d", explode(dArr))
+      .withColumn("b", rawHash56(concat(col("d"), lit(":"), col("s"))) % width)
+    val sketch = hb.groupBy("d", "b").agg(sum("cnt").as("c"))
+    val top = wc.orderBy(col("cnt").desc, col("s")).limit(k)
+    val topHashes = top
+      .withColumn("d", explode(dArr))
+      .withColumn("b", rawHash56(concat(col("d"), lit(":"), col("s"))) % width)
+    val pt = sketch.join(broadcast(topHashes), Seq("d", "b"))
+      .groupBy("s", "cnt").agg(min("c").as("est"))
+    pt.select(col("s").as("gram"), col("cnt").as("exact_cnt"),
+        col("est").as("est_cnt"), (col("est") - col("cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("gram"))
+  }
+
   /** Per-source bottom-k distinct gram hashes: (source, h) with ≤ k
     * rows per source, via the WindowGroupLimit-optimized row_number
     * filter.

@@ -61,4 +61,60 @@ class SketchSpec extends SparkSpec {
     val plan = Sketch.kmvSketchOnly(d, 3, 8).queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
+
+  test("HLL estimator lands within ±3σ; tiny sources take the linear-counting branch") {
+    // big: 3000 distinct unigrams at m=512 → raw branch, σ = 1.04/√512
+    // tiny: 4 distinct grams → almost-empty registers, corrected branch,
+    // where linear counting is near-exact
+    val words = (1 to 3000).map(i => s"w$i").mkString(" ")
+    val d = docs((0L, words, "big"), (1L, "p q r s t u", "tiny"))
+    val r = Sketch.hllDistinctNgrams(d, n = 1, p = 9).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    val big = r("big")
+    assert(big.getAs[Long]("exact_distinct") == 3000L)
+    assert(big.getAs[Int]("corrected") == 0)
+    assert(math.abs(big.getAs[Double]("rel_err")) <= 3.0 * 1.04 / math.sqrt(512.0))
+    val tiny = r("tiny")
+    assert(tiny.getAs[Long]("exact_distinct") == 6L)
+    assert(tiny.getAs[Int]("corrected") == 1)
+    assert(math.abs(tiny.getAs[Double]("est_distinct") - 6.0) <= 1.0)
+  }
+
+  test("HLL merged union equals the direct global sketch") {
+    // split one 1500-word vocabulary across three sources with overlap;
+    // the union estimate must equal an HLL computed on the global set —
+    // i.e. merging register files loses nothing
+    val all = (1 to 1500).map(i => s"w$i")
+    val d = docs(
+      (0L, all.take(700).mkString(" "), "a"),
+      (1L, all.slice(500, 1100).mkString(" "), "b"),
+      (2L, all.drop(900).mkString(" "), "c"))
+    val merged = Sketch.hllUnion(d, n = 1, p = 9).collect()(0)
+    val direct = Sketch.hllDistinctNgrams(
+      d.withColumn("source", org.apache.spark.sql.functions.lit("one")),
+      n = 1, p = 9).collect()(0)
+    assert(merged.getAs[Long]("exact_distinct") == 1500L)
+    assert(merged.getAs[Long]("s_int") == direct.getAs[Long]("s_int"))
+    assert(merged.getAs[Double]("est_distinct") ==
+      direct.getAs[Double]("est_distinct"))
+  }
+
+  test("CMS point queries never undercount and respect the e·N/width bound") {
+    // 400 distinct unigrams, skewed counts: w1 appears 50×, rest once
+    val txt = (Seq.fill(50)("w1") ++ (2 to 400).map(i => s"w$i")).mkString(" ")
+    val d = docs((0L, txt, "src"))
+    val r = Sketch.cmsHeavyHitters(d, n = 1, depth = 4, width = 64, k = 10).collect()
+    assert(r.length == 10)
+    val byGram = r.map(x => x.getAs[String]("gram") -> x).toMap
+    assert(byGram("w1").getAs[Long]("exact_cnt") == 50L)
+    r.foreach { x =>
+      val over = x.getAs[Long]("overcount")
+      assert(over >= 0L, s"${x.getAs[String]("gram")} undercounted")
+      assert(x.getAs[Long]("est_cnt") ==
+        x.getAs[Long]("exact_cnt") + over)
+    }
+    // N = 449 occurrences, width 64 → ε·N ≈ e/64·449 ≈ 19; min-of-4
+    // rows should do far better, but assert the hard Markov-ish bound
+    r.foreach(x => assert(x.getAs[Long]("overcount") <= 19L))
+  }
 }
