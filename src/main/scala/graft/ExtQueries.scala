@@ -430,6 +430,9 @@ object ExtQueries {
     "word_entropy" -> ((s, d) => TextOps.wordEntropy(docs(s, d))),
     // BPE training, first merge iteration: char-pair frequencies
     "bpe_pair_counts" -> ((s, d) => TextOps.bpePairCounts(docs(s, d), 20)),
+    // full BPE training loop: 5 count→argmax→merge rounds over the
+    // vocabulary frame; output is the ordered merge table
+    "bpe_train_merges" -> ((s, d) => TextOps.bpeTrainMerges(docs(s, d), 5)),
     // per-source PSI drift of the token-length distribution
     "source_drift_psi" -> ((s, d) => Corpus.sourceDrift(docs(s, d))),
     // data-mix inequality: Gini over per-source token totals
@@ -2304,6 +2307,37 @@ object ExtQueries {
         | SELECT doc_id, max(t) AS n_words, max(n_distinct) AS n_distinct,
         |   round(CAST(sum(term) * -1 AS DOUBLE), 6) AS entropy
         | FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // BPE training unrolled: five (pair-count → argmax → merge) rounds
+    // as CTE chains — the recursive-CTE-precedent family (EWM, Keltner,
+    // Lloyd's). States are wrapped-symbol strings ('the' → '·t··h··e·');
+    // the doubled delimiter makes the merge an exact left-to-right
+    // non-overlapping replace on both engines. s{i} CTEs are
+    // MATERIALIZED: each is referenced twice (next round's pairs +
+    // next state) and DuckDB would otherwise inline them exponentially.
+    "bpe_train_merges" -> {
+      val rounds = (1 to 5).map { i =>
+        s""" p$i AS (SELECT ws[j] AS pair_left, ws[j + 1] AS pair_right, cnt
+           |       FROM (SELECT string_split(substr(state, 2, length(state) - 2), '··') AS ws, cnt
+           |             FROM s${i - 1}), UNNEST(range(1, len(ws))) t(j)
+           |       WHERE len(ws) >= 2),
+           | c$i AS (SELECT pair_left, pair_right, CAST(sum(cnt) AS BIGINT) AS n
+           |       FROM p$i GROUP BY pair_left, pair_right),
+           | b$i AS (SELECT pair_left, pair_right, n FROM c$i
+           |       ORDER BY n DESC, pair_left, pair_right LIMIT 1),
+           | s$i AS MATERIALIZED (SELECT
+           |       replace(state, '·' || pair_left || '··' || pair_right || '·',
+           |               '·' || pair_left || pair_right || '·') AS state, cnt
+           |       FROM s${i - 1} CROSS JOIN b$i)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to 5).map { i =>
+        s"SELECT $i AS iter, pair_left, pair_right, pair_left || pair_right AS merged, n FROM b$i"
+      }.mkString("\n UNION ALL\n ")
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         | wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+         | s0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '·\\1·', 'g') AS state, cnt FROM wc),
+         |$rounds
+         | SELECT * FROM ($rows) ORDER BY iter""".stripMargin
+    },
     "bpe_pair_counts" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
         | wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),

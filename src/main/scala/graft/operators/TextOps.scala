@@ -509,6 +509,70 @@ object TextOps {
       .orderBy(desc("n"), col("pair"))
       .limit(k)
 
+  /** Full BPE training loop (Sennrich et al. 2016): `iters` rounds of
+    * count-adjacent-pairs → pick the most frequent → merge it into one
+    * symbol everywhere — the table of learned merges, in order, with
+    * their corpus-weighted frequencies.
+    *
+    * Symbol encoding: each word becomes a wrapped-symbol string, every
+    * symbol delimited on BOTH sides by '·' ("the" → "·t··h··e·"), so a
+    * merge is the plain string replace '·a··b·' → '·ab·'. The doubled
+    * delimiter means adjacent matches share no characters — a
+    * left-to-right non-overlapping replace (identical semantics in
+    * Spark and DuckDB) merges exactly the occurrences real BPE merges,
+    * including runs: [a,a,a] + merge(a,a) → [aa,a]. Ties on count break
+    * lexicographically on (left, right) — fully deterministic.
+    *
+    * Scale shape: training never touches the corpus after the first
+    * groupBy — state is the (distinct word, count) VOCABULARY frame,
+    * cached once; each round is a vocab-sized explode + one
+    * partial-aggregated sum and a 1-row TakeOrdered collect (the
+    * driver sees only the winning pair, the bounded-collect pattern).
+    * This is why distributed BPE training is feasible at 100 TB: the
+    * corpus contributes counts once, the loop runs on the vocabulary.
+    */
+  def bpeTrainMerges(docs: DataFrame, iters: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = spread(docs)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("state", regexp_replace(col("word"), "(.)", "·$1·"))
+      .select("state", "cnt")
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var state = vocab
+    var iter = 1
+    var exhausted = false
+    while (iter <= iters && !exhausted) {
+      val syms = split(regexp_replace(col("state"), "^·|·$", ""), "··")
+      val best = state
+        .select(syms.as("ws"), col("cnt"))
+        .filter(size(col("ws")) >= 2)
+        .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 1)))
+        .select(element_at(col("ws"), col("i")).as("pair_left"),
+          element_at(col("ws"), col("i") + 1).as("pair_right"), col("cnt"))
+        .groupBy("pair_left", "pair_right").agg(sum("cnt").as("n"))
+        .orderBy(desc("n"), col("pair_left"), col("pair_right"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((iter, l, r, l + r, n))
+        // Column-form literal replace — no SQL string escaping of the
+        // symbol text needed
+        state = state.withColumn("state",
+          replace(col("state"), lit(s"·${l}··${r}·"), lit(s"·${l}${r}·")))
+        iter += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("iter", "pair_left", "pair_right", "merged", "n")
+      .orderBy("iter")
+  }
+
   /** Template detection by shared k-word prefix: documents that open
     * identically (mail templates, boilerplate headers, scraped forms)
     * group on their prefix. One projection + one hash aggregate keyed

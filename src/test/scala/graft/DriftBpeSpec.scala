@@ -36,4 +36,28 @@ class DriftBpeSpec extends SparkSpec {
     // vocab: ab(cnt 3), cd(1), abc(1) → ab: 3+1=4, bc: 1, cd: 1
     assert(r.toSeq == Seq("ab" -> 4L, "bc" -> 1L, "cd" -> 1L))
   }
+
+  test("bpeTrainMerges: greedy run merge, compound second merge, exhaustion stop") {
+    // 'aaa' ×10: round 1 counts (a,a) twice per word (n=20) and merges
+    // runs left-to-right: [a,a,a] → [aa,a]. Round 2 must see the MERGED
+    // symbol and learn (aa,a) n=10. Round 3 finds no pairs → stops
+    // early despite iters=5.
+    val d = docs((0L to 9L).map(i => (i, "aaa", "s")): _*)
+    val r = TextOps.bpeTrainMerges(d, 5).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2),
+        x.getString(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (1, "a", "a", "aa", 20L),
+      (2, "aa", "a", "aaa", 10L)))
+  }
+
+  test("bpeTrainMerges: count ties break lexicographically on (left, right)") {
+    // xy and xz both n=5 → (x,y) must win round 1
+    val d = docs((0L, Seq.fill(5)("xy").mkString(" ") + " " +
+      Seq.fill(5)("xz").mkString(" "), "s"))
+    val r = TextOps.bpeTrainMerges(d, 1).collect()
+    assert(r.length == 1)
+    assert(r(0).getString(1) == "x" && r(0).getString(2) == "y")
+    assert(r(0).getLong(4) == 5L)
+  }
 }
