@@ -433,6 +433,9 @@ object ExtQueries {
     // full BPE training loop: 5 count→argmax→merge rounds over the
     // vocabulary frame; output is the ordered merge table
     "bpe_train_merges" -> ((s, d) => TextOps.bpeTrainMerges(docs(s, d), 5)),
+    // apply the learned merges corpus-wide: per-doc BPE token counts
+    // vs the char baseline (train→apply tokenizer pair)
+    "bpe_encode" -> ((s, d) => TextOps.bpeEncode(docs(s, d), 5)),
     // per-source PSI drift of the token-length distribution
     "source_drift_psi" -> ((s, d) => Corpus.sourceDrift(docs(s, d))),
     // data-mix inequality: Gini over per-source token totals
@@ -955,6 +958,36 @@ object ExtQueries {
   /** SimHash signature CTE chain ending in sig(doc_id, simhash) —
     * mirrors Dedup.simhash.
     */
+  /** Shared BPE CTE chain (train + encode oracles): `iters` unrolled
+    * (pair-count p{i} → argmax b{i} → merged state s{i}) rounds over
+    * wrapped-symbol states ('the' → '·t··h··e·' — the doubled
+    * delimiter makes each merge an exact left-to-right non-overlapping
+    * replace on both engines). States carry `word` so the encode
+    * oracle can join the final state back to the corpus. s{i} are
+    * MATERIALIZED: each is referenced twice (next round's pairs + next
+    * state) and DuckDB would otherwise inline them exponentially.
+    */
+  private def bpeChainSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s""" p$i AS (SELECT ws[j] AS pair_left, ws[j + 1] AS pair_right, cnt
+         |       FROM (SELECT string_split(substr(state, 2, length(state) - 2), '··') AS ws, cnt
+         |             FROM s${i - 1}), UNNEST(range(1, len(ws))) t(j)
+         |       WHERE len(ws) >= 2),
+         | c$i AS (SELECT pair_left, pair_right, CAST(sum(cnt) AS BIGINT) AS n
+         |       FROM p$i GROUP BY pair_left, pair_right),
+         | b$i AS (SELECT pair_left, pair_right, n FROM c$i
+         |       ORDER BY n DESC, pair_left, pair_right LIMIT 1),
+         | s$i AS MATERIALIZED (SELECT word,
+         |       replace(state, '·' || pair_left || '··' || pair_right || '·',
+         |               '·' || pair_left || pair_right || '·') AS state, cnt
+         |       FROM s${i - 1} CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       | wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+       | s0 AS MATERIALIZED (SELECT word, regexp_replace(word, '(.)', '·\\1·', 'g') AS state, cnt FROM wc),
+       |$rounds""".stripMargin
+  }
+
   private val simhashSigSql: String =
     """WITH words AS (SELECT DISTINCT doc_id, word FROM
       |     (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
@@ -2309,35 +2342,32 @@ object ExtQueries {
         | FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // BPE training unrolled: five (pair-count → argmax → merge) rounds
     // as CTE chains — the recursive-CTE-precedent family (EWM, Keltner,
-    // Lloyd's). States are wrapped-symbol strings ('the' → '·t··h··e·');
-    // the doubled delimiter makes the merge an exact left-to-right
-    // non-overlapping replace on both engines. s{i} CTEs are
-    // MATERIALIZED: each is referenced twice (next round's pairs +
-    // next state) and DuckDB would otherwise inline them exponentially.
+    // Lloyd's). See [[bpeChainSql]] for the shared chain.
     "bpe_train_merges" -> {
-      val rounds = (1 to 5).map { i =>
-        s""" p$i AS (SELECT ws[j] AS pair_left, ws[j + 1] AS pair_right, cnt
-           |       FROM (SELECT string_split(substr(state, 2, length(state) - 2), '··') AS ws, cnt
-           |             FROM s${i - 1}), UNNEST(range(1, len(ws))) t(j)
-           |       WHERE len(ws) >= 2),
-           | c$i AS (SELECT pair_left, pair_right, CAST(sum(cnt) AS BIGINT) AS n
-           |       FROM p$i GROUP BY pair_left, pair_right),
-           | b$i AS (SELECT pair_left, pair_right, n FROM c$i
-           |       ORDER BY n DESC, pair_left, pair_right LIMIT 1),
-           | s$i AS MATERIALIZED (SELECT
-           |       replace(state, '·' || pair_left || '··' || pair_right || '·',
-           |               '·' || pair_left || pair_right || '·') AS state, cnt
-           |       FROM s${i - 1} CROSS JOIN b$i)""".stripMargin
-      }.mkString(",\n")
       val rows = (1 to 5).map { i =>
         s"SELECT $i AS iter, pair_left, pair_right, pair_left || pair_right AS merged, n FROM b$i"
       }.mkString("\n UNION ALL\n ")
-      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-         | wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
-         | s0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '·\\1·', 'g') AS state, cnt FROM wc),
-         |$rounds
+      s"""WITH ${bpeChainSql(5)}
          | SELECT * FROM ($rows) ORDER BY iter""".stripMargin
     },
+    // BPE encode: apply the learned chain's final state per vocab word,
+    // join back to per-doc occurrence counts — train→apply end-to-end
+    "bpe_encode" ->
+      s"""WITH ${bpeChainSql(5)},
+         | enc AS (SELECT word,
+         |       len(string_split(substr(state, 2, length(state) - 2), '··')) AS n_toks
+         |       FROM s5),
+         | dw AS (SELECT doc_id, word, count(*) AS occ
+         |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |       GROUP BY doc_id, word),
+         | j AS (SELECT doc_id,
+         |       CAST(sum(occ) AS BIGINT) AS n_words,
+         |       CAST(sum(occ * length(word)) AS BIGINT) AS n_char_tokens,
+         |       CAST(sum(occ * n_toks) AS BIGINT) AS n_bpe_tokens
+         |       FROM dw JOIN enc USING (word) GROUP BY doc_id)
+         | SELECT doc_id, n_words, n_char_tokens, n_bpe_tokens,
+         |   round(CAST(n_char_tokens AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 4) AS compression
+         | FROM j ORDER BY doc_id""".stripMargin,
     "bpe_pair_counts" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
         | wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),

@@ -534,14 +534,64 @@ object TextOps {
   def bpeTrainMerges(docs: DataFrame, iters: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val (vocab, merges) = trainMerges(docs, iters)
+    vocab.unpersist() // merges are driver-side already; nothing lazy remains
+    merges
+      .toDF("iter", "pair_left", "pair_right", "merged", "n")
+      .orderBy("iter")
+  }
+
+  /** BPE encode: apply the merges [[bpeTrainMerges]] learns to every
+    * corpus word and report per-document token counts — the train→apply
+    * pair a tokenizer pipeline runs. `n_char_tokens` is the pre-merge
+    * baseline (one symbol per character), `n_bpe_tokens` the post-merge
+    * count; compression = chars/bpe.
+    *
+    * Scale shape: the merge chain is applied ONCE per distinct word
+    * (the vocabulary frame), then joined back to the per-doc word
+    * counts on the word key — the corpus-sized stream is touched by
+    * one explode + one partial-aggregated groupBy, never by the
+    * string-rewrite chain.
+    */
+  def bpeEncode(docs: DataFrame, iters: Int = 5): DataFrame = {
+    val (vocabWords, merges) = trainMerges(docs, iters)
+    // release the training cache; the one re-read the encode pass pays
+    // is cheaper than pinning corpus-derived blocks past the call
+    vocabWords.unpersist()
+    val encoded = merges.foldLeft(
+      vocabWords.withColumn("state", regexp_replace(col("word"), "(.)", "·$1·"))) {
+      case (df, (_, l, r, _, _)) =>
+        df.withColumn("state",
+          replace(col("state"), lit(s"·${l}··${r}·"), lit(s"·${l}${r}·")))
+    }.select(col("word"),
+      size(split(regexp_replace(col("state"), "^·|·$", ""), "··")).as("n_toks"))
+    val docWords = spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("occ"))
+    docWords.join(encoded, "word")
+      .groupBy("doc_id")
+      .agg(sum("occ").as("n_words"),
+        sum(col("occ") * length(col("word"))).as("n_char_tokens"),
+        sum(col("occ") * col("n_toks")).as("n_bpe_tokens"))
+      .withColumn("compression",
+        round(col("n_char_tokens").cast("double") /
+          col("n_bpe_tokens").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Shared trainer: returns (vocabulary frame with `word`/`cnt`, the
+    * learned merges (iter, left, right, merged, n)). Each round is a
+    * vocab-sized explode + one aggregate + a 1-row TakeOrdered collect.
+    */
+  private def trainMerges(docs: DataFrame, iters: Int)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
     val vocab = spread(docs)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .withColumn("state", regexp_replace(col("word"), "(.)", "·$1·"))
-      .select("state", "cnt")
       .cache()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
-    var state = vocab
+    var state = vocab.withColumn("state",
+      regexp_replace(col("word"), "(.)", "·$1·"))
     var iter = 1
     var exhausted = false
     while (iter <= iters && !exhausted) {
@@ -568,9 +618,7 @@ object TextOps {
         iter += 1
       }
     }
-    vocab.unpersist()
-    merges.toSeq.toDF("iter", "pair_left", "pair_right", "merged", "n")
-      .orderBy("iter")
+    (vocab, merges.toSeq)
   }
 
   /** Template detection by shared k-word prefix: documents that open

@@ -51,6 +51,24 @@ class DriftBpeSpec extends SparkSpec {
       (2, "aa", "a", "aaa", 10L)))
   }
 
+  test("bpeEncode: learned merges compress each doc; counts are exact") {
+    // vocab {aaa, bc}: merges (a,a)→aa then (aa,a)→aaa (n=20,10) use up
+    // rounds 1-2; rounds 3+ merge (b,c) n=5. 'aaa' → 1 token,
+    // 'bc' → 1 token.
+    val d = docs((0L until 10L).map(i => (i, "aaa bc", "s")) :+
+      ((10L, "aaa", "s")): _*)
+    val r = TextOps.bpeEncode(d, 5).collect()
+    assert(r.length == 11)
+    val d0 = r.find(_.getLong(0) == 0L).get
+    assert(d0.getAs[Long]("n_words") == 2L)
+    assert(d0.getAs[Long]("n_char_tokens") == 5L)
+    assert(d0.getAs[Long]("n_bpe_tokens") == 2L)
+    assert(d0.getAs[Double]("compression") == 2.5)
+    val d10 = r.find(_.getLong(0) == 10L).get
+    assert(d10.getAs[Long]("n_bpe_tokens") == 1L)
+    assert(d10.getAs[Double]("compression") == 3.0)
+  }
+
   test("bpeTrainMerges: count ties break lexicographically on (left, right)") {
     // xy and xz both n=5 → (x,y) must win round 1
     val d = docs((0L, Seq.fill(5)("xy").mkString(" ") + " " +
