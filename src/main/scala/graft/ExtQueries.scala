@@ -390,6 +390,11 @@ object ExtQueries {
     "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
     // declared-vs-detected language confusion matrix
     "lang_confusion" -> ((s, d) => TextOps.langConfusion(docs(s, d))),
+    // learned language ID: multinomial NB trained by aggregation on the
+    // corpus' own labels, applied corpus-wide with a decision margin
+    "text_nb_langid" -> ((s, d) => Classify.nbLangScores(docs(s, d))),
+    // confusion + mean margin over the learned classifier
+    "text_nb_confusion" -> ((s, d) => Classify.nbConfusion(docs(s, d))),
     // trending: top event types per hour
     "events_hourly_top" -> ((s, d) => EventsOps.hourlyTopTypes(ev(s, d))),
     // DAU decomposition: new / returning / resurrected per day
@@ -1033,6 +1038,49 @@ object ExtQueries {
       |         FROM lp GROUP BY doc_id),
       | lmres AS (SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
       |           FROM documents d LEFT JOIN agg a USING (doc_id))""".stripMargin
+
+  /** Shared multinomial-NB chain → `nbres(doc_id, lang, nb_pred,
+    * n_tokens, nb_logp, margin, is_match)` — the Classify.nbLangScores
+    * mirror (add-one smoothing, 6dp DECIMAL log terms, argmax with
+    * lang tiebreak), reused by the score and the confusion oracles.
+    * `wrds` is MATERIALIZED — four CTE references would otherwise
+    * re-explode the corpus per reference.
+    */
+  private lazy val nbScoresCte: String =
+    """WITH wrds AS MATERIALIZED (
+      |   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      | v AS (SELECT count(DISTINCT w) AS vs FROM wrds),
+      | pri AS (SELECT lang AS clabel,
+      |     CAST(round(ln(count(*) * 1.0 / (SELECT count(*) FROM documents)), 6)
+      |       AS DECIMAL(18,6)) AS log_prior
+      |   FROM documents GROUP BY lang),
+      | cc AS (SELECT lang AS clabel, w, count(*) AS cwl FROM wrds GROUP BY lang, w),
+      | ct AS (SELECT lang AS clabel, count(*) AS tl FROM wrds GROUP BY lang),
+      | mdl AS (SELECT cc.clabel, cc.w,
+      |     CAST(round(ln((cwl + 1) * 1.0 / (tl + vs)), 6) AS DECIMAL(18,6)) AS log_cond
+      |   FROM cc JOIN ct USING (clabel) CROSS JOIN v),
+      | uns AS (SELECT clabel,
+      |     CAST(round(ln(1.0 / (tl + vs)), 6) AS DECIMAL(18,6)) AS log_unseen
+      |   FROM ct CROSS JOIN v),
+      | sc AS (SELECT t.doc_id, l.clabel,
+      |     SUM(coalesce(m.log_cond, u.log_unseen)) AS sum_lp, count(*) AS n_tokens
+      |   FROM (SELECT doc_id, w FROM wrds) t
+      |   CROSS JOIN (SELECT clabel FROM pri) l
+      |   LEFT JOIN mdl m ON m.clabel = l.clabel AND m.w = t.w
+      |   JOIN uns u ON u.clabel = l.clabel
+      |   GROUP BY t.doc_id, l.clabel),
+      | scored AS (SELECT sc.doc_id, sc.clabel, sc.n_tokens,
+      |     p.log_prior + sc.sum_lp AS score
+      |   FROM sc JOIN pri p USING (clabel)),
+      | rk AS (SELECT doc_id, clabel, n_tokens, score,
+      |     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, clabel) AS rn,
+      |     lead(score, 1) OVER (PARTITION BY doc_id ORDER BY score DESC, clabel) AS runner_up
+      |   FROM scored),
+      | nbres AS (SELECT d.doc_id, d.lang, r.clabel AS nb_pred, r.n_tokens,
+      |     round(CAST(r.score AS DOUBLE), 4) AS nb_logp,
+      |     round(CAST(r.score - r.runner_up AS DOUBLE), 4) AS margin,
+      |     r.clabel = d.lang AS is_match
+      |   FROM documents d JOIN rk r ON r.doc_id = d.doc_id AND r.rn = 1)""".stripMargin
 
   /** The shared MinHash chain: shingles → signatures → capped banding →
     * verified `jp(doc_a, doc_b, jaccard)` pairs at the 0.5 threshold.
@@ -2076,6 +2124,20 @@ object ExtQueries {
          | SELECT lang, predicted, n,
          |   round(n / sum(n) OVER (PARTITION BY lang), 4) AS row_frac
          | FROM g ORDER BY lang, predicted""".stripMargin,
+    "text_nb_langid" ->
+      s"""$nbScoresCte
+         | SELECT doc_id, lang, nb_pred, n_tokens, nb_logp, margin, is_match
+         | FROM nbres ORDER BY doc_id""".stripMargin,
+    "text_nb_confusion" ->
+      s"""$nbScoresCte,
+         | m6 AS (SELECT lang, nb_pred,
+         |     CAST(round(margin, 6) AS DECIMAL(18,6)) AS m6 FROM nbres),
+         | g AS (SELECT lang, nb_pred, count(*) AS n,
+         |     round(CAST(sum(m6) AS DOUBLE) / count(*), 4) AS avg_margin
+         |   FROM m6 GROUP BY lang, nb_pred)
+         | SELECT lang, nb_pred, n,
+         |   round(n / sum(n) OVER (PARTITION BY lang), 4) AS row_frac, avg_margin
+         | FROM g ORDER BY lang, nb_pred""".stripMargin,
     "events_l28" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         | m AS (SELECT max(day) AS max_day FROM days),
