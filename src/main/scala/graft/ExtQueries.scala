@@ -418,6 +418,11 @@ object ExtQueries {
     // Count-Min (4×4096) point-query check for the exact top-20 grams:
     // est ≥ exact one-sided error, exact-integer cells
     "sketch_cms_heavy" -> ((s, d) => Sketch.cmsHeavyHitters(docs(s, d), 3, 4, 4096, 20)),
+    // HDR-style log-bucketed quantile histogram over lineitem prices:
+    // per-returnflag partial sketches sum-merged, exact-integer ranks;
+    // oracle histograms the table directly → hash proves the merge
+    "sketch_hist_quantiles" -> ((s, d) =>
+      Sketch.logHistQuantiles(Tables.lineitem(s, d))),
     // weekly cohort LTV curves over events
     "events_cohort_ltv" -> ((s, d) => EventsOps.cohortLtv(ev(s, d))),
     // top-10 session-opening paths (first 3 event types per session)
@@ -2322,6 +2327,37 @@ object ExtQueries {
          |        CAST(est - cnt AS BIGINT) AS overcount
          | FROM pt ORDER BY exact_cnt DESC, gram""".stripMargin
     },
+    // HDR log-bucket quantile sketch: the oracle histograms the WHOLE
+    // table directly while Spark merges per-returnflag partials — the
+    // hash match proves sum-merge associativity (hllUnion pattern).
+    // Ranks are exact integers ((num·n+den−1)//den); the quantile_cont
+    // twin follows the events_percentiles precedent
+    "sketch_hist_quantiles" ->
+      """WITH base AS (
+        |   SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |   FROM lineitem WHERE l_extendedprice > 0),
+        | b AS (SELECT cents,
+        |     greatest(CAST(length(bin(cents)) AS INTEGER) - 1 - 4, 0) AS sh
+        |   FROM base),
+        | hist AS (SELECT (cents >> sh) << sh AS lo, sh, count(*) AS cnt
+        |   FROM b GROUP BY (cents >> sh) << sh, sh),
+        | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+        | pct(idx, p_num, p_den) AS (VALUES (1, 1, 2), (2, 9, 10), (3, 99, 100), (4, 999, 1000)),
+        | rk AS (SELECT idx, CAST(p_num AS BIGINT) AS p_num, CAST(p_den AS BIGINT) AS p_den,
+        |     (p_num * n + p_den - 1) // p_den AS target_rank FROM pct, tot),
+        | cum AS (SELECT lo, sh, cnt, sum(cnt) OVER (ORDER BY lo) AS cum FROM hist),
+        | ex AS (SELECT unnest(qs) AS pc, unnest(range(1, 5)) AS idx
+        |   FROM (SELECT quantile_cont(cents, [0.5, 0.9, 0.99, 0.999]) AS qs FROM base))
+        | SELECT r.p_num, r.p_den, CAST(r.target_rank AS BIGINT) AS target_rank,
+        |   c.lo AS bucket_lo_cents,
+        |   (CAST(1 AS BIGINT) << c.sh) AS bucket_width_cents,
+        |   round(c.lo / 100.0, 2) AS est_price,
+        |   round(e.pc / 100, 6) AS exact_price,
+        |   round((round(e.pc / 100, 6) - round(c.lo / 100.0, 2)) /
+        |     round(e.pc / 100, 6), 4) AS rel_err
+        | FROM cum c JOIN rk r ON c.cum >= r.target_rank AND c.cum - c.cnt < r.target_rank
+        | JOIN ex e ON e.idx = r.idx
+        | ORDER BY target_rank""".stripMargin,
     // DSIR: bucket counts are exact ints; each bucket's log-ratio
     // (fixed tree, α=½, αB=4096) rounds to an 8dp DECIMAL carrier so
     // the per-doc sum is fold-order free

@@ -266,6 +266,72 @@ object Sketch {
       .orderBy(col("exact_cnt").desc, col("gram"))
   }
 
+  /** Mergeable log-bucketed quantile histogram (the HDR-histogram
+    * construction): each value keeps only its top `subBits`+1
+    * significant bits — bucket lower bound lo = (v >> sh) << sh with
+    * sh = max(bitlen(v)−1−subBits, 0) — giving a fixed ≤ 64·2^subBits
+    * cell register file with guaranteed relative bucket width
+    * ≤ 2^−subBits. Quantiles read from the cumulative register walk:
+    * target rank r_p = ⌈p·n⌉ (computed as EXACT integer (num·n+den−1)
+    * div den — never p·n in floating point), estimate = lower bound of
+    * the bucket containing r_p, so est ≤ the rank-r value with error
+    * under one bucket width.
+    *
+    * This is the 100 TB quantile path: exact percentiles need a global
+    * sort (or an exact-percentile aggregate whose state is the value
+    * multiset); this state is a few hundred BIGINT cells that merge by
+    * plain sum. The query builds PER-RETURNFLAG partial sketches and
+    * sum-merges them while the oracle histograms the whole table
+    * directly — a hash match proves merge associativity end-to-end
+    * (the [[hllUnion]] pattern). The `quantile_cont` twin (the
+    * events_percentiles-precedent exact aggregate) rides along for the
+    * rel_err diagnostic; a petabyte caller drops it.
+    *
+    * Exactness: cents = CAST(price AS DECIMAL(18,2))·100 is the TPC-H
+    * Q1 cast precedent (2-decimal doubles → exact integers); every
+    * bucket/rank step after that is integer arithmetic, identical in
+    * Spark and DuckDB. The cumulative window runs over the register
+    * file (≤ ~10³ rows, bounded by 64·2^subBits) — never over data.
+    */
+  def logHistQuantiles(li: DataFrame, subBits: Int = 4): DataFrame = {
+    val spark = li.sparkSession
+    import spark.implicits._
+    val base = li.select(col("l_returnflag").as("g"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+    val partials = base
+      .withColumn("sh",
+        greatest(length(expr("bin(cents)")).cast("int") - 1 - subBits, lit(0)))
+      .withColumn("lo", expr("shiftleft(shiftright(cents, sh), sh)"))
+      .groupBy("g", "lo", "sh").agg(count(lit(1)).as("cnt"))
+    val merged = partials.groupBy("lo", "sh").agg(sum("cnt").as("cnt"))
+    val tot = merged.agg(sum("cnt").as("n"))
+    val pcts = Seq((1, 1L, 2L), (2, 9L, 10L), (3, 99L, 100L), (4, 999L, 1000L))
+      .toDF("idx", "p_num", "p_den")
+    val ranks = pcts.crossJoin(broadcast(tot))
+      .withColumn("target_rank",
+        expr("(p_num * n + p_den - 1) div p_den"))
+    val wcum = Window.orderBy("lo") // register-file-sized frame only
+    val cum = merged.withColumn("cum", sum("cnt").over(wcum))
+    val exact = base.agg(
+        expr("percentile(cents, array(0.5, 0.9, 0.99, 0.999))").as("qs"))
+      .select(posexplode(col("qs")).as(Seq("pos", "pc")))
+      .withColumn("idx", col("pos") + 1)
+    cum
+      .join(broadcast(ranks), col("cum") >= col("target_rank") &&
+        col("cum") - col("cnt") < col("target_rank"))
+      .join(broadcast(exact), "idx")
+      .withColumn("est_price", round(col("lo") / lit(100.0), 2))
+      .withColumn("exact_price", round(col("pc") / lit(100), 6))
+      .withColumn("rel_err",
+        round((col("exact_price") - col("est_price")) / col("exact_price"), 4))
+      .select(col("p_num"), col("p_den"), col("target_rank"),
+        col("lo").as("bucket_lo_cents"),
+        expr("shiftleft(CAST(1 AS BIGINT), sh)").as("bucket_width_cents"),
+        col("est_price"), col("exact_price"), col("rel_err"))
+      .orderBy("target_rank")
+  }
+
   /** Per-source bottom-k distinct gram hashes: (source, h) with ≤ k
     * rows per source, via the WindowGroupLimit-optimized row_number
     * filter.

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.Sketch
+
+/** HDR-style log-bucketed quantile histogram: exact regime when buckets
+  * are singletons, the 2^-subBits relative error bound, and sum-merge
+  * invariance across group splits.
+  */
+class SketchHistSpec extends SparkSpec {
+
+  private def li(rows: (String, Double)*): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toDF("l_returnflag", "l_extendedprice")
+  }
+
+  test("singleton-bucket regime: estimates are the exact type-1 quantiles") {
+    // cents 1..20 all have bit length <= 5 -> sh=0, one value per
+    // bucket; ranks ceil(p*20) = 10, 18, 20, 20.
+    val d = li((1 to 20).map(i => ("A", i / 100.0)): _*)
+    val rows = Sketch.logHistQuantiles(d).collect()
+    assert(rows.map(_.getAs[Long]("target_rank")).toSeq == Seq(10L, 18L, 20L, 20L))
+    assert(rows.map(_.getAs[Double]("est_price")).toSeq == Seq(0.1, 0.18, 0.2, 0.2))
+    assert(rows.forall(_.getAs[Long]("bucket_width_cents") == 1L))
+  }
+
+  test("relative error stays under one bucket width on smooth data") {
+    // 10k smooth prices -> lg=13, sh=9: bucket width 512 cents over
+    // values >= 10000 cents, so est <= true < est*(1+2^-4).
+    val d = li((0 until 10000).map(i => ("A", 100.0 + i / 100.0)): _*)
+    val rows = Sketch.logHistQuantiles(d).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val err = r.getAs[Double]("rel_err")
+      assert(err >= 0.0 && err <= 0.0625 + 0.005, s"rel_err $err out of bound")
+      assert(r.getAs[Long]("bucket_lo_cents") % r.getAs[Long]("bucket_width_cents") == 0L)
+    }
+  }
+
+  test("group split does not change the merged sketch (sum-merge invariance)") {
+    // Same values, one run all in a single flag, one scattered across
+    // three flags: partial sketches merge to the identical register
+    // file, so every output row matches.
+    val vals = (0 until 3000).map(i => 50.0 + (i * 37 % 997) / 10.0)
+    val one = li(vals.map(v => ("A", v)): _*)
+    val split = li(vals.zipWithIndex.map { case (v, i) =>
+      (Seq("A", "N", "R")(i % 3), v) }: _*)
+    val a = Sketch.logHistQuantiles(one).collect().map(_.toSeq)
+    val b = Sketch.logHistQuantiles(split).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+}
