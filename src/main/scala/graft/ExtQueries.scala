@@ -436,6 +436,9 @@ object ExtQueries {
     "text_lm_score" -> ((s, d) => TextOps.lmScoreCached(docs(s, d), d)),
     // corpus heavy hitters: global top-20 5-grams (boilerplate view)
     "corpus_top_ngrams" -> ((s, d) => TextOps.topNgrams(docs(s, d), 5, 20)),
+    // positional-index phrase search for the top-5 trigrams; each row
+    // certifies position-join hits == shingle counts (`agree`)
+    "text_phrase_search" -> ((s, d) => TextOps.phraseSearch(docs(s, d), 5)),
     "token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
     "word_entropy" -> ((s, d) => TextOps.wordEntropy(docs(s, d))),
     // BPE training, first merge iteration: char-pair frequencies
@@ -1717,6 +1720,32 @@ object ExtQueries {
          | SELECT s, count(*) AS occurrences, count(DISTINCT doc_id) AS n_docs
          | FROM g GROUP BY s ORDER BY occurrences DESC, s LIMIT 20""".stripMargin
     },
+    // positional phrase search: postings pruned to phrase words, 3-way
+    // adjacency join; gram-count columns ride along so `agree`
+    // certifies both constructions in-row
+    "text_phrase_search" ->
+      """WITH w AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        | wc AS (SELECT s, count(*) AS occurrences,
+        |          count(DISTINCT doc_id) AS n_docs_gram FROM g GROUP BY s),
+        | top AS (SELECT s, occurrences, n_docs_gram FROM wc
+        |         ORDER BY occurrences DESC, s LIMIT 5),
+        | ph AS (SELECT s, string_split(s, ' ') AS pw FROM top),
+        | post AS MATERIALIZED (
+        |   SELECT doc_id, i AS pos, ws[i] AS w
+        |   FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)
+        |   WHERE ws[i] IN (SELECT unnest(pw) FROM ph)),
+        | hit AS (SELECT ph.s, a.doc_id
+        |         FROM ph JOIN post a ON a.w = pw[1]
+        |         JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.w = pw[2]
+        |         JOIN post c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.w = pw[3]),
+        | agg AS (SELECT s, count(*) AS n_hits, count(DISTINCT doc_id) AS n_docs_pos,
+        |           min(doc_id) AS first_doc FROM hit GROUP BY s)
+        | SELECT t.s AS phrase, a.n_hits, t.occurrences, a.n_docs_pos, t.n_docs_gram,
+        |   a.first_doc,
+        |   (a.n_hits = t.occurrences AND a.n_docs_pos = t.n_docs_gram) AS agree
+        | FROM top t JOIN agg a ON a.s = t.s ORDER BY phrase""".stripMargin,
     "shuffle_shards" ->
       s"""WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
          | b AS (SELECT doc_id, m, ($minhashBaseSql) % 16 AS shard FROM h)

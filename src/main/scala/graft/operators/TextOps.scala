@@ -305,6 +305,57 @@ object TextOps {
       .orderBy(desc("occurrences"), col("s"))
       .limit(k)
 
+  /** Phrase search over a positional inverted index: the corpus'
+    * top-k trigrams (from the [[topNgrams]] heavy-hitter path) are
+    * re-found as exact word-adjacency matches through (doc_id, pos,
+    * word) postings — the classical positional-index probe, with the
+    * gram-counting path riding along so the row itself certifies the
+    * two independent constructions agree (`n_hits` from position
+    * joins vs `occurrences` from shingle counts).
+    *
+    * Scale shape: postings are one narrow posexplode (linear, no
+    * shuffle), then pruned to the ≤ 3k phrase words via a broadcast
+    * semi-join BEFORE any self-join — the 100 TB posting-list
+    * property that a phrase query touches only its own terms'
+    * postings. The three-way adjacency join keys on (doc_id, pos) —
+    * co-partitioned, linear in the pruned postings. The phrase table
+    * itself is k rows, broadcast everywhere.
+    */
+  def phraseSearch(docs: DataFrame, k: Int = 5): DataFrame = {
+    val phrases = topNgrams(docs, 3, k)
+      .select(col("s").as("phrase"), col("occurrences"),
+        col("n_docs").as("n_docs_gram"))
+      .withColumn("w1", split(col("phrase"), " ")(0))
+      .withColumn("w2", split(col("phrase"), " ")(1))
+      .withColumn("w3", split(col("phrase"), " ")(2))
+    val post = spread(docs)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+    val wordSet = phrases
+      .select(explode(array(col("w1"), col("w2"), col("w3"))).as("w")).distinct()
+    val pruned = post.join(broadcast(wordSet), "w")
+      .select(col("doc_id"), col("pos"), col("w"))
+    val hits = broadcast(phrases).join(pruned.as("a"), col("a.w") === col("w1"))
+      .join(pruned.as("b"),
+        col("b.doc_id") === col("a.doc_id") &&
+          col("b.pos") === col("a.pos") + 1 && col("b.w") === col("w2"))
+      .join(pruned.as("c"),
+        col("c.doc_id") === col("a.doc_id") &&
+          col("c.pos") === col("a.pos") + 2 && col("c.w") === col("w3"))
+      .select(col("phrase"), col("occurrences"), col("n_docs_gram"),
+        col("a.doc_id").as("doc_id"))
+    hits.groupBy("phrase", "occurrences", "n_docs_gram")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct("doc_id").as("n_docs_pos"),
+        min("doc_id").as("first_doc"))
+      .withColumn("agree",
+        col("n_hits") === col("occurrences") &&
+          col("n_docs_pos") === col("n_docs_gram"))
+      .select("phrase", "n_hits", "occurrences", "n_docs_pos", "n_docs_gram",
+        "first_doc", "agree")
+      .orderBy("phrase")
+  }
+
   /** Bigram language-model scoring — the perplexity-style quality
     * filter training pipelines run (CCNet/KenLM shape, reduced to a
     * corpus-trained add-one-smoothed bigram model so both engines can

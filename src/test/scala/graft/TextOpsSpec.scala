@@ -44,6 +44,25 @@ class TextOpsSpec extends SparkSpec {
     assert(r(("es", "es")) == ((1L, 1.0)))
   }
 
+  test("phraseSearch: adjacency hits equal shingle counts, scattered words do not match") {
+    val d = docs(
+      (0L, "a b c a b c", "en"), // 'a b c' twice (positions 0 and 3)
+      (1L, "a b c x y z", "en"),
+      (2L, "x y z x y z", "en"),
+      (3L, "a q b q c q", "en")) // phrase words scattered: no adjacency
+    val rows = TextOps.phraseSearch(d, 2).collect()
+    val byPhrase = rows.map(r => r.getAs[String]("phrase") -> r).toMap
+    assert(byPhrase.keySet == Set("a b c", "x y z"))
+    val abc = byPhrase("a b c")
+    assert(abc.getAs[Long]("n_hits") == 3L)
+    assert(abc.getAs[Long]("n_docs_pos") == 2L)
+    assert(abc.getAs[Long]("first_doc") == 0L)
+    val xyz = byPhrase("x y z")
+    assert(xyz.getAs[Long]("n_hits") == 3L)
+    assert(xyz.getAs[Long]("first_doc") == 1L)
+    assert(rows.forall(_.getAs[Boolean]("agree")))
+  }
+
   test("vocabPrune keeps words inside the df band, tf does not leak in") {
     val d = docs(
       (0L, "common mid rare rare rare", "en"), // tf(rare)=3 but df=1
