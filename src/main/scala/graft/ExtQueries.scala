@@ -193,6 +193,15 @@ object ExtQueries {
       Dedup.dedupVerdicts(docs(s, d), pairs)
     }),
 
+    // quality-aware representative: each near-dup cluster keeps its
+    // best-quality member instead of the min-doc_id keeper; consumes
+    // the same cached pair list as dedup_clusters
+    "dedup_keep_best" -> ((s, d) => {
+      val pairs = Dedup.simhashNearDupsCached(docs(s, d), d, 3)
+        .select("doc_a", "doc_b")
+      Dedup.keepBestPerCluster(docs(s, d), pairs)
+    }),
+
     // the end-to-end cleaning verdict: exact-dup keeper + length gate +
     // repetition filter in one pass; the repetition injection (every 7th
     // doc) makes the 'repetitive' reason fire deterministically
@@ -262,6 +271,9 @@ object ExtQueries {
 
     // ---- similarity search
     "embed_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), 10, 5)),
+    // hard-negative mining: top-5 most-similar DIFFERENT-label vectors
+    // per query — the contrastive-training data op
+    "embed_hard_negatives" -> ((s, d) => Similarity.hardNegatives(emb(s, d), 10, 5)),
     "embed_topk_bucketed" -> ((s, d) => Similarity.bucketedTopK(emb(s, d), 10, 3)),
     // real IVF: deterministic Lloyd's k-means coarse quantizer (fixed
     // init from the first k vec_ids, 2 rounds, rounded distances) and
@@ -1656,6 +1668,25 @@ object ExtQueries {
          |   coalesce(l.cluster, d.doc_id) = d.doc_id AS is_keeper
          | FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
          | ORDER BY d.doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      s"""${"WITH RECURSIVE " + simhashPairsCte.stripPrefix("WITH ")},
+         | p AS (SELECT doc_a, doc_b FROM dists WHERE dist <= 3),
+         | e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |       UNION SELECT doc_b, doc_a FROM p),
+         | reach(id, r) AS (
+         |   SELECT a, a FROM e
+         |   UNION
+         |   SELECT e2.a, r.r FROM e e2 JOIN reach r ON e2.b = r.id),
+         | lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         | clu AS (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+         |         FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+         | q AS ($textQualityOracle),
+         | rk AS (SELECT clu.doc_id, clu.cluster, q.quality_score,
+         |          row_number() OVER (PARTITION BY clu.cluster
+         |            ORDER BY q.quality_score DESC, clu.doc_id) AS rn
+         |        FROM clu JOIN q ON q.doc_id = clu.doc_id)
+         | SELECT doc_id, cluster, quality_score, rn = 1 AS keep
+         | FROM rk ORDER BY doc_id""".stripMargin,
     "contamination_check" -> contaminationOracle,
     // the bloom pre-filter is recall-preserving and verified by an exact
     // join, so the 100 TB path must reproduce the naive oracle verbatim
@@ -1774,6 +1805,20 @@ object ExtQueries {
          | SELECT doc_id, lang, quality_score, tokens, cum_tokens
          | FROM c WHERE cum_tokens - tokens < 5000 ORDER BY lang, doc_id""".stripMargin,
     "embed_cosine_topk" -> embedTopkOracle(nQueries = 10, k = 5, bucketed = false),
+    "embed_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        | p AS (SELECT qid, qlabel, vec_id, label,
+        |         round(SUM(CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) /
+        |           (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+        |            sqrt(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 4) AS cos
+        |       FROM q, embeddings, UNNEST(range(1, 65)) AS t(i)
+        |       WHERE qlabel <> label GROUP BY ALL),
+        | r AS (SELECT qid, qlabel, vec_id, label, cos,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+        |       FROM p)
+        | SELECT qid, qlabel, CAST(rnk AS INTEGER) AS rnk, vec_id, label, cos
+        | FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "embed_topk_bucketed" -> embedTopkOracle(nQueries = 10, k = 3, bucketed = true),
     "embed_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,

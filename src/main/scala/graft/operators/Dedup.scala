@@ -977,6 +977,26 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware cluster representative selection: instead of
+    * [[dedupVerdicts]]' min-doc_id keeper, each near-dup cluster keeps
+    * its HIGHEST-quality member ([[TextOps.qualityScore]], doc_id
+    * tiebreak) — the policy production dedup actually wants (keep the
+    * cleanest copy of the boilerplate family, not the first-crawled
+    * one). Ranking runs over the ROUNDED 4dp score so the order is
+    * engine-identical; the window partitions by cluster (bounded by
+    * the largest near-dup family, not the corpus).
+    */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val verdicts = dedupVerdicts(docs, pairs).select("doc_id", "cluster")
+    val quality = TextOps.qualityScore(docs).select("doc_id", "quality_score")
+    val w = Window.partitionBy("cluster")
+      .orderBy(desc("quality_score"), col("doc_id"))
+    verdicts.join(quality, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster", "quality_score", "keep")
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash over distinct words, emitted as a 64-char bit
     * string (MSB-first nibble order of the word md5's first 16 hex
     * chars). sum ≥ 0 → '1'.

@@ -68,6 +68,29 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Hard-negative mining (the contrastive-training data op): per
+    * query vector, the top-k most-similar corpus vectors carrying a
+    * DIFFERENT label — the near-miss negatives that make triplet /
+    * InfoNCE training informative, mined corpus-wide. Same
+    * broadcast-queries / partitioned-corpus shape as
+    * [[bruteForceTopK]]; at scale the candidate set comes from
+    * [[ivfTopK]]'s cells first and the label filter applies to the
+    * pruned candidates — the plan here IS that filter + ranking,
+    * with brute-force candidates as the recall ceiling.
+    */
+  def hardNegatives(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val scored = q.join(emb, col("qlabel") =!= col("label"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "qlabel", "rnk", "vec_id", "label", "cos")
+      .orderBy("qid", "rnk")
+  }
+
   /** Binary-embedding retrieval: 1-bit-per-dimension sign signatures
     * (64-char bit strings) searched by Hamming distance through the
     * codegen'd [[graft.functions.HammingDistance]] — the 32×-compressed

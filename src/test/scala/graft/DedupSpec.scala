@@ -19,6 +19,25 @@ class DedupSpec extends SparkSpec {
     2L -> "completely different words about spark engines here today",
     3L -> "the quick brown fox jumps over the lazy dog") // exact dup of 0
 
+  test("keepBestPerCluster keeps the highest-quality member, singletons keep themselves") {
+    val spark2 = spark
+    import spark2.implicits._
+    // doc 0 and 1 are a cluster; doc 1 is longer (more words, fewer
+    // stopwords) → higher quality_score, so the keeper flips away from
+    // the min-id policy. doc 2 is a singleton.
+    val d = docs(
+      0L -> "the a of and is in to for short",
+      1L -> "informative varied tokens carry substance across many distinct themes here",
+      2L -> "solo document standing alone")
+    val pairs = Seq((0L, 1L)).toDF("doc_a", "doc_b")
+    val r = Dedup.keepBestPerCluster(d, pairs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("cluster"), x.getAs[Boolean]("keep"))).toMap
+    assert(r(0L) == ((0L, false)))
+    assert(r(1L) == ((0L, true)))
+    assert(r(2L) == ((2L, true)))
+  }
+
   test("shingles: distinct word 3-grams, short docs dropped") {
     val sh = Dedup.shingles(docs(0L -> "a b c d", 1L -> "x y"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet

@@ -34,6 +34,16 @@ class SimilaritySpec extends SparkSpec {
     assert(top.toSeq == Seq((1, 1L, 1.0), (2, 3L, 0.7071), (3, 2L, 0.0), (4, 4L, -1.0)))
   }
 
+  test("hard negatives exclude same-label twins and rank cross-label by cosine") {
+    // Query 0 (label 0): its identical twin v1 and orthogonal v2 share
+    // the label and must NOT appear; negatives rank v3 (0.7071) over
+    // v4 (-1), both label 1.
+    val neg = Similarity.hardNegatives(vecs, nQueries = 1, k = 5).collect()
+      .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("label"), r.getAs[Double]("cos")))
+    assert(neg.toSeq == Seq((1, 3L, 1, 0.7071), (2, 4L, 1, -1.0)))
+  }
+
   test("binary top-k: sign signatures rank by Hamming with vec_id tiebreak") {
     // signatures (x >= 0 → '1'): v0..v3 = "1111", v4 = "0111"
     val top = Similarity.binaryTopK(vecs, nQueries = 1, k = 4).collect()
