@@ -435,6 +435,12 @@ object ExtQueries {
     // oracle histograms the table directly → hash proves the merge
     "sketch_hist_quantiles" -> ((s, d) =>
       Sketch.logHistQuantiles(Tables.lineitem(s, d))),
+    // CMS inner-product estimate of the events user_id self-join size
+    // (the sessionization pair-explosion pre-flight); est ≥ exact
+    "sketch_cms_join_size" -> ((s, d) => Sketch.cmsSelfJoinSize(ev(s, d))),
+    // key-skew pre-flight: heavy keys + log-bucket p50/p99 of the
+    // per-key count distribution + suggested salt factors
+    "skew_key_stats" -> ((s, d) => Skew.keySkewStats(ev(s, d))),
     // weekly cohort LTV curves over events
     "events_cohort_ltv" -> ((s, d) => EventsOps.cohortLtv(ev(s, d))),
     // top-10 session-opening paths (first 3 event types per session)
@@ -2401,6 +2407,48 @@ object ExtQueries {
          |        CAST(est - cnt AS BIGINT) AS overcount
          | FROM pt ORDER BY exact_cnt DESC, gram""".stripMargin
     },
+    // CMS inner product: per-depth Σc² with min over depths — the
+    // one-sided join-size estimator; all cells exact BIGINT
+    "sketch_cms_join_size" -> {
+      val nibbleSql = (1 to 14).map { i =>
+        s"(CAST(ascii(substr(m, $i, 1)) AS BIGINT) - CASE WHEN ascii(substr(m, $i, 1)) >= 97 THEN 87 ELSE 48 END) * ${1L << (4 * (14 - i))}"
+      }.mkString(" + ")
+      s"""WITH kc AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+         | hb AS (SELECT cnt, d, ($nibbleSql) % 4096 AS b
+         |        FROM (SELECT cnt, d, md5(d || ':' || CAST(user_id AS VARCHAR)) AS m
+         |              FROM kc, UNNEST(['0','1','2','3']) AS t(d))),
+         | cells AS (SELECT d, b, CAST(sum(cnt) AS BIGINT) AS c FROM hb GROUP BY d, b),
+         | pd AS (SELECT d, CAST(sum(c * c) AS BIGINT) AS est_d FROM cells GROUP BY d),
+         | est AS (SELECT min(est_d) AS est_size FROM pd),
+         | ex AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS exact_size,
+         |          count(*) AS n_keys FROM kc)
+         | SELECT n_keys, exact_size, est_size,
+         |   est_size - exact_size AS overcount,
+         |   round((est_size - exact_size) * 1.0 / exact_size, 6) AS rel_err
+         | FROM est, ex""".stripMargin
+    },
+    // skew pre-flight: quantiles of the key-count distribution read
+    // from the log-bucket register file; exact integer ranks and salts
+    "skew_key_stats" ->
+      """WITH kc AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        | hist AS (SELECT (cnt >> sh) << sh AS lo, count(*) AS nk
+        |   FROM (SELECT cnt,
+        |           greatest(CAST(length(bin(cnt)) AS INTEGER) - 1 - 4, 0) AS sh
+        |         FROM kc)
+        |   GROUP BY (cnt >> sh) << sh),
+        | tot AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows FROM kc),
+        | cum AS (SELECT lo, nk, sum(nk) OVER (ORDER BY lo) AS cum FROM hist),
+        | p50 AS (SELECT lo AS p50_cnt FROM cum, tot
+        |         WHERE cum >= (n_keys + 1) // 2 AND cum - nk < (n_keys + 1) // 2),
+        | p99 AS (SELECT lo AS p99_cnt FROM cum, tot
+        |         WHERE cum >= (99 * n_keys + 99) // 100
+        |           AND cum - nk < (99 * n_keys + 99) // 100),
+        | top AS (SELECT user_id, cnt FROM kc ORDER BY cnt DESC, user_id LIMIT 5)
+        | SELECT t.user_id, t.cnt, round(t.cnt * 1.0 / n_rows, 6) AS share,
+        |   n_keys, round(n_rows * 1.0 / n_keys, 2) AS mean_cnt,
+        |   p50_cnt, p99_cnt, (t.cnt + p50_cnt - 1) // p50_cnt AS suggested_salt
+        | FROM top t, tot, p50, p99
+        | ORDER BY t.cnt DESC, t.user_id""".stripMargin,
     // HDR log-bucket quantile sketch: the oracle histograms the WHOLE
     // table directly while Spark merges per-returnflag partials — the
     // hash match proves sum-merge associativity (hllUnion pattern).

@@ -266,6 +266,43 @@ object Sketch {
       .orderBy(col("exact_cnt").desc, col("gram"))
   }
 
+  /** Self-join cardinality estimate from Count-Min inner products
+    * (Cormode & Muthukrishnan 2005, §4.2): |R ⋈_k R| = Σ_k c_k² is
+    * estimated per depth row as Σ_b cms[d,b]², taking min over
+    * depths — a one-sided OVERestimate (colliding keys only add
+    * cross terms), with E[err] ≤ N²/width. Here R = events keyed by
+    * user_id: the estimator prices the sessionization self-join /
+    * pair-explosion BEFORE running it, from a sketch of
+    * depth×width cells instead of the per-key count frame.
+    *
+    * Everything is exact BIGINT (Σ cms² ≤ N² ≪ 2⁶³); the exact twin
+    * Σ c_k² rides along to exhibit the one-sided bound. Shape: one
+    * partial-aggregated groupBy(user_id) collapses events to key
+    * counts; the sketch build and both sums are register-file-sized
+    * aggregations after that. A 100 TB caller keeps only the sketch
+    * half (and can merge sketches across shards cell-wise, the
+    * [[hllUnion]] property — CMS cells add).
+    */
+  def cmsSelfJoinSize(events: DataFrame, depth: Int = 4,
+      width: Int = 4096): DataFrame = {
+    val kc = events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val dArr = array((0 until depth).map(i => lit(i.toString)): _*)
+    val cells = kc
+      .withColumn("d", explode(dArr))
+      .withColumn("b",
+        rawHash56(concat(col("d"), lit(":"), col("user_id").cast("string"))) % width)
+      .groupBy("d", "b").agg(sum("cnt").as("c"))
+    val perDepth = cells.groupBy("d").agg(sum(col("c") * col("c")).as("est_d"))
+    val est = perDepth.agg(min("est_d").as("est_size"))
+    val exact = kc.agg(sum(col("cnt") * col("cnt")).as("exact_size"),
+      count(lit(1)).as("n_keys"))
+    est.crossJoin(broadcast(exact))
+      .withColumn("overcount", col("est_size") - col("exact_size"))
+      .withColumn("rel_err",
+        round(col("overcount").cast("double") / col("exact_size").cast("double"), 6))
+      .select("n_keys", "exact_size", "est_size", "overcount", "rel_err")
+  }
+
   /** Mergeable log-bucketed quantile histogram (the HDR-histogram
     * construction): each value keeps only its top `subBits`+1
     * significant bits — bucket lower bound lo = (v >> sh) << sh with

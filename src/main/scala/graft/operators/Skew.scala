@@ -30,4 +30,50 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Key-skew diagnosis — the pre-flight a 100 TB job runs BEFORE
+    * choosing [[saltedJoin]]'s bucket count: per-key row counts, the
+    * count distribution's p50/p99 read from a log-bucketed register
+    * file (the [[Sketch.logHistQuantiles]] construction — a bounded
+    * cumulative walk, never a window over the key frame), and for the
+    * top-k heavy keys a suggested salt = ⌈cnt / p50⌉ that splits each
+    * hot key into median-sized slices.
+    *
+    * All quantile estimates are bucket lower bounds (exact integers,
+    * ≤ 2⁻⁴ relative error); the salt division is exact integer math.
+    * Shape: one groupBy(key) with map-side combine, a ≤ 64·16-cell
+    * register aggregate, and a top-k via orderBy+limit. Nothing
+    * scales past the key-count frame, and that frame is touched only
+    * by hash aggregation — no global sort, no window.
+    */
+  def keySkewStats(events: DataFrame, k: Int = 5, subBits: Int = 4): DataFrame = {
+    val kc = events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val hist = kc
+      .withColumn("sh",
+        greatest(length(expr("bin(cnt)")).cast("int") - 1 - subBits, lit(0)))
+      .withColumn("lo", expr("shiftleft(shiftright(cnt, sh), sh)"))
+      .groupBy("lo").agg(count(lit(1)).as("nk"))
+    val tot = kc.agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"))
+    val wcum = org.apache.spark.sql.expressions.Window.orderBy("lo") // register file only
+    val cum = hist.withColumn("cum", sum("nk").over(wcum))
+      .crossJoin(broadcast(tot))
+    def qEst(num: Int, den: Int) = cum
+      .filter(col("cum") >= expr(s"($num * n_keys + ${den - 1}) div $den") &&
+        col("cum") - col("nk") < expr(s"($num * n_keys + ${den - 1}) div $den"))
+      .select(col("lo"))
+    val p50 = qEst(1, 2).select(col("lo").as("p50_cnt"))
+    val p99 = qEst(99, 100).select(col("lo").as("p99_cnt"))
+    val top = kc.orderBy(col("cnt").desc, col("user_id")).limit(k)
+    top
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(p50))
+      .crossJoin(broadcast(p99))
+      .withColumn("share", round(col("cnt") / col("n_rows"), 6))
+      .withColumn("mean_cnt", round(col("n_rows") / col("n_keys"), 2))
+      .withColumn("suggested_salt",
+        expr("(cnt + p50_cnt - 1) div p50_cnt"))
+      .select("user_id", "cnt", "share", "n_keys", "mean_cnt",
+        "p50_cnt", "p99_cnt", "suggested_salt")
+      .orderBy(col("cnt").desc, col("user_id"))
+  }
 }

@@ -17,6 +17,33 @@ class SketchSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  test("cmsSelfJoinSize: one-sided estimate, exact on a collision-free fixture") {
+    val spark2 = spark
+    import spark2.implicits._
+    // counts 3, 2, 1 → exact self-join size 9 + 4 + 1 = 14; three keys
+    // in 4096 buckets land collision-free, so est == exact.
+    val ev = (Seq.fill(3)(10L) ++ Seq.fill(2)(20L) ++ Seq(30L)).toDF("user_id")
+    val r = Sketch.cmsSelfJoinSize(ev).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_keys") == 3L)
+    assert(r(0).getAs[Long]("exact_size") == 14L)
+    assert(r(0).getAs[Long]("est_size") == 14L)
+    assert(r(0).getAs[Long]("overcount") == 0L)
+    assert(r(0).getAs[Double]("rel_err") == 0.0)
+  }
+
+  test("cmsSelfJoinSize never undercounts when collisions are forced") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 3000 keys into 4096 buckets force collisions; the inner-product
+    // estimate may only go UP.
+    val ev = (0L until 3000L).flatMap(u => Seq.fill((u % 3).toInt + 1)(u))
+      .toDF("user_id")
+    val r = Sketch.cmsSelfJoinSize(ev).collect()(0)
+    assert(r.getAs[Long]("overcount") >= 0L)
+    assert(r.getAs[Long]("est_size") >= r.getAs[Long]("exact_size"))
+  }
+
   test("below k the sketch is exact: est = k_eff = exact") {
     // one doc, 5 words → 3 distinct 3-grams, k = 128
     val d = docs((0L, "a b c d e", "srcA"))
