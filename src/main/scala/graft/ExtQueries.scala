@@ -27,6 +27,9 @@ object ExtQueries {
   /** Replay-drop directory for the append-mode hourly query. */
   private lazy val hourlyReplayDir: String = TempDirs.create("graft_hourly_replay")
 
+  /** Replay-drop directory for the streaming histogram query. */
+  private lazy val histReplayDir: String = TempDirs.create("graft_hist_replay")
+
   /** One JSONL export directory per JVM (the jsonl_export_roundtrip
     * side effect), registered for exit cleanup.
     */
@@ -834,6 +837,27 @@ object ExtQueries {
         staticDocs = Some(all.select("doc_id", "text")))
     }),
 
+    // streaming histogram replay: three lineitem drops → micro-batched
+    // register accumulation; the final state is fed through the SAME
+    // quantile walk as the batch sketch and shares its oracle SQL —
+    // hash-green means the streamed register file equals the batch
+    // histogram (mergeability live). Drop split is order-invariant
+    // (registers sum), so no stamping. SIDE EFFECT: temp-dir drops.
+    "stream_hist_replay" -> ((s, d) => {
+      val dir = histReplayDir
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_returnflag")
+      Seq(("a", 0), ("b", 1), ("c", 2)).foreach { case (tag, r) =>
+        li.filter(pmod(col("l_orderkey"), lit(3)) === r)
+          .select("l_extendedprice", "l_returnflag").coalesce(1)
+          .write.mode("overwrite").parquet(dir + s"/drop=$tag")
+      }
+      val name = graft.streaming.SketchStream.runBounded(
+        s, dir + "/drop=*", "stream_hist_tbl")
+      Sketch.quantilesFromRegisters(s.table(name),
+        Sketch.centsBase(li.select("l_extendedprice", "l_returnflag")))
+    }),
+
     // APPEND-mode streaming hourly replay: every window emits exactly
     // once when the watermark closes it (production sink semantics);
     // sentinel drops close the tail windows, so the replay equals the
@@ -1107,6 +1131,40 @@ object ExtQueries {
       |     round(CAST(r.score - r.runner_up AS DOUBLE), 4) AS margin,
       |     r.clabel = d.lang AS is_match
       |   FROM documents d JOIN rk r ON r.doc_id = d.doc_id AND r.rn = 1)""".stripMargin
+
+  /** The log-bucket histogram quantile oracle — direct global
+    * histogram + exact-integer rank walk + quantile_cont twin. Shared
+    * verbatim by the batch sketch (which merges per-flag partials) and
+    * the streaming replay (which accumulates registers across
+    * micro-batches): a hash match against either proves that
+    * construction collapses to this direct histogram.
+    */
+  private lazy val histQuantilesOracle: String =
+    """WITH base AS (
+      |   SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |   FROM lineitem WHERE l_extendedprice > 0),
+      | b AS (SELECT cents,
+      |     greatest(CAST(length(bin(cents)) AS INTEGER) - 1 - 4, 0) AS sh
+      |   FROM base),
+      | hist AS (SELECT (cents >> sh) << sh AS lo, sh, count(*) AS cnt
+      |   FROM b GROUP BY (cents >> sh) << sh, sh),
+      | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+      | pct(idx, p_num, p_den) AS (VALUES (1, 1, 2), (2, 9, 10), (3, 99, 100), (4, 999, 1000)),
+      | rk AS (SELECT idx, CAST(p_num AS BIGINT) AS p_num, CAST(p_den AS BIGINT) AS p_den,
+      |     (p_num * n + p_den - 1) // p_den AS target_rank FROM pct, tot),
+      | cum AS (SELECT lo, sh, cnt, sum(cnt) OVER (ORDER BY lo) AS cum FROM hist),
+      | ex AS (SELECT unnest(qs) AS pc, unnest(range(1, 5)) AS idx
+      |   FROM (SELECT quantile_cont(cents, [0.5, 0.9, 0.99, 0.999]) AS qs FROM base))
+      | SELECT r.p_num, r.p_den, CAST(r.target_rank AS BIGINT) AS target_rank,
+      |   c.lo AS bucket_lo_cents,
+      |   (CAST(1 AS BIGINT) << c.sh) AS bucket_width_cents,
+      |   round(c.lo / 100.0, 2) AS est_price,
+      |   round(e.pc / 100, 6) AS exact_price,
+      |   round((round(e.pc / 100, 6) - round(c.lo / 100.0, 2)) /
+      |     round(e.pc / 100, 6), 4) AS rel_err
+      | FROM cum c JOIN rk r ON c.cum >= r.target_rank AND c.cum - c.cnt < r.target_rank
+      | JOIN ex e ON e.idx = r.idx
+      | ORDER BY target_rank""".stripMargin
 
   /** The shared MinHash chain: shingles → signatures → capped banding →
     * verified `jp(doc_a, doc_b, jaccard)` pairs at the 0.5 threshold.
@@ -2454,32 +2512,10 @@ object ExtQueries {
     // hash match proves sum-merge associativity (hllUnion pattern).
     // Ranks are exact integers ((num·n+den−1)//den); the quantile_cont
     // twin follows the events_percentiles precedent
-    "sketch_hist_quantiles" ->
-      """WITH base AS (
-        |   SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |   FROM lineitem WHERE l_extendedprice > 0),
-        | b AS (SELECT cents,
-        |     greatest(CAST(length(bin(cents)) AS INTEGER) - 1 - 4, 0) AS sh
-        |   FROM base),
-        | hist AS (SELECT (cents >> sh) << sh AS lo, sh, count(*) AS cnt
-        |   FROM b GROUP BY (cents >> sh) << sh, sh),
-        | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
-        | pct(idx, p_num, p_den) AS (VALUES (1, 1, 2), (2, 9, 10), (3, 99, 100), (4, 999, 1000)),
-        | rk AS (SELECT idx, CAST(p_num AS BIGINT) AS p_num, CAST(p_den AS BIGINT) AS p_den,
-        |     (p_num * n + p_den - 1) // p_den AS target_rank FROM pct, tot),
-        | cum AS (SELECT lo, sh, cnt, sum(cnt) OVER (ORDER BY lo) AS cum FROM hist),
-        | ex AS (SELECT unnest(qs) AS pc, unnest(range(1, 5)) AS idx
-        |   FROM (SELECT quantile_cont(cents, [0.5, 0.9, 0.99, 0.999]) AS qs FROM base))
-        | SELECT r.p_num, r.p_den, CAST(r.target_rank AS BIGINT) AS target_rank,
-        |   c.lo AS bucket_lo_cents,
-        |   (CAST(1 AS BIGINT) << c.sh) AS bucket_width_cents,
-        |   round(c.lo / 100.0, 2) AS est_price,
-        |   round(e.pc / 100, 6) AS exact_price,
-        |   round((round(e.pc / 100, 6) - round(c.lo / 100.0, 2)) /
-        |     round(e.pc / 100, 6), 4) AS rel_err
-        | FROM cum c JOIN rk r ON c.cum >= r.target_rank AND c.cum - c.cnt < r.target_rank
-        | JOIN ex e ON e.idx = r.idx
-        | ORDER BY target_rank""".stripMargin,
+    "sketch_hist_quantiles" -> histQuantilesOracle,
+    // the streaming replay accumulates the same registers across
+    // micro-batches, so it shares the batch oracle verbatim
+    "stream_hist_replay" -> histQuantilesOracle,
     // DSIR: bucket counts are exact ints; each bucket's log-ratio
     // (fixed tree, α=½, αB=4096) rounds to an 8dp DECIMAL carrier so
     // the per-doc sum is fold-order free

@@ -331,17 +331,40 @@ object Sketch {
     * file (≤ ~10³ rows, bounded by 64·2^subBits) — never over data.
     */
   def logHistQuantiles(li: DataFrame, subBits: Int = 4): DataFrame = {
-    val spark = li.sparkSession
-    import spark.implicits._
-    val base = li.select(col("l_returnflag").as("g"),
+    val base = centsBase(li)
+    val partials = bucketize(base, subBits)
+      .groupBy("g", "lo", "sh").agg(count(lit(1)).as("cnt"))
+    val merged = partials.groupBy("lo", "sh").agg(sum("cnt").as("cnt"))
+    quantilesFromRegisters(merged, base)
+  }
+
+  /** (g, cents) projection of lineitem — the exact-integer carrier both
+    * the batch and streaming register builds share.
+    */
+  private[graft] def centsBase(li: DataFrame): DataFrame =
+    li.select(col("l_returnflag").as("g"),
         expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
       .filter(col("cents") > 0)
-    val partials = base
+
+  /** Adds (sh, lo) — the log-bucket key — to a cents frame. A pure
+    * narrow projection, so it runs identically inside a streaming
+    * micro-batch.
+    */
+  private[graft] def bucketize(base: DataFrame, subBits: Int = 4): DataFrame =
+    base
       .withColumn("sh",
         greatest(length(expr("bin(cents)")).cast("int") - 1 - subBits, lit(0)))
       .withColumn("lo", expr("shiftleft(shiftright(cents, sh), sh)"))
-      .groupBy("g", "lo", "sh").agg(count(lit(1)).as("cnt"))
-    val merged = partials.groupBy("lo", "sh").agg(sum("cnt").as("cnt"))
+
+  /** The quantile walk over an already-built register file (lo, sh,
+    * cnt) — shared by the batch merge and the streaming replay, which
+    * accumulates the same registers across micro-batches. `base`
+    * supplies the quantile_cont verification twin only.
+    */
+  private[graft] def quantilesFromRegisters(merged: DataFrame,
+      base: DataFrame): DataFrame = {
+    val spark = merged.sparkSession
+    import spark.implicits._
     val tot = merged.agg(sum("cnt").as("n"))
     val pcts = Seq((1, 1L, 2L), (2, 9L, 10L), (3, 99L, 100L), (4, 999L, 1000L))
       .toDF("idx", "p_num", "p_den")

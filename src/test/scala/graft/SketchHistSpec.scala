@@ -38,6 +38,32 @@ class SketchHistSpec extends SparkSpec {
     }
   }
 
+  test("streamed registers across micro-batches equal the batch histogram") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("hist_stream").toString
+    val li = (0 until 500).map(i =>
+        (i.toLong, 100.0 + (i * 97 % 4001) / 100.0, Seq("A", "N", "R")(i % 3)))
+      .toDF("l_orderkey", "l_extendedprice", "l_returnflag")
+    Seq(0, 1, 2).foreach { r =>
+      li.filter(col("l_orderkey") % 3 === r)
+        .select("l_extendedprice", "l_returnflag")
+        .coalesce(1).write.mode("overwrite").parquet(dir + s"/drop=$r")
+    }
+    val name = graft.streaming.SketchStream.runBounded(
+      spark, dir + "/drop=*", "hist_stream_spec")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("lo"), r.getAs[Int]("sh"), r.getAs[Long]("cnt"))
+    val streamed = spark.table(name).collect().map(key).toSet
+    val batch = graft.operators.Sketch
+      .bucketize(graft.operators.Sketch.centsBase(
+        li.select("l_extendedprice", "l_returnflag")))
+      .groupBy("lo", "sh").agg(count(lit(1)).as("cnt"))
+      .collect().map(key).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("group split does not change the merged sketch (sum-merge invariance)") {
     // Same values, one run all in a single flag, one scattered across
     // three flags: partial sketches merge to the identical register
