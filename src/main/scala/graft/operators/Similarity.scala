@@ -685,6 +685,91 @@ object Similarity {
       emb.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding")),
       nQueries, k)
 
+  /** Principal direction of the embedding corpus by two deterministic
+    * power-iteration steps over the centered scatter matrix — the
+    * spectral op behind PCA whitening / ABTT embedding post-processing
+    * ("all-but-the-top"), done Spark-first: the 64×64 covariance
+    * accumulates as ONE hash aggregate over per-row outer products (a
+    * narrow flatten-transform projection, map-side combined to 4096
+    * cells per partition — the corpus is touched exactly once and
+    * never joined), and both matvec+normalize steps stay IN-PLAN as
+    * joins over the 4096-cell / 64-row model frames. No driver-side
+    * linear algebra, no .collect() of anything data-sized.
+    *
+    * Determinism (cross-engine): per-row products round to 8dp DECIMAL
+    * before the fold-order-free sum; covariance is a RAW double tree
+    * over those exact sums (IEEE ops on identical operands are
+    * bit-equal — intermediate roundings are deliberately absent, see
+    * the lattice note at `means`), matvec terms round to 10dp DECIMAL
+    * before the carry, and normalized components round to 8dp — the
+    * [[graft.operators.IndicatorsExt]] exact-sum contract. v₀ = 1/8
+    * (exact) on every dimension; sign and values are therefore
+    * bit-reproducible on any engine or partitioning.
+    *
+    * Output: one row per dimension with the unit loading after two
+    * iterations and the Rayleigh eigenvalue estimate λ = v₁ᵀCv₁
+    * (replicated per row — the natural frame shape).
+    */
+  def pcaPowerTop(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(toDouble(col("embedding")).as("v"))
+    val n = e.count().toDouble
+    // scatter cells: s_ij = Σ round(x_i·x_j, 8)  (exact DECIMAL)
+    val outer = expr(
+      """flatten(transform(v, (xi, i) -> transform(v, (xj, j) ->
+        |  struct(i AS i, j AS j,
+        |         CAST(round(xi * xj, 8) AS DECIMAL(18,8)) AS p))))""".stripMargin)
+    val cells = e.select(explode(outer).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+      .groupBy("i", "j").agg(sum("p").as("s"))
+    // column sums for centering: m_i = Σ round(x_i, 8) / n. NOTE the
+    // division is deliberately UNROUNDED: the DECIMAL sums are the
+    // determinism anchors, and IEEE ops on identical operands are
+    // bit-equal cross-engine — whereas rounding here would park values
+    // on a fine decimal lattice whose next rounding (the matvec's) hits
+    // exact halfway cases that the two engines resolve differently
+    // (Spark rounds the exact expansion, DuckDB rounds a scaled double).
+    val means = e.select(explode(expr(
+        """transform(v, (x, i) -> struct(i AS i,
+          |  CAST(round(x, 8) AS DECIMAL(18,8)) AS x))""".stripMargin)).as("c"))
+      .select(col("c.i").as("i"), col("c.x").as("x"))
+      .groupBy("i").agg((sum("x").cast("double") / n).as("m"))
+    val cov = cells
+      .join(means.select(col("i"), col("m").as("mi")), "i")
+      .join(means.select(col("i").as("j"), col("m").as("mj")),
+        Seq("j")) // means reused under two aliases; 64-row broadcasts
+      .withColumn("c",
+        col("s").cast("double") / n - col("mi") * col("mj"))
+      .select("i", "j", "c")
+    // one power step from vector frame v(j, vj) -> w(i, wi) as double
+    def matvec(v: DataFrame): DataFrame = cov
+      .join(broadcast(v), "j")
+      .withColumn("t", round(col("c") * col("vj"), 10).cast("decimal(20,10)"))
+      .groupBy("i").agg(sum("t").cast("double").as("wi"))
+    // normalize w -> unit v (rounded 8; "+ 0.0" kills -0.0 — the
+    // cross-engine signed-zero trap); norm crossJoins as one row
+    def normalize(w: DataFrame): DataFrame = {
+      val norm = w.agg(
+        round(sqrt(sum(round(col("wi") * col("wi"), 10)
+          .cast("decimal(20,10)")).cast("double")), 8).as("nrm"))
+      w.crossJoin(broadcast(norm))
+        .select(col("i").as("j"),
+          (round(col("wi") / col("nrm"), 8) + lit(0.0)).as("vj"))
+    }
+    val v0 = spark.range(64).select(col("id").cast("int").as("j"),
+      lit(0.125).as("vj"))
+    val v1 = normalize(matvec(v0))
+    val w2 = matvec(v1)
+    val lambda = v1.join(w2, col("j") === col("i"))
+      .agg(round(sum(round(col("vj") * col("wi"), 10).cast("decimal(20,10)"))
+        .cast("double"), 6).as("eigenvalue"))
+    normalize(w2)
+      .crossJoin(broadcast(lambda))
+      .select(col("j").as("dim"), col("vj").as("loading"), col("eigenvalue"))
+      .orderBy("dim")
+  }
+
   /** Exact squared-L2 top-k — the ground truth for [[pqAdcTopK]]'s
     * recall gate (cosine [[bruteForceTopK]] ranks a different metric).
     */

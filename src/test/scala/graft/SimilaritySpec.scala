@@ -34,6 +34,27 @@ class SimilaritySpec extends SparkSpec {
     assert(top.toSeq == Seq((1, 1L, 1.0), (2, 3L, 0.7071), (3, 2L, 0.0), (4, 4L, -1.0)))
   }
 
+  test("pcaPowerTop recovers a planted dominant axis and its variance") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Only axis 7 varies (values 0..19, variance 33.25); axis 3 is a
+    // nonzero CONSTANT (centering must cancel it); all else zero. The
+    // centered scatter is rank-1, so two power steps are exact.
+    val rows = (0 until 20).map { k =>
+      val v = Array.fill(64)(0f)
+      v(7) = k.toFloat; v(3) = 1f
+      (k.toLong, v.toSeq, 0)
+    }
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val r = Similarity.pcaPowerTop(e).collect()
+    assert(r.length == 64)
+    val byDim = r.map(x => x.getAs[Int]("dim") -> x.getAs[Double]("loading")).toMap
+    assert(byDim(7) > 0.9999)
+    assert(byDim.filter(_._1 != 7).values.forall(v => math.abs(v) < 1e-4))
+    val lambda = r.head.getAs[Double]("eigenvalue")
+    assert(math.abs(lambda - 33.25) < 0.01, s"eigenvalue $lambda")
+  }
+
   test("hard negatives exclude same-label twins and rank cross-label by cosine") {
     // Query 0 (label 0): its identical twin v1 and orthogonal v2 share
     // the label and must NOT appear; negatives rank v3 (0.7071) over
