@@ -20,7 +20,12 @@ object Bench {
     "ema_macd", "quality_flags", "merge_upsert", "perf_summary",
     "compare_pivot",
     "dedup_simhash_pairs", "dedup_minhash_lsh", "embed_ivf_topk",
-    "contamination_check", "dedup_clusters")
+    "contamination_check", "dedup_clusters",
+    // round-8 families (the r≤7 16-query prefix is unchanged, so
+    // round-over-round per-query comparison stays apples-to-apples;
+    // the total now covers 20 queries)
+    "text_nb_langid", "text_phrase_search", "embed_pca_power",
+    "sketch_hist_quantiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -280,6 +280,9 @@ object ExtQueries {
     // principal direction by two in-plan power-iteration steps over the
     // centered scatter matrix (one outer-product hash aggregate)
     "embed_pca_power" -> ((s, d) => Similarity.pcaPowerTop(emb(s, d))),
+    // all-but-the-top post-processing: center + remove the dominant
+    // direction per vector; pre/post norms + removed energy fraction
+    "embed_abtt" -> ((s, d) => Similarity.abttPostProcess(emb(s, d))),
     "embed_topk_bucketed" -> ((s, d) => Similarity.bucketedTopK(emb(s, d), 10, 3)),
     // real IVF: deterministic Lloyd's k-means coarse quantizer (fixed
     // init from the first k vec_ids, 2 rounds, rounded distances) and
@@ -1135,6 +1138,44 @@ object ExtQueries {
       |     r.clabel = d.lang AS is_match
       |   FROM documents d JOIN rk r ON r.doc_id = d.doc_id AND r.rn = 1)""".stripMargin
 
+  /** The power-iteration chain (Similarity.pcaChain mirror), ending in
+    * `means(i, m)`, `v2(j, vj)` (unit principal direction) and
+    * `lam(eigenvalue)` — shared by the PCA and ABTT oracles.
+    */
+  private lazy val pcaChainSql: String =
+    """WITH e AS MATERIALIZED (
+      |   SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      | nn AS (SELECT count(*) AS n FROM e),
+      | cells AS MATERIALIZED (
+      |   SELECT i, j, SUM(CAST(round(v[i+1] * v[j+1], 8) AS DECIMAL(18,8))) AS s
+      |   FROM e, UNNEST(range(0, 64)) AS ti(i), UNNEST(range(0, 64)) AS tj(j)
+      |   GROUP BY i, j),
+      | means AS MATERIALIZED (
+      |   SELECT i, CAST(SUM(CAST(round(v[i+1], 8) AS DECIMAL(18,8))) AS DOUBLE)
+      |       / (SELECT n FROM nn) AS m
+      |   FROM e, UNNEST(range(0, 64)) AS ti(i) GROUP BY i),
+      | cov AS MATERIALIZED (
+      |   SELECT c.i, c.j,
+      |     CAST(c.s AS DOUBLE) / (SELECT n FROM nn) - mi.m * mj.m AS c
+      |   FROM cells c JOIN means mi ON mi.i = c.i JOIN means mj ON mj.i = c.j),
+      | v0 AS (SELECT i AS j, CAST(0.125 AS DOUBLE) AS vj
+      |        FROM UNNEST(range(0, 64)) AS t(i)),
+      | w1 AS (SELECT cov.i,
+      |     CAST(SUM(CAST(round(cov.c * v0.vj, 10) AS DECIMAL(20,10))) AS DOUBLE) AS wi
+      |   FROM cov JOIN v0 ON v0.j = cov.j GROUP BY cov.i),
+      | n1 AS (SELECT round(sqrt(CAST(SUM(CAST(round(wi * wi, 10) AS DECIMAL(20,10)))
+      |     AS DOUBLE)), 8) AS nrm FROM w1),
+      | v1 AS (SELECT i AS j, round(wi / (SELECT nrm FROM n1), 8) + 0.0 AS vj FROM w1),
+      | w2 AS MATERIALIZED (SELECT cov.i,
+      |     CAST(SUM(CAST(round(cov.c * v1.vj, 10) AS DECIMAL(20,10))) AS DOUBLE) AS wi
+      |   FROM cov JOIN v1 ON v1.j = cov.j GROUP BY cov.i),
+      | lam AS (SELECT round(CAST(SUM(CAST(round(v1.vj * w2.wi, 10) AS DECIMAL(20,10)))
+      |     AS DOUBLE), 6) AS eigenvalue
+      |   FROM v1 JOIN w2 ON w2.i = v1.j),
+      | n2 AS (SELECT round(sqrt(CAST(SUM(CAST(round(wi * wi, 10) AS DECIMAL(20,10)))
+      |     AS DOUBLE)), 8) AS nrm FROM w2),
+      | v2 AS (SELECT i AS j, round(wi / (SELECT nrm FROM n2), 8) + 0.0 AS vj FROM w2)""".stripMargin
+
   /** The log-bucket histogram quantile oracle — direct global
     * histogram + exact-integer rank walk + quantile_cont twin. Shared
     * verbatim by the batch sketch (which merges per-flag partials) and
@@ -1876,40 +1917,28 @@ object ExtQueries {
     // two matvec+normalize rounds, every carrier mirrored (8dp DECIMAL
     // products, 10dp matvec terms, "+ 0.0" signed-zero guard)
     "embed_pca_power" ->
-      """WITH e AS MATERIALIZED (
-        |   SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        | nn AS (SELECT count(*) AS n FROM e),
-        | cells AS MATERIALIZED (
-        |   SELECT i, j, SUM(CAST(round(v[i+1] * v[j+1], 8) AS DECIMAL(18,8))) AS s
-        |   FROM e, UNNEST(range(0, 64)) AS ti(i), UNNEST(range(0, 64)) AS tj(j)
-        |   GROUP BY i, j),
-        | means AS (
-        |   SELECT i, CAST(SUM(CAST(round(v[i+1], 8) AS DECIMAL(18,8))) AS DOUBLE)
-        |       / (SELECT n FROM nn) AS m
-        |   FROM e, UNNEST(range(0, 64)) AS ti(i) GROUP BY i),
-        | cov AS MATERIALIZED (
-        |   SELECT c.i, c.j,
-        |     CAST(c.s AS DOUBLE) / (SELECT n FROM nn) - mi.m * mj.m AS c
-        |   FROM cells c JOIN means mi ON mi.i = c.i JOIN means mj ON mj.i = c.j),
-        | v0 AS (SELECT i AS j, CAST(0.125 AS DOUBLE) AS vj
-        |        FROM UNNEST(range(0, 64)) AS t(i)),
-        | w1 AS (SELECT cov.i,
-        |     CAST(SUM(CAST(round(cov.c * v0.vj, 10) AS DECIMAL(20,10))) AS DOUBLE) AS wi
-        |   FROM cov JOIN v0 ON v0.j = cov.j GROUP BY cov.i),
-        | n1 AS (SELECT round(sqrt(CAST(SUM(CAST(round(wi * wi, 10) AS DECIMAL(20,10)))
-        |     AS DOUBLE)), 8) AS nrm FROM w1),
-        | v1 AS (SELECT i AS j, round(wi / (SELECT nrm FROM n1), 8) + 0.0 AS vj FROM w1),
-        | w2 AS MATERIALIZED (SELECT cov.i,
-        |     CAST(SUM(CAST(round(cov.c * v1.vj, 10) AS DECIMAL(20,10))) AS DOUBLE) AS wi
-        |   FROM cov JOIN v1 ON v1.j = cov.j GROUP BY cov.i),
-        | lam AS (SELECT round(CAST(SUM(CAST(round(v1.vj * w2.wi, 10) AS DECIMAL(20,10)))
-        |     AS DOUBLE), 6) AS eigenvalue
-        |   FROM v1 JOIN w2 ON w2.i = v1.j),
-        | n2 AS (SELECT round(sqrt(CAST(SUM(CAST(round(wi * wi, 10) AS DECIMAL(20,10)))
-        |     AS DOUBLE)), 8) AS nrm FROM w2)
-        | SELECT i AS dim, round(wi / (SELECT nrm FROM n2), 8) + 0.0 AS loading,
-        |   (SELECT eigenvalue FROM lam) AS eigenvalue
-        | FROM w2 ORDER BY dim""".stripMargin,
+      s"""$pcaChainSql
+         | SELECT v2.j AS dim, v2.vj AS loading,
+         |   (SELECT eigenvalue FROM lam) AS eigenvalue
+         | FROM v2 ORDER BY dim""".stripMargin,
+    // ABTT: center + remove the dominant-direction projection; the
+    // per-vector dot/norm fold 8dp DECIMAL terms of arbitrary doubles
+    "embed_abtt" ->
+      s"""$pcaChainSql,
+         | model AS (SELECT mi.i, mi.m, v2.vj AS pc
+         |           FROM means mi JOIN v2 ON v2.j = mi.i),
+         | px AS (SELECT vec_id, CAST(embedding[t.i+1] AS DOUBLE) - model.m AS xc,
+         |          model.pc
+         |        FROM embeddings, UNNEST(range(0, 64)) AS t(i), model
+         |        WHERE model.i = t.i),
+         | agg AS (SELECT vec_id,
+         |     CAST(SUM(CAST(round(xc * xc, 8) AS DECIMAL(18,8))) AS DOUBLE) AS sq,
+         |     CAST(SUM(CAST(round(xc * pc, 8) AS DECIMAL(18,8))) AS DOUBLE) AS d
+         |   FROM px GROUP BY vec_id)
+         | SELECT vec_id, round(sqrt(sq), 6) AS orig_norm,
+         |   round(sqrt(greatest(sq - d * d, 0.0)), 6) AS post_norm,
+         |   round(d * d / sq, 6) + 0.0 AS removed_frac
+         | FROM agg ORDER BY vec_id""".stripMargin,
     "embed_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
         |           FROM embeddings WHERE vec_id < 10),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Classify, Dedup, Similarity, TextOps}
 
 /** Scale probe for the heavy dedup/similarity operators: replicate the
   * sf0.1 documents/embeddings corpus ×N (default 10 → an sf1-equivalent
@@ -114,7 +114,15 @@ object ScaleProbe {
       // and picks the rung itself (two-level at every probe factor) —
       // the N·(coarse+fine) assignment law is measured on THIS path
       time("embed_semdedup_auto") {
-        Similarity.semDedupAuto(emb, 0.95, 2) }).flatten
+        Similarity.semDedupAuto(emb, 0.95, 2) },
+      // round-8 additions: NB classifier (corpus-linear explode + vocab
+      // joins), positional phrase search (pruned postings), PCA scatter
+      // (4096× per-row compute amplification, map-side combined)
+      time("text_nb_langid") {
+        Classify.nbLangScores(docs.withColumn("lang",
+          concat(lit("l"), pmod(col("doc_id"), lit(5))))) },
+      time("text_phrase_search") { TextOps.phraseSearch(docs, 5) },
+      time("embed_pca_power") { Similarity.pcaPowerTop(emb) }).flatten
 
     val qj = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","queries":$qj}""")

@@ -711,6 +711,17 @@ object Similarity {
     * (replicated per row — the natural frame shape).
     */
   def pcaPowerTop(emb: DataFrame): DataFrame = {
+    val (_, v2, lambda) = pcaChain(emb)
+    v2.crossJoin(broadcast(lambda))
+      .select(col("j").as("dim"), col("vj").as("loading"), col("eigenvalue"))
+      .orderBy("dim")
+  }
+
+  /** The shared power-iteration chain behind [[pcaPowerTop]] and
+    * [[abttPostProcess]]: (means(i, m), v2(j, vj) unit direction,
+    * lambda(eigenvalue)).
+    */
+  private def pcaChain(emb: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val spark = emb.sparkSession
     import spark.implicits._
     val e = emb.select(toDouble(col("embedding")).as("v"))
@@ -764,10 +775,45 @@ object Similarity {
     val lambda = v1.join(w2, col("j") === col("i"))
       .agg(round(sum(round(col("vj") * col("wi"), 10).cast("decimal(20,10)"))
         .cast("double"), 6).as("eigenvalue"))
-    normalize(w2)
-      .crossJoin(broadcast(lambda))
-      .select(col("j").as("dim"), col("vj").as("loading"), col("eigenvalue"))
-      .orderBy("dim")
+    (means, normalize(w2), lambda)
+  }
+
+  /** All-but-the-top embedding post-processing (Mu & Viswanath 2018):
+    * every vector is centered and its projection on the corpus'
+    * dominant direction removed — the cheap fix for the anisotropy
+    * that makes raw embedding cosines bunch together. Consumes
+    * [[pcaPowerTop]]'s chain; the whole transform is one 64× explode
+    * joined against the broadcast 64-row model (means + direction),
+    * re-aggregated per vector — linear, no corpus self-join.
+    *
+    * Output per vector: the pre/post L2 norms and the removed energy
+    * fraction d²/‖x−μ‖² (rounded; `+ 0.0` guards the quotients).
+    * Determinism: x, μ, v are identical doubles cross-engine; the
+    * per-vector dot and norms fold 8dp-rounded DECIMAL terms (products
+    * of arbitrary doubles — no lattice inputs, see the `means` note).
+    */
+  def abttPostProcess(emb: DataFrame): DataFrame = {
+    val (means, v2, _) = pcaChain(emb)
+    val model = means.join(v2, col("i") === col("j"))
+      .select(col("i"), col("m"), col("vj").as("pc"))
+    val parts = emb
+      .select(col("vec_id"), posexplode(toDouble(col("embedding"))))
+      .select(col("vec_id"), col("pos").as("i"), col("col").as("x"))
+      .join(broadcast(model), "i")
+      .withColumn("xc", col("x") - col("m"))
+    val agg = parts.groupBy("vec_id").agg(
+      sum(round(col("xc") * col("xc"), 8).cast("decimal(18,8)"))
+        .cast("double").as("sq"),
+      sum(round(col("xc") * col("pc"), 8).cast("decimal(18,8)"))
+        .cast("double").as("d"))
+    agg
+      .withColumn("orig_norm", round(sqrt(col("sq")), 6))
+      .withColumn("post_norm",
+        round(sqrt(greatest(col("sq") - col("d") * col("d"), lit(0.0))), 6))
+      .withColumn("removed_frac",
+        (round(col("d") * col("d") / col("sq"), 6) + lit(0.0)))
+      .select("vec_id", "orig_norm", "post_norm", "removed_frac")
+      .orderBy("vec_id")
   }
 
   /** Exact squared-L2 top-k — the ground truth for [[pqAdcTopK]]'s

@@ -55,6 +55,27 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(lambda - 33.25) < 0.01, s"eigenvalue $lambda")
   }
 
+  test("abttPostProcess removes a rank-1 corpus entirely") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Same planted fixture as the PCA spec: after centering only axis 7
+    // varies, so removing the top direction must null every vector.
+    val rows = (0 until 20).map { k =>
+      val v = Array.fill(64)(0f)
+      v(7) = k.toFloat; v(3) = 1f
+      (k.toLong, v.toSeq, 0)
+    }
+    val r = Similarity.abttPostProcess(rows.toDF("vec_id", "embedding", "label"))
+      .collect()
+    assert(r.length == 20)
+    val r0 = r.find(_.getAs[Long]("vec_id") == 0L).get
+    assert(r0.getAs[Double]("orig_norm") == 9.5)
+    r.foreach { x =>
+      assert(x.getAs[Double]("post_norm") < 1e-4)
+      assert(x.getAs[Double]("removed_frac") > 0.9999)
+    }
+  }
+
   test("hard negatives exclude same-label twins and rank cross-label by cosine") {
     // Query 0 (label 0): its identical twin v1 and orthogonal v2 share
     // the label and must NOT appear; negatives rank v3 (0.7071) over
