@@ -292,6 +292,10 @@ object ExtQueries {
       Similarity.kmeansAssignCached(emb(s, d), 8, 2, d).orderBy("vec_id")),
     "embed_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), 10, 3, 8, 2, corpusKey = Some(d))),
+    // multi-probe IVF: each query searches its 2 nearest cells — the
+    // recall knob; `pn` attributes each hit to its probe
+    "embed_ivf_multiprobe" -> ((s, d) =>
+      Similarity.ivfMultiProbeTopK(emb(s, d), 10, 3, 8, 2, 2)),
     "embed_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
     // 1-bit sign signatures + Hamming top-k (codegen'd HammingDistance)
     "embed_binary_topk" -> ((s, d) => Similarity.binaryTopK(emb(s, d))),
@@ -476,6 +480,9 @@ object ExtQueries {
     // apply the learned merges corpus-wide: per-doc BPE token counts
     // vs the char baseline (train→apply tokenizer pair)
     "bpe_encode" -> ((s, d) => TextOps.bpeEncode(docs(s, d), 5)),
+    // tokens/word per language under the learned merges — the
+    // multilingual tokenizer-bias diagnostic
+    "bpe_fertility_by_lang" -> ((s, d) => TextOps.bpeFertilityByLang(docs(s, d), 5)),
     // per-source PSI drift of the token-length distribution
     "source_drift_psi" -> ((s, d) => Corpus.sourceDrift(docs(s, d))),
     // data-mix inequality: Gini over per-source token totals
@@ -2148,6 +2155,30 @@ object ExtQueries {
          |       FROM p)
          | SELECT qid, cell, rnk, vec_id, cos FROM r WHERE rnk <= 3
          | ORDER BY qid, rnk""".stripMargin,
+    // multi-probe: probe cells = top-2 by the SAME rounded L2 (d2) the
+    // assignment used; candidates join a2 on cell
+    "embed_ivf_multiprobe" ->
+      s"""$kmeansCte,
+         | qp AS (SELECT vec_id AS qid, cell, CAST(rn AS INTEGER) AS pn FROM (
+         |          SELECT vec_id, cell,
+         |            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |          FROM d2 WHERE vec_id < 10) WHERE rn <= 2),
+         | qe AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         | wc AS (SELECT emb.vec_id, emb.embedding, a2.cell
+         |        FROM embeddings emb JOIN a2 USING (vec_id)),
+         | p AS (SELECT qp.qid, qp.cell, qp.pn, wc.vec_id,
+         |         round(SUM(CAST(qe.qe[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)) /
+         |           (sqrt(SUM(CAST(qe.qe[i] AS DOUBLE) * CAST(qe.qe[i] AS DOUBLE))) *
+         |            sqrt(SUM(CAST(wc.embedding[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)))), 4) AS cos
+         |       FROM qp JOIN qe USING (qid)
+         |            JOIN wc ON wc.cell = qp.cell AND wc.vec_id <> qp.qid,
+         |            UNNEST(range(1, 65)) t(i)
+         |       GROUP BY qp.qid, qp.cell, qp.pn, wc.vec_id),
+         | r AS (SELECT qid, cell, pn, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |       FROM p)
+         | SELECT qid, CAST(rnk AS INTEGER) AS rnk, vec_id, cell, pn, cos
+         | FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "embed_label_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS i,
         |   round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m,
@@ -2694,6 +2725,29 @@ object ExtQueries {
          | SELECT doc_id, n_words, n_char_tokens, n_bpe_tokens,
          |   round(CAST(n_char_tokens AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 4) AS compression
          | FROM j ORDER BY doc_id""".stripMargin,
+    // tokenizer-bias diagnostic: the encode chain rolled up per lang
+    "bpe_fertility_by_lang" ->
+      s"""WITH ${bpeChainSql(5)},
+         | enc AS (SELECT word,
+         |       len(string_split(substr(state, 2, length(state) - 2), '··')) AS n_toks
+         |       FROM s5),
+         | dw AS (SELECT doc_id, word, count(*) AS occ
+         |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |       GROUP BY doc_id, word),
+         | j AS (SELECT doc_id,
+         |       CAST(sum(occ) AS BIGINT) AS n_words,
+         |       CAST(sum(occ * length(word)) AS BIGINT) AS n_char_tokens,
+         |       CAST(sum(occ * n_toks) AS BIGINT) AS n_bpe_tokens
+         |       FROM dw JOIN enc USING (word) GROUP BY doc_id)
+         | SELECT d.lang, count(*) AS n_docs,
+         |   CAST(sum(j.n_words) AS BIGINT) AS n_words,
+         |   CAST(sum(j.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |   round(CAST(sum(j.n_bpe_tokens) AS DOUBLE) /
+         |     CAST(sum(j.n_words) AS DOUBLE), 4) AS fertility,
+         |   round(CAST(sum(j.n_char_tokens) AS DOUBLE) /
+         |     CAST(sum(j.n_bpe_tokens) AS DOUBLE), 4) AS char_compression
+         | FROM j JOIN (SELECT doc_id, lang FROM documents) d ON d.doc_id = j.doc_id
+         | GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "bpe_pair_counts" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
         | wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),

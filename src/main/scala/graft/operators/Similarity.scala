@@ -282,6 +282,48 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Multi-probe IVF top-k: each query searches its `nprobe` NEAREST
+    * cells (ranked by rounded L2 to the trained centroids, cell-id
+    * tiebreak) instead of only its own — the standard recall knob for
+    * clustered corpora where true neighbors straddle a cell boundary.
+    * Output carries `pn` (which probe found each hit), so recall
+    * attribution is visible in the rows; nprobe=1 reduces to
+    * [[ivfTopK]]'s candidate set.
+    *
+    * Shape: probes are queries × cells against the broadcast centroid
+    * table; candidates join corpus on cell — fan-out ≤ nprobe/cells of
+    * the corpus per query, never all-pairs. The probe list and the
+    * assignment checkpoint are both eager and tiny, after which the
+    * centroid blocks release (the keyless-ivfTopK pattern).
+    */
+  def ivfMultiProbeTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
+      cells: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val (assignedRaw, centOpt) = kmeansAssignInternal(emb, cells, iters)
+    val assigned = assignedRaw.select("vec_id", "cell").localCheckpoint()
+    val centroids = centOpt.get // iters >= 2 always trains one update
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        toDouble(col("embedding")).as("qv"))
+    val pw = Window.partitionBy("qid").orderBy(col("pd"), col("cell"))
+    val probes = q.select("qid", "qv").crossJoin(broadcast(centroids))
+      .withColumn("pd", l2sq(col("qv"), col("c")))
+      .withColumn("pn", row_number().over(pw))
+      .filter(col("pn") <= nprobe)
+      .select("qid", "cell", "pn").localCheckpoint()
+    org.apache.spark.sql.GraftShims.uncheckpoint(centroids)
+    val withCell = emb.join(assigned, "vec_id")
+    val scored = probes
+      .join(broadcast(q.select("qid", "qe")), "qid")
+      .join(withCell, "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "cell", "pn", "cos")
+      .orderBy("qid", "rnk")
+  }
+
   /** Embedding-cosine near-dup pairs above a threshold, found via
     * sign-bit LSH banding (random-hyperplane LSH with the coordinate
     * axes as hyperplanes): each vector's 64-bit sign signature is cut

@@ -630,6 +630,27 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility by language — BPE tokens per word for each
+    * declared lang, from the [[bpeEncode]] pass: the multilingual-bias
+    * diagnostic (a tokenizer trained on a skewed mix pays more tokens
+    * per word for under-represented languages, inflating their
+    * training/serving cost). Exact integer sums per lang; the two
+    * ratios are single rounded divisions. One join + one labels-sized
+    * aggregate on top of the encode pass.
+    */
+  def bpeFertilityByLang(docs: DataFrame, iters: Int = 5): DataFrame =
+    docs.select("doc_id", "lang")
+      .join(bpeEncode(docs, iters), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"),
+        round(sum("n_bpe_tokens").cast("double") /
+          sum("n_words").cast("double"), 4).as("fertility"),
+        round(sum("n_char_tokens").cast("double") /
+          sum("n_bpe_tokens").cast("double"), 4).as("char_compression"))
+      .orderBy("lang")
+
   /** Shared trainer: returns (vocabulary frame with `word`/`cnt`, the
     * learned merges (iter, left, right, merged, n)). Each round is a
     * vocab-sized explode + one aggregate + a 1-row TakeOrdered collect.

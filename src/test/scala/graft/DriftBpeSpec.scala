@@ -69,6 +69,23 @@ class DriftBpeSpec extends SparkSpec {
     assert(d10.getAs[Double]("compression") == 3.0)
   }
 
+  test("bpeFertilityByLang: under-represented language pays more tokens per word") {
+    val spark2 = spark
+    import spark2.implicits._
+    // en dominates training: merges build 'aaa' and 'bc' fully (1 token
+    // each); the lone de word 'qrstu' only gets the leftover rounds
+    // ((q,r) then (qr,s)) → 3 tokens → fertility 3 vs en's 1.
+    val d = ((0L until 10L).map(i => (i, "aaa bc", "en", "s", 6L)) :+
+        ((10L, "qrstu", "de", "s", 5L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.bpeFertilityByLang(d, 5).collect()
+      .map(x => x.getAs[String]("lang") ->
+        (x.getAs[Long]("n_words"), x.getAs[Double]("fertility"),
+          x.getAs[Double]("char_compression"))).toMap
+    assert(r("en") == ((20L, 1.0, 2.5)))
+    assert(r("de") == ((1L, 3.0, 1.6667)))
+  }
+
   test("bpeTrainMerges: count ties break lexicographically on (left, right)") {
     // xy and xz both n=5 → (x,y) must win round 1
     val d = docs((0L, Seq.fill(5)("xy").mkString(" ") + " " +

@@ -34,6 +34,23 @@ class SimilaritySpec extends SparkSpec {
     assert(top.toSeq == Seq((1, 1L, 1.0), (2, 3L, 0.7071), (3, 2L, 0.0), (4, 4L, -1.0)))
   }
 
+  test("multi-probe IVF: nprobe=1 equals single-probe, nprobe=2 never loses recall") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def keyset(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "rnk", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val single = keyset(Similarity.ivfTopK(e, 10, 3, 8, 2))
+    val mp1 = keyset(Similarity.ivfMultiProbeTopK(e, 10, 3, 8, 2, nprobe = 1))
+    assert(mp1 == single)
+    def hits(df: org.apache.spark.sql.DataFrame): Long = {
+      val bf = Similarity.bruteForceTopK(e, 10, 3).select("qid", "vec_id")
+      bf.join(df.select("qid", "vec_id"), Seq("qid", "vec_id")).count()
+    }
+    val h1 = hits(Similarity.ivfMultiProbeTopK(e, 10, 3, 8, 2, nprobe = 1))
+    val h2 = hits(Similarity.ivfMultiProbeTopK(e, 10, 3, 8, 2, nprobe = 2))
+    assert(h2 >= h1)
+  }
+
   test("pcaPowerTop recovers a planted dominant axis and its variance") {
     val spark2 = spark
     import spark2.implicits._
