@@ -766,7 +766,10 @@ object Similarity {
   private def pcaChain(emb: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val e = emb.select(toDouble(col("embedding")).as("v"))
+    // Spread before the 4096× outer-product explode: a one-file corpus
+    // would otherwise serialize the whole scatter chain onto one task
+    // (measured 11.8 s of a 13.4 s query on the single-file sf0.1 scan).
+    val e = Spread.spread(emb).select(toDouble(col("embedding")).as("v"))
     val n = e.count().toDouble
     // scatter cells: s_ij = Σ round(x_i·x_j, 8)  (exact DECIMAL)
     val outer = expr(
@@ -788,6 +791,10 @@ object Similarity {
           |  CAST(round(x, 8) AS DECIMAL(18,8)) AS x))""".stripMargin)).as("c"))
       .select(col("c.i").as("i"), col("c.x").as("x"))
       .groupBy("i").agg((sum("x").cast("double") / n).as("m"))
+    // the 4096-cell model frame feeds BOTH matvec steps — checkpoint it
+    // eagerly so the corpus-sized scatter chain runs exactly once (the
+    // block set is model-sized and lives until session end, the
+    // keyless-ivfTopK precedent)
     val cov = cells
       .join(means.select(col("i"), col("m").as("mi")), "i")
       .join(means.select(col("i").as("j"), col("m").as("mj")),
@@ -795,6 +802,7 @@ object Similarity {
       .withColumn("c",
         col("s").cast("double") / n - col("mi") * col("mj"))
       .select("i", "j", "c")
+      .localCheckpoint()
     // one power step from vector frame v(j, vj) -> w(i, wi) as double
     def matvec(v: DataFrame): DataFrame = cov
       .join(broadcast(v), "j")
@@ -838,7 +846,7 @@ object Similarity {
     val (means, v2, _) = pcaChain(emb)
     val model = means.join(v2, col("i") === col("j"))
       .select(col("i"), col("m"), col("vj").as("pc"))
-    val parts = emb
+    val parts = Spread.spread(emb)
       .select(col("vec_id"), posexplode(toDouble(col("embedding"))))
       .select(col("vec_id"), col("pos").as("i"), col("col").as("x"))
       .join(broadcast(model), "i")
