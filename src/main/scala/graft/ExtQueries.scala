@@ -583,6 +583,28 @@ object ExtQueries {
           .otherwise(col("text")))
       TextOps.redactPii(injected)
     }),
+    // checksum-aware card PII: planted valid (…366, Luhn-green) and
+    // invalid (…367) 16-digit numbers; only the valid one may flag
+    "pii_luhn_cards" -> ((s, d) => {
+      val injected = docs(s, d).withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" card 4532015112830366 on file")))
+          .otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" ref 4532015112830367 tracking")))
+            .otherwise(col("text")))
+      TextOps.luhnCards(injected)
+    }),
+    // Zipf rank-frequency OLS over the top-100 vocabulary
+    "corpus_zipf_fit" -> ((s, d) => TextOps.zipfFit(docs(s, d), 100)),
+    // dedup observability: near-dup cluster size distribution off the
+    // cached simhash pair list
+    "dedup_cluster_sizes" -> ((s, d) => {
+      val pairs = Dedup.simhashNearDupsCached(docs(s, d), d, 3)
+        .select("doc_a", "doc_b")
+      Dedup.clusterSizeHistogram(docs(s, d), pairs)
+    }),
 
     // ---- multimodal: REAL javax.imageio decode for image rows (the
     // oracle mirrors the synthetic-PNG generation functions, so a hash
@@ -2987,6 +3009,75 @@ object ExtQueries {
         |                  CASE WHEN n_words IS NULL OR n_words < 30 THEN 'too_short' END,
         |                  CASE WHEN flag AND n_words >= 30 THEN 'repetitive' END) AS reasons
         | FROM sig ORDER BY doc_id""".stripMargin,
+    // Luhn via list_sum over the reversed digit string — the same
+    // integer CASE tree as the Spark higher-order aggregate
+    "pii_luhn_cards" ->
+      """WITH f AS (
+        |   SELECT doc_id,
+        |     CASE WHEN doc_id % 7 = 0 THEN t2 || ' ref 4532015112830367 tracking'
+        |          ELSE t2 END AS text
+        |   FROM (SELECT doc_id,
+        |           CASE WHEN doc_id % 11 = 0 THEN text || ' card 4532015112830366 on file'
+        |                ELSE text END AS t2
+        |         FROM documents)),
+        | c AS (SELECT doc_id, unnest(regexp_extract_all(text, '\b\d{13,19}\b')) AS cand
+        |       FROM f),
+        | v AS (SELECT doc_id,
+        |         list_sum(list_transform(range(1, length(cand) + 1), i ->
+        |           CASE WHEN i % 2 = 0
+        |             THEN CASE WHEN 2 * (ascii(substr(reverse(cand), CAST(i AS INTEGER), 1)) - 48) > 9
+        |                  THEN 2 * (ascii(substr(reverse(cand), CAST(i AS INTEGER), 1)) - 48) - 9
+        |                  ELSE 2 * (ascii(substr(reverse(cand), CAST(i AS INTEGER), 1)) - 48) END
+        |             ELSE ascii(substr(reverse(cand), CAST(i AS INTEGER), 1)) - 48 END)) % 10 = 0 AS ok
+        |       FROM c),
+        | g AS (SELECT doc_id, count(*) AS n_candidates,
+        |         CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid
+        |       FROM v GROUP BY doc_id)
+        | SELECT f.doc_id,
+        |   coalesce(g.n_candidates, 0) AS n_candidates,
+        |   coalesce(g.n_luhn_valid, 0) AS n_luhn_valid,
+        |   coalesce(g.n_luhn_valid, 0) > 0 AS has_card_pii
+        | FROM f LEFT JOIN g ON g.doc_id = f.doc_id
+        | ORDER BY f.doc_id""".stripMargin,
+    // Zipf OLS: 6dp DECIMAL logs, exact moment sums, rounded trees
+    "corpus_zipf_fit" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        | counts AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+        | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+        |           count(*) AS vocab_size FROM counts),
+        | top AS (SELECT w, cnt FROM counts ORDER BY cnt DESC, w LIMIT 100),
+        | pts AS (SELECT
+        |     CAST(round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, w) AS DOUBLE)), 6)
+        |       AS DECIMAL(18,6)) AS lx,
+        |     CAST(round(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS ly
+        |   FROM top),
+        | s AS (SELECT count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
+        |         sum(lx * ly) AS sxy, sum(lx * lx) AS sxx FROM pts),
+        | fit AS (SELECT n,
+        |     round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |       (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+        |       + 0.0 AS slope,
+        |     sx, sy FROM s)
+        | SELECT n, total_tokens, vocab_size, slope,
+        |   round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n, 4) + 0.0 AS intercept
+        | FROM fit, tot""".stripMargin,
+    // cluster-size distribution over the recursive-CTE labels
+    "dedup_cluster_sizes" ->
+      s"""${"WITH RECURSIVE " + simhashPairsCte.stripPrefix("WITH ")},
+         | p AS (SELECT doc_a, doc_b FROM dists WHERE dist <= 3),
+         | e2 AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |        UNION SELECT doc_b, doc_a FROM p),
+         | reach(id, r) AS (
+         |   SELECT a, a FROM e2
+         |   UNION
+         |   SELECT e3.a, r.r FROM e2 e3 JOIN reach r ON e3.b = r.id),
+         | lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         | clu AS (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+         |         FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+         | sz AS (SELECT cluster, count(*) AS sz FROM clu GROUP BY cluster)
+         | SELECT sz, count(*) AS n_clusters,
+         |   CAST(sz * count(*) AS BIGINT) AS n_docs
+         | FROM sz GROUP BY sz ORDER BY sz""".stripMargin,
     "pii_redact" ->
       s"""WITH f AS (
          |   SELECT doc_id,

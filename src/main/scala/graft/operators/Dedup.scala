@@ -997,6 +997,18 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cluster-size distribution over the [[dedupVerdicts]] labels — the
+    * dedup observability view (how much of the corpus sits in near-dup
+    * families, and how big the worst boilerplate cluster is). Two hash
+    * aggregates; the output is size-distribution-bounded.
+    */
+  def clusterSizeHistogram(docs: DataFrame, pairs: DataFrame): DataFrame =
+    dedupVerdicts(docs, pairs)
+      .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("sz") * col("n_clusters"))
+      .orderBy("sz")
+
   /** 64-bit SimHash over distinct words, emitted as a 64-char bit
     * string (MSB-first nibble order of the word md5's first 16 hex
     * chars). sum ≥ 0 → '1'.

@@ -291,6 +291,69 @@ object TextOps {
         md5(col("redacted")).as("redacted_md5"))
       .orderBy("doc_id")
 
+  /** Card-number-shaped PII with Luhn mod-10 validation — the
+    * checksum-aware tier above [[redactPii]]'s pattern matching: a
+    * 13-19-digit run is only treated as payment-card PII when its
+    * Luhn checksum passes, separating real card numbers from ids and
+    * phone-number runs. The checksum is a single codegen'd
+    * higher-order `aggregate` over the reversed digit string — no
+    * UDF, exact integer arithmetic, identical in both engines.
+    */
+  def luhnCards(docs: DataFrame): DataFrame = {
+    val luhnOk = expr(
+      """aggregate(sequence(1, length(cand)), 0, (acc, i) ->
+        |  acc + (CASE WHEN i % 2 = 0
+        |    THEN CASE WHEN 2 * (ascii(substr(reverse(cand), i, 1)) - 48) > 9
+        |         THEN 2 * (ascii(substr(reverse(cand), i, 1)) - 48) - 9
+        |         ELSE 2 * (ascii(substr(reverse(cand), i, 1)) - 48) END
+        |    ELSE ascii(substr(reverse(cand), i, 1)) - 48 END)) % 10 = 0""".stripMargin)
+    spread(docs)
+      .select(col("doc_id"),
+        explode_outer(regexp_extract_all(col("text"),
+          lit("\\b\\d{13,19}\\b"), lit(0))).as("cand"))
+      .withColumn("ok", when(col("cand").isNotNull, luhnOk))
+      .groupBy("doc_id").agg(
+        count(col("cand")).as("n_candidates"),
+        sum(when(col("ok") === true, 1L).otherwise(0L)).as("n_luhn_valid"))
+      .withColumn("has_card_pii", col("n_luhn_valid") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Zipf rank-frequency fit over the top-k vocabulary — the
+    * corpus-health diagnostic (natural text slopes near −1; template
+    * or synthetic floods bend the curve). OLS of ln(freq) on ln(rank)
+    * with the [[graft.operators.Risk]] exact-sum contract: both logs
+    * round to 6dp DECIMAL, the four moment sums are exact, and the
+    * slope/intercept are single rounded double trees. The rank window
+    * runs over the k rows AFTER the TakeOrdered limit — never the
+    * vocabulary.
+    */
+  def zipfFit(docs: DataFrame, k: Int = 100): DataFrame = {
+    val words = spread(docs).select(explode(split(col("text"), " ")).as("w"))
+    val counts = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    val top = counts.orderBy(desc("cnt"), col("w")).limit(k)
+    val w = Window.orderBy(desc("cnt"), col("w")) // k rows post-limit
+    val pts = top.withColumn("r", row_number().over(w))
+      .withColumn("lx", round(log(col("r").cast("double")), 6).cast("decimal(18,6)"))
+      .withColumn("ly", round(log(col("cnt").cast("double")), 6).cast("decimal(18,6)"))
+    val fit = pts.agg(count(lit(1)).as("n"),
+        sum("lx").as("sx"), sum("ly").as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"))
+      .withColumn("slope",
+        (round((col("n") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 4) + lit(0.0)))
+      .withColumn("intercept",
+        (round((col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n"), 4) + lit(0.0)))
+    fit.crossJoin(broadcast(totals))
+      .select("n", "total_tokens", "vocab_size", "slope", "intercept")
+  }
+
   /** Corpus-wide top-k n-grams by occurrence — the boilerplate/heavy-
     * hitter view (repeated headers, license blurbs, templates surface
     * here first; what it finds feeds the substring-dedup and repetition

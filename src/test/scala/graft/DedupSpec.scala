@@ -19,6 +19,17 @@ class DedupSpec extends SparkSpec {
     2L -> "completely different words about spark engines here today",
     3L -> "the quick brown fox jumps over the lazy dog") // exact dup of 0
 
+  test("clusterSizeHistogram counts families and singletons") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = docs(0L -> "a b c", 1L -> "a b d", 2L -> "x y z")
+    val pairs = Seq((0L, 1L)).toDF("doc_a", "doc_b")
+    val r = Dedup.clusterSizeHistogram(d, pairs).collect()
+      .map(x => (x.getAs[Long]("sz"), x.getAs[Long]("n_clusters"),
+        x.getAs[Long]("n_docs"))).toSeq
+    assert(r == Seq((1L, 1L, 1L), (2L, 1L, 2L)))
+  }
+
   test("keepBestPerCluster keeps the highest-quality member, singletons keep themselves") {
     val spark2 = spark
     import spark2.implicits._

@@ -44,6 +44,35 @@ class TextOpsSpec extends SparkSpec {
     assert(r(("es", "es")) == ((1L, 1.0)))
   }
 
+  test("luhnCards: checksum separates real cards from lookalike digit runs") {
+    val d = docs(
+      (0L, "pay 4532015112830366 now", "en"), // valid Luhn
+      (1L, "ref 4532015112830367 x", "en"), // bad check digit
+      (2L, "no digits here", "en"),
+      (3L, "id 12345 short run", "en")) // under 13 digits: not a candidate
+    val r = TextOps.luhnCards(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_candidates"), x.getAs[Long]("n_luhn_valid"),
+          x.getAs[Boolean]("has_card_pii"))).toMap
+    assert(r(0L) == ((1L, 1L, true)))
+    assert(r(1L) == ((1L, 0L, false)))
+    assert(r(2L) == ((0L, 0L, false)))
+    assert(r(3L) == ((0L, 0L, false)))
+  }
+
+  test("zipfFit recovers slope -1 on an exact 12/r corpus") {
+    // freq = 12/rank exactly: ln f = ln 12 - ln r -> slope -1.
+    val text = Seq.fill(12)("w1") ++ Seq.fill(6)("w2") ++
+      Seq.fill(4)("w3") ++ Seq.fill(3)("w4")
+    val d = docs((0L, text.mkString(" "), "en"))
+    val r = TextOps.zipfFit(d, 100).collect()(0)
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("total_tokens") == 25L)
+    assert(r.getAs[Long]("vocab_size") == 4L)
+    assert(math.abs(r.getAs[Double]("slope") + 1.0) <= 0.001)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(12)) <= 0.001)
+  }
+
   test("phraseSearch: adjacency hits equal shingle counts, scattered words do not match") {
     val d = docs(
       (0L, "a b c a b c", "en"), // 'a b c' twice (positions 0 and 3)
