@@ -60,6 +60,54 @@ object ExtQueries {
       | GROUP BY l_returnflag, l_linestatus
       | ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q6 (forecast revenue change) as ONE engine-neutral string —
+    * the Q1 pattern: per-row DECIMAL cast before the sum, one double
+    * at the end.
+    */
+  private[graft] val tpchQ6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      | count(*) AS n_rows
+      | FROM lineitem
+      | WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |   AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      |   AND l_discount >= 0.05 AND l_discount <= 0.07
+      |   AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q3 (shipping priority, adapted to the fixture's columns:
+    * o_orderpriority stands in for o_shippriority). ORDER BY runs on
+    * the EXACT DECIMAL revenue with (orderdate, orderkey) tiebreaks —
+    * never on the double projection.
+    */
+  private[graft] val tpchQ3Sql: String =
+    """SELECT l_orderkey,
+      | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      | CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      | FROM customer, orders, lineitem
+      | WHERE c_mktsegment = 'BUILDING'
+      |   AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |   AND CAST(o_orderdate AS DATE) < DATE '1997-06-15'
+      |   AND CAST(l_shipdate AS DATE) > DATE '1997-06-15'
+      | GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      | ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) DESC,
+      |   o_orderdate, l_orderkey
+      | LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 (local supplier volume): the 6-table join, revenue per
+    * nation for intra-region trade; ORDER BY the exact DECIMAL sum.
+    */
+  private[graft] val tpchQ5Sql: String =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      | FROM customer, orders, lineitem, supplier, nation, region
+      | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |   AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |   AND r_name = 'ASIA'
+      |   AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |   AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      | GROUP BY n_name
+      | ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) DESC, n_name""".stripMargin
+
   /** The shared decontamination fixture: train = doc_id < 400, eval =
     * the rest plus 10 planted verbatim train copies (doc_id 10000+).
     */
@@ -95,6 +143,26 @@ object ExtQueries {
     "sql_tpch_q1" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql(tpchQ1Sql)
+    }),
+    // Q6/Q3/Q5 through the same engine-neutral TEXT surface: Spark and
+    // DuckDB execute the identical string (Catalyst broadcasts the dim
+    // sides and pushes the date/segment filters to the scans)
+    "sql_tpch_q6" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(tpchQ6Sql)
+    }),
+    "sql_tpch_q3" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.table(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql(tpchQ3Sql)
+    }),
+    "sql_tpch_q5" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Seq("customer", "supplier", "nation", "region").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ5Sql)
     }),
     // unpivot/melt: OHLC wide → long via stack()
     "stocks_melt" -> ((s, d) =>
@@ -3331,6 +3399,9 @@ object ExtQueries {
         | CROSS JOIN t
         | ORDER BY n_both DESC, part1, part2 LIMIT 20""".stripMargin,
     "sql_tpch_q1" -> tpchQ1Sql,
+    "sql_tpch_q6" -> tpchQ6Sql,
+    "sql_tpch_q3" -> tpchQ3Sql,
+    "sql_tpch_q5" -> tpchQ5Sql,
     "customer_rfm" ->
       """WITH a AS (
         |   SELECT o_custkey AS custkey, max(CAST(o_orderdate AS DATE)) AS last_order,

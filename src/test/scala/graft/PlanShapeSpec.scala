@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression tests: the physical properties the 100 TB
+  * design claims (pushdown, pruning, broadcast dims, TakeOrdered
+  * top-k, no cartesian products, whole-stage codegen) asserted on the
+  * actual compiled plans, so a refactor that silently loses one fails
+  * here instead of in a cluster bill. Plans are INSPECTED, not
+  * executed — the suite runs in seconds.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("events scan prunes unused columns (props never read)") {
+    val p = plan("events_hourly")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("props"), "events_hourly must not read the props column")
+  }
+
+  test("tpch q6 pushes its lineitem filters into the parquet scan") {
+    val p = plan("sql_tpch_q6")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_quantity") && p.contains("l_discount"))
+    assert(!p.contains("PushedFilters: []"))
+  }
+
+  test("tpch q5 six-table join broadcasts dims and never goes cartesian") {
+    val p = plan("sql_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), "dim sides must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject, not sort-all") {
+    val p = plan("corpus_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("indicator windows stay inside whole-stage codegen") {
+    // codegen ids only appear on the FINAL adaptive plan, so this one
+    // test executes (sf0.001) before reading the formatted explain
+    val df = SparkEntry.queries("rsi")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("codegen id"), p.take(500))
+  }
+
+  test("no heavy query contains a cartesian product") {
+    val heavy = Seq("dedup_minhash_lsh", "dedup_simhash_pairs",
+      "embed_ivf_topk", "contamination_bloom", "events_sessionize",
+      "text_nb_langid", "text_phrase_search", "join_revenue_by_region")
+    heavy.foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+}
