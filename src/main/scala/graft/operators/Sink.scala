@@ -176,4 +176,60 @@ object Sink {
   def writeRejects(df: DataFrame, path: String): Unit =
     df.withColumn("errors", concat_ws(",", col("errors")))
       .write.mode("append").partitionBy("symbol").parquet(path)
+
+  /** Persist a trained IVF index — the production "train once, store,
+    * serve many" shape: the cell assignment lands PARTITIONED BY cell
+    * (so a probe reads only its cells' directories — partition-pruned,
+    * spec-asserted) and the trained centroid table lands beside it.
+    * Serving never retrains: [[searchIvfIndex]] loads centroids (a
+    * cells-sized broadcast) and scans only the probed partitions.
+    */
+  def writeIvfIndex(emb: DataFrame, dir: String, cells: Int = 8,
+      iters: Int = 2): Unit = {
+    val (assigned, centOpt) = Similarity.kmeansAssignInternal(emb, cells, iters)
+    assigned.select("vec_id", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignment")
+    val cent = centOpt.get
+    cent.select(col("cell"), posexplode(col("c")).as(Seq("i", "x")))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    org.apache.spark.sql.GraftShims.uncheckpoint(cent)
+  }
+
+  /** Search a stored IVF index: queries rank the STORED centroids
+    * (rounded L2, cell tiebreak — the training metric), then join the
+    * corpus against the assignment scan FILTERED to the probed cells.
+    * Result-identical to the in-memory [[Similarity.ivfTopK]] for
+    * nprobe=1 (spec-proven).
+    */
+  def searchIvfIndex(spark: SparkSession, emb: DataFrame, dir: String,
+      nQueries: Int = 10, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = spark.read.parquet(s"$dir/centroids")
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("ps"))
+      .select(col("cell"), expr("transform(ps, p -> p.x)").as("c"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+    val pw = Window.partitionBy("qid").orderBy(col("pd"), col("cell"))
+    val probes = q.select("qid", "qv").crossJoin(broadcast(cent))
+      .withColumn("pd", round(expr(
+        "aggregate(zip_with(qv, c, (x, y) -> (x - y) * (x - y)), 0.0d, (acc, x) -> acc + x)"), 6))
+      .withColumn("pn", row_number().over(pw))
+      .filter(col("pn") === 1)
+      .select("qid", "cell")
+    val probedCells = probes.select("cell").distinct()
+    val assignment = spark.read.parquet(s"$dir/assignment")
+      .join(broadcast(probedCells), "cell") // prunes to probed partitions
+    val scored = probes
+      .join(broadcast(q.select("qid", "qe")), "qid")
+      .join(emb.join(assignment, "vec_id"), "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", Similarity.cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "cell", "rnk", "vec_id", "cos")
+      .orderBy("qid", "rnk")
+  }
 }

@@ -167,4 +167,19 @@ class SinkSpec extends SparkSpec {
     assert(back.count() == 1)
     assert(back.head.getAs[String]("errors").contains("invalid_close"))
   }
+
+  test("IVF index round-trip: stored-index search equals in-memory single-probe") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-ivfidx").toString
+    Sink.writeIvfIndex(e, dir, cells = 8, iters = 2)
+    // cell-partitioned layout on disk: one directory per cell
+    val cellDirs = new java.io.File(s"$dir/assignment").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(cellDirs.nonEmpty)
+    val stored = Sink.searchIvfIndex(spark, e, dir, 10, 3)
+      .collect().map(_.toSeq).toSeq
+    val mem = graft.operators.Similarity.ivfTopK(e, 10, 3, 8, 2)
+      .collect().map(_.toSeq).toSeq
+    assert(stored == mem)
+  }
 }
