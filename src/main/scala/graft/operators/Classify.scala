@@ -50,17 +50,21 @@ object Classify {
     val words = spread(docs)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
 
-    // ---- train: three aggregations over one exploded pass
+    // ---- train: ONE exploded corpus pass materializes the (label,
+    // word) conditional table; class totals and the vocabulary size
+    // derive from that model-sized frame, so training touches the
+    // corpus exactly once (plus the metadata-only doc count)
     val nDocs = docs.count()
-    val vocab = words.select("w").distinct().count()
+    val condCounts = words.groupBy(col("lang").as("clabel"), col("w"))
+      .agg(count(lit(1)).as("cwl"))
+      .localCheckpoint() // vocab × labels — model-sized
+    val vocab = condCounts.select("w").distinct().count()
     val priors = docs.groupBy(col("lang").as("clabel"))
       .agg(count(lit(1)).as("nd"))
       .withColumn("log_prior",
         round(log(col("nd") / lit(nDocs.toDouble)), 6).cast("decimal(18,6)"))
-    val condCounts = words.groupBy(col("lang").as("clabel"), col("w"))
-      .agg(count(lit(1)).as("cwl"))
-    val classTokens = words.groupBy(col("lang").as("clabel"))
-      .agg(count(lit(1)).as("tl"))
+    val classTokens = condCounts.groupBy(col("clabel"))
+      .agg(sum("cwl").as("tl"))
     val model = condCounts.join(classTokens, "clabel")
       .withColumn("log_cond",
         round(log((col("cwl") + lit(1)) / (col("tl") + lit(vocab))), 6)

@@ -791,6 +791,7 @@ object Similarity {
           |  CAST(round(x, 8) AS DECIMAL(18,8)) AS x))""".stripMargin)).as("c"))
       .select(col("c.i").as("i"), col("c.x").as("x"))
       .groupBy("i").agg((sum("x").cast("double") / n).as("m"))
+      .localCheckpoint() // 64 rows; referenced twice by cov + by ABTT
     // the 4096-cell model frame feeds BOTH matvec steps — checkpoint it
     // eagerly so the corpus-sized scatter chain runs exactly once (the
     // block set is model-sized and lives until session end, the

@@ -48,12 +48,15 @@ object Skew {
     */
   def keySkewStats(events: DataFrame, k: Int = 5, subBits: Int = 4): DataFrame = {
     val kc = events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    // registers carry per-bucket row mass too, so the totals read from
+    // the register FILE; the kc aggregation behind hist/top is deduped
+    // by ReuseExchange within the single job (no barrier needed)
     val hist = kc
       .withColumn("sh",
         greatest(length(expr("bin(cnt)")).cast("int") - 1 - subBits, lit(0)))
       .withColumn("lo", expr("shiftleft(shiftright(cnt, sh), sh)"))
-      .groupBy("lo").agg(count(lit(1)).as("nk"))
-    val tot = kc.agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"))
+      .groupBy("lo").agg(count(lit(1)).as("nk"), sum("cnt").as("bucket_rows"))
+    val tot = hist.agg(sum("nk").as("n_keys"), sum("bucket_rows").as("n_rows"))
     val wcum = org.apache.spark.sql.expressions.Window.orderBy("lo") // register file only
     val cum = hist.withColumn("cum", sum("nk").over(wcum))
       .crossJoin(broadcast(tot))

@@ -396,6 +396,11 @@ object TextOps {
       .select(col("doc_id"), col("pos"), col("col").as("w"))
     val wordSet = phrases
       .select(explode(array(col("w1"), col("w2"), col("w3"))).as("w")).distinct()
+    // NO checkpoint here although three join arms consume `pruned`:
+    // the arms live in ONE job, so ReuseExchange dedups the identical
+    // aggregation subtrees — a measured ×100 probe showed the barrier
+    // REGRESSING 14.1 → 17.8 s. (Contrast Classify.nbLangScores, where
+    // a mid-chain count() action splits jobs and a checkpoint wins.)
     val pruned = post.join(broadcast(wordSet), "w")
       .select(col("doc_id"), col("pos"), col("w"))
     val hits = broadcast(phrases).join(pruned.as("a"), col("a.w") === col("w1"))

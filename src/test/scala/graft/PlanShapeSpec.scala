@@ -43,10 +43,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("indicator windows stay inside whole-stage codegen") {
-    // codegen ids only appear on the FINAL adaptive plan, so this one
-    // test executes (sf0.001) before reading the formatted explain
+    // codegen ids only appear on the FINAL adaptive plan, and only on
+    // the DataFrame's OWN QueryExecution — a .write spawns a separate
+    // one, so execute via collect() (sf0.001 — tiny) before explaining
     val df = SparkEntry.queries("rsi")(spark, dir)
-    df.write.format("noop").mode("overwrite").save()
+    df.collect()
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("codegen id"), p.take(500))
   }
