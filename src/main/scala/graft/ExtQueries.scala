@@ -284,6 +284,16 @@ object ExtQueries {
       Corpus.cleanVerdicts(injected, minWords = 30)
     }),
 
+    // the end-to-end training manifest: cleaning verdicts + near-dup
+    // keeper decisions folded into one per-doc include/exclude row —
+    // the materialized artifact a training run actually consumes
+    "corpus_manifest" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.simhashNearDupsCached(dd, d, 3)
+        .select("doc_a", "doc_b")
+      Corpus.manifest(dd, pairs, minWords = 30)
+    }),
+
     // n-gram decontamination: train = doc_id < 400, eval = the rest
     // plus 10 planted copies of train docs (vec 10000+) that must flag
     // at ratio 1.0
@@ -3038,6 +3048,57 @@ object ExtQueries {
         | LEFT JOIN bagg USING (doc_id)
         | LEFT JOIN tagg USING (doc_id)
         | ORDER BY d.doc_id""".stripMargin,
+    // manifest = the clean chain (uninjected) × the cluster-keeper
+    // chain, one row per doc
+    "corpus_manifest" ->
+      s"""${"WITH RECURSIVE " + simhashPairsCte.stripPrefix("WITH ")},
+         | p AS (SELECT doc_a, doc_b FROM dists WHERE dist <= 3),
+         | e2 AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |        UNION SELECT doc_b, doc_a FROM p),
+         | reach(id, r) AS (
+         |   SELECT a, a FROM e2
+         |   UNION
+         |   SELECT e3.a, r.r FROM e2 e3 JOIN reach r ON e3.b = r.id),
+         | lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         | keepers AS (SELECT d.doc_id,
+         |     coalesce(l.cluster, d.doc_id) = d.doc_id AS is_keeper
+         |   FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+         | wds AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         | wagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words
+         |          FROM (SELECT doc_id, word, count(*) AS c
+         |                FROM (SELECT doc_id, unnest(w) AS word FROM wds)
+         |                GROUP BY doc_id, word)
+         |          GROUP BY doc_id),
+         | bagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram
+         |          FROM (SELECT doc_id, s, count(*) AS c
+         |                FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS s
+         |                      FROM wds, UNNEST(range(1, len(w))) AS t(i))
+         |                GROUP BY doc_id, s)
+         |          GROUP BY doc_id),
+         | tagg AS (SELECT doc_id, count(*) AS n_trigrams, count(DISTINCT s) AS n_distinct_trigrams
+         |          FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |                FROM wds, UNNEST(range(1, len(w) - 1)) AS t(i))
+         |          GROUP BY doc_id),
+         | csig AS (SELECT d.doc_id,
+         |           wagg.n_words,
+         |           (coalesce(round(top_bigram / n_bigrams, 4) > 0.18, false)
+         |            OR coalesce(round(1.0 - n_distinct_trigrams / n_trigrams, 4) > 0.3, false)) AS flag,
+         |           d.doc_id <> min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS is_dup
+         |         FROM documents d
+         |         LEFT JOIN wagg USING (doc_id)
+         |         LEFT JOIN bagg USING (doc_id)
+         |         LEFT JOIN tagg USING (doc_id)),
+         | cl AS (SELECT doc_id,
+         |   concat_ws(',', CASE WHEN is_dup THEN 'exact_dup' END,
+         |                  CASE WHEN n_words IS NULL OR n_words < 30 THEN 'too_short' END,
+         |                  CASE WHEN flag AND n_words >= 30 THEN 'repetitive' END) AS reasons
+         |   FROM csig)
+         | SELECT cl.doc_id, cl.reasons = '' AS keep, k.is_keeper,
+         |   (cl.reasons = '' AND k.is_keeper) AS include,
+         |   concat_ws(',', CASE WHEN cl.reasons <> '' THEN cl.reasons END,
+         |     CASE WHEN NOT k.is_keeper THEN 'near_dup' END) AS manifest_reasons
+         | FROM cl JOIN keepers k ON k.doc_id = cl.doc_id
+         | ORDER BY cl.doc_id""".stripMargin,
     "corpus_clean" ->
       """WITH docs2 AS (
         |   SELECT doc_id,

@@ -124,6 +124,25 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** The end-to-end training manifest — [[cleanVerdicts]] × the
+    * near-dup keeper decision folded into one per-doc include/exclude
+    * row with merged reasons: the materialized artifact a training run
+    * actually consumes (filter `include`, join back to text, ship).
+    * One PK join over two already-linear chains.
+    */
+  def manifest(docs: DataFrame, pairs: DataFrame,
+      minWords: Long = 30): DataFrame = {
+    val nd = Dedup.dedupVerdicts(docs, pairs).select("doc_id", "is_keeper")
+    cleanVerdicts(docs, minWords)
+      .join(nd, "doc_id")
+      .withColumn("include", col("keep") && col("is_keeper"))
+      .withColumn("manifest_reasons", concat_ws(",",
+        when(col("reasons") =!= "", col("reasons")),
+        when(!col("is_keeper"), lit("near_dup"))))
+      .select("doc_id", "keep", "is_keeper", "include", "manifest_reasons")
+      .orderBy("doc_id")
+  }
+
   /** Temperature-scaled multinomial sampling weights per source:
     * wᵢ = tᵢ^τ / Σⱼ tⱼ^τ with τ = 1/2 — the data-mixing recipe
     * (multilingual-BERT / XLM exponent-smoothed sampling) that

@@ -16,6 +16,23 @@ class CorpusSpec extends SparkSpec {
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  test("manifest merges clean and dedup verdicts into one include row") {
+    val spark2 = spark
+    import spark2.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      0L -> long, // clean keeper
+      1L -> (long + " tail"), // near-dup of 0 via the pair list → drops
+      2L -> "too short") // length gate drops it
+    val pairs = Seq((0L, 1L)).toDF("doc_a", "doc_b")
+    val r = graft.operators.Corpus.manifest(d, pairs, minWords = 30).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Boolean]("include"), x.getAs[String]("manifest_reasons"))).toMap
+    assert(r(0L) == ((true, "")))
+    assert(r(1L) == ((false, "near_dup")))
+    assert(r(2L) == ((false, "too_short")))
+  }
+
   test("sourceVocabStats: types, hapax, and TTR per source") {
     val spark2 = spark
     import spark2.implicits._
