@@ -284,6 +284,19 @@ object ExtQueries {
       Corpus.cleanVerdicts(injected, minWords = 30)
     }),
 
+    // quote detection: 8 planted excerpts (40-word prefix of a corpus
+    // doc + novel tail) must surface on CONTAINMENT while their
+    // Jaccard stays far below near-dup thresholds
+    "dedup_containment" -> ((s, d) => {
+      val all = docs(s, d)
+      val quotes = all.filter(col("doc_id") < 8).select(
+        (col("doc_id") + 60000).as("doc_id"),
+        concat(expr("concat_ws(' ', slice(split(text, ' '), 1, 40))"),
+          lit(" quoted commentary chunk "), col("doc_id")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      Dedup.containmentPairs(all.unionByName(quotes), 8, 0.5)
+    }),
+
     // the end-to-end training manifest: cleaning verdicts + near-dup
     // keeper decisions folded into one per-doc include/exclude row —
     // the materialized artifact a training run actually consumes
@@ -3048,6 +3061,43 @@ object ExtQueries {
         | LEFT JOIN bagg USING (doc_id)
         | LEFT JOIN tagg USING (doc_id)
         | ORDER BY d.doc_id""".stripMargin,
+    // containment: shared-gram candidates with the winnow-style cap,
+    // exact |A∩B| on candidates only; both ratios per pair
+    "dedup_containment" ->
+      s"""WITH base AS (
+         |   SELECT doc_id, text FROM documents
+         |   UNION ALL
+         |   SELECT doc_id + 60000 AS doc_id,
+         |     array_to_string(list_slice(string_split(text, ' '), 1, 40), ' ')
+         |       || ' quoted commentary chunk ' || CAST(doc_id AS VARCHAR) AS text
+         |   FROM documents WHERE doc_id < 8),
+         | w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
+         | sh AS (SELECT DISTINCT doc_id,
+         |     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+         |     ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS s
+         |   FROM w, UNNEST(range(1, len(ws) - 6)) t(i)),
+         | hb AS (SELECT doc_id, md5(s) AS bv FROM sh),
+         | bstat AS (SELECT bv, count(*) AS bn, min(doc_id) AS bmin FROM hb GROUP BY bv),
+         | fw AS (SELECT h.doc_id, h.bv, s.bn, s.bmin FROM hb h JOIN bstat s USING (bv)),
+         | cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+         |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |   FROM fw a JOIN fw b ON a.bv = b.bv AND a.doc_id < b.doc_id
+         |   WHERE a.bn <= ${Dedup.lshBucketCap}
+         |   UNION ALL
+         |   SELECT bmin AS doc_a, doc_id AS doc_b FROM fw
+         |   WHERE bn > ${Dedup.lshBucketCap} AND doc_id <> bmin)),
+         | sizes AS (SELECT doc_id, count(*) AS nsz FROM sh GROUP BY doc_id),
+         | inter AS (SELECT doc_a, doc_b, count(*) AS n_common FROM cand
+         |   JOIN sh sa ON sa.doc_id = doc_a
+         |   JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+         |   GROUP BY doc_a, doc_b)
+         | SELECT i.doc_a, i.doc_b, i.n_common, za.nsz AS na, zb.nsz AS nb,
+         |   round(i.n_common * 1.0 / least(za.nsz, zb.nsz), 4) AS containment,
+         |   round(i.n_common * 1.0 / (za.nsz + zb.nsz - i.n_common), 4) AS jaccard
+         | FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+         |              JOIN sizes zb ON zb.doc_id = i.doc_b
+         | WHERE round(i.n_common * 1.0 / least(za.nsz, zb.nsz), 4) >= 0.5
+         | ORDER BY i.doc_a, i.doc_b""".stripMargin,
     // manifest = the clean chain (uninjected) × the cluster-keeper
     // chain, one row per doc
     "corpus_manifest" ->

@@ -997,6 +997,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Asymmetric containment pairs — the QUOTE/subset detector Jaccard
+    * misses: a short document embedded verbatim in a long one shares
+    * most of ITS grams but few of the long one's, so
+    * C = |A∩B| / min(|A|,|B|) is high while Jaccard is far below any
+    * near-dup threshold (both are emitted so the gap is visible per
+    * pair). Candidates come from shared distinct n-grams routed
+    * through [[cappedBandCandidates]] — over-popular grams
+    * (boilerplate) star-link through their min doc instead of pairing
+    * a B² island, the same discipline as every LSH family here; the
+    * exact intersection then computes only on candidate pairs.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n)
+    val cand = cappedBandCandidates(
+      sh.select(col("doc_id"), lit(0).as("band"), md5(col("s")).as("bv")))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsz"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsz").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsz").as("nb")), "doc_b")
+      .withColumn("containment",
+        round(col("n_common") / least(col("na"), col("nb")), 4))
+      .withColumn("jaccard",
+        round(col("n_common") / (col("na") + col("nb") - col("n_common")), 4))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "na", "nb", "containment", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Cluster-size distribution over the [[dedupVerdicts]] labels — the
     * dedup observability view (how much of the corpus sits in near-dup
     * families, and how big the worst boilerplate cluster is). Two hash

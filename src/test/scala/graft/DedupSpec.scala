@@ -19,6 +19,24 @@ class DedupSpec extends SparkSpec {
     2L -> "completely different words about spark engines here today",
     3L -> "the quick brown fox jumps over the lazy dog") // exact dup of 0
 
+  test("containmentPairs surfaces a quote that Jaccard would miss") {
+    // doc1 = first 20 words of doc0 + 10 novel words. 8-grams:
+    // doc0 has 53, doc1 has 23, the 13 grams inside the shared prefix
+    // are common -> containment 13/23 = 0.5652, jaccard only 0.2063.
+    val d = docs(
+      0L -> (1 to 60).map(i => s"w$i").mkString(" "),
+      1L -> ((1 to 20).map(i => s"w$i") ++ (1 to 10).map(i => s"t$i")).mkString(" "),
+      2L -> (1 to 10).map(i => s"x$i").mkString(" "))
+    val rows = Dedup.containmentPairs(d, 8, 0.5).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 1L)
+    assert(r.getAs[Long]("n_common") == 13L)
+    assert(r.getAs[Long]("na") == 53L && r.getAs[Long]("nb") == 23L)
+    assert(r.getAs[Double]("containment") == 0.5652)
+    assert(r.getAs[Double]("jaccard") == 0.2063)
+  }
+
   test("clusterSizeHistogram counts families and singletons") {
     val spark2 = spark
     import spark2.implicits._
