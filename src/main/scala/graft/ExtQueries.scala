@@ -284,6 +284,50 @@ object ExtQueries {
       Corpus.cleanVerdicts(injected, minWords = 30)
     }),
 
+    // the dedup evaluation harness ON the oracle surface: 25 planted
+    // mangled twins (every 17th word replaced) → run the production
+    // MinHash-LSH path → report its own recall + cross-match count.
+    // Partial recall is the honest, deterministic output: banding
+    // probability at the twins' ~0.7 Jaccard is below 1 by design.
+    "dedup_eval_planted" -> ((s, d) => {
+      val all = docs(s, d)
+      val mangled = all.filter(col("doc_id") < 25).select(
+        (col("doc_id") + 70000).as("doc_id"),
+        expr("""concat_ws(' ', transform(split(text, ' '), (w, i) ->
+          |  CASE WHEN (i + 1) % 17 = 0
+          |       THEN concat('zz', CAST(doc_id AS STRING)) ELSE w END))""".stripMargin)
+          .as("text"))
+      val aug = all.select("doc_id", "text").unionByName(mangled)
+      val found = Dedup.minhashLshPairs(aug, 0.5).select("doc_a", "doc_b")
+      val truth = all.filter(col("doc_id") < 25)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 70000).as("doc_b"))
+      val hit = truth.join(found, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_recalled"))
+      val cross = found
+        .filter(col("doc_b") >= 70000 && col("doc_b") =!= col("doc_a") + 70000)
+        .agg(count(lit(1)).as("n_cross"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(hit)).crossJoin(broadcast(cross))
+        .withColumn("recall", round(col("n_recalled") / col("n_truth"), 4))
+        .select("n_truth", "n_recalled", "recall", "n_cross")
+    }),
+
+    // ANN index observability: IVF cell population balance (imbalance
+    // = cell size / mean cell size) off the cached quantizer
+    "embed_ivf_cell_stats" -> ((s, d) => {
+      val a = Similarity.kmeansAssignCached(emb(s, d), 8, 2, d)
+        .select("vec_id", "cell")
+      val sizes = a.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      val tot = sizes.agg(sum("n_vectors").as("n_total"),
+        count(lit(1)).as("n_cells"))
+      sizes.crossJoin(broadcast(tot))
+        .withColumn("share", round(col("n_vectors") / col("n_total"), 4))
+        .withColumn("imbalance",
+          round(col("n_vectors") * col("n_cells") / col("n_total"), 4))
+        .select("cell", "n_vectors", "share", "imbalance")
+        .orderBy("cell")
+    }),
+
     // quote detection: 8 planted excerpts (40-word prefix of a corpus
     // doc + novel tail) must surface on CONTAINMENT while their
     // Jaccard stays far below near-dup thresholds
@@ -1128,11 +1172,17 @@ object ExtQueries {
   /** Shared shingle CTE (3-gram, distinct, 1-indexed — mirrors
     * Dedup.shingles).
     */
-  private val SH3 =
-    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      | sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      |        FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)),
-      | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+  /** 3-gram shingle chain body (no leading WITH) over any (doc_id,
+    * text) source CTE/table — lets the planted-twin eval run the SAME
+    * chain over an augmented corpus.
+    */
+  private def sh3Body(src: String): String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+       | sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |        FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)),
+       | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val SH3 = "WITH " + sh3Body("documents")
 
   private val jaccardExpr = "round(n_common * 1.0 / (sa.n + sb.n - n_common), 4)"
 
@@ -1333,8 +1383,13 @@ object ExtQueries {
   /** The shared MinHash chain: shingles → signatures → capped banding →
     * verified `jp(doc_a, doc_b, jaccard)` pairs at the 0.5 threshold.
     */
-  private lazy val minhashPairsCte: String =
-    s"""$SH3,
+  private lazy val minhashPairsCte: String = minhashPairsCteFrom(SH3)
+
+  /** The MinHash chain over an arbitrary shingle-chain prefix (e.g.
+    * `"WITH base AS (...), " + sh3Body("base")`).
+    */
+  private def minhashPairsCteFrom(sh3Prefix: String): String =
+    s"""$sh3Prefix,
        | shx AS (SELECT doc_id, ($minhashBaseSql) % ${Dedup.minhashP} AS x
        |         FROM (SELECT doc_id, md5(s) AS m FROM sh)),
        | sig AS (SELECT doc_id,
@@ -3061,6 +3116,46 @@ object ExtQueries {
         | LEFT JOIN bagg USING (doc_id)
         | LEFT JOIN tagg USING (doc_id)
         | ORDER BY d.doc_id""".stripMargin,
+    // eval harness: the full MinHash chain over the augmented corpus
+    // (mangled-twin CTE + sh3Body("base")), then recall vs the planted
+    // truth pairs
+    "dedup_eval_planted" -> {
+      val aug =
+        """WITH base AS (
+          |   SELECT doc_id, text FROM documents
+          |   UNION ALL
+          |   SELECT m.doc_id + 70000 AS doc_id, m.text FROM (
+          |     SELECT doc_id,
+          |       string_agg(CASE WHEN i % 17 = 0
+          |           THEN 'zz' || CAST(doc_id AS VARCHAR) ELSE w[i] END,
+          |         ' ' ORDER BY i) AS text
+          |     FROM (SELECT doc_id, string_split(text, ' ') AS w
+          |           FROM documents WHERE doc_id < 25),
+          |       UNNEST(range(1, len(w) + 1)) t(i)
+          |     GROUP BY doc_id) m),
+          | """.stripMargin
+      s"""${minhashPairsCteFrom(aug + sh3Body("base"))},
+         | truth AS (SELECT doc_id AS doc_a, doc_id + 70000 AS doc_b
+         |           FROM documents WHERE doc_id < 25),
+         | hit AS (SELECT count(*) AS n_recalled
+         |         FROM truth t JOIN jp ON jp.doc_a = t.doc_a AND jp.doc_b = t.doc_b),
+         | crs AS (SELECT count(*) AS n_cross FROM jp
+         |         WHERE doc_b >= 70000 AND doc_b <> doc_a + 70000),
+         | tc AS (SELECT count(*) AS n_truth FROM truth)
+         | SELECT tc.n_truth, hit.n_recalled,
+         |   round(hit.n_recalled * 1.0 / tc.n_truth, 4) AS recall, crs.n_cross
+         | FROM tc, hit, crs""".stripMargin
+    },
+    // IVF cell balance off the trained assignment
+    "embed_ivf_cell_stats" ->
+      s"""$kmeansCte,
+         | sizes AS (SELECT cell, count(*) AS n_vectors FROM a2 GROUP BY cell),
+         | tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS n_total,
+         |           count(*) AS n_cells FROM sizes)
+         | SELECT cell, n_vectors,
+         |   round(n_vectors * 1.0 / n_total, 4) AS share,
+         |   round(n_vectors * n_cells * 1.0 / n_total, 4) AS imbalance
+         | FROM sizes, tot ORDER BY cell""".stripMargin,
     // containment: shared-gram candidates with the winnow-style cap,
     // exact |A∩B| on candidates only; both ratios per pair
     "dedup_containment" ->
