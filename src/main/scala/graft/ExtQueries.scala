@@ -284,6 +284,9 @@ object ExtQueries {
       Corpus.cleanVerdicts(injected, minWords = 30)
     }),
 
+    // deterministic 5-fold CV assignment + per-(fold, lang) balance
+    "cv_folds" -> ((s, d) => Sampling.cvFolds(docs(s, d), 5)),
+
     // the dedup evaluation harness ON the oracle surface: 25 planted
     // mangled twins (every 17th word replaced) → run the production
     // MinHash-LSH path → report its own recall + cross-match count.
@@ -2017,6 +2020,15 @@ object ExtQueries {
         |   CAST(tok_offset % 2048 AS BIGINT) AS pack_pos,
         |   (tok_offset % 2048) + tokens > 2048 AS straddles
         | FROM c ORDER BY doc_id""".stripMargin,
+    "cv_folds" ->
+      s"""WITH h AS (SELECT doc_id, lang, md5(text) AS m FROM documents),
+         | b AS (SELECT doc_id, lang, ($minhashBaseSql) % 5 AS fold FROM h),
+         | c AS (SELECT fold, lang, count(*) AS n_docs FROM b GROUP BY fold, lang),
+         | lt AS (SELECT lang, count(*) AS lang_total FROM documents GROUP BY lang)
+         | SELECT c.fold, c.lang, c.n_docs, lt.lang_total,
+         |   round(c.n_docs * 5 * 1.0 / lt.lang_total, 4) AS ratio
+         | FROM c JOIN lt ON lt.lang = c.lang
+         | ORDER BY c.fold, c.lang""".stripMargin,
     "sample_split" ->
       s"""WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
          | b AS (SELECT doc_id, ($minhashBaseSql) % 100 AS bucket FROM h)

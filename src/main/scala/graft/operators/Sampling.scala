@@ -50,6 +50,23 @@ object Sampling {
     df.filter(hashBucket(key, 10000) < math.round(rate * 10000))
   }
 
+  /** Deterministic k-fold cross-validation assignment with a
+    * per-(fold, language) balance audit: fold = content hash mod k
+    * (so a doc keeps its fold across rebuilds, the [[withSplit]]
+    * property), and each output row carries ratio = n·k/lang_total —
+    * ≈ 1 everywhere when the folds are stratification-safe. Two hash
+    * aggregates, output bounded by k × languages.
+    */
+  def cvFolds(docs: DataFrame, k: Int = 5): DataFrame = {
+    val withFold = docs.withColumn("fold", hashBucket(col("text"), k))
+    val counts = withFold.groupBy("fold", "lang").agg(count(lit(1)).as("n_docs"))
+    val langTot = docs.groupBy("lang").agg(count(lit(1)).as("lang_total"))
+    counts.join(langTot, "lang")
+      .withColumn("ratio", round(col("n_docs") * lit(k) / col("lang_total"), 4))
+      .select("fold", "lang", "n_docs", "lang_total", "ratio")
+      .orderBy("fold", "lang")
+  }
+
   /** Per-group quota selection: the top `n` rows per `group` by
     * `score` descending, ties broken by `id` ascending — e.g.
     * language-balanced corpus capping (take the best N docs per

@@ -109,4 +109,25 @@ class SamplingSpec extends SparkSpec {
     assert(r(1L)._2 == r(0L)._2) // identical text → identical weight
     assert(r(1L)._2 > r(3L)._2 && r(3L)._2 > r(2L)._2)
   }
+
+  test("cvFolds: content-keyed folds, per-lang totals, stable across runs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = (0 until 40).map(i => (i.toLong, s"doc number $i words", Seq("en", "de")(i % 2), "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r1 = Sampling.cvFolds(d, 2).collect()
+    val r2 = Sampling.cvFolds(d, 2).collect()
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq) // deterministic
+    // per-lang fold counts sum to the lang total and ratios follow
+    val byLang = r1.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (_, rows) =>
+      val total = rows.head.getAs[Long]("lang_total")
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+      rows.foreach { r =>
+        assert(r.getAs[Double]("ratio") ==
+          BigDecimal(r.getAs[Long]("n_docs") * 2.0 / total)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+  }
 }
