@@ -3340,12 +3340,15 @@ object ExtQueries {
         | s AS (SELECT count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
         |         sum(lx * ly) AS sxy, sum(lx * lx) AS sxx FROM pts),
         | fit AS (SELECT n,
-        |     round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |       (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
-        |       + 0.0 AS slope,
+        |     CASE WHEN n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+        |       THEN round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |         (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) + 0.0
+        |     END AS slope,
         |     sx, sy FROM s)
         | SELECT n, total_tokens, vocab_size, slope,
-        |   round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n, 4) + 0.0 AS intercept
+        |   CASE WHEN slope IS NOT NULL
+        |     THEN round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n, 4) + 0.0
+        |   END AS intercept
         | FROM fit, tot""".stripMargin,
     // cluster-size distribution over the recursive-CTE labels
     "dedup_cluster_sizes" ->

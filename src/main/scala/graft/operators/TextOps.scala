@@ -342,14 +342,20 @@ object TextOps {
         sum("lx").as("sx"), sum("ly").as("sy"),
         sum(col("lx") * col("ly")).as("sxy"),
         sum(col("lx") * col("lx")).as("sxx"))
+      .withColumn("den",
+        col("n") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      // a one-point (or all-rank-1) corpus has no spread: OLS is
+      // undefined → null slope, never a divide-by-zero (ANSI throws)
       .withColumn("slope",
-        (round((col("n") * col("sxy").cast("double") -
+        when(col("den") =!= 0.0,
+          round((col("n") * col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double")) /
-          (col("n") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")), 4) + lit(0.0)))
+            col("den"), 4) + lit(0.0)))
       .withColumn("intercept",
-        (round((col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
-          col("n"), 4) + lit(0.0)))
+        when(col("slope").isNotNull,
+          round((col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+            col("n"), 4) + lit(0.0)))
     fit.crossJoin(broadcast(totals))
       .select("n", "total_tokens", "vocab_size", "slope", "intercept")
   }

@@ -60,6 +60,24 @@ class TextOpsSpec extends SparkSpec {
     assert(r(3L) == ((0L, 0L, false)))
   }
 
+  test("luhnCards: word boundaries reject runs outside 13-19 digits") {
+    // a 25-digit run has no internal \b, so it must NOT partially match
+    val d = docs(
+      (0L, "ref 1234567890123456789012345 x", "en"),
+      (1L, "pay 4532015112830366 ok", "en"))
+    val r = TextOps.luhnCards(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_candidates")).toMap
+    assert(r(0L) == 0L)
+    assert(r(1L) == 1L)
+  }
+
+  test("zipfFit: degenerate single-point corpus yields null slope, not a crash") {
+    val d = docs((0L, "solo solo solo", "en"))
+    val r = TextOps.zipfFit(d, 100).collect()(0)
+    assert(r.getAs[Long]("n") == 1L)
+    assert(r.isNullAt(r.fieldIndex("slope"))) // 0/0 OLS denominator
+  }
+
   test("zipfFit recovers slope -1 on an exact 12/r corpus") {
     // freq = 12/rank exactly: ln f = ln 12 - ln r -> slope -1.
     val text = Seq.fill(12)("w1") ++ Seq.fill(6)("w2") ++
