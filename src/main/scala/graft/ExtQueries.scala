@@ -589,6 +589,10 @@ object ExtQueries {
     // CMS inner-product estimate of the events user_id self-join size
     // (the sessionization pair-explosion pre-flight); est ≥ exact
     "sketch_cms_join_size" -> ((s, d) => Sketch.cmsSelfJoinSize(ev(s, d))),
+    // per-event-type quantile sketch (grouped register files) with the
+    // quantile_cont twin per group
+    "sketch_hist_by_type" -> ((s, d) =>
+      Sketch.logHistQuantilesByGroup(ev(s, d))),
     // key-skew pre-flight: heavy keys + log-bucket p50/p99 of the
     // per-key count distribution + suggested salt factors
     "skew_key_stats" -> ((s, d) => Skew.keySkewStats(ev(s, d))),
@@ -2766,6 +2770,40 @@ object ExtQueries {
          |   round((est_size - exact_size) * 1.0 / exact_size, 6) AS rel_err
          | FROM est, ex""".stripMargin
     },
+    // grouped quantile sketch: one register file per event_type
+    "sketch_hist_by_type" ->
+      """WITH base AS (
+        |   SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |   FROM events
+        |   WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0),
+        | b AS (SELECT event_type, cents,
+        |     greatest(CAST(length(bin(cents)) AS INTEGER) - 1 - 4, 0) AS sh
+        |   FROM base),
+        | hist AS (SELECT event_type, (cents >> sh) << sh AS lo, sh, count(*) AS cnt
+        |   FROM b GROUP BY event_type, (cents >> sh) << sh, sh),
+        | tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+        |         FROM hist GROUP BY event_type),
+        | pct(idx, p_num, p_den) AS (VALUES (1, 1, 2), (2, 9, 10), (3, 99, 100)),
+        | rk AS (SELECT event_type, idx, CAST(p_num AS BIGINT) AS p_num,
+        |     CAST(p_den AS BIGINT) AS p_den,
+        |     (p_num * n + p_den - 1) // p_den AS target_rank FROM pct, tot),
+        | cum AS (SELECT event_type, lo, sh, cnt,
+        |     sum(cnt) OVER (PARTITION BY event_type ORDER BY lo) AS cum FROM hist),
+        | ex AS (SELECT event_type, unnest(qs) AS pc, unnest(range(1, 4)) AS idx
+        |   FROM (SELECT event_type, quantile_cont(cents, [0.5, 0.9, 0.99]) AS qs
+        |         FROM base GROUP BY event_type))
+        | SELECT c.event_type, r.p_num, r.p_den,
+        |   CAST(r.target_rank AS BIGINT) AS target_rank,
+        |   c.lo AS bucket_lo_cents,
+        |   round(c.lo / 100.0, 2) AS est_value,
+        |   round(e.pc / 100, 6) AS exact_value,
+        |   round((round(e.pc / 100, 6) - round(c.lo / 100.0, 2)) /
+        |     round(e.pc / 100, 6), 4) AS rel_err
+        | FROM cum c
+        | JOIN rk r ON r.event_type = c.event_type
+        |   AND c.cum >= r.target_rank AND c.cum - c.cnt < r.target_rank
+        | JOIN ex e ON e.event_type = c.event_type AND e.idx = r.idx
+        | ORDER BY c.event_type, target_rank""".stripMargin,
     // skew pre-flight: quantiles of the key-count distribution read
     // from the log-bucket register file; exact integer ranks and salts
     "skew_key_stats" ->

@@ -392,6 +392,50 @@ object Sketch {
       .orderBy("target_rank")
   }
 
+  /** Grouped log-bucket quantile estimates — [[logHistQuantiles]]
+    * partitioned by event_type: one register file PER GROUP (the
+    * cumulative window partitions by group, so every frame stays
+    * register-sized), with the quantile_cont twin per group for the
+    * rel_err diagnostic. This is the per-tenant / per-metric latency
+    * dashboard shape: groups × ≤ 64·2^subBits cells of state total.
+    */
+  def logHistQuantilesByGroup(events: DataFrame, subBits: Int = 4): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = events.select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+    val hist = base
+      .withColumn("sh",
+        greatest(length(expr("bin(cents)")).cast("int") - 1 - subBits, lit(0)))
+      .withColumn("lo", expr("shiftleft(shiftright(cents, sh), sh)"))
+      .groupBy("event_type", "lo", "sh").agg(count(lit(1)).as("cnt"))
+    val tot = hist.groupBy("event_type").agg(sum("cnt").as("n"))
+    val pcts = Seq((1, 1L, 2L), (2, 9L, 10L), (3, 99L, 100L))
+      .toDF("idx", "p_num", "p_den")
+    val ranks = tot.crossJoin(broadcast(pcts))
+      .withColumn("target_rank", expr("(p_num * n + p_den - 1) div p_den"))
+    val wcum = Window.partitionBy("event_type").orderBy("lo")
+    val cum = hist.withColumn("cum", sum("cnt").over(wcum))
+    val exact = base.groupBy("event_type").agg(
+        expr("percentile(cents, array(0.5, 0.9, 0.99))").as("qs"))
+      .select(col("event_type"), posexplode(col("qs")).as(Seq("pos", "pc")))
+      .withColumn("idx", col("pos") + 1)
+    cum
+      .join(broadcast(ranks), Seq("event_type"))
+      .filter(col("cum") >= col("target_rank") &&
+        col("cum") - col("cnt") < col("target_rank"))
+      .join(broadcast(exact), Seq("event_type", "idx"))
+      .withColumn("est_value", round(col("lo") / lit(100.0), 2))
+      .withColumn("exact_value", round(col("pc") / lit(100), 6))
+      .withColumn("rel_err",
+        round((col("exact_value") - col("est_value")) / col("exact_value"), 4))
+      .select(col("event_type"), col("p_num"), col("p_den"),
+        col("target_rank"), col("lo").as("bucket_lo_cents"),
+        col("est_value"), col("exact_value"), col("rel_err"))
+      .orderBy("event_type", "target_rank")
+  }
+
   /** Per-source bottom-k distinct gram hashes: (source, h) with ≤ k
     * rows per source, via the WindowGroupLimit-optimized row_number
     * filter.

@@ -38,6 +38,22 @@ class SketchHistSpec extends SparkSpec {
     }
   }
 
+  test("grouped sketch: independent register files per event_type") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ev = ((1 to 20).map(i => ("A", i / 100.0)) ++
+        (1 to 10).map(i => ("B", i / 100.0)))
+      .toDF("event_type", "value")
+    val r = Sketch.logHistQuantilesByGroup(ev).collect()
+      .map(x => (x.getAs[String]("event_type"), x.getAs[Long]("target_rank")) ->
+        x.getAs[Double]("est_value")).toMap
+    // singleton-bucket regime: exact type-1 quantiles per group
+    assert(r(("A", 10L)) == 0.10) // p50 of 20
+    assert(r(("A", 18L)) == 0.18) // p90
+    assert(r(("B", 5L)) == 0.05) // p50 of 10
+    assert(r(("B", 9L)) == 0.09) // p90
+  }
+
   test("streamed registers across micro-batches equal the batch histogram") {
     val spark2 = spark
     import spark2.implicits._
