@@ -123,6 +123,9 @@ object ExtQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational (join / ranking / rollup)
     "join_revenue_by_region" -> ((s, d) => Relational.revenueByRegion(s, d)),
+    // FK-health pre-flight: orphans / childless / unknown-customer /
+    // duplicate-event-id counts in one summary row
+    "ri_audit" -> ((s, d) => Relational.riAudit(s, d)),
     "topk_orders_per_segment" -> ((s, d) => Relational.topOrdersPerSegment(s, d, 3)),
     "orders_rollup" -> ((s, d) => Relational.ordersRollup(s, d)),
     // CUBE + grouping_id (the other grouping-sets shape)
@@ -1719,8 +1722,21 @@ object ExtQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "ri_audit" ->
+      """SELECT
+        | (SELECT count(*) FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |   AS orphan_lineitems,
+        | (SELECT count(*) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+        |   AS childless_orders,
+        | (SELECT count(*) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |   AS orders_unknown_customer,
+        | (SELECT count(*) FROM (SELECT event_id FROM events
+        |   GROUP BY event_id HAVING count(*) > 1)) AS dup_event_ids""".stripMargin,
     "join_revenue_by_region" ->
-      """SELECT r_name, l_returnflag,
+"""SELECT r_name, l_returnflag,
         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         | count(DISTINCT o_orderkey) AS n_orders,
         | count(*) AS n_lineitems

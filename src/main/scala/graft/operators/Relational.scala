@@ -289,4 +289,31 @@ object Relational {
         round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4))
       .orderBy("ship_month")
   }
+
+  /** Referential-integrity audit across the warehouse — the FK-health
+    * pre-flight an ETL run gates on: orphan lineitems (l_orderkey
+    * absent from orders), childless orders (no lineitems), orders with
+    * an unknown customer, and duplicated event_ids, each as one
+    * anti-join / aggregate count folded into a single summary row.
+    * Every check is a key-partitioned join or hash aggregate — linear,
+    * broadcast where the dim side is small.
+    */
+  def riAudit(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val orphanLines = l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lineitems"))
+    val childlessOrders = o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("childless_orders"))
+    val unknownCust = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orders_unknown_customer"))
+    val dupEvents = ev.groupBy("event_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(count(lit(1)).as("dup_event_ids"))
+    orphanLines
+      .crossJoin(broadcast(childlessOrders))
+      .crossJoin(broadcast(unknownCust))
+      .crossJoin(broadcast(dupEvents))
+  }
 }
