@@ -289,6 +289,22 @@ object ExtQueries {
 
     // deterministic 5-fold CV assignment + per-(fold, lang) balance
     "cv_folds" -> ((s, d) => Sampling.cvFolds(docs(s, d), 5)),
+    // which sources copy from each other: verified near-dup pairs
+    // rolled up per unordered source pair (cached pair list)
+    "dedup_source_matrix" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairsCached(docs(s, d), d, 0.5)
+        .select("doc_a", "doc_b")
+      val src = docs(s, d).select("doc_id", "source")
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("src_x")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("src_y")), "doc_b")
+        .select(least(col("src_x"), col("src_y")).as("src_a"),
+          greatest(col("src_x"), col("src_y")).as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_a", "src_b")
+    }),
 
     // the dedup evaluation harness ON the oracle surface: 25 planted
     // mangled twins (every 17th word replaced) → run the production
@@ -317,6 +333,10 @@ object ExtQueries {
         .withColumn("recall", round(col("n_recalled") / col("n_truth"), 4))
         .select("n_truth", "n_recalled", "recall", "n_cross")
     }),
+
+    // embedding-quality probe: nearest-centroid label accuracy
+    "embed_centroid_accuracy" -> ((s, d) =>
+      Similarity.centroidClassify(emb(s, d))),
 
     // ANN index observability: IVF cell population balance (imbalance
     // = cell size / mean cell size) off the cached quantizer
@@ -2040,6 +2060,15 @@ object ExtQueries {
         |   CAST(tok_offset % 2048 AS BIGINT) AS pack_pos,
         |   (tok_offset % 2048) + tokens > 2048 AS straddles
         | FROM c ORDER BY doc_id""".stripMargin,
+    "dedup_source_matrix" ->
+      s"""$minhashPairsCte,
+         | sp AS (SELECT least(sa.source, sb.source) AS src_a,
+         |          greatest(sa.source, sb.source) AS src_b
+         |        FROM jp
+         |        JOIN documents sa ON sa.doc_id = jp.doc_a
+         |        JOIN documents sb ON sb.doc_id = jp.doc_b)
+         | SELECT src_a, src_b, count(*) AS n_pairs
+         | FROM sp GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
     "cv_folds" ->
       s"""WITH h AS (SELECT doc_id, lang, md5(text) AS m FROM documents),
          | b AS (SELECT doc_id, lang, ($minhashBaseSql) % 5 AS fold FROM h),
@@ -2379,6 +2408,29 @@ object ExtQueries {
          |       FROM p)
          | SELECT qid, CAST(rnk AS INTEGER) AS rnk, vec_id, cell, pn, cos
          | FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // centroid classifier: rounded-6 centroid means (the
+    // embed_label_centroids construction), cosine argmax per vector
+    "embed_centroid_accuracy" ->
+      """WITH cm AS (SELECT label AS clabel, i,
+        |     round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+        |   FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+        |   GROUP BY label, i),
+        | e AS (SELECT vec_id, label,
+        |     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        | p AS (SELECT e.vec_id, e.label, cm.clabel,
+        |     round(SUM(e.v[cm.i] * cm.m) /
+        |       (sqrt(SUM(e.v[cm.i] * e.v[cm.i])) * sqrt(SUM(cm.m * cm.m))), 4) AS cos
+        |   FROM e, cm
+        |   GROUP BY e.vec_id, e.label, cm.clabel),
+        | best AS (SELECT vec_id, label, clabel FROM (
+        |     SELECT vec_id, label, clabel,
+        |       row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+        |     FROM p) WHERE rn = 1)
+        | SELECT label, count(*) AS n_vectors,
+        |   CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |   round(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+        |     AS accuracy
+        | FROM best GROUP BY label ORDER BY label""".stripMargin,
     "embed_label_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS i,
         |   round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m,

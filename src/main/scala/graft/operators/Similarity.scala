@@ -385,6 +385,36 @@ object Similarity {
       .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("n_vectors"))
       .orderBy(group, "i")
 
+  /** Nearest-centroid label classification — the embedding-quality
+    * probe (a good representation separates labels; near-random
+    * accuracy means label structure is absent — the honest reading for
+    * the synthetic gaussian corpus): every vector ranks the broadcast
+    * per-label centroids by rounded cosine (label-id tiebreak) and the
+    * per-label accuracy is one aggregate over the argmax. Centroids
+    * come from the whole corpus (self included) — the non-LOO reduction
+    * of "apply a trained classifier", as with
+    * [[graft.operators.Classify.nbLangScores]].
+    */
+  def centroidClassify(emb: DataFrame): DataFrame = {
+    val cents = groupCentroids(emb, "label")
+      .groupBy(col("label").as("clabel"))
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ps"))
+      .select(col("clabel"), expr("transform(ps, p -> p.m)").as("c"))
+    val scored = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", cosine(col("embedding"), col("c")))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), col("clabel"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("clabel") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy", round(col("n_correct") / col("n_vectors"), 4))
+      .select("label", "n_vectors", "n_correct", "accuracy")
+      .orderBy("label")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication", 2023): cluster the corpus with the k-means coarse

@@ -34,6 +34,19 @@ class SimilaritySpec extends SparkSpec {
     assert(top.toSeq == Seq((1, 1L, 1.0), (2, 3L, 0.7071), (3, 2L, 0.0), (4, 4L, -1.0)))
   }
 
+  test("centroidClassify: separable label clusters score perfect accuracy") {
+    val e = emb(
+      (0L, Seq(1f, 0.1f, 0f, 0f), 0),
+      (1L, Seq(1f, -0.1f, 0f, 0f), 0),
+      (2L, Seq(0.1f, 1f, 0f, 0f), 1),
+      (3L, Seq(-0.1f, 1f, 0f, 0f), 1))
+    val r = Similarity.centroidClassify(e).collect()
+      .map(x => x.getAs[Int]("label") ->
+        (x.getAs[Long]("n_vectors"), x.getAs[Double]("accuracy"))).toMap
+    assert(r(0) == ((2L, 1.0)))
+    assert(r(1) == ((2L, 1.0)))
+  }
+
   test("multi-probe IVF: nprobe=1 equals single-probe, nprobe=2 never loses recall") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     def keyset(df: org.apache.spark.sql.DataFrame) = df
