@@ -36,4 +36,12 @@ class OracleCoverageSpec extends AnyFunSuite {
     assert(orphans.isEmpty,
       s"oracle entries with no matching query: ${orphans.toSeq.sorted.mkString(", ")}")
   }
+
+  test("every bench headline name resolves to a registered query") {
+    // Bench filters headline through the query map, so a typo would
+    // silently DROP the entry from the perf gate instead of failing
+    val unknown = Bench.headline.toSet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty,
+      s"bench headline entries with no matching query: ${unknown.toSeq.sorted.mkString(", ")}")
+  }
 }
