@@ -583,6 +583,9 @@ object ExtQueries {
     "text_nb_confusion" -> ((s, d) => Classify.nbConfusion(docs(s, d))),
     // trending: top event types per hour
     "events_hourly_top" -> ((s, d) => EventsOps.hourlyTopTypes(ev(s, d))),
+    // CUSUM burst monitor: exact integer recursion via the custom
+    // running-window aggregate; alarms on sustained rate shifts
+    "events_cusum" -> ((s, d) => EventsOps.cusumBursts(ev(s, d))),
     // DAU decomposition: new / returning / resurrected per day
     "events_growth" -> ((s, d) => EventsOps.growthAccounting(ev(s, d))),
     // L28 power-user curve: users histogrammed by trailing-28d active days
@@ -2950,6 +2953,27 @@ object ExtQueries {
         |   FROM d WINDOW wu AS (PARTITION BY user_id ORDER BY day))
         | SELECT day, status, count(*) AS n_users
         | FROM c GROUP BY day, status ORDER BY day, status""".stripMargin,
+    // CUSUM replayed as a recursive CTE — bit-exact integer recursion
+    "events_cusum" ->
+      """WITH RECURSIVE h AS (
+        |   SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
+        |   FROM events GROUP BY date_trunc('hour', ts), event_type),
+        | kt AS (SELECT event_type,
+        |     (CAST(sum(n_events) AS BIGINT) + count(*) - 1) // count(*) + 2 AS k
+        |   FROM h GROUP BY event_type),
+        | hr AS (SELECT h.event_type, h.hour, h.n_events, kt.k,
+        |     row_number() OVER (PARTITION BY h.event_type ORDER BY h.hour) AS rn
+        |   FROM h JOIN kt USING (event_type)),
+        | rec AS (
+        |   SELECT event_type, hour, n_events, k, rn,
+        |     greatest(CAST(0 AS BIGINT), n_events - k) AS s
+        |   FROM hr WHERE rn = 1
+        |   UNION ALL
+        |   SELECT hr.event_type, hr.hour, hr.n_events, hr.k, hr.rn,
+        |     greatest(CAST(0 AS BIGINT), rec.s + hr.n_events - hr.k)
+        |   FROM hr JOIN rec ON hr.event_type = rec.event_type AND hr.rn = rec.rn + 1)
+        | SELECT event_type, hour, n_events, k, s AS cusum, s >= 3 * k AS alarm
+        | FROM rec ORDER BY event_type, hour""".stripMargin,
     "events_hourly_top" ->
       """WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
         |           FROM events GROUP BY date_trunc('hour', ts), event_type),

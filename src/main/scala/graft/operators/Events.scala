@@ -134,6 +134,39 @@ object EventsOps {
       .orderBy("hour", "event_type")
   }
 
+  /** CUSUM burst detection over hourly event counts — the sequential
+    * changepoint monitor ([[graft.functions.Cusum]]): per type,
+    * s_t = max(0, s_{t-1} + (n_t − k)) with reference
+    * k = ⌈mean hourly count⌉ + 2 (exact integer division), alarm when
+    * s ≥ 3k. A sustained rate shift accumulates across hours and
+    * alarms long before any single hour would z-flag — the
+    * complementary detector to [[hourlyAnomaly]]'s pointwise z-score.
+    *
+    * All arithmetic is exact LongType (no rounding contract at all);
+    * the per-type k folds into the aggregate's CHILD (x − k with
+    * reference 0), so one Cusum instance serves every type. The
+    * recursion runs over OBSERVED hours only (absent hours neither
+    * accumulate nor reset); a production monitor would calendar-
+    * reindex first — the [[Resample.ffillCalendar]] shape. Window
+    * input is hours-per-horizon rows per type, never raw events.
+    */
+  def cusumBursts(events: DataFrame): DataFrame = {
+    val hourlyCounts = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val kTab = hourlyCounts.groupBy("event_type")
+      .agg(expr("(sum(n_events) + count(*) - 1) div count(*)").as("kbase"))
+      .select(col("event_type"), (col("kbase") + lit(2L)).as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour")
+    hourlyCounts.join(broadcast(kTab), "event_type")
+      .withColumn("cusum",
+        graft.functions.Cusum.cusum(col("n_events") - col("k"), 0L).over(w))
+      .withColumn("alarm", col("cusum") >= lit(3L) * col("k"))
+      .select("event_type", "hour", "n_events", "k", "cusum", "alarm")
+      .orderBy("event_type", "hour")
+  }
+
   /** DAU / trailing-7-day WAU / stickiness. WAU is computed EXACTLY by
     * exploding each (user, active-day) into its 7 contribution days and
     * re-distincting — linear in active-user-days × 7, no distinct-over-
