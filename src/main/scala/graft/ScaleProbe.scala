@@ -35,6 +35,21 @@ object ScaleProbe {
           .as("text"))
     }.reduce(_ unionByName _)
 
+  /** Events replicas: distinct user spaces per replica (so per-key
+    * distributions replicate instead of hot keys inflating ×N) with
+    * event ids offset; timestamps unchanged — the hourly grid stays
+    * calendar-bounded, each hour just carries ×N the rows, which is
+    * exactly how a bigger deployment looks.
+    */
+  def replicateEvents(ev: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      ev.select(
+        (col("event_id") + lit(r * 100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(r * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+
   def replicateEmb(emb: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { r =>
       emb.select(
@@ -68,6 +83,8 @@ object ScaleProbe {
       .repartition(cpus.toInt).localCheckpoint()
     val emb = replicateEmb(
       Tables.embeddings(spark, sfDir), factor)
+      .repartition(cpus.toInt).localCheckpoint()
+    lazy val events = replicateEvents(Tables.events(spark, sfDir), factor)
       .repartition(cpus.toInt).localCheckpoint()
     System.err.println(s"[probe] docs=${docs.count()} emb=${emb.count()} factor=$factor")
 
@@ -122,7 +139,13 @@ object ScaleProbe {
         Classify.nbLangScores(docs.withColumn("lang",
           concat(lit("l"), pmod(col("doc_id"), lit(5))))) },
       time("text_phrase_search") { TextOps.phraseSearch(docs, 5) },
-      time("embed_pca_power") { Similarity.pcaPowerTop(emb) }).flatten
+      time("embed_pca_power") { Similarity.pcaPowerTop(emb) },
+      // events family: linear aggregation shapes over replicated users
+      time("skew_key_stats") { graft.operators.Skew.keySkewStats(events) },
+      time("sketch_cms_join_size") {
+        graft.operators.Sketch.cmsSelfJoinSize(events) },
+      time("events_cusum") {
+        graft.operators.EventsOps.cusumBursts(events) }).flatten
 
     val qj = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","queries":$qj}""")
