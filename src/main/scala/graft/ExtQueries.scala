@@ -30,6 +30,9 @@ object ExtQueries {
   /** Replay-drop directory for the streaming histogram query. */
   private lazy val histReplayDir: String = TempDirs.create("graft_hist_replay")
 
+  /** Replay-drop directory for the streaming CUSUM query. */
+  private lazy val cusumReplayDir: String = TempDirs.create("graft_cusum_replay")
+
   /** One JSONL export directory per JVM (the jsonl_export_roundtrip
     * side effect), registered for exit cleanup.
     */
@@ -1040,6 +1043,26 @@ object ExtQueries {
         staticDocs = Some(all.select("doc_id", "text")))
     }),
 
+    // streaming CUSUM replay: k calibrated batch-side (the production
+    // shape), per-type recursion state carried across three day-cut
+    // micro-batches; shares events_cusum's recursive-CTE oracle
+    // verbatim. SIDE EFFECT: temp-dir drops.
+    "stream_cusum_replay" -> ((s, d) => {
+      val dir = cusumReplayDir
+      val ev3 = ev(s, d)
+      val cut1 = lit("2024-01-11").cast("timestamp")
+      val cut2 = lit("2024-01-21").cast("timestamp")
+      ev3.filter(col("ts") < cut1).coalesce(1)
+        .write.mode("overwrite").parquet(dir + "/batch=a")
+      ev3.filter(col("ts") >= cut1 && col("ts") < cut2).coalesce(1)
+        .write.mode("overwrite").parquet(dir + "/batch=b")
+      ev3.filter(col("ts") >= cut2).coalesce(1)
+        .write.mode("overwrite").parquet(dir + "/batch=c")
+      graft.streaming.IndicatorStream.stampDropOrder(dir, Seq("a", "b", "c"))
+      graft.streaming.CusumStream.runReplay(s, dir + "/batch=*",
+        graft.streaming.CusumStream.calibrateK(ev3), "stream_cusum_tbl")
+    }),
+
     // streaming histogram replay: three lineitem drops → micro-batched
     // register accumulation; the final state is fed through the SAME
     // quantile walk as the batch sketch and shares its oracle SQL —
@@ -1378,6 +1401,31 @@ object ExtQueries {
       | n2 AS (SELECT round(sqrt(CAST(SUM(CAST(round(wi * wi, 10) AS DECIMAL(20,10)))
       |     AS DOUBLE)), 8) AS nrm FROM w2),
       | v2 AS (SELECT i AS j, round(wi / (SELECT nrm FROM n2), 8) + 0.0 AS vj FROM w2)""".stripMargin
+
+  /** The CUSUM oracle: hourly counts → per-type k = ⌈mean⌉+2 →
+    * the recursion unrolled as a recursive CTE. Shared verbatim by the
+    * batch query and the streaming replay.
+    */
+  private lazy val eventsCusumOracle: String =
+    """WITH RECURSIVE h AS (
+      |   SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
+      |   FROM events GROUP BY date_trunc('hour', ts), event_type),
+      | kt AS (SELECT event_type,
+      |     (CAST(sum(n_events) AS BIGINT) + count(*) - 1) // count(*) + 2 AS k
+      |   FROM h GROUP BY event_type),
+      | hr AS (SELECT h.event_type, h.hour, h.n_events, kt.k,
+      |     row_number() OVER (PARTITION BY h.event_type ORDER BY h.hour) AS rn
+      |   FROM h JOIN kt USING (event_type)),
+      | rec AS (
+      |   SELECT event_type, hour, n_events, k, rn,
+      |     greatest(CAST(0 AS BIGINT), n_events - k) AS s
+      |   FROM hr WHERE rn = 1
+      |   UNION ALL
+      |   SELECT hr.event_type, hr.hour, hr.n_events, hr.k, hr.rn,
+      |     greatest(CAST(0 AS BIGINT), rec.s + hr.n_events - hr.k)
+      |   FROM hr JOIN rec ON hr.event_type = rec.event_type AND hr.rn = rec.rn + 1)
+      | SELECT event_type, hour, n_events, k, s AS cusum, s >= 3 * k AS alarm
+      | FROM rec ORDER BY event_type, hour""".stripMargin
 
   /** The log-bucket histogram quantile oracle — direct global
     * histogram + exact-integer rank walk + quantile_cont twin. Shared
@@ -2953,27 +3001,12 @@ object ExtQueries {
         |   FROM d WINDOW wu AS (PARTITION BY user_id ORDER BY day))
         | SELECT day, status, count(*) AS n_users
         | FROM c GROUP BY day, status ORDER BY day, status""".stripMargin,
+    // the streaming replay shares the batch oracle verbatim (k is
+    // calibrated with the identical formula; day-cut drops keep every
+    // hour inside one micro-batch)
+    "stream_cusum_replay" -> eventsCusumOracle,
     // CUSUM replayed as a recursive CTE — bit-exact integer recursion
-    "events_cusum" ->
-      """WITH RECURSIVE h AS (
-        |   SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
-        |   FROM events GROUP BY date_trunc('hour', ts), event_type),
-        | kt AS (SELECT event_type,
-        |     (CAST(sum(n_events) AS BIGINT) + count(*) - 1) // count(*) + 2 AS k
-        |   FROM h GROUP BY event_type),
-        | hr AS (SELECT h.event_type, h.hour, h.n_events, kt.k,
-        |     row_number() OVER (PARTITION BY h.event_type ORDER BY h.hour) AS rn
-        |   FROM h JOIN kt USING (event_type)),
-        | rec AS (
-        |   SELECT event_type, hour, n_events, k, rn,
-        |     greatest(CAST(0 AS BIGINT), n_events - k) AS s
-        |   FROM hr WHERE rn = 1
-        |   UNION ALL
-        |   SELECT hr.event_type, hr.hour, hr.n_events, hr.k, hr.rn,
-        |     greatest(CAST(0 AS BIGINT), rec.s + hr.n_events - hr.k)
-        |   FROM hr JOIN rec ON hr.event_type = rec.event_type AND hr.rn = rec.rn + 1)
-        | SELECT event_type, hour, n_events, k, s AS cusum, s >= 3 * k AS alarm
-        | FROM rec ORDER BY event_type, hour""".stripMargin,
+    "events_cusum" -> eventsCusumOracle,
     "events_hourly_top" ->
       """WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
         |           FROM events GROUP BY date_trunc('hour', ts), event_type),

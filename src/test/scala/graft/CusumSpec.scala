@@ -43,6 +43,30 @@ class CusumSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("order-sensitive"))
   }
 
+  test("streaming replay carries per-type state across drops ≡ batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (0 until 10).flatMap(h => Seq.fill(10)(h)) ++
+      (10 until 16).flatMap(h => Seq.fill(40)(h))
+    val ev = rows.zipWithIndex.map { case (h, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00"),
+        1L, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("cusum_stream").toString
+    // hour-aligned cut: the burst run starts mid-stream in drop b
+    ev.filter(hour(col("ts")) < 8).coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/batch=a")
+    ev.filter(hour(col("ts")) >= 8).coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/batch=b")
+    graft.streaming.IndicatorStream.stampDropOrder(dir, Seq("a", "b"))
+    val streamed = graft.streaming.CusumStream.runReplay(spark, dir + "/batch=*",
+      graft.streaming.CusumStream.calibrateK(ev), "cusum_stream_spec")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.EventsOps.cusumBursts(ev)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("cusumBursts alarms on a sustained shift, not a single spike") {
     val spark2 = spark
     import spark2.implicits._
