@@ -340,6 +340,23 @@ object ExtQueries {
     // embedding-quality probe: nearest-centroid label accuracy
     "embed_centroid_accuracy" -> ((s, d) =>
       Similarity.centroidClassify(emb(s, d))),
+    // the ANN tuning artifact: recall@3 vs brute force at nprobe
+    // 1/2/4 — the curve an operator reads before picking probe count
+    "embed_probe_recall_curve" -> ((s, d) => {
+      val e = emb(s, d)
+      val bf = Similarity.bruteForceTopK(e, 10, 3)
+        .select(col("qid"), col("vec_id")).withColumn("hit", lit(1L))
+      val runs = Seq(1, 2, 4).map { np =>
+        Similarity.ivfMultiProbeTopK(e, 10, 3, 8, 2, np)
+          .select(lit(np).as("nprobe"), col("qid"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      runs.join(bf, Seq("qid", "vec_id"), "left")
+        .groupBy("nprobe")
+        .agg(count(lit(1)).as("n_returned"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall_at_3", round(col("n_hits") / lit(30.0), 4))
+        .orderBy("nprobe")
+    }),
 
     // ANN index observability: IVF cell population balance (imbalance
     // = cell size / mean cell size) off the cached quantizer
@@ -2435,6 +2452,46 @@ object ExtQueries {
          |       FROM p)
          | SELECT qid, cell, rnk, vec_id, cos FROM r WHERE rnk <= 3
          | ORDER BY qid, rnk""".stripMargin,
+    // recall curve: the multiprobe chain per nprobe ∈ {1,2,4} vs the
+    // brute-force top-3 ground truth
+    "embed_probe_recall_curve" ->
+      s"""$kmeansCte,
+         | qp AS (SELECT vec_id AS qid, cell, rn FROM (
+         |          SELECT vec_id, cell,
+         |            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |          FROM d2 WHERE vec_id < 10) WHERE rn <= 4),
+         | nps(np) AS (VALUES (1), (2), (4)),
+         | qe AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         | wc AS (SELECT emb.vec_id, emb.embedding, a2.cell
+         |        FROM embeddings emb JOIN a2 USING (vec_id)),
+         | cand AS (SELECT nps.np, qp.qid, qp.cell FROM nps, qp WHERE qp.rn <= nps.np),
+         | p AS (SELECT cand.np, cand.qid, wc.vec_id,
+         |         round(SUM(CAST(qe.qe[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)) /
+         |           (sqrt(SUM(CAST(qe.qe[i] AS DOUBLE) * CAST(qe.qe[i] AS DOUBLE))) *
+         |            sqrt(SUM(CAST(wc.embedding[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)))), 4) AS cos
+         |       FROM cand JOIN qe USING (qid)
+         |            JOIN wc ON wc.cell = cand.cell AND wc.vec_id <> cand.qid,
+         |            UNNEST(range(1, 65)) t(i)
+         |       GROUP BY cand.np, cand.qid, wc.vec_id),
+         | r AS (SELECT np, qid, vec_id,
+         |         row_number() OVER (PARTITION BY np, qid ORDER BY cos DESC, vec_id) AS rnk
+         |       FROM p),
+         | topk AS (SELECT np, qid, vec_id FROM r WHERE rnk <= 3),
+         | bfp AS (SELECT q.qid, e2.vec_id,
+         |         round(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)) /
+         |           (sqrt(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) *
+         |            sqrt(SUM(CAST(e2.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))), 4) AS cos
+         |       FROM qe q, embeddings e2, UNNEST(range(1, 65)) t(i)
+         |       WHERE q.qid <> e2.vec_id GROUP BY q.qid, e2.vec_id),
+         | bf AS (SELECT qid, vec_id FROM (
+         |          SELECT qid, vec_id,
+         |            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |          FROM bfp) WHERE rnk <= 3)
+         | SELECT t.np AS nprobe, count(*) AS n_returned,
+         |   CAST(sum(CASE WHEN bf.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |   round(sum(CASE WHEN bf.qid IS NOT NULL THEN 1 ELSE 0 END) / 30.0, 4) AS recall_at_3
+         | FROM topk t LEFT JOIN bf ON bf.qid = t.qid AND bf.vec_id = t.vec_id
+         | GROUP BY t.np ORDER BY nprobe""".stripMargin,
     // multi-probe: probe cells = top-2 by the SAME rounded L2 (d2) the
     // assignment used; candidates join a2 on cell
     "embed_ivf_multiprobe" ->

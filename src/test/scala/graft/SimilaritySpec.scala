@@ -34,6 +34,16 @@ class SimilaritySpec extends SparkSpec {
     assert(top.toSeq == Seq((1, 1L, 1.0), (2, 3L, 0.7071), (3, 2L, 0.0), (4, 4L, -1.0)))
   }
 
+  test("probe recall is monotone in nprobe on the real fixture") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bf = Similarity.bruteForceTopK(e, 10, 3).select("qid", "vec_id")
+    def hits(np: Int): Long =
+      bf.join(Similarity.ivfMultiProbeTopK(e, 10, 3, 8, 2, np)
+        .select("qid", "vec_id"), Seq("qid", "vec_id")).count()
+    val h = Seq(1, 2, 4).map(hits)
+    assert(h == h.sorted, s"recall not monotone: $h")
+  }
+
   test("centroidClassify: separable label clusters score perfect accuracy") {
     val e = emb(
       (0L, Seq(1f, 0.1f, 0f, 0f), 0),
