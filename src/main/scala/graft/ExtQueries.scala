@@ -632,6 +632,11 @@ object ExtQueries {
     // oracle histograms the table directly → hash proves the merge
     "sketch_hist_quantiles" -> ((s, d) =>
       Sketch.logHistQuantiles(Tables.lineitem(s, d))),
+    // rel_err diagnostic twin: the same register walk PLUS the exact
+    // quantile_cont pass — validation only, kept out of the benched
+    // production query (the exact pass would dominate at 100×)
+    "sketch_hist_rel_err" -> ((s, d) =>
+      Sketch.logHistQuantilesRelErr(Tables.lineitem(s, d))),
     // CMS inner-product estimate of the events user_id self-join size
     // (the sessionization pair-explosion pre-flight); est ≥ exact
     "sketch_cms_join_size" -> ((s, d) => Sketch.cmsSelfJoinSize(ev(s, d))),
@@ -1097,8 +1102,7 @@ object ExtQueries {
       }
       val name = graft.streaming.SketchStream.runBounded(
         s, dir + "/drop=*", "stream_hist_tbl")
-      Sketch.quantilesFromRegisters(s.table(name),
-        Sketch.centsBase(li.select("l_extendedprice", "l_returnflag")))
+      Sketch.quantilesFromRegisters(s.table(name))
     }),
 
     // APPEND-mode streaming hourly replay: every window emits exactly
@@ -1408,7 +1412,8 @@ object ExtQueries {
       |   FROM cov JOIN v0 ON v0.j = cov.j GROUP BY cov.i),
       | n1 AS (SELECT round(sqrt(CAST(SUM(CAST(round(wi * wi, 10) AS DECIMAL(20,10)))
       |     AS DOUBLE)), 8) AS nrm FROM w1),
-      | v1 AS (SELECT i AS j, round(wi / (SELECT nrm FROM n1), 8) + 0.0 AS vj FROM w1),
+      | v1 AS (SELECT i AS j, CASE WHEN (SELECT nrm FROM n1) <> 0
+      |     THEN round(wi / (SELECT nrm FROM n1), 8) + 0.0 ELSE 0.0 END AS vj FROM w1),
       | w2 AS MATERIALIZED (SELECT cov.i,
       |     CAST(SUM(CAST(round(cov.c * v1.vj, 10) AS DECIMAL(20,10))) AS DOUBLE) AS wi
       |   FROM cov JOIN v1 ON v1.j = cov.j GROUP BY cov.i),
@@ -1417,7 +1422,8 @@ object ExtQueries {
       |   FROM v1 JOIN w2 ON w2.i = v1.j),
       | n2 AS (SELECT round(sqrt(CAST(SUM(CAST(round(wi * wi, 10) AS DECIMAL(20,10)))
       |     AS DOUBLE)), 8) AS nrm FROM w2),
-      | v2 AS (SELECT i AS j, round(wi / (SELECT nrm FROM n2), 8) + 0.0 AS vj FROM w2)""".stripMargin
+      | v2 AS (SELECT i AS j, CASE WHEN (SELECT nrm FROM n2) <> 0
+      |     THEN round(wi / (SELECT nrm FROM n2), 8) + 0.0 ELSE 0.0 END AS vj FROM w2)""".stripMargin
 
   /** The CUSUM oracle: hourly counts → per-type k = ⌈mean⌉+2 →
     * the recursion unrolled as a recursive CTE. Shared verbatim by the
@@ -1451,10 +1457,16 @@ object ExtQueries {
     * micro-batches): a hash match against either proves that
     * construction collapses to this direct histogram.
     */
-  private lazy val histQuantilesOracle: String =
+  /** The shared register build + rank walk: registers only, no exact
+    * pass — the production sketch path. The filter runs on the integer
+    * cents carrier (not the raw double) so a price in (0, 0.005) is
+    * dropped by BOTH engines identically.
+    */
+  private lazy val histRegistersCte: String =
     """WITH base AS (
       |   SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-      |   FROM lineitem WHERE l_extendedprice > 0),
+      |   FROM lineitem
+      |   WHERE CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) > 0),
       | b AS (SELECT cents,
       |     greatest(CAST(length(bin(cents)) AS INTEGER) - 1 - 4, 0) AS sh
       |   FROM base),
@@ -1464,7 +1476,23 @@ object ExtQueries {
       | pct(idx, p_num, p_den) AS (VALUES (1, 1, 2), (2, 9, 10), (3, 99, 100), (4, 999, 1000)),
       | rk AS (SELECT idx, CAST(p_num AS BIGINT) AS p_num, CAST(p_den AS BIGINT) AS p_den,
       |     (p_num * n + p_den - 1) // p_den AS target_rank FROM pct, tot),
-      | cum AS (SELECT lo, sh, cnt, sum(cnt) OVER (ORDER BY lo) AS cum FROM hist),
+      | cum AS (SELECT lo, sh, cnt, sum(cnt) OVER (ORDER BY lo) AS cum FROM hist)""".stripMargin
+
+  private lazy val histQuantilesOracle: String =
+    s"""$histRegistersCte
+      | SELECT r.p_num, r.p_den, CAST(r.target_rank AS BIGINT) AS target_rank,
+      |   c.lo AS bucket_lo_cents,
+      |   (CAST(1 AS BIGINT) << c.sh) AS bucket_width_cents,
+      |   round(c.lo / 100.0, 2) AS est_price
+      | FROM cum c JOIN rk r ON c.cum >= r.target_rank AND c.cum - c.cnt < r.target_rank
+      | ORDER BY target_rank""".stripMargin
+
+  /** The rel_err diagnostic twin: the same walk plus the quantile_cont
+    * exact answer — validation only, never the benched production path
+    * (the exact pass scans the base data and would dominate at 100×).
+    */
+  private lazy val histRelErrOracle: String =
+    s"""$histRegistersCte,
       | ex AS (SELECT unnest(qs) AS pc, unnest(range(1, 5)) AS idx
       |   FROM (SELECT quantile_cont(cents, [0.5, 0.9, 0.99, 0.999]) AS qs FROM base))
       | SELECT r.p_num, r.p_den, CAST(r.target_rank AS BIGINT) AS target_rank,
@@ -2241,7 +2269,8 @@ object ExtQueries {
          |   FROM px GROUP BY vec_id)
          | SELECT vec_id, round(sqrt(sq), 6) AS orig_norm,
          |   round(sqrt(greatest(sq - d * d, 0.0)), 6) AS post_norm,
-         |   round(d * d / sq, 6) + 0.0 AS removed_frac
+         |   CASE WHEN sq <> 0 THEN round(d * d / sq, 6) + 0.0
+         |        ELSE 0.0 END AS removed_frac
          | FROM agg ORDER BY vec_id""".stripMargin,
     "embed_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
@@ -3008,6 +3037,7 @@ object ExtQueries {
     // Ranks are exact integers ((num·n+den−1)//den); the quantile_cont
     // twin follows the events_percentiles precedent
     "sketch_hist_quantiles" -> histQuantilesOracle,
+    "sketch_hist_rel_err" -> histRelErrOracle,
     // the streaming replay accumulates the same registers across
     // micro-batches, so it shares the batch oracle verbatim
     "stream_hist_replay" -> histQuantilesOracle,

@@ -298,9 +298,10 @@ object Similarity {
     */
   def ivfMultiProbeTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
       cells: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    require(iters >= 2, "multi-probe IVF needs trained centroids (iters >= 2)")
     val (assignedRaw, centOpt) = kmeansAssignInternal(emb, cells, iters)
     val assigned = assignedRaw.select("vec_id", "cell").localCheckpoint()
-    val centroids = centOpt.get // iters >= 2 always trains one update
+    val centroids = centOpt.get // guaranteed by the require above
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         toDouble(col("embedding")).as("qv"))
@@ -840,14 +841,19 @@ object Similarity {
       .withColumn("t", round(col("c") * col("vj"), 10).cast("decimal(20,10)"))
       .groupBy("i").agg(sum("t").cast("double").as("wi"))
     // normalize w -> unit v (rounded 8; "+ 0.0" kills -0.0 — the
-    // cross-engine signed-zero trap); norm crossJoins as one row
+    // cross-engine signed-zero trap); norm crossJoins as one row. A
+    // zero-variance corpus gives nrm = 0 — guard the quotient to 0.0
+    // (null under default Spark, exception under ANSI) rather than
+    // propagating a degenerate division
     def normalize(w: DataFrame): DataFrame = {
       val norm = w.agg(
         round(sqrt(sum(round(col("wi") * col("wi"), 10)
           .cast("decimal(20,10)")).cast("double")), 8).as("nrm"))
       w.crossJoin(broadcast(norm))
         .select(col("i").as("j"),
-          (round(col("wi") / col("nrm"), 8) + lit(0.0)).as("vj"))
+          when(col("nrm") =!= 0.0,
+            round(col("wi") / col("nrm"), 8) + lit(0.0))
+            .otherwise(lit(0.0)).as("vj"))
     }
     val v0 = spark.range(64).select(col("id").cast("int").as("j"),
       lit(0.125).as("vj"))
@@ -892,7 +898,12 @@ object Similarity {
       .withColumn("post_norm",
         round(sqrt(greatest(col("sq") - col("d") * col("d"), lit(0.0))), 6))
       .withColumn("removed_frac",
-        (round(col("d") * col("d") / col("sq"), 6) + lit(0.0)))
+        // sq = 0 iff the vector equals the per-dimension means after
+        // 8dp rounding — guard the quotient (null under default
+        // Spark, exception under ANSI) to 0.0, mirrored in the oracle
+        when(col("sq") =!= 0.0,
+          round(col("d") * col("d") / col("sq"), 6) + lit(0.0))
+          .otherwise(lit(0.0)))
       .select("vec_id", "orig_norm", "post_norm", "removed_frac")
       .orderBy("vec_id")
   }

@@ -186,6 +186,7 @@ object Sink {
     */
   def writeIvfIndex(emb: DataFrame, dir: String, cells: Int = 8,
       iters: Int = 2): Unit = {
+    require(iters >= 2, "a stored IVF index needs trained centroids (iters >= 2)")
     val (assigned, centOpt) = Similarity.kmeansAssignInternal(emb, cells, iters)
     assigned.select("vec_id", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignment")

@@ -335,7 +335,21 @@ object Sketch {
     val partials = bucketize(base, subBits)
       .groupBy("g", "lo", "sh").agg(count(lit(1)).as("cnt"))
     val merged = partials.groupBy("lo", "sh").agg(sum("cnt").as("cnt"))
-    quantilesFromRegisters(merged, base)
+    quantilesFromRegisters(merged)
+  }
+
+  /** Diagnostic twin of [[logHistQuantiles]]: the same register walk
+    * PLUS the `quantile_cont` exact answer and its relative error —
+    * validation only. The exact `percentile` pass scans the full base
+    * data, which at 100× would dominate the register walk, so it lives
+    * in its own query and NEVER rides the benched production path.
+    */
+  def logHistQuantilesRelErr(li: DataFrame, subBits: Int = 4): DataFrame = {
+    val base = centsBase(li)
+    val partials = bucketize(base, subBits)
+      .groupBy("g", "lo", "sh").agg(count(lit(1)).as("cnt"))
+    val merged = partials.groupBy("lo", "sh").agg(sum("cnt").as("cnt"))
+    quantilesWithRelErr(merged, base)
   }
 
   /** (g, cents) projection of lineitem — the exact-integer carrier both
@@ -358,11 +372,45 @@ object Sketch {
 
   /** The quantile walk over an already-built register file (lo, sh,
     * cnt) — shared by the batch merge and the streaming replay, which
-    * accumulates the same registers across micro-batches. `base`
-    * supplies the quantile_cont verification twin only.
+    * accumulates the same registers across micro-batches. Registers
+    * only: the production path never touches the base data.
     */
-  private[graft] def quantilesFromRegisters(merged: DataFrame,
+  private[graft] def quantilesFromRegisters(merged: DataFrame): DataFrame =
+    quantileWalk(merged)
+      .select(col("p_num"), col("p_den"), col("target_rank"),
+        col("lo").as("bucket_lo_cents"),
+        expr("shiftleft(CAST(1 AS BIGINT), sh)").as("bucket_width_cents"),
+        col("est_price"))
+      .orderBy("target_rank")
+
+  /** [[quantilesFromRegisters]] plus the `quantile_cont` exact twin
+    * from `base` and the relative error — the validation shape only
+    * (the exact `percentile` scans the base data, so at scale this is
+    * a diagnostic, never the serving path).
+    */
+  private[graft] def quantilesWithRelErr(merged: DataFrame,
       base: DataFrame): DataFrame = {
+    val exact = base.agg(
+        expr("percentile(cents, array(0.5, 0.9, 0.99, 0.999))").as("qs"))
+      .select(posexplode(col("qs")).as(Seq("pos", "pc")))
+      .withColumn("idx", col("pos") + 1)
+    quantileWalk(merged)
+      .join(broadcast(exact), "idx")
+      .withColumn("exact_price", round(col("pc") / lit(100), 6))
+      .withColumn("rel_err",
+        round((col("exact_price") - col("est_price")) / col("exact_price"), 4))
+      .select(col("p_num"), col("p_den"), col("target_rank"),
+        col("lo").as("bucket_lo_cents"),
+        expr("shiftleft(CAST(1 AS BIGINT), sh)").as("bucket_width_cents"),
+        col("est_price"), col("exact_price"), col("rel_err"))
+      .orderBy("target_rank")
+  }
+
+  /** Rank targets + cumulative-register bucket lookup shared by the
+    * sketch-only walk and its rel_err diagnostic twin. Carries idx for
+    * the twin's exact-quantile join.
+    */
+  private def quantileWalk(merged: DataFrame): DataFrame = {
     val spark = merged.sparkSession
     import spark.implicits._
     val tot = merged.agg(sum("cnt").as("n"))
@@ -373,23 +421,10 @@ object Sketch {
         expr("(p_num * n + p_den - 1) div p_den"))
     val wcum = Window.orderBy("lo") // register-file-sized frame only
     val cum = merged.withColumn("cum", sum("cnt").over(wcum))
-    val exact = base.agg(
-        expr("percentile(cents, array(0.5, 0.9, 0.99, 0.999))").as("qs"))
-      .select(posexplode(col("qs")).as(Seq("pos", "pc")))
-      .withColumn("idx", col("pos") + 1)
     cum
       .join(broadcast(ranks), col("cum") >= col("target_rank") &&
         col("cum") - col("cnt") < col("target_rank"))
-      .join(broadcast(exact), "idx")
       .withColumn("est_price", round(col("lo") / lit(100.0), 2))
-      .withColumn("exact_price", round(col("pc") / lit(100), 6))
-      .withColumn("rel_err",
-        round((col("exact_price") - col("est_price")) / col("exact_price"), 4))
-      .select(col("p_num"), col("p_den"), col("target_rank"),
-        col("lo").as("bucket_lo_cents"),
-        expr("shiftleft(CAST(1 AS BIGINT), sh)").as("bucket_width_cents"),
-        col("est_price"), col("exact_price"), col("rel_err"))
-      .orderBy("target_rank")
   }
 
   /** Grouped log-bucket quantile estimates — [[logHistQuantiles]]

@@ -29,7 +29,7 @@ class SketchHistSpec extends SparkSpec {
     // 10k smooth prices -> lg=13, sh=9: bucket width 512 cents over
     // values >= 10000 cents, so est <= true < est*(1+2^-4).
     val d = li((0 until 10000).map(i => ("A", 100.0 + i / 100.0)): _*)
-    val rows = Sketch.logHistQuantiles(d).collect()
+    val rows = Sketch.logHistQuantilesRelErr(d).collect()
     assert(rows.length == 4)
     rows.foreach { r =>
       val err = r.getAs[Double]("rel_err")
