@@ -260,6 +260,11 @@ object ExtQueries {
     // exact repeated-substring spans (Lee et al. 2022 granularity):
     // maximal word runs whose every 8-gram appears in ≥2 distinct docs
     "dedup_substring_spans" -> ((s, d) => Dedup.substringSpans(docs(s, d), 8, 2)),
+    // suffix-array longest-repeated-substring (bucketed suffix sort +
+    // adjacent LCP): per doc, the longest word-span occurring ≥2 times
+    // anywhere in the corpus — catches long verbatim repeats below the
+    // shingle-Jaccard radar
+    "dedup_suffix_repeats" -> ((s, d) => Dedup.suffixRepeats(docs(s, d), 5, 20)),
     // pairs → connected components → keeper per cluster (the step that
     // turns pair lists into an actually-deduplicated corpus)
     "dedup_clusters" -> ((s, d) => {
@@ -2075,6 +2080,41 @@ object ExtQueries {
         |        FROM isl GROUP BY doc_id, k)
         | SELECT doc_id, span_start, span_end, dup_grams FROM sp
         | ORDER BY doc_id, span_start""".stripMargin,
+    // bucketed suffix sort + adjacent-LCP longest-repeated-substring:
+    // LCP = count of k with equal k-prefixes (monotone), rep_len =
+    // max(LCP prev, LCP next) — exact integers end to end
+    "dedup_suffix_repeats" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | sfx AS (SELECT doc_id, CAST(p AS INTEGER) AS pos, ws[p:least(p+19, len(ws))] AS sw
+        |         FROM w, UNNEST(range(1, len(ws)+1)) AS t(p)
+        |         WHERE len(ws) - p + 1 >= 5),
+        | b AS (SELECT doc_id, pos, sw,
+        |         array_to_string(sw[1:5], ' ') AS bucket,
+        |         array_to_string(sw, ' ') AS skey FROM sfx),
+        | c AS (SELECT doc_id, pos, sw, bucket, skey,
+        |         count(*) OVER (PARTITION BY bucket) AS bn FROM b),
+        | lg AS (SELECT doc_id, pos, sw,
+        |     lag(sw) OVER (PARTITION BY bucket ORDER BY skey, doc_id, pos) AS pw,
+        |     lead(sw) OVER (PARTITION BY bucket ORDER BY skey, doc_id, pos) AS nw
+        |   FROM c WHERE bn >= 2),
+        | lc AS (SELECT doc_id, pos, sw,
+        |     greatest(
+        |       coalesce(list_sum(list_transform(range(1, least(len(sw), len(pw)) + 1),
+        |         k -> CASE WHEN sw[1:k] = pw[1:k] THEN 1 ELSE 0 END)), 0),
+        |       coalesce(list_sum(list_transform(range(1, least(len(sw), len(nw)) + 1),
+        |         k -> CASE WHEN sw[1:k] = nw[1:k] THEN 1 ELSE 0 END)), 0)) AS rep_len
+        |   FROM lg),
+        | hit AS (SELECT doc_id, pos, sw, CAST(rep_len AS INTEGER) AS rep_len
+        |         FROM lc WHERE rep_len >= 5),
+        | rk AS (SELECT doc_id, pos, sw, rep_len,
+        |     row_number() OVER (PARTITION BY doc_id ORDER BY rep_len DESC, pos) AS rn
+        |   FROM hit),
+        | agg AS (SELECT doc_id, max(rep_len) AS max_rep_len,
+        |     count(*) AS n_dup_positions FROM hit GROUP BY doc_id)
+        | SELECT a.doc_id, a.max_rep_len, a.n_dup_positions,
+        |   r.pos AS top_pos, array_to_string(r.sw[1:r.rep_len], ' ') AS top_span
+        | FROM agg a JOIN rk r ON r.doc_id = a.doc_id AND r.rn = 1
+        | ORDER BY a.doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""${"WITH RECURSIVE " + simhashPairsCte.stripPrefix("WITH ")},
          | p AS (SELECT doc_a, doc_b FROM dists WHERE dist <= 3),

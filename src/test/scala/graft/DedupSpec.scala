@@ -444,4 +444,41 @@ class DedupSpec extends SparkSpec {
       1L -> "aaaaaaaaaaaaaa zzzzzz yyyyyy xxxxxx") // shared prefix, 18 subs
     assert(Dedup.levenshteinPairs(d, maxDist = 5).isEmpty)
   }
+
+  test("suffixRepeats finds the longest cross-doc verbatim span exactly") {
+    // doc0 and doc1 share an 8-word run (q1..q8) embedded in otherwise
+    // disjoint text; doc2 is clean. Longest duplicated span = 8 words,
+    // reported from both docs; rep_len is exact, not a cap artifact.
+    val q = (1 to 8).map(i => s"q$i").mkString(" ")
+    val d = docs(
+      0L -> s"a1 a2 a3 $q b1 b2 b3 b4 b5",
+      1L -> s"c1 c2 c3 c4 c5 $q e1 e2",
+      2L -> (1 to 15).map(i => s"z$i").mkString(" "))
+    val r = Dedup.suffixRepeats(d, minLen = 5, maxLen = 20).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Int]("max_rep_len"), x.getAs[String]("top_span"))).toMap
+    assert(r.keySet == Set(0L, 1L))
+    assert(r(0L) == (8, q) && r(1L) == (8, q))
+  }
+
+  test("suffixRepeats: within-doc repeats count; spans cap at maxLen") {
+    // doc0 repeats a 12-word run twice internally -> longest repeat is
+    // 12 but maxLen=10 caps the measurement (truncated-suffix cap).
+    val run = (1 to 12).map(i => s"r$i").mkString(" ")
+    val d = docs(
+      0L -> s"$run x1 x2 $run",
+      1L -> (1 to 15).map(i => s"y$i").mkString(" "))
+    val r = Dedup.suffixRepeats(d, minLen = 5, maxLen = 10).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L))
+    assert(r.head.getAs[Int]("max_rep_len") == 10) // capped
+    assert(r.head.getAs[String]("top_span") ==
+      (1 to 10).map(i => s"r$i").mkString(" "))
+  }
+
+  test("suffixRepeats: below-minLen repeats are invisible") {
+    val d = docs(
+      0L -> "p1 p2 p3 p4 m1 m2 m3 u1 u2 u3",
+      1L -> "v1 v2 v3 v4 m1 m2 m3 w1 w2 w3") // only a 3-word overlap
+    assert(Dedup.suffixRepeats(d, minLen = 5, maxLen = 20).isEmpty)
+  }
 }
