@@ -30,6 +30,10 @@ object ExtQueries {
   /** Replay-drop directory for the streaming histogram query. */
   private lazy val histReplayDir: String = TempDirs.create("graft_hist_replay")
 
+  private lazy val ivfAppendDir: String = TempDirs.create("graft_ivf_append")
+
+  private lazy val ivfDriftDir: String = TempDirs.create("graft_ivf_drift")
+
   /** Replay-drop directory for the streaming CUSUM query. */
   private lazy val cusumReplayDir: String = TempDirs.create("graft_cusum_replay")
 
@@ -482,6 +486,29 @@ object ExtQueries {
     // recall knob; `pn` attributes each hit to its probe
     "embed_ivf_multiprobe" -> ((s, d) =>
       Similarity.ivfMultiProbeTopK(emb(s, d), 10, 3, 8, 2, 2)),
+    // incremental index maintenance: train+store on the first 400
+    // vectors, fold the rest in with the STORED centroids (no
+    // retrain), then serve the union from disk — the production
+    // append path, end-to-end through the persisted layout.
+    // SIDE EFFECT: rewrites the temp index dir per evaluation
+    // (overwrite-then-append, so re-runs are idempotent).
+    "embed_ivf_append_search" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfAppendDir
+      Sink.writeIvfIndex(all.filter(col("vec_id") < 400), dir, 8, 2)
+      Sink.appendToIvfIndex(all.filter(col("vec_id") >= 400), dir)
+      Sink.searchIvfIndex(s, all, dir, 10, 3)
+    }),
+    // the pre-flight for the append: per-cell stored vs incoming
+    // populations (incoming assigned with the stored centroids), the
+    // smoothed PSI between the two share distributions, and the
+    // retrain_due verdict
+    "embed_ivf_append_drift" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfDriftDir
+      Sink.writeIvfIndex(all.filter(col("vec_id") < 400), dir, 8, 2)
+      Sink.ivfAppendDrift(s, all.filter(col("vec_id") >= 400), dir)
+    }),
     "embed_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
     // 1-bit sign signatures + Hamming top-k (codegen'd HammingDistance)
     "embed_binary_topk" -> ((s, d) => Similarity.binaryTopK(emb(s, d))),
@@ -1766,6 +1793,40 @@ object ExtQueries {
 
   private val kmeansCte: String = s"WITH ${kmeansBody("embeddings")}"
 
+  /** Train-on-base / assign-everything mirror of the incremental IVF
+    * append: Lloyd's (2 iters) runs over vec_id < `baseMax` only —
+    * producing the STORED centroids c1 — and a2 then assigns the WHOLE
+    * corpus against c1, which is exactly what the stored-index search
+    * sees after [[Sink.appendToIvfIndex]] folds the batch in with the
+    * stored centroids (no retrain).
+    */
+  private def kmeansBaseTrainedCte(baseMax: Int): String =
+    s"""WITH e AS MATERIALIZED (
+      |   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |   FROM embeddings),
+      | eb AS (SELECT * FROM e WHERE vec_id < $baseMax),
+      | c0 AS (SELECT vec_id AS cell, v AS c FROM eb WHERE vec_id < 8),
+      | d1 AS (SELECT eb.vec_id, c0.cell,
+      |          round(SUM((eb.v[i] - c0.c[i]) * (eb.v[i] - c0.c[i])), 6) AS d
+      |        FROM eb, c0, UNNEST(range(1, 65)) t(i)
+      |        GROUP BY eb.vec_id, c0.cell),
+      | a1 AS (SELECT vec_id, cell FROM (
+      |          SELECT vec_id, cell,
+      |            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |          FROM d1) WHERE rn = 1),
+      | m1 AS (SELECT cell, i, round(avg(eb.v[i]), 6) AS m
+      |        FROM a1 JOIN eb USING (vec_id), UNNEST(range(1, 65)) t(i)
+      |        GROUP BY cell, i),
+      | c1 AS MATERIALIZED (SELECT cell, list(m ORDER BY i) AS c FROM m1 GROUP BY cell),
+      | d2 AS (SELECT e.vec_id, c1.cell,
+      |          round(SUM((e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i])), 6) AS d
+      |        FROM e, c1, UNNEST(range(1, 65)) t(i)
+      |        GROUP BY e.vec_id, c1.cell),
+      | a2 AS (SELECT vec_id, cell FROM (
+      |          SELECT vec_id, cell,
+      |            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |          FROM d2) WHERE rn = 1)""".stripMargin
+
   /** Per-subspace PQ training mirror: the [[kmeansBody]] chain over
     * `list_slice(embedding, lo, hi)` with suffix `_<sub>`, plus the
     * per-query ADC lookup table against the trained (round-2) centroids.
@@ -2521,6 +2582,49 @@ object ExtQueries {
          |       FROM p)
          | SELECT qid, cell, rnk, vec_id, cos FROM r WHERE rnk <= 3
          | ORDER BY qid, rnk""".stripMargin,
+    // append path: train on base, assign everything with the stored
+    // centroids, serve the union — the search tail mirrors
+    // embed_ivf_topk over the base-trained a2
+    "embed_ivf_append_search" ->
+      s"""${kmeansBaseTrainedCte(400)},
+         | wc AS (SELECT emb.vec_id, emb.embedding, a2.cell
+         |        FROM embeddings emb JOIN a2 USING (vec_id)),
+         | q AS (SELECT vec_id AS qid, embedding AS qe, cell AS qcell
+         |       FROM wc WHERE vec_id < 10),
+         | p AS (SELECT qid, cell, wc.vec_id,
+         |         round(SUM(CAST(qe[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)) /
+         |           (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+         |            sqrt(SUM(CAST(wc.embedding[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)))), 4) AS cos
+         |       FROM q JOIN wc ON q.qcell = wc.cell AND q.qid <> wc.vec_id,
+         |            UNNEST(range(1, 65)) t(i)
+         |       GROUP BY qid, cell, wc.vec_id),
+         | r AS (SELECT qid, cell, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |       FROM p)
+         | SELECT qid, cell, rnk, vec_id, cos FROM r WHERE rnk <= 3
+         | ORDER BY qid, rnk""".stripMargin,
+    // append pre-flight: stored vs incoming cell populations (both
+    // against the stored centroids), smoothed PSI (sourceDrift
+    // carrier: 8dp DECIMAL terms, 6dp total), retrain verdict
+    "embed_ivf_append_drift" ->
+      s"""${kmeansBaseTrainedCte(400)},
+         | sc AS (SELECT cell, count(*) AS n_stored FROM a2 WHERE vec_id < 400 GROUP BY cell),
+         | ncnt AS (SELECT cell, count(*) AS n_new FROM a2 WHERE vec_id >= 400 GROUP BY cell),
+         | g AS (SELECT c1.cell, coalesce(sc.n_stored, 0) AS n_stored,
+         |          coalesce(ncnt.n_new, 0) AS n_new
+         |        FROM c1 LEFT JOIN sc USING (cell) LEFT JOIN ncnt USING (cell)),
+         | tt AS (SELECT count(*) AS n_cells, CAST(sum(n_stored) AS BIGINT) AS t_stored,
+         |          CAST(sum(n_new) AS BIGINT) AS t_new FROM g),
+         | terms AS (SELECT cell, n_stored, n_new,
+         |     CAST(round(((n_new + 1) / (t_new + n_cells) - (n_stored + 1) / (t_stored + n_cells))
+         |       * ln(((n_new + 1) / (t_new + n_cells)) / ((n_stored + 1) / (t_stored + n_cells))), 8)
+         |       AS DECIMAL(18,8)) AS term
+         |   FROM g CROSS JOIN tt),
+         | tot AS (SELECT round(CAST(sum(term) AS DOUBLE), 6) AS psi FROM terms)
+         | SELECT cell, CAST(n_stored AS BIGINT) AS n_stored, CAST(n_new AS BIGINT) AS n_new,
+         |   round(CAST(term AS DOUBLE), 6) AS psi_term, tot.psi AS psi,
+         |   tot.psi > 0.25 AS retrain_due
+         | FROM terms CROSS JOIN tot ORDER BY cell""".stripMargin,
     // recall curve: the multiprobe chain per nprobe ∈ {1,2,4} vs the
     // brute-force top-3 ground truth
     "embed_probe_recall_curve" ->

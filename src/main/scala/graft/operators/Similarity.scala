@@ -203,6 +203,24 @@ object Similarity {
     (assigned.orderBy("vec_id"), checkpointed)
   }
 
+  /** Assign vectors to their nearest centroid WITHOUT retraining — the
+    * incremental-maintenance primitive: an appended batch folds into an
+    * existing IVF index using the stored centroids (the same rounded-L2
+    * metric and cell tiebreak as training), so append cost is one
+    * broadcast-join pass over the batch, never a Lloyd's rerun.
+    * `centroids` is a (cell, c: array<double>) frame, e.g. from
+    * [[graft.operators.Sink.loadIvfCentroids]].
+    */
+  def assignWithCentroids(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cell"))
+    e.crossJoin(broadcast(centroids))
+      .withColumn("d", l2sq(col("v"), col("c")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell", "d")
+  }
+
   /** Per-session trained-quantizer cache: Lloyd's runs once per
     * (session, corpus key, k, iters) and the materialized assignment is
     * reused by every subsequent query — an IVF index is trained once

@@ -196,6 +196,75 @@ object Sink {
     org.apache.spark.sql.GraftShims.uncheckpoint(cent)
   }
 
+  /** Reassemble the stored centroid table: (cell, c: array<double>) —
+    * a cells-sized frame, always broadcast by its consumers.
+    */
+  def loadIvfCentroids(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/centroids")
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("ps"))
+      .select(col("cell"), expr("transform(ps, p -> p.x)").as("c"))
+
+  /** Fold a new vector batch into a stored IVF index WITHOUT
+    * retraining: assign each new vector to its nearest STORED centroid
+    * (the training metric — rounded L2, cell tiebreak) and append the
+    * assignment into the cell-partitioned layout. This is the
+    * production maintenance path — append cost is one broadcast-join
+    * pass over the batch; [[searchIvfIndex]] serves the union
+    * immediately. Pair with [[ivfAppendDrift]] (run it BEFORE
+    * appending) to detect when the incoming distribution has drifted
+    * far enough from the trained one that a retrain is due — the same
+    * contract as [[graft.operators.Dedup.incrementalDedup]] on the
+    * text side.
+    */
+  def appendToIvfIndex(newEmb: DataFrame, dir: String): Unit = {
+    val spark = newEmb.sparkSession
+    val cent = loadIvfCentroids(spark, dir)
+    Similarity.assignWithCentroids(newEmb, cent)
+      .select("vec_id", "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assignment")
+  }
+
+  /** Pre-flight drift check for [[appendToIvfIndex]]: per cell, the
+    * stored population vs the incoming batch's would-be population
+    * (assigned with the STORED centroids, no retrain), a smoothed PSI
+    * between the two cell-share distributions, and a retrain_due flag
+    * when the total PSI crosses `threshold`. Everything is
+    * cells-sized after the two grouped counts — the windows and the
+    * one-row total joins run over ≤ cells rows.
+    *
+    * PSI carrier mirrors [[Corpus.sourceDrift]]: per-cell term rounded
+    * to an 8dp DECIMAL so the sum is fold-order free, total rounded 6.
+    */
+  def ivfAppendDrift(spark: SparkSession, batch: DataFrame, dir: String,
+      threshold: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = loadIvfCentroids(spark, dir)
+    val stored = spark.read.parquet(s"$dir/assignment")
+      .groupBy("cell").agg(count(lit(1)).as("n_stored"))
+    val incoming = Similarity.assignWithCentroids(batch, cent)
+      .groupBy("cell").agg(count(lit(1)).as("n_new"))
+    val cells = cent.select("cell")
+      .join(stored, Seq("cell"), "left")
+      .join(incoming, Seq("cell"), "left")
+      .withColumn("n_stored", coalesce(col("n_stored"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+    val totals = cells.agg(
+      count(lit(1)).as("n_cells"),
+      sum("n_stored").as("t_stored"), sum("n_new").as("t_new"))
+    val pS = (col("n_stored") + lit(1)) / (col("t_stored") + col("n_cells"))
+    val pN = (col("n_new") + lit(1)) / (col("t_new") + col("n_cells"))
+    val wAll = Window.partitionBy() // cells-sized frame only
+    cells.crossJoin(broadcast(totals))
+      .withColumn("term",
+        round((pN - pS) * log(pN / pS), 8).cast("decimal(18,8)"))
+      .withColumn("psi", round(sum("term").over(wAll).cast("double"), 6))
+      .withColumn("psi_term", round(col("term").cast("double"), 6))
+      .withColumn("retrain_due", col("psi") > threshold)
+      .select("cell", "n_stored", "n_new", "psi_term", "psi", "retrain_due")
+      .orderBy("cell")
+  }
+
   /** Search a stored IVF index: queries rank the STORED centroids
     * (rounded L2, cell tiebreak — the training metric), then join the
     * corpus against the assignment scan FILTERED to the probed cells.
@@ -205,10 +274,7 @@ object Sink {
   def searchIvfIndex(spark: SparkSession, emb: DataFrame, dir: String,
       nQueries: Int = 10, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cent = spark.read.parquet(s"$dir/centroids")
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("ps"))
-      .select(col("cell"), expr("transform(ps, p -> p.x)").as("c"))
+    val cent = loadIvfCentroids(spark, dir)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))

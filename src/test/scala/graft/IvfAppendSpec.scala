@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, Sink}
+
+/** Incremental IVF index maintenance: append-without-retrain equals
+  * assignment with the stored centroids exactly; search over the
+  * appended index stays within the recall gate of a fresh-trained
+  * index; the drift pre-flight flags a skewed batch and passes a
+  * same-distribution one.
+  */
+class IvfAppendSpec extends SparkSpec {
+
+  /** Synthetic 64-dim corpus around two anchors: even ids near anchor
+    * A (coordinates ~1), odd ids near anchor B (coordinates ~-1), with
+    * a small deterministic per-vector wobble so vectors are distinct.
+    */
+  private def twoClusters(ids: Seq[Long], side: Long => Int): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    ids.map { id =>
+      val s = side(id)
+      val v = (0 until 64).map(j => (s * 1.0 + ((id * 7 + j) % 5) * 0.01).toFloat)
+      (id, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("appendToIvfIndex == assignWithCentroids over the stored centroids") {
+    val all = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = all.filter(col("vec_id") < 40)
+    val batch = all.filter(col("vec_id") >= 40)
+    val dir = Files.createTempDirectory("graft-ivfapp").toString
+    Sink.writeIvfIndex(base, dir, cells = 8, iters = 2)
+    Sink.appendToIvfIndex(batch, dir)
+    val stored = spark.read.parquet(s"$dir/assignment")
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Similarity
+      .assignWithCentroids(all, Sink.loadIvfCentroids(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == expected && stored.size == all.count())
+  }
+
+  test("search after append stays within the recall gate of fresh-trained") {
+    // sf0.01 (500 vectors, base 400) — the oracle query's split; the
+    // 50-vector sf0.001 fixture is too small for stable centroids
+    // (8 cells from 40 training points puts quantization noise above
+    // the gate width)
+    val all = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val appendDir = Files.createTempDirectory("graft-ivfapp2").toString
+    Sink.writeIvfIndex(all.filter(col("vec_id") < 400), appendDir, 8, 2)
+    Sink.appendToIvfIndex(all.filter(col("vec_id") >= 400), appendDir)
+    val freshDir = Files.createTempDirectory("graft-ivffresh").toString
+    Sink.writeIvfIndex(all, freshDir, 8, 2)
+    val truth = Similarity.bruteForceTopK(all, 10, 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    def recall(dir: String): Double = {
+      val got = Sink.searchIvfIndex(spark, all, dir, 10, 3)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val (ra, rf) = (recall(appendDir), recall(freshDir))
+    assert(ra >= 0.5, s"append-path recall $ra below gate")
+    assert(ra >= rf - 0.2, s"append-path recall $ra too far below fresh $rf")
+  }
+
+  test("drift pre-flight: skewed batch flags retrain, balanced does not") {
+    val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
+    val dir = Files.createTempDirectory("graft-ivfdrift").toString
+    // cells=2 with seed vectors 0 (A-side) and 1 (B-side)
+    Sink.writeIvfIndex(base, dir, cells = 2, iters = 2)
+    val balanced = twoClusters(100L until 110L, id => if (id % 2 == 0) 1 else -1)
+    val skewed = twoClusters(200L until 210L, _ => 1) // all on the A side
+    val ok = Sink.ivfAppendDrift(spark, balanced, dir).collect()
+    assert(ok.forall(!_.getAs[Boolean]("retrain_due")))
+    assert(ok.head.getAs[Double]("psi") < 0.05)
+    val bad = Sink.ivfAppendDrift(spark, skewed, dir).collect()
+    assert(bad.forall(_.getAs[Boolean]("retrain_due")))
+    assert(bad.head.getAs[Double]("psi") > 0.25)
+    // the verdict is advisory: nothing was appended by the pre-flight
+    assert(spark.read.parquet(s"$dir/assignment").count() == 20)
+  }
+}
