@@ -115,6 +115,50 @@ object ExtQueries {
       | GROUP BY n_name
       | ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) DESC, n_name""".stripMargin
 
+  /** TPC-H Q18 (large-volume customer): the classic semi-join trap —
+    * the IN subquery re-aggregates lineitem; a naive plan joins the
+    * full lineitem twice, the right plan reuses one grouped aggregate
+    * as a semi-join filter before the 3-way join. DECIMAL carriers as
+    * in Q1; ORDER BY stored columns with an orderkey tiebreak.
+    */
+  private[graft] val tpchQ18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      | CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      | FROM customer, orders, lineitem
+      | WHERE o_orderkey IN (
+      |     SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |     HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+      |   AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      | GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+      | ORDER BY o_totalprice DESC, CAST(o_orderdate AS DATE), o_orderkey
+      | LIMIT 100""".stripMargin
+
+  /** TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    * fixture's columns: l_returnflag = 'R' stands in for
+    * l_receiptdate > l_commitdate (the fixture has no receipt/commit
+    * dates — same o_orderpriority precedent as Q3). The plan shape is
+    * the point: a 4-way join with BOTH a correlated EXISTS (another
+    * supplier on the order → left-semi) and a NOT EXISTS (no OTHER
+    * supplier also late → left-anti) against the same fact table.
+    */
+  private[graft] val tpchQ21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      | FROM supplier, lineitem l1, orders, nation
+      | WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |   AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |   AND EXISTS (SELECT 1 FROM lineitem l2
+      |               WHERE l2.l_orderkey = l1.l_orderkey
+      |                 AND l2.l_suppkey <> l1.l_suppkey)
+      |   AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |               WHERE l3.l_orderkey = l1.l_orderkey
+      |                 AND l3.l_suppkey <> l1.l_suppkey
+      |                 AND l3.l_returnflag = 'R')
+      |   AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+      | GROUP BY s_name
+      | ORDER BY numwait DESC, s_name
+      | LIMIT 100""".stripMargin
+
   /** The shared decontamination fixture: train = doc_id < 400, eval =
     * the rest plus 10 planted verbatim train copies (doc_id 10000+).
     */
@@ -173,6 +217,23 @@ object ExtQueries {
       Seq("customer", "supplier", "nation", "region").foreach(t =>
         Tables.table(s, d, t).createOrReplaceTempView(t))
       s.sql(tpchQ5Sql)
+    }),
+    // Q18/Q21 through the same engine-neutral TEXT surface — the two
+    // classic plan-shape traps (semi-join on a re-aggregated fact;
+    // EXISTS + NOT EXISTS against the same fact) the Q1/Q3/Q5/Q6 set
+    // doesn't exercise
+    "sql_tpch_q18" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.table(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql(tpchQ18Sql)
+    }),
+    "sql_tpch_q21" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Seq("supplier", "nation").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ21Sql)
     }),
     // unpivot/melt: OHLC wide → long via stack()
     "stocks_melt" -> ((s, d) =>
@@ -4017,6 +4078,8 @@ object ExtQueries {
     "sql_tpch_q6" -> tpchQ6Sql,
     "sql_tpch_q3" -> tpchQ3Sql,
     "sql_tpch_q5" -> tpchQ5Sql,
+    "sql_tpch_q18" -> tpchQ18Sql,
+    "sql_tpch_q21" -> tpchQ21Sql,
     "customer_rfm" ->
       """WITH a AS (
         |   SELECT o_custkey AS custkey, max(CAST(o_orderdate AS DATE)) AS last_order,

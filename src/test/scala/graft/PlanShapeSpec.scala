@@ -37,6 +37,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("tpch q18 plans the HAVING subquery as a join filter, not a rescan-per-row") {
+    val p = plan("sql_tpch_q18")
+    // the IN subquery must become a (semi) join against the grouped
+    // aggregate — never a correlated per-row re-aggregation — and the
+    // global LIMIT must compile to top-k, not sort-everything
+    assert(p.contains("LeftSemi") || p.contains("leftsemi"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), "LIMIT 100 must plan as top-k")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tpch q21 plans EXISTS as semi-join and NOT EXISTS as anti-join") {
+    val p = plan("sql_tpch_q21")
+    assert(p.contains("LeftSemi") || p.contains("leftsemi"),
+      "EXISTS must become a left-semi join")
+    assert(p.contains("LeftAnti") || p.contains("leftanti"),
+      "NOT EXISTS must become a left-anti join")
+    // supplier and nation are dims — they must broadcast
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("global top-k compiles to TakeOrderedAndProject, not sort-all") {
     val p = plan("corpus_top_ngrams")
     assert(p.contains("TakeOrderedAndProject"))
