@@ -30,6 +30,9 @@ object ExtQueries {
   /** Replay-drop directory for the streaming histogram query. */
   private lazy val histReplayDir: String = TempDirs.create("graft_hist_replay")
 
+  private lazy val histByTypeReplayDir: String =
+    TempDirs.create("graft_hist_by_type_replay")
+
   private lazy val ivfAppendDir: String = TempDirs.create("graft_ivf_append")
 
   private lazy val ivfDriftDir: String = TempDirs.create("graft_ivf_drift")
@@ -1198,6 +1201,30 @@ object ExtQueries {
       Sketch.quantilesFromRegisters(s.table(name))
     }),
 
+    // per-group streaming replay: three event drops → one register
+    // file PER event_type accumulated across micro-batches, fed into
+    // the SAME per-group quantile walk as the batch sketch — shares
+    // sketch_hist_by_type's oracle verbatim, so hash-green proves the
+    // per-tenant dashboard shape streams. Drop split is order-invariant
+    // (registers sum per group). SIDE EFFECT: temp-dir drops.
+    "stream_hist_by_type_replay" -> ((s, d) => {
+      val dir = histByTypeReplayDir
+      val evs = ev(s, d).select("event_id", "event_type", "value")
+      Seq(("a", 0), ("b", 1), ("c", 2)).foreach { case (tag, r) =>
+        evs.filter(pmod(col("event_id"), lit(3)) === r)
+          .select("event_type", "value").coalesce(1)
+          .write.mode("overwrite").parquet(dir + s"/drop=$tag")
+      }
+      val name = graft.streaming.SketchStream.runBoundedByType(
+        s, dir + "/drop=*", "stream_hist_by_type_tbl")
+      // localCheckpoint: the walk joins the register file against its
+      // own aggregate on event_type, and the memory-sink MemoryPlan
+      // leaf can't deduplicate conflicting attribute ids the way file
+      // scans do — snapshot the (groups × ≤1024)-row state first
+      Sketch.groupQuantilesFromRegisters(s.table(name).localCheckpoint(),
+        Sketch.groupCentsBase(evs.select("event_type", "value")))
+    }),
+
     // APPEND-mode streaming hourly replay: every window emits exactly
     // once when the watermark closes it (production sink semantics);
     // sentinel drops close the tail windows, so the replay equals the
@@ -1570,6 +1597,44 @@ object ExtQueries {
       | rk AS (SELECT idx, CAST(p_num AS BIGINT) AS p_num, CAST(p_den AS BIGINT) AS p_den,
       |     (p_num * n + p_den - 1) // p_den AS target_rank FROM pct, tot),
       | cum AS (SELECT lo, sh, cnt, sum(cnt) OVER (ORDER BY lo) AS cum FROM hist)""".stripMargin
+
+  /** Per-event_type register build + rank walk + quantile_cont twin —
+    * shared verbatim by the batch grouped sketch and its streaming
+    * replay (per-group register accumulation across micro-batches).
+    */
+  private lazy val histByTypeOracle: String =
+    """WITH base AS (
+      |   SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |   FROM events
+      |   WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0),
+      | b AS (SELECT event_type, cents,
+      |     greatest(CAST(length(bin(cents)) AS INTEGER) - 1 - 4, 0) AS sh
+      |   FROM base),
+      | hist AS (SELECT event_type, (cents >> sh) << sh AS lo, sh, count(*) AS cnt
+      |   FROM b GROUP BY event_type, (cents >> sh) << sh, sh),
+      | tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+      |         FROM hist GROUP BY event_type),
+      | pct(idx, p_num, p_den) AS (VALUES (1, 1, 2), (2, 9, 10), (3, 99, 100)),
+      | rk AS (SELECT event_type, idx, CAST(p_num AS BIGINT) AS p_num,
+      |     CAST(p_den AS BIGINT) AS p_den,
+      |     (p_num * n + p_den - 1) // p_den AS target_rank FROM pct, tot),
+      | cum AS (SELECT event_type, lo, sh, cnt,
+      |     sum(cnt) OVER (PARTITION BY event_type ORDER BY lo) AS cum FROM hist),
+      | ex AS (SELECT event_type, unnest(qs) AS pc, unnest(range(1, 4)) AS idx
+      |   FROM (SELECT event_type, quantile_cont(cents, [0.5, 0.9, 0.99]) AS qs
+      |         FROM base GROUP BY event_type))
+      | SELECT c.event_type, r.p_num, r.p_den,
+      |   CAST(r.target_rank AS BIGINT) AS target_rank,
+      |   c.lo AS bucket_lo_cents,
+      |   round(c.lo / 100.0, 2) AS est_value,
+      |   round(e.pc / 100, 6) AS exact_value,
+      |   round((round(e.pc / 100, 6) - round(c.lo / 100.0, 2)) /
+      |     round(e.pc / 100, 6), 4) AS rel_err
+      | FROM cum c
+      | JOIN rk r ON r.event_type = c.event_type
+      |   AND c.cum >= r.target_rank AND c.cum - c.cnt < r.target_rank
+      | JOIN ex e ON e.event_type = c.event_type AND e.idx = r.idx
+      | ORDER BY c.event_type, target_rank""".stripMargin
 
   private lazy val histQuantilesOracle: String =
     s"""$histRegistersCte
@@ -3181,39 +3246,11 @@ object ExtQueries {
          | FROM est, ex""".stripMargin
     },
     // grouped quantile sketch: one register file per event_type
-    "sketch_hist_by_type" ->
-      """WITH base AS (
-        |   SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |   FROM events
-        |   WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0),
-        | b AS (SELECT event_type, cents,
-        |     greatest(CAST(length(bin(cents)) AS INTEGER) - 1 - 4, 0) AS sh
-        |   FROM base),
-        | hist AS (SELECT event_type, (cents >> sh) << sh AS lo, sh, count(*) AS cnt
-        |   FROM b GROUP BY event_type, (cents >> sh) << sh, sh),
-        | tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
-        |         FROM hist GROUP BY event_type),
-        | pct(idx, p_num, p_den) AS (VALUES (1, 1, 2), (2, 9, 10), (3, 99, 100)),
-        | rk AS (SELECT event_type, idx, CAST(p_num AS BIGINT) AS p_num,
-        |     CAST(p_den AS BIGINT) AS p_den,
-        |     (p_num * n + p_den - 1) // p_den AS target_rank FROM pct, tot),
-        | cum AS (SELECT event_type, lo, sh, cnt,
-        |     sum(cnt) OVER (PARTITION BY event_type ORDER BY lo) AS cum FROM hist),
-        | ex AS (SELECT event_type, unnest(qs) AS pc, unnest(range(1, 4)) AS idx
-        |   FROM (SELECT event_type, quantile_cont(cents, [0.5, 0.9, 0.99]) AS qs
-        |         FROM base GROUP BY event_type))
-        | SELECT c.event_type, r.p_num, r.p_den,
-        |   CAST(r.target_rank AS BIGINT) AS target_rank,
-        |   c.lo AS bucket_lo_cents,
-        |   round(c.lo / 100.0, 2) AS est_value,
-        |   round(e.pc / 100, 6) AS exact_value,
-        |   round((round(e.pc / 100, 6) - round(c.lo / 100.0, 2)) /
-        |     round(e.pc / 100, 6), 4) AS rel_err
-        | FROM cum c
-        | JOIN rk r ON r.event_type = c.event_type
-        |   AND c.cum >= r.target_rank AND c.cum - c.cnt < r.target_rank
-        | JOIN ex e ON e.event_type = c.event_type AND e.idx = r.idx
-        | ORDER BY c.event_type, target_rank""".stripMargin,
+    "sketch_hist_by_type" -> histByTypeOracle,
+    // the per-group streaming replay accumulates the same per-type
+    // registers across micro-batches, so it shares the batch oracle
+    // verbatim (the mergeability proof, per group)
+    "stream_hist_by_type_replay" -> histByTypeOracle,
     // skew pre-flight: quantiles of the key-count distribution read
     // from the log-bucket register file; exact integer ranks and salts
     "skew_key_stats" ->

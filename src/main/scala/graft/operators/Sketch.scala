@@ -434,17 +434,38 @@ object Sketch {
     * rel_err diagnostic. This is the per-tenant / per-metric latency
     * dashboard shape: groups × ≤ 64·2^subBits cells of state total.
     */
-  def logHistQuantilesByGroup(events: DataFrame, subBits: Int = 4): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    val base = events.select(col("event_type"),
+  def logHistQuantilesByGroup(events: DataFrame, subBits: Int = 4): DataFrame =
+    groupQuantilesFromRegisters(
+      groupRegisters(events, subBits), groupCentsBase(events))
+
+  /** (event_type, cents) projection of events — the exact-integer
+    * carrier the batch and streaming per-group register builds share.
+    */
+  private[graft] def groupCentsBase(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
       .filter(col("cents") > 0)
-    val hist = base
+
+  /** Per-group register build: one (lo, sh) histogram PER event_type —
+    * a narrow projection + grouped count, so it runs identically
+    * inside a streaming micro-batch (registers sum-merge per group).
+    */
+  private[graft] def groupRegisters(events: DataFrame, subBits: Int = 4): DataFrame =
+    groupCentsBase(events)
       .withColumn("sh",
         greatest(length(expr("bin(cents)")).cast("int") - 1 - subBits, lit(0)))
       .withColumn("lo", expr("shiftleft(shiftright(cents, sh), sh)"))
       .groupBy("event_type", "lo", "sh").agg(count(lit(1)).as("cnt"))
+
+  /** The per-group quantile walk over an already-built register file
+    * (event_type, lo, sh, cnt) — shared by the batch build and the
+    * streaming replay, which accumulates the same registers across
+    * micro-batches. `base` supplies the per-group quantile_cont twin.
+    */
+  private[graft] def groupQuantilesFromRegisters(hist: DataFrame,
+      base: DataFrame): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
     val tot = hist.groupBy("event_type").agg(sum("cnt").as("n"))
     val pcts = Seq((1, 1L, 2L), (2, 9L, 10L), (3, 99L, 100L))
       .toDF("idx", "p_num", "p_den")

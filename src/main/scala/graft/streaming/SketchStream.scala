@@ -56,4 +56,36 @@ object SketchStream {
     q.awaitTermination()
     name
   }
+
+  val groupSchema: StructType = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** The per-group streaming register build — the per-tenant latency
+    * dashboard shape: one (lo, sh) register file PER event_type in the
+    * aggregation state, groups × ≤ 64·2^subBits cells of state total
+    * however large the stream.
+    */
+  def registersByType(stream: DataFrame, subBits: Int = 4): DataFrame =
+    Sketch.groupRegisters(stream, subBits)
+
+  /** Bounded per-group replay: process every (event_type, value) drop,
+    * return the memory-sink table holding the per-group register file.
+    */
+  def runBoundedByType(spark: SparkSession, dir: String,
+      name: String = "hist_stream_by_type", maxFilesPerTrigger: Int = 1): String = {
+    val stream = spark.readStream
+      .schema(groupSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+    val q = registersByType(stream)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    name
+  }
 }

@@ -80,6 +80,33 @@ class SketchHistSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("per-group streamed registers across micro-batches equal the batch build") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("hist_stream_grp").toString
+    val ev = (0 until 600).map(i =>
+        (i.toLong, Seq("click", "view", "buy")(i % 3), 10.0 + (i * 53 % 997) / 10.0))
+      .toDF("event_id", "event_type", "value")
+    Seq(0, 1, 2).foreach { r =>
+      ev.filter(col("event_id") % 3 === r)
+        .select("event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(dir + s"/drop=$r")
+    }
+    val name = graft.streaming.SketchStream.runBoundedByType(
+      spark, dir + "/drop=*", "hist_stream_grp_spec")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("event_type"), r.getAs[Long]("lo"),
+        r.getAs[Int]("sh"), r.getAs[Long]("cnt"))
+    val streamed = spark.table(name).collect().map(key).toSet
+    val batch = graft.operators.Sketch
+      .groupRegisters(ev.select("event_type", "value"))
+      .collect().map(key).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // one register file per group, each independent
+    assert(streamed.map(_._1) == Set("click", "view", "buy"))
+  }
+
   test("group split does not change the merged sketch (sum-merge invariance)") {
     // Same values, one run all in a single flag, one scattered across
     // three flags: partial sketches merge to the identical register
