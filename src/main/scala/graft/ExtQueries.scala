@@ -1429,6 +1429,15 @@ object ExtQueries {
       |   string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
       |   FROM sums GROUP BY doc_id)""".stripMargin
 
+  /** CMS depth-row bucket h_d(x) = ((a_d·x + b_d) mod P) mod 4096 from
+    * one shared base hash — mirrors Sketch.depthBuckets (same minhash
+    * (a, b) constants, same Mersenne P).
+    */
+  private lazy val cmsBucketCaseSql: String =
+    "CASE d " + Dedup.minhashParams.take(4).zipWithIndex.map { case ((a, b), i) =>
+      s"WHEN '$i' THEN (($a * x + $b) % ${Dedup.minhashP}) % 4096"
+    }.mkString(" ") + " END"
+
   /** 8-char ascii polynomial over an md5 hex digest `m` — mirrors
     * Dedup.shingleBase.
     */
@@ -3206,16 +3215,14 @@ object ExtQueries {
     // Count-Min: exact-BIGINT cell grid, point query = min over the
     // depth cells; est ≥ exact is the sketch's one-sided guarantee
     "sketch_cms_heavy" -> {
-      val nibbleSql = (1 to 14).map { i =>
-        s"(CAST(ascii(substr(m, $i, 1)) AS BIGINT) - CASE WHEN ascii(substr(m, $i, 1)) >= 97 THEN 87 ELSE 48 END) * ${1L << (4 * (14 - i))}"
-      }.mkString(" + ")
       s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
          | g AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
          |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
          | wc AS (SELECT s, count(*) AS cnt FROM g GROUP BY s),
-         | hb AS (SELECT s, cnt, d, ($nibbleSql) % 4096 AS b
-         |        FROM (SELECT s, cnt, d, md5(d || ':' || s) AS m
-         |              FROM wc, UNNEST(['0','1','2','3']) AS t(d))),
+         | hx AS (SELECT s, cnt, ($minhashBaseSql) % ${Dedup.minhashP} AS x
+         |        FROM (SELECT s, cnt, md5(s) AS m FROM wc)),
+         | hb AS (SELECT s, cnt, d, $cmsBucketCaseSql AS b
+         |        FROM hx, UNNEST(['0','1','2','3']) AS t(d)),
          | sk AS (SELECT d, b, sum(cnt) AS c FROM hb GROUP BY d, b),
          | top AS (SELECT s, cnt FROM wc ORDER BY cnt DESC, s LIMIT 20),
          | pt AS (SELECT t.s, t.cnt, min(sk.c) AS est
@@ -3228,13 +3235,11 @@ object ExtQueries {
     // CMS inner product: per-depth Σc² with min over depths — the
     // one-sided join-size estimator; all cells exact BIGINT
     "sketch_cms_join_size" -> {
-      val nibbleSql = (1 to 14).map { i =>
-        s"(CAST(ascii(substr(m, $i, 1)) AS BIGINT) - CASE WHEN ascii(substr(m, $i, 1)) >= 97 THEN 87 ELSE 48 END) * ${1L << (4 * (14 - i))}"
-      }.mkString(" + ")
       s"""WITH kc AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
-         | hb AS (SELECT cnt, d, ($nibbleSql) % 4096 AS b
-         |        FROM (SELECT cnt, d, md5(d || ':' || CAST(user_id AS VARCHAR)) AS m
-         |              FROM kc, UNNEST(['0','1','2','3']) AS t(d))),
+         | hx AS (SELECT cnt, ($minhashBaseSql) % ${Dedup.minhashP} AS x
+         |        FROM (SELECT cnt, md5(CAST(user_id AS VARCHAR)) AS m FROM kc)),
+         | hb AS (SELECT cnt, d, $cmsBucketCaseSql AS b
+         |        FROM hx, UNNEST(['0','1','2','3']) AS t(d)),
          | cells AS (SELECT d, b, CAST(sum(cnt) AS BIGINT) AS c FROM hb GROUP BY d, b),
          | pd AS (SELECT d, CAST(sum(c * c) AS BIGINT) AS est_d FROM cells GROUP BY d),
          | est AS (SELECT min(est_d) AS est_size FROM pd),

@@ -247,18 +247,34 @@ object Sketch {
     * 80-row broadcast side against the grid. All arithmetic is exact
     * BIGINT — bit-reproducible on any engine or partitioning.
     */
+  /** The depth CMS rows share ONE md5 per key: row d's bucket is
+    * h_d(x) = ((a_d·x + b_d) mod P) mod width over the md5-derived
+    * base x — the textbook pairwise-independent family (Cormode &
+    * Muthukrishnan 2005), reusing the minhash (a, b) constants. One
+    * hash per key instead of one per (depth, key): 4× less hashing on
+    * the hot explode (Profile r9 measured the md5 stage dominating
+    * cms_heavy), and the sketch guarantees are the ones the CMS
+    * analysis actually assumes.
+    */
+  private def depthBuckets(x: Column, depth: Int, width: Int): Column =
+    explode(array((0 until depth).map { i =>
+      val (a, b) = Dedup.minhashParams(i)
+      struct(lit(i.toString).as("d"),
+        pmod(pmod(lit(a) * x + lit(b), lit(Dedup.minhashP)),
+          lit(width.toLong)).as("b"))
+    }: _*))
+
   def cmsHeavyHitters(docs: DataFrame, n: Int = 3, depth: Int = 4,
       width: Int = 4096, k: Int = 20): DataFrame = {
     val wc = grams(docs, n).groupBy("s").agg(count(lit(1)).as("cnt"))
-    val dArr = array((0 until depth).map(i => lit(i.toString)): _*)
-    val hb = wc
-      .withColumn("d", explode(dArr))
-      .withColumn("b", rawHash56(concat(col("d"), lit(":"), col("s"))) % width)
+    def explodeBuckets(df: DataFrame): DataFrame = df
+      .withColumn("x", Dedup.shingleBase(col("s")))
+      .select(col("s"), col("cnt"), depthBuckets(col("x"), depth, width).as("db"))
+      .select(col("s"), col("cnt"), col("db.d").as("d"), col("db.b").as("b"))
+    val hb = explodeBuckets(wc)
     val sketch = hb.groupBy("d", "b").agg(sum("cnt").as("c"))
     val top = wc.orderBy(col("cnt").desc, col("s")).limit(k)
-    val topHashes = top
-      .withColumn("d", explode(dArr))
-      .withColumn("b", rawHash56(concat(col("d"), lit(":"), col("s"))) % width)
+    val topHashes = explodeBuckets(top)
     val pt = sketch.join(broadcast(topHashes), Seq("d", "b"))
       .groupBy("s", "cnt").agg(min("c").as("est"))
     pt.select(col("s").as("gram"), col("cnt").as("exact_cnt"),
@@ -286,11 +302,10 @@ object Sketch {
   def cmsSelfJoinSize(events: DataFrame, depth: Int = 4,
       width: Int = 4096): DataFrame = {
     val kc = events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
-    val dArr = array((0 until depth).map(i => lit(i.toString)): _*)
     val cells = kc
-      .withColumn("d", explode(dArr))
-      .withColumn("b",
-        rawHash56(concat(col("d"), lit(":"), col("user_id").cast("string"))) % width)
+      .withColumn("x", Dedup.shingleBase(col("user_id").cast("string")))
+      .select(col("cnt"), depthBuckets(col("x"), depth, width).as("db"))
+      .select(col("cnt"), col("db.d").as("d"), col("db.b").as("b"))
       .groupBy("d", "b").agg(sum("cnt").as("c"))
     val perDepth = cells.groupBy("d").agg(sum(col("c") * col("c")).as("est_d"))
     val est = perDepth.agg(min("est_d").as("est_size"))
@@ -510,7 +525,11 @@ object Sketch {
     val gramExpr = expr(
       s"""transform(sequence(1, size(w) - ${n - 1}),
          |  i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(w, i + $j)").mkString(", ")}))""".stripMargin)
-    docs.select(col("source"), split(col("text"), " ").as("w"))
+    // spread BEFORE the explode: a one-file documents scan otherwise
+    // serializes the gram explode + per-gram hashing into one task
+    // (Profile r9: a 5 s single-task stage under cms_heavy — the
+    // embed_pca_power pathology from r8, same fix)
+    Spread.spread(docs).select(col("source"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("source"), explode(gramExpr).as("s"))
   }
