@@ -84,7 +84,8 @@ object Corpus {
     * divisions.
     */
   def sourceVocabStats(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("source"),
+    // spread before the explode (one-file scan would serialize it)
+    val words = Spread.spread(docs).select(col("source"),
       explode(split(col("text"), " ")).as("word"))
     val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
     words.groupBy("source", "word").agg(count(lit(1)).as("c"))

@@ -147,7 +147,11 @@ object Sampling {
     */
   def dsirWeights(docs: DataFrame, targetSource: String,
       buckets: Int = 8192, scale: Int = 6): DataFrame = {
-    val toks = docs
+    // spread before the explode: the one-file documents scan would
+    // otherwise serialize the token explode + md5 bucketing into one
+    // task — and this frame is evaluated three times (target counts,
+    // corpus counts, the final per-doc sum)
+    val toks = Spread.spread(docs)
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("tok"))
       .withColumn("b", hashBucket(col("tok"), buckets))
