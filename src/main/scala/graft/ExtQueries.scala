@@ -420,7 +420,8 @@ object ExtQueries {
       val bf = Similarity.bruteForceTopK(e, 10, 3)
         .select(col("qid"), col("vec_id")).withColumn("hit", lit(1L))
       val runs = Seq(1, 2, 4).map { np =>
-        Similarity.ivfMultiProbeTopK(e, 10, 3, 8, 2, np)
+        // cached quantizer: ONE training serves all three curve points
+        Similarity.ivfMultiProbeTopK(e, 10, 3, 8, 2, np, corpusKey = Some(d))
           .select(lit(np).as("nprobe"), col("qid"), col("vec_id"))
       }.reduce(_ unionByName _)
       runs.join(bf, Seq("qid", "vec_id"), "left")
@@ -549,7 +550,7 @@ object ExtQueries {
     // multi-probe IVF: each query searches its 2 nearest cells — the
     // recall knob; `pn` attributes each hit to its probe
     "embed_ivf_multiprobe" -> ((s, d) =>
-      Similarity.ivfMultiProbeTopK(emb(s, d), 10, 3, 8, 2, 2)),
+      Similarity.ivfMultiProbeTopK(emb(s, d), 10, 3, 8, 2, 2, corpusKey = Some(d))),
     // incremental index maintenance: train+store on the first 400
     // vectors, fold the rest in with the STORED centroids (no
     // retrain), then serve the union from disk — the production

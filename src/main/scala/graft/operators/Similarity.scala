@@ -239,12 +239,34 @@ object Similarity {
         if (!df.sparkSession.sparkContext.isStopped)
           org.apache.spark.sql.GraftShims.uncheckpoint(df))
 
+  /** Trained-centroid sibling of [[quantizerCache]], same keying — the
+    * multi-probe path ranks centroids per query, so it needs the
+    * centroid table alongside the assignment. Kept as a separate cache
+    * (not a tuple value) so [[kmeansAssignCached]] callers are
+    * untouched; Lloyd's is deterministic, so an assignment from one
+    * training run and centroids from another are interchangeable.
+    */
+  private val centroidCache =
+    new graft.BoundedLruCache[(SparkSession, String, Int, Int), DataFrame](
+      maxEntries = 16,
+      release = df =>
+        if (!df.sparkSession.sparkContext.isStopped)
+          org.apache.spark.sql.GraftShims.uncheckpoint(df))
+
   locally {
     graft.SessionCaches.register(
-      evict = s => quantizerCache.removeIf(_._1 eq s,
-        releaseRemoved = !s.sparkContext.isStopped),
-      sweep = () => quantizerCache.removeIf(_._1.sparkContext.isStopped,
-        releaseRemoved = false))
+      evict = s => {
+        quantizerCache.removeIf(_._1 eq s,
+          releaseRemoved = !s.sparkContext.isStopped)
+        centroidCache.removeIf(_._1 eq s,
+          releaseRemoved = !s.sparkContext.isStopped)
+      },
+      sweep = () => {
+        quantizerCache.removeIf(_._1.sparkContext.isStopped,
+          releaseRemoved = false)
+        centroidCache.removeIf(_._1.sparkContext.isStopped,
+          releaseRemoved = false)
+      })
   }
 
   /** [[kmeansAssign]] through the trained-quantizer cache. Training
@@ -266,6 +288,32 @@ object Similarity {
       if (winner ne trained)  // lost the race: release the loser
         org.apache.spark.sql.GraftShims.uncheckpoint(trained)
       winner
+    }
+  }
+
+  /** [[kmeansAssignCached]] that also returns the trained centroid
+    * table through [[centroidCache]] — the multi-probe entry point.
+    * A key present in one cache but not the other (e.g. ivfTopK
+    * trained first) costs one redundant training; determinism makes
+    * the mixed result identical.
+    */
+  private def kmeansAssignCachedWithCentroids(emb: DataFrame, k: Int,
+      iters: Int, corpusKey: String): (DataFrame, DataFrame) = {
+    graft.SessionCaches.watch(emb.sparkSession)
+    val key = (emb.sparkSession, corpusKey, k, iters)
+    (quantizerCache.get(key), centroidCache.get(key)) match {
+      case (Some(a), Some(c)) => (a, c)
+      case _ =>
+        val (assigned, centOpt) = kmeansAssignInternal(emb, k, iters)
+        val trainedA = assigned.localCheckpoint()
+        val trainedC = centOpt.get // iters >= 2 enforced by callers
+        val winA = quantizerCache.putIfAbsent(key, trainedA)
+        if (winA ne trainedA)
+          org.apache.spark.sql.GraftShims.uncheckpoint(trainedA)
+        val winC = centroidCache.putIfAbsent(key, trainedC)
+        if (winC ne trainedC)
+          org.apache.spark.sql.GraftShims.uncheckpoint(trainedC)
+        (winA, winC)
     }
   }
 
@@ -315,11 +363,21 @@ object Similarity {
     * centroid blocks release (the keyless-ivfTopK pattern).
     */
   def ivfMultiProbeTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
-      cells: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+      cells: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      corpusKey: Option[String] = None): DataFrame = {
     require(iters >= 2, "multi-probe IVF needs trained centroids (iters >= 2)")
-    val (assignedRaw, centOpt) = kmeansAssignInternal(emb, cells, iters)
-    val assigned = assignedRaw.select("vec_id", "cell").localCheckpoint()
-    val centroids = centOpt.get // guaranteed by the require above
+    // cached path: one Lloyd's training serves every nprobe setting
+    // (and shares the key with ivfTopK) — a recall curve must not
+    // retrain per point; the cache owns the checkpointed blocks
+    val (assignedAll, centroids, cacheOwned) = corpusKey match {
+      case Some(tag) =>
+        val (a, c) = kmeansAssignCachedWithCentroids(emb, cells, iters, tag)
+        (a, c, true)
+      case None =>
+        val (a, cOpt) = kmeansAssignInternal(emb, cells, iters)
+        (a.localCheckpoint(), cOpt.get, false)
+    }
+    val assigned = assignedAll.select("vec_id", "cell")
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         toDouble(col("embedding")).as("qv"))
@@ -329,7 +387,8 @@ object Similarity {
       .withColumn("pn", row_number().over(pw))
       .filter(col("pn") <= nprobe)
       .select("qid", "cell", "pn").localCheckpoint()
-    org.apache.spark.sql.GraftShims.uncheckpoint(centroids)
+    if (!cacheOwned)
+      org.apache.spark.sql.GraftShims.uncheckpoint(centroids)
     val withCell = emb.join(assigned, "vec_id")
     val scored = probes
       .join(broadcast(q.select("qid", "qe")), "qid")
