@@ -162,6 +162,61 @@ object ExtQueries {
       | ORDER BY numwait DESC, s_name
       | LIMIT 100""".stripMargin
 
+  /** TPC-H Q7 (volume shipping): the two-nation trade matrix — a
+    * 6-table join where the nation pair condition is a DISJUNCTION
+    * over two dimension copies, grouped by extracted year.
+    */
+  private[graft] val tpchQ7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      | CAST(SUM(volume) AS DOUBLE) AS revenue, count(*) AS n_rows
+      | FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS l_year,
+      |         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS volume
+      |       FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |       WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |         AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |         AND c_nationkey = n2.n_nationkey
+      |         AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |         AND CAST(l_shipdate AS DATE)
+      |           BETWEEN DATE '1995-01-01' AND DATE '1996-12-31') shipping
+      | GROUP BY supp_nation, cust_nation, l_year
+      | ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q14 (promotion effect): conditional aggregation over a
+    * fact-dimension join — the CASE ratio with DECIMAL carriers on
+    * both branches, one double division at the end.
+    */
+  private[graft] val tpchQ14Sql: String =
+    """SELECT round(100.0 *
+      |   CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |     THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+      |     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+      |   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+      |   4) AS promo_revenue_pct,
+      | count(*) AS n_rows
+      | FROM lineitem, part
+      | WHERE p_partkey = l_partkey
+      |   AND CAST(l_shipdate AS DATE) >= DATE '1996-09-01'
+      |   AND CAST(l_shipdate AS DATE) < DATE '1996-10-01'""".stripMargin
+
+  /** TPC-H Q19 (discounted revenue): the disjunctive-predicate join —
+    * three brand/size/quantity OR-branches that must still plan as ONE
+    * equi-hash-join on partkey with the disjunction as a residual
+    * filter, never a cartesian product.
+    */
+  private[graft] val tpchQ19Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      | count(*) AS n_rows
+      | FROM lineitem, part
+      | WHERE p_partkey = l_partkey AND (
+      |     (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 11)
+      |  OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity >= 10 AND l_quantity <= 20)
+      |  OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity >= 20 AND l_quantity <= 30))""".stripMargin
+
   /** The shared decontamination fixture: train = doc_id < 400, eval =
     * the rest plus 10 planted verbatim train copies (doc_id 10000+).
     */
@@ -237,6 +292,26 @@ object ExtQueries {
       Seq("supplier", "nation").foreach(t =>
         Tables.table(s, d, t).createOrReplaceTempView(t))
       s.sql(tpchQ21Sql)
+    }),
+    // Q7 (two-nation disjunction over twin dim copies), Q14 (CASE
+    // ratio), Q19 (disjunctive-predicate join) — same verbatim-text
+    // contract
+    "sql_tpch_q7" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Seq("customer", "supplier", "nation").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ7Sql)
+    }),
+    "sql_tpch_q14" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.table(s, d, "part").createOrReplaceTempView("part")
+      s.sql(tpchQ14Sql)
+    }),
+    "sql_tpch_q19" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.table(s, d, "part").createOrReplaceTempView("part")
+      s.sql(tpchQ19Sql)
     }),
     // unpivot/melt: OHLC wide → long via stack()
     "stocks_melt" -> ((s, d) =>
@@ -713,6 +788,12 @@ object ExtQueries {
     "sketch_kmv_ngrams" -> ((s, d) => Sketch.kmvDistinctNgrams(docs(s, d), 3, 128)),
     // DSIR importance weights toward the src0 "target domain"
     "dsir_weights" -> ((s, d) => Sampling.dsirWeights(docs(s, d), "src0")),
+    // Efraimidis-Spirakis weighted sampling without replacement, token
+    // count as the weight (sampling proportional to size) — the step
+    // that turns importance weights into an actual sampled corpus;
+    // content-hash uniforms, so the draw is reproducible
+    "sample_weighted_tokens" -> ((s, d) =>
+      Sampling.weightedSample(docs(s, d), size(split(col("text"), " ")), 50)),
     // KMV sketch set algebra: union/Jaccard/intersection per source pair
     "sketch_kmv_overlap" -> ((s, d) => Sketch.kmvSourceOverlap(docs(s, d), 3, 128)),
     // HLL (m=512) distinct-3-gram estimate per source + exact twin;
@@ -3289,6 +3370,18 @@ object ExtQueries {
     // the streaming replay accumulates the same registers across
     // micro-batches, so it shares the batch oracle verbatim
     "stream_hist_replay" -> histQuantilesOracle,
+    // ES weighted sample: content-hash uniform -> ln(u)/w key, rounded
+    // 8dp before the rank with doc_id tiebreak (ordering never touches
+    // a raw computed float)
+    "sample_weighted_tokens" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         |             md5(text) AS m FROM documents),
+         | u AS (SELECT doc_id, w,
+         |         (($minhashBaseSql) % ${Dedup.minhashP} + 1.0) / ${Dedup.minhashP + 1}.0 AS u
+         |       FROM t WHERE w > 0),
+         | k AS (SELECT doc_id, w, round(ln(u) / w, 8) AS es_key FROM u)
+         | SELECT doc_id, w, es_key FROM k
+         | ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin,
     // DSIR: bucket counts are exact ints; each bucket's log-ratio
     // (fixed tree, α=½, αB=4096) rounds to an 8dp DECIMAL carrier so
     // the per-doc sum is fold-order free
@@ -4123,6 +4216,9 @@ object ExtQueries {
     "sql_tpch_q5" -> tpchQ5Sql,
     "sql_tpch_q18" -> tpchQ18Sql,
     "sql_tpch_q21" -> tpchQ21Sql,
+    "sql_tpch_q7" -> tpchQ7Sql,
+    "sql_tpch_q14" -> tpchQ14Sql,
+    "sql_tpch_q19" -> tpchQ19Sql,
     "customer_rfm" ->
       """WITH a AS (
         |   SELECT o_custkey AS custkey, max(CAST(o_orderdate AS DATE)) AS last_order,

@@ -145,6 +145,38 @@ object Sampling {
     * partial-combines map-side. Nothing document-sized ever shuffles
     * except the (doc_id, sum) rows.
     */
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): each row gets the key u^(1/w) — equivalently
+    * ranked by ln(u)/w — and the top-k keys are the sample, which is
+    * distributed exactly as sequential weighted draws without
+    * replacement. The uniform u comes from the content hash (the
+    * [[hashBucket]] md5 polynomial mapped to (0, 1]), never an RNG, so
+    * the sample is reproducible across runs, engines, and cluster
+    * layouts — same contract as every other sampler here.
+    *
+    * Scale: one narrow projection + a global top-k (TakeOrdered — no
+    * full sort, no single-partition window). The ES key is ranked on
+    * an 8dp-rounded carrier with a doc_id tiebreak so ordering never
+    * touches a raw computed float.
+    *
+    * `weight` must be strictly positive; non-positive rows are
+    * excluded (they have zero inclusion probability).
+    */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int): DataFrame = {
+    val m = md5(col("text"))
+    val x = (1 to 8).map(i => ascii(m.substr(i, 1)) * lit(math.pow(128, 8 - i).toLong))
+      .reduce(_ + _)
+    val p = graft.operators.Dedup.minhashP
+    val u = (pmod(x.cast("long"), lit(p)) + lit(1.0)) / lit(p + 1.0)
+    docs
+      .withColumn("w", weight.cast("long"))
+      .filter(col("w") > 0)
+      .withColumn("es_key", round(log(u) / col("w"), 8))
+      .select("doc_id", "w", "es_key")
+      .orderBy(desc("es_key"), col("doc_id"))
+      .limit(k)
+  }
+
   def dsirWeights(docs: DataFrame, targetSource: String,
       buckets: Int = 8192, scale: Int = 6): DataFrame = {
     // spread before the explode: the one-file documents scan would

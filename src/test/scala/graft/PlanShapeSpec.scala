@@ -58,6 +58,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("tpch q19 disjunctive-predicate join stays an equi hash join") {
+    val p = plan("sql_tpch_q19")
+    // the three OR branches must ride the p_partkey = l_partkey hash
+    // join as a residual filter — never a nested-loop/cartesian plan
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  test("weighted sample compiles to TakeOrderedAndProject, not sort-all") {
+    val p = plan("sample_weighted_tokens")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("global top-k compiles to TakeOrderedAndProject, not sort-all") {
     val p = plan("corpus_top_ngrams")
     assert(p.contains("TakeOrderedAndProject"))

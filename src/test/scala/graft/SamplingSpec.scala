@@ -130,4 +130,30 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("weightedSample: deterministic, capped at k, zero-weight excluded") {
+    val s1 = Sampling.weightedSample(docs, size(split(col("text"), " ")), 20)
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = Sampling.weightedSample(docs, size(split(col("text"), " ")), 20)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2 && s1.length == 20 && s1.distinct.length == 20)
+    // zero/negative weights have zero inclusion probability
+    val none = Sampling.weightedSample(docs, lit(0), 20)
+    assert(none.isEmpty)
+  }
+
+  test("weightedSample: a dominant weight is always drawn, ES keys ordered") {
+    val spark2 = spark
+    import spark2.implicits._
+    // one doc carries 10^6 x the weight of the rest: its ES key
+    // u^(1/w) ~ 1 beats 50 unit-weight docs' keys w.h.p. — and with
+    // the fixed content hashes this fixture is deterministic, so
+    // "w.h.p." is checkable as a constant
+    val d = ((1 to 50).map(i => (i.toLong, s"light doc number $i", 1L)) :+
+      (99L, "the heavy document", 1000000L)).toDF("doc_id", "text", "w")
+    val got = Sampling.weightedSample(d, col("w"), 5).collect()
+    assert(got.map(_.getLong(0)).contains(99L))
+    val keys = got.map(_.getAs[Double]("es_key")).toSeq
+    assert(keys == keys.sorted.reverse) // descending
+  }
 }
