@@ -145,7 +145,13 @@ object ScaleProbe {
       time("sketch_cms_join_size") {
         graft.operators.Sketch.cmsSelfJoinSize(events) },
       time("events_cusum") {
-        graft.operators.EventsOps.cusumBursts(events) }).flatten
+        graft.operators.EventsOps.cusumBursts(events) },
+      // round-9: suffix-array dedup — per-replica token prefixes keep
+      // every bucket replica-local, so bucket populations stay fixture-
+      // sized while bucket COUNT scales ×N: the parallel-across-buckets
+      // claim is exactly what this measures
+      time("dedup_suffix_repeats") {
+        Dedup.suffixRepeats(docs, 5, 20) }).flatten
 
     val qj = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","queries":$qj}""")
