@@ -3128,10 +3128,13 @@ object ExtQueries {
          |     CAST(round(margin, 6) AS DECIMAL(18,6)) AS m6 FROM nbres),
          | g AS (SELECT lang, nb_pred, count(*) AS n,
          |     round(CAST(sum(m6) AS DOUBLE) / count(*), 4) AS avg_margin
-         |   FROM m6 GROUP BY lang, nb_pred)
-         | SELECT lang, nb_pred, n,
-         |   round(n / sum(n) OVER (PARTITION BY lang), 4) AS row_frac, avg_margin
-         | FROM g ORDER BY lang, nb_pred""".stripMargin,
+         |   FROM m6 GROUP BY lang, nb_pred),
+         | r AS (SELECT lang, nb_pred, n,
+         |     round(n / sum(n) OVER (PARTITION BY lang), 4) AS row_frac, avg_margin,
+         |     row_number() OVER (PARTITION BY lang ORDER BY n DESC, nb_pred) AS rk
+         |   FROM g)
+         | SELECT lang, nb_pred, n, row_frac, avg_margin
+         | FROM r WHERE rk <= 10 ORDER BY lang, nb_pred""".stripMargin,
     "events_l28" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         | m AS (SELECT max(day) AS max_day FROM days),

@@ -107,14 +107,21 @@ object Classify {
     * classifier (the [[TextOps.langConfusion]] twin). Grouped frame is
     * labels², so the window is bounded-cardinality.
     */
-  def nbConfusion(docs: DataFrame): DataFrame = {
+  def nbConfusion(docs: DataFrame, topK: Int = 10): DataFrame = {
     val wl = Window.partitionBy("lang")
+    // the matrix surface is labels × labels: cap each true-label row
+    // to its topK most-frequent predictions so the output stays
+    // bounded when the label set is unbounded (row_frac still uses the
+    // FULL row total, so capped rows keep honest shares)
+    val wk = Window.partitionBy("lang").orderBy(desc("n"), col("nb_pred"))
     nbLangScores(docs)
       .withColumn("m6", round(col("margin"), 6).cast("decimal(18,6)"))
       .groupBy("lang", "nb_pred")
       .agg(count(lit(1)).as("n"),
         round(sum(col("m6")).cast("double") / count(lit(1)), 4).as("avg_margin"))
       .withColumn("row_frac", round(col("n") / sum("n").over(wl), 4))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= topK)
       .select("lang", "nb_pred", "n", "row_frac", "avg_margin")
       .orderBy("lang", "nb_pred")
   }
