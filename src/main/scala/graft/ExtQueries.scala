@@ -408,6 +408,9 @@ object ExtQueries {
     // anywhere in the corpus — catches long verbatim repeats below the
     // shingle-Jaccard radar
     "dedup_suffix_repeats" -> ((s, d) => Dedup.suffixRepeats(docs(s, d), 5, 20)),
+    // the removal step: duplicated spans scrubbed from every doc, the
+    // cleaned corpus emitted (suffix-array dedup end to end)
+    "dedup_suffix_scrub" -> ((s, d) => Dedup.suffixScrub(docs(s, d), 5, 20)),
     // pairs → connected components → keeper per cluster (the step that
     // turns pair lists into an actually-deduplicated corpus)
     "dedup_clusters" -> ((s, d) => {
@@ -1511,6 +1514,35 @@ object ExtQueries {
       |   string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
       |   FROM sums GROUP BY doc_id)""".stripMargin
 
+  /** Suffix-array hit mining shared by the repeats report and the
+    * scrub: word-level suffixes truncated to 20, bucketed by their
+    * first 5 words, per-bucket sort + adjacent word-LCP; `hit` =
+    * (doc_id, pos, sw, rep_len ≥ 5). Mirrors Dedup.suffixHits.
+    */
+  private lazy val suffixHitsCte: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      | sfx AS (SELECT doc_id, CAST(p AS INTEGER) AS pos, ws[p:least(p+19, len(ws))] AS sw
+      |         FROM w, UNNEST(range(1, len(ws)+1)) AS t(p)
+      |         WHERE len(ws) - p + 1 >= 5),
+      | b AS (SELECT doc_id, pos, sw,
+      |         array_to_string(sw[1:5], ' ') AS bucket,
+      |         array_to_string(sw, ' ') AS skey FROM sfx),
+      | c AS (SELECT doc_id, pos, sw, bucket, skey,
+      |         count(*) OVER (PARTITION BY bucket) AS bn FROM b),
+      | lg AS (SELECT doc_id, pos, sw,
+      |     lag(sw) OVER (PARTITION BY bucket ORDER BY skey, doc_id, pos) AS pw,
+      |     lead(sw) OVER (PARTITION BY bucket ORDER BY skey, doc_id, pos) AS nw
+      |   FROM c WHERE bn >= 2),
+      | lc AS (SELECT doc_id, pos, sw,
+      |     greatest(
+      |       coalesce(list_sum(list_transform(range(1, least(len(sw), len(pw)) + 1),
+      |         k -> CASE WHEN sw[1:k] = pw[1:k] THEN 1 ELSE 0 END)), 0),
+      |       coalesce(list_sum(list_transform(range(1, least(len(sw), len(nw)) + 1),
+      |         k -> CASE WHEN sw[1:k] = nw[1:k] THEN 1 ELSE 0 END)), 0)) AS rep_len
+      |   FROM lg),
+      | hit AS (SELECT doc_id, pos, sw, CAST(rep_len AS INTEGER) AS rep_len
+      |         FROM lc WHERE rep_len >= 5)""".stripMargin
+
   /** CMS depth-row bucket h_d(x) = ((a_d·x + b_d) mod P) mod 4096 from
     * one shared base hash — mirrors Sketch.depthBuckets (same minhash
     * (a, b) constants, same Mersenne P).
@@ -2362,28 +2394,7 @@ object ExtQueries {
     // LCP = count of k with equal k-prefixes (monotone), rep_len =
     // max(LCP prev, LCP next) — exact integers end to end
     "dedup_suffix_repeats" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        | sfx AS (SELECT doc_id, CAST(p AS INTEGER) AS pos, ws[p:least(p+19, len(ws))] AS sw
-        |         FROM w, UNNEST(range(1, len(ws)+1)) AS t(p)
-        |         WHERE len(ws) - p + 1 >= 5),
-        | b AS (SELECT doc_id, pos, sw,
-        |         array_to_string(sw[1:5], ' ') AS bucket,
-        |         array_to_string(sw, ' ') AS skey FROM sfx),
-        | c AS (SELECT doc_id, pos, sw, bucket, skey,
-        |         count(*) OVER (PARTITION BY bucket) AS bn FROM b),
-        | lg AS (SELECT doc_id, pos, sw,
-        |     lag(sw) OVER (PARTITION BY bucket ORDER BY skey, doc_id, pos) AS pw,
-        |     lead(sw) OVER (PARTITION BY bucket ORDER BY skey, doc_id, pos) AS nw
-        |   FROM c WHERE bn >= 2),
-        | lc AS (SELECT doc_id, pos, sw,
-        |     greatest(
-        |       coalesce(list_sum(list_transform(range(1, least(len(sw), len(pw)) + 1),
-        |         k -> CASE WHEN sw[1:k] = pw[1:k] THEN 1 ELSE 0 END)), 0),
-        |       coalesce(list_sum(list_transform(range(1, least(len(sw), len(nw)) + 1),
-        |         k -> CASE WHEN sw[1:k] = nw[1:k] THEN 1 ELSE 0 END)), 0)) AS rep_len
-        |   FROM lg),
-        | hit AS (SELECT doc_id, pos, sw, CAST(rep_len AS INTEGER) AS rep_len
-        |         FROM lc WHERE rep_len >= 5),
+      s"""$suffixHitsCte,
         | rk AS (SELECT doc_id, pos, sw, rep_len,
         |     row_number() OVER (PARTITION BY doc_id ORDER BY rep_len DESC, pos) AS rn
         |   FROM hit),
@@ -2393,6 +2404,26 @@ object ExtQueries {
         |   r.pos AS top_pos, array_to_string(r.sw[1:r.rep_len], ' ') AS top_span
         | FROM agg a JOIN rk r ON r.doc_id = a.doc_id AND r.rn = 1
         | ORDER BY a.doc_id""".stripMargin,
+    // the removal step: every position covered by a duplicated span is
+    // dropped (ALL occurrences), survivors rejoin in order; docs with
+    // nothing left emit ''
+    "dedup_suffix_scrub" ->
+      s"""$suffixHitsCte,
+        | fp AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + rep_len)) AS p FROM hit),
+        | wp AS (SELECT doc_id, CAST(i AS INTEGER) AS wpos, ws[i] AS word
+        |        FROM w, UNNEST(range(1, len(ws)+1)) AS t(i)),
+        | kept AS (SELECT wp.doc_id, wp.wpos, wp.word
+        |          FROM wp LEFT JOIN fp ON fp.doc_id = wp.doc_id AND fp.p = wp.wpos
+        |          WHERE fp.p IS NULL),
+        | rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+        |     string_agg(word, ' ' ORDER BY wpos) AS cleaned_text
+        |   FROM kept GROUP BY doc_id),
+        | tot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM w)
+        | SELECT t.doc_id, t.n_words,
+        |   t.n_words - coalesce(r.n_kept, 0) AS n_removed,
+        |   coalesce(r.cleaned_text, '') AS cleaned_text
+        | FROM tot t LEFT JOIN rebuilt r USING (doc_id)
+        | ORDER BY t.doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""${"WITH RECURSIVE " + simhashPairsCte.stripPrefix("WITH ")},
          | p AS (SELECT doc_a, doc_b FROM dists WHERE dist <= 3),

@@ -1171,6 +1171,26 @@ object Dedup {
     */
   def suffixRepeats(docs: DataFrame, minLen: Int = 5,
       maxLen: Int = 20): DataFrame = {
+    val hits = suffixHits(docs, minLen, maxLen)
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(desc("rep_len"), col("pos"))
+    hits
+      .withColumn("max_rep_len", max("rep_len").over(Window.partitionBy("doc_id")))
+      .withColumn("n_dup_positions", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("max_rep_len"), col("n_dup_positions"),
+        col("pos").as("top_pos"),
+        concat_ws(" ", expr("slice(sw, 1, rep_len)")).as("top_span"))
+      .orderBy("doc_id")
+  }
+
+  /** The per-position duplicated-span stream behind [[suffixRepeats]]
+    * and [[suffixScrub]]: (doc_id, pos, sw, rep_len) for every suffix
+    * whose longest duplicated prefix reaches minLen.
+    */
+  private def suffixHits(docs: DataFrame, minLen: Int,
+      maxLen: Int): DataFrame = {
     val sfx = spread(docs)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= minLen)
@@ -1199,16 +1219,46 @@ object Dedup {
         greatest(lcp("pw"), lcp("nw")).cast("int"))
       .filter(col("rep_len") >= minLen)
       .select("doc_id", "pos", "sw", "rep_len")
-    val byDoc = Window.partitionBy("doc_id")
-      .orderBy(desc("rep_len"), col("pos"))
     hits
-      .withColumn("max_rep_len", max("rep_len").over(Window.partitionBy("doc_id")))
-      .withColumn("n_dup_positions", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .withColumn("rn", row_number().over(byDoc))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("max_rep_len"), col("n_dup_positions"),
-        col("pos").as("top_pos"),
-        concat_ws(" ", expr("slice(sw, 1, rep_len)")).as("top_span"))
+  }
+
+  /** Scrub the duplicated spans [[suffixRepeats]] finds — the removal
+    * step of the suffix-array dedup pipeline (Lee et al. 2021 remove
+    * the repeats they locate; this operator emits the cleaned corpus).
+    * Every position covered by some duplicated span of ≥ minLen words
+    * is dropped (the aggressive variant: ALL occurrences go, not
+    * all-but-one — boilerplate shouldn't survive anywhere), and the
+    * surviving words rejoin in order.
+    *
+    * Shape: the hit stream explodes to flagged word positions
+    * (bounded by words-per-doc × span overlap), distinct, anti-joined
+    * against the positional word stream, then one per-doc ordered
+    * re-assembly — every stage keys on doc_id after the bucket
+    * shuffle the hit mining already paid.
+    */
+  def suffixScrub(docs: DataFrame, minLen: Int = 5,
+      maxLen: Int = 20): DataFrame = {
+    val flagged = suffixHits(docs, minLen, maxLen)
+      .select(col("doc_id"),
+        explode(expr("sequence(pos, pos + rep_len - 1)")).as("fp"))
+      .distinct()
+    val words = spread(docs)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("wpos"), col("col").as("word"))
+    val kept = words.join(flagged,
+      words("doc_id") === flagged("doc_id") && col("wpos") === col("fp"),
+      "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(wpos, word))), x -> x.word)"))
+        .as("cleaned_text"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
       .orderBy("doc_id")
   }
 

@@ -481,4 +481,28 @@ class DedupSpec extends SparkSpec {
       1L -> "v1 v2 v3 v4 m1 m2 m3 w1 w2 w3") // only a 3-word overlap
     assert(Dedup.suffixRepeats(d, minLen = 5, maxLen = 20).isEmpty)
   }
+
+  test("suffixScrub removes every occurrence of a duplicated span, keeps the rest") {
+    val q = (1 to 8).map(i => s"q$i").mkString(" ")
+    val d = docs(
+      0L -> s"a1 a2 a3 $q b1 b2",
+      1L -> s"c1 c2 $q e1 e2 e3",
+      2L -> "z1 z2 z3 z4 z5 z6") // untouched
+    val r = Dedup.suffixScrub(d, minLen = 5, maxLen = 20).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_removed"), x.getAs[String]("cleaned_text"))).toMap
+    assert(r(0L) == (8L, "a1 a2 a3 b1 b2"))
+    assert(r(1L) == (8L, "c1 c2 e1 e2 e3"))
+    assert(r(2L) == (0L, "z1 z2 z3 z4 z5 z6"))
+  }
+
+  test("suffixScrub empties a fully-duplicated doc") {
+    val run = (1 to 10).map(i => s"d$i").mkString(" ")
+    val d = docs(0L -> run, 1L -> run, 2L -> "x1 x2 x3 x4 x5 x6")
+    val r = Dedup.suffixScrub(d, minLen = 5, maxLen = 20).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_removed"), x.getAs[String]("cleaned_text"))).toMap
+    assert(r(0L) == (10L, "") && r(1L) == (10L, ""))
+    assert(r(2L)._1 == 0L)
+  }
 }
