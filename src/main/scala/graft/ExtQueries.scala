@@ -37,6 +37,8 @@ object ExtQueries {
 
   private lazy val ivfDriftDir: String = TempDirs.create("graft_ivf_drift")
 
+  private lazy val ivfStreamDir: String = TempDirs.create("graft_ivf_stream")
+
   /** Replay-drop directory for the streaming CUSUM query. */
   private lazy val cusumReplayDir: String = TempDirs.create("graft_cusum_replay")
 
@@ -651,6 +653,27 @@ object ExtQueries {
       val dir = ivfDriftDir
       Sink.writeIvfIndex(all.filter(col("vec_id") < 400), dir, 8, 2)
       Sink.ivfAppendDrift(s, all.filter(col("vec_id") >= 400), dir)
+    }),
+    // streaming index maintenance: the batch arrives as three drops;
+    // each micro-batch folds into the stored index through the SAME
+    // append path (foreachBatch → appendToIvfIndex, stored centroids,
+    // no retrain). Shares embed_ivf_append_search's oracle verbatim —
+    // hash-green proves drop-at-a-time ingestion ≡ one-shot append
+    // (assignment depends only on the frozen centroids, so appends
+    // are an order-invariant set union). SIDE EFFECT: temp dirs.
+    "stream_ivf_append_replay" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfStreamDir
+      Sink.writeIvfIndex(all.filter(col("vec_id") < 400), s"$dir/index", 8, 2)
+      val batch = all.filter(col("vec_id") >= 400)
+      Seq(("a", 0), ("b", 1), ("c", 2)).foreach { case (tag, r) =>
+        batch.filter(pmod(col("vec_id"), lit(3)) === r)
+          .select("vec_id", "embedding").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/drops/drop=$tag")
+      }
+      graft.streaming.IvfStream.runAppendReplay(
+        s, s"$dir/drops/drop=*", s"$dir/index", s"$dir/ckpt")
+      Sink.searchIvfIndex(s, all, s"$dir/index", 10, 3)
     }),
     "embed_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
     // 1-bit sign signatures + Hamming top-k (codegen'd HammingDistance)
@@ -1542,6 +1565,30 @@ object ExtQueries {
       |   FROM lg),
       | hit AS (SELECT doc_id, pos, sw, CAST(rep_len AS INTEGER) AS rep_len
       |         FROM lc WHERE rep_len >= 5)""".stripMargin
+
+  /** Stored-index search after the incremental append: train on base
+    * (vec_id < 400), assign EVERYTHING with the trained centroids,
+    * search the union — shared by the one-shot append query and its
+    * streaming drop-at-a-time replay.
+    */
+  private lazy val ivfAppendSearchOracle: String =
+    s"""${kmeansBaseTrainedCte(400)},
+       | wc AS (SELECT emb.vec_id, emb.embedding, a2.cell
+       |        FROM embeddings emb JOIN a2 USING (vec_id)),
+       | q AS (SELECT vec_id AS qid, embedding AS qe, cell AS qcell
+       |       FROM wc WHERE vec_id < 10),
+       | p AS (SELECT qid, cell, wc.vec_id,
+       |         round(SUM(CAST(qe[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)) /
+       |           (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+       |            sqrt(SUM(CAST(wc.embedding[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)))), 4) AS cos
+       |       FROM q JOIN wc ON q.qcell = wc.cell AND q.qid <> wc.vec_id,
+       |            UNNEST(range(1, 65)) t(i)
+       |       GROUP BY qid, cell, wc.vec_id),
+       | r AS (SELECT qid, cell, vec_id, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+       |       FROM p)
+       | SELECT qid, cell, rnk, vec_id, cos FROM r WHERE rnk <= 3
+       | ORDER BY qid, rnk""".stripMargin
 
   /** CMS depth-row bucket h_d(x) = ((a_d·x + b_d) mod P) mod 4096 from
     * one shared base hash — mirrors Sketch.depthBuckets (same minhash
@@ -2833,24 +2880,11 @@ object ExtQueries {
     // append path: train on base, assign everything with the stored
     // centroids, serve the union — the search tail mirrors
     // embed_ivf_topk over the base-trained a2
-    "embed_ivf_append_search" ->
-      s"""${kmeansBaseTrainedCte(400)},
-         | wc AS (SELECT emb.vec_id, emb.embedding, a2.cell
-         |        FROM embeddings emb JOIN a2 USING (vec_id)),
-         | q AS (SELECT vec_id AS qid, embedding AS qe, cell AS qcell
-         |       FROM wc WHERE vec_id < 10),
-         | p AS (SELECT qid, cell, wc.vec_id,
-         |         round(SUM(CAST(qe[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)) /
-         |           (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
-         |            sqrt(SUM(CAST(wc.embedding[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)))), 4) AS cos
-         |       FROM q JOIN wc ON q.qcell = wc.cell AND q.qid <> wc.vec_id,
-         |            UNNEST(range(1, 65)) t(i)
-         |       GROUP BY qid, cell, wc.vec_id),
-         | r AS (SELECT qid, cell, vec_id, cos,
-         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
-         |       FROM p)
-         | SELECT qid, cell, rnk, vec_id, cos FROM r WHERE rnk <= 3
-         | ORDER BY qid, rnk""".stripMargin,
+    "embed_ivf_append_search" -> ivfAppendSearchOracle,
+    // drop-at-a-time streaming ingestion lands the identical index
+    // (appends are an order-invariant set union against the frozen
+    // centroids), so the replay shares the one-shot append oracle
+    "stream_ivf_append_replay" -> ivfAppendSearchOracle,
     // append pre-flight: stored vs incoming cell populations (both
     // against the stored centroids), smoothed PSI (sourceDrift
     // carrier: 8dp DECIMAL terms, 6dp total), retrain verdict

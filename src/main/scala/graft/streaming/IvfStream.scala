@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.operators.Sink
+
+/** Streaming maintenance of a stored IVF index: vector batches arrive
+  * as file drops and each micro-batch folds into the index THROUGH the
+  * batch append path ([[Sink.appendToIvfIndex]] inside foreachBatch —
+  * assign against the STORED centroids, append cell-partitioned, no
+  * retrain). The index is immediately servable between batches; the
+  * replay's final search result is identical to appending the whole
+  * batch at once, because appends are a set union of assignment rows
+  * and the assignment of each vector depends only on the frozen
+  * centroids — order-invariant by construction.
+  *
+  * State at scale: NONE in the streaming engine (foreachBatch is
+  * stateless); the index on disk is the state, growing by exactly the
+  * arrived vectors. This is the production ingestion shape for a
+  * continuously-fed ANN index, with [[Sink.ivfAppendDrift]] as the
+  * per-batch retrain tripwire.
+  */
+object IvfStream {
+
+  val schema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Recursive delete for the per-run checkpoint: the replay must
+    * re-process every drop on each evaluation (a stale checkpoint
+    * would silently skip them after the index reset).
+    */
+  private[streaming] def deleteRecursively(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) f.listFiles().foreach(c => deleteRecursively(c.getPath))
+    f.delete()
+    ()
+  }
+
+  /** Bounded replay: process every vector drop (one file per trigger),
+    * appending each micro-batch into the stored index at `indexDir`.
+    */
+  def runAppendReplay(spark: SparkSession, dropGlob: String,
+      indexDir: String, checkpointDir: String): Unit = {
+    deleteRecursively(checkpointDir)
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dropGlob)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) Sink.appendToIvfIndex(batch, indexDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

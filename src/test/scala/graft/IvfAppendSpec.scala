@@ -66,6 +66,27 @@ class IvfAppendSpec extends SparkSpec {
     assert(ra >= rf - 0.2, s"append-path recall $ra too far below fresh $rf")
   }
 
+  test("streamed drop-at-a-time ingestion lands the identical index") {
+    val all = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-ivfstream").toString
+    Sink.writeIvfIndex(all.filter(col("vec_id") < 40), s"$dir/index", 8, 2)
+    val batch = all.filter(col("vec_id") >= 40)
+    Seq(0, 1).foreach { r =>
+      batch.filter(pmod(col("vec_id"), lit(2)) === r)
+        .select("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/drops/drop=$r")
+    }
+    graft.streaming.IvfStream.runAppendReplay(
+      spark, s"$dir/drops/drop=*", s"$dir/index", s"$dir/ckpt")
+    val stored = spark.read.parquet(s"$dir/index/assignment")
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Similarity
+      .assignWithCentroids(all, Sink.loadIvfCentroids(spark, s"$dir/index"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == expected && stored.size == all.count())
+  }
+
   test("drift pre-flight: skewed batch flags retrain, balanced does not") {
     val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
     val dir = Files.createTempDirectory("graft-ivfdrift").toString
