@@ -413,6 +413,9 @@ object ExtQueries {
     // the removal step: duplicated spans scrubbed from every doc, the
     // cleaned corpus emitted (suffix-array dedup end to end)
     "dedup_suffix_scrub" -> ((s, d) => Dedup.suffixScrub(docs(s, d), 5, 20)),
+    // per-source boilerplate burden: tokens removed / docs touched /
+    // docs emptied by the span scrub — the data-mix owner's view
+    "dedup_span_by_source" -> ((s, d) => Dedup.suffixScrubStats(docs(s, d), 5, 20)),
     // pairs → connected components → keeper per cluster (the step that
     // turns pair lists into an actually-deduplicated corpus)
     "dedup_clusters" -> ((s, d) => {
@@ -2471,6 +2474,22 @@ object ExtQueries {
         |   coalesce(r.cleaned_text, '') AS cleaned_text
         | FROM tot t LEFT JOIN rebuilt r USING (doc_id)
         | ORDER BY t.doc_id""".stripMargin,
+    // per-source rollup of the scrub (docs join + one grouped agg)
+    "dedup_span_by_source" ->
+      s"""$suffixHitsCte,
+        | fp AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + rep_len)) AS p FROM hit),
+        | rm AS (SELECT doc_id, count(*) AS n_rm FROM fp GROUP BY doc_id),
+        | tot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM w),
+        | per AS (SELECT d.source, t.n_words, coalesce(rm.n_rm, 0) AS n_removed
+        |         FROM tot t JOIN documents d ON d.doc_id = t.doc_id
+        |         LEFT JOIN rm ON rm.doc_id = t.doc_id)
+        | SELECT source, count(*) AS n_docs,
+        |   CAST(sum(n_words) AS BIGINT) AS tokens_total,
+        |   CAST(sum(n_removed) AS BIGINT) AS tokens_removed,
+        |   CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
+        |   CAST(sum(CASE WHEN n_removed = n_words THEN 1 ELSE 0 END) AS BIGINT) AS docs_emptied,
+        |   round(sum(n_removed) / sum(n_words), 4) AS reduction_pct
+        | FROM per GROUP BY source ORDER BY source""".stripMargin,
     "dedup_clusters" ->
       s"""${"WITH RECURSIVE " + simhashPairsCte.stripPrefix("WITH ")},
          | p AS (SELECT doc_a, doc_b FROM dists WHERE dist <= 3),

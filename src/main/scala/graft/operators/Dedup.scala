@@ -1262,6 +1262,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Per-source rollup of [[suffixScrub]] — the boilerplate-burden
+    * report: how many tokens the span scrub removes from each source,
+    * how many documents it touches, and how many it empties outright.
+    * The number a data-mix owner reads before deciding which source
+    * needs upstream cleaning. One join + one grouped aggregate on top
+    * of the scrub.
+    */
+  def suffixScrubStats(docs: DataFrame, minLen: Int = 5,
+      maxLen: Int = 20): DataFrame = {
+    val scrub = suffixScrub(docs, minLen, maxLen)
+      .select("doc_id", "n_words", "n_removed")
+    docs.select("doc_id", "source")
+      .join(scrub, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("tokens_total"),
+        sum("n_removed").as("tokens_removed"),
+        sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("docs_touched"),
+        sum(when(col("n_removed") === col("n_words"), 1L).otherwise(0L))
+          .as("docs_emptied"))
+      .withColumn("reduction_pct",
+        round(col("tokens_removed") / col("tokens_total"), 4))
+      .orderBy("source")
+  }
+
   /** MinHash estimator quality gate: for every LSH-confirmed pair, the
     * Jaccard ESTIMATE from signature agreement (matching components /
     * K) next to the exact distinct-shingle Jaccard and the absolute
