@@ -922,6 +922,15 @@ object ExtQueries {
     // Okapi BM25 lexical retrieval against a fixed query-term bag
     "text_bm25_topk" -> ((s, d) =>
       TextOps.bm25TopK(docs(s, d), Seq("hash", "merge", "scan"))),
+    // hybrid retrieval: BM25 lexical ranking ⊕ single-query cosine
+    // ranking via reciprocal-rank fusion (no score calibration needed)
+    "retrieval_rrf_hybrid" -> ((s, d) => {
+      val lex = TextOps.bm25TopK(docs(s, d), Seq("hash", "merge", "scan"), 20)
+        .select(col("doc_id").as("id"), col("rnk"))
+      val sem = Retrieval.cosineRankForQuery(emb(s, d), 0L, 20)
+        .select("id", "rnk")
+      Retrieval.rrfFuse(lex, sem, 10)
+    }),
     // sklearn-style min_df/max_df vocabulary pruning. The synthetic
     // vocab is 31 near-uniform words (df ≈ 75-80% of docs), so the
     // standard max_df = 0.5 would keep almost nothing — 0.78 lands the
@@ -1568,6 +1577,29 @@ object ExtQueries {
       |   FROM lg),
       | hit AS (SELECT doc_id, pos, sw, CAST(rep_len AS INTEGER) AS rep_len
       |         FROM lc WHERE rep_len >= 5)""".stripMargin
+
+  /** BM25 chain up through the ranked list `rk` — shared by the plain
+    * top-k query and the RRF hybrid fusion.
+    */
+  private lazy val bm25Cte: String =
+    """WITH wrds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      | dl AS (SELECT doc_id, count(*) AS dl FROM wrds GROUP BY doc_id),
+      | n AS (SELECT count(*) AS nd FROM documents),
+      | ad AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT nd FROM n) AS avgdl FROM dl),
+      | tf AS (SELECT doc_id, word, count(*) AS tf FROM wrds
+      |        WHERE word IN ('hash', 'merge', 'scan') GROUP BY doc_id, word),
+      | dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+      | sc AS (SELECT tf.doc_id,
+      |     CAST(round(
+      |       round(ln(((SELECT nd FROM n) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0), 6)
+      |       * (tf.tf * 2.2)
+      |       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * round(dl.dl / (SELECT avgdl FROM ad), 6))),
+      |       6) AS DECIMAL(18,6)) AS term_score
+      |   FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id)),
+      | pd AS (SELECT doc_id, sum(term_score) AS score_d, count(*) AS n_terms
+      |        FROM sc GROUP BY doc_id),
+      | rk AS (SELECT row_number() OVER (ORDER BY score_d DESC, doc_id) AS rnk,
+      |          doc_id, n_terms, CAST(score_d AS DOUBLE) AS score FROM pd)""".stripMargin
 
   /** Stored-index search after the incremental append: train on base
     * (vec_id < 400), assign EVERYTHING with the trained centroids,
@@ -3664,25 +3696,35 @@ object ExtQueries {
     // BM25: every float is rounded before reuse; per-term scores sum as
     // exact DECIMAL(18,6) and the ranking orders by that exact sum
     "text_bm25_topk" ->
-      """WITH wrds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-        | dl AS (SELECT doc_id, count(*) AS dl FROM wrds GROUP BY doc_id),
-        | n AS (SELECT count(*) AS nd FROM documents),
-        | ad AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT nd FROM n) AS avgdl FROM dl),
-        | tf AS (SELECT doc_id, word, count(*) AS tf FROM wrds
-        |        WHERE word IN ('hash', 'merge', 'scan') GROUP BY doc_id, word),
-        | dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-        | sc AS (SELECT tf.doc_id,
-        |     CAST(round(
-        |       round(ln(((SELECT nd FROM n) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0), 6)
-        |       * (tf.tf * 2.2)
-        |       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * round(dl.dl / (SELECT avgdl FROM ad), 6))),
-        |       6) AS DECIMAL(18,6)) AS term_score
-        |   FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id)),
-        | pd AS (SELECT doc_id, sum(term_score) AS score_d, count(*) AS n_terms
-        |        FROM sc GROUP BY doc_id),
-        | rk AS (SELECT row_number() OVER (ORDER BY score_d DESC, doc_id) AS rnk,
-        |          doc_id, n_terms, CAST(score_d AS DOUBLE) AS score FROM pd)
+      s"""$bm25Cte
         | SELECT rnk, doc_id, n_terms, score FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // RRF hybrid: the BM25 chain and a single-query cosine ranking
+    // fused by Σ 1/(60 + rank) — 8dp DECIMAL reciprocals summed exact,
+    // ranked on the exact sum with id tiebreak
+    "retrieval_rrf_hybrid" ->
+      s"""$bm25Cte,
+        | lexr AS (SELECT doc_id AS id, rnk AS lex_rnk FROM rk WHERE rnk <= 20),
+        | qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        | semsc AS (SELECT e.vec_id,
+        |     round(SUM(CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) /
+        |       (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+        |        sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))), 4) AS cos
+        |   FROM embeddings e, qv, UNNEST(range(1, 65)) t(i)
+        |   WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+        | semr AS (SELECT id, sem_rnk FROM (
+        |     SELECT vec_id AS id,
+        |       row_number() OVER (ORDER BY cos DESC, vec_id) AS sem_rnk
+        |     FROM semsc) WHERE sem_rnk <= 20),
+        | f AS (SELECT coalesce(l.id, s.id) AS id, l.lex_rnk, s.sem_rnk,
+        |     coalesce(CAST(round(1.0 / (60 + l.lex_rnk), 8) AS DECIMAL(12,8)),
+        |       CAST(0.0 AS DECIMAL(12,8))) +
+        |     coalesce(CAST(round(1.0 / (60 + s.sem_rnk), 8) AS DECIMAL(12,8)),
+        |       CAST(0.0 AS DECIMAL(12,8))) AS rrf
+        |   FROM lexr l FULL OUTER JOIN semr s ON l.id = s.id),
+        | fused AS (SELECT row_number() OVER (ORDER BY rrf DESC, id) AS rrf_rank,
+        |     id, lex_rnk, sem_rnk, CAST(rrf AS DOUBLE) AS rrf_score FROM f)
+        | SELECT rrf_rank, id, lex_rnk, sem_rnk, rrf_score
+        | FROM fused WHERE rrf_rank <= 10 ORDER BY rrf_rank""".stripMargin,
     "vocab_prune" ->
       """WITH wrds AS (SELECT DISTINCT doc_id, word FROM
         |   (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
