@@ -25,7 +25,10 @@ object Bench {
     // round-over-round per-query comparison stays apples-to-apples;
     // the total now covers 20 queries)
     "text_nb_langid", "text_phrase_search", "embed_pca_power",
-    "sketch_hist_quantiles")
+    "sketch_hist_quantiles",
+    // round-9 families appended (r≤8 20-query prefix unchanged):
+    // suffix-array dedup and the incremental-index append+serve path
+    "dedup_suffix_repeats", "embed_ivf_append_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
