@@ -679,6 +679,10 @@ object ExtQueries {
       Sink.searchIvfIndex(s, all, s"$dir/index", 10, 3)
     }),
     "embed_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
+    // embedding QA before indexing: NaN/Inf counts, zero vectors,
+    // MAD-rule magnitude outliers (median-based — robust to a batch of
+    // broken near-zero vectors)
+    "embed_norm_quality" -> ((s, d) => Similarity.normQuality(emb(s, d))),
     // 1-bit sign signatures + Hamming top-k (codegen'd HammingDistance)
     "embed_binary_topk" -> ((s, d) => Similarity.binaryTopK(emb(s, d))),
     // per-label mean-pooled centroids, long format (label, dim, mean)
@@ -2928,6 +2932,25 @@ object ExtQueries {
          |       FROM p)
          | SELECT qid, cell, rnk, vec_id, cos FROM r WHERE rnk <= 3
          | ORDER BY qid, rnk""".stripMargin,
+    // embedding QA: rounded-6dp norms, quantile_cont medians (the
+    // percentile/quantile_cont interpolation identity), MAD rule on
+    // the raw interpolated medians
+    "embed_norm_quality" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        | b AS (SELECT vec_id,
+        |     CAST(len(list_filter(v, x -> NOT isfinite(x))) AS INTEGER) AS n_bad,
+        |     round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS norm
+        |   FROM e),
+        | md AS (SELECT quantile_cont(norm, 0.5) AS m FROM b WHERE n_bad = 0),
+        | ad AS (SELECT vec_id, n_bad, norm, m,
+        |     round(abs(norm - m), 6) AS adev FROM b, md),
+        | mm AS (SELECT quantile_cont(adev, 0.5) AS mad FROM ad WHERE n_bad = 0)
+        | SELECT vec_id, norm, n_bad, norm = 0.0 AS is_zero,
+        |   round(m, 6) AS median_norm, round(mad, 6) AS mad,
+        |   (mad > 0.0 AND adev > 3.0 * mad) AS mag_outlier,
+        |   (n_bad > 0 OR norm = 0.0 OR (mad > 0.0 AND adev > 3.0 * mad)) AS flagged
+        | FROM ad, mm ORDER BY vec_id""".stripMargin,
     // append path: train on base, assign everything with the stored
     // centroids, serve the union — the search tail mirrors
     // embed_ivf_topk over the base-trained a2

@@ -134,6 +134,48 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Embedding QA before indexing: per vector, the L2 norm plus the
+    * degenerate-vector flags an index build must reject — NaN/Inf
+    * components, the all-zero vector (cosine undefined), and
+    * magnitude outliers by the robust MAD rule
+    * |norm − median| > k·MAD (median-based, so a batch of broken
+    * near-zero vectors can't drag a mean-based threshold down with
+    * it). Norms are rounded 6dp before the medians so both engines
+    * interpolate over identical values; the two median passes are the
+    * exact diagnostic — at 100 TB the register-file quantile sketch
+    * ([[Sketch.logHistQuantiles]]) replaces them, same as every other
+    * exact-twin here.
+    *
+    * MAD = 0 (over half the corpus at the same rounded norm) disables
+    * the outlier rule rather than flagging everything off-median.
+    */
+  def normQuality(emb: DataFrame, k: Double = 3.0): DataFrame = {
+    val v = toDouble(col("embedding"))
+    val base = emb.select(col("vec_id"),
+        size(filter(v, x => isnan(x) || x === Double.PositiveInfinity ||
+          x === Double.NegativeInfinity)).as("n_bad"),
+        round(sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x)), 6).as("norm"))
+    // medians over FINITE norms only: one NaN component gives a NaN
+    // norm, and a NaN inside percentile would poison the median the
+    // QA rule depends on — exactly on the broken batches it exists for
+    val med = base.filter(col("n_bad") === 0)
+      .agg(expr("percentile(norm, 0.5)").as("m"))
+    val withMed = base.crossJoin(broadcast(med))
+      .withColumn("adev", round(abs(col("norm") - col("m")), 6))
+    val mad = withMed.filter(col("n_bad") === 0)
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .withColumn("is_zero", col("norm") === 0.0)
+      .withColumn("mag_outlier",
+        col("mad") > 0.0 && col("adev") > lit(k) * col("mad"))
+      .withColumn("flagged",
+        col("n_bad") > 0 || col("is_zero") || col("mag_outlier"))
+      .select(col("vec_id"), col("norm"), col("n_bad"), col("is_zero"),
+        round(col("m"), 6).as("median_norm"), round(col("mad"), 6).as("mad"),
+        col("mag_outlier"), col("flagged"))
+      .orderBy("vec_id")
+  }
+
   /** Squared L2 distance between two double arrays, rounded to 6 — the
     * rounding absorbs cross-engine summation-order ulp noise so argmin
     * assignments are reproducible (ties broken by cell id).

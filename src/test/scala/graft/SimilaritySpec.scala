@@ -350,4 +350,35 @@ class SimilaritySpec extends SparkSpec {
       assert(droppedOf(auto2).contains(100L + i), s"two-level rung must drop twin ${100 + i}")
     }
   }
+
+  test("normQuality flags NaN, zero, and magnitude-outlier vectors only") {
+    val spark2 = spark
+    import spark2.implicits._
+    // slightly varied magnitudes so the MAD is nonzero (a constant-norm
+    // corpus legitimately disables the outlier rule — next test)
+    val rows =
+      (0L until 20L).map(i =>
+        (i, (0 until 64).map(_ => 0.5f * (1.0f + i * 0.01f)))) ++ Seq(
+        (100L, (0 until 64).map(j => if (j == 0) Float.NaN else 0.5f)),
+        (101L, (0 until 64).map(_ => 0.0f)),
+        (102L, (0 until 64).map(_ => 500.0f))) // magnitude outlier
+    val d = rows.toDF("vec_id", "embedding")
+    val r = Similarity.normQuality(d).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x).toMap
+    assert(r(100L).getAs[Int]("n_bad") == 1 && r(100L).getAs[Boolean]("flagged"))
+    assert(r(101L).getAs[Boolean]("is_zero") && r(101L).getAs[Boolean]("flagged"))
+    assert(r(102L).getAs[Boolean]("mag_outlier") && r(102L).getAs[Boolean]("flagged"))
+    (0L until 20L).foreach(i => assert(!r(i).getAs[Boolean]("flagged"), s"vec $i"))
+  }
+
+  test("normQuality: zero MAD disables the outlier rule instead of flagging all") {
+    val spark2 = spark
+    import spark2.implicits._
+    // every norm identical -> MAD = 0: nothing is an outlier
+    val d = (0L until 10L).map(i => (i, (0 until 64).map(_ => 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.normQuality(d).collect()
+    assert(r.forall(!_.getAs[Boolean]("mag_outlier")))
+    assert(r.forall(!_.getAs[Boolean]("flagged")))
+  }
 }
