@@ -151,7 +151,16 @@ object ScaleProbe {
       // sized while bucket COUNT scales ×N: the parallel-across-buckets
       // claim is exactly what this measures
       time("dedup_suffix_repeats") {
-        Dedup.suffixRepeats(docs, 5, 20) }).flatten
+        Dedup.suffixRepeats(docs, 5, 20) },
+      // incremental-index append: train on the UNREPLICATED corpus
+      // (fixed cost), assign the ×N batch against the frozen centroids
+      // — the append path's only data-sized stage; cost must be
+      // proportional to the BATCH, one broadcast-join pass
+      time("embed_ivf_append_assign") {
+        val base = Tables.embeddings(spark, sfDir)
+        val (_, cOpt) = Similarity.kmeansAssignInternal(base, 8, 2)
+        Similarity.assignWithCentroids(emb, cOpt.get)
+      }).flatten
 
     val qj = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","queries":$qj}""")
