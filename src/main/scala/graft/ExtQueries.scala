@@ -541,7 +541,10 @@ object ExtQueries {
         concat(expr("concat_ws(' ', slice(split(text, ' '), 1, 40))"),
           lit(" quoted commentary chunk "), col("doc_id")).as("text"),
         col("lang"), col("source"), col("n_chars"))
-      Dedup.containmentPairs(all.unionByName(quotes), 8, 0.5)
+      // corpusKey includes the fixture tag: the augmented corpus
+      // (docs + planted quotes) is its own cache tenant
+      Dedup.containmentPairs(all.unionByName(quotes), 8, 0.5,
+        corpusKey = Some(d + "#quotes"))
     }),
 
     // the end-to-end training manifest: cleaning verdicts + near-dup

@@ -300,6 +300,24 @@ object Dedup {
     }
   }
 
+  /** Distinct (doc_id, md5(n-gram)) frame through the same session
+    * cache (key tag distinguishes it) — the containment chain reads it
+    * four times, so it materializes once per (session, corpus, n).
+    */
+  private def shingleHashCached(docs: DataFrame, n: Int,
+      corpusKey: String): DataFrame = {
+    graft.SessionCaches.watch(docs.sparkSession)
+    val key = (docs.sparkSession, corpusKey + "#shinglehash", n.toString)
+    pairsCache.get(key).getOrElse {
+      val sh = shingles(docs, n)
+        .select(col("doc_id"), md5(col("s")).as("h")).localCheckpoint()
+      val winner = pairsCache.putIfAbsent(key, sh)
+      if (winner ne sh)
+        org.apache.spark.sql.GraftShims.uncheckpoint(sh)
+      winner
+    }
+  }
+
   /** [[simhashNearDups]] through the same session pair cache (key tag
     * distinguishes the families): the verified simhash pair list is
     * consumed by both the pair query and cluster resolution — in
@@ -1009,14 +1027,24 @@ object Dedup {
     * exact intersection then computes only on candidate pairs.
     */
   def containmentPairs(docs: DataFrame, n: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, n)
+      threshold: Double = 0.5, corpusKey: Option[String] = None): DataFrame = {
+    // the distinct (doc_id, md5(gram)) frame feeds FOUR consumers
+    // (candidates, sizes, both intersection sides) — without a
+    // materialization each re-runs the scan+explode+distinct chain.
+    // Cached path checkpoints it once per (session, corpus); the
+    // hash stands in for the gram string everywhere (the same md5
+    // identity banding already relies on)
+    val sh = corpusKey match {
+      case Some(tag) => shingleHashCached(docs, n, tag)
+      case None => shingles(docs, n)
+        .select(col("doc_id"), md5(col("s")).as("h"))
+    }
     val cand = cappedBandCandidates(
-      sh.select(col("doc_id"), lit(0).as("band"), md5(col("s")).as("bv")))
+      sh.select(col("doc_id"), lit(0).as("band"), col("h").as("bv")))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsz"))
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("nsz").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("nsz").as("nb")), "doc_b")
