@@ -409,13 +409,13 @@ object ExtQueries {
     // adjacent LCP): per doc, the longest word-span occurring ≥2 times
     // anywhere in the corpus — catches long verbatim repeats below the
     // shingle-Jaccard radar
-    "dedup_suffix_repeats" -> ((s, d) => Dedup.suffixRepeats(docs(s, d), 5, 20)),
+    "dedup_suffix_repeats" -> ((s, d) => Dedup.suffixRepeats(docs(s, d), 5, 20, Some(d))),
     // the removal step: duplicated spans scrubbed from every doc, the
     // cleaned corpus emitted (suffix-array dedup end to end)
-    "dedup_suffix_scrub" -> ((s, d) => Dedup.suffixScrub(docs(s, d), 5, 20)),
+    "dedup_suffix_scrub" -> ((s, d) => Dedup.suffixScrub(docs(s, d), 5, 20, Some(d))),
     // per-source boilerplate burden: tokens removed / docs touched /
     // docs emptied by the span scrub — the data-mix owner's view
-    "dedup_span_by_source" -> ((s, d) => Dedup.suffixScrubStats(docs(s, d), 5, 20)),
+    "dedup_span_by_source" -> ((s, d) => Dedup.suffixScrubStats(docs(s, d), 5, 20, Some(d))),
     // pairs → connected components → keeper per cluster (the step that
     // turns pair lists into an actually-deduplicated corpus)
     "dedup_clusters" -> ((s, d) => {

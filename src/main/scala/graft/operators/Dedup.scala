@@ -1198,8 +1198,8 @@ object Dedup {
     * duplicated suffix positions.
     */
   def suffixRepeats(docs: DataFrame, minLen: Int = 5,
-      maxLen: Int = 20): DataFrame = {
-    val hits = suffixHits(docs, minLen, maxLen)
+      maxLen: Int = 20, corpusKey: Option[String] = None): DataFrame = {
+    val hits = suffixHitsMaybeCached(docs, minLen, maxLen, corpusKey)
     val byDoc = Window.partitionBy("doc_id")
       .orderBy(desc("rep_len"), col("pos"))
     hits
@@ -1211,6 +1211,29 @@ object Dedup {
         col("pos").as("top_pos"),
         concat_ws(" ", expr("slice(sw, 1, rep_len)")).as("top_span"))
       .orderBy("doc_id")
+  }
+
+  /** [[suffixHits]] through the session cache: the repeats report, the
+    * scrub, and the per-source rollup all consume the same mined hit
+    * stream — one bucket-sort pass per (session, corpus, params).
+    */
+  private def suffixHitsCached(docs: DataFrame, minLen: Int, maxLen: Int,
+      corpusKey: String): DataFrame = {
+    graft.SessionCaches.watch(docs.sparkSession)
+    val key = (docs.sparkSession, corpusKey + "#suffixhits", s"$minLen:$maxLen")
+    pairsCache.get(key).getOrElse {
+      val hits = suffixHits(docs, minLen, maxLen).localCheckpoint()
+      val winner = pairsCache.putIfAbsent(key, hits)
+      if (winner ne hits)
+        org.apache.spark.sql.GraftShims.uncheckpoint(hits)
+      winner
+    }
+  }
+
+  private def suffixHitsMaybeCached(docs: DataFrame, minLen: Int,
+      maxLen: Int, corpusKey: Option[String]): DataFrame = corpusKey match {
+    case Some(tag) => suffixHitsCached(docs, minLen, maxLen, tag)
+    case None => suffixHits(docs, minLen, maxLen)
   }
 
   /** The per-position duplicated-span stream behind [[suffixRepeats]]
@@ -1265,8 +1288,8 @@ object Dedup {
     * shuffle the hit mining already paid.
     */
   def suffixScrub(docs: DataFrame, minLen: Int = 5,
-      maxLen: Int = 20): DataFrame = {
-    val flagged = suffixHits(docs, minLen, maxLen)
+      maxLen: Int = 20, corpusKey: Option[String] = None): DataFrame = {
+    val flagged = suffixHitsMaybeCached(docs, minLen, maxLen, corpusKey)
       .select(col("doc_id"),
         explode(expr("sequence(pos, pos + rep_len - 1)")).as("fp"))
       .distinct()
@@ -1298,8 +1321,8 @@ object Dedup {
     * of the scrub.
     */
   def suffixScrubStats(docs: DataFrame, minLen: Int = 5,
-      maxLen: Int = 20): DataFrame = {
-    val scrub = suffixScrub(docs, minLen, maxLen)
+      maxLen: Int = 20, corpusKey: Option[String] = None): DataFrame = {
+    val scrub = suffixScrub(docs, minLen, maxLen, corpusKey)
       .select("doc_id", "n_words", "n_removed")
     docs.select("doc_id", "source")
       .join(scrub, "doc_id")
