@@ -71,6 +71,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("suffix miner shuffles by bucket — no global single-partition sort") {
+    // uncached path: the cached one explains as a checkpoint scan
+    val df = graft.operators.Dedup.suffixRepeats(
+      Tables.documents(spark, dir), 5, 20, corpusKey = None)
+    val p = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("hashpartitioning(bucket"),
+      "the suffix sort must partition by bucket")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("global top-k compiles to TakeOrderedAndProject, not sort-all") {
     val p = plan("corpus_top_ngrams")
     assert(p.contains("TakeOrderedAndProject"))
