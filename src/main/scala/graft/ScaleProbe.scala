@@ -152,6 +152,10 @@ object ScaleProbe {
       // claim is exactly what this measures
       time("dedup_suffix_repeats") {
         Dedup.suffixRepeats(docs, 5, 20) },
+      // the removal step on top of the mining: flagged-position
+      // explode + anti-join + per-doc reassembly, all doc_id-keyed
+      time("dedup_suffix_scrub") {
+        Dedup.suffixScrub(docs, 5, 20) },
       // incremental-index append: train on the UNREPLICATED corpus
       // (fixed cost), assign the ×N batch against the frozen centroids
       // — the append path's only data-sized stage; cost must be
