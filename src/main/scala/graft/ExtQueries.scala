@@ -219,6 +219,39 @@ object ExtQueries {
       |  OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
       |       AND l_quantity >= 20 AND l_quantity <= 30))""".stripMargin
 
+  /** TPC-H Q4 (order priority checking): an EXISTS probe from orders
+    * into lineitem aggregated per priority — the semi-join-then-agg
+    * shape. l_returnflag = 'R' stands in for commit/receipt lateness
+    * (the fixture carries no receipt dates — the Q21 adaptation).
+    */
+  private[graft] val tpchQ4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      | FROM orders
+      | WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |   AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+      |   AND EXISTS (SELECT 1 FROM lineitem
+      |               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      | GROUP BY o_orderpriority
+      | ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q10 (returned-item reporting): lost revenue per customer
+    * over a quarter, top 20 — fact-to-customer rollup with a
+    * broadcast nation dim and the Q3 DECIMAL/ordering rules.
+    */
+  private[graft] val tpchQ10Sql: String =
+    """SELECT c_custkey, c_name,
+      | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      | c_acctbal, n_name, c_mktsegment
+      | FROM customer, orders, lineitem, nation
+      | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |   AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |   AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+      |   AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      | GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+      | ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) DESC,
+      |   c_custkey
+      | LIMIT 20""".stripMargin
+
   /** The shared decontamination fixture: train = doc_id < 400, eval =
     * the rest plus 10 planted verbatim train copies (doc_id 10000+).
     */
@@ -309,6 +342,20 @@ object ExtQueries {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       Tables.table(s, d, "part").createOrReplaceTempView("part")
       s.sql(tpchQ14Sql)
+    }),
+    // Q4 (EXISTS probe aggregated per priority), Q10 (returned-item
+    // lost-revenue top-20) — same verbatim-text contract
+    "sql_tpch_q4" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(tpchQ4Sql)
+    }),
+    "sql_tpch_q10" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Seq("customer", "nation").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ10Sql)
     }),
     "sql_tpch_q19" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
@@ -4374,6 +4421,8 @@ object ExtQueries {
     "sql_tpch_q7" -> tpchQ7Sql,
     "sql_tpch_q14" -> tpchQ14Sql,
     "sql_tpch_q19" -> tpchQ19Sql,
+    "sql_tpch_q4" -> tpchQ4Sql,
+    "sql_tpch_q10" -> tpchQ10Sql,
     "customer_rfm" ->
       """WITH a AS (
         |   SELECT o_custkey AS custkey, max(CAST(o_orderdate AS DATE)) AS last_order,

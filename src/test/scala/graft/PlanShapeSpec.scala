@@ -58,6 +58,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("tpch q4 plans its EXISTS probe as a semi-join and q10 as top-k") {
+    val p4 = plan("sql_tpch_q4")
+    assert(p4.contains("LeftSemi") || p4.contains("leftsemi"), p4.take(600))
+    assert(!p4.contains("CartesianProduct"))
+    val p10 = plan("sql_tpch_q10")
+    assert(p10.contains("TakeOrderedAndProject"), "LIMIT 20 must plan as top-k")
+    assert(p10.contains("BroadcastHashJoin") && !p10.contains("CartesianProduct"))
+  }
+
   test("tpch q19 disjunctive-predicate join stays an equi hash join") {
     val p = plan("sql_tpch_q19")
     // the three OR branches must ride the p_partkey = l_partkey hash
