@@ -1605,23 +1605,26 @@ object ExtQueries {
 
   /** Suffix-array hit mining shared by the repeats report and the
     * scrub: word-level suffixes truncated to 20, bucketed by their
-    * first 5 words, per-bucket sort + adjacent word-LCP; `hit` =
-    * (doc_id, pos, sw, rep_len ≥ 5). Mirrors Dedup.suffixHits.
+    * first 5 words, per-bucket WORD-ARRAY sort + adjacent word-LCP
+    * (element-wise list order in both engines — robust to tokens
+    * containing control characters, unlike joined-string order);
+    * over-cap buckets (bn > cap) skip the sort and emit every member
+    * at rep_len = 5, the population-cap semantics Dedup.suffixHits
+    * implements; `hit` = (doc_id, pos, sw, rep_len ≥ 5).
     */
   private lazy val suffixHitsCte: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       | sfx AS (SELECT doc_id, CAST(p AS INTEGER) AS pos, ws[p:least(p+19, len(ws))] AS sw
       |         FROM w, UNNEST(range(1, len(ws)+1)) AS t(p)
       |         WHERE len(ws) - p + 1 >= 5),
       | b AS (SELECT doc_id, pos, sw,
-      |         array_to_string(sw[1:5], ' ') AS bucket,
-      |         array_to_string(sw, ' ') AS skey FROM sfx),
-      | c AS (SELECT doc_id, pos, sw, bucket, skey,
+      |         array_to_string(sw[1:5], ' ') AS bucket FROM sfx),
+      | c AS (SELECT doc_id, pos, sw, bucket,
       |         count(*) OVER (PARTITION BY bucket) AS bn FROM b),
       | lg AS (SELECT doc_id, pos, sw,
-      |     lag(sw) OVER (PARTITION BY bucket ORDER BY skey, doc_id, pos) AS pw,
-      |     lead(sw) OVER (PARTITION BY bucket ORDER BY skey, doc_id, pos) AS nw
-      |   FROM c WHERE bn >= 2),
+      |     lag(sw) OVER (PARTITION BY bucket ORDER BY sw, doc_id, pos) AS pw,
+      |     lead(sw) OVER (PARTITION BY bucket ORDER BY sw, doc_id, pos) AS nw
+      |   FROM c WHERE bn >= 2 AND bn <= ${Dedup.suffixBucketCap}),
       | lc AS (SELECT doc_id, pos, sw,
       |     greatest(
       |       coalesce(list_sum(list_transform(range(1, least(len(sw), len(pw)) + 1),
@@ -1630,7 +1633,10 @@ object ExtQueries {
       |         k -> CASE WHEN sw[1:k] = nw[1:k] THEN 1 ELSE 0 END)), 0)) AS rep_len
       |   FROM lg),
       | hit AS (SELECT doc_id, pos, sw, CAST(rep_len AS INTEGER) AS rep_len
-      |         FROM lc WHERE rep_len >= 5)""".stripMargin
+      |         FROM lc WHERE rep_len >= 5
+      |         UNION ALL
+      |         SELECT doc_id, pos, sw, 5 AS rep_len
+      |         FROM c WHERE bn > ${Dedup.suffixBucketCap})""".stripMargin
 
   /** BM25 chain up through the ranked list `rk` — shared by the plain
     * top-k query and the RRF hybrid fusion.
@@ -3566,7 +3572,7 @@ object ExtQueries {
     // 8dp before the rank with doc_id tiebreak (ordering never touches
     // a raw computed float)
     "sample_weighted_tokens" ->
-      s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+      s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
          |             md5(text) AS m FROM documents),
          | u AS (SELECT doc_id, w,
          |         (($minhashBaseSql) % ${Dedup.minhashP} + 1.0) / ${Dedup.minhashP + 1}.0 AS u

@@ -1186,20 +1186,32 @@ object Dedup {
     *
     * Scale: the shuffle is one hash-partition by bucket; per-bucket
     * work is O(B log B) sort + O(B·maxLen²) LCP, parallel across
-    * buckets. A pathological O(N)-row boilerplate bucket would make
-    * one straggler task; the mitigation is the LSH population cap
-    * pattern (cappedBandCandidates): entries of an over-cap bucket
-    * are by construction duplicated at ≥ minLen and can be emitted
-    * with rep_len = minLen without sorting — not needed at fixture
-    * scale, so the exact path is kept.
+    * buckets. A pathological O(N)-row boilerplate bucket (a corpus
+    * where every document shares one minLen-word prefix) would
+    * serialize into one straggler sort task; `bucketCap` bounds it
+    * with the LSH population-cap pattern: members of an over-cap
+    * bucket are by construction duplicated at ≥ minLen (they all
+    * share their first minLen words with ≥ bucketCap others), so
+    * they are emitted with rep_len = minLen WITHOUT sorting — the
+    * straggler becomes a narrow projection. Under-reporting is the
+    * documented cap semantics (the true repeat may be longer); the
+    * default cap is far above any bucket the fixtures produce, so
+    * normal corpora take the exact path everywhere.
     *
     * Output, per document with any duplicated span: the longest
     * duplicated span's length, position, and text, plus the count of
     * duplicated suffix positions.
     */
+  /** Default suffix-bucket population cap — mirrored verbatim in the
+    * oracle SQL; far above any bucket the test fixtures produce, so
+    * it only engages on genuinely pathological boilerplate corpora.
+    */
+  val suffixBucketCap: Int = 100000
+
   def suffixRepeats(docs: DataFrame, minLen: Int = 5,
-      maxLen: Int = 20, corpusKey: Option[String] = None): DataFrame = {
-    val hits = suffixHitsMaybeCached(docs, minLen, maxLen, corpusKey)
+      maxLen: Int = 20, corpusKey: Option[String] = None,
+      bucketCap: Int = suffixBucketCap): DataFrame = {
+    val hits = suffixHitsMaybeCached(docs, minLen, maxLen, corpusKey, bucketCap)
     val byDoc = Window.partitionBy("doc_id")
       .orderBy(desc("rep_len"), col("pos"))
     hits
@@ -1218,11 +1230,12 @@ object Dedup {
     * stream — one bucket-sort pass per (session, corpus, params).
     */
   private def suffixHitsCached(docs: DataFrame, minLen: Int, maxLen: Int,
-      corpusKey: String): DataFrame = {
+      corpusKey: String, bucketCap: Int): DataFrame = {
     graft.SessionCaches.watch(docs.sparkSession)
-    val key = (docs.sparkSession, corpusKey + "#suffixhits", s"$minLen:$maxLen")
+    val key = (docs.sparkSession, corpusKey + "#suffixhits",
+      s"$minLen:$maxLen:$bucketCap")
     pairsCache.get(key).getOrElse {
-      val hits = suffixHits(docs, minLen, maxLen).localCheckpoint()
+      val hits = suffixHits(docs, minLen, maxLen, bucketCap).localCheckpoint()
       val winner = pairsCache.putIfAbsent(key, hits)
       if (winner ne hits)
         org.apache.spark.sql.GraftShims.uncheckpoint(hits)
@@ -1231,17 +1244,28 @@ object Dedup {
   }
 
   private def suffixHitsMaybeCached(docs: DataFrame, minLen: Int,
-      maxLen: Int, corpusKey: Option[String]): DataFrame = corpusKey match {
-    case Some(tag) => suffixHitsCached(docs, minLen, maxLen, tag)
-    case None => suffixHits(docs, minLen, maxLen)
-  }
+      maxLen: Int, corpusKey: Option[String], bucketCap: Int): DataFrame =
+    corpusKey match {
+      case Some(tag) => suffixHitsCached(docs, minLen, maxLen, tag, bucketCap)
+      case None => suffixHits(docs, minLen, maxLen, bucketCap)
+    }
 
   /** The per-position duplicated-span stream behind [[suffixRepeats]]
     * and [[suffixScrub]]: (doc_id, pos, sw, rep_len) for every suffix
     * whose longest duplicated prefix reaches minLen.
+    *
+    * The per-bucket sort orders by the WORD ARRAY (element-wise
+    * lexicographic), not the space-joined suffix string: array order
+    * places max-LCP neighbors adjacently for ANY token bytes, while
+    * the joined-string order only coincides with it when every token
+    * character sorts above the 0x20 separator — a token containing a
+    * control character (tab) would break string-order adjacency and
+    * silently under-report rep_len. Both engines compare
+    * element-wise, shorter-prefix-first, so the shared-oracle
+    * contract holds on arbitrary input.
     */
   private def suffixHits(docs: DataFrame, minLen: Int,
-      maxLen: Int): DataFrame = {
+      maxLen: Int, bucketCap: Int): DataFrame = {
     val sfx = spread(docs)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= minLen)
@@ -1251,9 +1275,9 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         expr(s"slice(w, pos, $maxLen)").as("sw"))
       .withColumn("bucket", concat_ws(" ", expr(s"slice(sw, 1, $minLen)")))
-      .withColumn("skey", concat_ws(" ", col("sw")))
     val byBucket = Window.partitionBy("bucket")
-    val ordered = Window.partitionBy("bucket").orderBy("skey", "doc_id", "pos")
+    val ordered = Window.partitionBy("bucket")
+      .orderBy(col("sw"), col("doc_id"), col("pos"))
     // LCP(sw, other) = number of k with equal k-prefixes (prefix
     // equality is monotone in k, so the count IS the max such k);
     // null neighbor (bucket edge) → 0
@@ -1261,16 +1285,30 @@ object Dedup {
       s"""aggregate(sequence(1, least(size(sw), size($other))), 0,
          |  (acc, k) -> acc + IF(slice(sw, 1, k) = slice($other, 1, k), 1, 0))"""
         .stripMargin), lit(0))
-    val hits = sfx
+    val counted = sfx
       .withColumn("bn", count(lit(1)).over(byBucket))
       .filter(col("bn") >= 2) // same shuffle key: count + lag share it
+    // exact path: per-bucket sort + adjacent LCP. bn is constant per
+    // bucket, so whole buckets route one way and sort-adjacency
+    // within a surviving bucket is untouched by the split.
+    val exact = counted
+      .filter(col("bn") <= bucketCap)
       .withColumn("pw", lag("sw", 1).over(ordered))
       .withColumn("nw", lead("sw", 1).over(ordered))
       .withColumn("rep_len",
         greatest(lcp("pw"), lcp("nw")).cast("int"))
       .filter(col("rep_len") >= minLen)
       .select("doc_id", "pos", "sw", "rep_len")
-    hits
+    // over-cap path: every member shares its first minLen words with
+    // ≥ bucketCap others, so it is duplicated at ≥ minLen by
+    // construction — emit rep_len = minLen with NO sort (the
+    // boilerplate straggler becomes a projection). The exchange under
+    // both branches is the same bucket hash-partition; Spark reuses it.
+    val capped = counted
+      .filter(col("bn") > bucketCap)
+      .select(col("doc_id"), col("pos"), col("sw"),
+        lit(minLen).cast("int").as("rep_len"))
+    exact.unionByName(capped)
   }
 
   /** Scrub the duplicated spans [[suffixRepeats]] finds — the removal
@@ -1288,8 +1326,9 @@ object Dedup {
     * shuffle the hit mining already paid.
     */
   def suffixScrub(docs: DataFrame, minLen: Int = 5,
-      maxLen: Int = 20, corpusKey: Option[String] = None): DataFrame = {
-    val flagged = suffixHitsMaybeCached(docs, minLen, maxLen, corpusKey)
+      maxLen: Int = 20, corpusKey: Option[String] = None,
+      bucketCap: Int = suffixBucketCap): DataFrame = {
+    val flagged = suffixHitsMaybeCached(docs, minLen, maxLen, corpusKey, bucketCap)
       .select(col("doc_id"),
         explode(expr("sequence(pos, pos + rep_len - 1)")).as("fp"))
       .distinct()
@@ -1321,8 +1360,9 @@ object Dedup {
     * of the scrub.
     */
   def suffixScrubStats(docs: DataFrame, minLen: Int = 5,
-      maxLen: Int = 20, corpusKey: Option[String] = None): DataFrame = {
-    val scrub = suffixScrub(docs, minLen, maxLen, corpusKey)
+      maxLen: Int = 20, corpusKey: Option[String] = None,
+      bucketCap: Int = suffixBucketCap): DataFrame = {
+    val scrub = suffixScrub(docs, minLen, maxLen, corpusKey, bucketCap)
       .select("doc_id", "n_words", "n_removed")
     docs.select("doc_id", "source")
       .join(scrub, "doc_id")

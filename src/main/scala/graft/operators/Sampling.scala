@@ -160,7 +160,11 @@ object Sampling {
     * touches a raw computed float.
     *
     * `weight` must be strictly positive; non-positive rows are
-    * excluded (they have zero inclusion probability).
+    * excluded (they have zero inclusion probability). The weight is
+    * carried as DOUBLE — fractional importance weights (e.g. the
+    * exp'd DSIR log-weights this sampler exists to consume) sample
+    * correctly, instead of truncating to 0 (silently excluded) or a
+    * distorted integer.
     */
   def weightedSample(docs: DataFrame, weight: Column, k: Int): DataFrame = {
     val m = md5(col("text"))
@@ -169,7 +173,7 @@ object Sampling {
     val p = graft.operators.Dedup.minhashP
     val u = (pmod(x.cast("long"), lit(p)) + lit(1.0)) / lit(p + 1.0)
     docs
-      .withColumn("w", weight.cast("long"))
+      .withColumn("w", weight.cast("double"))
       .filter(col("w") > 0)
       .withColumn("es_key", round(log(u) / col("w"), 8))
       .select("doc_id", "w", "es_key")

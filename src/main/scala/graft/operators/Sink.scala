@@ -179,17 +179,28 @@ object Sink {
 
   /** Persist a trained IVF index — the production "train once, store,
     * serve many" shape: the cell assignment lands PARTITIONED BY cell
-    * (so a probe reads only its cells' directories — partition-pruned,
-    * spec-asserted) and the trained centroid table lands beside it.
-    * Serving never retrains: [[searchIvfIndex]] loads centroids (a
-    * cells-sized broadcast) and scans only the probed partitions.
+    * WITH the vectors co-located in the cell partitions (so a probe is
+    * a partition-pruned scan that already carries the embeddings — no
+    * join back against the corpus-sized embedding table at serve time)
+    * and the trained centroid table lands beside it. Serving never
+    * retrains: [[searchIvfIndex]] loads centroids (a cells-sized
+    * broadcast) and scans only the probed partitions.
+    *
+    * The overwrite is forced to STATIC partition-overwrite semantics:
+    * a retrain must replace the WHOLE assignment directory, or cells
+    * absent from the new base would keep stale appended rows from the
+    * previous index generation under a dynamic session default.
     */
   def writeIvfIndex(emb: DataFrame, dir: String, cells: Int = 8,
       iters: Int = 2): Unit = {
     require(iters >= 2, "a stored IVF index needs trained centroids (iters >= 2)")
     val (assigned, centOpt) = Similarity.kmeansAssignInternal(emb, cells, iters)
     assigned.select("vec_id", "cell")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignment")
+      .join(emb.select("vec_id", "embedding"), "vec_id")
+      .select("vec_id", "embedding", "cell")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(s"$dir/assignment")
     val cent = centOpt.get
     cent.select(col("cell"), posexplode(col("c")).as(Seq("i", "x")))
       .write.mode("overwrite").parquet(s"$dir/centroids")
@@ -222,6 +233,8 @@ object Sink {
     val cent = loadIvfCentroids(spark, dir)
     Similarity.assignWithCentroids(newEmb, cent)
       .select("vec_id", "cell")
+      .join(newEmb.select("vec_id", "embedding"), "vec_id")
+      .select("vec_id", "embedding", "cell")
       .write.mode("append").partitionBy("cell").parquet(s"$dir/assignment")
   }
 
@@ -266,8 +279,11 @@ object Sink {
   }
 
   /** Search a stored IVF index: queries rank the STORED centroids
-    * (rounded L2, cell tiebreak — the training metric), then join the
-    * corpus against the assignment scan FILTERED to the probed cells.
+    * (rounded L2, cell tiebreak — the training metric), then score
+    * the assignment scan FILTERED to the probed cells. The vectors
+    * live IN the cell partitions ([[writeIvfIndex]] co-locates them),
+    * so a probe never joins the corpus-sized embedding table — the
+    * only scan of `emb` is the nQueries-bounded query side.
     * Result-identical to the in-memory [[Similarity.ivfTopK]] for
     * nprobe=1 (spec-proven).
     */
@@ -285,12 +301,14 @@ object Sink {
       .withColumn("pn", row_number().over(pw))
       .filter(col("pn") === 1)
       .select("qid", "cell")
-    val probedCells = probes.select("cell").distinct()
+    // ≤ nQueries (qid, cell, qe) rows — THE broadcast side: the
+    // cell-partitioned index scan streams against it (hash join +
+    // dynamic partition pruning to the probed cells), so the big side
+    // never shuffles and the corpus embedding table is never joined
+    val cand = probes.join(q.select("qid", "qe"), "qid")
     val assignment = spark.read.parquet(s"$dir/assignment")
-      .join(broadcast(probedCells), "cell") // prunes to probed partitions
-    val scored = probes
-      .join(broadcast(q.select("qid", "qe")), "qid")
-      .join(emb.join(assignment, "vec_id"), "cell")
+    val scored = assignment
+      .join(broadcast(cand), "cell")
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("cos", Similarity.cosine(col("qe"), col("embedding")))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))

@@ -256,13 +256,17 @@ object Sketch {
     * cms_heavy), and the sketch guarantees are the ones the CMS
     * analysis actually assumes.
     */
-  private def depthBuckets(x: Column, depth: Int, width: Int): Column =
+  private def depthBuckets(x: Column, depth: Int, width: Int): Column = {
+    require(depth <= Dedup.minhashParams.size,
+      s"CMS depth $depth exceeds the ${Dedup.minhashParams.size} available " +
+        "pairwise-independent (a, b) hash rows (Dedup.minhashParams)")
     explode(array((0 until depth).map { i =>
       val (a, b) = Dedup.minhashParams(i)
       struct(lit(i.toString).as("d"),
         pmod(pmod(lit(a) * x + lit(b), lit(Dedup.minhashP)),
           lit(width.toLong)).as("b"))
     }: _*))
+  }
 
   def cmsHeavyHitters(docs: DataFrame, n: Int = 3, depth: Int = 4,
       width: Int = 4096, k: Int = 20): DataFrame = {

@@ -496,6 +496,62 @@ class DedupSpec extends SparkSpec {
     assert(r(2L) == (0L, "z1 z2 z3 z4 z5 z6"))
   }
 
+  test("suffix bucket cap: over-cap boilerplate bucket skips the sort, emits minLen") {
+    // every doc opens with the same 8-word boilerplate followed by a
+    // unique tail — ONE corpus-wide bucket per boilerplate position
+    // (pos 1..4; from pos 5 on the 5-word bucket key reaches into the
+    // unique tail, so those buckets are singletons and prune)
+    val boiler = "terms of service apply to all visitors here"
+    val d = docs((0L until 30L).map(i =>
+      i -> s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e"): _*)
+    // exact path (cap above the 30-member buckets): true repeat = 8
+    val exact = Dedup.suffixRepeats(d, minLen = 5, maxLen = 20).collect()
+    assert(exact.length == 30 && exact.forall(_.getAs[Int]("max_rep_len") == 8))
+    // capped path: the boilerplate buckets exceed cap=10 and emit all
+    // members at rep_len = minLen with no per-bucket sort — bounded
+    // task shape, under-reported length by documented cap semantics
+    val capped = Dedup.suffixRepeats(d, minLen = 5, maxLen = 20,
+      bucketCap = 10).collect()
+    assert(capped.length == 30)
+    assert(capped.forall(_.getAs[Int]("max_rep_len") == 5))
+    assert(capped.forall(_.getAs[Long]("n_dup_positions") == 4L))
+    // the scrub consumes the capped hits consistently: positions 1..8
+    // are covered by the 4 minLen-spans (1-5, 2-6, 3-7, 4-8)
+    val scrub = Dedup.suffixScrub(d, minLen = 5, maxLen = 20, bucketCap = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_removed"))
+    assert(scrub.forall(_._2 == 8L))
+  }
+
+  test("suffix bucket cap: a normal corpus is identical under the default and a huge cap") {
+    val d = docs(
+      0L -> "a1 a2 a3 s1 s2 s3 s4 s5 s6 b1 b2",
+      1L -> "c1 c2 s1 s2 s3 s4 s5 s6 d1 d2",
+      2L -> "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10")
+    val base = Dedup.suffixRepeats(d, 5, 20).collect().map(_.toSeq).toSeq
+    val huge = Dedup.suffixRepeats(d, 5, 20, bucketCap = Int.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    assert(base == huge && base.nonEmpty)
+  }
+
+  test("suffix sort orders by the word array: a tab token cannot split a max-LCP pair") {
+    // doc2's word 6 is "p6\tq" (tab, 0x09 < the 0x20 separator). Under
+    // the old JOINED-STRING sort its suffix lands BETWEEN doc0's
+    // ("…p5 p6", a strict prefix) and doc1's ("…p5 p6 b7…", space after
+    // p6 sorts above tab), splitting the true LCP-6 pair and
+    // under-reporting rep_len as 5. Element-wise array order keeps
+    // doc0/doc1 adjacent ("p6" < "p6\tq" as whole tokens), so the
+    // 6-word repeat is found.
+    val d = docs(
+      0L -> "p1 p2 p3 p4 p5 p6",
+      1L -> "p1 p2 p3 p4 p5 p6 b7 b8",
+      2L -> "p1 p2 p3 p4 p5 p6\tq z8 z9")
+    val r = Dedup.suffixRepeats(d, minLen = 5, maxLen = 20).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Int]("max_rep_len")).toMap
+    assert(r(0L) == 6, s"doc0 rep_len ${r(0L)} — string-order adjacency bug")
+    assert(r(1L) == 6, s"doc1 rep_len ${r(1L)} — string-order adjacency bug")
+    assert(r(2L) == 5)
+  }
+
   test("suffixScrub empties a fully-duplicated doc") {
     val run = (1 to 10).map(i => s"d$i").mkString(" ")
     val d = docs(0L -> run, 1L -> run, 2L -> "x1 x2 x3 x4 x5 x6")

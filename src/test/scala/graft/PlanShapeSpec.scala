@@ -106,6 +106,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("codegen id"), p.take(500))
   }
 
+  test("stored IVF search scans the co-located index, never rejoining the corpus") {
+    // the assignment layout carries the vectors in the cell partitions,
+    // so the only scan of the embeddings table is the nQueries-bounded
+    // query side — at 100 TB the old emb.join(assignment) shape dragged
+    // the whole corpus through a shuffle join per search
+    val p = plan("embed_ivf_append_search")
+    assert(p.contains("assignment"), "search must scan the stored index")
+    assert(!p.contains("SortMergeJoin"),
+      s"search must not shuffle-join anything:\n${p.take(1200)}")
+    // every scan of the raw embeddings table must be the query side —
+    // i.e. carry the vec_id bound pushed into the scan. The formatted
+    // detail section lists one block per scan node; split on them.
+    val blocks = p.split("Scan parquet").toSeq.tail
+      // a scan node's details end at its ReadSchema line — drop the
+      // rest of each split chunk so we only inspect that scan's lines
+      .map(b => b.take(math.max(b.indexOf("ReadSchema"), 0)))
+    val embBlocks = blocks.filter(_.contains("embeddings.parquet"))
+    assert(embBlocks.nonEmpty, "query side must scan the embeddings table")
+    embBlocks.foreach { b =>
+      val pushed = b.linesIterator.find(_.trim.startsWith("PushedFilters"))
+      assert(pushed.exists(_.contains("vec_id")),
+        s"an embeddings scan without a vec_id bound = a corpus-sized scan " +
+          s"in the serving path; scan details:\n$b")
+    }
+  }
+
   test("no heavy query contains a cartesian product") {
     val heavy = Seq("dedup_minhash_lsh", "dedup_simhash_pairs",
       "embed_ivf_topk", "contamination_bloom", "events_sessionize",
