@@ -70,17 +70,27 @@ object Bench {
     // two reps of a query still disagree by >3x, a third rep breaks the
     // tie — two bursts minutes apart hitting the same query both times
     // is the only way a contaminated min survives.
-    def timeOne(name: String): (Boolean, Double) = {
+    // 1-minute load average read at the START of each rep: a rep timed
+    // while an external burst holds the box is then self-certifying
+    // from the artifact (a slow rep with load ≫ 1 is noise, not a
+    // regression) instead of needing after-the-fact forensics
+    def loadAvg(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(" ")(0).toDouble finally src.close()
+      } catch { case _: Throwable => -1.0 }
+    def timeOne(name: String): (Boolean, Double, Double) = {
+      val la = loadAvg()
       val t0 = System.nanoTime()
       val ok =
         try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-      (ok, (System.nanoTime() - t0) / 1e9)
+      (ok, (System.nanoTime() - t0) / 1e9, la)
     }
     val round1 = names.map(timeOne)
     val round2 = names.map(timeOne)
     val round3 = names.indices.flatMap { i =>
-      val (ok1, t1) = round1(i); val (ok2, t2) = round2(i)
+      val (ok1, t1, _) = round1(i); val (ok2, t2, _) = round2(i)
       val spread = math.max(t1, t2) / math.max(math.min(t1, t2), 1e-9)
       if (!ok1 || !ok2 || spread > 3.0) Some(i -> timeOne(names(i))) else None
     }.toMap
@@ -90,23 +100,27 @@ object Bench {
     // visible in the number too (stderr carries the exception)
     val results = names.zipWithIndex.map { case (name, i) =>
       val reps = Seq(round1(i), round2(i)) ++ round3.get(i)
-      val good = reps.collect { case (true, t) => t }
+      val good = reps.collect { case (true, t, _) => t }
       // min = the headline steady-state metric (noise-robust, absorbs
       // legitimate once-per-corpus costs like quantizer training into
       // rep 1); max carries the cold/first-rep cost so cache-hit
       // accounting is auditable from the artifact itself, not only
       // from PLANS.md. All-failed keeps reporting the max elapsed in
       // both slots so the failure stays visible in the number.
-      name -> (if (good.nonEmpty) (good.min, good.max)
-               else { val m = reps.map(_._2).max; (m, m) })
+      val loads = reps.map(_._3)
+      name -> (if (good.nonEmpty) (good.min, good.max, loads)
+               else { val m = reps.map(_._2).max; (m, m, loads) })
     }
-    def jmap(f: ((String, (Double, Double))) => Double): String =
-      results.map { case (k, v) => "\"" + k + "\":" + f((k, v)) }
+    def jmap(f: ((Double, Double, Seq[Double])) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
+    val jload = results.map { case (k, (_, _, ls)) =>
+      "\"" + k + "\":" + ls.map(l => f"$l%.2f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":${jmap(_._2._1)},"queries_max":${jmap(_._2._2)},""" +
-      s""""sf":"$sfDir"}""")
+      s""""queries":${jmap(_._1)},"queries_max":${jmap(_._2)},""" +
+      s""""load":$jload,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -252,6 +252,28 @@ object ExtQueries {
       |   c_custkey
       | LIMIT 20""".stripMargin
 
+  /** TPC-H Q17 (small-quantity-order revenue): the CORRELATED SCALAR
+    * SUBQUERY shape — per outer row, `l_quantity < 0.2 * avg(l_quantity)
+    * for THIS part` — the classic decorrelation trap: a naive engine
+    * re-scans lineitem per row; a correct optimizer rewrites the
+    * subquery to one per-partkey aggregate joined back (PlanShapeSpec
+    * asserts exactly two lineitem scans and no nested-loop rescan).
+    * Brand/size filters stand in for TPC-H's brand/container (the
+    * fixture part table carries no container column). Determinism:
+    * quantities are integral doubles (exact sums in any fold order →
+    * bit-identical avg), the revenue sum rides the DECIMAL(18,6)
+    * carrier, and 0.2·avg / the final ÷7.0 are IEEE ops on identical
+    * operands.
+    */
+  private[graft] val tpchQ17Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+      |   AS avg_yearly
+      | FROM lineitem, part
+      | WHERE p_partkey = l_partkey
+      |   AND p_brand = 'Brand#4' AND p_size < 15
+      |   AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
+      |                     WHERE l_partkey = p_partkey)""".stripMargin
+
   /** The shared decontamination fixture: train = doc_id < 400, eval =
     * the rest plus 10 planted verbatim train copies (doc_id 10000+).
     */
@@ -361,6 +383,13 @@ object ExtQueries {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       Tables.table(s, d, "part").createOrReplaceTempView("part")
       s.sql(tpchQ19Sql)
+    }),
+    // Q17 (correlated scalar subquery) — the decorrelation trap, same
+    // verbatim-text contract
+    "sql_tpch_q17" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.table(s, d, "part").createOrReplaceTempView("part")
+      s.sql(tpchQ17Sql)
     }),
     // unpivot/melt: OHLC wide → long via stack()
     "stocks_melt" -> ((s, d) =>
@@ -602,6 +631,17 @@ object ExtQueries {
       val pairs = Dedup.simhashNearDupsCached(dd, d, 3)
         .select("doc_a", "doc_b")
       Corpus.manifest(dd, pairs, minWords = 30)
+    }),
+    // the manifest with the suffix-span scrub chained in: one row per
+    // doc with include/exclude + merged reasons (span_scrubbed when
+    // the scrub touched it) + the cleaned text — the complete
+    // artifact a training run ships; shares the cached simhash pairs
+    // AND the cached mined suffix hits
+    "corpus_manifest_scrubbed" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.simhashNearDupsCached(dd, d, 3)
+        .select("doc_a", "doc_b")
+      Corpus.manifestScrubbed(dd, pairs, minWords = 30, corpusKey = Some(d))
     }),
 
     // n-gram decontamination: train = doc_id < 400, eval = the rest
@@ -982,6 +1022,18 @@ object ExtQueries {
       val lex = TextOps.bm25TopK(docs(s, d), Seq("hash", "merge", "scan"), 20)
         .select(col("doc_id").as("id"), col("rnk"))
       val sem = Retrieval.cosineRankForQuery(emb(s, d), 0L, 20)
+        .select("id", "rnk")
+      Retrieval.rrfFuse(lex, sem, 10)
+    }),
+    // the same fusion with the semantic side served from the IVF
+    // index (nprobe=2, cached trained quantizer) instead of the exact
+    // corpus scan — the 100 TB serving shape; RetrievalSpec gates its
+    // fused overlap against the exact-side fusion
+    "retrieval_rrf_ivf" -> ((s, d) => {
+      val lex = TextOps.bm25TopK(docs(s, d), Seq("hash", "merge", "scan"), 20)
+        .select(col("doc_id").as("id"), col("rnk"))
+      val sem = Retrieval.cosineRankForQueryIvf(emb(s, d), 20, 8, 2, 2,
+          corpusKey = Some(d))
         .select("id", "rnk")
       Retrieval.rrfFuse(lex, sem, 10)
     }),
@@ -1637,6 +1689,60 @@ object ExtQueries {
       |         UNION ALL
       |         SELECT doc_id, pos, sw, 5 AS rep_len
       |         FROM c WHERE bn > ${Dedup.suffixBucketCap})""".stripMargin
+
+  /** The manifest core — simhash near-dup keepers × the cleaning
+    * verdict chain, ending in `mrow` (doc_id, keep, is_keeper,
+    * include, manifest_reasons). Shared by the plain manifest oracle
+    * and the scrub-chained variant.
+    */
+  private lazy val manifestCoreCte: String =
+    s"""${"WITH RECURSIVE " + simhashPairsCte.stripPrefix("WITH ")},
+       | p AS (SELECT doc_a, doc_b FROM dists WHERE dist <= 3),
+       | e2 AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |        UNION SELECT doc_b, doc_a FROM p),
+       | reach(id, r) AS (
+       |   SELECT a, a FROM e2
+       |   UNION
+       |   SELECT e3.a, r.r FROM e2 e3 JOIN reach r ON e3.b = r.id),
+       | lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       | keepers AS (SELECT d.doc_id,
+       |     coalesce(l.cluster, d.doc_id) = d.doc_id AS is_keeper
+       |   FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+       | wds AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       | wagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words
+       |          FROM (SELECT doc_id, word, count(*) AS c
+       |                FROM (SELECT doc_id, unnest(w) AS word FROM wds)
+       |                GROUP BY doc_id, word)
+       |          GROUP BY doc_id),
+       | bagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram
+       |          FROM (SELECT doc_id, s, count(*) AS c
+       |                FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS s
+       |                      FROM wds, UNNEST(range(1, len(w))) AS t(i))
+       |                GROUP BY doc_id, s)
+       |          GROUP BY doc_id),
+       | tagg AS (SELECT doc_id, count(*) AS n_trigrams, count(DISTINCT s) AS n_distinct_trigrams
+       |          FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |                FROM wds, UNNEST(range(1, len(w) - 1)) AS t(i))
+       |          GROUP BY doc_id),
+       | csig AS (SELECT d.doc_id,
+       |           wagg.n_words,
+       |           (coalesce(round(top_bigram / n_bigrams, 4) > 0.18, false)
+       |            OR coalesce(round(1.0 - n_distinct_trigrams / n_trigrams, 4) > 0.3, false)) AS flag,
+       |           d.doc_id <> min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS is_dup
+       |         FROM documents d
+       |         LEFT JOIN wagg USING (doc_id)
+       |         LEFT JOIN bagg USING (doc_id)
+       |         LEFT JOIN tagg USING (doc_id)),
+       | cl AS (SELECT doc_id,
+       |   concat_ws(',', CASE WHEN is_dup THEN 'exact_dup' END,
+       |                  CASE WHEN n_words IS NULL OR n_words < 30 THEN 'too_short' END,
+       |                  CASE WHEN flag AND n_words >= 30 THEN 'repetitive' END) AS reasons
+       |   FROM csig),
+       | mrow AS (SELECT cl.doc_id, cl.reasons = '' AS keep, k.is_keeper,
+       |   (cl.reasons = '' AND k.is_keeper) AS include,
+       |   concat_ws(',', CASE WHEN cl.reasons <> '' THEN cl.reasons END,
+       |     CASE WHEN NOT k.is_keeper THEN 'near_dup' END) AS manifest_reasons
+       | FROM cl JOIN keepers k ON k.doc_id = cl.doc_id)""".stripMargin
 
   /** BM25 chain up through the ranked list `rk` — shared by the plain
     * top-k query and the RRF hybrid fusion.
@@ -3804,6 +3910,40 @@ object ExtQueries {
         |     id, lex_rnk, sem_rnk, CAST(rrf AS DOUBLE) AS rrf_score FROM f)
         | SELECT rrf_rank, id, lex_rnk, sem_rnk, rrf_score
         | FROM fused WHERE rrf_rank <= 10 ORDER BY rrf_rank""".stripMargin,
+    // RRF with the semantic side from the IVF index: candidates =
+    // query 0's top-2 cells by the trained-centroid distance (d2),
+    // ranked by the same 4dp cosine; fusion identical to the exact
+    // variant
+    "retrieval_rrf_ivf" ->
+      s"""$kmeansCte,
+        | ${bm25Cte.stripPrefix("WITH ")},
+        | lexr AS (SELECT doc_id AS id, rnk AS lex_rnk FROM rk WHERE rnk <= 20),
+        | qp AS (SELECT cell FROM (
+        |          SELECT cell, row_number() OVER (ORDER BY d, cell) AS rn
+        |          FROM d2 WHERE vec_id = 0) WHERE rn <= 2),
+        | qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        | wc AS (SELECT emb.vec_id, emb.embedding, a2.cell
+        |        FROM embeddings emb JOIN a2 USING (vec_id)),
+        | semsc AS (SELECT wc.vec_id,
+        |     round(SUM(CAST(qe[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)) /
+        |       (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+        |        sqrt(SUM(CAST(wc.embedding[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)))), 4) AS cos
+        |   FROM wc JOIN qp USING (cell), qv, UNNEST(range(1, 65)) t(i)
+        |   WHERE wc.vec_id <> 0 GROUP BY wc.vec_id),
+        | semr AS (SELECT id, sem_rnk FROM (
+        |     SELECT vec_id AS id,
+        |       row_number() OVER (ORDER BY cos DESC, vec_id) AS sem_rnk
+        |     FROM semsc) WHERE sem_rnk <= 20),
+        | f AS (SELECT coalesce(l.id, s.id) AS id, l.lex_rnk, s.sem_rnk,
+        |     coalesce(CAST(round(1.0 / (60 + l.lex_rnk), 8) AS DECIMAL(12,8)),
+        |       CAST(0.0 AS DECIMAL(12,8))) +
+        |     coalesce(CAST(round(1.0 / (60 + s.sem_rnk), 8) AS DECIMAL(12,8)),
+        |       CAST(0.0 AS DECIMAL(12,8))) AS rrf
+        |   FROM lexr l FULL OUTER JOIN semr s ON l.id = s.id),
+        | fused AS (SELECT row_number() OVER (ORDER BY rrf DESC, id) AS rrf_rank,
+        |     id, lex_rnk, sem_rnk, CAST(rrf AS DOUBLE) AS rrf_score FROM f)
+        | SELECT rrf_rank, id, lex_rnk, sem_rnk, rrf_score
+        | FROM fused WHERE rrf_rank <= 10 ORDER BY rrf_rank""".stripMargin,
     "vocab_prune" ->
       """WITH wrds AS (SELECT DISTINCT doc_id, word FROM
         |   (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
@@ -4007,54 +4147,35 @@ object ExtQueries {
     // manifest = the clean chain (uninjected) × the cluster-keeper
     // chain, one row per doc
     "corpus_manifest" ->
-      s"""${"WITH RECURSIVE " + simhashPairsCte.stripPrefix("WITH ")},
-         | p AS (SELECT doc_a, doc_b FROM dists WHERE dist <= 3),
-         | e2 AS (SELECT doc_a AS a, doc_b AS b FROM p
-         |        UNION SELECT doc_b, doc_a FROM p),
-         | reach(id, r) AS (
-         |   SELECT a, a FROM e2
-         |   UNION
-         |   SELECT e3.a, r.r FROM e2 e3 JOIN reach r ON e3.b = r.id),
-         | lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
-         | keepers AS (SELECT d.doc_id,
-         |     coalesce(l.cluster, d.doc_id) = d.doc_id AS is_keeper
-         |   FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
-         | wds AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         | wagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words
-         |          FROM (SELECT doc_id, word, count(*) AS c
-         |                FROM (SELECT doc_id, unnest(w) AS word FROM wds)
-         |                GROUP BY doc_id, word)
-         |          GROUP BY doc_id),
-         | bagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram
-         |          FROM (SELECT doc_id, s, count(*) AS c
-         |                FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS s
-         |                      FROM wds, UNNEST(range(1, len(w))) AS t(i))
-         |                GROUP BY doc_id, s)
-         |          GROUP BY doc_id),
-         | tagg AS (SELECT doc_id, count(*) AS n_trigrams, count(DISTINCT s) AS n_distinct_trigrams
-         |          FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-         |                FROM wds, UNNEST(range(1, len(w) - 1)) AS t(i))
-         |          GROUP BY doc_id),
-         | csig AS (SELECT d.doc_id,
-         |           wagg.n_words,
-         |           (coalesce(round(top_bigram / n_bigrams, 4) > 0.18, false)
-         |            OR coalesce(round(1.0 - n_distinct_trigrams / n_trigrams, 4) > 0.3, false)) AS flag,
-         |           d.doc_id <> min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS is_dup
-         |         FROM documents d
-         |         LEFT JOIN wagg USING (doc_id)
-         |         LEFT JOIN bagg USING (doc_id)
-         |         LEFT JOIN tagg USING (doc_id)),
-         | cl AS (SELECT doc_id,
-         |   concat_ws(',', CASE WHEN is_dup THEN 'exact_dup' END,
-         |                  CASE WHEN n_words IS NULL OR n_words < 30 THEN 'too_short' END,
-         |                  CASE WHEN flag AND n_words >= 30 THEN 'repetitive' END) AS reasons
-         |   FROM csig)
-         | SELECT cl.doc_id, cl.reasons = '' AS keep, k.is_keeper,
-         |   (cl.reasons = '' AND k.is_keeper) AS include,
-         |   concat_ws(',', CASE WHEN cl.reasons <> '' THEN cl.reasons END,
-         |     CASE WHEN NOT k.is_keeper THEN 'near_dup' END) AS manifest_reasons
-         | FROM cl JOIN keepers k ON k.doc_id = cl.doc_id
-         | ORDER BY cl.doc_id""".stripMargin,
+      s"""$manifestCoreCte
+         | SELECT doc_id, keep, is_keeper, include, manifest_reasons
+         | FROM mrow ORDER BY doc_id""".stripMargin,
+    // manifest + the suffix-span scrub: the scrub chain (shared CTE
+    // text with dedup_suffix_scrub) joins the manifest row PK-wise;
+    // span_scrubbed appends to the reasons without affecting include
+    "corpus_manifest_scrubbed" ->
+      s"""$manifestCoreCte,
+         | ${suffixHitsCte.stripPrefix("WITH ")},
+         | fp AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + rep_len)) AS p2 FROM hit),
+         | wp AS (SELECT doc_id, CAST(i AS INTEGER) AS wpos, ws[i] AS word
+         |        FROM w, UNNEST(range(1, len(ws)+1)) AS t(i)),
+         | kept AS (SELECT wp.doc_id, wp.wpos, wp.word
+         |          FROM wp LEFT JOIN fp ON fp.doc_id = wp.doc_id AND fp.p2 = wp.wpos
+         |          WHERE fp.p2 IS NULL),
+         | rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+         |     string_agg(word, ' ' ORDER BY wpos) AS cleaned_text
+         |   FROM kept GROUP BY doc_id),
+         | wtot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM w),
+         | scrub AS (SELECT t.doc_id, t.n_words,
+         |     t.n_words - coalesce(r.n_kept, 0) AS n_removed,
+         |     coalesce(r.cleaned_text, '') AS cleaned_text
+         |   FROM wtot t LEFT JOIN rebuilt r USING (doc_id))
+         | SELECT m.doc_id, m.keep, m.is_keeper, m.include,
+         |   concat_ws(',', CASE WHEN m.manifest_reasons <> '' THEN m.manifest_reasons END,
+         |     CASE WHEN s.n_removed > 0 THEN 'span_scrubbed' END) AS manifest_reasons,
+         |   s.n_words, s.n_removed, s.cleaned_text
+         | FROM mrow m JOIN scrub s ON s.doc_id = m.doc_id
+         | ORDER BY m.doc_id""".stripMargin,
     "corpus_clean" ->
       """WITH docs2 AS (
         |   SELECT doc_id,
@@ -4429,6 +4550,7 @@ object ExtQueries {
     "sql_tpch_q19" -> tpchQ19Sql,
     "sql_tpch_q4" -> tpchQ4Sql,
     "sql_tpch_q10" -> tpchQ10Sql,
+    "sql_tpch_q17" -> tpchQ17Sql,
     "customer_rfm" ->
       """WITH a AS (
         |   SELECT o_custkey AS custkey, max(CAST(o_orderdate AS DATE)) AS last_order,

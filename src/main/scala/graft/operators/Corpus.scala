@@ -144,6 +144,30 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** [[manifest]] with the suffix-span scrub chained in — the FULL
+    * pipeline artifact a training run consumes: per-doc
+    * include/exclude with merged reasons PLUS the scrubbed text and
+    * removal counts. Scrubbing is a transform, not an exclusion — a
+    * span-scrubbed doc stays includable (unless another rule drops
+    * it); `span_scrubbed` is appended to the reasons so the mix owner
+    * sees which surviving docs were modified before shipping. One PK
+    * join of two already-linear chains; the mined suffix-hit pass is
+    * session-cached, shared with the repeats/scrub/rollup consumers.
+    */
+  def manifestScrubbed(docs: DataFrame, pairs: DataFrame,
+      minWords: Long = 30, corpusKey: Option[String] = None): DataFrame = {
+    val scrub = Dedup.suffixScrub(docs, 5, 20, corpusKey)
+      .select("doc_id", "n_words", "n_removed", "cleaned_text")
+    manifest(docs, pairs, minWords)
+      .join(scrub, "doc_id")
+      .withColumn("manifest_reasons", concat_ws(",",
+        when(col("manifest_reasons") =!= "", col("manifest_reasons")),
+        when(col("n_removed") > 0, lit("span_scrubbed"))))
+      .select("doc_id", "keep", "is_keeper", "include", "manifest_reasons",
+        "n_words", "n_removed", "cleaned_text")
+      .orderBy("doc_id")
+  }
+
   /** Temperature-scaled multinomial sampling weights per source:
     * wᵢ = tᵢ^τ / Σⱼ tⱼ^τ with τ = 1/2 — the data-mixing recipe
     * (multilingual-BERT / XLM exponent-smoothed sampling) that

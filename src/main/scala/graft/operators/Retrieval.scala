@@ -47,6 +47,22 @@ object Retrieval {
     * (4dp, the embedTopk carrier) with vec_id tiebreak, as a
     * (id, rnk) frame ready for [[rrfFuse]].
     */
+  /** IVF-backed semantic side — [[cosineRankForQuery]]'s 100 TB path:
+    * candidates come from the query's `nprobe` nearest trained cells
+    * (the session-cached quantizer — no retrain per query) instead of
+    * an exact corpus scan, so serve cost is nprobe/cells of the corpus
+    * per query. The exact scan remains the recall ceiling
+    * (RetrievalSpec gates the fused overlap against it). Query = the
+    * stored vector with vec_id 0, the single-stored-query convention
+    * the fixture uses.
+    */
+  def cosineRankForQueryIvf(emb: DataFrame, k: Int = 20, cells: Int = 8,
+      iters: Int = 2, nprobe: Int = 2,
+      corpusKey: Option[String] = None): DataFrame =
+    Similarity.ivfMultiProbeTopK(emb, nQueries = 1, k = k, cells = cells,
+        iters = iters, nprobe = nprobe, corpusKey = corpusKey)
+      .select(col("vec_id").as("id"), col("rnk"), col("cos"))
+
   def cosineRankForQuery(emb: DataFrame, queryVecId: Long,
       k: Int = 20): DataFrame = {
     val q = emb.filter(col("vec_id") === queryVecId)

@@ -33,6 +33,35 @@ class CorpusSpec extends SparkSpec {
     assert(r(2L) == ((false, "too_short")))
   }
 
+  test("manifestScrubbed chains the span scrub: reasons merge, include unchanged") {
+    val spark2 = spark
+    import spark2.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val tail0 = (1 to 30).map(i => s"x$i").mkString(" ")
+    val tail1 = (1 to 30).map(i => s"y$i").mkString(" ")
+    val d = docs(
+      0L -> s"$boiler $tail0", // shares the 8-word boilerplate → scrubbed
+      1L -> s"$boiler $tail1", // ditto — both stay includable
+      2L -> (1 to 40).map(i => s"z$i").mkString(" "), // untouched clean
+      3L -> "too short") // drops regardless of scrub
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val r = graft.operators.Corpus.manifestScrubbed(d, pairs, minWords = 30)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // the scrub is a transform, not an exclusion: 0/1 keep include=true
+    assert(r(0L).getAs[Boolean]("include") &&
+      r(0L).getAs[String]("manifest_reasons") == "span_scrubbed")
+    assert(r(0L).getAs[Long]("n_removed") == 8L &&
+      r(0L).getAs[String]("cleaned_text") == tail0)
+    assert(r(1L).getAs[Boolean]("include") &&
+      r(1L).getAs[Long]("n_removed") == 8L)
+    assert(r(2L).getAs[Boolean]("include") &&
+      r(2L).getAs[String]("manifest_reasons") == "" &&
+      r(2L).getAs[Long]("n_removed") == 0L)
+    // exclusion reasons and the scrub reason merge in order
+    assert(!r(3L).getAs[Boolean]("include") &&
+      r(3L).getAs[String]("manifest_reasons") == "too_short")
+  }
+
   test("sourceVocabStats: types, hapax, and TTR per source") {
     val spark2 = spark
     import spark2.implicits._

@@ -67,6 +67,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p10.contains("BroadcastHashJoin") && !p10.contains("CartesianProduct"))
   }
 
+  test("tpch q17 decorrelates the scalar subquery to one aggregate + join") {
+    val p = plan("sql_tpch_q17")
+    // the correlated avg must become ONE per-partkey aggregate joined
+    // back — never a per-outer-row rescan of lineitem (nested loop) —
+    // so the plan carries exactly two lineitem scans: the fact side
+    // and the decorrelated aggregate side
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "correlated scalar subquery planned as a per-row rescan")
+    val lineitemScans = p.split("Scan parquet").toSeq.tail
+      .map(b => b.take(math.max(b.indexOf("ReadSchema"), 0)))
+      .count(_.contains("lineitem"))
+    assert(lineitemScans == 2,
+      s"expected 2 lineitem scans (fact + decorrelated agg), got $lineitemScans")
+  }
+
   test("tpch q19 disjunctive-predicate join stays an equi hash join") {
     val p = plan("sql_tpch_q19")
     // the three OR branches must ride the p_partkey = l_partkey hash

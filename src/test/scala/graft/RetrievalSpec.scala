@@ -32,4 +32,31 @@ class RetrievalSpec extends SparkSpec {
     assert(cs == cs.sorted.reverse)
     assert(r.map(_.getAs[Int]("rnk")).toSeq == (1 to 5))
   }
+
+  test("IVF semantic side: recall gate vs the exact scan, fused overlap holds") {
+    // sf0.01 — the oracle fixture (500 vectors; the 50-vector sf0.001
+    // corpus quantizes too noisily for a stable gate)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = Retrieval.cosineRankForQuery(emb, 0L, 20).collect()
+      .map(_.getAs[Long]("id")).toSet
+    val ivf = Retrieval.cosineRankForQueryIvf(emb, 20, 8, 2, 2).collect()
+      .map(_.getAs[Long]("id")).toSet
+    assert(ivf.size == 20 && !ivf.contains(0L))
+    val semRecall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(semRecall >= 0.5, s"IVF semantic recall@20 $semRecall below gate")
+    // fused overlap: the hybrid built on IVF candidates must agree
+    // with the exact-side fusion on most of the top 10 — rank fusion
+    // dampens candidate-set differences
+    val docsDf = Tables.documents(spark, "/root/testdata/sf0.01")
+    val lex = graft.operators.TextOps
+      .bm25TopK(docsDf, Seq("hash", "merge", "scan"), 20)
+      .select(col("doc_id").as("id"), col("rnk"))
+    def fusedIds(sem: org.apache.spark.sql.DataFrame): Set[Long] =
+      Retrieval.rrfFuse(lex, sem.select("id", "rnk"), 10).collect()
+        .map(_.getAs[Long]("id")).toSet
+    val fExact = fusedIds(Retrieval.cosineRankForQuery(emb, 0L, 20))
+    val fIvf = fusedIds(Retrieval.cosineRankForQueryIvf(emb, 20, 8, 2, 2))
+    val fusedOverlap = fIvf.intersect(fExact).size.toDouble / fExact.size
+    assert(fusedOverlap >= 0.5, s"fused overlap $fusedOverlap below gate")
+  }
 }
