@@ -274,6 +274,31 @@ object ExtQueries {
       |   AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
       |                     WHERE l_partkey = p_partkey)""".stripMargin
 
+  /** TPC-H Q22 (global sales opportunity): rich-but-inactive
+    * customers per nation — an UNCORRELATED scalar aggregate subquery
+    * (the global average threshold) combined with a NOT EXISTS
+    * anti-join against orders. Adaptations for the fixture: nationkey
+    * stands in for the phone country code (no c_phone column), and
+    * "inactive" = no order since 2000 (every customer has SOME order).
+    * The average threshold is compared as
+    * `bal · count > sum` on the DECIMAL(18,2) carrier — an EXACT,
+    * fold-order-free comparison; a double `avg()` would rank engines'
+    * last-ulp summation differences straight into the row set.
+    */
+  private[graft] val tpchQ22Sql: String =
+    """SELECT c_nationkey, count(*) AS numcust,
+      |   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      | FROM customer
+      | WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+      |       (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+      |       > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+      |          WHERE c_acctbal > 0.0)
+      |   AND NOT EXISTS (SELECT 1 FROM orders
+      |                   WHERE o_custkey = c_custkey
+      |                     AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+      | GROUP BY c_nationkey
+      | ORDER BY c_nationkey""".stripMargin
+
   /** The shared decontamination fixture: train = doc_id < 400, eval =
     * the rest plus 10 planted verbatim train copies (doc_id 10000+).
     */
@@ -390,6 +415,13 @@ object ExtQueries {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       Tables.table(s, d, "part").createOrReplaceTempView("part")
       s.sql(tpchQ17Sql)
+    }),
+    // Q22 (uncorrelated scalar-aggregate threshold + NOT EXISTS
+    // anti-join) — same verbatim-text contract
+    "sql_tpch_q22" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.table(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql(tpchQ22Sql)
     }),
     // unpivot/melt: OHLC wide → long via stack()
     "stocks_melt" -> ((s, d) =>
@@ -911,6 +943,16 @@ object ExtQueries {
     "sketch_kmv_ngrams" -> ((s, d) => Sketch.kmvDistinctNgrams(docs(s, d), 3, 128)),
     // DSIR importance weights toward the src0 "target domain"
     "dsir_weights" -> ((s, d) => Sampling.dsirWeights(docs(s, d), "src0")),
+    // the DSIR→sampler composition: importance log-weights feed the ES
+    // sampler in LOG space (Gumbel identity — no exp, no overflow, no
+    // cross-engine exp ulp risk); the 50 docs most src0-like under
+    // importance sampling, reproducibly
+    "sample_dsir_weighted" -> ((s, d) => {
+      val dw = Sampling.dsirWeights(docs(s, d), "src0")
+        .select("doc_id", "dsir_logw")
+      val dd = docs(s, d).select("doc_id", "text").join(dw, "doc_id")
+      Sampling.weightedSampleLogW(dd, col("dsir_logw"), 50)
+    }),
     // Efraimidis-Spirakis weighted sampling without replacement, token
     // count as the weight (sampling proportional to size) — the step
     // that turns importance weights into an actual sampled corpus;
@@ -1689,6 +1731,24 @@ object ExtQueries {
       |         UNION ALL
       |         SELECT doc_id, pos, sw, 5 AS rep_len
       |         FROM c WHERE bn > ${Dedup.suffixBucketCap})""".stripMargin
+
+  /** The DSIR chain up through `d` (doc_id, n_tokens, dsir_logw) —
+    * shared by the weights report and the log-space weighted sampler.
+    */
+  private lazy val dsirCoreCte: String =
+    s"""WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),
+       | hb AS (SELECT doc_id, source, ($minhashBaseSql) % 8192 AS b
+       |        FROM (SELECT doc_id, source, md5(tok) AS m FROM t)),
+       | ct AS (SELECT b, count(*) AS c_t FROM hb WHERE source = 'src0' GROUP BY b),
+       | cr AS (SELECT b, count(*) AS c_r FROM hb GROUP BY b),
+       | tot AS (SELECT (SELECT sum(c_r) FROM cr) AS n_r, (SELECT sum(c_t) FROM ct) AS n_t),
+       | lr AS (SELECT b,
+       |     CAST(round(ln(((coalesce(c_t, 0) + 0.5) / (CAST(n_t AS DOUBLE) + 4096.0)) /
+       |       ((c_r + 0.5) / (CAST(n_r AS DOUBLE) + 4096.0))), 8) AS DECIMAL(14,8)) AS lr
+       |   FROM cr LEFT JOIN ct USING (b), tot),
+       | d AS (SELECT doc_id, count(*) AS n_tokens,
+       |     round(CAST(sum(lr) AS DOUBLE), 6) AS dsir_logw
+       |   FROM hb JOIN lr USING (b) GROUP BY doc_id)""".stripMargin
 
   /** The manifest core — simhash near-dup keepers × the cleaning
     * verdict chain, ending in `mrow` (doc_id, keep, is_keeper,
@@ -3690,22 +3750,26 @@ object ExtQueries {
     // (fixed tree, α=½, αB=4096) rounds to an 8dp DECIMAL carrier so
     // the per-doc sum is fold-order free
     "dsir_weights" ->
-      s"""WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),
-         | hb AS (SELECT doc_id, source, ($minhashBaseSql) % 8192 AS b
-         |        FROM (SELECT doc_id, source, md5(tok) AS m FROM t)),
-         | ct AS (SELECT b, count(*) AS c_t FROM hb WHERE source = 'src0' GROUP BY b),
-         | cr AS (SELECT b, count(*) AS c_r FROM hb GROUP BY b),
-         | tot AS (SELECT (SELECT sum(c_r) FROM cr) AS n_r, (SELECT sum(c_t) FROM ct) AS n_t),
-         | lr AS (SELECT b,
-         |     CAST(round(ln(((coalesce(c_t, 0) + 0.5) / (CAST(n_t AS DOUBLE) + 4096.0)) /
-         |       ((c_r + 0.5) / (CAST(n_r AS DOUBLE) + 4096.0))), 8) AS DECIMAL(14,8)) AS lr
-         |   FROM cr LEFT JOIN ct USING (b), tot),
-         | d AS (SELECT doc_id, count(*) AS n_tokens,
-         |     round(CAST(sum(lr) AS DOUBLE), 6) AS dsir_logw
-         |   FROM hb JOIN lr USING (b) GROUP BY doc_id)
+      s"""$dsirCoreCte
          | SELECT d.doc_id, s.source, n_tokens, dsir_logw
          | FROM d JOIN (SELECT doc_id, source FROM documents) s ON d.doc_id = s.doc_id
          | ORDER BY d.doc_id""".stripMargin,
+    // DSIR log-weights fed straight into the ES sampler in LOG space:
+    // rank ln(−ln u) − lw ascending (≡ u^(1/exp(lw)) descending, the
+    // Gumbel identity) — no exp() anywhere, so arbitrary-magnitude
+    // importance weights sample without overflow or cross-engine
+    // last-ulp risk
+    "sample_dsir_weighted" ->
+      s"""$dsirCoreCte,
+         | m2 AS (SELECT doc_id, md5(text) AS m FROM documents),
+         | u2 AS (SELECT doc_id,
+         |         (($minhashBaseSql) % ${Dedup.minhashP} + 1.0) / ${Dedup.minhashP + 1}.0 AS u
+         |       FROM m2),
+         | k2 AS (SELECT d.doc_id, d.dsir_logw AS lw,
+         |         round(ln(-ln(u)) - d.dsir_logw, 8) AS es_key
+         |       FROM d JOIN u2 USING (doc_id))
+         | SELECT doc_id, lw, es_key FROM k2
+         | ORDER BY es_key, doc_id LIMIT 50""".stripMargin,
     "events_cohort_ltv" ->
       """WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week, value FROM events),
         | fs AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
@@ -4551,6 +4615,7 @@ object ExtQueries {
     "sql_tpch_q4" -> tpchQ4Sql,
     "sql_tpch_q10" -> tpchQ10Sql,
     "sql_tpch_q17" -> tpchQ17Sql,
+    "sql_tpch_q22" -> tpchQ22Sql,
     "customer_rfm" ->
       """WITH a AS (
         |   SELECT o_custkey AS custkey, max(CAST(o_orderdate AS DATE)) AS last_order,

@@ -181,6 +181,32 @@ object Sampling {
       .limit(k)
   }
 
+  /** [[weightedSample]] for LOG-space weights — the form that pairs
+    * directly with [[dsirWeights]]'s importance log-weights without
+    * ever exponentiating: for w = exp(lw), ranking u^(1/w) descending
+    * is equivalent to ranking ln(−ln u) − lw ASCENDING (ln u < 0, so
+    * ln(u)/exp(lw) = −exp(ln(−ln u) − lw), a monotone flip — the
+    * Gumbel-trick identity). exp() is avoided on purpose: lw spans
+    * hundreds of nats across a corpus, where exp overflows AND its
+    * cross-engine last-ulp differences would land straight in the
+    * ranking; ln on identical doubles is the already-proven carrier.
+    * Same content-hash uniform, top-k via TakeOrdered, 8dp-rounded
+    * key with doc_id tiebreak.
+    */
+  def weightedSampleLogW(docs: DataFrame, logWeight: Column, k: Int): DataFrame = {
+    val m = md5(col("text"))
+    val x = (1 to 8).map(i => ascii(m.substr(i, 1)) * lit(math.pow(128, 8 - i).toLong))
+      .reduce(_ + _)
+    val p = graft.operators.Dedup.minhashP
+    val u = (pmod(x.cast("long"), lit(p)) + lit(1.0)) / lit(p + 1.0)
+    docs
+      .withColumn("lw", logWeight.cast("double"))
+      .withColumn("es_key", round(log(-log(u)) - col("lw"), 8))
+      .select("doc_id", "lw", "es_key")
+      .orderBy(col("es_key"), col("doc_id"))
+      .limit(k)
+  }
+
   def dsirWeights(docs: DataFrame, targetSource: String,
       buckets: Int = 8192, scale: Int = 6): DataFrame = {
     // spread before the explode: the one-file documents scan would

@@ -83,6 +83,16 @@ class PlanShapeSpec extends SparkSpec {
       s"expected 2 lineitem scans (fact + decorrelated agg), got $lineitemScans")
   }
 
+  test("tpch q22 plans NOT EXISTS as anti-join; scalar thresholds evaluate once") {
+    val p = plan("sql_tpch_q22")
+    assert(p.contains("LeftAnti") || p.contains("leftanti"),
+      "NOT EXISTS must become a left-anti join")
+    assert(!p.contains("CartesianProduct"))
+    // the two uncorrelated scalar subqueries must plan as one-time
+    // Subquery nodes, not per-row rescans of customer
+    assert(p.contains("Subquery"), p.take(600))
+  }
+
   test("tpch q19 disjunctive-predicate join stays an equi hash join") {
     val p = plan("sql_tpch_q19")
     // the three OR branches must ride the p_partkey = l_partkey hash

@@ -156,4 +156,35 @@ class SamplingSpec extends SparkSpec {
     val keys = got.map(_.getAs[Double]("es_key")).toSeq
     assert(keys == keys.sorted.reverse) // descending
   }
+
+  test("weightedSample keeps fractional weights (no silent long truncation)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // sub-1 weights would all truncate to 0 under a long cast and the
+    // sample would come back empty; as doubles they sample fine and a
+    // 100x heavier fractional weight dominates
+    val d = ((1 to 20).map(i => (i.toLong, s"light doc number $i", 0.01)) :+
+      (99L, "the heavy document", 1.0)).toDF("doc_id", "text", "w")
+    val got = Sampling.weightedSample(d, col("w"), 5).collect()
+    assert(got.length == 5)
+    assert(got.map(_.getLong(0)).contains(99L))
+    assert(got.head.getAs[Double]("w") == 1.0 ||
+      got.exists(_.getAs[Double]("w") == 0.01))
+  }
+
+  test("weightedSampleLogW ranks identically to weightedSample with w = exp(lw)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the Gumbel identity: ln(-ln u) - lw ascending == u^(1/exp(lw))
+    // descending. Moderate lw keeps exp(lw) exactly representable so
+    // the linear-space reference is itself trustworthy.
+    val d = (1 to 40).map(i =>
+      (i.toLong, s"doc body number $i with tail", (i % 7 + 1).toDouble))
+      .toDF("doc_id", "text", "w")
+    val lin = Sampling.weightedSample(d, col("w"), 15)
+      .collect().map(_.getLong(0)).toSeq
+    val logs = Sampling.weightedSampleLogW(d, log(col("w")), 15)
+      .collect().map(_.getLong(0)).toSeq
+    assert(logs == lin, s"log-space ranking $logs != linear $lin")
+  }
 }
