@@ -28,7 +28,10 @@ object Bench {
     "sketch_hist_quantiles",
     // round-9 families appended (r≤8 20-query prefix unchanged):
     // suffix-array dedup and the incremental-index append+serve path
-    "dedup_suffix_repeats", "embed_ivf_append_search")
+    "dedup_suffix_repeats", "embed_ivf_append_search",
+    // round-10 family appended (r≤9 22-query prefix unchanged): the
+    // stored two-stage IVF-PQ serving path
+    "embed_ivfpq_stored_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -39,6 +39,8 @@ object ExtQueries {
 
   private lazy val ivfStreamDir: String = TempDirs.create("graft_ivf_stream")
 
+  private lazy val ivfPqDir: String = TempDirs.create("graft_ivfpq")
+
   /** Replay-drop directory for the streaming CUSUM query. */
   private lazy val cusumReplayDir: String = TempDirs.create("graft_cusum_replay")
 
@@ -768,6 +770,18 @@ object ExtQueries {
       Sink.writeIvfIndex(all.filter(col("vec_id") < 400), dir, 8, 2)
       Sink.appendToIvfIndex(all.filter(col("vec_id") >= 400), dir)
       Sink.searchIvfIndex(s, all, dir, 10, 3)
+    }),
+    // the FAISS-style stored IVF-PQ index: coarse cells partition the
+    // layout, PQ codes + raw vectors co-locate in the cell files, and
+    // the two serving tiers are two COLUMN PROJECTIONS of the probed
+    // partitions — ADC candidates read only the codes ints, the exact
+    // rerank decodes embeddings for candidates alone. SIDE EFFECT:
+    // rewrites the temp index dir per evaluation (idempotent).
+    "embed_ivfpq_stored_search" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfPqDir
+      Sink.writeIvfPqIndex(all, dir, 8, 2, 4, 16, 8)
+      Sink.searchIvfPqIndex(s, all, dir, 10, 3, 10, 4, 16)
     }),
     // the pre-flight for the append: per-cell stored vs incoming
     // populations (incoming assigned with the stored centroids), the
@@ -2438,6 +2452,45 @@ object ExtQueries {
        |        FROM sc)""".stripMargin
   }
 
+  /** Stored IVF-PQ search mirror: coarse kmeans (a2/d2) restricts ADC
+    * scoring to each query's own cell (nprobe=1 — the probe ranks the
+    * trained centroids, and for an in-corpus query that argmin IS its
+    * a2 cell), the four-subspace PQ chain supplies codes + LUTs, and
+    * the top-10 ADC candidates rerank by exact 4dp cosine.
+    */
+  private lazy val ivfPqStoredOracle: String = {
+    val bodies = (0 until 4).map(pqSubBody(_, 8, 16, 10)).mkString(",\n ")
+    val partUnion = (0 until 4)
+      .map(s => s"SELECT $s AS sub, a2_$s.vec_id, lut_$s.qid, lut_$s.dist FROM a2_$s JOIN lut_$s USING (cell)")
+      .mkString("\n   UNION ALL ")
+    s"""WITH ${kmeansBody("embeddings")},
+       | $bodies,
+       | qp AS (SELECT vec_id AS qid, cell FROM a2 WHERE vec_id < 10),
+       | pr AS ($partUnion),
+       | sc AS (SELECT pr.qid, pr.vec_id, SUM(CAST(pr.dist AS DECIMAL(18,6))) AS adist
+       |        FROM pr
+       |        JOIN a2 w ON w.vec_id = pr.vec_id
+       |        JOIN qp ON qp.qid = pr.qid AND qp.cell = w.cell
+       |        WHERE pr.qid <> pr.vec_id GROUP BY pr.qid, pr.vec_id),
+       | rkc AS (SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS crnk
+       |         FROM sc),
+       | cand AS (SELECT qid, vec_id FROM rkc WHERE crnk <= 10),
+       | qv AS (SELECT vec_id AS cqid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       | rr AS (SELECT c.qid, c.vec_id,
+       |          round(SUM(CAST(qe[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)) /
+       |            (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+       |             sqrt(SUM(CAST(e2.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))), 4) AS cos
+       |        FROM cand c
+       |        JOIN embeddings e2 ON c.vec_id = e2.vec_id
+       |        JOIN qv ON qv.cqid = c.qid, UNNEST(range(1, 65)) t(i)
+       |        GROUP BY c.qid, c.vec_id),
+       | rr2 AS (SELECT qid, vec_id, cos,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+       |         FROM rr)
+       | SELECT qid, rnk, vec_id, cos FROM rr2 WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** The embeddings corpus with deterministic perturbed twins of the
     * first 50 vectors (x·1.05 + 0.001, vec_id+1000) — the planted
     * near-dups for the neardup/semdedup fixtures (the raw testdata has
@@ -3114,6 +3167,7 @@ object ExtQueries {
          | ORDER BY b.symbol, b.date""".stripMargin,
     "embed_pq_codes" ->
       s"$pqCte SELECT sub, vec_id, code, d FROM codes ORDER BY sub, vec_id",
+    "embed_ivfpq_stored_search" -> ivfPqStoredOracle,
     "embed_pq_topk" ->
       s"""$pqCte
          | SELECT qid, rnk, vec_id, CAST(adist AS DOUBLE) AS adc_dist

@@ -29,7 +29,8 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private[operators] def toDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
 
   /** cosine(a, b) rounded to 4. */
   def cosine(a: Column, b: Column): Column = {
@@ -180,7 +181,7 @@ object Similarity {
     * rounding absorbs cross-engine summation-order ulp noise so argmin
     * assignments are reproducible (ties broken by cell id).
     */
-  private def l2sq(a: Column, b: Column): Column =
+  private[operators] def l2sq(a: Column, b: Column): Column =
     round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x), 6)
 

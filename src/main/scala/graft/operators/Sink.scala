@@ -278,6 +278,113 @@ object Sink {
       .orderBy("cell")
   }
 
+  /** Persist a trained IVF-PQ index — the FAISS-style memory-lean
+    * serving layout, all in ONE cell-partitioned table:
+    * (vec_id, codes: array<int>, embedding) partitioned by the coarse
+    * cell, plus the coarse centroids and the per-subspace PQ codebooks
+    * beside it. The columnar format makes the two serving tiers two
+    * PROJECTIONS of the same files: the ADC candidate stage reads only
+    * (vec_id, codes) — m small ints per vector, the 16-32× compressed
+    * tier — and the exact-rerank stage reads (vec_id, embedding) for
+    * the already-pruned candidates. Both stages scan only the probed
+    * cell partitions; nothing ever joins the corpus embedding table.
+    */
+  def writeIvfPqIndex(emb: DataFrame, dir: String, cells: Int = 8,
+      iters: Int = 2, m: Int = 4, subDim: Int = 16, k: Int = 8): Unit = {
+    require(iters >= 2, "a stored IVF-PQ index needs trained centroids (iters >= 2)")
+    val (assigned, centOpt) = Similarity.kmeansAssignInternal(emb, cells, iters)
+    val (codes, pqCents) = Similarity.pqTrained(emb, m, subDim, k, iters, None)
+    val codeArr = codes.groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("ps"))
+      .select(col("vec_id"), expr("transform(ps, p -> p.code)").as("codes"))
+    assigned.select("vec_id", "cell")
+      .join(codeArr, "vec_id")
+      .join(emb.select("vec_id", "embedding"), "vec_id")
+      .select("vec_id", "codes", "embedding", "cell")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(s"$dir/assignment")
+    val cent = centOpt.get
+    cent.select(col("cell"), posexplode(col("c")).as(Seq("i", "x")))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    pqCents.select(col("sub"), col("cell"), posexplode(col("c")).as(Seq("i", "x")))
+      .write.mode("overwrite").parquet(s"$dir/pq_centroids")
+    org.apache.spark.sql.GraftShims.uncheckpoint(cent)
+    org.apache.spark.sql.GraftShims.uncheckpoint(codes)
+    org.apache.spark.sql.GraftShims.uncheckpoint(pqCents)
+  }
+
+  /** Reassemble the stored PQ codebooks: (sub, cell, c: array<double>)
+    * — an m×k-sized frame, always broadcast by its consumers.
+    */
+  def loadPqCentroids(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/pq_centroids")
+      .groupBy("sub", "cell")
+      .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("ps"))
+      .select(col("sub"), col("cell"), expr("transform(ps, p -> p.x)").as("c"))
+
+  /** Two-stage search over a stored IVF-PQ index ([[writeIvfPqIndex]]):
+    * (1) probe — queries rank the stored coarse centroids, nprobe=1;
+    * (2) ADC — each query builds its m×k lookup table against the
+    * stored codebooks (broadcast both ways), and every vector in the
+    * probed cells is scored as the exact DECIMAL sum of its m table
+    * entries, reading ONLY the codes column of the pruned partitions;
+    * (3) rerank — the top `cand` per query re-score by exact cosine
+    * against the embedding column of the same pruned partitions
+    * (broadcast candidate list). The corpus embedding table is never
+    * scanned beyond the nQueries query rows, and the full-width
+    * embedding column is only decoded for candidates' cells.
+    */
+  def searchIvfPqIndex(spark: SparkSession, emb: DataFrame, dir: String,
+      nQueries: Int = 10, k: Int = 3, cand: Int = 10,
+      m: Int = 4, subDim: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = loadIvfCentroids(spark, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        Similarity.toDouble(col("embedding")).as("qv"))
+    val pw = Window.partitionBy("qid").orderBy(col("pd"), col("cell"))
+    val probes = q.select("qid", "qv").crossJoin(broadcast(cent))
+      .withColumn("pd", Similarity.l2sq(col("qv"), col("c")))
+      .withColumn("pn", row_number().over(pw))
+      .filter(col("pn") === 1)
+      .select("qid", "cell")
+    // per-query ADC lookup tables: nQueries × m × k rows — tiny
+    val pqc = loadPqCentroids(spark, dir)
+    val qsub = (0 until m).map { s0 =>
+      q.select(col("qid"),
+        lit(s0).as("sub"),
+        Similarity.toDouble(slice(col("qe"), s0 * subDim + 1, subDim)).as("qsv"))
+    }.reduce(_ unionByName _)
+    val lut = qsub.join(pqc, "sub")
+      .select(col("qid"), col("sub"), col("cell").as("code"),
+        Similarity.l2sq(col("qsv"), col("c")).as("dist"))
+    val assignment = spark.read.parquet(s"$dir/assignment")
+    // stage 2: codes-only projection of the probed cells; the ADC sum
+    // is exact DECIMAL so ranking never touches a folded double
+    val adc = assignment.select("vec_id", "codes", "cell")
+      .join(broadcast(probes), "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("dist").cast("decimal(18,6)")).as("adist"))
+    val cw = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    val candidates = adc.withColumn("crnk", row_number().over(cw))
+      .filter(col("crnk") <= cand)
+      .select("qid", "vec_id")
+    // stage 3: exact rerank from the co-located vectors, broadcast on
+    // the (nQueries × cand)-sized candidate list
+    val rer = assignment.select("vec_id", "embedding")
+      .join(broadcast(candidates.join(q.select("qid", "qe"), "qid")), "vec_id")
+      .withColumn("cos", Similarity.cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    rer.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "cos")
+      .orderBy("qid", "rnk")
+  }
+
   /** Search a stored IVF index: queries rank the STORED centroids
     * (rounded L2, cell tiebreak — the training metric), then score
     * the assignment scan FILTERED to the probed cells. The vectors

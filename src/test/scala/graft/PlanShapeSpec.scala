@@ -158,6 +158,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ search: the ADC stage reads only the codes column of the index") {
+    // the memory-lean tier is a COLUMN PROJECTION: the candidate scan
+    // must not decode the embedding column (parquet reads the m ints),
+    // while the rerank scan reads embedding — two ReadSchemas over the
+    // same files
+    val p = plan("embed_ivfpq_stored_search")
+    assert(!p.contains("SortMergeJoin"), "both stages must broadcast-join")
+    // block = one scan node's detail section, ReadSchema line included
+    val blocks = p.split("\\(\\d+\\) Scan parquet").toSeq.tail
+    val idxSchemas = blocks.filter(_.contains("assignment"))
+      .flatMap(_.linesIterator.find(_.trim.startsWith("ReadSchema")))
+    assert(idxSchemas.exists(s => s.contains("codes") && !s.contains("embedding")),
+      s"no codes-only projection of the index found:\n${idxSchemas.mkString("\n")}")
+    assert(idxSchemas.exists(s => s.contains("embedding") && !s.contains("codes")),
+      s"no embedding-only rerank projection found:\n${idxSchemas.mkString("\n")}")
+  }
+
   test("no heavy query contains a cartesian product") {
     val heavy = Seq("dedup_minhash_lsh", "dedup_simhash_pairs",
       "embed_ivf_topk", "contamination_bloom", "events_sessionize",

@@ -168,6 +168,36 @@ class SinkSpec extends SparkSpec {
     assert(back.head.getAs[String]("errors").contains("invalid_close"))
   }
 
+  test("IVF-PQ index: co-located codes + vectors, two-stage search holds the PQ floor") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val dir = Files.createTempDirectory("graft-ivfpq").toString
+    Sink.writeIvfPqIndex(e, dir, cells = 8, iters = 2, m = 4, subDim = 16, k = 8)
+    val back = spark.read.parquet(s"$dir/assignment")
+    assert(back.columns.toSet == Set("vec_id", "codes", "embedding", "cell"))
+    assert(back.count() == e.count())
+    // every vector carries m=4 codes, each a codebook id in [0, 8)
+    val codeStats = back.selectExpr("size(codes) AS m",
+      "array_max(codes) AS hi", "array_min(codes) AS lo").collect()
+    assert(codeStats.forall(r => r.getAs[Int]("m") == 4 &&
+      r.getAs[Long]("hi") < 8 && r.getAs[Long]("lo") >= 0))
+    val got = Sink.searchIvfPqIndex(spark, e, dir, 10, 3, 10, 4, 16).collect()
+    assert(got.length == 30)
+    // recall gates: on the structure-free gaussian fixture nprobe=1
+    // IVF-PQ with cand=10 must hold the PLAIN-PQ floor (the cell
+    // restriction prunes ADC false positives, it cannot be worse than
+    // corpus-wide ADC by more than noise) and an absolute floor
+    val truth = graft.operators.Similarity.bruteForceTopK(e, 10, 3).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val mine = got.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val plainPq = graft.operators.Similarity.pqRerankTopK(e, 10, 3, 10).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val rIvfPq = mine.intersect(truth).size.toDouble / truth.size
+    val rPlain = plainPq.intersect(truth).size.toDouble / truth.size
+    assert(rIvfPq >= 0.3, s"IVF-PQ recall $rIvfPq below the PQ floor")
+    assert(rIvfPq >= rPlain - 0.1,
+      s"IVF-PQ recall $rIvfPq fell below corpus-wide PQ $rPlain")
+  }
+
   test("IVF index round-trip: stored-index search equals in-memory single-probe") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-ivfidx").toString
