@@ -780,7 +780,7 @@ object ExtQueries {
     "embed_ivfpq_stored_search" -> ((s, d) => {
       val all = emb(s, d)
       val dir = ivfPqDir
-      Sink.writeIvfPqIndex(all, dir, 8, 2, 4, 16, 8)
+      Sink.writeIvfPqIndex(all, dir, 8, 2, 4, 16, 8, corpusKey = Some(d))
       Sink.searchIvfPqIndex(s, all, dir, 10, 3, 10, 4, 16)
     }),
     // the pre-flight for the append: per-cell stored vs incoming

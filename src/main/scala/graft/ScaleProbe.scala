@@ -164,6 +164,23 @@ object ScaleProbe {
         val base = Tables.embeddings(spark, sfDir)
         val (_, cOpt) = Similarity.kmeansAssignInternal(base, 8, 2)
         Similarity.assignWithCentroids(emb, cOpt.get)
+      },
+      // round-10: SERVING cost of the co-located stored index. Cells
+      // scale with the corpus (fixed ~600-vector cell size, the IVF
+      // rule), so the probed-partition scan is CONSTANT-sized across
+      // factors — search time should stay flat while the corpus grows
+      // ×N, which is exactly the join-free-serving claim. The index
+      // build runs outside the timer (train+write is the once-per-
+      // corpus cost; ivf_append_assign above measures its scaling).
+      {
+        if (only.isEmpty || only("ivf_stored_search")) {
+          val dir = java.nio.file.Files
+            .createTempDirectory("probe_ivfidx").toString
+          graft.operators.Sink.writeIvfIndex(emb, dir, cells = 8 * factor, iters = 2)
+          time("ivf_stored_search") {
+            graft.operators.Sink.searchIvfIndex(spark, emb, dir, 10, 3)
+          }
+        } else None
       }).flatten
 
     val qj = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -340,7 +340,7 @@ object Similarity {
     * trained first) costs one redundant training; determinism makes
     * the mixed result identical.
     */
-  private def kmeansAssignCachedWithCentroids(emb: DataFrame, k: Int,
+  private[operators] def kmeansAssignCachedWithCentroids(emb: DataFrame, k: Int,
       iters: Int, corpusKey: String): (DataFrame, DataFrame) = {
     graft.SessionCaches.watch(emb.sparkSession)
     val key = (emb.sparkSession, corpusKey, k, iters)
