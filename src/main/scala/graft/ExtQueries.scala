@@ -41,6 +41,10 @@ object ExtQueries {
 
   private lazy val ivfPqDir: String = TempDirs.create("graft_ivfpq")
 
+  private lazy val ivfPqAppendDir: String = TempDirs.create("graft_ivfpq_append")
+
+  private lazy val ivfPqStreamDir: String = TempDirs.create("graft_ivfpq_stream")
+
   /** Replay-drop directory for the streaming CUSUM query. */
   private lazy val cusumReplayDir: String = TempDirs.create("graft_cusum_replay")
 
@@ -782,6 +786,40 @@ object ExtQueries {
       val dir = ivfPqDir
       Sink.writeIvfPqIndex(all, dir, 8, 2, 4, 16, 8, corpusKey = Some(d))
       Sink.searchIvfPqIndex(s, all, dir, 10, 3, 10, 4, 16)
+    }),
+    // incremental maintenance of the compressed tier: train+store the
+    // IVF-PQ index on the first 400 vectors, fold the rest in against
+    // the STORED centroids AND codebooks (no retrain anywhere), serve
+    // the union — the appendToIvfIndex contract extended to PQ codes.
+    // SIDE EFFECT: rewrites the temp index dir per evaluation.
+    "embed_ivfpq_append_search" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfPqAppendDir
+      Sink.writeIvfPqIndex(all.filter(col("vec_id") < 400), dir, 8, 2, 4, 16, 8,
+        corpusKey = Some(d + "#pqbase400"))
+      Sink.appendToIvfPqIndex(all.filter(col("vec_id") >= 400), dir, 4, 16)
+      Sink.searchIvfPqIndex(s, all, dir, 10, 3, 10, 4, 16)
+    }),
+    // drop-at-a-time ingestion into the COMPRESSED tier: three
+    // micro-batches fold through appendToIvfPqIndex (frozen centroids
+    // + codebooks). Shares embed_ivfpq_append_search's oracle
+    // verbatim — hash-green proves streamed ingestion ≡ one-shot
+    // append (codes, like cells, are order-invariant against frozen
+    // artifacts). SIDE EFFECT: temp dirs.
+    "stream_ivfpq_append_replay" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfPqStreamDir
+      Sink.writeIvfPqIndex(all.filter(col("vec_id") < 400),
+        s"$dir/index", 8, 2, 4, 16, 8, corpusKey = Some(d + "#pqbase400"))
+      val batch = all.filter(col("vec_id") >= 400)
+      Seq(("a", 0), ("b", 1), ("c", 2)).foreach { case (tag, r) =>
+        batch.filter(pmod(col("vec_id"), lit(3)) === r)
+          .select("vec_id", "embedding").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/drops/drop=$tag")
+      }
+      graft.streaming.IvfStream.runPqAppendReplay(
+        s, s"$dir/drops/drop=*", s"$dir/index", s"$dir/ckpt")
+      Sink.searchIvfPqIndex(s, all, s"$dir/index", 10, 3, 10, 4, 16)
     }),
     // the pre-flight for the append: per-cell stored vs incoming
     // populations (incoming assigned with the stored centroids), the
@@ -2431,6 +2469,42 @@ object ExtQueries {
        |           GROUP BY q.vec_id, c1$x.cell)""".stripMargin
   }
 
+  /** [[pqSubBody]] with training restricted to vec_id < `baseMax`
+    * (Lloyd's over eb_<sub> only) while assignment (a2_<sub>) and the
+    * query LUT still run over EVERYTHING against the base-trained
+    * codebooks — the append-without-retrain mirror.
+    */
+  private def pqSubBodyBase(sub: Int, k: Int, subDim: Int, nQ: Int,
+      baseMax: Int): String = {
+    val lo = sub * subDim + 1
+    val hi = (sub + 1) * subDim
+    val r = s"range(1, ${subDim + 1})"
+    val x = s"_$sub"
+    s"""e$x AS (SELECT vec_id, list_transform(list_slice(embedding, $lo, $hi), x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       | eb$x AS (SELECT * FROM e$x WHERE vec_id < $baseMax),
+       | c0$x AS (SELECT vec_id AS cell, v AS c FROM eb$x WHERE vec_id < $k),
+       | d1$x AS (SELECT eb$x.vec_id, c0$x.cell,
+       |            round(SUM((eb$x.v[i] - c0$x.c[i]) * (eb$x.v[i] - c0$x.c[i])), 6) AS d
+       |          FROM eb$x, c0$x, UNNEST($r) t(i) GROUP BY eb$x.vec_id, c0$x.cell),
+       | a1$x AS (SELECT vec_id, cell FROM (
+       |            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |            FROM d1$x) WHERE rn = 1),
+       | m1$x AS (SELECT cell, i, round(avg(eb$x.v[i]), 6) AS m
+       |          FROM a1$x JOIN eb$x USING (vec_id), UNNEST($r) t(i) GROUP BY cell, i),
+       | c1$x AS MATERIALIZED (SELECT cell, list(m ORDER BY i) AS c FROM m1$x GROUP BY cell),
+       | d2$x AS (SELECT e$x.vec_id, c1$x.cell,
+       |            round(SUM((e$x.v[i] - c1$x.c[i]) * (e$x.v[i] - c1$x.c[i])), 6) AS d
+       |          FROM e$x, c1$x, UNNEST($r) t(i) GROUP BY e$x.vec_id, c1$x.cell),
+       | a2$x AS (SELECT vec_id, cell, d FROM (
+       |            SELECT vec_id, cell, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |            FROM d2$x) WHERE rn = 1),
+       | lut$x AS (SELECT q.vec_id AS qid, c1$x.cell,
+       |             round(SUM((q.v[i] - c1$x.c[i]) * (q.v[i] - c1$x.c[i])), 6) AS dist
+       |           FROM (SELECT * FROM e$x WHERE vec_id < $nQ) q, c1$x, UNNEST($r) t(i)
+       |           GROUP BY q.vec_id, c1$x.cell)""".stripMargin
+  }
+
   /** The four-subspace PQ chain (m=4, 16 dims, 8 codes, 10 queries)
     * through the scored/ranked ADC CTEs `sc`/`rk`.
     */
@@ -2452,20 +2526,17 @@ object ExtQueries {
        |        FROM sc)""".stripMargin
   }
 
-  /** Stored IVF-PQ search mirror: coarse kmeans (a2/d2) restricts ADC
-    * scoring to each query's own cell (nprobe=1 — the probe ranks the
-    * trained centroids, and for an in-corpus query that argmin IS its
-    * a2 cell), the four-subspace PQ chain supplies codes + LUTs, and
-    * the top-10 ADC candidates rerank by exact 4dp cosine.
+  /** The cell-restricted ADC + rerank tail shared by the fresh-trained
+    * and the base-trained-append IVF-PQ search oracles: nprobe=1 probes
+    * come from `a2` (for an in-corpus query the trained-centroid argmin
+    * IS its assigned cell), ADC sums the four subspace LUT entries as
+    * exact DECIMAL, top-10 candidates rerank by exact 4dp cosine.
     */
-  private lazy val ivfPqStoredOracle: String = {
-    val bodies = (0 until 4).map(pqSubBody(_, 8, 16, 10)).mkString(",\n ")
+  private def ivfPqSearchTail: String = {
     val partUnion = (0 until 4)
       .map(s => s"SELECT $s AS sub, a2_$s.vec_id, lut_$s.qid, lut_$s.dist FROM a2_$s JOIN lut_$s USING (cell)")
       .mkString("\n   UNION ALL ")
-    s"""WITH ${kmeansBody("embeddings")},
-       | $bodies,
-       | qp AS (SELECT vec_id AS qid, cell FROM a2 WHERE vec_id < 10),
+    s"""qp AS (SELECT vec_id AS qid, cell FROM a2 WHERE vec_id < 10),
        | pr AS ($partUnion),
        | sc AS (SELECT pr.qid, pr.vec_id, SUM(CAST(pr.dist AS DECIMAL(18,6))) AS adist
        |        FROM pr
@@ -2489,6 +2560,30 @@ object ExtQueries {
        |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
        |         FROM rr)
        | SELECT qid, rnk, vec_id, cos FROM rr2 WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** Stored IVF-PQ search mirror: coarse kmeans (a2/d2) restricts ADC
+    * scoring to each query's own cell (nprobe=1), the four-subspace PQ
+    * chain supplies codes + LUTs, top-10 ADC candidates rerank exact.
+    */
+  private lazy val ivfPqStoredOracle: String = {
+    val bodies = (0 until 4).map(pqSubBody(_, 8, 16, 10)).mkString(",\n ")
+    s"""WITH ${kmeansBody("embeddings")},
+       | $bodies,
+       | $ivfPqSearchTail""".stripMargin
+  }
+
+  /** Base-trained append mirror: coarse centroids AND the four PQ
+    * codebooks train on vec_id < 400 only; EVERYTHING (base + the
+    * appended batch) assigns/encodes against those stored artifacts —
+    * exactly what the disk layout holds after
+    * [[graft.operators.Sink.appendToIvfPqIndex]] folds the batch in.
+    */
+  private lazy val ivfPqAppendOracle: String = {
+    val bodies = (0 until 4).map(pqSubBodyBase(_, 8, 16, 10, 400)).mkString(",\n ")
+    s"""${kmeansBaseTrainedCte(400)},
+       | $bodies,
+       | $ivfPqSearchTail""".stripMargin
   }
 
   /** The embeddings corpus with deterministic perturbed twins of the
@@ -3168,6 +3263,10 @@ object ExtQueries {
     "embed_pq_codes" ->
       s"$pqCte SELECT sub, vec_id, code, d FROM codes ORDER BY sub, vec_id",
     "embed_ivfpq_stored_search" -> ivfPqStoredOracle,
+    "embed_ivfpq_append_search" -> ivfPqAppendOracle,
+    // streamed drop-at-a-time PQ ingestion ≡ one-shot append: shares
+    // the oracle verbatim (order-invariant against frozen artifacts)
+    "stream_ivfpq_append_replay" -> ivfPqAppendOracle,
     "embed_pq_topk" ->
       s"""$pqCte
          | SELECT qid, rnk, vec_id, CAST(adist AS DOUBLE) AS adc_dist

@@ -349,6 +349,42 @@ object Sink {
       .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("ps"))
       .select(col("sub"), col("cell"), expr("transform(ps, p -> p.x)").as("c"))
 
+  /** Fold a new vector batch into a stored IVF-PQ index WITHOUT
+    * retraining — the [[appendToIvfIndex]] contract extended to the
+    * compressed tier: the batch coarse-assigns against the STORED
+    * centroids AND encodes against the STORED per-subspace codebooks
+    * (both broadcast), then appends into the cell-partitioned layout
+    * (one new file per touched cell). Cost is two broadcast passes
+    * over the batch, never a Lloyd's rerun; [[searchIvfPqIndex]]
+    * serves the union immediately. Pair with [[ivfAppendDrift]] as
+    * the retrain tripwire — it reads the same assignment layout.
+    */
+  def appendToIvfPqIndex(newEmb: DataFrame, dir: String,
+      m: Int = 4, subDim: Int = 16): Unit = {
+    val spark = newEmb.sparkSession
+    val cent = loadIvfCentroids(spark, dir)
+    val coarse = Similarity.assignWithCentroids(newEmb, cent)
+      .select("vec_id", "cell")
+    val pqc = loadPqCentroids(spark, dir)
+    val codes = (0 until m).map { s0 =>
+      val sub = newEmb.select(col("vec_id"),
+        slice(col("embedding"), s0 * subDim + 1, subDim).as("embedding"))
+      Similarity.assignWithCentroids(sub,
+          pqc.filter(col("sub") === s0).select("cell", "c"))
+        .select(lit(s0).as("sub"), col("vec_id"), col("cell").as("code"))
+    }.reduce(_ unionByName _)
+    val codeArr = codes.groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("ps"))
+      .select(col("vec_id"), expr("transform(ps, p -> p.code)").as("codes"))
+    coarse
+      .join(codeArr, "vec_id")
+      .join(newEmb.select("vec_id", "embedding"), "vec_id")
+      .select("vec_id", "codes", "embedding", "cell")
+      .repartition(col("cell")) // one appended file per touched cell
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assignment")
+  }
+
   /** Two-stage search over a stored IVF-PQ index ([[writeIvfPqIndex]]):
     * (1) probe — queries rank the stored coarse centroids, nprobe=1;
     * (2) ADC — each query builds its m×k lookup table against the

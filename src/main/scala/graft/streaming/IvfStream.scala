@@ -42,7 +42,23 @@ object IvfStream {
     * appending each micro-batch into the stored index at `indexDir`.
     */
   def runAppendReplay(spark: SparkSession, dropGlob: String,
-      indexDir: String, checkpointDir: String): Unit = {
+      indexDir: String, checkpointDir: String): Unit =
+    replayWith(spark, dropGlob, checkpointDir)(
+      batch => Sink.appendToIvfIndex(batch, indexDir))
+
+  /** The same drop-at-a-time ingestion into a stored IVF-PQ index:
+    * each micro-batch coarse-assigns AND PQ-encodes against the
+    * frozen stored artifacts ([[Sink.appendToIvfPqIndex]]) — the
+    * order-invariance argument carries over unchanged because codes,
+    * like cells, depend only on the stored codebooks.
+    */
+  def runPqAppendReplay(spark: SparkSession, dropGlob: String,
+      indexDir: String, checkpointDir: String): Unit =
+    replayWith(spark, dropGlob, checkpointDir)(
+      batch => Sink.appendToIvfPqIndex(batch, indexDir))
+
+  private def replayWith(spark: SparkSession, dropGlob: String,
+      checkpointDir: String)(append: DataFrame => Unit): Unit = {
     deleteRecursively(checkpointDir)
     val stream = spark.readStream
       .schema(schema)
@@ -50,7 +66,7 @@ object IvfStream {
       .parquet(dropGlob)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) Sink.appendToIvfIndex(batch, indexDir)
+        if (!batch.isEmpty) append(batch)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -43,6 +43,36 @@ class IvfAppendSpec extends SparkSpec {
     assert(stored == expected && stored.size == all.count())
   }
 
+  test("appendToIvfPqIndex == assignment + encoding with the stored artifacts") {
+    val all = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-ivfpqapp").toString
+    Sink.writeIvfPqIndex(all.filter(col("vec_id") < 40), dir, 8, 2, 4, 16, 8)
+    Sink.appendToIvfPqIndex(all.filter(col("vec_id") >= 40), dir, 4, 16)
+    val stored = spark.read.parquet(s"$dir/assignment")
+    assert(stored.count() == all.count())
+    // coarse cells across base + appended = direct assignment with the
+    // stored centroids
+    val cells = stored.select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expCells = Similarity
+      .assignWithCentroids(all, Sink.loadIvfCentroids(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cells == expCells)
+    // codes across base + appended = encoding every subvector with the
+    // STORED codebooks — the no-retrain contract, bit-exact
+    val pqc = Sink.loadPqCentroids(spark, dir)
+    val expCodes = (0 until 4).flatMap { s0 =>
+      Similarity.assignWithCentroids(
+          all.select(col("vec_id"),
+            expr(s"slice(embedding, ${s0 * 16 + 1}, 16)").as("embedding")),
+          pqc.filter(col("sub") === s0).select("cell", "c"))
+        .collect().map(r => (r.getLong(0), s0, r.getLong(1)))
+    }.toSet
+    val gotCodes = stored.select(col("vec_id"), posexplode(col("codes")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotCodes == expCodes)
+  }
+
   test("search after append stays within the recall gate of fresh-trained") {
     // sf0.01 (500 vectors, base 400) — the oracle query's split; the
     // 50-vector sf0.001 fixture is too small for stable centroids
