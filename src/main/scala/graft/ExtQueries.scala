@@ -305,6 +305,42 @@ object ExtQueries {
       | GROUP BY c_nationkey
       | ORDER BY c_nationkey""".stripMargin
 
+  /** TPC-H Q13 (customer distribution): LEFT OUTER join with a
+    * predicate INSIDE the join condition (not a post-filter — moving
+    * it would drop customers with only urgent orders from the
+    * zero-bucket) followed by two aggregation levels: per-customer
+    * order count, then the count histogram. o_orderpriority <>
+    * '1-URGENT' stands in for the comment NOT LIKE filter (the
+    * fixture carries no comment column). Exact integer counts — no
+    * numeric determinism concerns.
+    */
+  private[graft] val tpchQ13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      | FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |       FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |           AND o_orderpriority <> '1-URGENT'
+      |       GROUP BY c_custkey) c_orders
+      | GROUP BY c_count
+      | ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15 (top supplier): a revenue view referenced TWICE — once
+    * as the join side, once inside the scalar max subquery — the
+    * view-reuse shape; the max comparison runs on the exact DECIMAL
+    * revenue so fold-order can't split engines on the winner.
+    */
+  private[graft] val tpchQ15Sql: String =
+    """WITH revenue AS (SELECT l_suppkey AS supplier_no,
+      |     SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+      |   FROM lineitem
+      |   WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |     AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      |   GROUP BY l_suppkey)
+      | SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      | FROM supplier, revenue
+      | WHERE s_suppkey = supplier_no
+      |   AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      | ORDER BY s_suppkey""".stripMargin
+
   /** The shared decontamination fixture: train = doc_id < 400, eval =
     * the rest plus 10 planted verbatim train copies (doc_id 10000+).
     */
@@ -428,6 +464,18 @@ object ExtQueries {
       Tables.orders(s, d).createOrReplaceTempView("orders")
       Tables.table(s, d, "customer").createOrReplaceTempView("customer")
       s.sql(tpchQ22Sql)
+    }),
+    // Q13 (outer join with in-join predicate + double aggregation) and
+    // Q15 (twice-referenced revenue view + scalar max) — same contract
+    "sql_tpch_q13" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.table(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql(tpchQ13Sql)
+    }),
+    "sql_tpch_q15" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.table(s, d, "supplier").createOrReplaceTempView("supplier")
+      s.sql(tpchQ15Sql)
     }),
     // unpivot/melt: OHLC wide → long via stack()
     "stocks_melt" -> ((s, d) =>
@@ -4769,6 +4817,8 @@ object ExtQueries {
     "sql_tpch_q10" -> tpchQ10Sql,
     "sql_tpch_q17" -> tpchQ17Sql,
     "sql_tpch_q22" -> tpchQ22Sql,
+    "sql_tpch_q13" -> tpchQ13Sql,
+    "sql_tpch_q15" -> tpchQ15Sql,
     "customer_rfm" ->
       """WITH a AS (
         |   SELECT o_custkey AS custkey, max(CAST(o_orderdate AS DATE)) AS last_order,

@@ -93,6 +93,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Subquery"), p.take(600))
   }
 
+  test("tpch q13 keeps the in-join predicate on the outer join; q15 reuses the view") {
+    val p13 = plan("sql_tpch_q13")
+    // the priority filter must ride the LEFT OUTER join condition (a
+    // post-filter would drop zero-order customers); the join itself
+    // stays a hash join on custkey
+    assert(p13.contains("LeftOuter") || p13.contains("leftouter"), p13.take(600))
+    assert(!p13.contains("CartesianProduct"))
+    val p15 = plan("sql_tpch_q15")
+    // the scalar max must evaluate once (Subquery), never per row
+    assert(p15.contains("Subquery"), p15.take(600))
+    assert(!p15.contains("CartesianProduct") &&
+      !p15.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("tpch q19 disjunctive-predicate join stays an equi hash join") {
     val p = plan("sql_tpch_q19")
     // the three OR branches must ride the p_partkey = l_partkey hash

@@ -168,6 +168,37 @@ class SinkSpec extends SparkSpec {
     assert(back.head.getAs[String]("errors").contains("invalid_close"))
   }
 
+  test("index rewrite replaces the WHOLE assignment even under dynamic session overwrite") {
+    // the retrain contract: writeIvfIndex-overwrite must discard every
+    // appended row of the previous index generation. Under a dynamic
+    // session default, a plain overwrite only replaces cells present
+    // in the new base — the per-write static option pins the semantics
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = e.count()
+    val dir = Files.createTempDirectory("graft-ivfstatic").toString
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      Sink.writeIvfIndex(e, dir, cells = 8, iters = 2)
+      val extra = e.select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+      Sink.appendToIvfIndex(extra, dir)
+      assert(spark.read.parquet(s"$dir/assignment").count() == 2 * n)
+      // generation 2: retrain on a 20-vector base — every generation-1
+      // row (base AND appended) must be gone afterwards
+      Sink.writeIvfIndex(e.filter(col("vec_id") < 20), dir, cells = 8, iters = 2)
+      val back = spark.read.parquet(s"$dir/assignment")
+      assert(back.count() == 20,
+        s"stale rows from the previous index generation survived: ${back.count()}")
+      assert(back.agg(max("vec_id")).head.getLong(0) < 20)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("IVF-PQ index: co-located codes + vectors, two-stage search holds the PQ floor") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val dir = Files.createTempDirectory("graft-ivfpq").toString
