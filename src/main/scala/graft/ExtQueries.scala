@@ -45,6 +45,8 @@ object ExtQueries {
 
   private lazy val ivfPqStreamDir: String = TempDirs.create("graft_ivfpq_stream")
 
+  private lazy val ivfPqDriftDir: String = TempDirs.create("graft_ivfpq_drift")
+
   /** Replay-drop directory for the streaming CUSUM query. */
   private lazy val cusumReplayDir: String = TempDirs.create("graft_cusum_replay")
 
@@ -847,6 +849,18 @@ object ExtQueries {
         corpusKey = Some(d + "#pqbase400"))
       Sink.appendToIvfPqIndex(all.filter(col("vec_id") >= 400), dir, 4, 16)
       Sink.searchIvfPqIndex(s, all, dir, 10, 3, 10, 4, 16)
+    }),
+    // code-level drift pre-flight for the compressed tier: per
+    // (subspace, code), stored vs incoming populations (incoming
+    // encoded with the STORED codebooks), smoothed per-subspace PSI,
+    // retrain verdict — catches subvector shift the coarse-cell PSI
+    // can't see
+    "embed_ivfpq_code_drift" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfPqDriftDir
+      Sink.writeIvfPqIndex(all.filter(col("vec_id") < 400), dir, 8, 2, 4, 16, 8,
+        corpusKey = Some(d + "#pqbase400"))
+      Sink.ivfPqCodeDrift(s, all.filter(col("vec_id") >= 400), dir, 4, 16)
     }),
     // drop-at-a-time ingestion into the COMPRESSED tier: three
     // micro-batches fold through appendToIvfPqIndex (frozen centroids
@@ -2634,6 +2648,46 @@ object ExtQueries {
        | $ivfPqSearchTail""".stripMargin
   }
 
+  /** Code-population drift mirror: base-trained subspace chains give
+    * every vector's code against the STORED codebooks; stored = base
+    * rows, incoming = the batch; per-subspace smoothed PSI on the
+    * [[ivfAppendDrift]] DECIMAL carrier.
+    */
+  private lazy val ivfPqCodeDriftOracle: String = {
+    val bodies = (0 until 4).map(pqSubBodyBase(_, 8, 16, 10, 400)).mkString(",\n ")
+    def union(where: String) = (0 until 4)
+      .map(s => s"SELECT $s AS sub, cell AS code FROM a2_$s WHERE $where")
+      .mkString("\n   UNION ALL ")
+    val gridUnion = (0 until 4)
+      .map(s => s"SELECT $s AS sub, cell AS code FROM c1_$s")
+      .mkString("\n   UNION ALL ")
+    s"""WITH $bodies,
+       | st AS (SELECT sub, code, count(*) AS n_stored
+       |        FROM (${union("vec_id < 400")}) GROUP BY sub, code),
+       | inc AS (SELECT sub, code, count(*) AS n_new
+       |         FROM (${union("vec_id >= 400")}) GROUP BY sub, code),
+       | grid AS ($gridUnion),
+       | g AS (SELECT grid.sub, grid.code,
+       |         coalesce(st.n_stored, 0) AS n_stored,
+       |         coalesce(inc.n_new, 0) AS n_new
+       |       FROM grid LEFT JOIN st USING (sub, code)
+       |            LEFT JOIN inc USING (sub, code)),
+       | tt AS (SELECT sub, count(*) AS k_sub, sum(n_stored) AS t_stored,
+       |          sum(n_new) AS t_new FROM g GROUP BY sub),
+       | terms AS (SELECT g.sub, g.code, g.n_stored, g.n_new,
+       |     CAST(round(((n_new + 1) / (t_new + k_sub) - (n_stored + 1) / (t_stored + k_sub))
+       |       * ln(((n_new + 1) / (t_new + k_sub)) / ((n_stored + 1) / (t_stored + k_sub))), 8)
+       |       AS DECIMAL(18,8)) AS term
+       |   FROM g JOIN tt USING (sub)),
+       | ps AS (SELECT sub, round(CAST(sum(term) AS DOUBLE), 6) AS psi
+       |        FROM terms GROUP BY sub)
+       | SELECT terms.sub, code, CAST(n_stored AS BIGINT) AS n_stored,
+       |   CAST(n_new AS BIGINT) AS n_new,
+       |   round(CAST(term AS DOUBLE), 6) AS psi_term, ps.psi AS psi,
+       |   ps.psi > 0.25 AS retrain_due
+       | FROM terms JOIN ps USING (sub) ORDER BY sub, code""".stripMargin
+  }
+
   /** The embeddings corpus with deterministic perturbed twins of the
     * first 50 vectors (x·1.05 + 0.001, vec_id+1000) — the planted
     * near-dups for the neardup/semdedup fixtures (the raw testdata has
@@ -3315,6 +3369,7 @@ object ExtQueries {
     // streamed drop-at-a-time PQ ingestion ≡ one-shot append: shares
     // the oracle verbatim (order-invariant against frozen artifacts)
     "stream_ivfpq_append_replay" -> ivfPqAppendOracle,
+    "embed_ivfpq_code_drift" -> ivfPqCodeDriftOracle,
     "embed_pq_topk" ->
       s"""$pqCte
          | SELECT qid, rnk, vec_id, CAST(adist AS DOUBLE) AS adc_dist

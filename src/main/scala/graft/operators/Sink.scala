@@ -349,6 +349,32 @@ object Sink {
       .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("ps"))
       .select(col("sub"), col("cell"), expr("transform(ps, p -> p.x)").as("c"))
 
+  /** Compact a stored index's assignment layout back to ONE file per
+    * cell. Every [[appendToIvfIndex]]/[[appendToIvfPqIndex]] batch
+    * adds one file per touched cell, so a continuously-fed index
+    * accumulates files linearly in batch count — and probe cost grows
+    * with file count (open/footer per file), not data. Compaction is
+    * the standard maintenance move: one shuffle by cell, rewrite via
+    * temp-and-swap (reading and overwriting the same path in one job
+    * would corrupt it), schema-agnostic so the same op serves the IVF
+    * and IVF-PQ layouts. Run it on the [[ivfAppendDrift]] cadence.
+    */
+  def compactIvfIndex(spark: SparkSession, dir: String): Unit = {
+    val tmp = s"$dir/assignment__compact"
+    spark.read.parquet(s"$dir/assignment")
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/assignment")
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    ()
+  }
+
   /** Fold a new vector batch into a stored IVF-PQ index WITHOUT
     * retraining — the [[appendToIvfIndex]] contract extended to the
     * compressed tier: the batch coarse-assigns against the STORED
@@ -383,6 +409,54 @@ object Sink {
       .repartition(col("cell")) // one appended file per touched cell
       .sortWithinPartitions("cell", "vec_id")
       .write.mode("append").partitionBy("cell").parquet(s"$dir/assignment")
+  }
+
+  /** Code-level drift pre-flight for [[appendToIvfPqIndex]] — the
+    * compressed-tier sibling of [[ivfAppendDrift]]: per (subspace,
+    * code), the stored population vs the incoming batch's would-be
+    * population (encoded with the STORED codebooks, no retrain), a
+    * smoothed PSI per subspace, and a per-subspace retrain_due flag.
+    * Catches subvector-distribution shift that leaves the coarse
+    * cells balanced (the coarse PSI would stay quiet) but degrades
+    * ADC quality — the codebook no longer covers where the new
+    * vectors live. Everything after the two grouped counts is
+    * m×k-sized; the PSI carrier mirrors [[ivfAppendDrift]].
+    */
+  def ivfPqCodeDrift(spark: SparkSession, batch: DataFrame, dir: String,
+      m: Int = 4, subDim: Int = 16, threshold: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pqc = loadPqCentroids(spark, dir)
+    val stored = spark.read.parquet(s"$dir/assignment")
+      .select(posexplode(col("codes")).as(Seq("sub", "code")))
+      .groupBy("sub", "code").agg(count(lit(1)).as("n_stored"))
+    val incoming = (0 until m).map { s0 =>
+      val sub = batch.select(col("vec_id"),
+        slice(col("embedding"), s0 * subDim + 1, subDim).as("embedding"))
+      Similarity.assignWithCentroids(sub,
+          pqc.filter(col("sub") === s0).select("cell", "c"))
+        .select(lit(s0).as("sub"), col("cell").as("code"))
+    }.reduce(_ unionByName _)
+      .groupBy("sub", "code").agg(count(lit(1)).as("n_new"))
+    val grid = pqc.select(col("sub"), col("cell").as("code"))
+    val cells = grid
+      .join(stored, Seq("sub", "code"), "left")
+      .join(incoming, Seq("sub", "code"), "left")
+      .withColumn("n_stored", coalesce(col("n_stored"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+    val wSub = Window.partitionBy("sub") // m×k-sized frame only
+    val pS = (col("n_stored") + lit(1)) / (col("t_stored") + col("k_sub"))
+    val pN = (col("n_new") + lit(1)) / (col("t_new") + col("k_sub"))
+    cells
+      .withColumn("k_sub", count(lit(1)).over(wSub))
+      .withColumn("t_stored", sum("n_stored").over(wSub))
+      .withColumn("t_new", sum("n_new").over(wSub))
+      .withColumn("term",
+        round((pN - pS) * log(pN / pS), 8).cast("decimal(18,8)"))
+      .withColumn("psi", round(sum("term").over(wSub).cast("double"), 6))
+      .withColumn("psi_term", round(col("term").cast("double"), 6))
+      .withColumn("retrain_due", col("psi") > threshold)
+      .select("sub", "code", "n_stored", "n_new", "psi_term", "psi", "retrain_due")
+      .orderBy("sub", "code")
   }
 
   /** Two-stage search over a stored IVF-PQ index ([[writeIvfPqIndex]]):

@@ -117,6 +117,56 @@ class IvfAppendSpec extends SparkSpec {
     assert(stored == expected && stored.size == all.count())
   }
 
+  test("code drift: a shifted subspace flags retrain for that subspace only") {
+    val all = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val dir = Files.createTempDirectory("graft-pqdrift").toString
+    Sink.writeIvfPqIndex(all.filter(col("vec_id") < 400), dir, 8, 2, 4, 16, 8)
+    // batch whose FIRST subvector (dims 1-16) shifts by +10: its
+    // sub-0 codes collapse onto the nearest stored codebook entry
+    // while subspaces 1-3 keep the training distribution
+    val shifted = all.filter(col("vec_id") >= 400).select(col("vec_id"),
+      expr("transform(embedding, (x, i) -> IF(i < 16, CAST(x + 10.0 AS FLOAT), x))")
+        .as("embedding"))
+    val bad = Sink.ivfPqCodeDrift(spark, shifted, dir, 4, 16).collect()
+    val flags = bad.groupBy(_.getAs[Int]("sub"))
+      .map { case (s, rows) => s -> rows.head.getAs[Boolean]("retrain_due") }
+    assert(flags(0), s"shifted subspace must flag: $flags")
+    assert(!flags(1) && !flags(2) && !flags(3),
+      s"unshifted subspaces must stay quiet: $flags")
+    // a same-distribution batch flags nothing
+    val ok = Sink.ivfPqCodeDrift(spark,
+      all.filter(col("vec_id") >= 400), dir, 4, 16).collect()
+    assert(ok.forall(!_.getAs[Boolean]("retrain_due")))
+    // the verdict is advisory: nothing was appended
+    assert(spark.read.parquet(s"$dir/assignment").count() == 400)
+  }
+
+  test("compactIvfIndex: one file per cell after appends, search unchanged") {
+    val all = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-ivfcompact").toString
+    Sink.writeIvfIndex(all.filter(col("vec_id") < 30), dir, cells = 8, iters = 2)
+    // three append batches: each leaves one file per touched cell
+    (0 until 3).foreach { r =>
+      Sink.appendToIvfIndex(
+        all.filter(col("vec_id") >= 30 && pmod(col("vec_id"), lit(3)) === r), dir)
+    }
+    def cellFiles(): Map[String, Int] =
+      new java.io.File(s"$dir/assignment").listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = Sink.searchIvfIndex(spark, all, dir, 10, 3)
+      .collect().map(_.toSeq).toSeq
+    assert(cellFiles().values.exists(_ > 1),
+      "fixture must accumulate multiple files per cell before compaction")
+    Sink.compactIvfIndex(spark, dir)
+    assert(cellFiles().values.forall(_ == 1),
+      s"compaction must leave one file per cell: ${cellFiles()}")
+    val after = Sink.searchIvfIndex(spark, all, dir, 10, 3)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "compaction changed search results")
+  }
+
   test("drift pre-flight: skewed batch flags retrain, balanced does not") {
     val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
     val dir = Files.createTempDirectory("graft-ivfdrift").toString
