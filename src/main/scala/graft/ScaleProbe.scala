@@ -50,6 +50,20 @@ object ScaleProbe {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
 
+  /** Every doc prefixed with one shared 19-word boilerplate — the
+    * pathological corpus for the suffix-cap probe: positions 1..15
+    * all bucket inside the boilerplate, so FIFTEEN corpus-sized
+    * buckets form, each sorting keys whose first ~15-19 words are
+    * identical (maximum-cost comparisons — the true straggler shape;
+    * a short boilerplate only makes cheap-compare buckets and the
+    * corpus-wide mining cost hides the sort).
+    */
+  def boilerDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(lit("terms of service apply to all visitors of this site " +
+        "and govern your access to every feature provided here "),
+        col("text")).as("text"))
+
   def replicateEmb(emb: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { r =>
       emb.select(
@@ -164,6 +178,19 @@ object ScaleProbe {
         val base = Tables.embeddings(spark, sfDir)
         val (_, cOpt) = Similarity.kmeansAssignInternal(base, 8, 2)
         Similarity.assignWithCentroids(emb, cOpt.get)
+      },
+      // round-10: the suffix-bucket population cap under a PLANTED
+      // pathological corpus — every document opens with the same
+      // 6-word boilerplate, so ALL pos-1/pos-2 suffixes land in two
+      // corpus-sized buckets. The capped path must stay flat (over-cap
+      // buckets emit rep_len = minLen as a projection, no sort); the
+      // exact twin measures what the cap saves (one straggler task
+      // sorting N-member buckets with long-common-prefix compares).
+      time("suffix_boiler_capped") {
+        Dedup.suffixRepeats(boilerDocs(docs), 5, 20, bucketCap = 1000)
+      },
+      time("suffix_boiler_exact") {
+        Dedup.suffixRepeats(boilerDocs(docs), 5, 20)
       },
       // round-10: SERVING cost of the co-located stored index. Cells
       // scale with the corpus (fixed ~600-vector cell size, the IVF
