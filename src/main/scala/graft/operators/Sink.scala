@@ -495,7 +495,13 @@ object Sink {
     val lut = qsub.join(pqc, "sub")
       .select(col("qid"), col("sub"), col("cell").as("code"),
         Similarity.l2sq(col("qsv"), col("c")).as("dist"))
+    // literal partition filter from the bounded probe list — DPP
+    // degenerates on this join shape (see searchIvfIndex), and both
+    // serving stages must scan ONLY the probed cell partitions
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0))
     val assignment = spark.read.parquet(s"$dir/assignment")
+      .filter(col("cell").isin(probedCells: _*))
     // stage 2: codes-only projection of the probed cells; the ADC sum
     // is exact DECIMAL so ranking never touches a folded double
     val adc = assignment.select("vec_id", "codes", "cell")
@@ -545,11 +551,19 @@ object Sink {
       .filter(col("pn") === 1)
       .select("qid", "cell")
     // ≤ nQueries (qid, cell, qe) rows — THE broadcast side: the
-    // cell-partitioned index scan streams against it (hash join +
-    // dynamic partition pruning to the probed cells), so the big side
-    // never shuffles and the corpus embedding table is never joined
+    // cell-partitioned index scan streams against it (hash join), so
+    // the big side never shuffles and the corpus embedding table is
+    // never joined. The probed-cell list is collected to the driver
+    // (bounded by nQueries, never by data — the upsertPartitioned
+    // precedent) and applied as a LITERAL partition filter: Spark's
+    // dynamic partition pruning degenerates to
+    // `dynamicpruningexpression(true)` on this join shape (verified
+    // on the executed plan), which would silently scan EVERY cell.
     val cand = probes.join(q.select("qid", "qe"), "qid")
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0))
     val assignment = spark.read.parquet(s"$dir/assignment")
+      .filter(col("cell").isin(probedCells: _*))
     val scored = assignment
       .join(broadcast(cand), "cell")
       .filter(col("qid") =!= col("vec_id"))

@@ -170,6 +170,16 @@ class PlanShapeSpec extends SparkSpec {
         s"an embeddings scan without a vec_id bound = a corpus-sized scan " +
           s"in the serving path; scan details:\n$b")
     }
+    // the index scan must carry a LITERAL probed-cell partition filter
+    // — Spark's DPP degenerates to dynamicpruningexpression(true) on
+    // this join shape, which silently scans every cell partition
+    val idxBlocks = blocks.filter(_.contains("assignment"))
+    assert(idxBlocks.nonEmpty, "search must scan the stored assignment")
+    idxBlocks.foreach { b =>
+      val pf = b.linesIterator.find(_.trim.startsWith("PartitionFilters"))
+      assert(pf.exists(l => l.contains("cell") && l.contains(" IN (")),
+        s"assignment scan lacks the literal probed-cell partition filter:\n$b")
+    }
   }
 
   test("IVF-PQ search: the ADC stage reads only the codes column of the index") {
