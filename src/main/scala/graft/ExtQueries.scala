@@ -731,6 +731,14 @@ object ExtQueries {
         .select("doc_a", "doc_b")
       Corpus.manifestScrubbed(dd, pairs, minWords = 30, corpusKey = Some(d))
     }),
+    // the one-row health report over the same chains (cached — one
+    // extra aggregate): include rate, per-reason counts, scrub burden
+    "corpus_report" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.simhashNearDupsCached(dd, d, 3)
+        .select("doc_a", "doc_b")
+      Corpus.report(dd, pairs, minWords = 30, corpusKey = Some(d))
+    }),
 
     // n-gram decontamination: train = doc_id < 400, eval = the rest
     // plus 10 planted copies of train docs (vec 10000+) that must flag
@@ -1917,6 +1925,33 @@ object ExtQueries {
        |   concat_ws(',', CASE WHEN cl.reasons <> '' THEN cl.reasons END,
        |     CASE WHEN NOT k.is_keeper THEN 'near_dup' END) AS manifest_reasons
        | FROM cl JOIN keepers k ON k.doc_id = cl.doc_id)""".stripMargin
+
+  /** [[manifestCoreCte]] + the suffix scrub chain, ending in `mscrub`
+    * (one manifest+scrub row per doc) — shared by the per-doc
+    * manifest artifact and the one-row corpus report.
+    */
+  private lazy val manifestScrubbedCte: String =
+    s"""$manifestCoreCte,
+       | ${suffixHitsCte.stripPrefix("WITH ")},
+       | fp AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + rep_len)) AS p2 FROM hit),
+       | wp AS (SELECT doc_id, CAST(i AS INTEGER) AS wpos, ws[i] AS word
+       |        FROM w, UNNEST(range(1, len(ws)+1)) AS t(i)),
+       | kept AS (SELECT wp.doc_id, wp.wpos, wp.word
+       |          FROM wp LEFT JOIN fp ON fp.doc_id = wp.doc_id AND fp.p2 = wp.wpos
+       |          WHERE fp.p2 IS NULL),
+       | rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+       |     string_agg(word, ' ' ORDER BY wpos) AS cleaned_text
+       |   FROM kept GROUP BY doc_id),
+       | wtot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM w),
+       | scrub AS (SELECT t.doc_id, t.n_words,
+       |     t.n_words - coalesce(r.n_kept, 0) AS n_removed,
+       |     coalesce(r.cleaned_text, '') AS cleaned_text
+       |   FROM wtot t LEFT JOIN rebuilt r USING (doc_id)),
+       | mscrub AS (SELECT m.doc_id, m.keep, m.is_keeper, m.include,
+       |   concat_ws(',', CASE WHEN m.manifest_reasons <> '' THEN m.manifest_reasons END,
+       |     CASE WHEN s.n_removed > 0 THEN 'span_scrubbed' END) AS manifest_reasons,
+       |   s.n_words, s.n_removed, s.cleaned_text
+       | FROM mrow m JOIN scrub s ON s.doc_id = m.doc_id)""".stripMargin
 
   /** BM25 chain up through the ranked list `rk` — shared by the plain
     * top-k query and the RRF hybrid fusion.
@@ -4474,28 +4509,26 @@ object ExtQueries {
     // text with dedup_suffix_scrub) joins the manifest row PK-wise;
     // span_scrubbed appends to the reasons without affecting include
     "corpus_manifest_scrubbed" ->
-      s"""$manifestCoreCte,
-         | ${suffixHitsCte.stripPrefix("WITH ")},
-         | fp AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + rep_len)) AS p2 FROM hit),
-         | wp AS (SELECT doc_id, CAST(i AS INTEGER) AS wpos, ws[i] AS word
-         |        FROM w, UNNEST(range(1, len(ws)+1)) AS t(i)),
-         | kept AS (SELECT wp.doc_id, wp.wpos, wp.word
-         |          FROM wp LEFT JOIN fp ON fp.doc_id = wp.doc_id AND fp.p2 = wp.wpos
-         |          WHERE fp.p2 IS NULL),
-         | rebuilt AS (SELECT doc_id, count(*) AS n_kept,
-         |     string_agg(word, ' ' ORDER BY wpos) AS cleaned_text
-         |   FROM kept GROUP BY doc_id),
-         | wtot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM w),
-         | scrub AS (SELECT t.doc_id, t.n_words,
-         |     t.n_words - coalesce(r.n_kept, 0) AS n_removed,
-         |     coalesce(r.cleaned_text, '') AS cleaned_text
-         |   FROM wtot t LEFT JOIN rebuilt r USING (doc_id))
-         | SELECT m.doc_id, m.keep, m.is_keeper, m.include,
-         |   concat_ws(',', CASE WHEN m.manifest_reasons <> '' THEN m.manifest_reasons END,
-         |     CASE WHEN s.n_removed > 0 THEN 'span_scrubbed' END) AS manifest_reasons,
-         |   s.n_words, s.n_removed, s.cleaned_text
-         | FROM mrow m JOIN scrub s ON s.doc_id = m.doc_id
-         | ORDER BY m.doc_id""".stripMargin,
+      s"""$manifestScrubbedCte
+         | SELECT doc_id, keep, is_keeper, include, manifest_reasons,
+         |   n_words, n_removed, cleaned_text
+         | FROM mscrub ORDER BY doc_id""".stripMargin,
+    // one-row corpus health report: the aggregate a data-mix owner
+    // reads — include rate, per-reason counts, scrub burden
+    "corpus_report" ->
+      s"""$manifestScrubbedCte
+         | SELECT count(*) AS n_docs,
+         |   CAST(sum(CASE WHEN include THEN 1 ELSE 0 END) AS BIGINT) AS n_include,
+         |   round(sum(CASE WHEN include THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS include_rate,
+         |   CAST(sum(CASE WHEN manifest_reasons LIKE '%exact_dup%' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |   CAST(sum(CASE WHEN manifest_reasons LIKE '%near_dup%' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+         |   CAST(sum(CASE WHEN manifest_reasons LIKE '%too_short%' THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+         |   CAST(sum(CASE WHEN manifest_reasons LIKE '%repetitive%' THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+         |   CAST(sum(CASE WHEN manifest_reasons LIKE '%span_scrubbed%' THEN 1 ELSE 0 END) AS BIGINT) AS n_span_scrubbed,
+         |   CAST(sum(n_words) AS BIGINT) AS tokens_total,
+         |   CAST(sum(n_removed) AS BIGINT) AS tokens_scrubbed,
+         |   round(sum(n_removed) * 1.0 / sum(n_words), 4) AS scrub_rate
+         | FROM mscrub""".stripMargin,
     "corpus_clean" ->
       """WITH docs2 AS (
         |   SELECT doc_id,

@@ -168,6 +168,33 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** The one-row corpus health report — the number a data-mix owner
+    * reads before shipping: include rate, per-reason exclusion
+    * counts, and the span-scrub token burden, all derived from ONE
+    * pass over [[manifestScrubbed]]'s per-doc artifact (the chains
+    * underneath are session-cached and shared with the per-doc
+    * queries, so the report costs one extra aggregate, not a
+    * re-computation).
+    */
+  def report(docs: DataFrame, pairs: DataFrame,
+      minWords: Long = 30, corpusKey: Option[String] = None): DataFrame = {
+    def nReason(tag: String) =
+      sum(when(col("manifest_reasons").contains(tag), 1L).otherwise(0L))
+    manifestScrubbed(docs, pairs, minWords, corpusKey).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("include"), 1L).otherwise(0L)).as("n_include"),
+      round(sum(when(col("include"), 1L).otherwise(0L)) / count(lit(1)), 4)
+        .as("include_rate"),
+      nReason("exact_dup").as("n_exact_dup"),
+      nReason("near_dup").as("n_near_dup"),
+      nReason("too_short").as("n_too_short"),
+      nReason("repetitive").as("n_repetitive"),
+      nReason("span_scrubbed").as("n_span_scrubbed"),
+      sum("n_words").as("tokens_total"),
+      sum("n_removed").as("tokens_scrubbed"),
+      round(sum("n_removed") / sum("n_words"), 4).as("scrub_rate"))
+  }
+
   /** Temperature-scaled multinomial sampling weights per source:
     * wᵢ = tᵢ^τ / Σⱼ tⱼ^τ with τ = 1/2 — the data-mixing recipe
     * (multilingual-BERT / XLM exponent-smoothed sampling) that

@@ -62,6 +62,30 @@ class CorpusSpec extends SparkSpec {
       r(3L).getAs[String]("manifest_reasons") == "too_short")
   }
 
+  test("report: the one-row rollup ties out against the per-doc artifact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val d = docs(
+      0L -> s"$boiler ${(1 to 30).map(i => s"x$i").mkString(" ")}",
+      1L -> s"$boiler ${(1 to 30).map(i => s"y$i").mkString(" ")}",
+      2L -> (1 to 40).map(i => s"z$i").mkString(" "),
+      3L -> "too short")
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val r = graft.operators.Corpus.report(d, pairs, minWords = 30).head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_include") == 3L)
+    assert(r.getAs[Double]("include_rate") == 0.75)
+    assert(r.getAs[Long]("n_too_short") == 1L)
+    assert(r.getAs[Long]("n_span_scrubbed") == 2L)
+    assert(r.getAs[Long]("n_exact_dup") == 0L && r.getAs[Long]("n_near_dup") == 0L)
+    val total = r.getAs[Long]("tokens_total")
+    assert(total == 38L + 38L + 40L + 2L)
+    assert(r.getAs[Long]("tokens_scrubbed") == 16L)
+    assert(r.getAs[Double]("scrub_rate") ==
+      BigDecimal(16.0 / total).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("sourceVocabStats: types, hapax, and TTR per source") {
     val spark2 = spark
     import spark2.implicits._
