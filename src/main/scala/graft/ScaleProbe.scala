@@ -181,8 +181,9 @@ object ScaleProbe {
       },
       // round-10: the suffix-bucket population cap under a PLANTED
       // pathological corpus — every document opens with the same
-      // 6-word boilerplate, so ALL pos-1/pos-2 suffixes land in two
-      // corpus-sized buckets. The capped path must stay flat (over-cap
+      // 19-word boilerplate, so the suffixes at positions 1..15 land
+      // in fifteen corpus-sized buckets (each shares a ≥5-word prefix
+      // inside the boilerplate). The capped path must stay flat (over-cap
       // buckets emit rep_len = minLen as a projection, no sort); the
       // exact twin measures what the cap saves (one straggler task
       // sorting N-member buckets with long-common-prefix compares).

@@ -44,9 +44,8 @@ object Sink {
     // and overwritten in the same job
     val tmp = path + "__tmp"
     writeStocks(merged, tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
@@ -116,9 +115,10 @@ object Sink {
     spark.read.parquet(path).filter(pruneFilter).drop("year")
   }
 
-  private def pathExists(spark: SparkSession, path: String): Boolean =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(path))
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** The 100 TB layout made concrete: a bucketed, per-bucket-sorted
     * stocks table. Reading it back hash-distributes by symbol from
@@ -349,6 +349,26 @@ object Sink {
       .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("ps"))
       .select(col("sub"), col("cell"), expr("transform(ps, p -> p.x)").as("c"))
 
+  /** Require the caller-supplied PQ geometry to match the STORED
+    * codebooks: m = distinct subspace count, subDim = codeword width.
+    * A mismatch would otherwise silently produce garbage instead of an
+    * error — `slice()` past the embedding end yields short subvectors
+    * and `zip_with` pads the other side with nulls, so wrong-geometry
+    * codes/scores still "compute". The codebook frame is m×k rows, so
+    * the one-row aggregate is free next to the serving scan.
+    */
+  private def requirePqGeometry(pqc: DataFrame, m: Int, subDim: Int): Unit = {
+    val r = pqc.agg(
+      countDistinct(col("sub")).as("m"),
+      min(size(col("c"))).as("sd_min"),
+      max(size(col("c"))).as("sd_max")).head()
+    val (sm, sdMin, sdMax) = (r.getLong(0).toInt, r.getInt(1), r.getInt(2))
+    require(sm == m && sdMin == subDim && sdMax == subDim,
+      s"stored PQ geometry (m=$sm, subDim=$sdMin..$sdMax) does not match " +
+        s"caller-supplied (m=$m, subDim=$subDim) — pass the values the " +
+        "index was written with")
+  }
+
   /** Compact a stored index's assignment layout back to ONE file per
     * cell. Every [[appendToIvfIndex]]/[[appendToIvfPqIndex]] batch
     * adds one file per touched cell, so a continuously-fed index
@@ -367,11 +387,24 @@ object Sink {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
       .partitionBy("cell").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // Swap order matters on a LIVE index (compaction runs on the
+    // append cadence, concurrent with serving): rename the old tree
+    // ASIDE, rename the compacted tree into place, THEN delete the old
+    // one — the index-unreadable window is a single rename, and a
+    // crash mid-swap leaves either the old tree recoverable at
+    // assignment__old or the new one already live (delete-then-rename
+    // would leave NO assignment dir for the whole span and strand the
+    // compacted data in the temp dir on a crash). The FS is resolved
+    // from the index dir's own URI, not the default FS, so an index on
+    // a non-default scheme (s3a://, hdfs://) swaps against the right
+    // store.
     val dst = new org.apache.hadoop.fs.Path(s"$dir/assignment")
-    fs.delete(dst, true)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$dir/assignment__old")
+    fs.delete(old, true) // leftover from a crashed prior swap
+    fs.rename(dst, old)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(old, true)
     ()
   }
 
@@ -392,6 +425,7 @@ object Sink {
     val coarse = Similarity.assignWithCentroids(newEmb, cent)
       .select("vec_id", "cell")
     val pqc = loadPqCentroids(spark, dir)
+    requirePqGeometry(pqc, m, subDim)
     val codes = (0 until m).map { s0 =>
       val sub = newEmb.select(col("vec_id"),
         slice(col("embedding"), s0 * subDim + 1, subDim).as("embedding"))
@@ -426,6 +460,7 @@ object Sink {
       m: Int = 4, subDim: Int = 16, threshold: Double = 0.25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pqc = loadPqCentroids(spark, dir)
+    requirePqGeometry(pqc, m, subDim)
     val stored = spark.read.parquet(s"$dir/assignment")
       .select(posexplode(col("codes")).as(Seq("sub", "code")))
       .groupBy("sub", "code").agg(count(lit(1)).as("n_stored"))
@@ -460,7 +495,9 @@ object Sink {
   }
 
   /** Two-stage search over a stored IVF-PQ index ([[writeIvfPqIndex]]):
-    * (1) probe — queries rank the stored coarse centroids, nprobe=1;
+    * (1) probe — queries rank the stored coarse centroids, each
+    * probing its `nprobe` nearest cells (the serving-time recall
+    * knob, same contract as [[searchIvfIndex]]);
     * (2) ADC — each query builds its m×k lookup table against the
     * stored codebooks (broadcast both ways), and every vector in the
     * probed cells is scored as the exact DECIMAL sum of its m table
@@ -473,8 +510,9 @@ object Sink {
     */
   def searchIvfPqIndex(spark: SparkSession, emb: DataFrame, dir: String,
       nQueries: Int = 10, k: Int = 3, cand: Int = 10,
-      m: Int = 4, subDim: Int = 16): DataFrame = {
+      m: Int = 4, subDim: Int = 16, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cent = loadIvfCentroids(spark, dir)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -483,10 +521,11 @@ object Sink {
     val probes = q.select("qid", "qv").crossJoin(broadcast(cent))
       .withColumn("pd", Similarity.l2sq(col("qv"), col("c")))
       .withColumn("pn", row_number().over(pw))
-      .filter(col("pn") === 1)
+      .filter(col("pn") <= nprobe)
       .select("qid", "cell")
     // per-query ADC lookup tables: nQueries × m × k rows — tiny
     val pqc = loadPqCentroids(spark, dir)
+    requirePqGeometry(pqc, m, subDim)
     val qsub = (0 until m).map { s0 =>
       q.select(col("qid"),
         lit(s0).as("sub"),
@@ -528,17 +567,23 @@ object Sink {
   }
 
   /** Search a stored IVF index: queries rank the STORED centroids
-    * (rounded L2, cell tiebreak — the training metric), then score
-    * the assignment scan FILTERED to the probed cells. The vectors
-    * live IN the cell partitions ([[writeIvfIndex]] co-locates them),
-    * so a probe never joins the corpus-sized embedding table — the
-    * only scan of `emb` is the nQueries-bounded query side.
-    * Result-identical to the in-memory [[Similarity.ivfTopK]] for
-    * nprobe=1 (spec-proven).
+    * (rounded L2, cell tiebreak — the training metric), each probing
+    * its `nprobe` nearest cells, then score the assignment scan
+    * FILTERED to the probed cells. The vectors live IN the cell
+    * partitions ([[writeIvfIndex]] co-locates them), so a probe never
+    * joins the corpus-sized embedding table — the only scan of `emb`
+    * is the nQueries-bounded query side. `nprobe` is the serving-time
+    * recall knob, the stored twin of
+    * [[Similarity.ivfMultiProbeTopK]]'s: result-identical to the
+    * in-memory multiprobe at the same nprobe (spec-proven), nprobe=1
+    * reduces to [[Similarity.ivfTopK]]. The probed-cell literal
+    * filter is a ≤ nQueries×nprobe list — still bounded by the query
+    * batch, never by data.
     */
   def searchIvfIndex(spark: SparkSession, emb: DataFrame, dir: String,
-      nQueries: Int = 10, k: Int = 3): DataFrame = {
+      nQueries: Int = 10, k: Int = 3, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cent = loadIvfCentroids(spark, dir)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -548,7 +593,7 @@ object Sink {
       .withColumn("pd", round(expr(
         "aggregate(zip_with(qv, c, (x, y) -> (x - y) * (x - y)), 0.0d, (acc, x) -> acc + x)"), 6))
       .withColumn("pn", row_number().over(pw))
-      .filter(col("pn") === 1)
+      .filter(col("pn") <= nprobe)
       .select("qid", "cell")
     // ≤ nQueries (qid, cell, qe) rows — THE broadcast side: the
     // cell-partitioned index scan streams against it (hash join), so
