@@ -47,6 +47,10 @@ object ExtQueries {
 
   private lazy val ivfPqDriftDir: String = TempDirs.create("graft_ivfpq_drift")
 
+  private lazy val ivfCurveDir: String = TempDirs.create("graft_ivf_curve")
+
+  private lazy val ivfRrfDir: String = TempDirs.create("graft_ivf_rrf")
+
   /** Replay-drop directory for the streaming CUSUM query. */
   private lazy val cusumReplayDir: String = TempDirs.create("graft_cusum_replay")
 
@@ -679,6 +683,30 @@ object ExtQueries {
         .orderBy("nprobe")
     }),
 
+    // the SAME recall curve read off the PERSISTED index: build once,
+    // serve searchIvfIndex at nprobe 1/2/4 (the serving-time recall
+    // knob), score each against brute-force top-3. Shares
+    // embed_probe_recall_curve's oracle verbatim — hash-green proves
+    // the stored serving path loses nothing vs the in-memory
+    // multiprobe at every nprobe. SIDE EFFECT: rewrites the temp
+    // index dir per evaluation (idempotent overwrite).
+    "embed_stored_recall_curve" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = ivfCurveDir
+      Sink.writeIvfIndex(e, dir, 8, 2)
+      val bf = Similarity.bruteForceTopK(e, 10, 3)
+        .select(col("qid"), col("vec_id")).withColumn("hit", lit(1L))
+      val runs = Seq(1, 2, 4).map { np =>
+        Sink.searchIvfIndex(s, e, dir, 10, 3, np)
+          .select(lit(np).as("nprobe"), col("qid"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      runs.join(bf, Seq("qid", "vec_id"), "left")
+        .groupBy("nprobe")
+        .agg(count(lit(1)).as("n_returned"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall_at_3", round(col("n_hits") / lit(30.0), 4))
+        .orderBy("nprobe")
+    }),
     // ANN index observability: IVF cell population balance (imbalance
     // = cell size / mean cell size) off the cached quantizer
     "embed_ivf_cell_stats" -> ((s, d) => {
@@ -1199,6 +1227,24 @@ object ExtQueries {
       val sem = Retrieval.cosineRankForQueryIvf(emb(s, d), 20, 8, 2, 2,
           corpusKey = Some(d))
         .select("id", "rnk")
+      Retrieval.rrfFuse(lex, sem, 10)
+    }),
+    // the end-to-end "retrieval stack reads the artifact" shape: the
+    // SAME fusion, but the semantic side is served from the PERSISTED
+    // IVF index (searchIvfIndex, nprobe=2) — build once, then the
+    // serving query never trains and never scans the corpus embedding
+    // table beyond the one query row. Shares retrieval_rrf_ivf's
+    // oracle verbatim (stored nprobe=2 ≡ in-memory multiprobe
+    // nprobe=2, SinkSpec). SIDE EFFECT: rewrites the temp index dir
+    // per evaluation (idempotent overwrite).
+    "retrieval_rrf_stored" -> ((s, d) => {
+      val lex = TextOps.bm25TopK(docs(s, d), Seq("hash", "merge", "scan"), 20)
+        .select(col("doc_id").as("id"), col("rnk"))
+      val e = emb(s, d)
+      val dir = ivfRrfDir
+      Sink.writeIvfIndex(e, dir, 8, 2)
+      val sem = Sink.searchIvfIndex(s, e, dir, nQueries = 1, k = 20, nprobe = 2)
+        .select(col("vec_id").as("id"), col("rnk"))
       Retrieval.rrfFuse(lex, sem, 10)
     }),
     // sklearn-style min_df/max_df vocabulary pruning. The synthetic
@@ -2499,6 +2545,92 @@ object ExtQueries {
 
   private val kmeansCte: String = s"WITH ${kmeansBody("embeddings")}"
 
+  /** The nprobe ∈ {1,2,4} recall curve vs the brute-force top-3 ground
+    * truth — shared VERBATIM by `embed_probe_recall_curve` (in-memory
+    * multiprobe) and `embed_stored_recall_curve` (the same curve served
+    * from the persisted index): the two engines' curves must coincide
+    * row-for-row because stored-path search at nprobe=n is
+    * result-identical to the in-memory multiprobe (SinkSpec).
+    */
+  private lazy val probeRecallCurveOracle: String =
+    s"""$kmeansCte,
+       | qp AS (SELECT vec_id AS qid, cell, rn FROM (
+       |          SELECT vec_id, cell,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |          FROM d2 WHERE vec_id < 10) WHERE rn <= 4),
+       | nps(np) AS (VALUES (1), (2), (4)),
+       | qe AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       | wc AS (SELECT emb.vec_id, emb.embedding, a2.cell
+       |        FROM embeddings emb JOIN a2 USING (vec_id)),
+       | cand AS (SELECT nps.np, qp.qid, qp.cell FROM nps, qp WHERE qp.rn <= nps.np),
+       | p AS (SELECT cand.np, cand.qid, wc.vec_id,
+       |         round(SUM(CAST(qe.qe[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)) /
+       |           (sqrt(SUM(CAST(qe.qe[i] AS DOUBLE) * CAST(qe.qe[i] AS DOUBLE))) *
+       |            sqrt(SUM(CAST(wc.embedding[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)))), 4) AS cos
+       |       FROM cand JOIN qe USING (qid)
+       |            JOIN wc ON wc.cell = cand.cell AND wc.vec_id <> cand.qid,
+       |            UNNEST(range(1, 65)) t(i)
+       |       GROUP BY cand.np, cand.qid, wc.vec_id),
+       | r AS (SELECT np, qid, vec_id,
+       |         row_number() OVER (PARTITION BY np, qid ORDER BY cos DESC, vec_id) AS rnk
+       |       FROM p),
+       | topk AS (SELECT np, qid, vec_id FROM r WHERE rnk <= 3),
+       | bfp AS (SELECT q.qid, e2.vec_id,
+       |         round(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)) /
+       |           (sqrt(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) *
+       |            sqrt(SUM(CAST(e2.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))), 4) AS cos
+       |       FROM qe q, embeddings e2, UNNEST(range(1, 65)) t(i)
+       |       WHERE q.qid <> e2.vec_id GROUP BY q.qid, e2.vec_id),
+       | bf AS (SELECT qid, vec_id FROM (
+       |          SELECT qid, vec_id,
+       |            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+       |          FROM bfp) WHERE rnk <= 3)
+       | SELECT t.np AS nprobe, count(*) AS n_returned,
+       |   CAST(sum(CASE WHEN bf.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |   round(sum(CASE WHEN bf.qid IS NOT NULL THEN 1 ELSE 0 END) / 30.0, 4) AS recall_at_3
+       | FROM topk t LEFT JOIN bf ON bf.qid = t.qid AND bf.vec_id = t.vec_id
+       | GROUP BY t.np ORDER BY nprobe""".stripMargin
+
+  /** RRF fusion with the semantic side from the IVF quantizer (query
+    * 0's top-2 cells by trained-centroid distance, 4dp cosine ranks),
+    * fused against the BM25 lexical top-20 — shared VERBATIM by
+    * `retrieval_rrf_ivf` (in-memory cached quantizer) and
+    * `retrieval_rrf_stored` (the same semantic side served by
+    * [[graft.operators.Sink.searchIvfIndex]] from the persisted
+    * index): stored nprobe=2 search ≡ in-memory multiprobe nprobe=2
+    * (SinkSpec), so the fused lists coincide.
+    */
+  private lazy val rrfIvfOracle: String =
+    s"""$kmeansCte,
+      | ${bm25Cte.stripPrefix("WITH ")},
+      | lexr AS (SELECT doc_id AS id, rnk AS lex_rnk FROM rk WHERE rnk <= 20),
+      | qp AS (SELECT cell FROM (
+      |          SELECT cell, row_number() OVER (ORDER BY d, cell) AS rn
+      |          FROM d2 WHERE vec_id = 0) WHERE rn <= 2),
+      | qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      | wc AS (SELECT emb.vec_id, emb.embedding, a2.cell
+      |        FROM embeddings emb JOIN a2 USING (vec_id)),
+      | semsc AS (SELECT wc.vec_id,
+      |     round(SUM(CAST(qe[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)) /
+      |       (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+      |        sqrt(SUM(CAST(wc.embedding[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)))), 4) AS cos
+      |   FROM wc JOIN qp USING (cell), qv, UNNEST(range(1, 65)) t(i)
+      |   WHERE wc.vec_id <> 0 GROUP BY wc.vec_id),
+      | semr AS (SELECT id, sem_rnk FROM (
+      |     SELECT vec_id AS id,
+      |       row_number() OVER (ORDER BY cos DESC, vec_id) AS sem_rnk
+      |     FROM semsc) WHERE sem_rnk <= 20),
+      | f AS (SELECT coalesce(l.id, s.id) AS id, l.lex_rnk, s.sem_rnk,
+      |     coalesce(CAST(round(1.0 / (60 + l.lex_rnk), 8) AS DECIMAL(12,8)),
+      |       CAST(0.0 AS DECIMAL(12,8))) +
+      |     coalesce(CAST(round(1.0 / (60 + s.sem_rnk), 8) AS DECIMAL(12,8)),
+      |       CAST(0.0 AS DECIMAL(12,8))) AS rrf
+      |   FROM lexr l FULL OUTER JOIN semr s ON l.id = s.id),
+      | fused AS (SELECT row_number() OVER (ORDER BY rrf DESC, id) AS rrf_rank,
+      |     id, lex_rnk, sem_rnk, CAST(rrf AS DOUBLE) AS rrf_score FROM f)
+      | SELECT rrf_rank, id, lex_rnk, sem_rnk, rrf_score
+      | FROM fused WHERE rrf_rank <= 10 ORDER BY rrf_rank""".stripMargin
+
   /** Train-on-base / assign-everything mirror of the incremental IVF
     * append: Lloyd's (2 iters) runs over vec_id < `baseMax` only —
     * producing the STORED centroids c1 — and a2 then assigns the WHOLE
@@ -3496,44 +3628,12 @@ object ExtQueries {
          | FROM terms CROSS JOIN tot ORDER BY cell""".stripMargin,
     // recall curve: the multiprobe chain per nprobe ∈ {1,2,4} vs the
     // brute-force top-3 ground truth
-    "embed_probe_recall_curve" ->
-      s"""$kmeansCte,
-         | qp AS (SELECT vec_id AS qid, cell, rn FROM (
-         |          SELECT vec_id, cell,
-         |            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-         |          FROM d2 WHERE vec_id < 10) WHERE rn <= 4),
-         | nps(np) AS (VALUES (1), (2), (4)),
-         | qe AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-         | wc AS (SELECT emb.vec_id, emb.embedding, a2.cell
-         |        FROM embeddings emb JOIN a2 USING (vec_id)),
-         | cand AS (SELECT nps.np, qp.qid, qp.cell FROM nps, qp WHERE qp.rn <= nps.np),
-         | p AS (SELECT cand.np, cand.qid, wc.vec_id,
-         |         round(SUM(CAST(qe.qe[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)) /
-         |           (sqrt(SUM(CAST(qe.qe[i] AS DOUBLE) * CAST(qe.qe[i] AS DOUBLE))) *
-         |            sqrt(SUM(CAST(wc.embedding[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)))), 4) AS cos
-         |       FROM cand JOIN qe USING (qid)
-         |            JOIN wc ON wc.cell = cand.cell AND wc.vec_id <> cand.qid,
-         |            UNNEST(range(1, 65)) t(i)
-         |       GROUP BY cand.np, cand.qid, wc.vec_id),
-         | r AS (SELECT np, qid, vec_id,
-         |         row_number() OVER (PARTITION BY np, qid ORDER BY cos DESC, vec_id) AS rnk
-         |       FROM p),
-         | topk AS (SELECT np, qid, vec_id FROM r WHERE rnk <= 3),
-         | bfp AS (SELECT q.qid, e2.vec_id,
-         |         round(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)) /
-         |           (sqrt(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) *
-         |            sqrt(SUM(CAST(e2.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))), 4) AS cos
-         |       FROM qe q, embeddings e2, UNNEST(range(1, 65)) t(i)
-         |       WHERE q.qid <> e2.vec_id GROUP BY q.qid, e2.vec_id),
-         | bf AS (SELECT qid, vec_id FROM (
-         |          SELECT qid, vec_id,
-         |            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
-         |          FROM bfp) WHERE rnk <= 3)
-         | SELECT t.np AS nprobe, count(*) AS n_returned,
-         |   CAST(sum(CASE WHEN bf.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-         |   round(sum(CASE WHEN bf.qid IS NOT NULL THEN 1 ELSE 0 END) / 30.0, 4) AS recall_at_3
-         | FROM topk t LEFT JOIN bf ON bf.qid = t.qid AND bf.vec_id = t.vec_id
-         | GROUP BY t.np ORDER BY nprobe""".stripMargin,
+    "embed_probe_recall_curve" -> probeRecallCurveOracle,
+    // the stored-index curve is the SAME oracle verbatim: stored-path
+    // search at nprobe=n is result-identical to the in-memory
+    // multiprobe at the same nprobe (SinkSpec proves the equivalence),
+    // so the two curves must coincide row-for-row
+    "embed_stored_recall_curve" -> probeRecallCurveOracle,
     // multi-probe: probe cells = top-2 by the SAME rounded L2 (d2) the
     // assignment used; candidates join a2 on cell
     "embed_ivf_multiprobe" ->
@@ -4269,36 +4369,12 @@ object ExtQueries {
     // query 0's top-2 cells by the trained-centroid distance (d2),
     // ranked by the same 4dp cosine; fusion identical to the exact
     // variant
-    "retrieval_rrf_ivf" ->
-      s"""$kmeansCte,
-        | ${bm25Cte.stripPrefix("WITH ")},
-        | lexr AS (SELECT doc_id AS id, rnk AS lex_rnk FROM rk WHERE rnk <= 20),
-        | qp AS (SELECT cell FROM (
-        |          SELECT cell, row_number() OVER (ORDER BY d, cell) AS rn
-        |          FROM d2 WHERE vec_id = 0) WHERE rn <= 2),
-        | qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        | wc AS (SELECT emb.vec_id, emb.embedding, a2.cell
-        |        FROM embeddings emb JOIN a2 USING (vec_id)),
-        | semsc AS (SELECT wc.vec_id,
-        |     round(SUM(CAST(qe[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)) /
-        |       (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
-        |        sqrt(SUM(CAST(wc.embedding[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)))), 4) AS cos
-        |   FROM wc JOIN qp USING (cell), qv, UNNEST(range(1, 65)) t(i)
-        |   WHERE wc.vec_id <> 0 GROUP BY wc.vec_id),
-        | semr AS (SELECT id, sem_rnk FROM (
-        |     SELECT vec_id AS id,
-        |       row_number() OVER (ORDER BY cos DESC, vec_id) AS sem_rnk
-        |     FROM semsc) WHERE sem_rnk <= 20),
-        | f AS (SELECT coalesce(l.id, s.id) AS id, l.lex_rnk, s.sem_rnk,
-        |     coalesce(CAST(round(1.0 / (60 + l.lex_rnk), 8) AS DECIMAL(12,8)),
-        |       CAST(0.0 AS DECIMAL(12,8))) +
-        |     coalesce(CAST(round(1.0 / (60 + s.sem_rnk), 8) AS DECIMAL(12,8)),
-        |       CAST(0.0 AS DECIMAL(12,8))) AS rrf
-        |   FROM lexr l FULL OUTER JOIN semr s ON l.id = s.id),
-        | fused AS (SELECT row_number() OVER (ORDER BY rrf DESC, id) AS rrf_rank,
-        |     id, lex_rnk, sem_rnk, CAST(rrf AS DOUBLE) AS rrf_score FROM f)
-        | SELECT rrf_rank, id, lex_rnk, sem_rnk, rrf_score
-        | FROM fused WHERE rrf_rank <= 10 ORDER BY rrf_rank""".stripMargin,
+    "retrieval_rrf_ivf" -> rrfIvfOracle,
+    // the stored-index fusion shares the oracle verbatim: the semantic
+    // side served by searchIvfIndex(nprobe=2) over the persisted index
+    // is result-identical to the in-memory multiprobe the oracle
+    // mirrors (SinkSpec equivalence), so the fused lists coincide
+    "retrieval_rrf_stored" -> rrfIvfOracle,
     "vocab_prune" ->
       """WITH wrds AS (SELECT DISTINCT doc_id, word FROM
         |   (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
