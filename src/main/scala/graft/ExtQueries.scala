@@ -49,6 +49,18 @@ object ExtQueries {
 
   private lazy val ivfCurveDir: String = TempDirs.create("graft_ivf_curve")
 
+  private lazy val ivfMaintainAppendDir: String =
+    TempDirs.create("graft_ivf_maintain_a") + "/index"
+
+  private lazy val ivfMaintainRetrainDir: String =
+    TempDirs.create("graft_ivf_maintain_r") + "/index"
+
+  private lazy val ivfPqMaintainAppendDir: String =
+    TempDirs.create("graft_ivfpq_maintain_a") + "/index"
+
+  private lazy val ivfPqMaintainRetrainDir: String =
+    TempDirs.create("graft_ivfpq_maintain_r") + "/index"
+
   private lazy val ivfRrfDir: String = TempDirs.create("graft_ivf_rrf")
 
   /** Replay-drop directory for the streaming CUSUM query. */
@@ -347,6 +359,160 @@ object ExtQueries {
       |   AND total_revenue = (SELECT max(total_revenue) FROM revenue)
       | ORDER BY s_suppkey""".stripMargin
 
+  /** TPC-H Q20 (potential part promotion): the DEEPEST nesting rung on
+    * the surface — a correlated IN whose subquery itself contains a
+    * correlated scalar aggregate (quantity shipped in a window for
+    * THIS (part, supplier)), plus a second nested IN on part. Two
+    * decorrelation levels must both rewrite to aggregate joins or the
+    * inner lineitem re-scans per (part, supplier). The fixture has no
+    * partsupp table, so a lineitem-derived (partkey, suppkey) grouped
+    * CTE stands in (availqty = total quantity ever shipped by the
+    * pair — the Q2 `ps` precedent); quantities are integral doubles →
+    * the DECIMAL sums and the 0.5× threshold compare exactly.
+    */
+  private[graft] val tpchQ20Sql: String =
+    """WITH ps AS (SELECT l_partkey, l_suppkey,
+      |     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS availqty
+      |   FROM lineitem GROUP BY l_partkey, l_suppkey)
+      | SELECT s_suppkey, s_name FROM supplier, nation
+      | WHERE s_suppkey IN (
+      |     SELECT ps.l_suppkey FROM ps
+      |     WHERE ps.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+      |       AND ps.availqty > (SELECT 0.5 * SUM(CAST(l_quantity AS DECIMAL(18,4)))
+      |                          FROM lineitem
+      |                          WHERE l_partkey = ps.l_partkey AND l_suppkey = ps.l_suppkey
+      |                            AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |                            AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'))
+      |   AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      | ORDER BY s_name, s_suppkey""".stripMargin
+
+  /** TPC-H Q2 (minimum-cost supplier): a correlated MIN whose subquery
+    * drags a whole dimension chain (supplier→nation→region) along with
+    * the fact — the decorrelation must push the region filter into the
+    * per-part aggregate, not re-run the 4-way join per outer row. The
+    * CTE is referenced twice (join side + subquery side — the Q15
+    * view-reuse shape). supplycost stand-in = MIN(l_extendedprice) per
+    * (part, supplier) (no partsupp in the fixture); MIN of a stored
+    * double is exact, so the equality join on it is engine-neutral.
+    */
+  private[graft] val tpchQ2Sql: String =
+    """WITH ps AS (SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS ps_supplycost
+      |   FROM lineitem GROUP BY l_partkey, l_suppkey)
+      | SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+      | FROM part, supplier, ps, nation, region
+      | WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+      |   AND p_size < 10 AND p_type = 'LARGE'
+      |   AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |   AND r_name = 'EUROPE'
+      |   AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost)
+      |                        FROM ps ps2, supplier s2, nation n2, region r2
+      |                        WHERE p_partkey = ps2.l_partkey AND s2.s_suppkey = ps2.l_suppkey
+      |                          AND s2.s_nationkey = n2.n_nationkey
+      |                          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+      | ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      | LIMIT 100""".stripMargin
+
+  /** TPC-H Q8 (national market share): the DEEPEST join on the surface
+    * — 8 relations (two nation copies) feeding a conditional-share
+    * aggregate per year. Join order is the whole game: dims broadcast,
+    * the fact chain lineitem→orders→customer keeps the big side
+    * pipelined. DECIMAL volume carrier on both CASE branches; the one
+    * double division is rounded at 4dp.
+    */
+  private[graft] val tpchQ8Sql: String =
+    """SELECT o_year,
+      |  round(CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume
+      |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+      |    CAST(SUM(volume) AS DOUBLE), 4) AS mkt_share
+      | FROM (SELECT EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS o_year,
+      |         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS volume,
+      |         n2.n_name AS nation
+      |       FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      |       WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |         AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |         AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |         AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+      |         AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+      |         AND p_type = 'ECONOMY') all_nations
+      | GROUP BY o_year
+      | ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q9 (product-type profit): the 5-way profit rollup by
+    * (nation, year). p_retailprice stands in for ps_supplycost (no
+    * partsupp in the fixture); the per-row profit expression runs on
+    * identical double operands in both engines before the DECIMAL cast,
+    * so the grouped sums fold exactly.
+    */
+  private[graft] val tpchQ9Sql: String =
+    """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      | FROM (SELECT n_name AS nation,
+      |         EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS o_year,
+      |         CAST(l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity
+      |           AS DECIMAL(18,6)) AS amount
+      |       FROM part, supplier, lineitem, orders, nation
+      |       WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |         AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |         AND p_name LIKE '%widget%') profit
+      | GROUP BY nation, o_year
+      | ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q11 (important stock): per-part value share against a
+    * global-total threshold — the grouped CTE referenced twice (rows +
+    * uncorrelated scalar total). The threshold compare is
+    * `value × 400 > total` on the DECIMAL carriers — exact integer
+    * scaling, never a double fraction (the Q22 precedent: a double
+    * `0.0025 × total` would let last-ulp summation differences decide
+    * membership). partsupp stand-in: per-part lineitem value for one
+    * nation's suppliers.
+    */
+  private[graft] val tpchQ11Sql: String =
+    """WITH ps AS (SELECT l_partkey,
+      |     CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS value
+      |   FROM lineitem, supplier, nation
+      |   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+      |   GROUP BY l_partkey)
+      | SELECT l_partkey AS ps_partkey, CAST(value AS DOUBLE) AS value
+      | FROM ps
+      | WHERE value * 400 > (SELECT SUM(value) FROM ps)
+      | ORDER BY value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q12 (shipping-mode priority): the two-bucket conditional
+    * count over a fact join. l_returnflag stands in for l_shipmode and
+    * the shipdate window for the commit/receipt lateness chain (the
+    * fixture carries neither — the Q4/Q21 adaptation); counts are
+    * exact ints, CAST BIGINT pins the SUM(CASE) type both engines
+    * return.
+    */
+  private[graft] val tpchQ12Sql: String =
+    """SELECT l_returnflag AS l_shipmode,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      | FROM orders, lineitem
+      | WHERE o_orderkey = l_orderkey AND l_returnflag IN ('A', 'R')
+      |   AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |   AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      | GROUP BY l_returnflag
+      | ORDER BY l_shipmode""".stripMargin
+
+  /** TPC-H Q16 (parts/supplier relationship): COUNT(DISTINCT) per
+    * (brand, type, size) with a NOT IN anti-join on the supplier dim —
+    * the null-aware-anti-join shape (NOT IN, unlike NOT EXISTS, must
+    * respect a possible NULL in the subquery column). Exclusion
+    * stand-in: low account balance (no s_comment in the fixture);
+    * incidence stand-in: DISTINCT (partkey, suppkey) off lineitem.
+    */
+  private[graft] val tpchQ16Sql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT ps.l_suppkey) AS supplier_cnt
+      | FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps, part
+      | WHERE p_partkey = ps.l_partkey
+      |   AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |   AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |   AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+      | GROUP BY p_brand, p_type, p_size
+      | ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   /** The shared decontamination fixture: train = doc_id < 400, eval =
     * the rest plus 10 planted verbatim train copies (doc_id 10000+).
     */
@@ -482,6 +648,55 @@ object ExtQueries {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       Tables.table(s, d, "supplier").createOrReplaceTempView("supplier")
       s.sql(tpchQ15Sql)
+    }),
+    // Q20 (nested correlated IN over a correlated scalar aggregate)
+    // and Q2 (correlated MIN over a joined dimension chain) — the two
+    // deepest decorrelation rungs, same verbatim-text contract
+    "sql_tpch_q20" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Seq("part", "supplier", "nation").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ20Sql)
+    }),
+    "sql_tpch_q2" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Seq("part", "supplier", "nation", "region").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ2Sql)
+    }),
+    // Q8/Q9 (the two deep join-order shapes), Q11 (grouped share vs
+    // global threshold), Q12 (two-bucket conditional count), Q16
+    // (COUNT DISTINCT + null-aware NOT IN) — same contract
+    "sql_tpch_q8" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Seq("part", "supplier", "customer", "nation", "region").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ8Sql)
+    }),
+    "sql_tpch_q9" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Seq("part", "supplier", "nation").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ9Sql)
+    }),
+    "sql_tpch_q11" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Seq("supplier", "nation").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ11Sql)
+    }),
+    "sql_tpch_q12" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(tpchQ12Sql)
+    }),
+    "sql_tpch_q16" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Seq("part", "supplier").foreach(t =>
+        Tables.table(s, d, t).createOrReplaceTempView(t))
+      s.sql(tpchQ16Sql)
     }),
     // unpivot/melt: OHLC wide → long via stack()
     "stocks_melt" -> ((s, d) =>
@@ -928,6 +1143,70 @@ object ExtQueries {
       val dir = ivfDriftDir
       Sink.writeIvfIndex(all.filter(col("vec_id") < 400), dir, 8, 2)
       Sink.ivfAppendDrift(s, all.filter(col("vec_id") >= 400), dir)
+    }),
+    // the COMPOSED maintenance operator, append branch: the natural
+    // >=400 batch drifts only mildly (PSI ≈ 0.065 < 0.25), so
+    // maintainIvfIndex appends against the frozen centroids and logs
+    // the decision. The file-count columns stay out of the oracle
+    // surface (not SQL-derivable); SinkSpec covers them plus the
+    // compaction cadence. SIDE EFFECT: temp index dir.
+    "ivf_maintain_append" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfMaintainAppendDir
+      Sink.writeIvfIndex(all.filter(col("vec_id") < 400), dir, 8, 2)
+      Sink.maintainIvfIndex(s, all.filter(col("vec_id") >= 400), dir)
+        .select("action", "psi", "retrain_due", "n_stored_before",
+          "n_batch", "n_after", "compacted")
+    }),
+    // retrain branch: the batch is a deterministic SKEWED subset — only
+    // vectors whose stored-centroid assignment lands in cells 0-3 (the
+    // oracle mirrors the same subset off its a2) — PSI ≈ 1.10 crosses
+    // the threshold, so maintainIvfIndex retrains on stored ∪ batch via
+    // the sibling-tree swap and logs 'retrain'. SIDE EFFECT: temp dirs.
+    "ivf_maintain_retrain" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfMaintainRetrainDir
+      Sink.writeIvfIndex(all.filter(col("vec_id") < 400), dir, 8, 2)
+      val cent = Sink.loadIvfCentroids(s, dir)
+      val batch = Similarity.assignWithCentroids(
+          all.filter(col("vec_id") >= 400), cent)
+        .filter(col("cell") < 4).select("vec_id")
+        .join(all, "vec_id").select("vec_id", "embedding")
+      Sink.maintainIvfIndex(s, batch, dir)
+        .select("action", "psi", "retrain_due", "n_stored_before",
+          "n_batch", "n_after", "compacted")
+    }),
+    // the compressed tier's composed maintenance: geometry comes wholly
+    // from the index manifest, and BOTH tripwires gate the branch —
+    // coarse cell PSI and per-subspace code PSI (either crossing
+    // retrains). Natural batch: coarse 0.065 / code-max 0.126, both
+    // under threshold → append. SIDE EFFECT: temp index dir.
+    "ivfpq_maintain_append" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfPqMaintainAppendDir
+      Sink.writeIvfPqIndex(all.filter(col("vec_id") < 400), dir, 8, 2, 4, 16, 8,
+        corpusKey = Some(d + "#pqbase400"))
+      Sink.maintainIvfPqIndex(s, all.filter(col("vec_id") >= 400), dir)
+        .select("action", "psi_coarse", "psi_code_max", "retrain_due",
+          "n_stored_before", "n_batch", "n_after", "compacted")
+    }),
+    // retrain branch: the coarse-skewed cells 0-3 subset crosses BOTH
+    // tripwires (coarse 1.104, code-max 0.253) → retrain of both tiers
+    // on stored ∪ batch via the sibling-tree swap. SIDE EFFECT: temp
+    // dirs.
+    "ivfpq_maintain_retrain" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfPqMaintainRetrainDir
+      Sink.writeIvfPqIndex(all.filter(col("vec_id") < 400), dir, 8, 2, 4, 16, 8,
+        corpusKey = Some(d + "#pqbase400"))
+      val cent = Sink.loadIvfCentroids(s, dir)
+      val batch = Similarity.assignWithCentroids(
+          all.filter(col("vec_id") >= 400), cent)
+        .filter(col("cell") < 4).select("vec_id")
+        .join(all, "vec_id").select("vec_id", "embedding")
+      Sink.maintainIvfPqIndex(s, batch, dir)
+        .select("action", "psi_coarse", "psi_code_max", "retrain_due",
+          "n_stored_before", "n_batch", "n_after", "compacted")
     }),
     // streaming index maintenance: the batch arrives as three drops;
     // each micro-batch folds into the stored index through the SAME
@@ -2638,6 +2917,103 @@ object ExtQueries {
     * sees after [[Sink.appendToIvfIndex]] folds the batch in with the
     * stored centroids (no retrain).
     */
+  /** One-row maintenance decision log mirror: the
+    * [[Sink.maintainIvfIndex]] PSI chain (the embed_ivf_append_drift
+    * oracle verbatim) over `batchCte`'s (vec_id, cell) rows, folded to
+    * the branch verdict + counts the operator logs. `batchCte` selects
+    * off the base-trained `a2`, so the same assignment the Scala side
+    * computes with the stored centroids defines the batch here.
+    */
+  private def maintainLogOracle(batchCte: String): String =
+    s"""${kmeansBaseTrainedCte(400)},
+       | bv AS ($batchCte),
+       | sc AS (SELECT cell, count(*) AS n_stored FROM a2 WHERE vec_id < 400 GROUP BY cell),
+       | ncnt AS (SELECT cell, count(*) AS n_new FROM bv GROUP BY cell),
+       | g AS (SELECT c1.cell, coalesce(sc.n_stored, 0) AS n_stored,
+       |          coalesce(ncnt.n_new, 0) AS n_new
+       |        FROM c1 LEFT JOIN sc USING (cell) LEFT JOIN ncnt USING (cell)),
+       | tt AS (SELECT count(*) AS n_cells, CAST(sum(n_stored) AS BIGINT) AS t_stored,
+       |          CAST(sum(n_new) AS BIGINT) AS t_new FROM g),
+       | terms AS (SELECT cell,
+       |     CAST(round(((n_new + 1) / (t_new + n_cells) - (n_stored + 1) / (t_stored + n_cells))
+       |       * ln(((n_new + 1) / (t_new + n_cells)) / ((n_stored + 1) / (t_stored + n_cells))), 8)
+       |       AS DECIMAL(18,8)) AS term
+       |   FROM g CROSS JOIN tt),
+       | tot AS (SELECT round(CAST(sum(term) AS DOUBLE), 6) AS psi FROM terms),
+       | cnts AS (SELECT (SELECT count(*) FROM e WHERE vec_id < 400) AS nb,
+       |          (SELECT count(*) FROM bv) AS nn)
+       | SELECT CASE WHEN tot.psi > 0.25 THEN 'retrain' ELSE 'append' END AS action,
+       |   tot.psi AS psi, tot.psi > 0.25 AS retrain_due,
+       |   CAST(cnts.nb AS BIGINT) AS n_stored_before,
+       |   CAST(cnts.nn AS BIGINT) AS n_batch,
+       |   CAST(cnts.nb + cnts.nn AS BIGINT) AS n_after,
+       |   FALSE AS compacted
+       | FROM tot CROSS JOIN cnts""".stripMargin
+
+  /** [[maintainLogOracle]] extended to the compressed tier: the coarse
+    * PSI chain PLUS the per-subspace code PSI chain (the
+    * ivfPqCodeDriftOracle mirror, `c`-suffixed CTE names), folded to
+    * the one-row log [[graft.operators.Sink.maintainIvfPqIndex]]
+    * emits — either tripwire crossing 0.25 flips the branch.
+    */
+  private def maintainPqLogOracle(batchCte: String): String = {
+    val bodies = (0 until 4).map(pqSubBodyBase(_, 8, 16, 10, 400)).mkString(",\n ")
+    def cunion(where: String) = (0 until 4)
+      .map(s => s"SELECT $s AS sub, cell AS code FROM a2_$s WHERE $where")
+      .mkString("\n   UNION ALL ")
+    val gridUnion = (0 until 4)
+      .map(s => s"SELECT $s AS sub, cell AS code FROM c1_$s")
+      .mkString("\n   UNION ALL ")
+    s"""${kmeansBaseTrainedCte(400)},
+       | $bodies,
+       | bv AS ($batchCte),
+       | sc AS (SELECT cell, count(*) AS n_stored FROM a2 WHERE vec_id < 400 GROUP BY cell),
+       | ncnt AS (SELECT cell, count(*) AS n_new FROM a2
+       |          WHERE vec_id IN (SELECT vec_id FROM bv) GROUP BY cell),
+       | g AS (SELECT c1.cell, coalesce(sc.n_stored, 0) AS n_stored,
+       |          coalesce(ncnt.n_new, 0) AS n_new
+       |        FROM c1 LEFT JOIN sc USING (cell) LEFT JOIN ncnt USING (cell)),
+       | tt AS (SELECT count(*) AS n_cells, CAST(sum(n_stored) AS BIGINT) AS t_stored,
+       |          CAST(sum(n_new) AS BIGINT) AS t_new FROM g),
+       | terms AS (SELECT cell,
+       |     CAST(round(((n_new + 1) / (t_new + n_cells) - (n_stored + 1) / (t_stored + n_cells))
+       |       * ln(((n_new + 1) / (t_new + n_cells)) / ((n_stored + 1) / (t_stored + n_cells))), 8)
+       |       AS DECIMAL(18,8)) AS term
+       |   FROM g CROSS JOIN tt),
+       | tot AS (SELECT round(CAST(sum(term) AS DOUBLE), 6) AS psi FROM terms),
+       | stc AS (SELECT sub, code, count(*) AS n_stored
+       |         FROM (${cunion("vec_id < 400")}) GROUP BY sub, code),
+       | incc AS (SELECT sub, code, count(*) AS n_new
+       |          FROM (${cunion("vec_id IN (SELECT vec_id FROM bv)")}) GROUP BY sub, code),
+       | gridc AS ($gridUnion),
+       | gc AS (SELECT gridc.sub, gridc.code,
+       |          coalesce(stc.n_stored, 0) AS n_stored,
+       |          coalesce(incc.n_new, 0) AS n_new
+       |        FROM gridc LEFT JOIN stc USING (sub, code)
+       |             LEFT JOIN incc USING (sub, code)),
+       | ttc AS (SELECT sub, count(*) AS k_sub, sum(n_stored) AS t_stored,
+       |           sum(n_new) AS t_new FROM gc GROUP BY sub),
+       | termsc AS (SELECT gc.sub,
+       |     CAST(round(((n_new + 1) / (t_new + k_sub) - (n_stored + 1) / (t_stored + k_sub))
+       |       * ln(((n_new + 1) / (t_new + k_sub)) / ((n_stored + 1) / (t_stored + k_sub))), 8)
+       |       AS DECIMAL(18,8)) AS term
+       |   FROM gc JOIN ttc USING (sub)),
+       | psc AS (SELECT sub, round(CAST(sum(term) AS DOUBLE), 6) AS psi
+       |         FROM termsc GROUP BY sub),
+       | cm AS (SELECT max(psi) AS psi_code_max FROM psc),
+       | cnts AS (SELECT (SELECT count(*) FROM e WHERE vec_id < 400) AS nb,
+       |          (SELECT count(*) FROM bv) AS nn)
+       | SELECT CASE WHEN tot.psi > 0.25 OR cm.psi_code_max > 0.25
+       |     THEN 'retrain' ELSE 'append' END AS action,
+       |   tot.psi AS psi_coarse, cm.psi_code_max AS psi_code_max,
+       |   (tot.psi > 0.25 OR cm.psi_code_max > 0.25) AS retrain_due,
+       |   CAST(cnts.nb AS BIGINT) AS n_stored_before,
+       |   CAST(cnts.nn AS BIGINT) AS n_batch,
+       |   CAST(cnts.nb + cnts.nn AS BIGINT) AS n_after,
+       |   FALSE AS compacted
+       | FROM tot CROSS JOIN cm CROSS JOIN cnts""".stripMargin
+  }
+
   private def kmeansBaseTrainedCte(baseMax: Int): String =
     s"""WITH e AS MATERIALIZED (
       |   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3604,6 +3980,22 @@ object ExtQueries {
     // (appends are an order-invariant set union against the frozen
     // centroids), so the replay shares the one-shot append oracle
     "stream_ivf_append_replay" -> ivfAppendSearchOracle,
+    // composed maintenance decision log: the drift-oracle PSI chain
+    // over the branch's batch CTE, folded to the one-row log the
+    // operator emits (action/threshold verdict/counts; compacted is
+    // deterministically false — one append never reaches the
+    // 4-files-per-cell cadence, and the retrain branch rewrites to one
+    // file per cell by construction)
+    "ivf_maintain_append" -> maintainLogOracle(
+      "SELECT vec_id, cell FROM a2 WHERE vec_id >= 400"),
+    "ivf_maintain_retrain" -> maintainLogOracle(
+      "SELECT vec_id, cell FROM a2 WHERE vec_id >= 400 AND cell < 4"),
+    // the compressed tier's maintenance log: coarse + code PSI chains
+    // over the same batch CTEs, either tripwire flips the branch
+    "ivfpq_maintain_append" -> maintainPqLogOracle(
+      "SELECT vec_id FROM e WHERE vec_id >= 400"),
+    "ivfpq_maintain_retrain" -> maintainPqLogOracle(
+      "SELECT vec_id FROM a2 WHERE vec_id >= 400 AND cell < 4"),
     // append pre-flight: stored vs incoming cell populations (both
     // against the stored centroids), smoothed PSI (sourceDrift
     // carrier: 8dp DECIMAL terms, 6dp total), retrain verdict
@@ -4983,6 +5375,13 @@ object ExtQueries {
     "sql_tpch_q22" -> tpchQ22Sql,
     "sql_tpch_q13" -> tpchQ13Sql,
     "sql_tpch_q15" -> tpchQ15Sql,
+    "sql_tpch_q20" -> tpchQ20Sql,
+    "sql_tpch_q2" -> tpchQ2Sql,
+    "sql_tpch_q8" -> tpchQ8Sql,
+    "sql_tpch_q9" -> tpchQ9Sql,
+    "sql_tpch_q11" -> tpchQ11Sql,
+    "sql_tpch_q12" -> tpchQ12Sql,
+    "sql_tpch_q16" -> tpchQ16Sql,
     "customer_rfm" ->
       """WITH a AS (
         |   SELECT o_custkey AS custkey, max(CAST(o_orderdate AS DATE)) AS last_order,

@@ -209,7 +209,63 @@ object ScaleProbe {
             graft.operators.Sink.searchIvfIndex(spark, emb, dir, 10, 3)
           }
         } else None
-      }).flatten
+      }).flatten ++ {
+      // round-12: stored-search AGING — the compaction scaladoc's
+      // file-count→latency claim put on a measured footing. Build the
+      // index incrementally (half the corpus as base, the rest in 8
+      // full-width append batches → 9 files/cell), then serve the same
+      // probe (a) fresh 1-file-per-cell, (b) aged 9-files-per-cell,
+      // (c) post-compaction — (b)−(a) is the pure file-count tax (the
+      // data under the probe is half vs full corpus, so compare (b)
+      // against (c), same rows, different layout), and the compaction
+      // cost itself is timed as the price of removing it.
+      if (only.isEmpty || only("ivf_aging")) {
+        import graft.operators.Sink
+        def timeRaw(name: String)(f: => Unit): (String, Double) = {
+          val t0 = System.nanoTime()
+          val n = try { f; "ok" }
+            catch { case e: Throwable =>
+              System.err.println(s"[probe] $name FAILED: $e"); "fail" }
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[probe] $name%-24s $dt%8.2f s ($n)")
+          name -> dt
+        }
+        val dir = java.nio.file.Files
+          .createTempDirectory("probe_ivfage").toString
+        val repl = expr("vec_id div 10000000")
+        val half = math.max(1, factor / 2)
+        Sink.writeIvfIndex(emb.filter(repl < half), dir,
+          cells = 8 * factor, iters = 2)
+        val fresh = timeRaw("ivf_aging_fresh_search") {
+          Sink.searchIvfIndex(spark, emb, dir, 10, 3)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val rest = emb.filter(repl >= half)
+        (0 until 8).foreach { b =>
+          Sink.appendToIvfIndex(
+            rest.filter(pmod(col("vec_id"), lit(8)) === b), dir)
+        }
+        val filesAged = Sink.countDataFiles(spark, s"$dir/assignment")
+        val aged = timeRaw("ivf_aging_aged_search") {
+          Sink.searchIvfIndex(spark, emb, dir, 10, 3)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val compact = timeRaw("ivf_aging_compact") {
+          Sink.compactIvfIndex(spark, dir)
+        }
+        val filesCompacted = Sink.countDataFiles(spark, s"$dir/assignment")
+        val post = timeRaw("ivf_aging_compacted_search") {
+          Sink.searchIvfIndex(spark, emb, dir, 10, 3)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(
+          s"[probe] aging files: aged=$filesAged compacted=$filesCompacted " +
+            s"(cells=${8 * factor})")
+        Seq(fresh, aged, compact, post,
+          "ivf_aging_files_aged" -> filesAged.toDouble,
+          "ivf_aging_files_compacted" -> filesCompacted.toDouble)
+      } else Seq.empty
+    }
 
     val qj = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","queries":$qj}""")

@@ -212,6 +212,8 @@ object Sink {
     val cent = centOpt.get
     cent.select(col("cell"), posexplode(col("c")).as(Seq("i", "x")))
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    writeIndexManifest(spark = emb.sparkSession, dir = dir,
+      fields = Seq("kind" -> "ivf", "cells" -> cells.toString))
     org.apache.spark.sql.GraftShims.uncheckpoint(cent)
   }
 
@@ -333,6 +335,9 @@ object Sink {
       .write.mode("overwrite").parquet(s"$dir/centroids")
     pqCents.select(col("sub"), col("cell"), posexplode(col("c")).as(Seq("i", "x")))
       .write.mode("overwrite").parquet(s"$dir/pq_centroids")
+    writeIndexManifest(spark = emb.sparkSession, dir = dir,
+      fields = Seq("kind" -> "ivfpq", "cells" -> cells.toString,
+        "m" -> m.toString, "subDim" -> subDim.toString, "k" -> k.toString))
     if (corpusKey.isEmpty) {
       org.apache.spark.sql.GraftShims.uncheckpoint(cent)
       org.apache.spark.sql.GraftShims.uncheckpoint(codes)
@@ -349,19 +354,75 @@ object Sink {
       .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("ps"))
       .select(col("sub"), col("cell"), expr("transform(ps, p -> p.x)").as("c"))
 
-  /** Require the caller-supplied PQ geometry to match the STORED
-    * codebooks: m = distinct subspace count, subDim = codeword width.
-    * A mismatch would otherwise silently produce garbage instead of an
-    * error — `slice()` past the embedding end yields short subvectors
-    * and `zip_with` pads the other side with nulls, so wrong-geometry
-    * codes/scores still "compute". The codebook frame is m×k rows, so
-    * the one-row aggregate is free next to the serving scan.
+  /** One-file index manifest: the geometry the index was written with
+    * ((kind, cells) for IVF; + (m, subDim, k) for IVF-PQ), persisted as
+    * a tiny JSON beside the assignment tree. Serving reads THIS instead
+    * of re-deriving geometry from the codebook table — one small-file
+    * FS read, zero Spark jobs on the hot path.
+    */
+  private[graft] def writeIndexManifest(spark: SparkSession, dir: String,
+      fields: Seq[(String, String)]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val json = fields.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v.forall(c => c.isDigit || c == '-')) v else "\"" + v + "\"")
+    }.mkString("{", ",", "}")
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read back [[writeIndexManifest]]. None for a pre-manifest (legacy)
+    * index — callers fall back to deriving geometry from the stored
+    * codebooks.
+    */
+  private[graft] def readIndexManifest(spark: SparkSession,
+      dir: String): Option[Map[String, String]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      val kv = """"([A-Za-z_]+)":"?([^",}]+)"?""".r
+      Some(kv.findAllMatchIn(json).map(mt => mt.group(1) -> mt.group(2)).toMap)
+    }
+  }
+
+  /** Require the caller-supplied PQ geometry to match the STORED index:
+    * manifest fast path (one FS read, no Spark job — the path every
+    * index written since the manifest landed takes), codebook-aggregate
+    * fallback for legacy indexes. A mismatch would otherwise silently
+    * produce garbage instead of an error — `slice()` past the embedding
+    * end yields short subvectors and `zip_with` pads the other side
+    * with nulls, so wrong-geometry codes/scores still "compute".
+    */
+  private[graft] def checkPqGeometry(spark: SparkSession, dir: String,
+      pqc: => DataFrame, m: Int, subDim: Int): Unit =
+    readIndexManifest(spark, dir) match {
+      case Some(mf) if mf.contains("m") && mf.contains("subDim") =>
+        val (sm, sd) = (mf("m").toInt, mf("subDim").toInt)
+        require(sm == m && sd == subDim,
+          s"stored PQ geometry (m=$sm, subDim=$sd) does not match " +
+            s"caller-supplied (m=$m, subDim=$subDim) — pass the values " +
+            "the index was written with")
+      case _ => requirePqGeometry(pqc, m, subDim)
+    }
+
+  /** Legacy-index geometry check: m = distinct subspace count, subDim =
+    * codeword width, derived from the stored codebooks (m×k rows — the
+    * one-row aggregate is cheap, but it IS a Spark job; manifest-bearing
+    * indexes skip it via [[checkPqGeometry]]).
     */
   private def requirePqGeometry(pqc: DataFrame, m: Int, subDim: Int): Unit = {
     val r = pqc.agg(
       countDistinct(col("sub")).as("m"),
       min(size(col("c"))).as("sd_min"),
       max(size(col("c"))).as("sd_max")).head()
+    // min/size aggregates return NULL over an empty frame — unboxing
+    // that would raise an opaque NPE instead of the diagnostic
+    require(!r.isNullAt(1) && !r.isNullAt(2),
+      "no PQ codebooks found — the pq_centroids table is empty or missing")
     val (sm, sdMin, sdMax) = (r.getLong(0).toInt, r.getInt(1), r.getInt(2))
     require(sm == m && sdMin == subDim && sdMax == subDim,
       s"stored PQ geometry (m=$sm, subDim=$sdMin..$sdMax) does not match " +
@@ -398,14 +459,180 @@ object Sink {
     // from the index dir's own URI, not the default FS, so an index on
     // a non-default scheme (s3a://, hdfs://) swaps against the right
     // store.
-    val dst = new org.apache.hadoop.fs.Path(s"$dir/assignment")
+    checkedSwap(spark, tmp, s"$dir/assignment", "compactIvfIndex")
+  }
+
+  /** Rename-aside tree swap with CHECKED renames: `tmp` replaces
+    * `dst0`, the displaced tree parks at `dst0 + "__old"` until the
+    * forward rename is confirmed, then dies. Hadoop rename signals
+    * most failures by returning FALSE, not by throwing — an unchecked
+    * rename(tmp, dst) that silently failed after rename(dst, old)
+    * succeeded would let the delete(old) destroy the only remaining
+    * copy. On a forward-rename failure the old tree is rolled back
+    * into place before raising; a crash mid-swap leaves either the
+    * old tree recoverable at __old or the new one already live,
+    * never neither. FS resolves from dst's own URI (s3a://, hdfs://
+    * swap against the right store, not the default FS).
+    */
+  private def checkedSwap(spark: SparkSession, tmp: String, dst0: String,
+      label: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(dst0)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(s"$dir/assignment__old")
+    val old = new org.apache.hadoop.fs.Path(dst0 + "__old")
     fs.delete(old, true) // leftover from a crashed prior swap
-    fs.rename(dst, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-    fs.delete(old, true)
+    require(fs.rename(dst, old),
+      s"$label: rename($dst, $old) failed — target left untouched")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      val rolledBack = fs.rename(old, dst)
+      throw new IllegalStateException(
+        s"$label: rename($tmp, $dst) failed; " +
+          (if (rolledBack) s"previous tree restored at $dst"
+           else s"ROLLBACK ALSO FAILED — recover manually from $old") +
+          s"; new data remains at $tmp")
+    }
+    fs.delete(old, true) // both renames confirmed — old copy is redundant
     ()
+  }
+
+  /** Count data files under a tree (skips _SUCCESS / hidden files) —
+    * the compaction-cadence signal: appends add one file per touched
+    * cell per batch, so the file count grows linearly in batch count
+    * while cells stay fixed, and probe cost follows file count.
+    */
+  private[graft] def countDataFiles(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next().getPath.getName
+      if (!f.startsWith("_") && !f.startsWith(".")) n += 1
+    }
+    n
+  }
+
+  /** The composed index-maintenance operator — the production "a new
+    * batch arrived" decision in ONE call:
+    *  1. drift-check the batch against the stored index
+    *     ([[ivfAppendDrift]], batch assigned with the FROZEN
+    *     centroids);
+    *  2. if the PSI crosses `threshold` → RETRAIN on stored ∪ batch.
+    *     The new index is built into a sibling tree while the stored
+    *     vectors stream out of the old one (never read-and-overwritten
+    *     in one job), then swapped in with the [[compactIvfIndex]]
+    *     checked-rename discipline — a crash mid-swap leaves either
+    *     the old index recoverable or the new one live, never neither;
+    *  3. else → APPEND against the frozen centroids
+    *     ([[appendToIvfIndex]]) and, once the accumulated append
+    *     slivers exceed `compactFilesPerCell` files per cell, fold the
+    *     layout back to one file per cell ([[compactIvfIndex]]).
+    * Cell count for the retrain comes from the index's own manifest
+    * (the geometry it was WRITTEN with), not the caller — `cells` is
+    * only the pre-manifest-index fallback.
+    *
+    * Returns a ONE-ROW decision log — branch taken, PSI, row/file
+    * counts before and after — so maintenance runs are auditable with
+    * a plain query over their collected logs.
+    */
+  def maintainIvfIndex(spark: SparkSession, batch: DataFrame, dir: String,
+      threshold: Double = 0.25, cells: Int = 8, iters: Int = 2,
+      compactFilesPerCell: Int = 4): DataFrame = {
+    import spark.implicits._
+    val assignPath = s"$dir/assignment"
+    val d = ivfAppendDrift(spark, batch, dir, threshold)
+      .select("psi", "retrain_due").head()
+    val (psi, due) = (d.getDouble(0), d.getBoolean(1))
+    val nStored = spark.read.parquet(assignPath).count()
+    val nBatch = batch.count()
+    val filesBefore = countDataFiles(spark, assignPath)
+    val storedCells = readIndexManifest(spark, dir)
+      .flatMap(_.get("cells")).map(_.toInt)
+    var compacted = false
+    val action = if (due) {
+      val union = spark.read.parquet(assignPath)
+        .select("vec_id", "embedding")
+        .unionByName(batch.select("vec_id", "embedding"))
+      val tmp = dir + "__retrain"
+      // writeIvfIndex materializes the union INTO the sibling tree —
+      // every read of the old assignment completes before the swap
+      writeIvfIndex(union, tmp, storedCells.getOrElse(cells), iters)
+      checkedSwap(spark, tmp, dir, "maintainIvfIndex")
+      "retrain"
+    } else {
+      appendToIvfIndex(batch, dir)
+      val nCells = storedCells.getOrElse(
+        spark.read.parquet(s"$dir/centroids").select("cell").distinct().count().toInt)
+      if (countDataFiles(spark, assignPath) >= compactFilesPerCell * nCells) {
+        compactIvfIndex(spark, dir)
+        compacted = true
+      }
+      "append"
+    }
+    val nAfter = spark.read.parquet(assignPath).count()
+    val filesAfter = countDataFiles(spark, assignPath)
+    Seq((action, psi, due, nStored, nBatch, nAfter,
+        filesBefore, filesAfter, compacted))
+      .toDF("action", "psi", "retrain_due", "n_stored_before", "n_batch",
+        "n_after", "files_before", "files_after", "compacted")
+  }
+
+  /** [[maintainIvfIndex]] for the COMPRESSED tier — and the first
+    * operator whose geometry comes wholly from the index itself: cells
+    * / m / subDim / k are read from the manifest (the values the index
+    * was WRITTEN with), so the maintenance caller can't hold a stale
+    * geometry. Two drift tripwires gate the branch:
+    * coarse cell populations ([[ivfAppendDrift]]) AND per-subspace
+    * code populations ([[ivfPqCodeDrift]] — catches subvector shift
+    * the coarse PSI can't see); EITHER crossing `threshold` retrains
+    * both tiers on stored ∪ batch (sibling-tree build +
+    * checked-rename swap), otherwise the batch appends against the
+    * frozen artifacts with the same file-count compaction cadence.
+    * One-row decision log carries both PSIs.
+    */
+  def maintainIvfPqIndex(spark: SparkSession, batch: DataFrame, dir: String,
+      threshold: Double = 0.25, iters: Int = 2,
+      compactFilesPerCell: Int = 4): DataFrame = {
+    import spark.implicits._
+    val assignPath = s"$dir/assignment"
+    val mf = readIndexManifest(spark, dir).getOrElse(Map.empty)
+    val cells = mf.get("cells").map(_.toInt).getOrElse(8)
+    val m = mf.get("m").map(_.toInt).getOrElse(4)
+    val subDim = mf.get("subDim").map(_.toInt).getOrElse(16)
+    val k = mf.get("k").map(_.toInt).getOrElse(8)
+    val dc = ivfAppendDrift(spark, batch, dir, threshold)
+      .select("psi", "retrain_due").head()
+    val (psiCoarse, coarseDue) = (dc.getDouble(0), dc.getBoolean(1))
+    val psiCodeMax = ivfPqCodeDrift(spark, batch, dir, m, subDim, threshold)
+      .select("sub", "psi").distinct()
+      .agg(max("psi")).head().getDouble(0)
+    val due = coarseDue || psiCodeMax > threshold
+    val nStored = spark.read.parquet(assignPath).count()
+    val nBatch = batch.count()
+    val filesBefore = countDataFiles(spark, assignPath)
+    var compacted = false
+    val action = if (due) {
+      val union = spark.read.parquet(assignPath)
+        .select("vec_id", "embedding")
+        .unionByName(batch.select("vec_id", "embedding"))
+      val tmp = dir + "__retrain"
+      writeIvfPqIndex(union, tmp, cells, iters, m, subDim, k)
+      checkedSwap(spark, tmp, dir, "maintainIvfPqIndex")
+      "retrain"
+    } else {
+      appendToIvfPqIndex(batch, dir, m, subDim)
+      if (countDataFiles(spark, assignPath) >= compactFilesPerCell * cells) {
+        compactIvfIndex(spark, dir) // schema-agnostic: serves both layouts
+        compacted = true
+      }
+      "append"
+    }
+    val nAfter = spark.read.parquet(assignPath).count()
+    val filesAfter = countDataFiles(spark, assignPath)
+    Seq((action, psiCoarse, psiCodeMax, due, nStored, nBatch, nAfter,
+        filesBefore, filesAfter, compacted))
+      .toDF("action", "psi_coarse", "psi_code_max", "retrain_due",
+        "n_stored_before", "n_batch", "n_after",
+        "files_before", "files_after", "compacted")
   }
 
   /** Fold a new vector batch into a stored IVF-PQ index WITHOUT
@@ -425,7 +652,7 @@ object Sink {
     val coarse = Similarity.assignWithCentroids(newEmb, cent)
       .select("vec_id", "cell")
     val pqc = loadPqCentroids(spark, dir)
-    requirePqGeometry(pqc, m, subDim)
+    checkPqGeometry(spark, dir, pqc, m, subDim)
     val codes = (0 until m).map { s0 =>
       val sub = newEmb.select(col("vec_id"),
         slice(col("embedding"), s0 * subDim + 1, subDim).as("embedding"))
@@ -460,7 +687,7 @@ object Sink {
       m: Int = 4, subDim: Int = 16, threshold: Double = 0.25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pqc = loadPqCentroids(spark, dir)
-    requirePqGeometry(pqc, m, subDim)
+    checkPqGeometry(spark, dir, pqc, m, subDim)
     val stored = spark.read.parquet(s"$dir/assignment")
       .select(posexplode(col("codes")).as(Seq("sub", "code")))
       .groupBy("sub", "code").agg(count(lit(1)).as("n_stored"))
@@ -525,7 +752,7 @@ object Sink {
       .select("qid", "cell")
     // per-query ADC lookup tables: nQueries × m × k rows — tiny
     val pqc = loadPqCentroids(spark, dir)
-    requirePqGeometry(pqc, m, subDim)
+    checkPqGeometry(spark, dir, pqc, m, subDim)
     val qsub = (0 until m).map { s0 =>
       q.select(col("qid"),
         lit(s0).as("sub"),

@@ -167,6 +167,84 @@ class IvfAppendSpec extends SparkSpec {
     assert(after == before, "compaction changed search results")
   }
 
+  test("maintainIvfIndex: balanced batches append then compact on cadence; skewed batch retrains") {
+    val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
+    val dir = Files.createTempDirectory("graft-ivfmaint").toString + "/index"
+    Sink.writeIvfIndex(base, dir, cells = 2, iters = 2)
+
+    // batch 1, balanced → APPEND branch: PSI under threshold, rows fold
+    // in, file count grows (one sliver per touched cell), no compaction
+    // yet (2 files/cell < cadence 3)
+    val b1 = twoClusters(100L until 110L, id => if (id % 2 == 0) 1 else -1)
+    val log1 = Sink.maintainIvfIndex(spark, b1, dir, compactFilesPerCell = 3).head()
+    assert(log1.getAs[String]("action") == "append" &&
+      !log1.getAs[Boolean]("retrain_due"))
+    assert(log1.getAs[Long]("n_stored_before") == 20 &&
+      log1.getAs[Long]("n_batch") == 10 && log1.getAs[Long]("n_after") == 30)
+    assert(!log1.getAs[Boolean]("compacted"))
+    assert(log1.getAs[Int]("files_after") > log1.getAs[Int]("files_before"))
+
+    // batch 2, balanced → append reaches 3 files/cell → compaction
+    // fires on the cadence and folds the layout back to 1 file/cell
+    val b2 = twoClusters(110L until 120L, id => if (id % 2 == 0) 1 else -1)
+    val log2 = Sink.maintainIvfIndex(spark, b2, dir, compactFilesPerCell = 3).head()
+    assert(log2.getAs[String]("action") == "append")
+    assert(log2.getAs[Boolean]("compacted"),
+      s"cadence 3 files/cell must trigger compaction: $log2")
+    assert(log2.getAs[Int]("files_after") == 2, // one file per cell
+      s"compaction must leave one file per cell: $log2")
+    assert(log2.getAs[Long]("n_after") == 40)
+
+    // batch 3, all on the A side → RETRAIN branch: PSI crosses the
+    // threshold, the index is rebuilt on stored ∪ batch via the
+    // sibling-tree swap, and serving picks the new generation up
+    val skew = twoClusters(200L until 210L, _ => 1)
+    val log3 = Sink.maintainIvfIndex(spark, skew, dir).head()
+    assert(log3.getAs[String]("action") == "retrain" &&
+      log3.getAs[Boolean]("retrain_due"))
+    assert(log3.getAs[Double]("psi") > 0.25)
+    assert(log3.getAs[Long]("n_after") == 50)
+    val back = spark.read.parquet(s"$dir/assignment")
+    assert(back.count() == 50, "retrained index must hold stored ∪ batch")
+    // retrain leaves the one-file-per-cell layout of a fresh write
+    assert(log3.getAs[Int]("files_after") == 2)
+    assert(Sink.searchIvfIndex(spark, base, dir, 5, 3).count() == 15)
+    // no swap debris left behind
+    assert(!new java.io.File(dir + "__retrain").exists() &&
+      !new java.io.File(dir + "__old").exists())
+  }
+
+  test("maintainIvfPqIndex: manifest-driven geometry, append and retrain branches") {
+    val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
+    val dir = Files.createTempDirectory("graft-ivfpqmaint").toString + "/index"
+    Sink.writeIvfPqIndex(base, dir, cells = 2, iters = 2, m = 4, subDim = 16, k = 8)
+    // the operator reads cells/m/subDim/k from the manifest — no
+    // geometry params in the call at all
+    val b1 = twoClusters(100L until 110L, id => if (id % 2 == 0) 1 else -1)
+    val log1 = Sink.maintainIvfPqIndex(spark, b1, dir).head()
+    assert(log1.getAs[String]("action") == "append" &&
+      !log1.getAs[Boolean]("retrain_due"),
+      s"balanced batch must append: $log1")
+    assert(log1.getAs[Long]("n_after") == 30)
+    // appended rows carry codes encoded against the STORED codebooks
+    val appended = spark.read.parquet(s"$dir/assignment")
+      .filter(col("vec_id") >= 100)
+    assert(appended.count() == 10 &&
+      appended.selectExpr("size(codes) AS m").collect().forall(_.getInt(0) == 4))
+    // skewed batch (all A-side) crosses the coarse tripwire → both
+    // tiers retrain on stored ∪ batch; search serves the new generation
+    val skew = twoClusters(200L until 210L, _ => 1)
+    val log2 = Sink.maintainIvfPqIndex(spark, skew, dir).head()
+    assert(log2.getAs[String]("action") == "retrain" &&
+      log2.getAs[Boolean]("retrain_due"))
+    assert(log2.getAs[Double]("psi_coarse") > 0.25)
+    assert(log2.getAs[Long]("n_after") == 40)
+    assert(spark.read.parquet(s"$dir/assignment").count() == 40)
+    assert(Sink.searchIvfPqIndex(spark, base, dir, 5, 3, 10).count() == 15)
+    assert(!new java.io.File(dir + "__retrain").exists() &&
+      !new java.io.File(dir + "__old").exists())
+  }
+
   test("drift pre-flight: skewed batch flags retrain, balanced does not") {
     val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
     val dir = Files.createTempDirectory("graft-ivfdrift").toString

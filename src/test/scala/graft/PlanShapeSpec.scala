@@ -83,6 +83,40 @@ class PlanShapeSpec extends SparkSpec {
       s"expected 2 lineitem scans (fact + decorrelated agg), got $lineitemScans")
   }
 
+  test("tpch q20 decorrelates both nesting levels — no per-row rescan anywhere") {
+    val p = plan("sql_tpch_q20")
+    // the IN over ps must become a semi-join, and the correlated
+    // scalar aggregate INSIDE it must become one per-(part,supp)
+    // aggregate joined back — a naive plan re-scans lineitem per
+    // (part, supplier) row via a nested loop
+    assert(p.contains("LeftSemi") || p.contains("leftsemi"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "nested correlated scalar aggregate planned as a per-row rescan")
+  }
+
+  test("tpch q2 decorrelates the MIN-over-dimension-chain to one aggregate + join") {
+    val p = plan("sql_tpch_q2")
+    // the correlated MIN drags supplier→nation→region with it; the
+    // rewrite must evaluate that join chain ONCE as a per-part
+    // aggregate, never re-running it per outer row
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "correlated MIN subquery planned as a per-row rescan")
+  }
+
+  test("tpch q16 plans NOT IN as null-aware anti-join, q12/q8/q9 never go cartesian") {
+    val p16 = plan("sql_tpch_q16")
+    assert(p16.contains("LeftAnti") || p16.contains("leftanti"),
+      "NOT IN must become a (null-aware) anti-join")
+    assert(!p16.contains("CartesianProduct"))
+    Seq("sql_tpch_q12", "sql_tpch_q8", "sql_tpch_q9").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q nested-loops")
+    }
+  }
+
   test("tpch q22 plans NOT EXISTS as anti-join; scalar thresholds evaluate once") {
     val p = plan("sql_tpch_q22")
     assert(p.contains("LeftAnti") || p.contains("leftanti"),

@@ -229,6 +229,84 @@ class SinkSpec extends SparkSpec {
       s"IVF-PQ recall $rIvfPq fell below corpus-wide PQ $rPlain")
   }
 
+  test("stored-index search equals in-memory multiprobe at nprobe 2 and 4") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-ivfmp").toString
+    Sink.writeIvfIndex(e, dir, cells = 8, iters = 2)
+    Seq(2, 4).foreach { np =>
+      val stored = Sink.searchIvfIndex(spark, e, dir, 10, 3, nprobe = np)
+        .select("qid", "rnk", "vec_id", "cos")
+        .collect().map(_.toSeq).toSeq
+      val mem = graft.operators.Similarity.ivfMultiProbeTopK(e, 10, 3, 8, 2, nprobe = np)
+        .select("qid", "rnk", "vec_id", "cos")
+        .collect().map(_.toSeq).toSeq
+      assert(stored == mem, s"stored != in-memory multiprobe at nprobe=$np")
+    }
+  }
+
+  test("searchIvfPqIndex: nprobe=2 recall holds the nprobe=1 floor") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-ivfpqnp").toString
+    Sink.writeIvfPqIndex(e, dir, cells = 8, iters = 2, m = 4, subDim = 16, k = 8)
+    val truth = graft.operators.Similarity.bruteForceTopK(e, 10, 3).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    def recall(np: Int): Double = {
+      val mine = Sink.searchIvfPqIndex(spark, e, dir, 10, 3, 10, 4, 16, nprobe = np)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+      mine.intersect(truth).size.toDouble / truth.size
+    }
+    val (r1, r2) = (recall(1), recall(2))
+    assert(r2 >= r1,
+      s"PQ nprobe=2 recall $r2 fell below nprobe=1 recall $r1 — more probed " +
+        "cells must not lose true neighbors on this fixture")
+  }
+
+  test("PQ geometry: manifest check fails loudly with zero Spark jobs; legacy fallback still catches") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-pqgeom").toString
+    Sink.writeIvfPqIndex(e, dir, cells = 8, iters = 2, m = 4, subDim = 16, k = 8)
+    val mf = Sink.readIndexManifest(spark, dir).get
+    assert(mf("kind") == "ivfpq" && mf("cells") == "8" &&
+      mf("m") == "4" && mf("subDim") == "16" && mf("k") == "8")
+    // wrong-geometry serving call dies with the diagnostic, not garbage
+    val ex = intercept[IllegalArgumentException] {
+      Sink.searchIvfPqIndex(spark, e, dir, 10, 3, 10, m = 8, subDim = 8)
+    }
+    assert(ex.getMessage.contains("geometry"))
+    // the manifest path never launches a Spark job — serving pays one
+    // small-file read, not an aggregate over the codebook table
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      intercept[IllegalArgumentException] {
+        Sink.checkPqGeometry(spark, dir, Sink.loadPqCentroids(spark, dir), 8, 8)
+      }
+      Sink.checkPqGeometry(spark, dir, Sink.loadPqCentroids(spark, dir), 4, 16)
+      Thread.sleep(500) // listener bus is async; let any job event land
+      assert(jobs.get() == 0,
+        s"manifest-backed geometry check launched ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // legacy (pre-manifest) index: the codebook-aggregate fallback
+    // still fails loudly on a mismatch...
+    assert(new java.io.File(s"$dir/_graft_manifest.json").delete())
+    val ex2 = intercept[IllegalArgumentException] {
+      Sink.searchIvfPqIndex(spark, e, dir, 10, 3, 10, m = 8, subDim = 8)
+    }
+    assert(ex2.getMessage.contains("geometry"))
+    // ...and an empty/corrupt codebook table reports the clear
+    // diagnostic instead of an opaque NPE
+    val ex3 = intercept[IllegalArgumentException] {
+      Sink.checkPqGeometry(spark, dir,
+        Sink.loadPqCentroids(spark, dir).limit(0), 4, 16)
+    }
+    assert(ex3.getMessage.contains("no PQ codebooks"))
+  }
+
   test("IVF index round-trip: stored-index search equals in-memory single-probe") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-ivfidx").toString
