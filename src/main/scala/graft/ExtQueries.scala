@@ -908,7 +908,7 @@ object ExtQueries {
     "embed_stored_recall_curve" -> ((s, d) => {
       val e = emb(s, d)
       val dir = ivfCurveDir
-      Sink.writeIvfIndex(e, dir, 8, 2)
+      Sink.writeIvfIndex(e, dir, 8, 2, corpusKey = Some(d))
       val bf = Similarity.bruteForceTopK(e, 10, 3)
         .select(col("qid"), col("vec_id")).withColumn("hit", lit(1L))
       val runs = Seq(1, 2, 4).map { np =>
@@ -1072,7 +1072,8 @@ object ExtQueries {
     "embed_ivf_append_search" -> ((s, d) => {
       val all = emb(s, d)
       val dir = ivfAppendDir
-      Sink.writeIvfIndex(all.filter(col("vec_id") < 400), dir, 8, 2)
+      Sink.writeIvfIndex(all.filter(col("vec_id") < 400), dir, 8, 2,
+        corpusKey = Some(d + "#pqbase400"))
       Sink.appendToIvfIndex(all.filter(col("vec_id") >= 400), dir)
       Sink.searchIvfIndex(s, all, dir, 10, 3)
     }),
@@ -1141,7 +1142,8 @@ object ExtQueries {
     "embed_ivf_append_drift" -> ((s, d) => {
       val all = emb(s, d)
       val dir = ivfDriftDir
-      Sink.writeIvfIndex(all.filter(col("vec_id") < 400), dir, 8, 2)
+      Sink.writeIvfIndex(all.filter(col("vec_id") < 400), dir, 8, 2,
+        corpusKey = Some(d + "#pqbase400"))
       Sink.ivfAppendDrift(s, all.filter(col("vec_id") >= 400), dir)
     }),
     // the COMPOSED maintenance operator, append branch: the natural
@@ -1153,7 +1155,8 @@ object ExtQueries {
     "ivf_maintain_append" -> ((s, d) => {
       val all = emb(s, d)
       val dir = ivfMaintainAppendDir
-      Sink.writeIvfIndex(all.filter(col("vec_id") < 400), dir, 8, 2)
+      Sink.writeIvfIndex(all.filter(col("vec_id") < 400), dir, 8, 2,
+        corpusKey = Some(d + "#pqbase400"))
       Sink.maintainIvfIndex(s, all.filter(col("vec_id") >= 400), dir)
         .select("action", "psi", "retrain_due", "n_stored_before",
           "n_batch", "n_after", "compacted")
@@ -1166,7 +1169,8 @@ object ExtQueries {
     "ivf_maintain_retrain" -> ((s, d) => {
       val all = emb(s, d)
       val dir = ivfMaintainRetrainDir
-      Sink.writeIvfIndex(all.filter(col("vec_id") < 400), dir, 8, 2)
+      Sink.writeIvfIndex(all.filter(col("vec_id") < 400), dir, 8, 2,
+        corpusKey = Some(d + "#pqbase400"))
       val cent = Sink.loadIvfCentroids(s, dir)
       val batch = Similarity.assignWithCentroids(
           all.filter(col("vec_id") >= 400), cent)
@@ -1218,7 +1222,8 @@ object ExtQueries {
     "stream_ivf_append_replay" -> ((s, d) => {
       val all = emb(s, d)
       val dir = ivfStreamDir
-      Sink.writeIvfIndex(all.filter(col("vec_id") < 400), s"$dir/index", 8, 2)
+      Sink.writeIvfIndex(all.filter(col("vec_id") < 400), s"$dir/index", 8, 2,
+        corpusKey = Some(d + "#pqbase400"))
       val batch = all.filter(col("vec_id") >= 400)
       Seq(("a", 0), ("b", 1), ("c", 2)).foreach { case (tag, r) =>
         batch.filter(pmod(col("vec_id"), lit(3)) === r)
@@ -1521,7 +1526,7 @@ object ExtQueries {
         .select(col("doc_id").as("id"), col("rnk"))
       val e = emb(s, d)
       val dir = ivfRrfDir
-      Sink.writeIvfIndex(e, dir, 8, 2)
+      Sink.writeIvfIndex(e, dir, 8, 2, corpusKey = Some(d))
       val sem = Sink.searchIvfIndex(s, e, dir, nQueries = 1, k = 20, nprobe = 2)
         .select(col("vec_id").as("id"), col("rnk"))
       Retrieval.rrfFuse(lex, sem, 10)

@@ -192,9 +192,20 @@ object Sink {
     * previous index generation under a dynamic session default.
     */
   def writeIvfIndex(emb: DataFrame, dir: String, cells: Int = 8,
-      iters: Int = 2): Unit = {
+      iters: Int = 2, corpusKey: Option[String] = None): Unit = {
     require(iters >= 2, "a stored IVF index needs trained centroids (iters >= 2)")
-    val (assigned, centOpt) = Similarity.kmeansAssignInternal(emb, cells, iters)
+    // training is once-per-corpus by design (the writeIvfPqIndex
+    // contract): with a corpusKey the quantizer comes from the session
+    // cache — shared with ivfTopK and every other index build on the
+    // same key — and a rebuild pays only the pivot and the writes. The
+    // cache OWNS those checkpoints; release them only on the keyless
+    // (train-fresh) path.
+    val (assigned, centOpt) = corpusKey match {
+      case Some(ck) =>
+        val (a, c) = Similarity.kmeansAssignCachedWithCentroids(emb, cells, iters, ck)
+        (a, Some(c))
+      case None => Similarity.kmeansAssignInternal(emb, cells, iters)
+    }
     // repartition by cell BEFORE the partitioned write: each task then
     // holds whole cells and every cell lands as ONE file. Without it,
     // every shuffle task writes a sliver into every cell directory —
@@ -214,7 +225,8 @@ object Sink {
       .write.mode("overwrite").parquet(s"$dir/centroids")
     writeIndexManifest(spark = emb.sparkSession, dir = dir,
       fields = Seq("kind" -> "ivf", "cells" -> cells.toString))
-    org.apache.spark.sql.GraftShims.uncheckpoint(cent)
+    if (corpusKey.isEmpty)
+      org.apache.spark.sql.GraftShims.uncheckpoint(cent)
   }
 
   /** Reassemble the stored centroid table: (cell, c: array<double>) —
@@ -539,11 +551,17 @@ object Sink {
       compactFilesPerCell: Int = 4): DataFrame = {
     import spark.implicits._
     val assignPath = s"$dir/assignment"
-    val d = ivfAppendDrift(spark, batch, dir, threshold)
-      .select("psi", "retrain_due").head()
-    val (psi, due) = (d.getDouble(0), d.getBoolean(1))
-    val nStored = spark.read.parquet(assignPath).count()
-    val nBatch = batch.count()
+    // ONE collect serves the verdict AND the row counts: the drift
+    // frame is cells-sized and already aggregates both populations
+    // (every stored row and every batch row carries exactly one cell),
+    // so separate count() jobs over the assignment and the batch would
+    // re-scan what the drift pass just counted
+    val driftRows = ivfAppendDrift(spark, batch, dir, threshold)
+      .select("psi", "retrain_due", "n_stored", "n_new").collect()
+    val (psi, due) =
+      (driftRows.head.getDouble(0), driftRows.head.getBoolean(1))
+    val nStored = driftRows.map(_.getLong(2)).sum
+    val nBatch = driftRows.map(_.getLong(3)).sum
     val filesBefore = countDataFiles(spark, assignPath)
     val storedCells = readIndexManifest(spark, dir)
       .flatMap(_.get("cells")).map(_.toInt)
@@ -568,7 +586,9 @@ object Sink {
       }
       "append"
     }
-    val nAfter = spark.read.parquet(assignPath).count()
+    // both branches add exactly the batch rows (append is a union;
+    // retrain trains on stored ∪ batch) — no post-action table count
+    val nAfter = nStored + nBatch
     val filesAfter = countDataFiles(spark, assignPath)
     Seq((action, psi, due, nStored, nBatch, nAfter,
         filesBefore, filesAfter, compacted))
@@ -599,15 +619,18 @@ object Sink {
     val m = mf.get("m").map(_.toInt).getOrElse(4)
     val subDim = mf.get("subDim").map(_.toInt).getOrElse(16)
     val k = mf.get("k").map(_.toInt).getOrElse(8)
-    val dc = ivfAppendDrift(spark, batch, dir, threshold)
-      .select("psi", "retrain_due").head()
-    val (psiCoarse, coarseDue) = (dc.getDouble(0), dc.getBoolean(1))
+    // one collect serves the coarse verdict AND the row counts (the
+    // maintainIvfIndex pattern)
+    val driftRows = ivfAppendDrift(spark, batch, dir, threshold)
+      .select("psi", "retrain_due", "n_stored", "n_new").collect()
+    val (psiCoarse, coarseDue) =
+      (driftRows.head.getDouble(0), driftRows.head.getBoolean(1))
+    val nStored = driftRows.map(_.getLong(2)).sum
+    val nBatch = driftRows.map(_.getLong(3)).sum
     val psiCodeMax = ivfPqCodeDrift(spark, batch, dir, m, subDim, threshold)
       .select("sub", "psi").distinct()
       .agg(max("psi")).head().getDouble(0)
     val due = coarseDue || psiCodeMax > threshold
-    val nStored = spark.read.parquet(assignPath).count()
-    val nBatch = batch.count()
     val filesBefore = countDataFiles(spark, assignPath)
     var compacted = false
     val action = if (due) {
@@ -626,7 +649,7 @@ object Sink {
       }
       "append"
     }
-    val nAfter = spark.read.parquet(assignPath).count()
+    val nAfter = nStored + nBatch // both branches add exactly the batch
     val filesAfter = countDataFiles(spark, assignPath)
     Seq((action, psiCoarse, psiCodeMax, due, nStored, nBatch, nAfter,
         filesBefore, filesAfter, compacted))
