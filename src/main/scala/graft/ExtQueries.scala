@@ -55,6 +55,9 @@ object ExtQueries {
   private lazy val ivfMaintainRetrainDir: String =
     TempDirs.create("graft_ivf_maintain_r") + "/index"
 
+  private lazy val ivfMaintainStreamDir: String =
+    TempDirs.create("graft_ivf_maintain_stream")
+
   private lazy val ivfPqMaintainAppendDir: String =
     TempDirs.create("graft_ivfpq_maintain_a") + "/index"
 
@@ -1179,6 +1182,32 @@ object ExtQueries {
       Sink.maintainIvfIndex(s, batch, dir)
         .select("action", "psi", "retrain_due", "n_stored_before",
           "n_batch", "n_after", "compacted")
+    }),
+    // the production control loop end-to-end: three balanced drops
+    // stream through runMaintainReplay — each micro-batch takes the
+    // FULL maintain decision (PSI pre-flight → append; compaction when
+    // the file cadence hits) and logs it — then the index serves.
+    // Shares embed_ivf_append_search's oracle VERBATIM: when no drop
+    // drifts, drift-aware maintained ingestion ≡ one-shot append (and
+    // the mid-stream compaction provably changed nothing). The
+    // retrain-mid-stream path is spec-driven (IvfAppendSpec).
+    // SIDE EFFECT: temp dirs.
+    "stream_ivf_maintain_replay" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfMaintainStreamDir
+      Sink.writeIvfIndex(all.filter(col("vec_id") < 400), s"$dir/index", 8, 2,
+        corpusKey = Some(d + "#pqbase400"))
+      val batch = all.filter(col("vec_id") >= 400)
+      Seq(("a", 0), ("b", 1), ("c", 2)).foreach { case (tag, r) =>
+        batch.filter(pmod(col("vec_id"), lit(3)) === r)
+          .select("vec_id", "embedding").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/drops/drop=$tag")
+      }
+      // fresh decision log per evaluation (append-only during a replay)
+      graft.streaming.IvfStream.deleteRecursively(s"$dir/log")
+      graft.streaming.IvfStream.runMaintainReplay(
+        s, s"$dir/drops/drop=*", s"$dir/index", s"$dir/ckpt", s"$dir/log")
+      Sink.searchIvfIndex(s, all, s"$dir/index", 10, 3)
     }),
     // the compressed tier's composed maintenance: geometry comes wholly
     // from the index manifest, and BOTH tripwires gate the branch —
@@ -3985,6 +4014,11 @@ object ExtQueries {
     // (appends are an order-invariant set union against the frozen
     // centroids), so the replay shares the one-shot append oracle
     "stream_ivf_append_replay" -> ivfAppendSearchOracle,
+    // drift-AWARE maintained ingestion: with no drop drifting, every
+    // micro-batch decision is an append (plus one cadence compaction,
+    // provably result-free), so the served index — and this oracle —
+    // are the one-shot append's VERBATIM
+    "stream_ivf_maintain_replay" -> ivfAppendSearchOracle,
     // composed maintenance decision log: the drift-oracle PSI chain
     // over the branch's batch CTE, folded to the one-row log the
     // operator emits (action/threshold verdict/counts; compacted is

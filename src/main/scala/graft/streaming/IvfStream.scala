@@ -31,7 +31,7 @@ object IvfStream {
     * re-process every drop on each evaluation (a stale checkpoint
     * would silently skip them after the index reset).
     */
-  private[streaming] def deleteRecursively(path: String): Unit = {
+  private[graft] def deleteRecursively(path: String): Unit = {
     val f = new java.io.File(path)
     if (f.isDirectory) f.listFiles().foreach(c => deleteRecursively(c.getPath))
     f.delete()
@@ -44,7 +44,7 @@ object IvfStream {
   def runAppendReplay(spark: SparkSession, dropGlob: String,
       indexDir: String, checkpointDir: String): Unit =
     replayWith(spark, dropGlob, checkpointDir)(
-      batch => Sink.appendToIvfIndex(batch, indexDir))
+      (batch, _) => Sink.appendToIvfIndex(batch, indexDir))
 
   /** The same drop-at-a-time ingestion into a stored IVF-PQ index:
     * each micro-batch coarse-assigns AND PQ-encodes against the
@@ -55,18 +55,43 @@ object IvfStream {
   def runPqAppendReplay(spark: SparkSession, dropGlob: String,
       indexDir: String, checkpointDir: String): Unit =
     replayWith(spark, dropGlob, checkpointDir)(
-      batch => Sink.appendToIvfPqIndex(batch, indexDir))
+      (batch, _) => Sink.appendToIvfPqIndex(batch, indexDir))
+
+  /** Drift-AWARE streaming maintenance — the full production control
+    * loop on the drop cadence: each micro-batch takes the composed
+    * [[Sink.maintainIvfIndex]] decision (PSI pre-flight → append
+    * against the frozen centroids, OR retrain on stored ∪ batch when
+    * the batch has drifted; compaction when the file-count cadence
+    * hits) and its one-row decision log lands in an append-only
+    * parquet log at `logDir`, stamped with the micro-batch ordinal —
+    * maintenance becomes a QUERYABLE audit table, not a side effect.
+    * When no batch drifts, the served index is bit-identical to a
+    * one-shot append of all drops (the [[runAppendReplay]]
+    * order-invariance argument, compaction-safe by the compact spec);
+    * a drifted drop flips its batch to a retrain and subsequent drops
+    * fold into the NEW generation (IvfAppendSpec drives that path).
+    */
+  def runMaintainReplay(spark: SparkSession, dropGlob: String,
+      indexDir: String, checkpointDir: String, logDir: String,
+      threshold: Double = 0.25, compactFilesPerCell: Int = 4): Unit =
+    replayWith(spark, dropGlob, checkpointDir) { (batch, id) =>
+      Sink.maintainIvfIndex(spark, batch, indexDir,
+          threshold = threshold, compactFilesPerCell = compactFilesPerCell)
+        .withColumn(
+          "batch_id", org.apache.spark.sql.functions.lit(id))
+        .write.mode("append").parquet(logDir)
+    }
 
   private def replayWith(spark: SparkSession, dropGlob: String,
-      checkpointDir: String)(append: DataFrame => Unit): Unit = {
+      checkpointDir: String)(append: (DataFrame, Long) => Unit): Unit = {
     deleteRecursively(checkpointDir)
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dropGlob)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) append(batch)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) append(batch, id)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -245,6 +245,41 @@ class IvfAppendSpec extends SparkSpec {
       !new java.io.File(dir + "__old").exists())
   }
 
+  test("runMaintainReplay: per-drop decisions logged, drifted middle drop retrains mid-stream") {
+    val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
+    val root = Files.createTempDirectory("graft-maintstream").toString
+    Sink.writeIvfIndex(base, s"$root/index", cells = 2, iters = 2)
+    // drop a: balanced → append; drop b: all A-side → RETRAIN
+    // mid-stream; drop c: balanced → append into the NEW generation
+    val drops = Seq(
+      "a" -> twoClusters(100L until 110L, id => if (id % 2 == 0) 1 else -1),
+      "b" -> twoClusters(200L until 210L, _ => 1),
+      "c" -> twoClusters(110L until 120L, id => if (id % 2 == 0) 1 else -1))
+    drops.zipWithIndex.foreach { case ((tag, df), i) =>
+      val p = s"$root/drops/drop=$tag"
+      df.coalesce(1).write.mode("overwrite").parquet(p)
+      // FileStreamSource orders drops by modification time — pin it so
+      // the replay processes a, b, c deterministically
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .foreach(_.toFile.setLastModified(1000000000000L + i * 60000L))
+    }
+    graft.streaming.IvfStream.runMaintainReplay(
+      spark, s"$root/drops/drop=*", s"$root/index", s"$root/ckpt", s"$root/log")
+    val log = spark.read.parquet(s"$root/log").orderBy("batch_id").collect()
+    assert(log.map(_.getAs[String]("action")).toSeq ==
+      Seq("append", "retrain", "append"),
+      s"expected append/retrain/append, got ${log.mkString("; ")}")
+    assert(!log(0).getAs[Boolean]("retrain_due") &&
+      log(1).getAs[Boolean]("retrain_due") &&
+      !log(2).getAs[Boolean]("retrain_due"))
+    // counts chain through the generations: 20 → 30 → retrain(40) → 50
+    assert(log.map(_.getAs[Long]("n_after")).toSeq == Seq(30L, 40L, 50L))
+    assert(spark.read.parquet(s"$root/index/assignment").count() == 50)
+    // the final index serves immediately
+    assert(Sink.searchIvfIndex(spark, base, s"$root/index", 5, 3).count() == 15)
+  }
+
   test("drift pre-flight: skewed batch flags retrain, balanced does not") {
     val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
     val dir = Files.createTempDirectory("graft-ivfdrift").toString
