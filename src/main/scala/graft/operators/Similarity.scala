@@ -764,12 +764,26 @@ object Similarity {
       iters: Int, corpusKey: Option[String]): (DataFrame, DataFrame) = {
     require(iters >= 2, "PQ needs trained centroids (iters >= 2)")
     def train(): (DataFrame, DataFrame) = {
-      val parts = subspaces(emb, m, subDim).map { case (s, e) =>
-        val (assigned, cOpt) = kmeansAssignInternal(e, k, iters)
-        (assigned.select(lit(s).as("sub"), col("vec_id"),
-          col("cell").as("code"), col("d")),
-          cOpt.get.select(lit(s).as("sub"), col("cell"), col("c")))
-      }
+      // the m subspace quantizers are INDEPENDENT — train them
+      // concurrently (Spark schedules jobs from multiple threads
+      // freely; each training materializes only its own checkpoints).
+      // Serially, a keyless rebuild pays m × the per-subspace Lloyd's
+      // latency, which is almost all scheduling overhead at small k —
+      // the dominant cost of a two-tier index RETRAIN. Results are
+      // bit-identical either way (trainings share nothing), and
+      // Future.sequence preserves subspace order.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val parts = Await.result(
+        Future.sequence(subspaces(emb, m, subDim).map { case (s, e) =>
+          Future {
+            val (assigned, cOpt) = kmeansAssignInternal(e, k, iters)
+            (assigned.select(lit(s).as("sub"), col("vec_id"),
+              col("cell").as("code"), col("d")),
+              cOpt.get.select(lit(s).as("sub"), col("cell"), col("c")))
+          }
+        }), Duration.Inf)
       val codes = parts.map(_._1).reduce(_ unionByName _).localCheckpoint()
       val cents = parts.map(_._2).reduce(_ unionByName _).localCheckpoint()
       // both unions are eagerly materialized — the per-subspace training

@@ -323,14 +323,23 @@ object Sink {
     // rebuild pays only the assignment pivot and the writes. The
     // cache OWNS those checkpoints — release them only on the
     // keyless (train-fresh) path.
-    val (assigned, cent) = corpusKey match {
-      case Some(ck) =>
-        Similarity.kmeansAssignCachedWithCentroids(emb, cells, iters, ck)
-      case None =>
-        val (a, cOpt) = Similarity.kmeansAssignInternal(emb, cells, iters)
-        (a, cOpt.get)
-    }
+    // the coarse quantizer and the PQ codebooks train on DISJOINT
+    // inputs (full vectors vs subvector slices) — run the two
+    // trainings concurrently; on the cached path both return
+    // immediately and the overlap is free. Results are bit-identical
+    // to serial (the trainings share nothing).
+    val coarseF = scala.concurrent.Future {
+      corpusKey match {
+        case Some(ck) =>
+          Similarity.kmeansAssignCachedWithCentroids(emb, cells, iters, ck)
+        case None =>
+          val (a, cOpt) = Similarity.kmeansAssignInternal(emb, cells, iters)
+          (a, cOpt.get)
+      }
+    }(scala.concurrent.ExecutionContext.global)
     val (codes, pqCents) = Similarity.pqTrained(emb, m, subDim, k, iters, corpusKey)
+    val (assigned, cent) = scala.concurrent.Await.result(
+      coarseF, scala.concurrent.duration.Duration.Inf)
     val codeArr = codes.groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("ps"))
       .select(col("vec_id"), expr("transform(ps, p -> p.code)").as("codes"))
