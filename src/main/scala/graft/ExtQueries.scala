@@ -58,6 +58,9 @@ object ExtQueries {
   private lazy val ivfMaintainStreamDir: String =
     TempDirs.create("graft_ivf_maintain_stream")
 
+  private lazy val ivfPqMaintainStreamDir: String =
+    TempDirs.create("graft_ivfpq_maintain_stream")
+
   private lazy val ivfPqMaintainAppendDir: String =
     TempDirs.create("graft_ivfpq_maintain_a") + "/index"
 
@@ -1136,6 +1139,33 @@ object ExtQueries {
       }
       graft.streaming.IvfStream.runPqAppendReplay(
         s, s"$dir/drops/drop=*", s"$dir/index", s"$dir/ckpt")
+      Sink.searchIvfPqIndex(s, all, s"$dir/index", 10, 3, 10, 4, 16)
+    }),
+    // drift-AWARE maintained PQ ingestion — the compressed tier's
+    // control loop: per drop, manifest-geometry maintain decision
+    // (coarse + code PSI tripwires), logged; undrifted drops ≡
+    // one-shot PQ append (oracle shared verbatim), including across
+    // the mid-stream cadence compaction. SIDE EFFECT: temp dirs.
+    "stream_ivfpq_maintain_replay" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfPqMaintainStreamDir
+      Sink.writeIvfPqIndex(all.filter(col("vec_id") < 400),
+        s"$dir/index", 8, 2, 4, 16, 8, corpusKey = Some(d + "#pqbase400"))
+      val batch = all.filter(col("vec_id") >= 400)
+      Seq(("a", 0), ("b", 1), ("c", 2)).foreach { case (tag, r) =>
+        batch.filter(pmod(col("vec_id"), lit(3)) === r)
+          .select("vec_id", "embedding").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/drops/drop=$tag")
+      }
+      graft.streaming.IvfStream.deleteRecursively(s"$dir/log")
+      // tripwire at 0.5 for the drop cadence: the +1-smoothed code PSI
+      // inflates at small batches (the full batch reads 0.126, but a
+      // ~33-vector third can cross 0.25 on smoothing alone — threshold
+      // tracks batch size in production). The retrain path is driven by
+      // IvfAppendSpec, not this demonstration.
+      graft.streaming.IvfStream.runPqMaintainReplay(
+        s, s"$dir/drops/drop=*", s"$dir/index", s"$dir/ckpt", s"$dir/log",
+        threshold = 0.5)
       Sink.searchIvfPqIndex(s, all, s"$dir/index", 10, 3, 10, 4, 16)
     }),
     // the pre-flight for the append: per-cell stored vs incoming
@@ -3946,6 +3976,9 @@ object ExtQueries {
     // streamed drop-at-a-time PQ ingestion ≡ one-shot append: shares
     // the oracle verbatim (order-invariant against frozen artifacts)
     "stream_ivfpq_append_replay" -> ivfPqAppendOracle,
+    // maintained PQ ingestion with no drifted drop ≡ one-shot append —
+    // same oracle verbatim (and the cadence compaction changed nothing)
+    "stream_ivfpq_maintain_replay" -> ivfPqAppendOracle,
     "embed_ivfpq_code_drift" -> ivfPqCodeDriftOracle,
     "embed_pq_topk" ->
       s"""$pqCte

@@ -82,6 +82,26 @@ object IvfStream {
         .write.mode("append").parquet(logDir)
     }
 
+  /** [[runMaintainReplay]] for the COMPRESSED tier: each micro-batch
+    * takes the [[Sink.maintainIvfPqIndex]] decision — geometry from
+    * the index's own manifest, coarse AND per-subspace code PSI as
+    * tripwires, append-or-retrain, compaction cadence — and logs one
+    * row per drop. Undrifted drops leave the served index identical
+    * to a one-shot PQ append (codes and cells depend only on the
+    * frozen stored artifacts), including across a mid-stream
+    * compaction.
+    */
+  def runPqMaintainReplay(spark: SparkSession, dropGlob: String,
+      indexDir: String, checkpointDir: String, logDir: String,
+      threshold: Double = 0.25, compactFilesPerCell: Int = 4): Unit =
+    replayWith(spark, dropGlob, checkpointDir) { (batch, id) =>
+      Sink.maintainIvfPqIndex(spark, batch, indexDir,
+          threshold = threshold, compactFilesPerCell = compactFilesPerCell)
+        .withColumn(
+          "batch_id", org.apache.spark.sql.functions.lit(id))
+        .write.mode("append").parquet(logDir)
+    }
+
   private def replayWith(spark: SparkSession, dropGlob: String,
       checkpointDir: String)(append: (DataFrame, Long) => Unit): Unit = {
     deleteRecursively(checkpointDir)
