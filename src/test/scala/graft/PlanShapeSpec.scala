@@ -83,6 +83,17 @@ class PlanShapeSpec extends SparkSpec {
       s"expected 2 lineitem scans (fact + decorrelated agg), got $lineitemScans")
   }
 
+  test("drift check's stored-population scan reads ZERO data columns") {
+    // ivfAppendDrift counts the stored index per cell; cell is a
+    // PARTITION column, so the grouped count must resolve from
+    // directory names + parquet footer row counts alone (ReadSchema
+    // struct<>) — the maintenance loop's cost is then bounded by FILE
+    // COUNT (which compaction bounds to cells), never by index data
+    val p = plan("embed_ivf_append_drift")
+    assert(p.contains("ReadSchema: struct<>"),
+      s"stored-count scan must prune every data column:\n${p.take(1500)}")
+  }
+
   test("tpch q20 decorrelates both nesting levels — no per-row rescan anywhere") {
     val p = plan("sql_tpch_q20")
     // the IN over ps must become a semi-join, and the correlated
