@@ -258,12 +258,39 @@ object ScaleProbe {
           Sink.searchIvfIndex(spark, emb, dir, 10, 3)
             .write.format("noop").mode("overwrite").save()
         }
+        // re-fragment NARROWLY — three skewed batches landing only in
+        // the first 5% of cells (the regime selective compaction
+        // exists for; full-width fragmentation routes to the full
+        // rewrite via the adaptive guard) — then selective compaction:
+        // cost ∝ the fragmented slice, untouched cells never read
+        val centAged = Sink.loadIvfCentroids(spark, dir)
+        val extra = rest.select(
+          (col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+        val narrow = Similarity.assignWithCentroids(extra, centAged)
+          .filter(col("cell") < math.max(1, (8 * factor) / 20))
+          .select("vec_id")
+          .join(extra, "vec_id").select("vec_id", "embedding")
+          .localCheckpoint()
+        (0 until 3).foreach { b =>
+          Sink.appendToIvfIndex(
+            narrow.filter(pmod(col("vec_id"), lit(3)) === b), dir)
+        }
+        val filesRefrag = Sink.countDataFiles(spark, s"$dir/assignment")
+        var cellsCompacted = 0
+        val sel = timeRaw("ivf_aging_compact_selective") {
+          cellsCompacted = Sink.compactIvfIndexSelective(spark, dir, 2)
+        }
+        val filesSel = Sink.countDataFiles(spark, s"$dir/assignment")
         System.err.println(
           s"[probe] aging files: aged=$filesAged compacted=$filesCompacted " +
-            s"(cells=${8 * factor})")
-        Seq(fresh, aged, compact, post,
+            s"refrag=$filesRefrag selective=$filesSel " +
+            s"cellsCompacted=$cellsCompacted (cells=${8 * factor})")
+        Seq(fresh, aged, compact, post, sel,
           "ivf_aging_files_aged" -> filesAged.toDouble,
-          "ivf_aging_files_compacted" -> filesCompacted.toDouble)
+          "ivf_aging_files_compacted" -> filesCompacted.toDouble,
+          "ivf_aging_files_refrag" -> filesRefrag.toDouble,
+          "ivf_aging_files_selective" -> filesSel.toDouble,
+          "ivf_aging_cells_selective" -> cellsCompacted.toDouble)
       } else Seq.empty
     }
 

@@ -214,6 +214,64 @@ class IvfAppendSpec extends SparkSpec {
       !new java.io.File(dir + "__old").exists())
   }
 
+  test("compactIvfIndexSelective rewrites ONLY fragmented cells; untouched cells byte-identical") {
+    val all = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-ivfselcomp").toString
+    Sink.writeIvfIndex(all.filter(col("vec_id") < 400), dir, cells = 8, iters = 2)
+    // fragment a SUBSET of cells: append only vectors whose
+    // stored-centroid assignment lands in cells 0-2
+    val cent = Sink.loadIvfCentroids(spark, dir)
+    val batch = Similarity.assignWithCentroids(
+        all.filter(col("vec_id") >= 400), cent)
+      .filter(col("cell") < 3).select("vec_id")
+      .join(all, "vec_id").select("vec_id", "embedding")
+    Sink.appendToIvfIndex(batch, dir)
+    val before = Sink.searchIvfIndex(spark, all, dir, 10, 3)
+      .collect().map(_.toSeq).toSeq
+
+    def fileState(): Map[String, (Long, String)] = {
+      import scala.jdk.CollectionConverters._
+      val base = java.nio.file.Paths.get(s"$dir/assignment")
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet"))
+        .map { p =>
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          base.relativize(p).toString -> (bytes.length.toLong,
+            md.digest(bytes).map("%02x".format(_)).mkString)
+        }.toMap
+    }
+    val counts = Sink.cellFileCounts(spark, s"$dir/assignment")
+    assert(counts.values.exists(_ > 1) && counts.values.exists(_ == 1),
+      s"fixture needs mixed fragmentation, got $counts")
+    val st0 = fileState()
+    val n = Sink.compactIvfIndexSelective(spark, dir, minFilesPerCell = 2)
+    assert(n == counts.count(_._2 > 1), s"compacted $n cells, counts $counts")
+    assert(Sink.cellFileCounts(spark, s"$dir/assignment").values.forall(_ == 1))
+    // the single-file (untouched) cells kept their exact bytes —
+    // dynamic overwrite never read or rewrote them
+    val st1 = fileState()
+    val untouched = counts.filter(_._2 == 1).keySet.map(c => s"cell=$c/")
+    def sliceOf(st: Map[String, (Long, String)]) =
+      st.filter { case (path, _) => untouched.exists(path.startsWith) }
+    assert(sliceOf(st0) == sliceOf(st1),
+      "untouched cell files changed under selective compaction")
+    val after = Sink.searchIvfIndex(spark, all, dir, 10, 3)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "selective compaction changed search results")
+    // the structural claim behind "cost ∝ fragmented slice": an isin
+    // on the cell partition column must prune at the DIRECTORY level
+    // (PartitionFilters), so untouched cells are never READ either —
+    // the literal-list shape selective compaction's read side uses
+    val sliced = spark.read.parquet(s"$dir/assignment")
+      .filter(col("cell").isin(Seq(0L, 1L, 2L): _*))
+    sliced.collect()
+    val plan = sliced.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"cell isin must partition-prune:\n${plan.take(1200)}")
+  }
+
   test("maintainIvfPqIndex: manifest-driven geometry, append and retrain branches") {
     val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
     val dir = Files.createTempDirectory("graft-ivfpqmaint").toString + "/index"
