@@ -1158,14 +1158,14 @@ object ExtQueries {
           .write.mode("overwrite").parquet(s"$dir/drops/drop=$tag")
       }
       graft.streaming.IvfStream.deleteRecursively(s"$dir/log")
-      // tripwire at 0.5 for the drop cadence: the +1-smoothed code PSI
-      // inflates at small batches (the full batch reads 0.126, but a
-      // ~33-vector third can cross 0.25 on smoothing alone — threshold
-      // tracks batch size in production). The retrain path is driven by
-      // IvfAppendSpec, not this demonstration.
+      // default threshold holds on ~33-vector drops BECAUSE the
+      // verdict is null-calibrated: the +1-smoothed per-subspace PSI
+      // reads ≈ (k−1)(1/t_new + 1/t_stored) ≈ 0.23 on an undrifted
+      // drop this size, which the raw 0.25 rule mistook for drift
+      // (this query originally needed a hand-raised threshold — the
+      // calibration removed the hack). Retrain path: IvfAppendSpec.
       graft.streaming.IvfStream.runPqMaintainReplay(
-        s, s"$dir/drops/drop=*", s"$dir/index", s"$dir/ckpt", s"$dir/log",
-        threshold = 0.5)
+        s, s"$dir/drops/drop=*", s"$dir/index", s"$dir/ckpt", s"$dir/log")
       Sink.searchIvfPqIndex(s, all, s"$dir/index", 10, 3, 10, 4, 16)
     }),
     // the pre-flight for the append: per-cell stored vs incoming
@@ -3004,15 +3004,19 @@ object ExtQueries {
        |       AS DECIMAL(18,8)) AS term
        |   FROM g CROSS JOIN tt),
        | tot AS (SELECT round(CAST(sum(term) AS DOUBLE), 6) AS psi FROM terms),
+       | nullv AS (SELECT round((n_cells - 1) *
+       |     (1.0 / greatest(t_new, 1) + 1.0 / greatest(t_stored, 1)), 6) AS psi_null
+       |   FROM tt),
        | cnts AS (SELECT (SELECT count(*) FROM e WHERE vec_id < 400) AS nb,
        |          (SELECT count(*) FROM bv) AS nn)
-       | SELECT CASE WHEN tot.psi > 0.25 THEN 'retrain' ELSE 'append' END AS action,
-       |   tot.psi AS psi, tot.psi > 0.25 AS retrain_due,
+       | SELECT CASE WHEN tot.psi > 0.25 + nullv.psi_null
+       |     THEN 'retrain' ELSE 'append' END AS action,
+       |   tot.psi AS psi, tot.psi > 0.25 + nullv.psi_null AS retrain_due,
        |   CAST(cnts.nb AS BIGINT) AS n_stored_before,
        |   CAST(cnts.nn AS BIGINT) AS n_batch,
        |   CAST(cnts.nb + cnts.nn AS BIGINT) AS n_after,
        |   FALSE AS compacted
-       | FROM tot CROSS JOIN cnts""".stripMargin
+       | FROM tot CROSS JOIN nullv CROSS JOIN cnts""".stripMargin
 
   /** [[maintainLogOracle]] extended to the compressed tier: the coarse
     * PSI chain PLUS the per-subspace code PSI chain (the
@@ -3064,18 +3068,27 @@ object ExtQueries {
        |   FROM gc JOIN ttc USING (sub)),
        | psc AS (SELECT sub, round(CAST(sum(term) AS DOUBLE), 6) AS psi
        |         FROM termsc GROUP BY sub),
-       | cm AS (SELECT max(psi) AS psi_code_max FROM psc),
+       | nullv AS (SELECT round((n_cells - 1) *
+       |     (1.0 / greatest(t_new, 1) + 1.0 / greatest(t_stored, 1)), 6) AS psi_null
+       |   FROM tt),
+       | nullc AS (SELECT sub, round((k_sub - 1) *
+       |     (1.0 / greatest(t_new, 1) + 1.0 / greatest(t_stored, 1)), 6) AS psi_null
+       |   FROM ttc),
+       | cm AS (SELECT max(psc.psi) AS psi_code_max,
+       |          CAST(max(CASE WHEN psc.psi > 0.25 + nullc.psi_null
+       |            THEN 1 ELSE 0 END) AS INTEGER) AS any_code_due
+       |        FROM psc JOIN nullc USING (sub)),
        | cnts AS (SELECT (SELECT count(*) FROM e WHERE vec_id < 400) AS nb,
        |          (SELECT count(*) FROM bv) AS nn)
-       | SELECT CASE WHEN tot.psi > 0.25 OR cm.psi_code_max > 0.25
+       | SELECT CASE WHEN tot.psi > 0.25 + nullv.psi_null OR cm.any_code_due = 1
        |     THEN 'retrain' ELSE 'append' END AS action,
        |   tot.psi AS psi_coarse, cm.psi_code_max AS psi_code_max,
-       |   (tot.psi > 0.25 OR cm.psi_code_max > 0.25) AS retrain_due,
+       |   (tot.psi > 0.25 + nullv.psi_null OR cm.any_code_due = 1) AS retrain_due,
        |   CAST(cnts.nb AS BIGINT) AS n_stored_before,
        |   CAST(cnts.nn AS BIGINT) AS n_batch,
        |   CAST(cnts.nb + cnts.nn AS BIGINT) AS n_after,
        |   FALSE AS compacted
-       | FROM tot CROSS JOIN cm CROSS JOIN cnts""".stripMargin
+       | FROM tot CROSS JOIN nullv CROSS JOIN cm CROSS JOIN cnts""".stripMargin
   }
 
   private def kmeansBaseTrainedCte(baseMax: Int): String =
@@ -3287,12 +3300,17 @@ object ExtQueries {
        |       AS DECIMAL(18,8)) AS term
        |   FROM g JOIN tt USING (sub)),
        | ps AS (SELECT sub, round(CAST(sum(term) AS DOUBLE), 6) AS psi
-       |        FROM terms GROUP BY sub)
+       |        FROM terms GROUP BY sub),
+       | nullv AS (SELECT sub, round((k_sub - 1) *
+       |     (1.0 / greatest(t_new, 1) + 1.0 / greatest(t_stored, 1)), 6) AS psi_null
+       |   FROM tt)
        | SELECT terms.sub, code, CAST(n_stored AS BIGINT) AS n_stored,
        |   CAST(n_new AS BIGINT) AS n_new,
        |   round(CAST(term AS DOUBLE), 6) AS psi_term, ps.psi AS psi,
-       |   ps.psi > 0.25 AS retrain_due
-       | FROM terms JOIN ps USING (sub) ORDER BY sub, code""".stripMargin
+       |   nullv.psi_null AS psi_null,
+       |   ps.psi > 0.25 + nullv.psi_null AS retrain_due
+       | FROM terms JOIN ps USING (sub) JOIN nullv USING (sub)
+       | ORDER BY sub, code""".stripMargin
   }
 
   /** The embeddings corpus with deterministic perturbed twins of the
@@ -4085,11 +4103,15 @@ object ExtQueries {
          |       * ln(((n_new + 1) / (t_new + n_cells)) / ((n_stored + 1) / (t_stored + n_cells))), 8)
          |       AS DECIMAL(18,8)) AS term
          |   FROM g CROSS JOIN tt),
-         | tot AS (SELECT round(CAST(sum(term) AS DOUBLE), 6) AS psi FROM terms)
+         | tot AS (SELECT round(CAST(sum(term) AS DOUBLE), 6) AS psi FROM terms),
+         | nullv AS (SELECT round((n_cells - 1) *
+         |     (1.0 / greatest(t_new, 1) + 1.0 / greatest(t_stored, 1)), 6) AS psi_null
+         |   FROM tt)
          | SELECT cell, CAST(n_stored AS BIGINT) AS n_stored, CAST(n_new AS BIGINT) AS n_new,
          |   round(CAST(term AS DOUBLE), 6) AS psi_term, tot.psi AS psi,
-         |   tot.psi > 0.25 AS retrain_due
-         | FROM terms CROSS JOIN tot ORDER BY cell""".stripMargin,
+         |   nullv.psi_null AS psi_null,
+         |   tot.psi > 0.25 + nullv.psi_null AS retrain_due
+         | FROM terms CROSS JOIN tot CROSS JOIN nullv ORDER BY cell""".stripMargin,
     // recall curve: the multiprobe chain per nprobe ∈ {1,2,4} vs the
     // brute-force top-3 ground truth
     "embed_probe_recall_curve" -> probeRecallCurveOracle,

@@ -292,6 +292,47 @@ object ScaleProbe {
           "ivf_aging_files_selective" -> filesSel.toDouble,
           "ivf_aging_cells_selective" -> cellsCompacted.toDouble)
       } else Seq.empty
+    } ++ {
+      // round-12: the composed maintain decision must be
+      // BATCH-proportional — the drift pre-flight counts the stored
+      // index from parquet footers only (plan-pinned ReadSchema
+      // struct<>) and the append is a broadcast pass over the batch —
+      // so maintaining a FIXED-SIZE batch into a ×10 vs ×100 corpus
+      // should cost ~the same. This block times exactly that: the
+      // unreplicated 2000-vector fixture folded into the ×factor index.
+      if (only.isEmpty || only("ivf_maintain")) {
+        import graft.operators.Sink
+        val dir = java.nio.file.Files
+          .createTempDirectory("probe_ivfmaint").toString
+        Sink.writeIvfIndex(emb, dir, cells = 8 * factor, iters = 2)
+        // SAME-DISTRIBUTION batch at ~10 vectors per cell (every 25th
+        // corpus vector), re-keyed — the minimum meaningful drift-check
+        // density: below it even the null-calibrated PSI is
+        // noise-dominated (measured 0.686 at 2.5/cell vs the 0.40
+        // chi-square floor — the formula's low-density regime), and an
+        // out-of-distribution verdict would time a rebuild instead of
+        // the decision loop
+        val batch = emb
+          .filter(pmod(col("vec_id"), lit(25L)) === 0)
+          .select((col("vec_id") + 2000000000L).as("vec_id"), col("embedding"))
+          .localCheckpoint()
+        // DEFAULT threshold — this probe is also the calibration's
+        // regression test: before the null floor landed in the drift
+        // verdict, the ×100 point (800 cells, ~2.5 batch vectors each,
+        // smoothed PSI ≈ 0.4 with NO drift) tripped a spurious
+        // 19-minute full retrain on the raw `psi > 0.25` rule; the
+        // calibrated verdict must take the append branch at both
+        // factors.
+        val t0 = System.nanoTime()
+        val log = Sink.maintainIvfIndex(spark, batch, dir,
+          cells = 8 * factor).head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[probe] ivf_maintain_fixed_batch $dt%8.2f s " +
+            f"(action=${log.getString(0)} psi=${log.getDouble(1)}%.3f)")
+        Seq("ivf_maintain_fixed_batch" -> dt,
+          "ivf_maintain_batch_psi" -> log.getDouble(1))
+      } else Seq.empty
     }
 
     val qj = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

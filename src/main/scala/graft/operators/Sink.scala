@@ -328,10 +328,20 @@ object Sink {
   /** Pre-flight drift check for [[appendToIvfIndex]]: per cell, the
     * stored population vs the incoming batch's would-be population
     * (assigned with the STORED centroids, no retrain), a smoothed PSI
-    * between the two cell-share distributions, and a retrain_due flag
-    * when the total PSI crosses `threshold`. Everything is
-    * cells-sized after the two grouped counts — the windows and the
-    * one-row total joins run over ≤ cells rows.
+    * between the two cell-share distributions, and a retrain_due flag.
+    * Everything is cells-sized after the two grouped counts — the
+    * windows and the one-row total joins run over ≤ cells rows.
+    *
+    * The verdict is NULL-CALIBRATED: a finite batch drawn from the
+    * exact stored distribution still reads a nonzero smoothed PSI —
+    * its expectation is ≈ (cells − 1)·(1/t_new + 1/t_stored) (the
+    * chi-square-style null floor), which DOMINATES when cells ≫ batch
+    * (measured: a same-distribution 2020-vector batch against an
+    * 800-cell ×100 index reads PSI ≈ 0.4 with NO drift — the raw
+    * `psi > threshold` rule tripped a spurious 19-minute full retrain;
+    * at ×10 the floor predicts 0.043 and the batch read 0.034). The
+    * flag therefore fires on `psi > threshold + psi_null`, with
+    * `psi_null` emitted as a column so the calibration is auditable.
     *
     * PSI carrier mirrors [[Corpus.sourceDrift]]: per-cell term rounded
     * to an 8dp DECIMAL so the sum is fold-order free, total rounded 6.
@@ -360,8 +370,13 @@ object Sink {
         round((pN - pS) * log(pN / pS), 8).cast("decimal(18,8)"))
       .withColumn("psi", round(sum("term").over(wAll).cast("double"), 6))
       .withColumn("psi_term", round(col("term").cast("double"), 6))
-      .withColumn("retrain_due", col("psi") > threshold)
-      .select("cell", "n_stored", "n_new", "psi_term", "psi", "retrain_due")
+      .withColumn("psi_null", round(
+        (col("n_cells") - 1).cast("double") *
+          (lit(1.0) / greatest(col("t_new"), lit(1L)) +
+            lit(1.0) / greatest(col("t_stored"), lit(1L))), 6))
+      .withColumn("retrain_due", col("psi") > lit(threshold) + col("psi_null"))
+      .select("cell", "n_stored", "n_new", "psi_term", "psi", "psi_null",
+        "retrain_due")
       .orderBy("cell")
   }
 
@@ -777,10 +792,11 @@ object Sink {
       (driftRows.head.getDouble(0), driftRows.head.getBoolean(1))
     val nStored = driftRows.map(_.getLong(2)).sum
     val nBatch = driftRows.map(_.getLong(3)).sum
-    val psiCodeMax = ivfPqCodeDrift(spark, batch, dir, m, subDim, threshold)
-      .select("sub", "psi").distinct()
-      .agg(max("psi")).head().getDouble(0)
-    val due = coarseDue || psiCodeMax > threshold
+    val codeRows = ivfPqCodeDrift(spark, batch, dir, m, subDim, threshold)
+      .select("sub", "psi", "retrain_due").distinct().collect()
+    val psiCodeMax = codeRows.map(_.getDouble(1)).max
+    val codeDue = codeRows.exists(_.getBoolean(2)) // null-calibrated per sub
+    val due = coarseDue || codeDue
     val filesBefore = countDataFiles(spark, assignPath)
     var compacted = false
     val action = if (due) {
@@ -891,8 +907,16 @@ object Sink {
         round((pN - pS) * log(pN / pS), 8).cast("decimal(18,8)"))
       .withColumn("psi", round(sum("term").over(wSub).cast("double"), 6))
       .withColumn("psi_term", round(col("term").cast("double"), 6))
-      .withColumn("retrain_due", col("psi") > threshold)
-      .select("sub", "code", "n_stored", "n_new", "psi_term", "psi", "retrain_due")
+      // null-calibrated per subspace (the ivfAppendDrift rule): a
+      // small batch against k codes reads (k−1)(1/t_new + 1/t_stored)
+      // of smoothed PSI with no drift at all
+      .withColumn("psi_null", round(
+        (col("k_sub") - 1).cast("double") *
+          (lit(1.0) / greatest(col("t_new"), lit(1L)) +
+            lit(1.0) / greatest(col("t_stored"), lit(1L))), 6))
+      .withColumn("retrain_due", col("psi") > lit(threshold) + col("psi_null"))
+      .select("sub", "code", "n_stored", "n_new", "psi_term", "psi",
+        "psi_null", "retrain_due")
       .orderBy("sub", "code")
   }
 

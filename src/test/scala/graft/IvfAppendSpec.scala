@@ -354,4 +354,34 @@ class IvfAppendSpec extends SparkSpec {
     // the verdict is advisory: nothing was appended by the pre-flight
     assert(spark.read.parquet(s"$dir/assignment").count() == 20)
   }
+
+  test("drift verdict is null-calibrated: a tiny undrifted batch reads its smoothing floor, not drift") {
+    // a finite same-distribution batch against many cells reads a
+    // NONZERO smoothed PSI — expectation ≈ (cells−1)(1/t_new +
+    // 1/t_stored). The raw `psi > threshold` rule mistakes that floor
+    // for drift (measured at ×100: PSI 0.686 on a no-drift batch →
+    // spurious 19-minute retrain); the verdict subtracts the floor.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-ivfnull").toString
+    Sink.writeIvfIndex(e.filter(col("vec_id") < 400), dir, cells = 8, iters = 2)
+    // 10 vectors / 8 cells: DuckDB-mirrored fixture values — psi
+    // 0.271941 (the raw 0.25 rule WOULD flag), floor 0.7175
+    val tiny = e.filter(col("vec_id") >= 400 && col("vec_id") < 410)
+    val rows = Sink.ivfAppendDrift(spark, tiny, dir).collect()
+    val h = rows.head
+    assert(math.abs(h.getAs[Double]("psi") - 0.271941) < 1e-6)
+    assert(h.getAs[Double]("psi") > 0.25,
+      "fixture must sit where the uncalibrated rule fires")
+    // floor = (8−1) × (1/10 + 1/400) = 0.7175 exactly
+    assert(math.abs(h.getAs[Double]("psi_null") - 0.7175) < 1e-6)
+    assert(rows.forall(!_.getAs[Boolean]("retrain_due")),
+      "undrifted batch at its smoothing floor must not flag a retrain")
+    // and a genuinely drifted batch still clears floor + threshold:
+    // shift every coordinate by +10 — far outside the corpus
+    val drifted = tiny.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x + 10.0 AS FLOAT))").as("embedding"))
+    val flagged = Sink.ivfAppendDrift(spark, drifted, dir).collect()
+    assert(flagged.forall(_.getAs[Boolean]("retrain_due")),
+      s"shifted batch must clear the calibrated bar: ${flagged.head}")
+  }
 }
