@@ -95,6 +95,15 @@ object Relational {
     * (the oracle keeps using DuckDB's), parallelism = bucket count
     * instead of 1 — the shape that survives a customer dimension in the
     * hundreds of millions.
+    *
+    * Each ntile level is localCheckpointed before feeding the next:
+    * [[GlobalRank.chunkedRowNumber]] references its input three times
+    * (offsets, monotonicity guard, final join), so CHAINING three of
+    * them un-checkpointed re-executes the upstream plan ~3^depth times
+    * — the un-checkpointed plan held 113 copies of the orders scan and
+    * 400 hash aggregates (measured, round 12). The materialized frame
+    * is one row per customer (the aggregate, never the fact table), so
+    * the checkpoint is dimension-bounded at any corpus size.
     */
   def customerRfm(spark: SparkSession, dir: String): DataFrame = {
     val agg = Tables.orders(spark, dir)
@@ -104,12 +113,14 @@ object Relational {
         count(lit(1)).as("frequency"),
         moneySum(col("o_totalprice")).as("monetary"))
     val total = agg.agg(count(lit(1)).as("__grtotal"))
-    val base = agg.crossJoin(broadcast(total))
+    val base = agg.crossJoin(broadcast(total)).localCheckpoint()
     val r = GlobalRank.chunkedNtile(base,
       -(year(col("last_order")) * lit(12) + month(col("last_order"))).cast("long"),
       Seq(desc("last_order"), col("custkey")), "__grtotal", 5, "r_score")
+      .localCheckpoint()
     val f = GlobalRank.chunkedNtile(r, -col("frequency"),
       Seq(desc("frequency"), col("custkey")), "__grtotal", 5, "f_score")
+      .localCheckpoint()
     val m = GlobalRank.chunkedNtile(f, -floor(col("monetary") / lit(1000.0)).cast("long"),
       Seq(desc("monetary"), col("custkey")), "__grtotal", 5, "m_score")
     m.drop("__grtotal")

@@ -183,14 +183,20 @@ object TextOps {
       maxDfFrac: Double = 0.5): DataFrame = {
     val nDocs = docs.count()
     val maxDf = math.floor(maxDfFrac * nDocs).toLong
+    // vocabulary-sized (one row per kept word) — checkpointed because
+    // chunkedRowNumber references its input three times (offsets,
+    // guard, final join); un-checkpointed that re-runs the corpus-sized
+    // explode+distinct 3x
     val dfreq = spread(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+      .localCheckpoint()
     // exact global rank without the single-partition sort: the df value
     // itself (negated — sort is desc) is the monotone coarse bucket
     GlobalRank.chunkedRowNumber(
-        dfreq.filter(col("df") >= minDf && col("df") <= maxDf),
+        dfreq,
         -col("df"), Seq(desc("df"), col("word")), "rnk")
       .select("rnk", "word", "df")
       .orderBy("rnk")
