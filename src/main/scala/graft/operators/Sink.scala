@@ -37,17 +37,24 @@ object Sink {
     * overwrite of only the touched partitions).
     */
   def upsertInto(spark: SparkSession, path: String, updates: DataFrame): Unit = {
-    val merged = if (pathExists(spark, path)) {
+    val exists = pathExists(spark, path)
+    val merged = if (exists) {
       Merge.upsert(spark.read.parquet(path), updates)
     } else updates
     // write to a temp location then swap, so the source is never read
-    // and overwritten in the same job
+    // and overwritten in the same job. The swap is the crash-recoverable
+    // rename-aside (never delete-then-rename: Hadoop rename signals
+    // failure by returning false, and an unchecked false after the
+    // delete would lose the only live copy).
     val tmp = path + "__tmp"
     writeStocks(merged, tmp)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    if (exists) checkedSwap(spark, tmp, path, "upsertInto")
+    else {
+      val dst = new org.apache.hadoop.fs.Path(path)
+      val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+        s"upsertInto: rename($tmp, $dst) failed — new data remains at $tmp")
+    }
   }
 
   /** Write bars to a (symbol, year)-partitioned layout, date-sorted
