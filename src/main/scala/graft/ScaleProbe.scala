@@ -296,42 +296,69 @@ object ScaleProbe {
       // round-12: the composed maintain decision must be
       // BATCH-proportional — the drift pre-flight counts the stored
       // index from parquet footers only (plan-pinned ReadSchema
-      // struct<>) and the append is a broadcast pass over the batch —
-      // so maintaining a FIXED-SIZE batch into a ×10 vs ×100 corpus
-      // should cost ~the same. This block times exactly that: the
-      // unreplicated 2000-vector fixture folded into the ×factor index.
+      // struct<>) and the append is a broadcast pass over the batch.
+      // Isolate the corpus term by holding BOTH the batch (the
+      // unreplicated sf corpus, re-keyed — same distribution, 25
+      // vectors/cell) and the cell count (80) fixed while the stored
+      // corpus grows ×factor: a batch-proportional decision loop reads
+      // ~flat across factors; anything corpus-shaped shows up as
+      // ×10-vs-×100 growth. (An earlier probe shape scaled batch AND
+      // cells with the factor, which confounded the two terms and —
+      // at 2.5 batch vectors/cell — sat in the low-density regime
+      // where even the null-calibrated PSI is noise; IvfAppendSpec
+      // pins that calibration instead.)
       if (only.isEmpty || only("ivf_maintain")) {
         import graft.operators.Sink
         val dir = java.nio.file.Files
           .createTempDirectory("probe_ivfmaint").toString
-        Sink.writeIvfIndex(emb, dir, cells = 8 * factor, iters = 2)
-        // SAME-DISTRIBUTION batch at ~10 vectors per cell (every 25th
-        // corpus vector), re-keyed — the minimum meaningful drift-check
-        // density: below it even the null-calibrated PSI is
-        // noise-dominated (measured 0.686 at 2.5/cell vs the 0.40
-        // chi-square floor — the formula's low-density regime), and an
-        // out-of-distribution verdict would time a rebuild instead of
-        // the decision loop
+        Sink.writeIvfIndex(emb, dir, cells = 80, iters = 2)
+        // fixed-size SAME-DISTRIBUTION batch: every factor-th vec_id
+        // picks ~2000/factor vectors from EVERY perturbed replica
+        // (replica offsets are multiples of 1e7, ≡ 0 mod factor for
+        // factor 10/100) — 2000 vectors total at any factor, 25 per
+        // cell. Replica 0 alone would NOT do: replicas are
+        // deliberately decorrelated, so a single-replica batch is
+        // out-of-distribution against the mixed index and the probe
+        // would time a retrain instead of the decision loop (measured:
+        // PSI 11.7 at x10).
         val batch = emb
-          .filter(pmod(col("vec_id"), lit(25L)) === 0)
+          .filter(pmod(col("vec_id"), lit(factor.toLong)) === 0)
           .select((col("vec_id") + 2000000000L).as("vec_id"), col("embedding"))
           .localCheckpoint()
-        // DEFAULT threshold — this probe is also the calibration's
-        // regression test: before the null floor landed in the drift
-        // verdict, the ×100 point (800 cells, ~2.5 batch vectors each,
-        // smoothed PSI ≈ 0.4 with NO drift) tripped a spurious
-        // 19-minute full retrain on the raw `psi > 0.25` rule; the
-        // calibrated verdict must take the append branch at both
-        // factors.
         val t0 = System.nanoTime()
         val log = Sink.maintainIvfIndex(spark, batch, dir,
-          cells = 8 * factor).head()
+          cells = 80).head()
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(
           f"[probe] ivf_maintain_fixed_batch $dt%8.2f s " +
             f"(action=${log.getString(0)} psi=${log.getDouble(1)}%.3f)")
         Seq("ivf_maintain_fixed_batch" -> dt,
           "ivf_maintain_batch_psi" -> log.getDouble(1))
+      } else Seq.empty
+    } ++ {
+      // the PQ tier of the same claim: its decision adds the
+      // per-subspace code PSI (m broadcast codebook passes over the
+      // BATCH only) and the append branch two-tier-encodes the batch
+      // (coarse cell + m PQ codes, all broadcast) — so the fixed-batch
+      // maintain must stay ~flat in the corpus factor here too
+      if (only.isEmpty || only("ivfpq_maintain")) {
+        import graft.operators.Sink
+        val dir = java.nio.file.Files
+          .createTempDirectory("probe_ivfpqmaint").toString
+        Sink.writeIvfPqIndex(emb, dir, cells = 80, iters = 2)
+        val batch = emb
+          .filter(pmod(col("vec_id"), lit(factor.toLong)) === 0)
+          .select((col("vec_id") + 2100000000L).as("vec_id"), col("embedding"))
+          .localCheckpoint()
+        val t0 = System.nanoTime()
+        val log = Sink.maintainIvfPqIndex(spark, batch, dir).head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[probe] ivfpq_maintain_fixed_batch $dt%8.2f s " +
+            f"(action=${log.getString(0)} psi_coarse=${log.getDouble(1)}%.3f " +
+            f"psi_code_max=${log.getDouble(2)}%.3f)")
+        Seq("ivfpq_maintain_fixed_batch" -> dt,
+          "ivfpq_maintain_code_psi_max" -> log.getDouble(2))
       } else Seq.empty
     }
 
