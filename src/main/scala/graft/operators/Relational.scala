@@ -118,9 +118,15 @@ object Relational {
       -(year(col("last_order")) * lit(12) + month(col("last_order"))).cast("long"),
       Seq(desc("last_order"), col("custkey")), "__grtotal", 5, "r_score")
       .localCheckpoint()
+    // each eager checkpoint fully consumes its predecessor — release
+    // the superseded block sets instead of pinning them for the
+    // session (the kmeansAssignInternal round-release pattern). Only
+    // `f` must survive: the returned frame still reads from it.
+    org.apache.spark.sql.GraftShims.uncheckpoint(base)
     val f = GlobalRank.chunkedNtile(r, -col("frequency"),
       Seq(desc("frequency"), col("custkey")), "__grtotal", 5, "f_score")
       .localCheckpoint()
+    org.apache.spark.sql.GraftShims.uncheckpoint(r)
     val m = GlobalRank.chunkedNtile(f, -floor(col("monetary") / lit(1000.0)).cast("long"),
       Seq(desc("monetary"), col("custkey")), "__grtotal", 5, "m_score")
     m.drop("__grtotal")

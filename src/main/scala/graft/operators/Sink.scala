@@ -244,18 +244,30 @@ object Sink {
     * opened.
     */
   private def artifactGeneration(spark: SparkSession, path: String): Long = {
+    var mt = 0L; var n = 0L; var bytes = 0L
+    forEachDataFile(spark, path) { f =>
+      mt = math.max(mt, f.getModificationTime); n += 1; bytes += f.getLen
+    }
+    if (n == 0 && !pathExists(spark, path)) -1L
+    else (mt * 31 + n) * 31 + bytes
+  }
+
+  /** The ONE recursive tree walk behind [[artifactGeneration]],
+    * [[countDataFiles]] and [[cellFileCounts]]: visits every data file
+    * (skips _SUCCESS / hidden), no-op on a missing tree. FS metadata
+    * only — never opens a file, never runs a Spark job.
+    */
+  private def forEachDataFile(spark: SparkSession, path: String)(
+      visit: org.apache.hadoop.fs.LocatedFileStatus => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return -1L
+    if (!fs.exists(p)) return
     val it = fs.listFiles(p, true)
-    var mt = 0L; var n = 0L; var bytes = 0L
     while (it.hasNext) {
       val f = it.next()
-      if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) {
-        mt = math.max(mt, f.getModificationTime); n += 1; bytes += f.getLen
-      }
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) visit(f)
     }
-    (mt * 31 + n) * 31 + bytes
   }
 
   /** Loaded stored-artifact cache: serving and maintenance call
@@ -288,6 +300,16 @@ object Sink {
     val key = (spark, path, artifactGeneration(spark, path))
     artifactLoadCache.get(key).getOrElse {
       val df = build.localCheckpoint()
+      // once per artifact generation (cache misses only): an index
+      // artifact table is never legitimately empty, and an empty
+      // broadcast codebook/centroid frame makes every downstream join
+      // silently drop all rows instead of failing
+      if (df.isEmpty) {
+        org.apache.spark.sql.GraftShims.uncheckpoint(df)
+        throw new IllegalArgumentException(
+          s"stored index artifact at $path is empty — zero-row table " +
+            "or missing data files (partial restore / failed rewrite?)")
+      }
       val winner = artifactLoadCache.putIfAbsent(key, df)
       if (winner ne df)
         org.apache.spark.sql.GraftShims.uncheckpoint(df)
@@ -319,13 +341,22 @@ object Sink {
     * far enough from the trained one that a retrain is due — the same
     * contract as [[graft.operators.Dedup.incrementalDedup]] on the
     * text side.
+    *
+    * vec_id is the index key: a batch carrying the same vec_id twice
+    * (a re-delivered drop) appends ONCE — [[dedupBatch]] keeps one
+    * deterministic row per id, matching the drift pre-flight's counts
+    * (its assignment is already per-id). Duplicates against ALREADY
+    * STORED ids are the caller's contract (append-only ingest with
+    * fresh ids), as for any ANN index without a delete path.
     */
   def appendToIvfIndex(newEmb: DataFrame, dir: String): Unit = {
     val spark = newEmb.sparkSession
+    requireIndexKind(spark, dir, "ivf", "appendToIvfIndex")
+    val uniq = dedupBatch(newEmb)
     val cent = loadIvfCentroids(spark, dir)
-    Similarity.assignWithCentroids(newEmb, cent)
+    Similarity.assignWithCentroids(uniq, cent)
       .select("vec_id", "cell")
-      .join(newEmb.select("vec_id", "embedding"), "vec_id")
+      .join(uniq, "vec_id")
       .select("vec_id", "embedding", "cell")
       .repartition(col("cell")) // one appended file per touched cell
       .sortWithinPartitions("cell", "vec_id")
@@ -422,9 +453,31 @@ object Sink {
           (a, cOpt.get)
       }
     }(scala.concurrent.ExecutionContext.global)
-    val (codes, pqCents) = Similarity.pqTrained(emb, m, subDim, k, iters, corpusKey)
-    val (assigned, cent) = scala.concurrent.Await.result(
-      coarseF, scala.concurrent.duration.Duration.Inf)
+    // failure on either training leg must not abandon the other:
+    // the coarse Future keeps running after a pqTrained throw (burning
+    // jobs into a call the caller already saw fail) and whichever leg
+    // succeeded holds keyless checkpoints nothing would ever release
+    val (codes, pqCents) =
+      try Similarity.pqTrained(emb, m, subDim, k, iters, corpusKey)
+      catch { case t: Throwable =>
+        try {
+          val (_, cLeak) = scala.concurrent.Await.result(
+            coarseF, scala.concurrent.duration.Duration.Inf)
+          if (corpusKey.isEmpty)
+            org.apache.spark.sql.GraftShims.uncheckpoint(cLeak)
+        } catch { case _: Throwable => () }
+        throw t
+      }
+    val (assigned, cent) =
+      try scala.concurrent.Await.result(
+        coarseF, scala.concurrent.duration.Duration.Inf)
+      catch { case t: Throwable =>
+        if (corpusKey.isEmpty) {
+          org.apache.spark.sql.GraftShims.uncheckpoint(codes)
+          org.apache.spark.sql.GraftShims.uncheckpoint(pqCents)
+        }
+        throw t
+      }
     val codeArr = codes.groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("ps"))
       .select(col("vec_id"), expr("transform(ps, p -> p.code)").as("codes"))
@@ -474,11 +527,40 @@ object Sink {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val json = fields.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v.forall(c => c.isDigit || c == '-')) v else "\"" + v + "\"")
+      // unquoted only for well-formed integers — the digit-or-dash
+      // heuristic emitted invalid JSON for "" and unquoted garbage for
+      // values like "1-2"
+      "\"" + k + "\":" + (if (v.matches("-?\\d+")) v else "\"" + v + "\"")
     }.mkString("{", ",", "}")
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
+
+  /** One deterministic row per vec_id: min embedding (arrays are
+    * orderable) — a map-side-combinable aggregate over the batch, so
+    * the dedup is batch-proportional. Keeps the appended rows, the
+    * drift pre-flight's counts (already per-id via the assignment
+    * window), and the decision log's n_batch/n_after all consistent
+    * when a batch carries a re-delivered vec_id.
+    */
+  private def dedupBatch(newEmb: DataFrame): DataFrame =
+    newEmb.select("vec_id", "embedding")
+      .groupBy("vec_id").agg(min("embedding").as("embedding"))
+
+  /** Fail loudly when an operator is pointed at an index of the other
+    * layout: `maintainIvfIndex` on an IVF-PQ tree would retrain it into
+    * a plain-IVF tree (destroying the codebooks) or append rows with no
+    * codes column (silently invisible to ADC serving). Kind is checked
+    * whenever the manifest records it; a legacy pre-manifest index has
+    * no kind to check (its callers own the layout, as before).
+    */
+  private def requireIndexKind(spark: SparkSession, dir: String,
+      expected: String, label: String): Unit =
+    readIndexManifest(spark, dir).flatMap(_.get("kind")).foreach { kind =>
+      require(kind == expected,
+        s"$label: index at $dir is kind '$kind', not '$expected' — use " +
+          s"the ${if (kind == "ivfpq") "IVF-PQ" else "IVF"} operator family")
+    }
 
   /** Read back [[writeIndexManifest]]. None for a pre-manifest (legacy)
     * index — callers fall back to deriving geometry from the stored
@@ -515,6 +597,15 @@ object Sink {
           s"stored PQ geometry (m=$sm, subDim=$sd) does not match " +
             s"caller-supplied (m=$m, subDim=$subDim) — pass the values " +
             "the index was written with")
+        // the manifest fast path must not LOSE the loud failure on a
+        // missing codebook table (partial restore, failed rewrite): an
+        // empty broadcast codebook makes every downstream join silently
+        // drop all rows. FS metadata check only — still no Spark job.
+        require(pathExists(spark, s"$dir/pq_centroids") &&
+            countDataFiles(spark, s"$dir/pq_centroids") > 0,
+          s"index at $dir carries a manifest but no PQ codebook data " +
+            "files — the pq_centroids table is missing or empty " +
+            "(partial restore?)")
       case _ => requirePqGeometry(pqc, m, subDim)
     }
 
@@ -609,18 +700,12 @@ object Sink {
     */
   private[graft] def cellFileCounts(spark: SparkSession,
       assignPath: String): Map[Long, Int] = {
-    val p = new org.apache.hadoop.fs.Path(assignPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(p, true)
     val counts = scala.collection.mutable.Map.empty[Long, Int]
     val cellRe = ".*/cell=([0-9]+)/[^/]+$".r
-    while (it.hasNext) {
-      val f = it.next().getPath
-      if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) {
-        f.toString match {
-          case cellRe(c) => counts(c.toLong) = counts.getOrElse(c.toLong, 0) + 1
-          case _ => ()
-        }
+    forEachDataFile(spark, assignPath) { f =>
+      f.getPath.toString match {
+        case cellRe(c) => counts(c.toLong) = counts.getOrElse(c.toLong, 0) + 1
+        case _ => ()
       }
     }
     counts.toMap
@@ -682,14 +767,8 @@ object Sink {
     * while cells stay fixed, and probe cost follows file count.
     */
   private[graft] def countDataFiles(spark: SparkSession, path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(p, true)
     var n = 0
-    while (it.hasNext) {
-      val f = it.next().getPath.getName
-      if (!f.startsWith("_") && !f.startsWith(".")) n += 1
-    }
+    forEachDataFile(spark, path)(_ => n += 1)
     n
   }
 
@@ -720,6 +799,39 @@ object Sink {
       threshold: Double = 0.25, cells: Int = 8, iters: Int = 2,
       compactFilesPerCell: Int = 4): DataFrame = {
     import spark.implicits._
+    requireIndexKind(spark, dir, "ivf", "maintainIvfIndex")
+    val storedCells = readIndexManifest(spark, dir)
+      .flatMap(_.get("cells")).map(_.toInt)
+    val o = maintainCore(spark, batch, dir, threshold, compactFilesPerCell,
+      extraDue = false,
+      cadenceCells = storedCells.getOrElse(
+        spark.read.parquet(s"$dir/centroids").select("cell")
+          .distinct().count().toInt),
+      retrainWrite = (union, tmp) =>
+        writeIvfIndex(union, tmp, storedCells.getOrElse(cells), iters),
+      append = b => appendToIvfIndex(b, dir),
+      label = "maintainIvfIndex")
+    Seq((o.action, o.psi, o.due, o.nStored, o.nBatch, o.nAfter,
+        o.filesBefore, o.filesAfter, o.compacted))
+      .toDF("action", "psi", "retrain_due", "n_stored_before", "n_batch",
+        "n_after", "files_before", "files_after", "compacted")
+  }
+
+  private case class MaintainOutcome(action: String, psi: Double,
+      due: Boolean, nStored: Long, nBatch: Long, nAfter: Long,
+      filesBefore: Int, filesAfter: Int, compacted: Boolean)
+
+  /** The branch-and-log skeleton shared by [[maintainIvfIndex]] and
+    * [[maintainIvfPqIndex]] — ONE implementation of the decision loop
+    * so the two tiers' logs cannot drift apart. Tier-specific parts
+    * come in as values: the extra drift tripwire (the PQ code PSI),
+    * the cadence cell count, and the two writers.
+    */
+  private def maintainCore(spark: SparkSession, batch: DataFrame,
+      dir: String, threshold: Double, compactFilesPerCell: Int,
+      extraDue: Boolean, cadenceCells: => Int,
+      retrainWrite: (DataFrame, String) => Unit,
+      append: DataFrame => Unit, label: String): MaintainOutcome = {
     val assignPath = s"$dir/assignment"
     // ONE collect serves the verdict AND the row counts: the drift
     // frame is cells-sized and already aggregates both populations
@@ -728,44 +840,43 @@ object Sink {
     // re-scan what the drift pass just counted
     val driftRows = ivfAppendDrift(spark, batch, dir, threshold)
       .select("psi", "retrain_due", "n_stored", "n_new").collect()
-    val (psi, due) =
+    val (psi, coarseDue) =
       (driftRows.head.getDouble(0), driftRows.head.getBoolean(1))
     val nStored = driftRows.map(_.getLong(2)).sum
     val nBatch = driftRows.map(_.getLong(3)).sum
+    val touched = driftRows.count(_.getLong(3) > 0)
+    val due = coarseDue || extraDue
     val filesBefore = countDataFiles(spark, assignPath)
-    val storedCells = readIndexManifest(spark, dir)
-      .flatMap(_.get("cells")).map(_.toInt)
     var compacted = false
-    val action = if (due) {
+    val (action, filesAfter) = if (due) {
       val union = spark.read.parquet(assignPath)
         .select("vec_id", "embedding")
-        .unionByName(batch.select("vec_id", "embedding"))
+        .unionByName(dedupBatch(batch))
       val tmp = dir + "__retrain"
-      // writeIvfIndex materializes the union INTO the sibling tree —
+      // the writer materializes the union INTO the sibling tree —
       // every read of the old assignment completes before the swap
-      writeIvfIndex(union, tmp, storedCells.getOrElse(cells), iters)
-      checkedSwap(spark, tmp, dir, "maintainIvfIndex")
-      "retrain"
+      retrainWrite(union, tmp)
+      checkedSwap(spark, tmp, dir, label)
+      ("retrain", countDataFiles(spark, assignPath))
     } else {
-      appendToIvfIndex(batch, dir)
-      val nCells = storedCells.getOrElse(
-        spark.read.parquet(s"$dir/centroids").select("cell").distinct().count().toInt)
-      if (countDataFiles(spark, assignPath) >= compactFilesPerCell * nCells) {
+      append(batch)
+      // one appended file per touched cell (the append layout
+      // invariant) — DERIVE the post-append count instead of
+      // re-listing the whole tree twice; only a compaction (which
+      // rewrites an unknown file set) re-lists for the log
+      val appended = filesBefore + touched
+      if (appended >= compactFilesPerCell * cadenceCells) {
         // SELECTIVE: only fragmented cells rewrite — cost ∝ the
         // appended slivers, never the whole index
         compactIvfIndexSelective(spark, dir, minFilesPerCell = 2)
         compacted = true
-      }
-      "append"
+        ("append", countDataFiles(spark, assignPath))
+      } else ("append", appended)
     }
     // both branches add exactly the batch rows (append is a union;
     // retrain trains on stored ∪ batch) — no post-action table count
-    val nAfter = nStored + nBatch
-    val filesAfter = countDataFiles(spark, assignPath)
-    Seq((action, psi, due, nStored, nBatch, nAfter,
-        filesBefore, filesAfter, compacted))
-      .toDF("action", "psi", "retrain_due", "n_stored_before", "n_batch",
-        "n_after", "files_before", "files_after", "compacted")
+    MaintainOutcome(action, psi, due, nStored, nBatch, nStored + nBatch,
+      filesBefore, filesAfter, compacted)
   }
 
   /** [[maintainIvfIndex]] for the COMPRESSED tier — and the first
@@ -785,49 +896,39 @@ object Sink {
       threshold: Double = 0.25, iters: Int = 2,
       compactFilesPerCell: Int = 4): DataFrame = {
     import spark.implicits._
-    val assignPath = s"$dir/assignment"
-    val mf = readIndexManifest(spark, dir).getOrElse(Map.empty)
-    val cells = mf.get("cells").map(_.toInt).getOrElse(8)
-    val m = mf.get("m").map(_.toInt).getOrElse(4)
-    val subDim = mf.get("subDim").map(_.toInt).getOrElse(16)
-    val k = mf.get("k").map(_.toInt).getOrElse(8)
-    // one collect serves the coarse verdict AND the row counts (the
-    // maintainIvfIndex pattern)
-    val driftRows = ivfAppendDrift(spark, batch, dir, threshold)
-      .select("psi", "retrain_due", "n_stored", "n_new").collect()
-    val (psiCoarse, coarseDue) =
-      (driftRows.head.getDouble(0), driftRows.head.getBoolean(1))
-    val nStored = driftRows.map(_.getLong(2)).sum
-    val nBatch = driftRows.map(_.getLong(3)).sum
+    requireIndexKind(spark, dir, "ivfpq", "maintainIvfPqIndex")
+    val (cells, m, subDim, k) = readIndexManifest(spark, dir) match {
+      case Some(f) if Seq("cells", "m", "subDim", "k").forall(f.contains) =>
+        (f("cells").toInt, f("m").toInt, f("subDim").toInt, f("k").toInt)
+      case _ =>
+        // legacy pre-manifest index: derive the WRITTEN geometry from
+        // the stored artifacts (two bounded aggregates — cells and
+        // m·k·subDim rows). Hardcoded defaults here would silently
+        // retrain e.g. a 32-cell index down to 8 cells.
+        val g = spark.read.parquet(s"$dir/pq_centroids")
+          .agg(countDistinct(col("sub")).as("m"),
+            countDistinct(col("cell")).as("k"),
+            countDistinct(col("i")).as("subDim")).head()
+        require(g.getLong(0) > 0,
+          s"no PQ codebooks found at $dir — the pq_centroids table is " +
+            "empty; not an IVF-PQ index?")
+        val nc = spark.read.parquet(s"$dir/centroids")
+          .agg(countDistinct(col("cell"))).head().getLong(0).toInt
+        (nc, g.getLong(0).toInt, g.getLong(2).toInt, g.getLong(1).toInt)
+    }
     val codeRows = ivfPqCodeDrift(spark, batch, dir, m, subDim, threshold)
       .select("sub", "psi", "retrain_due").distinct().collect()
     val psiCodeMax = codeRows.map(_.getDouble(1)).max
     val codeDue = codeRows.exists(_.getBoolean(2)) // null-calibrated per sub
-    val due = coarseDue || codeDue
-    val filesBefore = countDataFiles(spark, assignPath)
-    var compacted = false
-    val action = if (due) {
-      val union = spark.read.parquet(assignPath)
-        .select("vec_id", "embedding")
-        .unionByName(batch.select("vec_id", "embedding"))
-      val tmp = dir + "__retrain"
-      writeIvfPqIndex(union, tmp, cells, iters, m, subDim, k)
-      checkedSwap(spark, tmp, dir, "maintainIvfPqIndex")
-      "retrain"
-    } else {
-      appendToIvfPqIndex(batch, dir, m, subDim)
-      if (countDataFiles(spark, assignPath) >= compactFilesPerCell * cells) {
-        // selective + schema-agnostic: serves both layouts, rewrites
-        // only fragmented cells
-        compactIvfIndexSelective(spark, dir, minFilesPerCell = 2)
-        compacted = true
-      }
-      "append"
-    }
-    val nAfter = nStored + nBatch // both branches add exactly the batch
-    val filesAfter = countDataFiles(spark, assignPath)
-    Seq((action, psiCoarse, psiCodeMax, due, nStored, nBatch, nAfter,
-        filesBefore, filesAfter, compacted))
+    val o = maintainCore(spark, batch, dir, threshold, compactFilesPerCell,
+      extraDue = codeDue,
+      cadenceCells = cells,
+      retrainWrite = (union, tmp) =>
+        writeIvfPqIndex(union, tmp, cells, iters, m, subDim, k),
+      append = b => appendToIvfPqIndex(b, dir, m, subDim),
+      label = "maintainIvfPqIndex")
+    Seq((o.action, o.psi, psiCodeMax, o.due, o.nStored, o.nBatch, o.nAfter,
+        o.filesBefore, o.filesAfter, o.compacted))
       .toDF("action", "psi_coarse", "psi_code_max", "retrain_due",
         "n_stored_before", "n_batch", "n_after",
         "files_before", "files_after", "compacted")
@@ -846,13 +947,18 @@ object Sink {
   def appendToIvfPqIndex(newEmb: DataFrame, dir: String,
       m: Int = 4, subDim: Int = 16): Unit = {
     val spark = newEmb.sparkSession
+    requireIndexKind(spark, dir, "ivfpq", "appendToIvfPqIndex")
+    // dedupe FIRST (the appendToIvfIndex key contract) — here a
+    // duplicated vec_id would additionally corrupt the codes column:
+    // collect_list over two rows per id yields a 2m-long codes array
+    val uniq = dedupBatch(newEmb)
     val cent = loadIvfCentroids(spark, dir)
-    val coarse = Similarity.assignWithCentroids(newEmb, cent)
+    val coarse = Similarity.assignWithCentroids(uniq, cent)
       .select("vec_id", "cell")
     val pqc = loadPqCentroids(spark, dir)
     checkPqGeometry(spark, dir, pqc, m, subDim)
     val codes = (0 until m).map { s0 =>
-      val sub = newEmb.select(col("vec_id"),
+      val sub = uniq.select(col("vec_id"),
         slice(col("embedding"), s0 * subDim + 1, subDim).as("embedding"))
       Similarity.assignWithCentroids(sub,
           pqc.filter(col("sub") === s0).select("cell", "c"))
@@ -863,7 +969,7 @@ object Sink {
       .select(col("vec_id"), expr("transform(ps, p -> p.code)").as("codes"))
     coarse
       .join(codeArr, "vec_id")
-      .join(newEmb.select("vec_id", "embedding"), "vec_id")
+      .join(uniq, "vec_id")
       .select("vec_id", "codes", "embedding", "cell")
       .repartition(col("cell")) // one appended file per touched cell
       .sortWithinPartitions("cell", "vec_id")

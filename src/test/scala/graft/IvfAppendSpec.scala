@@ -384,4 +384,67 @@ class IvfAppendSpec extends SparkSpec {
     assert(flagged.forall(_.getAs[Boolean]("retrain_due")),
       s"shifted batch must clear the calibrated bar: ${flagged.head}")
   }
+
+  test("kind guard: cross-layout maintenance and appends fail loudly, index untouched") {
+    val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
+    val batch = twoClusters(100L until 110L, id => if (id % 2 == 0) 1 else -1)
+    val dirPq = Files.createTempDirectory("graft-kindpq").toString + "/index"
+    Sink.writeIvfPqIndex(base, dirPq, cells = 2, iters = 2, m = 4, subDim = 16, k = 8)
+    // maintainIvfIndex on an IVF-PQ tree would retrain it into a
+    // plain-IVF tree (destroying the codebooks) or append rows with no
+    // codes column — the manifest kind must stop both
+    val e1 = intercept[IllegalArgumentException] {
+      Sink.maintainIvfIndex(spark, batch, dirPq) }
+    assert(e1.getMessage.contains("kind 'ivfpq'"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Sink.appendToIvfIndex(batch, dirPq) }
+    assert(e2.getMessage.contains("kind 'ivfpq'"), e2.getMessage)
+    // guard fired before any mutation
+    assert(spark.read.parquet(s"$dirPq/pq_centroids").count() > 0)
+    assert(spark.read.parquet(s"$dirPq/assignment").count() == 20)
+    val dirIvf = Files.createTempDirectory("graft-kindivf").toString + "/index"
+    Sink.writeIvfIndex(base, dirIvf, cells = 2, iters = 2)
+    val e3 = intercept[IllegalArgumentException] {
+      Sink.maintainIvfPqIndex(spark, batch, dirIvf) }
+    assert(e3.getMessage.contains("kind 'ivf'"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      Sink.appendToIvfPqIndex(batch, dirIvf) }
+    assert(e4.getMessage.contains("kind 'ivf'"), e4.getMessage)
+  }
+
+  test("legacy PQ index: maintenance derives the written geometry instead of defaulting") {
+    val base = twoClusters(0L until 40L, id => if (id % 2 == 0) 1 else -1)
+    val dir = Files.createTempDirectory("graft-legacygeo").toString + "/index"
+    Sink.writeIvfPqIndex(base, dir, cells = 4, iters = 2, m = 4, subDim = 16, k = 8)
+    val cellsWritten = spark.read.parquet(s"$dir/centroids")
+      .select("cell").distinct().count()
+    // strip the manifest — the pre-manifest on-disk layout
+    assert(new java.io.File(s"$dir/_graft_manifest.json").delete())
+    // drifted batch → retrain: the rebuilt index must keep the WRITTEN
+    // cell count (a hardcoded default would silently collapse it)
+    val skew = twoClusters(200L until 220L, _ => 1)
+    val log = Sink.maintainIvfPqIndex(spark, skew, dir).head()
+    assert(log.getAs[String]("action") == "retrain", s"skew must retrain: $log")
+    val cellsAfter = spark.read.parquet(s"$dir/centroids")
+      .select("cell").distinct().count()
+    assert(cellsAfter == cellsWritten,
+      s"retrain must preserve the written cell count $cellsWritten, got $cellsAfter")
+  }
+
+  test("a re-delivered vec_id appends once, and the decision log matches the table") {
+    val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
+    val dir = Files.createTempDirectory("graft-dupid").toString + "/index"
+    Sink.writeIvfIndex(base, dir, cells = 2, iters = 2)
+    // vec_id 100 delivered twice (a re-sent drop; the fixture derives
+    // the embedding from the id, so the two rows are byte-identical —
+    // the realistic duplicate)
+    val dup = twoClusters(Seq(100L, 101L, 100L), _ => 1)
+    val log = Sink.maintainIvfIndex(spark, dup, dir).head()
+    assert(log.getAs[Long]("n_batch") == 2, s"per-id batch count: $log")
+    val stored = spark.read.parquet(s"$dir/assignment")
+    assert(stored.count() == log.getAs[Long]("n_after"),
+      "decision log must agree with count(*) over the index")
+    assert(stored.filter(col("vec_id") === 100L).count() == 1,
+      "the duplicated id must land exactly once")
+  }
 }
