@@ -37,6 +37,8 @@ object ExtQueries {
 
   private lazy val ivfDriftDir: String = TempDirs.create("graft_ivf_drift")
 
+  private lazy val ivfDeleteDir: String = TempDirs.create("graft_ivf_delete")
+
   private lazy val ivfStreamDir: String = TempDirs.create("graft_ivf_stream")
 
   private lazy val ivfPqDir: String = TempDirs.create("graft_ivfpq")
@@ -1081,6 +1083,24 @@ object ExtQueries {
       Sink.writeIvfIndex(all.filter(col("vec_id") < 400), dir, 8, 2,
         corpusKey = Some(d + "#pqbase400"))
       Sink.appendToIvfIndex(all.filter(col("vec_id") >= 400), dir)
+      Sink.searchIvfIndex(s, all, dir, 10, 3)
+    }),
+    // the DELETE stage of the index lifecycle: tombstoned ids vanish
+    // from serving immediately (broadcast anti-join over the id-only
+    // tombstone table — a delete never touches the corpus-sized
+    // assignment) and the next whole-index rewrite purges them
+    // physically. Deleted ids STILL QUERY (the query side is the
+    // caller's frame, not the index): qid 3 is tombstoned here and
+    // keeps its result rows while never appearing as a neighbor.
+    // SIDE EFFECT: rewrites the temp index dir per evaluation.
+    "embed_ivf_delete_search" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfDeleteDir
+      Sink.writeIvfIndex(all.filter(col("vec_id") < 400), dir, 8, 2,
+        corpusKey = Some(d + "#pqbase400"))
+      Sink.appendToIvfIndex(all.filter(col("vec_id") >= 400), dir)
+      Sink.deleteFromIvfIndex(s, dir,
+        all.filter(pmod(col("vec_id"), lit(17L)) === 3).select("vec_id"))
       Sink.searchIvfIndex(s, all, dir, 10, 3)
     }),
     // the FAISS-style stored IVF-PQ index: coarse cells partition the
@@ -2383,6 +2403,32 @@ object ExtQueries {
        |       FROM q JOIN wc ON q.qcell = wc.cell AND q.qid <> wc.vec_id,
        |            UNNEST(range(1, 65)) t(i)
        |       GROUP BY qid, cell, wc.vec_id),
+       | r AS (SELECT qid, cell, vec_id, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+       |       FROM p)
+       | SELECT qid, cell, rnk, vec_id, cos FROM r WHERE rnk <= 3
+       | ORDER BY qid, rnk""".stripMargin
+
+  /** [[ivfAppendSearchOracle]] with the tombstoned ids (vec_id ≡ 3
+    * mod 17) removed from the CANDIDATE side only: deleted ids still
+    * query (the query frame is the caller's, not the index), they just
+    * never serve as neighbors. Mirrors the broadcast anti-join the
+    * stored search applies over the tombstone table.
+    */
+  private lazy val ivfDeleteSearchOracle: String =
+    s"""${kmeansBaseTrainedCte(400)},
+       | wc AS (SELECT emb.vec_id, emb.embedding, a2.cell
+       |        FROM embeddings emb JOIN a2 USING (vec_id)),
+       | q AS (SELECT vec_id AS qid, embedding AS qe, cell AS qcell
+       |       FROM wc WHERE vec_id < 10),
+       | live AS (SELECT * FROM wc WHERE vec_id % 17 <> 3),
+       | p AS (SELECT qid, cell, live.vec_id,
+       |         round(SUM(CAST(qe[i] AS DOUBLE) * CAST(live.embedding[i] AS DOUBLE)) /
+       |           (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+       |            sqrt(SUM(CAST(live.embedding[i] AS DOUBLE) * CAST(live.embedding[i] AS DOUBLE)))), 4) AS cos
+       |       FROM q JOIN live ON q.qcell = live.cell AND q.qid <> live.vec_id,
+       |            UNNEST(range(1, 65)) t(i)
+       |       GROUP BY qid, cell, live.vec_id),
        | r AS (SELECT qid, cell, vec_id, cos,
        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
        |       FROM p)
@@ -4061,6 +4107,7 @@ object ExtQueries {
     // centroids, serve the union — the search tail mirrors
     // embed_ivf_topk over the base-trained a2
     "embed_ivf_append_search" -> ivfAppendSearchOracle,
+    "embed_ivf_delete_search" -> ivfDeleteSearchOracle,
     // drop-at-a-time streaming ingestion lands the identical index
     // (appends are an order-invariant set union against the frozen
     // centroids), so the replay shares the one-shot append oracle

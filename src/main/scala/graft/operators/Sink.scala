@@ -232,6 +232,9 @@ object Sink {
       .write.mode("overwrite").parquet(s"$dir/centroids")
     writeIndexManifest(spark = emb.sparkSession, dir = dir,
       fields = Seq("kind" -> "ivf", "cells" -> cells.toString))
+    // a full (re)write is a new generation — tombstones against the
+    // REPLACED rows must not mask the new content
+    clearTombstones(emb.sparkSession, dir)
     if (corpusKey.isEmpty)
       org.apache.spark.sql.GraftShims.uncheckpoint(cent)
   }
@@ -497,6 +500,9 @@ object Sink {
     writeIndexManifest(spark = emb.sparkSession, dir = dir,
       fields = Seq("kind" -> "ivfpq", "cells" -> cells.toString,
         "m" -> m.toString, "subDim" -> subDim.toString, "k" -> k.toString))
+    // new generation — stale tombstones must not mask the new content
+    // (the writeIvfIndex contract)
+    clearTombstones(emb.sparkSession, dir)
     if (corpusKey.isEmpty) {
       org.apache.spark.sql.GraftShims.uncheckpoint(cent)
       org.apache.spark.sql.GraftShims.uncheckpoint(codes)
@@ -534,6 +540,52 @@ object Sink {
     }.mkString("{", ",", "}")
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Tombstone-delete from a stored index (either layout — deletion is
+    * assignment-level): the ids land as one tiny id-only parquet file
+    * beside the index; both search paths mask them with a broadcast
+    * anti-join, and the next WHOLE-INDEX rewrite (a maintenance
+    * retrain, or [[compactIvfIndex]]) purges the rows physically and
+    * clears the tombstones. Cost model: a delete writes O(ids) bytes
+    * and never touches the corpus-sized assignment; serving pays one
+    * broadcast anti-join only while tombstones exist; the purge rides
+    * rewrites that were already rewriting every row.
+    *
+    * Contract: a tombstoned id is DEAD until a purge clears it —
+    * appending the same id again stays masked (no timestamp ordering
+    * between a delete and a later insert; to re-insert, compact first).
+    * Selective compaction does not purge (it rewrites only fragmented
+    * cells, so it could not clear the tombstone set safely).
+    */
+  def deleteFromIvfIndex(spark: SparkSession, dir: String,
+      ids: DataFrame): Unit =
+    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .coalesce(1) // id lists are tiny; one file per delete call
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** The live tombstone set — None when no delete has ever happened,
+    * so serving plans are untouched on tombstone-free indexes (FS
+    * metadata check only).
+    */
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (countDataFiles(spark, s"$dir/tombstones") > 0)
+      Some(spark.read.parquet(s"$dir/tombstones").select("vec_id").distinct())
+    else None
+
+  /** Mask tombstoned rows out of an assignment scan — identity when
+    * the index has no tombstones.
+    */
+  private def maskTombstones(spark: SparkSession, dir: String,
+      assignment: DataFrame): DataFrame =
+    tombstones(spark, dir)
+      .map(t => assignment.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(assignment)
+
+  private def clearTombstones(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true): Unit
   }
 
   /** One deterministic row per vec_id: min embedding (arrays are
@@ -642,7 +694,9 @@ object Sink {
     */
   def compactIvfIndex(spark: SparkSession, dir: String): Unit = {
     val tmp = s"$dir/assignment__compact"
-    spark.read.parquet(s"$dir/assignment")
+    // the full rewrite is the purge point for tombstoned rows — the
+    // anti-join rides a pass that was already rewriting every row
+    maskTombstones(spark, dir, spark.read.parquet(s"$dir/assignment"))
       .repartition(col("cell"))
       .sortWithinPartitions("cell", "vec_id")
       .write.mode("overwrite")
@@ -660,6 +714,10 @@ object Sink {
     // a non-default scheme (s3a://, hdfs://) swaps against the right
     // store.
     checkedSwap(spark, tmp, s"$dir/assignment", "compactIvfIndex")
+    // rows are purged — dead tombstones would only mask future appends
+    // that legitimately reuse the ids. Crash between swap and clear is
+    // safe: tombstones over already-purged ids anti-join nothing.
+    clearTombstones(spark, dir)
   }
 
   /** Rename-aside tree swap with CHECKED renames: `tmp` replaces
@@ -842,21 +900,32 @@ object Sink {
       .select("psi", "retrain_due", "n_stored", "n_new").collect()
     val (psi, coarseDue) =
       (driftRows.head.getDouble(0), driftRows.head.getBoolean(1))
-    val nStored = driftRows.map(_.getLong(2)).sum
+    // LIVE counts for the log: the drift frame counts physical rows
+    // (footer-only by design — it cannot see tombstones), so subtract
+    // the tombstone set once (a tiny id-only table; zero cost when no
+    // delete ever happened). Both branches then land on the same
+    // n_after = live + batch: the append masks tombstoned rows at
+    // serve time, the retrain purges them physically.
+    val nTomb = tombstones(spark, dir).map(_.count()).getOrElse(0L)
+    val nStored = driftRows.map(_.getLong(2)).sum - nTomb
     val nBatch = driftRows.map(_.getLong(3)).sum
     val touched = driftRows.count(_.getLong(3) > 0)
     val due = coarseDue || extraDue
     val filesBefore = countDataFiles(spark, assignPath)
     var compacted = false
     val (action, filesAfter) = if (due) {
-      val union = spark.read.parquet(assignPath)
-        .select("vec_id", "embedding")
-        .unionByName(dedupBatch(batch))
+      // tombstones win over ANY pending content (the deleteFromIvfIndex
+      // contract): mask the stored side AND the batch side, then the
+      // rebuilt index starts clean and the tombstones die with it
+      val union = maskTombstones(spark, dir,
+        spark.read.parquet(assignPath).select("vec_id", "embedding")
+          .unionByName(dedupBatch(batch)))
       val tmp = dir + "__retrain"
       // the writer materializes the union INTO the sibling tree —
       // every read of the old assignment completes before the swap
       retrainWrite(union, tmp)
       checkedSwap(spark, tmp, dir, label)
+      clearTombstones(spark, dir)
       ("retrain", countDataFiles(spark, assignPath))
     } else {
       append(batch)
@@ -1078,8 +1147,9 @@ object Sink {
     // serving stages must scan ONLY the probed cell partitions
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0))
-    val assignment = spark.read.parquet(s"$dir/assignment")
-      .filter(col("cell").isin(probedCells: _*))
+    val assignment = maskTombstones(spark, dir,
+      spark.read.parquet(s"$dir/assignment")
+        .filter(col("cell").isin(probedCells: _*)))
     // stage 2: codes-only projection of the probed cells; the ADC sum
     // is exact DECIMAL so ranking never touches a folded double
     val adc = assignment.select("vec_id", "codes", "cell")
@@ -1146,8 +1216,9 @@ object Sink {
     val cand = probes.join(q.select("qid", "qe"), "qid")
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0))
-    val assignment = spark.read.parquet(s"$dir/assignment")
-      .filter(col("cell").isin(probedCells: _*))
+    val assignment = maskTombstones(spark, dir,
+      spark.read.parquet(s"$dir/assignment")
+        .filter(col("cell").isin(probedCells: _*)))
     val scored = assignment
       .join(broadcast(cand), "cell")
       .filter(col("qid") =!= col("vec_id"))

@@ -431,6 +431,90 @@ class IvfAppendSpec extends SparkSpec {
       s"retrain must preserve the written cell count $cellsWritten, got $cellsAfter")
   }
 
+  test("tombstone delete: masked at serve, purged on full compaction, clean tombstones") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
+    val dir = Files.createTempDirectory("graft-ivfdel").toString + "/index"
+    Sink.writeIvfIndex(base, dir, cells = 2, iters = 2)
+    val before = Sink.searchIvfIndex(spark, base, dir, nQueries = 4, k = 3)
+      .collect()
+    // delete two ids that WERE serving as neighbors
+    val dead = before.map(_.getAs[Long]("vec_id")).distinct.take(2)
+    Sink.deleteFromIvfIndex(spark, dir, dead.toSeq.toDF("vec_id"))
+    val after = Sink.searchIvfIndex(spark, base, dir, nQueries = 4, k = 3)
+      .collect()
+    assert(!after.exists(r => dead.contains(r.getAs[Long]("vec_id"))),
+      s"tombstoned ids ${dead.toSeq} still served: ${after.toSeq}")
+    // still k results per query — the masked rows are replaced by the
+    // next-best live neighbors, not by holes
+    assert(after.count(_.getAs[Long]("qid") == 0L) == 3)
+    // physical rows still present until a purge
+    assert(spark.read.parquet(s"$dir/assignment").count() == 20)
+    // appending a tombstoned id does NOT resurrect it
+    Sink.appendToIvfIndex(
+      twoClusters(Seq(dead.head), _ => 1), dir)
+    val afterApp = Sink.searchIvfIndex(spark, base, dir, nQueries = 4, k = 3)
+      .collect()
+    assert(!afterApp.exists(r => r.getAs[Long]("vec_id") == dead.head),
+      "a tombstoned id must stay dead across appends (no purge yet)")
+    // full compaction purges physically and clears the tombstones
+    Sink.compactIvfIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/assignment")
+      .filter(col("vec_id").isin(dead.map(java.lang.Long.valueOf): _*))
+      .count() == 0, "purge must drop tombstoned rows physically")
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "tombstones must clear with the purge")
+    // search result identical to the pre-compaction masked one
+    val afterCompact = Sink.searchIvfIndex(spark, base, dir, nQueries = 4, k = 3)
+      .collect()
+    assert(afterCompact.map(_.toSeq).toSeq ==
+      afterApp.filter(r => r.getAs[Long]("vec_id") != dead.head).map(_.toSeq).toSeq ||
+      afterCompact.map(_.toSeq).toSeq == after.map(_.toSeq).toSeq,
+      "masking and purging must serve the same live neighbors")
+  }
+
+  test("tombstones mask the PQ serving path too (ADC and rerank)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-pqdel").toString + "/index"
+    Sink.writeIvfPqIndex(e, dir, cells = 8, iters = 2, m = 4, subDim = 16, k = 8)
+    val before = Sink.searchIvfPqIndex(spark, e, dir, 10, 3, 10, 4, 16).collect()
+    val dead = before.map(_.getAs[Long]("vec_id")).distinct.take(3)
+    Sink.deleteFromIvfIndex(spark, dir, dead.toSeq.toDF("vec_id"))
+    val after = Sink.searchIvfPqIndex(spark, e, dir, 10, 3, 10, 4, 16).collect()
+    assert(!after.exists(r => dead.contains(r.getAs[Long]("vec_id"))),
+      s"tombstoned ids ${dead.toSeq} still served by the PQ path")
+    assert(after.count(_.getAs[Long]("qid") == 0L) == 3,
+      "masked candidates must be replaced by next-best live neighbors")
+  }
+
+  test("maintenance retrain purges tombstones and logs live counts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
+    val dir = Files.createTempDirectory("graft-ivfdelmaint").toString + "/index"
+    Sink.writeIvfIndex(base, dir, cells = 2, iters = 2)
+    Sink.deleteFromIvfIndex(spark, dir, Seq(0L, 2L, 4L).toDF("vec_id"))
+    // undrifted batch → append branch: log counts LIVE rows
+    val bal = twoClusters(100L until 110L, id => if (id % 2 == 0) 1 else -1)
+    val log1 = Sink.maintainIvfIndex(spark, bal, dir).head()
+    assert(log1.getAs[String]("action") == "append")
+    assert(log1.getAs[Long]("n_stored_before") == 17, s"live stored: $log1")
+    assert(log1.getAs[Long]("n_after") == 27, s"live after: $log1")
+    // skewed batch → retrain: tombstoned rows die physically and the
+    // rebuilt index starts with a clean tombstone set
+    val skew = twoClusters(200L until 210L, _ => 1)
+    val log2 = Sink.maintainIvfIndex(spark, skew, dir).head()
+    assert(log2.getAs[String]("action") == "retrain")
+    assert(log2.getAs[Long]("n_after") == 37, s"live after retrain: $log2")
+    assert(spark.read.parquet(s"$dir/assignment").count() == 37)
+    assert(spark.read.parquet(s"$dir/assignment")
+      .filter(col("vec_id").isin(0L, 2L, 4L)).count() == 0)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+  }
+
   test("a re-delivered vec_id appends once, and the decision log matches the table") {
     val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
     val dir = Files.createTempDirectory("graft-dupid").toString + "/index"
