@@ -360,6 +360,36 @@ object ScaleProbe {
         Seq("ivfpq_maintain_fixed_batch" -> dt,
           "ivfpq_maintain_code_psi_max" -> log.getDouble(2))
       } else Seq.empty
+    } ++ {
+      // tombstone-delete serving tax: the masked search pays one
+      // broadcast anti-join against an id-only table — the cost must
+      // track the TOMBSTONE count (tiny), not the corpus, and the
+      // full-compaction purge must return serving to the unmasked
+      // latency with the tombstones gone
+      if (only.isEmpty || only("ivf_delete")) {
+        import graft.operators.Sink
+        val dir = java.nio.file.Files
+          .createTempDirectory("probe_ivfdel").toString
+        Sink.writeIvfIndex(emb, dir, cells = 80, iters = 2)
+        def timeSearch(tag: String): Double = {
+          val t0 = System.nanoTime()
+          Sink.searchIvfIndex(spark, emb, dir, nQueries = 10, k = 3,
+            nprobe = 2).write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[probe] ivf_delete_search_$tag%-9s $dt%8.2f s")
+          dt
+        }
+        val base = timeSearch("clean")
+        // delete 1% of the corpus — ids spread across every replica
+        Sink.deleteFromIvfIndex(spark, dir,
+          emb.filter(pmod(col("vec_id"), lit(100L)) === 7).select("vec_id"))
+        val masked = timeSearch("masked")
+        Sink.compactIvfIndex(spark, dir)
+        val purged = timeSearch("purged")
+        Seq("ivf_delete_search_clean" -> base,
+          "ivf_delete_search_masked" -> masked,
+          "ivf_delete_search_purged" -> purged)
+      } else Seq.empty
     }
 
     val qj = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
