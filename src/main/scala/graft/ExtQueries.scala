@@ -39,6 +39,8 @@ object ExtQueries {
 
   private lazy val ivfDeleteDir: String = TempDirs.create("graft_ivf_delete")
 
+  private lazy val ivfCdcDir: String = TempDirs.create("graft_ivf_cdc")
+
   private lazy val ivfStreamDir: String = TempDirs.create("graft_ivf_stream")
 
   private lazy val ivfPqDir: String = TempDirs.create("graft_ivfpq")
@@ -1310,6 +1312,35 @@ object ExtQueries {
           .write.mode("overwrite").parquet(s"$dir/drops/drop=$tag")
       }
       graft.streaming.IvfStream.runAppendReplay(
+        s, s"$dir/drops/drop=*", s"$dir/index", s"$dir/ckpt")
+      Sink.searchIvfIndex(s, all, s"$dir/index", 10, 3)
+    }),
+    // CDC-shaped streaming ingestion: adds AND deletes arrive through
+    // ONE drop stream, each micro-batch appending its adds against the
+    // frozen centroids and tombstoning its delete ids. No id is
+    // re-added after its delete here, so the replay is order-invariant
+    // and the final served set equals the one-shot path — shares
+    // embed_ivf_delete_search's oracle VERBATIM. SIDE EFFECT: rewrites
+    // the temp index dir per evaluation (idempotent — a fresh index
+    // write clears the previous evaluation's tombstones).
+    "stream_ivf_delete_replay" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfCdcDir
+      Sink.writeIvfIndex(all.filter(col("vec_id") < 400), s"$dir/index", 8, 2,
+        corpusKey = Some(d + "#pqbase400"))
+      val adds = all.filter(col("vec_id") >= 400)
+        .select(col("vec_id"), col("embedding"), lit("add").as("op"))
+      Seq(("a", 0), ("b", 1)).foreach { case (tag, r) =>
+        adds.filter(pmod(col("vec_id"), lit(2)) === r).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/drops/drop=$tag")
+      }
+      all.filter(pmod(col("vec_id"), lit(17L)) === 3)
+        .select(col("vec_id"),
+          lit(null).cast("array<float>").as("embedding"),
+          lit("delete").as("op"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/drops/drop=del")
+      graft.streaming.IvfStream.runCdcReplay(
         s, s"$dir/drops/drop=*", s"$dir/index", s"$dir/ckpt")
       Sink.searchIvfIndex(s, all, s"$dir/index", 10, 3)
     }),
@@ -4112,6 +4143,9 @@ object ExtQueries {
     // (appends are an order-invariant set union against the frozen
     // centroids), so the replay shares the one-shot append oracle
     "stream_ivf_append_replay" -> ivfAppendSearchOracle,
+    // the CDC replay never re-adds a deleted id, so its served set is
+    // the one-shot delete path's — oracle shared verbatim
+    "stream_ivf_delete_replay" -> ivfDeleteSearchOracle,
     // drift-AWARE maintained ingestion: with no drop drifting, every
     // micro-batch decision is an append (plus one cadence compaction,
     // provably result-free), so the served index — and this oracle —

@@ -27,6 +27,14 @@ object IvfStream {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
+  /** CDC drop schema: `op` is "add" (embedding present) or "delete"
+    * (embedding null — only the id matters).
+    */
+  val cdcSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("op", StringType)))
+
   /** Recursive delete for the per-run checkpoint: the replay must
     * re-process every drop on each evaluation (a stale checkpoint
     * would silently skip them after the index reset).
@@ -102,11 +110,35 @@ object IvfStream {
         .write.mode("append").parquet(logDir)
     }
 
+  /** CDC-shaped streaming ingestion — drops carry ADDS and DELETES
+    * through one stream: each micro-batch appends its "add" rows
+    * against the frozen centroids and tombstones its "delete" ids
+    * ([[Sink.deleteFromIvfIndex]]). Replay order is irrelevant AS LONG
+    * AS no id is re-added after its delete: appends are a set union,
+    * and a tombstone masks its id whether it was written before or
+    * after the row arrived (tombstone-wins — the deleteFromIvfIndex
+    * contract; there is no sequence ordering between a delete and a
+    * later re-insert of the SAME id, so a CDC feed that resurrects ids
+    * must compact between the delete and the re-add).
+    */
+  def runCdcReplay(spark: SparkSession, dropGlob: String,
+      indexDir: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    replayWith(spark, dropGlob, checkpointDir, cdcSchema) { (batch, _) =>
+      val adds = batch.filter(col("op") === "add")
+        .select("vec_id", "embedding")
+      val dels = batch.filter(col("op") === "delete").select("vec_id")
+      if (!adds.isEmpty) Sink.appendToIvfIndex(adds, indexDir)
+      if (!dels.isEmpty) Sink.deleteFromIvfIndex(spark, indexDir, dels)
+    }
+  }
+
   private def replayWith(spark: SparkSession, dropGlob: String,
-      checkpointDir: String)(append: (DataFrame, Long) => Unit): Unit = {
+      checkpointDir: String, dropSchema: StructType = schema)(
+      append: (DataFrame, Long) => Unit): Unit = {
     deleteRecursively(checkpointDir)
     val stream = spark.readStream
-      .schema(schema)
+      .schema(dropSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dropGlob)
     val q = stream.writeStream

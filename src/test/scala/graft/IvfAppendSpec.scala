@@ -490,6 +490,39 @@ class IvfAppendSpec extends SparkSpec {
       "masked candidates must be replaced by next-best live neighbors")
   }
 
+  test("CDC replay: interleaved adds and deletes land the one-shot result") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
+    val root = Files.createTempDirectory("graft-cdc").toString
+    // one-shot twin: append everything, then delete
+    val oneDir = s"$root/oneshot"
+    Sink.writeIvfIndex(base, oneDir, cells = 2, iters = 2)
+    val adds = twoClusters(100L until 110L, id => if (id % 2 == 0) 1 else -1)
+    Sink.appendToIvfIndex(adds, oneDir)
+    Sink.deleteFromIvfIndex(spark, oneDir, Seq(0L, 104L).toDF("vec_id"))
+    val expected = Sink.searchIvfIndex(spark, base, oneDir, 4, 3)
+      .collect().map(_.toSeq).toSeq
+    // CDC replay: the delete drop sits BETWEEN the two add drops, and
+    // deletes id 104 before its add arrives — tombstone-wins makes the
+    // order irrelevant
+    val cdcDir = s"$root/cdc"
+    Sink.writeIvfIndex(base, cdcDir, cells = 2, iters = 2)
+    adds.filter(col("vec_id") < 105).withColumn("op", lit("add"))
+      .coalesce(1).write.parquet(s"$root/drops/drop=a")
+    Seq(0L, 104L).toDF("vec_id")
+      .select(col("vec_id"), lit(null).cast("array<float>").as("embedding"),
+        lit("delete").as("op"))
+      .coalesce(1).write.parquet(s"$root/drops/drop=b_del")
+    adds.filter(col("vec_id") >= 105).withColumn("op", lit("add"))
+      .coalesce(1).write.parquet(s"$root/drops/drop=c")
+    graft.streaming.IvfStream.runCdcReplay(
+      spark, s"$root/drops/drop=*", cdcDir, s"$root/ckpt")
+    val got = Sink.searchIvfIndex(spark, base, cdcDir, 4, 3)
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected, s"CDC replay diverged from one-shot:\n$got\n$expected")
+  }
+
   test("maintenance retrain purges tombstones and logs live counts") {
     val spark2 = spark
     import spark2.implicits._
