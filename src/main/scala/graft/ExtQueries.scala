@@ -41,6 +41,8 @@ object ExtQueries {
 
   private lazy val ivfCdcDir: String = TempDirs.create("graft_ivf_cdc")
 
+  private lazy val ivfPqDeleteDir: String = TempDirs.create("graft_ivfpq_delete")
+
   private lazy val ivfStreamDir: String = TempDirs.create("graft_ivf_stream")
 
   private lazy val ivfPqDir: String = TempDirs.create("graft_ivfpq")
@@ -1128,6 +1130,22 @@ object ExtQueries {
       Sink.writeIvfPqIndex(all.filter(col("vec_id") < 400), dir, 8, 2, 4, 16, 8,
         corpusKey = Some(d + "#pqbase400"))
       Sink.appendToIvfPqIndex(all.filter(col("vec_id") >= 400), dir, 4, 16)
+      Sink.searchIvfPqIndex(s, all, dir, 10, 3, 10, 4, 16)
+    }),
+    // the delete stage on the COMPRESSED tier: tombstoned ids are
+    // masked before ADC candidate ranking (the anti-join sits on the
+    // shared assignment scan both serving stages project from), so a
+    // dead id can neither serve nor displace a live candidate from the
+    // top-`cand` rerank set. SIDE EFFECT: rewrites the temp index dir
+    // per evaluation (idempotent — a fresh write clears tombstones).
+    "embed_ivfpq_delete_search" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfPqDeleteDir
+      Sink.writeIvfPqIndex(all.filter(col("vec_id") < 400), dir, 8, 2, 4, 16, 8,
+        corpusKey = Some(d + "#pqbase400"))
+      Sink.appendToIvfPqIndex(all.filter(col("vec_id") >= 400), dir, 4, 16)
+      Sink.deleteFromIvfIndex(s, dir,
+        all.filter(pmod(col("vec_id"), lit(17L)) === 3).select("vec_id"))
       Sink.searchIvfPqIndex(s, all, dir, 10, 3, 10, 4, 16)
     }),
     // code-level drift pre-flight for the compressed tier: per
@@ -2466,6 +2484,18 @@ object ExtQueries {
        | SELECT qid, cell, rnk, vec_id, cos FROM r WHERE rnk <= 3
        | ORDER BY qid, rnk""".stripMargin
 
+  /** [[ivfPqAppendOracle]] with the tombstoned ids removed from the
+    * SCORED population only (queries keep querying): the PQ twin of
+    * [[ivfDeleteSearchOracle]] — masking applies before ADC ranking,
+    * exactly where the serving path anti-joins the tombstone table.
+    */
+  private lazy val ivfPqDeleteOracle: String = {
+    val bodies = (0 until 4).map(pqSubBodyBase(_, 8, 16, 10, 400)).mkString(",\n ")
+    s"""${kmeansBaseTrainedCte(400)},
+       | $bodies,
+       | ${ivfPqSearchTail(" AND pr.vec_id % 17 <> 3")}""".stripMargin
+  }
+
   /** CMS depth-row bucket h_d(x) = ((a_d·x + b_d) mod P) mod 4096 from
     * one shared base hash — mirrors Sketch.depthBuckets (same minhash
     * (a, b) constants, same Mersenne P).
@@ -3291,7 +3321,11 @@ object ExtQueries {
     * IS its assigned cell), ADC sums the four subspace LUT entries as
     * exact DECIMAL, top-10 candidates rerank by exact 4dp cosine.
     */
-  private def ivfPqSearchTail: String = {
+  /** `liveWhere` narrows the SCORED candidate population (an extra
+    * `AND ...` predicate on sc) — the tombstone mirror: masked rows
+    * never enter ADC, exactly where the serving path anti-joins.
+    */
+  private def ivfPqSearchTail(liveWhere: String = ""): String = {
     val partUnion = (0 until 4)
       .map(s => s"SELECT $s AS sub, a2_$s.vec_id, lut_$s.qid, lut_$s.dist FROM a2_$s JOIN lut_$s USING (cell)")
       .mkString("\n   UNION ALL ")
@@ -3301,7 +3335,7 @@ object ExtQueries {
        |        FROM pr
        |        JOIN a2 w ON w.vec_id = pr.vec_id
        |        JOIN qp ON qp.qid = pr.qid AND qp.cell = w.cell
-       |        WHERE pr.qid <> pr.vec_id GROUP BY pr.qid, pr.vec_id),
+       |        WHERE pr.qid <> pr.vec_id$liveWhere GROUP BY pr.qid, pr.vec_id),
        | rkc AS (SELECT qid, vec_id,
        |           row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS crnk
        |         FROM sc),
@@ -3329,7 +3363,7 @@ object ExtQueries {
     val bodies = (0 until 4).map(pqSubBody(_, 8, 16, 10)).mkString(",\n ")
     s"""WITH ${kmeansBody("embeddings")},
        | $bodies,
-       | $ivfPqSearchTail""".stripMargin
+       | ${ivfPqSearchTail()}""".stripMargin
   }
 
   /** Base-trained append mirror: coarse centroids AND the four PQ
@@ -3342,7 +3376,7 @@ object ExtQueries {
     val bodies = (0 until 4).map(pqSubBodyBase(_, 8, 16, 10, 400)).mkString(",\n ")
     s"""${kmeansBaseTrainedCte(400)},
        | $bodies,
-       | $ivfPqSearchTail""".stripMargin
+       | ${ivfPqSearchTail()}""".stripMargin
   }
 
   /** Code-population drift mirror: base-trained subspace chains give
@@ -4068,6 +4102,7 @@ object ExtQueries {
       s"$pqCte SELECT sub, vec_id, code, d FROM codes ORDER BY sub, vec_id",
     "embed_ivfpq_stored_search" -> ivfPqStoredOracle,
     "embed_ivfpq_append_search" -> ivfPqAppendOracle,
+    "embed_ivfpq_delete_search" -> ivfPqDeleteOracle,
     // streamed drop-at-a-time PQ ingestion ≡ one-shot append: shares
     // the oracle verbatim (order-invariant against frozen artifacts)
     "stream_ivfpq_append_replay" -> ivfPqAppendOracle,
