@@ -559,10 +559,23 @@ object Sink {
     * cells, so it could not clear the tombstone set safely).
     */
   def deleteFromIvfIndex(spark: SparkSession, dir: String,
-      ids: DataFrame): Unit =
-    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
-      .coalesce(1) // id lists are tiny; one file per delete call
-      .write.mode("append").parquet(s"$dir/tombstones")
+      ids: DataFrame): Unit = {
+    // loud on a typo'd dir — every other lifecycle mutation fails
+    // loudly on a bad target, delete must not silently no-op beside it
+    require(pathExists(spark, s"$dir/assignment"),
+      s"deleteFromIvfIndex: no index at $dir (missing assignment table)")
+    val d = ids.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct().localCheckpoint()
+    // ids may reference rows the index never held (out-of-order CDC:
+    // the delete can arrive before its row) — but an EMPTY delete must
+    // not write a schema-only file that would flip every future search
+    // onto the anti-join plan for nothing
+    if (!d.isEmpty) {
+      d.coalesce(1) // id lists are tiny; one file per delete call
+        .write.mode("append").parquet(s"$dir/tombstones")
+    }
+    org.apache.spark.sql.GraftShims.uncheckpoint(d)
+  }
 
   /** The live tombstone set — None when no delete has ever happened,
     * so serving plans are untouched on tombstone-free indexes (FS
@@ -695,8 +708,24 @@ object Sink {
   def compactIvfIndex(spark: SparkSession, dir: String): Unit = {
     val tmp = s"$dir/assignment__compact"
     // the full rewrite is the purge point for tombstoned rows — the
-    // anti-join rides a pass that was already rewriting every row
-    maskTombstones(spark, dir, spark.read.parquet(s"$dir/assignment"))
+    // anti-join rides a pass that was already rewriting every row.
+    // The consumed tombstone FILE SET is pinned up front: compaction
+    // runs on the append cadence, concurrent with serving, and a
+    // delete landing between this listing and the post-swap cleanup
+    // must KEEP its tombstone (clearing the whole directory would
+    // silently resurrect it).
+    val tombFiles = {
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      forEachDataFile(spark, s"$dir/tombstones")(f => buf += f.getPath.toString)
+      buf.toSeq
+    }
+    val src = spark.read.parquet(s"$dir/assignment")
+    val masked =
+      if (tombFiles.isEmpty) src
+      else src.join(
+        broadcast(spark.read.parquet(tombFiles: _*).select("vec_id").distinct()),
+        Seq("vec_id"), "left_anti")
+    masked
       .repartition(col("cell"))
       .sortWithinPartitions("cell", "vec_id")
       .write.mode("overwrite")
@@ -714,10 +743,16 @@ object Sink {
     // a non-default scheme (s3a://, hdfs://) swaps against the right
     // store.
     checkedSwap(spark, tmp, s"$dir/assignment", "compactIvfIndex")
-    // rows are purged — dead tombstones would only mask future appends
-    // that legitimately reuse the ids. Crash between swap and clear is
-    // safe: tombstones over already-purged ids anti-join nothing.
-    clearTombstones(spark, dir)
+    // delete ONLY the consumed tombstone files (never the directory):
+    // a tombstone written after the mask-read above survives and keeps
+    // masking. Crash between swap and this cleanup is safe: tombstones
+    // over already-purged ids anti-join nothing.
+    if (tombFiles.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      tombFiles.foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), false): Unit)
+    }
   }
 
   /** Rename-aside tree swap with CHECKED renames: `tmp` replaces
@@ -901,14 +936,27 @@ object Sink {
     val (psi, coarseDue) =
       (driftRows.head.getDouble(0), driftRows.head.getBoolean(1))
     // LIVE counts for the log: the drift frame counts physical rows
-    // (footer-only by design — it cannot see tombstones), so subtract
-    // the tombstone set once (a tiny id-only table; zero cost when no
-    // delete ever happened). Both branches then land on the same
-    // n_after = live + batch: the append masks tombstoned rows at
-    // serve time, the retrain purges them physically.
-    val nTomb = tombstones(spark, dir).map(_.count()).getOrElse(0L)
-    val nStored = driftRows.map(_.getLong(2)).sum - nTomb
-    val nBatch = driftRows.map(_.getLong(3)).sum
+    // (footer-only by design — it cannot see tombstones). Only while
+    // deletes are pending, make the audit EXACT: tombstones may
+    // reference ids the index never held (out-of-order CDC deletes)
+    // and the batch may re-deliver a tombstoned id — so intersect the
+    // tiny tombstone table with the assignment's id column once (an
+    // id-only columnar scan; deletes-pending is the rare state, purges
+    // clear it) and count the batch's live ids with a batch-sized
+    // anti-join. Zero extra jobs when no delete ever happened. Both
+    // branches then land on the same n_after = live stored + live
+    // batch: the append masks at serve time, the retrain purges.
+    val nBatch = driftRows.map(_.getLong(3)).sum // as delivered (per id)
+    val (nTombLive, nBatchLive) = tombstones(spark, dir) match {
+      case None => (0L, nBatch)
+      case Some(t) =>
+        val tl = spark.read.parquet(assignPath).select("vec_id")
+          .join(broadcast(t), "vec_id").distinct().count()
+        val bl = dedupBatch(batch)
+          .join(broadcast(t), Seq("vec_id"), "left_anti").count()
+        (tl, bl)
+    }
+    val nStored = driftRows.map(_.getLong(2)).sum - nTombLive
     val touched = driftRows.count(_.getLong(3) > 0)
     val due = coarseDue || extraDue
     val filesBefore = countDataFiles(spark, assignPath)
@@ -924,8 +972,14 @@ object Sink {
       // the writer materializes the union INTO the sibling tree —
       // every read of the old assignment completes before the swap
       retrainWrite(union, tmp)
+      // the swap replaces the WHOLE index dir: the tombstones die with
+      // the old tree (the rebuilt one starts clean — both union sides
+      // were masked above). NOTE the single-writer contract: a delete
+      // landing DURING the retrain window is lost with the old tree;
+      // maintenance is a single-writer operation, unlike
+      // compactIvfIndex whose cleanup is pinned to the file set it
+      // consumed and therefore tolerates concurrent deletes.
       checkedSwap(spark, tmp, dir, label)
-      clearTombstones(spark, dir)
       ("retrain", countDataFiles(spark, assignPath))
     } else {
       append(batch)
@@ -942,9 +996,10 @@ object Sink {
         ("append", countDataFiles(spark, assignPath))
       } else ("append", appended)
     }
-    // both branches add exactly the batch rows (append is a union;
-    // retrain trains on stored ∪ batch) — no post-action table count
-    MaintainOutcome(action, psi, due, nStored, nBatch, nStored + nBatch,
+    // both branches add exactly the batch's LIVE rows (append is a
+    // union masked at serve time; retrain trains on the masked
+    // stored ∪ batch) — no post-action table count
+    MaintainOutcome(action, psi, due, nStored, nBatch, nStored + nBatchLive,
       filesBefore, filesAfter, compacted)
   }
 

@@ -125,11 +125,22 @@ object IvfStream {
       indexDir: String, checkpointDir: String): Unit = {
     import org.apache.spark.sql.functions.col
     replayWith(spark, dropGlob, checkpointDir, cdcSchema) { (batch, _) =>
-      val adds = batch.filter(col("op") === "add")
-        .select("vec_id", "embedding")
-      val dels = batch.filter(col("op") === "delete").select("vec_id")
-      if (!adds.isEmpty) Sink.appendToIvfIndex(adds, indexDir)
-      if (!dels.isEmpty) Sink.deleteFromIvfIndex(spark, indexDir, dels)
+      // one pass classifies the whole drop: an op this replay doesn't
+      // know must FAIL the stream, not silently vanish from the index
+      val ops = batch.groupBy("op").count().collect()
+        .map(r => Option(r.getString(0)).getOrElse("<null>") -> r.getLong(1))
+        .toMap
+      val unknown = ops.keySet -- Set("add", "delete")
+      require(unknown.isEmpty,
+        s"runCdcReplay: unknown op(s) ${unknown.mkString(", ")} in drop — " +
+          "these rows would be silently dropped; ops are 'add' | 'delete'")
+      if (ops.getOrElse("add", 0L) > 0)
+        Sink.appendToIvfIndex(
+          batch.filter(col("op") === "add").select("vec_id", "embedding"),
+          indexDir)
+      if (ops.getOrElse("delete", 0L) > 0)
+        Sink.deleteFromIvfIndex(spark, indexDir,
+          batch.filter(col("op") === "delete").select("vec_id"))
     }
   }
 

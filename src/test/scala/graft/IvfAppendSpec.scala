@@ -463,8 +463,12 @@ class IvfAppendSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/assignment")
       .filter(col("vec_id").isin(dead.map(java.lang.Long.valueOf): _*))
       .count() == 0, "purge must drop tombstoned rows physically")
-    assert(!new java.io.File(s"$dir/tombstones").exists(),
-      "tombstones must clear with the purge")
+    // clearing is pinned to the consumed FILE SET (a concurrent delete
+    // landing mid-compaction keeps its tombstone), so the directory
+    // may remain — data-file emptiness is the functional property:
+    // tombstones() returns None and search plans are identity again
+    assert(Sink.countDataFiles(spark, s"$dir/tombstones") == 0,
+      "consumed tombstone files must clear with the purge")
     // search result identical to the pre-compaction masked one
     val afterCompact = Sink.searchIvfIndex(spark, base, dir, nQueries = 4, k = 3)
       .collect()
@@ -488,6 +492,39 @@ class IvfAppendSpec extends SparkSpec {
       s"tombstoned ids ${dead.toSeq} still served by the PQ path")
     assert(after.count(_.getAs[Long]("qid") == 0L) == 3,
       "masked candidates must be replaced by next-best live neighbors")
+  }
+
+  test("delete guards: empty id set leaves plans untouched, bad dir fails loudly, unknown CDC op fails the stream") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
+    val root = Files.createTempDirectory("graft-delguard").toString
+    val dir = s"$root/index"
+    Sink.writeIvfIndex(base, dir, cells = 2, iters = 2)
+    // an empty delete must not write a schema-only tombstone file that
+    // flips every future search onto the anti-join plan
+    Sink.deleteFromIvfIndex(spark, dir, Seq.empty[Long].toDF("vec_id"))
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "empty delete must not create a tombstones table")
+    // a typo'd dir must fail loudly, not silently no-op beside the
+    // real index
+    val e = intercept[IllegalArgumentException] {
+      Sink.deleteFromIvfIndex(spark, s"$root/nope", Seq(1L).toDF("vec_id"))
+    }
+    assert(e.getMessage.contains("no index"), e.getMessage)
+    // a CDC drop with an op the replay doesn't know must fail the
+    // stream — those rows would otherwise vanish from the index
+    base.limit(1).select(col("vec_id"), col("embedding"),
+        lit("upsert").as("op"))
+      .coalesce(1).write.parquet(s"$root/drops/drop=bad")
+    val se = intercept[Exception] {
+      graft.streaming.IvfStream.runCdcReplay(
+        spark, s"$root/drops/drop=*", dir, s"$root/ckpt")
+    }
+    val msgs = Iterator.iterate(se: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("unknown op"), msgs.take(500))
   }
 
   test("CDC replay: interleaved adds and deletes land the one-shot result") {
@@ -529,7 +566,10 @@ class IvfAppendSpec extends SparkSpec {
     val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
     val dir = Files.createTempDirectory("graft-ivfdelmaint").toString + "/index"
     Sink.writeIvfIndex(base, dir, cells = 2, iters = 2)
-    Sink.deleteFromIvfIndex(spark, dir, Seq(0L, 2L, 4L).toDF("vec_id"))
+    // 999 was never in the index (an out-of-order CDC delete): the
+    // audit must intersect tombstones with the stored ids, not just
+    // count the tombstone table
+    Sink.deleteFromIvfIndex(spark, dir, Seq(0L, 2L, 4L, 999L).toDF("vec_id"))
     // undrifted batch → append branch: log counts LIVE rows
     val bal = twoClusters(100L until 110L, id => if (id % 2 == 0) 1 else -1)
     val log1 = Sink.maintainIvfIndex(spark, bal, dir).head()
