@@ -245,6 +245,14 @@ object Sink {
     * touches them — so (dir, generation) keys a safe reuse of the
     * loaded-and-pivoted frame across calls. One FS listing, no parquet
     * opened.
+    *
+    * The stamp alone is NOT collision-free: a retrain that rewrites the
+    * same number of bytes within one mtime tick (second-granularity
+    * object stores) reproduces the old stamp. The cache key therefore
+    * also folds in the manifest's `write_id` (a per-write nonce, see
+    * [[writeIndexManifest]]) — every full index write changes it, so a
+    * same-stamp rewrite still misses; appends never rewrite the
+    * manifest, so they keep reusing the loaded frame as before.
     */
   private def artifactGeneration(spark: SparkSession, path: String): Long = {
     var mt = 0L; var n = 0L; var bytes = 0L
@@ -283,7 +291,7 @@ object Sink {
     * cells-sized frames; LRU-bounded, lifecycle-registered.
     */
   private val artifactLoadCache =
-    new graft.BoundedLruCache[(SparkSession, String, Long), DataFrame](
+    new graft.BoundedLruCache[(SparkSession, String, Long, String), DataFrame](
       maxEntries = 32,
       release = df =>
         if (!df.sparkSession.sparkContext.isStopped)
@@ -300,7 +308,13 @@ object Sink {
   private def cachedArtifactLoad(spark: SparkSession, path: String)(
       build: => DataFrame): DataFrame = {
     graft.SessionCaches.watch(spark)
-    val key = (spark, path, artifactGeneration(spark, path))
+    // the artifact tables live one level under the index dir, whose
+    // manifest carries the per-write nonce ("" for legacy indexes —
+    // those fall back to the stamp alone, the pre-write_id behavior)
+    val indexDir = new org.apache.hadoop.fs.Path(path).getParent.toString
+    val writeId = readIndexManifest(spark, indexDir)
+      .flatMap(_.get("write_id")).getOrElse("")
+    val key = (spark, path, artifactGeneration(spark, path), writeId)
     artifactLoadCache.get(key).getOrElse {
       val df = build.localCheckpoint()
       // once per artifact generation (cache misses only): an index
@@ -528,11 +542,23 @@ object Sink {
     * of re-deriving geometry from the codebook table — one small-file
     * FS read, zero Spark jobs on the hot path.
     */
+  /** Monotonic per-JVM component of the manifest write_id — nanoTime
+    * alone can repeat across JVMs on coarse clocks; the pair (nanoTime,
+    * counter) is unique per write from this JVM and collision-unlikely
+    * across JVMs, which is all the cache key needs.
+    */
+  private val manifestWriteCounter = new java.util.concurrent.atomic.AtomicLong()
+
   private[graft] def writeIndexManifest(spark: SparkSession, dir: String,
       fields: Seq[(String, String)]): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val json = fields.map { case (k, v) =>
+    // every full index write gets a fresh nonce: the loaded-artifact
+    // cache folds it into its key, so a rewrite that happens to
+    // reproduce the (mtime, count, bytes) generation stamp still misses
+    val all = fields :+
+      ("write_id" -> s"${System.nanoTime()}x${manifestWriteCounter.incrementAndGet()}")
+    val json = all.map { case (k, v) =>
       // unquoted only for well-formed integers — the digit-or-dash
       // heuristic emitted invalid JSON for "" and unquoted garbage for
       // values like "1-2"
@@ -580,11 +606,26 @@ object Sink {
   /** The live tombstone set — None when no delete has ever happened,
     * so serving plans are untouched on tombstone-free indexes (FS
     * metadata check only).
+    *
+    * The read is PINNED to the file set the existence check just
+    * listed (explicit paths + schema, so planning opens no footer) and
+    * tolerates files vanishing before task execution: a concurrent
+    * [[compactIvfIndex]] deletes exactly the tombstone files it
+    * consumed — those ids are purged from the rows it rewrote, so a
+    * query that planned against the old listing can safely treat the
+    * vanished files as empty instead of failing mid-flight.
     */
-  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (countDataFiles(spark, s"$dir/tombstones") > 0)
-      Some(spark.read.parquet(s"$dir/tombstones").select("vec_id").distinct())
-    else None
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    forEachDataFile(spark, s"$dir/tombstones")(f => files += f.getPath.toString)
+    if (files.isEmpty) None
+    else Some(
+      spark.read
+        .schema("vec_id long")
+        .option("ignoreMissingFiles", "true")
+        .parquet(files.toSeq: _*)
+        .select("vec_id").distinct())
+  }
 
   /** Mask tombstoned rows out of an assignment scan — identity when
     * the index has no tombstones.
@@ -937,21 +978,22 @@ object Sink {
       (driftRows.head.getDouble(0), driftRows.head.getBoolean(1))
     // LIVE counts for the log: the drift frame counts physical rows
     // (footer-only by design — it cannot see tombstones). Only while
-    // deletes are pending, make the audit EXACT: tombstones may
-    // reference ids the index never held (out-of-order CDC deletes)
-    // and the batch may re-deliver a tombstoned id — so intersect the
-    // tiny tombstone table with the assignment's id column once (an
-    // id-only columnar scan; deletes-pending is the rare state, purges
-    // clear it) and count the batch's live ids with a batch-sized
-    // anti-join. Zero extra jobs when no delete ever happened. Both
-    // branches then land on the same n_after = live stored + live
-    // batch: the append masks at serve time, the retrain purges.
+    // deletes are pending, make the audit EXACT: subtract the MASKED
+    // PHYSICAL rows (plain inner join against the tiny distinct
+    // tombstone set — no distinct on the assignment side, because a
+    // tombstoned id that was later re-appended has TWO masked physical
+    // rows and both must come off the physical n_stored), and count the
+    // batch's live ids with a batch-sized anti-join. Tombstoned ids the
+    // index never held (out-of-order CDC deletes) simply match nothing.
+    // Zero extra jobs when no delete ever happened. Both branches then
+    // land on the same n_after = live stored + live batch: the append
+    // masks at serve time, the retrain purges.
     val nBatch = driftRows.map(_.getLong(3)).sum // as delivered (per id)
     val (nTombLive, nBatchLive) = tombstones(spark, dir) match {
       case None => (0L, nBatch)
       case Some(t) =>
         val tl = spark.read.parquet(assignPath).select("vec_id")
-          .join(broadcast(t), "vec_id").distinct().count()
+          .join(broadcast(t), "vec_id").count()
         val bl = dedupBatch(batch)
           .join(broadcast(t), Seq("vec_id"), "left_anti").count()
         (tl, bl)

@@ -179,20 +179,52 @@ object TextOps {
     * aggregate keyed on word; N is a driver scalar like the oracle's
     * subquery.
     */
+  /** The pruned-vocabulary frames are terminal checkpoints (the
+    * returned frame keeps reading from them), so they can't be released
+    * at the end of the call — route them through a bounded LRU keyed on
+    * (session, input plan, params) instead, so repeated calls reuse one
+    * block set and superseded ones are released on eviction/session end
+    * rather than accumulating for the session lifetime.
+    */
+  private val vocabPruneCache =
+    new graft.BoundedLruCache[(org.apache.spark.sql.SparkSession, Int, Long, Long), DataFrame](
+      maxEntries = 8,
+      release = df =>
+        if (!df.sparkSession.sparkContext.isStopped)
+          org.apache.spark.sql.GraftShims.uncheckpoint(df))
+
+  locally {
+    graft.SessionCaches.register(
+      evict = s => vocabPruneCache.removeIf(_._1 eq s,
+        releaseRemoved = !s.sparkContext.isStopped),
+      sweep = () => vocabPruneCache.removeIf(_._1.sparkContext.isStopped,
+        releaseRemoved = false))
+  }
+
   def vocabPrune(docs: DataFrame, minDf: Long = 5,
       maxDfFrac: Double = 0.5): DataFrame = {
-    val nDocs = docs.count()
-    val maxDf = math.floor(maxDfFrac * nDocs).toLong
+    val spark = docs.sparkSession
+    graft.SessionCaches.watch(spark)
+    val key = (spark, docs.queryExecution.analyzed.semanticHash(), minDf,
+      java.lang.Double.doubleToLongBits(maxDfFrac))
     // vocabulary-sized (one row per kept word) — checkpointed because
     // chunkedRowNumber references its input three times (offsets,
     // guard, final join); un-checkpointed that re-runs the corpus-sized
     // explode+distinct 3x
-    val dfreq = spread(docs)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf && col("df") <= maxDf)
-      .localCheckpoint()
+    val dfreq = vocabPruneCache.get(key).getOrElse {
+      val nDocs = docs.count()
+      val maxDf = math.floor(maxDfFrac * nDocs).toLong
+      val built = spread(docs)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minDf && col("df") <= maxDf)
+        .localCheckpoint()
+      val winner = vocabPruneCache.putIfAbsent(key, built)
+      if (winner ne built)
+        org.apache.spark.sql.GraftShims.uncheckpoint(built)
+      winner
+    }
     // exact global rank without the single-partition sort: the df value
     // itself (negated — sort is desc) is the monotone coarse bucket
     GlobalRank.chunkedRowNumber(

@@ -588,6 +588,62 @@ class IvfAppendSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/tombstones").exists())
   }
 
+  test("audit counts masked PHYSICAL rows: a re-appended tombstoned id subtracts twice") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
+    val dir = Files.createTempDirectory("graft-tombdup").toString + "/index"
+    Sink.writeIvfIndex(base, dir, cells = 2, iters = 2)
+    Sink.deleteFromIvfIndex(spark, dir, Seq(0L, 2L).toDF("vec_id"))
+    // append-no-resurrect: id 0 re-delivered AFTER its delete — a
+    // second physical row lands and BOTH stay masked (the
+    // deleteFromIvfIndex contract), so the live audit must subtract
+    // two masked rows for id 0, not one per distinct tombstoned id
+    Sink.appendToIvfIndex(twoClusters(Seq(0L), _ => 1), dir)
+    val bal = twoClusters(100L until 110L, id => if (id % 2 == 0) 1 else -1)
+    val log = Sink.maintainIvfIndex(spark, bal, dir).head()
+    assert(log.getAs[String]("action") == "append", s"expected append: $log")
+    // physical 21 (20 base + re-append), masked physical 3 (id 0 twice,
+    // id 2 once) → live 18; + 10 live batch rows → 28
+    assert(log.getAs[Long]("n_stored_before") == 18, s"live stored: $log")
+    assert(log.getAs[Long]("n_after") == 28, s"live after: $log")
+    // and the log agrees with count(*) over the MASKED table
+    val tomb = spark.read.parquet(s"$dir/tombstones").select("vec_id").distinct()
+    val live = spark.read.parquet(s"$dir/assignment")
+      .join(tomb, Seq("vec_id"), "left_anti").count()
+    assert(live == log.getAs[Long]("n_after"),
+      s"decision log n_after=${log.getAs[Long]("n_after")} vs live table $live")
+  }
+
+  test("serving tolerates a tombstone file deleted between planning and execution") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
+    val dir = Files.createTempDirectory("graft-tombrace").toString + "/index"
+    Sink.writeIvfIndex(base, dir, cells = 2, iters = 2)
+    // two delete calls → two tombstone files (deleteFromIvfIndex
+    // appends one file per call)
+    Sink.deleteFromIvfIndex(spark, dir, Seq(0L).toDF("vec_id"))
+    Sink.deleteFromIvfIndex(spark, dir, Seq(2L).toDF("vec_id"))
+    val tombFiles = new java.io.File(s"$dir/tombstones").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(tombFiles.length == 2, s"expected 2 tombstone files: ${tombFiles.toSeq}")
+    val fileOfId0 = tombFiles.find { f =>
+      spark.read.parquet(f.getPath).collect().exists(_.getLong(0) == 0L)
+    }.get
+    // plan the search FIRST (this lists the tombstone files), then
+    // simulate a concurrent compaction deleting a consumed tombstone
+    // file before the tasks run — the read is pinned to the listed
+    // snapshot and must treat the vanished file as empty, not fail
+    val planned = Sink.searchIvfIndex(spark, base, dir, nQueries = 5, k = 3)
+    assert(fileOfId0.delete())
+    val rows = planned.collect()
+    assert(rows.nonEmpty, "search must survive the vanished tombstone file")
+    // the surviving tombstone file still masks its id
+    assert(!rows.exists(_.getAs[Long]("vec_id") == 2L),
+      "id 2's tombstone file survived and must still mask it")
+  }
+
   test("a re-delivered vec_id appends once, and the decision log matches the table") {
     val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
     val dir = Files.createTempDirectory("graft-dupid").toString + "/index"

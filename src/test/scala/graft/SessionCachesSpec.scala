@@ -53,6 +53,59 @@ class SessionCachesSpec extends SparkSpec {
     SessionCaches.evictSession(s1)
   }
 
+  test("vocabPrune / customerRfm terminal checkpoints: reused across calls, released on eviction") {
+    import graft.operators.{Relational, TextOps}
+    val s1 = spark.newSession()
+    import s1.implicits._
+    val d = Seq(
+      (0L, "alpha beta gamma", "en", "src", 16L),
+      (1L, "alpha beta delta", "en", "src", 16L),
+      (2L, "alpha epsilon zeta", "en", "src", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val v1 = TextOps.vocabPrune(d, minDf = 2, maxDfFrac = 1.0).collect()
+    val r1 = Relational.customerRfm(s1, sfDir).collect()
+    assert(v1.nonEmpty && r1.nonEmpty)
+
+    // second calls hit the bounded caches: the call itself (the part
+    // that previously pinned a FRESH checkpoint per call) launches no
+    // job — both operators are lazy past their cached frame. Count only
+    // THIS thread's jobs (job group is thread-local): suites share the
+    // context and may run concurrently.
+    val group = "graft-leak-spec"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            js.properties.getProperty("spark.jobGroup.id") == group)
+          jobs.incrementAndGet()
+    }
+    s1.sparkContext.addSparkListener(listener)
+    val (v2f, r2f) = try {
+      s1.sparkContext.setJobGroup(group, "leak spec cache-hit window")
+      val a = TextOps.vocabPrune(d, minDf = 2, maxDfFrac = 1.0)
+      val b = Relational.customerRfm(s1, sfDir)
+      Thread.sleep(500) // listener bus is async; let any job event land
+      assert(jobs.get() == 0,
+        s"cache-hit calls launched ${jobs.get()} Spark job(s) — a fresh " +
+          "checkpoint per call is the leak this cache exists to prevent")
+      (a, b)
+    } finally {
+      s1.sparkContext.clearJobGroup()
+      s1.sparkContext.removeSparkListener(listener)
+    }
+    assert(v2f.collect().toSeq == v1.toSeq)
+    assert(r2f.collect().toSeq == r1.toSeq)
+
+    // tenant eviction releases the terminal checkpoints; fresh calls
+    // recompute from scratch and still agree
+    SessionCaches.evictSession(s1)
+    assert(TextOps.vocabPrune(d, minDf = 2, maxDfFrac = 1.0)
+      .collect().toSeq == v1.toSeq)
+    assert(Relational.customerRfm(s1, sfDir).collect().toSeq == r1.toSeq)
+    SessionCaches.evictSession(s1)
+  }
+
   test("sweepStopped keeps entries whose context is alive") {
     val s = spark.newSession()
     val a = Tables.stocks(s, sfDir)

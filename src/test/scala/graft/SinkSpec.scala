@@ -307,6 +307,37 @@ class SinkSpec extends SparkSpec {
     assert(ex3.getMessage.contains("no PQ codebooks"))
   }
 
+  test("artifact cache misses on a rewrite even when the generation stamp collides") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-ivfstamp").toString
+    def centroidFiles() = new java.io.File(s"$dir/centroids").listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    // pin every data file to one fixed mtime so the (mtime, count,
+    // bytes) stamp is REPRODUCIBLE across the rewrite below — the
+    // second-granularity-object-store collision, forced deterministically
+    val fixedMtime = 1000000000000L
+    def pinMtimes(): Unit = centroidFiles().foreach { f =>
+      assert(f.setLastModified(fixedMtime), s"setLastModified failed: $f")
+    }
+    Sink.writeIvfIndex(e, dir, cells = 8, iters = 2)
+    val id1 = Sink.readIndexManifest(spark, dir).flatMap(_.get("write_id"))
+    pinMtimes()
+    val g1 = (centroidFiles().length, centroidFiles().map(_.length).sum)
+    val f1 = Sink.loadIvfCentroids(spark, dir)
+    assert(Sink.loadIvfCentroids(spark, dir) eq f1,
+      "unchanged index must hit the loaded-artifact cache")
+    // identical rewrite (deterministic training + layout): same file
+    // count and bytes; mtimes re-pinned → the stamp alone COLLIDES
+    Sink.writeIvfIndex(e, dir, cells = 8, iters = 2)
+    val id2 = Sink.readIndexManifest(spark, dir).flatMap(_.get("write_id"))
+    assert(id1 != id2, "every full index write must get a fresh write_id")
+    pinMtimes()
+    val g2 = (centroidFiles().length, centroidFiles().map(_.length).sum)
+    assert(g1 == g2, s"collision precondition broke: $g1 vs $g2")
+    assert(Sink.loadIvfCentroids(spark, dir) ne f1,
+      "a rewrite with a colliding generation stamp must still miss the cache")
+  }
+
   test("IVF index round-trip: stored-index search equals in-memory single-probe") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-ivfidx").toString
