@@ -1363,6 +1363,16 @@ object ExtQueries {
       Sink.searchIvfIndex(s, all, s"$dir/index", 10, 3)
     }),
     "embed_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
+    // SQ8 serving tier: quantized-cosine top-k over int8 codes (exact
+    // integer inner sums, one IEEE division), and its recall gate vs
+    // the exact-cosine ground truth
+    "embed_sq8_topk" -> ((s, d) => Similarity.sq8TopK(emb(s, d))),
+    "embed_sq8_recall" -> ((s, d) => Similarity.sq8Recall(emb(s, d))),
+    // diversity-preserving downsampling: cap every k-means cell at 10
+    // vectors picked by content-keyed md5 order (trained quantizer
+    // shared through the session cache)
+    "sample_cluster_balanced" -> ((s, d) =>
+      Similarity.clusterBalancedSample(emb(s, d), 8, 2, 10, corpusKey = Some(d))),
     // embedding QA before indexing: NaN/Inf counts, zero vectors,
     // MAD-rule magnitude outliers (median-based — robust to a batch of
     // broken near-zero vectors)
@@ -1560,6 +1570,11 @@ object ExtQueries {
     // product so ranking never touches a raw float
     "text_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(docs(s, d), 3)),
     "text_quality_score" -> ((s, d) => TextOps.qualityScore(docs(s, d))),
+    // calibrated per-language quality threshold: lowest score whose
+    // keep-set fits the floor(p·n) budget, ranked over the (lang,
+    // score) histogram — never the corpus
+    "text_quality_calibrate" -> ((s, d) =>
+      TextOps.calibrateQualityThreshold(docs(s, d), p = 0.7)),
     // bigram-LM mean log-prob per doc (the perplexity-filter shape,
     // corpus-trained add-one model so the oracle replays it exactly)
     "text_lm_score" -> ((s, d) => TextOps.lmScoreCached(docs(s, d), d)),
@@ -2959,6 +2974,36 @@ object ExtQueries {
        | FROM r""".stripMargin
   }
 
+  /** SQ8 quantized-cosine CTE chain (mirrors Similarity.sq8TopK): int8
+    * max-abs codes, exact integer inner sums (dot and both squared
+    * norms), one double div/sqrt tree rounded 4dp (+0.0 normalizes any
+    * -0.0), ranked per query with a vec_id tiebreak.
+    */
+  private lazy val sq8Cte: String =
+    """WITH m AS (SELECT vec_id, embedding,
+      |     list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS ma
+      |   FROM embeddings),
+      | c AS (SELECT vec_id,
+      |     list_transform(embedding, x -> CASE WHEN ma = 0 THEN 0
+      |        ELSE CAST(floor(CAST(x AS DOUBLE) / ma * 127 + 0.5) AS INT) END) AS q
+      |   FROM m),
+      | n AS (SELECT vec_id, q,
+      |     list_aggregate(list_transform(q, x -> CAST(x AS BIGINT) * x), 'sum') AS n2
+      |   FROM c),
+      | qs AS (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM n WHERE vec_id < 10),
+      | p AS (SELECT qs.qid, n.vec_id,
+      |     CASE WHEN qs.qn2 = 0 OR n.n2 = 0 THEN NULL
+      |          ELSE round(CAST(SUM(CAST(qs.qq[i] AS BIGINT) * n.q[i]) AS DOUBLE) /
+      |            (sqrt(CAST(qs.qn2 AS DOUBLE)) * sqrt(CAST(n.n2 AS DOUBLE))), 4) + 0.0 END AS qcos
+      |   FROM qs, n, UNNEST(range(1, 65)) t(i)
+      |   WHERE qs.qid <> n.vec_id
+      |   GROUP BY qs.qid, qs.qn2, n.vec_id, n.n2),
+      | r AS (SELECT qid, vec_id, qcos,
+      |     row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS rnk FROM p)""".stripMargin
+
+  private lazy val sq8RankSelect: String =
+    "SELECT qid, CAST(rnk AS INTEGER) AS rnk, vec_id, qcos FROM r WHERE rnk <= 3 ORDER BY qid, rnk"
+
   /** Two unrolled Lloyd's rounds in DuckDB (mirrors
     * Similarity.kmeansAssign with k=8, iters=2): c0 = first 8 vectors,
     * a1 = argmin over c0, c1 = rounded per-cell means, a2 = final
@@ -3955,6 +4000,33 @@ object ExtQueries {
         |     CAST(CAST(CASE WHEN max_abs = 0 THEN 0
         |                    ELSE floor(CAST(x AS DOUBLE) / max_abs * 127 + 0.5) END AS INT) AS VARCHAR)), ',') AS q_csv
         | FROM m ORDER BY vec_id""".stripMargin,
+    "embed_sq8_topk" -> s"$sq8Cte $sq8RankSelect",
+    "embed_sq8_recall" ->
+      s"""$sq8Cte,
+        | topk AS (SELECT qid, vec_id FROM r WHERE rnk <= 3),
+        | qe AS (SELECT vec_id AS bq, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        | bfp AS (SELECT q.bq AS qid, e2.vec_id,
+        |     round(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)) /
+        |       (sqrt(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) *
+        |        sqrt(SUM(CAST(e2.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))), 4) AS cos
+        |   FROM qe q, embeddings e2, UNNEST(range(1, 65)) t(i)
+        |   WHERE q.bq <> e2.vec_id GROUP BY q.bq, e2.vec_id),
+        | bf AS (SELECT qid, vec_id FROM (
+        |     SELECT qid, vec_id,
+        |       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+        |     FROM bfp) WHERE rnk <= 3)
+        | SELECT count(*) AS n_returned,
+        |   CAST(sum(CASE WHEN bf.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |   round(sum(CASE WHEN bf.qid IS NOT NULL THEN 1 ELSE 0 END) / 30.0, 4) AS recall_at_k
+        | FROM topk t LEFT JOIN bf ON bf.qid = t.qid AND bf.vec_id = t.vec_id""".stripMargin,
+    "sample_cluster_balanced" ->
+      s"""$kmeansCte,
+        | pk AS (SELECT cell, vec_id,
+        |     row_number() OVER (PARTITION BY cell
+        |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick
+        |   FROM a2)
+        | SELECT cell, CAST(pick AS INTEGER) AS pick, vec_id
+        | FROM pk WHERE pick <= 10 ORDER BY cell, pick""".stripMargin,
     "embed_binary_topk" ->
       """WITH sig AS (SELECT vec_id,
         |     array_to_string(list_transform(embedding,
@@ -4806,6 +4878,24 @@ object ExtQueries {
         | SELECT hour, rnk, event_type, n FROM rk WHERE rnk <= 3
         | ORDER BY hour, rnk""".stripMargin,
     "text_quality_score" -> s"$textQualityOracle ORDER BY doc_id",
+    "text_quality_calibrate" ->
+      s"""WITH q AS ($textQualityOracle),
+        | s AS (SELECT d.lang, q.quality_score AS score
+        |       FROM q JOIN documents d USING (doc_id)),
+        | h AS (SELECT lang, score, count(*) AS c FROM s GROUP BY lang, score),
+        | cum AS (SELECT lang, score,
+        |     CAST(SUM(c) OVER (PARTITION BY lang ORDER BY score DESC
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |   FROM h),
+        | tot AS (SELECT lang, count(*) AS n_docs FROM s GROUP BY lang),
+        | j AS (SELECT cum.lang, cum.score, cum.cum, tot.n_docs,
+        |     CAST(floor(CAST(0.7 AS DOUBLE) * tot.n_docs) AS BIGINT) AS kcut
+        |   FROM cum JOIN tot USING (lang))
+        | SELECT lang, n_docs, kcut,
+        |   min(CASE WHEN cum <= kcut THEN score END) AS thr,
+        |   CAST(coalesce(max(CASE WHEN cum <= kcut THEN cum END), 0) AS BIGINT) AS n_keep,
+        |   round(coalesce(max(CASE WHEN cum <= kcut THEN cum END), 0) * 1.0 / n_docs, 4) AS keep_rate
+        | FROM j GROUP BY lang, n_docs, kcut ORDER BY lang""".stripMargin,
     "text_lm_score" ->
       s"$lmScoreCte SELECT doc_id, n_bigrams, avg_logp FROM lmres ORDER BY doc_id",
     // CCNet-style perplexity binning: head/middle/tail thirds by the

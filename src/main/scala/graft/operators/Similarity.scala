@@ -115,6 +115,100 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** int8 codes + exact integer squared norm per vector, the shared
+    * projection behind [[sq8TopK]]/[[sq8Recall]] — the [[quantizeInt8]]
+    * scheme kept as a typed array instead of the export CSV.
+    */
+  private def sq8Codes(emb: DataFrame): DataFrame = {
+    val maxAbs = aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+      lit(0.0), (acc, x) => greatest(acc, x))
+    emb.withColumn("ma", maxAbs)
+      .withColumn("q", transform(col("embedding"), x =>
+        when(col("ma") === 0.0, lit(0))
+          .otherwise(floor(x.cast("double") / col("ma") * 127 + 0.5).cast("int"))))
+      .withColumn("n2",
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long") * x.cast("long")))
+      .select("vec_id", "q", "n2")
+  }
+
+  /** SQ8 quantized-cosine top-k — the serving tier between
+    * full-precision floats and PQ codes: 4× smaller storage, integer
+    * dot products, no training step (unlike PQ) and per-dimension
+    * resolution (unlike [[binaryTopK]]'s sign bits). The FAISS
+    * ScalarQuantizer QT_8bit idea re-expressed as one codegen'd
+    * projection + the [[bruteForceTopK]] plan shape over 4×-less data.
+    *
+    * Cross-engine determinism: all three inner sums (q·d, q·q, d·d)
+    * are exact 64-bit integer aggregates — both engines divide
+    * IDENTICAL operands, so the one double expression (an IEEE
+    * div/sqrt tree) is bit-equal, rounded once at 4dp with a vec_id
+    * tiebreak, never an ORDER BY over a raw float. An all-zero vector
+    * quantizes to zeros and scores NULL (cosine undefined) — mirrored
+    * as CASE in the oracle.
+    */
+  def sq8TopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val codes = sq8Codes(emb)
+    val q = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+    val dotInt = aggregate(
+      zip_with(col("qq"), col("q"), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = broadcast(q).join(codes, col("qid") =!= col("vec_id"))
+      .withColumn("qcos",
+        when(col("qn2") === 0L || col("n2") === 0L, lit(null).cast("double"))
+          .otherwise(round(dotInt.cast("double") /
+            (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))), 4) + lit(0.0)))
+    val w = Window.partitionBy("qid").orderBy(desc("qcos"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "qcos")
+      .orderBy("qid", "rnk")
+  }
+
+  /** Recall@k of the SQ8 tier against the exact-cosine ground truth —
+    * the acceptance gate before swapping a serving fleet from float32
+    * to int8 reads. One aggregate row, same contract as the IVF/PQ/MRL
+    * recall queries.
+    */
+  def sq8Recall(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val approx = sq8TopK(emb, nQueries, k).select("qid", "vec_id")
+    val exact = bruteForceTopK(emb, nQueries, k)
+      .select(col("qid").as("bqid"), col("vec_id").as("bvid"))
+    val hit = when(col("bqid").isNotNull, 1L).otherwise(0L)
+    approx.join(exact,
+        col("qid") === col("bqid") && col("vec_id") === col("bvid"), "left")
+      .agg(count(lit(1)).as("n_returned"), sum(hit).as("n_hits"),
+        round(sum(hit) / lit((nQueries * k).toDouble), 4).as("recall_at_k"))
+  }
+
+  /** Cluster-balanced (diversity-preserving) downsampling: cap each
+    * k-means cell at `cap` vectors, picked by a content-keyed md5
+    * order (never an RNG — re-runs and shard orders cannot change the
+    * sample, the [[Sampling]] discipline). The curation counterpart of
+    * semantic dedup: where semdedup drops near-twins, this bounds how
+    * much any one REGION of embedding space contributes to a training
+    * mix (cluster-capped selection, cf. the domain-balancing role of
+    * DSIR-style reweighting).
+    *
+    * Shape at scale: one assignment pass (broadcast centroids via the
+    * session quantizer cache) + one window ranked per cell —
+    * parallelism = cells (∝ √N under the [[semdedupAuto]] rung rule),
+    * each partition corpus/cells sized, top-cap rows survive.
+    */
+  def clusterBalancedSample(emb: DataFrame, cells: Int = 8, iters: Int = 2,
+      cap: Int = 10, corpusKey: Option[String] = None): DataFrame = {
+    val assigned = corpusKey
+      .map(kmeansAssignCached(emb, cells, iters, _))
+      .getOrElse(kmeansAssign(emb, cells, iters))
+      .select("vec_id", "cell")
+    val w = Window.partitionBy("cell")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assigned.withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= cap)
+      .select("cell", "pick", "vec_id")
+      .orderBy("cell", "pick")
+  }
+
   /** Int8 max-abs quantization of the embedding column — the storage
     * shape a large embedding corpus actually ships (4× smaller than
     * float32, int-arithmetic dot products). Symmetric per-vector

@@ -92,6 +92,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Calibrated quality-threshold selection: per language, the exact
+    * score threshold that keeps at most a target fraction of the
+    * corpus — the knob a large curation run turns when "keep the best
+    * p%" is the spec and the score distribution differs per language.
+    * thr(lang) = the LOWEST [[qualityScore]] whose keep-set (docs
+    * scoring >= thr) still fits the floor(p·n) budget; ties at the
+    * threshold are all-in or all-out (a threshold admits SCORES, not
+    * row ranks), so the realized keep count can undershoot the budget
+    * but never exceeds it. thr is NULL (keep nothing) when even the
+    * top score's tie group overflows the budget.
+    *
+    * Shape at scale: the cumulative rank runs over the per-language
+    * (score, count) HISTOGRAM, never the corpus — one hash aggregate
+    * keyed (lang, score) + a distinct-scores-sized window per
+    * language. The corpus-sized frame is touched exactly once (the
+    * scoring pass); no global sort, no corpus-sized window.
+    */
+  def calibrateQualityThreshold(docs: DataFrame, p: Double = 0.7): DataFrame = {
+    val scored = qualityScore(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("lang"), col("quality_score").as("score"))
+    val hist = scored.groupBy("lang", "score").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang").orderBy(desc("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum("c").over(w))
+    val tot = scored.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    cum.join(tot, "lang")
+      .withColumn("kcut", floor(lit(p) * col("n_docs")))
+      .groupBy("lang", "n_docs", "kcut")
+      .agg(
+        min(when(col("cum") <= col("kcut"), col("score"))).as("thr"),
+        coalesce(max(when(col("cum") <= col("kcut"), col("cum"))), lit(0L))
+          .as("n_keep"))
+      .withColumn("keep_rate", round(col("n_keep") / col("n_docs"), 4))
+      .select("lang", "n_docs", "kcut", "thr", "n_keep", "keep_rate")
+      .orderBy("lang")
+  }
+
   /** Top-k TF-IDF terms per document — the standard relevance/keyword
     * surface over a corpus. tf is the within-doc frequency (count /
     * doc words), idf = ln(N / df) over document frequency. Both factors

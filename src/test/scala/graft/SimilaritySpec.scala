@@ -133,6 +133,56 @@ class SimilaritySpec extends SparkSpec {
     assert(top.toSeq == Seq((1, 1L, 0), (2, 2L, 0), (3, 3L, 0), (4, 4L, 1)))
   }
 
+  test("sq8 top-k: quantized cosine tracks exact cosine, recall gate holds") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val approx = Similarity.sq8TopK(e, 10, 3).collect()
+    assert(approx.length == 30)
+    // every returned quantized cosine sits within the int8 error band
+    // of the exact cosine for the same pair
+    val exactByPair = Similarity.bruteForceTopK(e, 10, 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    approx.foreach { r =>
+      val (qid, vid, qcos) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      val cos = exactByPair((qid, vid))
+      assert(math.abs(qcos - cos) <= 0.05,
+        s"sq8 cosine drifted past the int8 band: q=$qid v=$vid $qcos vs $cos")
+    }
+    val rec = Similarity.sq8Recall(e, 10, 3).head()
+    assert(rec.getAs[Long]("n_returned") == 30)
+    val hits = rec.getAs[Long]("n_hits")
+    assert(rec.getAs[Double]("recall_at_k") == math.floor(hits / 30.0 * 10000 + 0.5) / 10000)
+    assert(hits >= 20, s"sq8 recall collapsed: $hits/30")
+  }
+
+  test("sq8: an all-zero query scores NULL (cosine undefined), never garbage") {
+    val z = emb(
+      (0L, Seq(0f, 0f, 0f, 0f), 0),
+      (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 0f), 0),
+      (3L, Seq(1f, 1f, 0f, 0f), 0))
+    val r = Similarity.sq8TopK(z, nQueries = 1, k = 3).collect()
+    assert(r.length == 3 && r.forall(_.isNullAt(3)),
+      s"zero-vector query must score NULL: ${r.toSeq}")
+  }
+
+  test("clusterBalancedSample: per-cell cap, assignment-consistent, deterministic") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cap = 5
+    val picks = Similarity.clusterBalancedSample(e, 8, 2, cap).collect()
+    val perCell = picks.groupBy(_.getLong(0))
+    assert(perCell.values.forall(_.length <= cap), "cell cap exceeded")
+    assert(perCell.values.forall(g =>
+      g.map(_.getInt(1)).sorted.toSeq == (1 to g.length)), "pick ranks must be 1..n")
+    // picked (vec_id, cell) pairs agree with the trained assignment
+    val assign = Similarity.kmeansAssign(e, 8, 2)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(picks.forall(r => assign(r.getLong(2)) == r.getLong(0)))
+    // content-keyed order: a re-run returns the identical sample
+    val again = Similarity.clusterBalancedSample(e, 8, 2, cap).collect()
+    assert(picks.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("ivf recall@3 vs brute force: one row per query, hits in range, deterministic") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     def recall() = {

@@ -110,6 +110,37 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Boolean]("agree")))
   }
 
+  test("calibrateQualityThreshold: histogram threshold fits the budget, ties all-or-nothing") {
+    // stopword-free texts → quality_score = n_words/100 exactly
+    val d = docs(
+      (0L, "w1 w2 w3", "en"), // .03
+      (1L, "x1 x2 x3", "en"), // .03 (tie at the top)
+      (2L, "y1 y2", "en"), // .02
+      (3L, "z1", "en"), // .01
+      (4L, "a1 a2", "de"), // .02 × 3: the whole tie group overflows
+      (5L, "b1 b2", "de"),
+      (6L, "c1 c2", "de"),
+      (7L, "q1 q2 q3 q4 q5", "fr"), // .05
+      (8L, "r1", "fr")) // .01
+    val r = TextOps.calibrateQualityThreshold(d, p = 0.5).collect()
+      .map(x => x.getAs[String]("lang") -> x).toMap
+    // en: kcut=2, the .03 tie group (cum=2) fits exactly
+    assert(r("en").getAs[Long]("kcut") == 2 &&
+      r("en").getAs[Double]("thr") == 0.03 &&
+      r("en").getAs[Long]("n_keep") == 2 &&
+      r("en").getAs[Double]("keep_rate") == 0.5)
+    // de: kcut=1 but the only score's tie group holds 3 docs — a
+    // threshold admits scores, not ranks, so nothing fits the budget
+    assert(r("de").getAs[Long]("kcut") == 1 &&
+      r("de").isNullAt(r("de").fieldIndex("thr")) &&
+      r("de").getAs[Long]("n_keep") == 0 &&
+      r("de").getAs[Double]("keep_rate") == 0.0)
+    // fr: kcut=1, the single .05 doc fits
+    assert(r("fr").getAs[Double]("thr") == 0.05 &&
+      r("fr").getAs[Long]("n_keep") == 1 &&
+      r("fr").getAs[Double]("keep_rate") == 0.5)
+  }
+
   test("vocabPrune keeps words inside the df band, tf does not leak in") {
     val d = docs(
       (0L, "common mid rare rare rare", "en"), // tf(rare)=3 but df=1
