@@ -179,6 +179,17 @@ object ScaleProbe {
         val (_, cOpt) = Similarity.kmeansAssignInternal(base, 8, 2)
         Similarity.assignWithCentroids(emb, cOpt.get)
       },
+      // round-13: the SQ8 tier vs the float32 brute scan at the same
+      // factor — same plan shape (broadcast queries, per-qid window),
+      // 4× less data under the dot products; and the diversity sampler
+      // whose window runs per cell (cells ∝ factor, partitions stay
+      // fixture-sized)
+      time("embed_sq8_topk") { Similarity.sq8TopK(emb, 10, 3) },
+      time("embed_brute_topk") { Similarity.bruteForceTopK(emb, 10, 3) },
+      time("sample_cluster_balanced") {
+        Similarity.clusterBalancedSample(emb, cells = 8 * factor, iters = 2,
+          cap = 10)
+      },
       // round-10: the suffix-bucket population cap under a PLANTED
       // pathological corpus — every document opens with the same
       // 19-word boilerplate, so the suffixes at positions 1..15 land

@@ -196,11 +196,37 @@ object Similarity {
     * each partition corpus/cells sized, top-cap rows survive.
     */
   def clusterBalancedSample(emb: DataFrame, cells: Int = 8, iters: Int = 2,
-      cap: Int = 10, corpusKey: Option[String] = None): DataFrame = {
-    val assigned = corpusKey
-      .map(kmeansAssignCached(emb, cells, iters, _))
-      .getOrElse(kmeansAssign(emb, cells, iters))
-      .select("vec_id", "cell")
+      cap: Int = 10, corpusKey: Option[String] = None,
+      maxFlatCells: Int = 256): DataFrame = {
+    // the rung sits HIGHER than semDedupAuto's 64: sampling has no
+    // pairing term, so flat N·cells assignment stays the cheaper plan
+    // until the cell count alone dominates (measured ×10 cells=80:
+    // flat 5.7 s vs two-level 11.8 s; ×100 cells=800: flat 181 s vs
+    // two-level 20 s)
+    val assigned =
+      if (cells <= maxFlatCells)
+        corpusKey.map(kmeansAssignCached(emb, cells, iters, _))
+          .getOrElse(kmeansAssign(emb, cells, iters))
+          .select("vec_id", "cell")
+      else {
+        // flat Lloyd's is N·cells distance work — quadratic-ish once
+        // cells ∝ √N (measured: 181 s at ×100 with cells=800 vs 5.7 s
+        // at ×10). Past the flat rung, reuse the [[semDedupTwoLevel]]
+        // shape: coarse √cells over the corpus, fine √cells INSIDE each
+        // coarse cell — N·2√cells assignment for the same cell count,
+        // composite cell id. The sample is cell-id-opaque, so the
+        // composite rung changes WHICH cells exist, not the contract
+        // (≤ cap per cell, content-keyed order).
+        val side = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+        val (coarse, cCent) = kmeansAssignInternal(emb, side, iters)
+        val coarseCp = coarse.select(col("vec_id"), col("cell").as("pcell"))
+          .localCheckpoint()
+        cCent.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
+        val fine = kmeansAssignWithin(coarseCp, emb, side, iters)
+        org.apache.spark.sql.GraftShims.uncheckpoint(coarseCp)
+        fine.select(col("vec_id"),
+          (col("pcell") * side + col("cell")).as("cell"))
+      }
     val w = Window.partitionBy("cell")
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
     assigned.withColumn("pick", row_number().over(w))

@@ -244,6 +244,25 @@ class PlanShapeSpec extends SparkSpec {
       s"no embedding-only rerank projection found:\n${idxSchemas.mkString("\n")}")
   }
 
+  test("sq8 search broadcasts the query side; calibration windows over the histogram") {
+    // the SQ8 scan must stream the corpus-side codes against a
+    // BROADCAST query set — a shuffle join or cartesian here drags the
+    // whole corpus through an exchange per search
+    val p = plan("embed_sq8_topk")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"sq8 search must broadcast the nQueries side:\n${p.take(1200)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "sq8 search lost its broadcast join")
+    // threshold calibration: its window must partition by lang over the
+    // (lang, score) HISTOGRAM — a global (unpartitioned) window here
+    // would single-partition the corpus
+    val c = plan("text_quality_calibrate")
+    val winLines = c.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, "calibration lost its cumulative window")
+    winLines.foreach(l => assert(l.contains("lang"),
+      s"calibration window must partition by lang:\n$l"))
+  }
+
   test("no heavy query contains a cartesian product") {
     val heavy = Seq("dedup_minhash_lsh", "dedup_simhash_pairs",
       "embed_ivf_topk", "contamination_bloom", "events_sessionize",

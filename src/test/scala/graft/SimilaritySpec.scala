@@ -181,6 +181,14 @@ class SimilaritySpec extends SparkSpec {
     // content-keyed order: a re-run returns the identical sample
     val again = Similarity.clusterBalancedSample(e, 8, 2, cap).collect()
     assert(picks.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // past the flat rung the composite (coarse·fine) assignment keeps
+    // the contract: ≤ cap per cell, deterministic re-run
+    val two = Similarity.clusterBalancedSample(e, 9, 2, cap, maxFlatCells = 4)
+      .collect()
+    assert(two.groupBy(_.getLong(0)).values.forall(_.length <= cap))
+    val twoAgain = Similarity.clusterBalancedSample(e, 9, 2, cap, maxFlatCells = 4)
+      .collect()
+    assert(two.map(_.toSeq).toSeq == twoAgain.map(_.toSeq).toSeq)
   }
 
   test("ivf recall@3 vs brute force: one row per query, hits in range, deterministic") {
