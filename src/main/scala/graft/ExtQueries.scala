@@ -986,6 +986,15 @@ object ExtQueries {
         .select("doc_a", "doc_b")
       Corpus.manifestScrubbed(dd, pairs, minWords = 30, corpusKey = Some(d))
     }),
+    // the staged funnel over the same chains: first-drop attribution
+    // per stage (too_short → repetitive → exact_dup → near_dup →
+    // low_quality), quality threshold calibrated on the survivors
+    "corpus_funnel" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.simhashNearDupsCached(dd, d, 3)
+        .select("doc_a", "doc_b")
+      Corpus.funnel(dd, pairs, minWords = 30, p = 0.7)
+    }),
     // the one-row health report over the same chains (cached — one
     // extra aggregate): include rate, per-reason counts, scrub burden
     "corpus_report" -> ((s, d) => {
@@ -5281,6 +5290,46 @@ object ExtQueries {
          | SELECT doc_id, keep, is_keeper, include, manifest_reasons,
          |   n_words, n_removed, cleaned_text
          | FROM mscrub ORDER BY doc_id""".stripMargin,
+    // staged funnel: first-drop attribution over the manifest chain,
+    // quality gate calibrated on the include set (the survivors)
+    "corpus_funnel" ->
+      s"""$manifestCoreCte,
+         | tq AS ($textQualityOracle),
+         | finc AS (SELECT doc_id FROM mrow WHERE include),
+         | fcs AS (SELECT d.lang, tq.quality_score AS score
+         |         FROM tq JOIN documents d USING (doc_id) JOIN finc USING (doc_id)),
+         | fch AS (SELECT lang, score, count(*) AS c FROM fcs GROUP BY lang, score),
+         | fccum AS (SELECT lang, score,
+         |     CAST(SUM(c) OVER (PARTITION BY lang ORDER BY score DESC
+         |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |   FROM fch),
+         | fctot AS (SELECT lang, count(*) AS n_docs FROM fcs GROUP BY lang),
+         | fthr AS (SELECT fccum.lang,
+         |     min(CASE WHEN fccum.cum <=
+         |           CAST(floor(CAST(0.7 AS DOUBLE) * fctot.n_docs) AS BIGINT)
+         |         THEN fccum.score END) AS thr
+         |   FROM fccum JOIN fctot USING (lang) GROUP BY fccum.lang),
+         | staged AS (SELECT m.doc_id,
+         |     CASE WHEN m.manifest_reasons LIKE '%too_short%' THEN 1
+         |          WHEN m.manifest_reasons LIKE '%repetitive%' THEN 2
+         |          WHEN m.manifest_reasons LIKE '%exact_dup%' THEN 3
+         |          WHEN m.manifest_reasons LIKE '%near_dup%' THEN 4
+         |          WHEN t.thr IS NULL OR tq.quality_score < t.thr THEN 5
+         |          ELSE 6 END AS stage
+         |   FROM mrow m JOIN documents d USING (doc_id)
+         |        JOIN tq USING (doc_id)
+         |        LEFT JOIN fthr t ON t.lang = d.lang),
+         | fcnt AS (SELECT stage, count(*) AS c FROM staged GROUP BY stage),
+         | fgrid(stage, stage_name) AS (VALUES (1, 'too_short'), (2, 'repetitive'),
+         |     (3, 'exact_dup'), (4, 'near_dup'), (5, 'low_quality')),
+         | ff AS (SELECT g.stage, g.stage_name, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+         |   FROM fgrid g LEFT JOIN fcnt c USING (stage)),
+         | ft AS (SELECT count(*) AS n FROM staged)
+         | SELECT stage, stage_name,
+         |   CAST(n - SUM(c) OVER (ORDER BY stage ROWS UNBOUNDED PRECEDING) + c AS BIGINT) AS n_in,
+         |   c AS n_dropped,
+         |   CAST(n - SUM(c) OVER (ORDER BY stage ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_out
+         | FROM ff, ft ORDER BY stage""".stripMargin,
     // one-row corpus health report: the aggregate a data-mix owner
     // reads — include rate, per-reason counts, scrub burden
     "corpus_report" ->

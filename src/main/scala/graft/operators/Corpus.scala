@@ -195,6 +195,58 @@ object Corpus {
       round(sum("n_removed") / sum("n_words"), 4).as("scrub_rate"))
   }
 
+  /** The staged curation FUNNEL — the manifest's per-reason counts
+    * re-expressed as a sequential pipeline with FIRST-DROP attribution:
+    * each document is charged to the first stage that drops it
+    * (too_short → repetitive → exact_dup → near_dup → low_quality), so
+    * the rows read as dashboard attrition — every stage's n_in is the
+    * previous stage's n_out, unlike [[report]]'s overlapping per-reason
+    * counts. The quality gate is CALIBRATED ON THE SURVIVORS
+    * ([[TextOps.calibrateQualityThreshold]] over the include set,
+    * keep-fraction p): thresholds move when upstream stages change,
+    * exactly like a production funnel.
+    *
+    * Shape: the manifest chain + one scoring pass + the histogram
+    * calibration — all doc_id/lang-keyed joins; the funnel window runs
+    * over FIVE rows. total comes from one column-pruned count (the
+    * joins are PK-inner, one row per doc by construction).
+    */
+  def funnel(docs: DataFrame, pairs: DataFrame, minWords: Long = 30,
+      p: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = manifest(docs, pairs, minWords)
+    val inc = m.filter(col("include")).select("doc_id")
+    val thr = TextOps.calibrateQualityThreshold(docs.join(inc, "doc_id"), p)
+      .select(col("lang"), col("thr"))
+    val q = TextOps.qualityScore(docs).select("doc_id", "quality_score")
+    val staged = m.join(docs.select("doc_id", "lang"), "doc_id")
+      .join(q, "doc_id")
+      .join(broadcast(thr), Seq("lang"), "left")
+      .withColumn("stage",
+        when(col("manifest_reasons").contains("too_short"), 1)
+          .when(col("manifest_reasons").contains("repetitive"), 2)
+          .when(col("manifest_reasons").contains("exact_dup"), 3)
+          .when(col("manifest_reasons").contains("near_dup"), 4)
+          .when(col("thr").isNull || col("quality_score") < col("thr"), 5)
+          .otherwise(6))
+    val total = docs.count()
+    val cnt = staged.groupBy("stage").agg(count(lit(1)).as("c"))
+    val grid = Seq((1, "too_short"), (2, "repetitive"), (3, "exact_dup"),
+      (4, "near_dup"), (5, "low_quality")).toDF("stage", "stage_name")
+    val w = Window.orderBy("stage") // FIVE rows — never corpus-sized
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(cnt, Seq("stage"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum("c").over(w))
+      .select(col("stage"), col("stage_name"),
+        (lit(total) - col("cum") + col("c")).as("n_in"),
+        col("c").as("n_dropped"),
+        (lit(total) - col("cum")).as("n_out"))
+      .orderBy("stage")
+  }
+
   /** Temperature-scaled multinomial sampling weights per source:
     * wᵢ = tᵢ^τ / Σⱼ tⱼ^τ with τ = 1/2 — the data-mixing recipe
     * (multilingual-BERT / XLM exponent-smoothed sampling) that

@@ -218,13 +218,7 @@ object Similarity {
         // composite rung changes WHICH cells exist, not the contract
         // (≤ cap per cell, content-keyed order).
         val side = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
-        val (coarse, cCent) = kmeansAssignInternal(emb, side, iters)
-        val coarseCp = coarse.select(col("vec_id"), col("cell").as("pcell"))
-          .localCheckpoint()
-        cCent.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
-        val fine = kmeansAssignWithin(coarseCp, emb, side, iters)
-        org.apache.spark.sql.GraftShims.uncheckpoint(coarseCp)
-        fine.select(col("vec_id"),
+        twoLevelAssign(emb, side, side, iters).select(col("vec_id"),
           (col("pcell") * side + col("cell")).as("cell"))
       }
     val w = Window.partitionBy("cell")
@@ -827,16 +821,55 @@ object Similarity {
     */
   def semDedupTwoLevel(emb: DataFrame, tau: Double = 0.95,
       coarseCells: Int = 8, fineCells: Int = 8, iters: Int = 2): DataFrame = {
-    val (coarse, cCent) = kmeansAssignInternal(emb, coarseCells, iters)
-    val coarseCp = coarse.select(col("vec_id"), col("cell").as("pcell"))
-      .localCheckpoint()
-    cCent.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
-    val fine = kmeansAssignWithin(coarseCp, emb, fineCells, iters)
+    val fine = twoLevelAssign(emb, coarseCells, fineCells, iters)
     val composite = fine.select(col("vec_id"),
       (col("pcell") * fineCells + col("cell")).as("cell"), col("d"))
-    val out = pruneWithinCells(emb, composite, tau, coarseCells * fineCells)
-    org.apache.spark.sql.GraftShims.uncheckpoint(coarseCp)
-    out
+    pruneWithinCells(emb, composite, tau, coarseCells * fineCells)
+  }
+
+  /** Two-level (coarse → fine-within-coarse) assignment with its
+    * terminal checkpoint in a bounded session cache: the fine
+    * assignment is EAGER ([[kmeansAssignWithin]] checkpoints it) and
+    * every caller's result keeps reading from it, so an uncached call
+    * pinned one corpus-assignment block set per evaluation for the
+    * session lifetime — the vocabPrune-class leak. Keyed on the input
+    * plan + geometry; deterministic Lloyd's makes cross-call reuse
+    * exact (and a repeated semdedup/sampler evaluation skips both
+    * Lloyd's passes entirely).
+    */
+  private val twoLevelCache =
+    new graft.BoundedLruCache[(SparkSession, Int, Int, Int, Int), DataFrame](
+      maxEntries = 8,
+      release = df =>
+        if (!df.sparkSession.sparkContext.isStopped)
+          org.apache.spark.sql.GraftShims.uncheckpoint(df))
+
+  locally {
+    graft.SessionCaches.register(
+      evict = s => twoLevelCache.removeIf(_._1 eq s,
+        releaseRemoved = !s.sparkContext.isStopped),
+      sweep = () => twoLevelCache.removeIf(_._1.sparkContext.isStopped,
+        releaseRemoved = false))
+  }
+
+  private def twoLevelAssign(emb: DataFrame, coarseCells: Int,
+      fineCells: Int, iters: Int): DataFrame = {
+    graft.SessionCaches.watch(emb.sparkSession)
+    val key = (emb.sparkSession, emb.queryExecution.analyzed.semanticHash(),
+      coarseCells, fineCells, iters)
+    twoLevelCache.get(key).getOrElse {
+      val (coarse, cCent) = kmeansAssignInternal(emb, coarseCells, iters)
+      val coarseCp = coarse.select(col("vec_id"), col("cell").as("pcell"))
+        .localCheckpoint()
+      cCent.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
+      val fine = kmeansAssignWithin(coarseCp, emb, fineCells, iters)
+      // fine is checkpointed — coarseCp is fully consumed
+      org.apache.spark.sql.GraftShims.uncheckpoint(coarseCp)
+      val winner = twoLevelCache.putIfAbsent(key, fine)
+      if (winner ne fine)
+        org.apache.spark.sql.GraftShims.uncheckpoint(fine)
+      winner
+    }
   }
 
   /** The m disjoint subvector views of the embedding column — the

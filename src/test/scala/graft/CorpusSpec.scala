@@ -33,6 +33,32 @@ class CorpusSpec extends SparkSpec {
     assert(r(2L) == ((false, "too_short")))
   }
 
+  test("funnel: first-drop attribution per stage, quality calibrated on the survivors") {
+    val spark2 = spark
+    import spark2.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ") // score 0.4, no stopwords
+    // 36 words alternating stopword/unique (no repeated bigram, no
+    // Gopher flag): stopword_ratio 0.5 → score 0.18 < doc 0's 0.4
+    val sw = Seq("the", "a", "of", "and", "is", "in", "to", "for", "on", "with")
+    val lowQ = (0 until 18).flatMap(i => Seq(sw(i % 10), s"v$i")).mkString(" ")
+    val d = docs(
+      0L -> long, // survives every stage (its score IS the threshold)
+      1L -> "too short", // stage 1
+      2L -> (1 to 40).map(_ => "spam").mkString(" "), // stage 2 (repetitive)
+      3L -> long, // exact copy of 0 → stage 3
+      4L -> (long + " tail"), // near-dup of 0 via the pair list → stage 4
+      5L -> lowQ) // stage 5: below the calibrated threshold
+    val pairs = Seq((0L, 4L)).toDF("doc_a", "doc_b")
+    val r = Corpus.funnel(d, pairs, minWords = 30, p = 0.5).collect()
+      .map(x => x.getInt(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(1) == (("too_short", 6L, 1L, 5L)), s"stage1: ${r(1)}")
+    assert(r(2) == (("repetitive", 5L, 1L, 4L)), s"stage2: ${r(2)}")
+    assert(r(3) == (("exact_dup", 4L, 1L, 3L)), s"stage3: ${r(3)}")
+    assert(r(4) == (("near_dup", 3L, 1L, 2L)), s"stage4: ${r(4)}")
+    assert(r(5) == (("low_quality", 2L, 1L, 1L)), s"stage5: ${r(5)}")
+  }
+
   test("manifestScrubbed chains the span scrub: reasons merge, include unchanged") {
     val spark2 = spark
     import spark2.implicits._
