@@ -58,6 +58,54 @@ object SessionCaches {
   }
 }
 
+/** Session-scoped pool for TERMINAL localCheckpoints — frames the
+  * returned plan keeps reading from, so the call site can never release
+  * them itself. Keyed by (session, call-site label, input plan
+  * semantics): a repeated call over the same input reuses one block set
+  * (and skips the materialization job), superseded ones release on
+  * LRU eviction or session end — the vocabPrune-class leak closed
+  * generically for the operators whose terminal frame is data-sized
+  * ([[operators.Graph]] edge sets, [[operators.Basket]] incidence,
+  * the streaming near-dup verify's shingle table).
+  */
+object CheckpointPool {
+  import org.apache.spark.sql.DataFrame
+
+  private val pool =
+    new BoundedLruCache[(SparkSession, String, Int), DataFrame](
+      maxEntries = 32,
+      release = df =>
+        if (!df.sparkSession.sparkContext.isStopped)
+          org.apache.spark.sql.GraftShims.uncheckpoint(df))
+
+  locally {
+    SessionCaches.register(
+      evict = s => pool.removeIf(_._1 eq s,
+        releaseRemoved = !s.sparkContext.isStopped),
+      sweep = () => pool.removeIf(_._1.sparkContext.isStopped,
+        releaseRemoved = false))
+  }
+
+  /** Checkpoint `plan` once per (session, label, plan) and reuse. The
+    * build runs outside the lock; a lost putIfAbsent race releases the
+    * loser. Plans whose leaves are themselves checkpoints (unique
+    * LogicalRDD ids) get per-call keys — the pool then degrades to a
+    * bounded FIFO of block sets, which is the backstop this exists for.
+    */
+  def cached(label: String)(plan: DataFrame): DataFrame = {
+    val spark = plan.sparkSession
+    SessionCaches.watch(spark)
+    val key = (spark, label, plan.queryExecution.analyzed.semanticHash())
+    pool.get(key).getOrElse {
+      val built = plan.localCheckpoint()
+      val winner = pool.putIfAbsent(key, built)
+      if (winner ne built)
+        org.apache.spark.sql.GraftShims.uncheckpoint(built)
+      winner
+    }
+  }
+}
+
 /** Access-ordered LRU cache bounded at `maxEntries` — the storage-safety
   * companion to [[SessionCaches]]: session-scoped caches of
   * localCheckpoint'ed frames ([[operators.Similarity]] quantizer/PQ,

@@ -18,10 +18,10 @@ object Basket {
     // the incidence frame feeds BOTH pair-join sides, the part counts,
     // and the order total — materialize the distinct once or each use
     // re-runs the scan+shuffle (measured 12 s → 3 s at sf0.1/local[32])
-    val items = lineitem
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .distinct()
-      .localCheckpoint()
+    val items = graft.CheckpointPool.cached("basket-items")(
+      lineitem
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct())
     val totalOrders = items.select("okey").distinct().count()
     val nPart = items.groupBy("part").agg(count(lit(1)).as("n_part"))
     val pairs = items.as("a")

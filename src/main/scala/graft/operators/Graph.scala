@@ -31,10 +31,11 @@ object Graph {
     // materialize the (possibly expensive) pair chain exactly once —
     // degree, the n scalar, the rank seed, and the final join all read
     // these checkpoints instead of replaying the upstream dedup plan
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val edges = graft.CheckpointPool.cached("pagerank-edges")(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    val deg = graft.CheckpointPool.cached("pagerank-deg")(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")))
     val edgesDeg = edges.join(deg, "src")
     val n = deg.count()
     val teleport = (1.0 - damping) / n
@@ -73,8 +74,8 @@ object Graph {
     * O(edges·cap). Co-partitioned by the join key; no driver state.
     */
   def triangleStats(pairs: DataFrame, scale: Int = 6): DataFrame = {
-    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .localCheckpoint()
+    val e = graft.CheckpointPool.cached("triangles-edges")(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
     val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
     val closing = e.select(col("a").as("ta"), col("b").as("tc"))

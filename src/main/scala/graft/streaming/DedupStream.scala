@@ -214,6 +214,8 @@ object DedupStream {
     // the batch reader can't re-read, or just saving the disk roundtrip)
     val docs = staticDocs.getOrElse(
       spark.read.schema(schema).parquet(dir).select("doc_id", "text").distinct())
-    Dedup.jaccardVerify(Dedup.shingles(docs).localCheckpoint(), cands, threshold)
+    Dedup.jaccardVerify(
+      graft.CheckpointPool.cached("stream-verify-shingles")(Dedup.shingles(docs)),
+      cands, threshold)
   }
 }
