@@ -1377,6 +1377,9 @@ object ExtQueries {
     // the exact-cosine ground truth
     "embed_sq8_topk" -> ((s, d) => Similarity.sq8TopK(emb(s, d))),
     "embed_sq8_recall" -> ((s, d) => Similarity.sq8Recall(emb(s, d))),
+    // SQ8 shortlist + exact float rerank: int8 proposes, full precision
+    // answers — the two-stage shape every compressed tier ends in
+    "embed_sq8_rerank" -> ((s, d) => Similarity.sq8RerankTopK(emb(s, d))),
     // diversity-preserving downsampling: cap every k-means cell at 10
     // vectors picked by content-keyed md5 order (trained quantizer
     // shared through the session cache)
@@ -4010,6 +4013,22 @@ object ExtQueries {
         |                    ELSE floor(CAST(x AS DOUBLE) / max_abs * 127 + 0.5) END AS INT) AS VARCHAR)), ',') AS q_csv
         | FROM m ORDER BY vec_id""".stripMargin,
     "embed_sq8_topk" -> s"$sq8Cte $sq8RankSelect",
+    "embed_sq8_rerank" ->
+      s"""$sq8Cte,
+        | cand AS (SELECT qid, vec_id FROM r WHERE rnk <= 10),
+        | qe AS (SELECT vec_id AS cq, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        | rer AS (SELECT cand.qid, cand.vec_id,
+        |     round(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)) /
+        |       (sqrt(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) *
+        |        sqrt(SUM(CAST(e2.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))), 4) AS cos
+        |   FROM cand JOIN qe q ON q.cq = cand.qid
+        |        JOIN embeddings e2 ON e2.vec_id = cand.vec_id,
+        |        UNNEST(range(1, 65)) t(i)
+        |   GROUP BY cand.qid, cand.vec_id),
+        | rr AS (SELECT qid, vec_id, cos,
+        |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM rer)
+        | SELECT qid, CAST(rnk AS INTEGER) AS rnk, vec_id, cos
+        | FROM rr WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "embed_sq8_recall" ->
       s"""$sq8Cte,
         | topk AS (SELECT qid, vec_id FROM r WHERE rnk <= 3),

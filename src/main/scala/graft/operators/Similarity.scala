@@ -181,6 +181,30 @@ object Similarity {
         round(sum(hit) / lit((nQueries * k).toDouble), 4).as("recall_at_k"))
   }
 
+  /** SQ8 shortlist + exact float rerank — the two-stage serving shape
+    * every compressed tier ends in ([[pqRerankTopK]]'s twin): the int8
+    * scan proposes `cand` candidates per query, the exact cosine
+    * re-scores ONLY those (cand·nQueries rows, never the corpus). At
+    * scale the rerank stage reads the float vectors of the shortlist
+    * alone — the 4× storage saving applies to the scan, full precision
+    * applies to the answer.
+    */
+  def sq8RerankTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
+      cand: Int = 10): DataFrame = {
+    val candidates = sq8TopK(emb, nQueries, cand).select("qid", "vec_id")
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val rer = candidates
+      .join(emb.select("vec_id", "embedding"), "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    rer.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "cos")
+      .orderBy("qid", "rnk")
+  }
+
   /** Cluster-balanced (diversity-preserving) downsampling: cap each
     * k-means cell at `cap` vectors, picked by a content-keyed md5
     * order (never an RNG — re-runs and shard orders cannot change the

@@ -154,6 +154,26 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 20, s"sq8 recall collapsed: $hits/30")
   }
 
+  test("sq8 rerank: exact re-scoring of the shortlist never loses to raw sq8 ranking") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bf3 = Similarity.bruteForceTopK(e, 10, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def hits(rows: Array[org.apache.spark.sql.Row]) =
+      rows.count(r => bf3((r.getLong(0), r.getLong(2))))
+    val raw = hits(Similarity.sq8TopK(e, 10, 3).collect())
+    val rer = Similarity.sq8RerankTopK(e, 10, 3, cand = 10).collect()
+    // a ground-truth member inside the 10-candidate shortlist always
+    // survives the exact rerank (its exact rank is ≤ 3 globally), and
+    // the raw top-3 is a subset of that shortlist — so rerank recall
+    // dominates raw recall by construction; this pins it
+    assert(hits(rer) >= raw, s"rerank hits ${hits(rer)} < raw sq8 hits $raw")
+    // reranked scores are EXACT cosines (match the brute-force values)
+    val exact = Similarity.bruteForceTopK(e, 10, 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    rer.foreach(r =>
+      assert(r.getDouble(3) == exact((r.getLong(0), r.getLong(2)))))
+  }
+
   test("sq8: an all-zero query scores NULL (cosine undefined), never garbage") {
     val z = emb(
       (0L, Seq(0f, 0f, 0f, 0f), 0),
