@@ -71,9 +71,14 @@ object SessionCaches {
 object CheckpointPool {
   import org.apache.spark.sql.DataFrame
 
+  // sized for several tenants × five-plus call sites × a few distinct
+  // inputs each: eviction is the leak BACKSTOP, not a working-set cap —
+  // an evicted entry's blocks are released under any caller still
+  // holding the old frame (the BoundedLruCache contract), so the bound
+  // sits well above any realistic concurrent working set
   private val pool =
-    new BoundedLruCache[(SparkSession, String, Int), DataFrame](
-      maxEntries = 32,
+    new BoundedLruCache[(SparkSession, String, Int, Long), DataFrame](
+      maxEntries = 64,
       release = df =>
         if (!df.sparkSession.sparkContext.isStopped)
           org.apache.spark.sql.GraftShims.uncheckpoint(df))
@@ -86,16 +91,55 @@ object CheckpointPool {
         releaseRemoved = false))
   }
 
-  /** Checkpoint `plan` once per (session, label, plan) and reuse. The
-    * build runs outside the lock; a lost putIfAbsent race releases the
-    * loser. Plans whose leaves are themselves checkpoints (unique
-    * LogicalRDD ids) get per-call keys — the pool then degrades to a
-    * bounded FIFO of block sets, which is the backstop this exists for.
+  /** File-level generation stamp of every file-source leaf in `plan`:
+    * Spark's `InMemoryFileIndex` equality (and therefore
+    * `semanticHash`) compares ROOT PATHS only, so two reads of the same
+    * directory hash equal even after its files were rewritten — a
+    * plan-keyed cache would serve the old snapshot. Folding (mtime,
+    * count, bytes) over each leaf's root paths makes a same-path
+    * rewrite a cache MISS (the Sink artifact-cache precedent). One FS
+    * listing per call, no file opened; commutative fold, so listing
+    * order can't flip the stamp. Plans with no file leaves stamp 0.
+    */
+  def planGeneration(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    var stamp = 0L
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fsRel: HadoopFsRelation =>
+            fsRel.location.rootPaths.foreach { p =>
+              val fs = p.getFileSystem(conf)
+              if (fs.exists(p)) {
+                val it = fs.listFiles(p, true)
+                while (it.hasNext) {
+                  val f = it.next()
+                  val name = f.getPath.getName
+                  if (!name.startsWith("_") && !name.startsWith("."))
+                    stamp += f.getModificationTime * 31 + f.getLen + 1
+                }
+              }
+            }
+          case _ =>
+        }
+      case _ =>
+    }
+    stamp
+  }
+
+  /** Checkpoint `plan` once per (session, label, plan, file generation)
+    * and reuse. The build runs outside the lock; a lost putIfAbsent
+    * race releases the loser. Plans whose leaves are themselves
+    * checkpoints (unique LogicalRDD ids) get per-call keys — the pool
+    * then degrades to a bounded FIFO of block sets, which is the
+    * backstop this exists for.
     */
   def cached(label: String)(plan: DataFrame): DataFrame = {
     val spark = plan.sparkSession
     SessionCaches.watch(spark)
-    val key = (spark, label, plan.queryExecution.analyzed.semanticHash())
+    val key = (spark, label, plan.queryExecution.analyzed.semanticHash(),
+      planGeneration(plan))
     pool.get(key).getOrElse {
       val built = plan.localCheckpoint()
       val winner = pool.putIfAbsent(key, built)

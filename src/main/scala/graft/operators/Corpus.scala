@@ -218,11 +218,18 @@ object Corpus {
     import spark.implicits._
     val m = manifest(docs, pairs, minWords)
     val inc = m.filter(col("include")).select("doc_id")
-    val thr = TextOps.calibrateQualityThreshold(docs.join(inc, "doc_id"), p)
+    // ONE physical scoring pass: the pooled checkpoint feeds both the
+    // survivor calibration and the stage assignment (two un-shared
+    // subtrees otherwise — a second corpus-sized tokenize per call)
+    val scored = graft.CheckpointPool.cached("funnel-scored")(
+      TextOps.qualityScore(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "quality_score"))
+    val thr = TextOps.calibrateFromScores(
+      scored.join(inc, "doc_id")
+        .select(col("lang"), col("quality_score").as("score")), p)
       .select(col("lang"), col("thr"))
-    val q = TextOps.qualityScore(docs).select("doc_id", "quality_score")
-    val staged = m.join(docs.select("doc_id", "lang"), "doc_id")
-      .join(q, "doc_id")
+    val staged = m.join(scored, "doc_id")
       .join(broadcast(thr), Seq("lang"), "left")
       .withColumn("stage",
         when(col("manifest_reasons").contains("too_short"), 1)

@@ -128,7 +128,7 @@ object Similarity {
           .otherwise(floor(x.cast("double") / col("ma") * 127 + 0.5).cast("int"))))
       .withColumn("n2",
         aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long") * x.cast("long")))
-      .select("vec_id", "q", "n2")
+      .select("vec_id", "ma", "q", "n2")
   }
 
   /** SQ8 quantized-cosine top-k — the serving tier between
@@ -261,17 +261,12 @@ object Similarity {
     * projection — no shuffle, no UDF. Max round-trip error is
     * scale/254 per element (SimilaritySpec asserts it).
     */
-  def quantizeInt8(emb: DataFrame): DataFrame = {
-    val maxAbs = aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
-      lit(0.0), (acc, x) => greatest(acc, x))
-    emb.withColumn("max_abs", maxAbs)
-      .withColumn("q", transform(col("embedding"), x =>
-        when(col("max_abs") === 0.0, lit(0))
-          .otherwise(floor(x.cast("double") / col("max_abs") * 127 + 0.5).cast("int"))))
-      .select(col("vec_id"), col("max_abs"),
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    sq8Codes(emb) // ONE quantization scheme — the export and the SQ8
+      // serving tier cannot silently diverge
+      .select(col("vec_id"), col("ma").as("max_abs"),
         concat_ws(",", transform(col("q"), _.cast("string"))).as("q_csv"))
       .orderBy("vec_id")
-  }
 
   /** Embedding QA before indexing: per vector, the L2 norm plus the
     * degenerate-vector flags an index build must reject — NaN/Inf
@@ -862,7 +857,7 @@ object Similarity {
     * Lloyd's passes entirely).
     */
   private val twoLevelCache =
-    new graft.BoundedLruCache[(SparkSession, Int, Int, Int, Int), DataFrame](
+    new graft.BoundedLruCache[(SparkSession, Int, Int, Int, Int, Long), DataFrame](
       maxEntries = 8,
       release = df =>
         if (!df.sparkSession.sparkContext.isStopped)
@@ -879,8 +874,11 @@ object Similarity {
   private def twoLevelAssign(emb: DataFrame, coarseCells: Int,
       fineCells: Int, iters: Int): DataFrame = {
     graft.SessionCaches.watch(emb.sparkSession)
+    // semanticHash compares file sources by ROOT PATH only — fold the
+    // file-level generation in so a same-path rewrite misses
     val key = (emb.sparkSession, emb.queryExecution.analyzed.semanticHash(),
-      coarseCells, fineCells, iters)
+      coarseCells, fineCells, iters,
+      graft.CheckpointPool.planGeneration(emb))
     twoLevelCache.get(key).getOrElse {
       val (coarse, cCent) = kmeansAssignInternal(emb, coarseCells, iters)
       val coarseCp = coarse.select(col("vec_id"), col("cell").as("pcell"))

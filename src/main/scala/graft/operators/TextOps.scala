@@ -109,10 +109,18 @@ object TextOps {
     * language. The corpus-sized frame is touched exactly once (the
     * scoring pass); no global sort, no corpus-sized window.
     */
-  def calibrateQualityThreshold(docs: DataFrame, p: Double = 0.7): DataFrame = {
-    val scored = qualityScore(docs)
-      .join(docs.select("doc_id", "lang"), "doc_id")
-      .select(col("lang"), col("quality_score").as("score"))
+  def calibrateQualityThreshold(docs: DataFrame, p: Double = 0.7): DataFrame =
+    calibrateFromScores(
+      qualityScore(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(col("lang"), col("quality_score").as("score")), p)
+
+  /** [[calibrateQualityThreshold]] from an already-scored (lang, score)
+    * frame — the composition entry point: [[Corpus.funnel]] scores the
+    * corpus ONCE and both calibrates and stages from the shared frame,
+    * instead of paying the tokenize-and-score pass twice.
+    */
+  def calibrateFromScores(scored: DataFrame, p: Double): DataFrame = {
     val hist = scored.groupBy("lang", "score").agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("lang").orderBy(desc("score"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -225,7 +233,7 @@ object TextOps {
     * rather than accumulating for the session lifetime.
     */
   private val vocabPruneCache =
-    new graft.BoundedLruCache[(org.apache.spark.sql.SparkSession, Int, Long, Long), DataFrame](
+    new graft.BoundedLruCache[(org.apache.spark.sql.SparkSession, Int, Long, Long, Long), DataFrame](
       maxEntries = 8,
       release = df =>
         if (!df.sparkSession.sparkContext.isStopped)
@@ -243,8 +251,12 @@ object TextOps {
       maxDfFrac: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     graft.SessionCaches.watch(spark)
+    // semanticHash compares file sources by ROOT PATH only — fold the
+    // file-level generation in so a same-path rewrite misses (see
+    // CheckpointPool.planGeneration)
     val key = (spark, docs.queryExecution.analyzed.semanticHash(), minDf,
-      java.lang.Double.doubleToLongBits(maxDfFrac))
+      java.lang.Double.doubleToLongBits(maxDfFrac),
+      graft.CheckpointPool.planGeneration(docs))
     // vocabulary-sized (one row per kept word) — checkpointed because
     // chunkedRowNumber references its input three times (offsets,
     // guard, final join); un-checkpointed that re-runs the corpus-sized

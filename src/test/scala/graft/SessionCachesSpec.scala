@@ -106,6 +106,27 @@ class SessionCachesSpec extends SparkSpec {
     SessionCaches.evictSession(s1)
   }
 
+  test("plan-keyed pool misses when the files under the same path are rewritten") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-poolgen").toString + "/t"
+    Seq((0L, "alpha beta"), (1L, "alpha gamma")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    def read() = spark.read.parquet(dir)
+    val a = CheckpointPool.cached("spec-poolgen")(read())
+    assert(CheckpointPool.cached("spec-poolgen")(read()) eq a,
+      "unchanged files must hit the pool")
+    // same path, new files: semanticHash COLLIDES (InMemoryFileIndex
+    // equality is by root path, not file list) — the file-generation
+    // stamp in the key must turn the rewrite into a miss
+    Seq((0L, "delta epsilon"), (2L, "zeta eta")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val b = CheckpointPool.cached("spec-poolgen")(read())
+    assert(!(b eq a), "a same-path rewrite must miss the pool")
+    assert(b.select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L, 2L),
+      "the miss must serve the NEW snapshot")
+  }
+
   test("sweepStopped keeps entries whose context is alive") {
     val s = spark.newSession()
     val a = Tables.stocks(s, sfDir)
