@@ -1380,6 +1380,10 @@ object ExtQueries {
     // SQ8 shortlist + exact float rerank: int8 proposes, full precision
     // answers — the two-stage shape every compressed tier ends in
     "embed_sq8_rerank" -> ((s, d) => Similarity.sq8RerankTopK(emb(s, d))),
+    // the composed tier: IVF coarse pruning x SQ8 int8 scoring
+    // (nprobe buys recall, SQ8 cuts scanned bytes) — cached training
+    "embed_ivf_sq8_topk" -> ((s, d) =>
+      Similarity.ivfSq8TopK(emb(s, d), 10, 3, 8, 2, 2, corpusKey = Some(d))),
     // diversity-preserving downsampling: cap every k-means cell at 10
     // vectors picked by content-keyed md5 order (trained quantizer
     // shared through the session cache)
@@ -2991,8 +2995,12 @@ object ExtQueries {
     * norms), one double div/sqrt tree rounded 4dp (+0.0 normalizes any
     * -0.0), ranked per query with a vec_id tiebreak.
     */
-  private lazy val sq8Cte: String =
-    """WITH m AS (SELECT vec_id, embedding,
+  /** The codes-only prefix of [[sq8Cte]] (m, c, n) — composable with
+    * other CTE chains (the IVF-SQ8 oracle appends it to the k-means
+    * chain).
+    */
+  private lazy val sq8CodesBody: String =
+    """m AS (SELECT vec_id, embedding,
       |     list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS ma
       |   FROM embeddings),
       | c AS (SELECT vec_id,
@@ -3001,7 +3009,10 @@ object ExtQueries {
       |   FROM m),
       | n AS (SELECT vec_id, q,
       |     list_aggregate(list_transform(q, x -> CAST(x AS BIGINT) * x), 'sum') AS n2
-      |   FROM c),
+      |   FROM c)""".stripMargin
+
+  private lazy val sq8Cte: String =
+    s"""WITH $sq8CodesBody,
       | qs AS (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM n WHERE vec_id < 10),
       | p AS (SELECT qs.qid, n.vec_id,
       |     CASE WHEN qs.qn2 = 0 OR n.n2 = 0 THEN NULL
@@ -4013,6 +4024,28 @@ object ExtQueries {
         |                    ELSE floor(CAST(x AS DOUBLE) / max_abs * 127 + 0.5) END AS INT) AS VARCHAR)), ',') AS q_csv
         | FROM m ORDER BY vec_id""".stripMargin,
     "embed_sq8_topk" -> s"$sq8Cte $sq8RankSelect",
+    "embed_ivf_sq8_topk" ->
+      s"""$kmeansCte,
+        | $sq8CodesBody,
+        | qp AS (SELECT vec_id AS qid, cell, rn AS pn FROM (
+        |     SELECT vec_id, cell,
+        |       row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |     FROM d2 WHERE vec_id < 10) WHERE rn <= 2),
+        | qs2 AS (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM n WHERE vec_id < 10),
+        | wc AS (SELECT n.vec_id, n.q, n.n2, a2.cell FROM n JOIN a2 USING (vec_id)),
+        | p2 AS (SELECT qp.qid, qp.pn, wc.vec_id, wc.cell,
+        |     CASE WHEN qs2.qn2 = 0 OR wc.n2 = 0 THEN NULL
+        |          ELSE round(CAST(SUM(CAST(qs2.qq[i] AS BIGINT) * wc.q[i]) AS DOUBLE) /
+        |            (sqrt(CAST(qs2.qn2 AS DOUBLE)) * sqrt(CAST(wc.n2 AS DOUBLE))), 4) + 0.0 END AS qcos
+        |   FROM qp JOIN qs2 USING (qid)
+        |        JOIN wc ON wc.cell = qp.cell AND wc.vec_id <> qp.qid,
+        |        UNNEST(range(1, 65)) t(i)
+        |   GROUP BY qp.qid, qp.pn, qs2.qn2, wc.vec_id, wc.cell, wc.n2),
+        | r2 AS (SELECT qid, vec_id, cell, pn, qcos,
+        |     row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS rnk FROM p2)
+        | SELECT qid, CAST(rnk AS INTEGER) AS rnk, vec_id, cell,
+        |   CAST(pn AS INTEGER) AS pn, qcos
+        | FROM r2 WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "embed_sq8_rerank" ->
       s"""$sq8Cte,
         | cand AS (SELECT qid, vec_id FROM r WHERE rnk <= 10),

@@ -165,6 +165,59 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** IVF × SQ8 — the composed serving shape (FAISS
+    * IndexIVFScalarQuantizer QT_8bit, public API/docs): the coarse
+    * quantizer prunes to each query's `nprobe` nearest cells, the int8
+    * codes score ONLY those candidates. The two knobs compose
+    * independently — nprobe buys recall at scan cost, SQ8 cuts the
+    * scanned bytes 4× within [[sq8TopK]]'s bounded score error. Same
+    * cached-training contract as [[ivfMultiProbeTopK]].
+    */
+  def ivfSq8TopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
+      cells: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      corpusKey: Option[String] = None): DataFrame = {
+    require(iters >= 2, "IVF-SQ8 needs trained centroids (iters >= 2)")
+    val (assignedAll, centroids, cacheOwned) = corpusKey match {
+      case Some(tag) =>
+        val (a, c) = kmeansAssignCachedWithCentroids(emb, cells, iters, tag)
+        (a, c, true)
+      case None =>
+        val (a, cOpt) = kmeansAssignInternal(emb, cells, iters)
+        (a.localCheckpoint(), cOpt.get, false)
+    }
+    val assigned = assignedAll.select("vec_id", "cell")
+    val codes = sq8Codes(emb)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qv"))
+    val qCodes = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+    val pw = Window.partitionBy("qid").orderBy(col("pd"), col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("pd", l2sq(col("qv"), col("c")))
+      .withColumn("pn", row_number().over(pw))
+      .filter(col("pn") <= nprobe)
+      .select("qid", "cell", "pn").localCheckpoint()
+    if (!cacheOwned)
+      org.apache.spark.sql.GraftShims.uncheckpoint(centroids)
+    val withCell = codes.join(assigned, "vec_id")
+    val dotInt = aggregate(
+      zip_with(col("qq"), col("q"), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = probes
+      .join(broadcast(qCodes), "qid")
+      .join(withCell, "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("qcos",
+        when(col("qn2") === 0L || col("n2") === 0L, lit(null).cast("double"))
+          .otherwise(round(dotInt.cast("double") /
+            (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))), 4) + lit(0.0)))
+    val w = Window.partitionBy("qid").orderBy(desc("qcos"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "cell", "pn", "qcos")
+      .orderBy("qid", "rnk")
+  }
+
   /** Recall@k of the SQ8 tier against the exact-cosine ground truth —
     * the acceptance gate before swapping a serving fleet from float32
     * to int8 reads. One aggregate row, same contract as the IVF/PQ/MRL

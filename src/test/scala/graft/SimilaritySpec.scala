@@ -154,6 +154,17 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 20, s"sq8 recall collapsed: $hits/30")
   }
 
+  test("ivf-sq8: probing every cell reproduces the pure sq8 ranking") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // nprobe = cells disables the coarse pruning — the composed tier
+    // must then rank exactly like the flat int8 scan (each vector lives
+    // in ONE cell, so no candidate duplicates either)
+    val full = Similarity.ivfSq8TopK(e, 10, 3, cells = 8, iters = 2, nprobe = 8)
+      .select("qid", "rnk", "vec_id", "qcos").collect().map(_.toSeq).toSeq
+    val pure = Similarity.sq8TopK(e, 10, 3).collect().map(_.toSeq).toSeq
+    assert(full == pure, "full-probe IVF-SQ8 diverged from the flat SQ8 scan")
+  }
+
   test("sq8 rerank: exact re-scoring of the shortlist never loses to raw sq8 ranking") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val bf3 = Similarity.bruteForceTopK(e, 10, 3).collect()
