@@ -1599,6 +1599,10 @@ object ExtQueries {
     // positional-index phrase search for the top-5 trigrams; each row
     // certifies position-join hits == shingle counts (`agree`)
     "text_phrase_search" -> ((s, d) => TextOps.phraseSearch(docs(s, d), 5)),
+    // PMI collocation mining: adjacent pairs co-occurring far above
+    // chance, exact-integer ratio under one ln, TakeOrdered top-k
+    "text_pmi_collocations" -> ((s, d) =>
+      TextOps.pmiCollocations(docs(s, d), minCount = 5, k = 20)),
     "token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
     "word_entropy" -> ((s, d) => TextOps.wordEntropy(docs(s, d))),
     // BPE training, first merge iteration: char-pair frequencies
@@ -4939,6 +4943,24 @@ object ExtQueries {
         | SELECT hour, rnk, event_type, n FROM rk WHERE rnk <= 3
         | ORDER BY hour, rnk""".stripMargin,
     "text_quality_score" -> s"$textQualityOracle ORDER BY doc_id",
+    "text_pmi_collocations" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        | uni AS (SELECT w, count(*) AS cw FROM w GROUP BY w),
+        | tt AS (SELECT count(*) AS t FROM w),
+        | wl AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | big AS (SELECT ws[i] || ' ' || ws[i+1] AS s
+        |         FROM wl, UNNEST(range(1, len(ws))) t(i)),
+        | tb AS (SELECT count(*) AS b FROM big),
+        | cb AS (SELECT s, count(*) AS n_pair FROM big GROUP BY s
+        |        HAVING count(*) >= 5),
+        | j AS (SELECT cb.s, cb.n_pair, ua.cw AS n_a, ub.cw AS n_b
+        |   FROM cb JOIN uni ua ON ua.w = string_split(cb.s, ' ')[1]
+        |        JOIN uni ub ON ub.w = string_split(cb.s, ' ')[2]),
+        | sc AS (SELECT s AS bigram, n_pair, n_a, n_b,
+        |     round(ln(CAST(n_pair * t * t AS DOUBLE) / CAST(b * n_a * n_b AS DOUBLE)), 6) AS pmi
+        |   FROM j, tt, tb)
+        | SELECT bigram, n_pair, n_a, n_b, pmi FROM sc
+        | ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
     "text_quality_calibrate" ->
       s"""WITH q AS ($textQualityOracle),
         | s AS (SELECT d.lang, q.quality_score AS score

@@ -138,6 +138,48 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** PMI-ranked collocations — the classic phrase/multiword-expression
+    * miner (Church & Hanks 1990): for adjacent word pairs seen at least
+    * `minCount` times, PMI = ln(p(ab) / (p(a)·p(b))) over the corpus
+    * unigram/bigram distributions; high PMI = the pair co-occurs far
+    * above chance (a phrase), low = incidental adjacency.
+    *
+    * Determinism: the ln's input is ONE division of two exact integer
+    * products — (n_pair·T·T) / (B·n_a·n_b), all 64-bit-exact at any
+    * realistic vocabulary (the counts are token totals; overflow would
+    * need T·n_pair past 2⁶³, i.e. ~10⁹ occurrences of one bigram in a
+    * 10⁹-token corpus — and BOTH engines fail loudly there rather than
+    * wrapping) — so the rounded-6 ln matches cross-engine (the tfidf
+    * precedent). Ranking runs over the ROUNDED score with a bigram
+    * tiebreak; top-k compiles to TakeOrdered.
+    *
+    * Shape: one explode + two hash aggregations (unigrams, bigrams) +
+    * two key joins; T and B are driver scalars like tfidf's N.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5,
+      k: Int = 20): DataFrame = {
+    val words = spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val uni = words.groupBy("w").agg(count(lit(1)).as("cw"))
+    val totT = words.count()
+    val big = Dedup.shingles(docs, 2, distinct = false).select("s")
+    val totB = big.count()
+    val cb = big.groupBy("s").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .withColumn("w1", split(col("s"), " ")(0))
+      .withColumn("w2", split(col("s"), " ")(1))
+    cb
+      .join(uni.select(col("w").as("w1"), col("cw").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("n_b")), "w2")
+      .withColumn("pmi", round(log(
+        (col("n_pair") * lit(totT) * lit(totT)).cast("double") /
+          (lit(totB) * col("n_a") * col("n_b")).cast("double")), 6))
+      .select(col("s").as("bigram"), col("n_pair"), col("n_a"), col("n_b"),
+        col("pmi"))
+      .orderBy(desc("pmi"), col("bigram"))
+      .limit(k)
+  }
+
   /** Top-k TF-IDF terms per document — the standard relevance/keyword
     * surface over a corpus. tf is the within-doc frequency (count /
     * doc words), idf = ln(N / df) over document frequency. Both factors

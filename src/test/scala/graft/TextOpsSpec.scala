@@ -110,6 +110,22 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Boolean]("agree")))
   }
 
+  test("pmiCollocations: the repeated pair wins, singletons filtered, exact PMI") {
+    // one doc, "new york" × 5 with distinct fillers: T=14 tokens,
+    // B=13 bigrams, every other bigram is a singleton (< minCount)
+    val d = docs(
+      (0L, "new york a1 new york a2 new york a3 new york a4 new york", "en"))
+    val r = TextOps.pmiCollocations(d, minCount = 5, k = 20).collect()
+    assert(r.length == 1, s"only the repeated pair survives: ${r.toSeq}")
+    val row = r.head
+    assert(row.getString(0) == "new york" && row.getLong(1) == 5 &&
+      row.getLong(2) == 5 && row.getLong(3) == 5)
+    // PMI = ln(n_pair·T·T / (B·n_a·n_b)), one exact-integer division
+    val expected = BigDecimal(math.log((5.0 * 14 * 14) / (13.0 * 5 * 5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(4) == expected, s"pmi ${row.getDouble(4)} != $expected")
+  }
+
   test("calibrateQualityThreshold: histogram threshold fits the budget, ties all-or-nothing") {
     // stopword-free texts → quality_score = n_words/100 exactly
     val d = docs(
