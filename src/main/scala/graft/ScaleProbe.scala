@@ -190,6 +190,16 @@ object ScaleProbe {
         Similarity.clusterBalancedSample(emb, cells = 8 * factor, iters = 2,
           cap = 10)
       },
+      // round-13: the composed curation funnel — manifest chain
+      // (simhash pairs + clean signals) + ONE pooled scoring pass +
+      // histogram calibration; every stage doc_id/lang-keyed, the
+      // funnel window is 5 rows
+      time("corpus_funnel") {
+        val pairs = Dedup.simhashNearDups(docs, 3).select("doc_a", "doc_b")
+        graft.operators.Corpus.funnel(
+          docs.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5)))),
+          pairs)
+      },
       // round-10: the suffix-bucket population cap under a PLANTED
       // pathological corpus — every document opens with the same
       // 19-word boilerplate, so the suffixes at positions 1..15 land
