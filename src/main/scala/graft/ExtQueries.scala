@@ -1770,6 +1770,9 @@ object ExtQueries {
     }),
     // Zipf rank-frequency OLS over the top-100 vocabulary
     "corpus_zipf_fit" -> ((s, d) => TextOps.zipfFit(docs(s, d), 100)),
+    // Heaps' law vocabulary-growth fit over ten corpus prefixes —
+    // the zipfFit companion (beta near 1 = token-minting pathology)
+    "corpus_heaps_fit" -> ((s, d) => TextOps.heapsFit(docs(s, d))),
     // dedup observability: near-dup cluster size distribution off the
     // cached simhash pair list
     "dedup_cluster_sizes" -> ((s, d) => {
@@ -5514,6 +5517,36 @@ object ExtQueries {
         |     THEN round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n, 4) + 0.0
         |   END AS intercept
         | FROM fit, tot""".stripMargin,
+    "corpus_heaps_fit" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        | fd AS (SELECT w, min(doc_id) AS fd FROM w GROUP BY w),
+        | dt AS (SELECT doc_id, count(*) AS nt FROM w GROUP BY doc_id),
+        | b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        | g AS (SELECT k, lo + ((hi - lo + 1) * k) // 10 AS cut
+        |       FROM b, UNNEST(range(1, 11)) t(k)),
+        | tt AS (SELECT g.k, CAST(sum(dt.nt) AS BIGINT) AS t_tokens
+        |        FROM g JOIN dt ON dt.doc_id < g.cut GROUP BY g.k),
+        | vv AS (SELECT g.k, count(*) AS v_vocab
+        |        FROM g JOIN fd ON fd.fd < g.cut GROUP BY g.k),
+        | pts AS (SELECT t_tokens, v_vocab,
+        |     CAST(round(ln(CAST(t_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lx,
+        |     CAST(round(ln(CAST(v_vocab AS DOUBLE)), 6) AS DECIMAL(18,6)) AS ly
+        |   FROM tt JOIN vv USING (k)),
+        | s AS (SELECT count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
+        |         sum(lx * ly) AS sxy, sum(lx * lx) AS sxx,
+        |         max(t_tokens) AS total_tokens,
+        |         CAST(max(v_vocab) AS BIGINT) AS vocab_size FROM pts),
+        | fit2 AS (SELECT n, total_tokens, vocab_size,
+        |     CASE WHEN n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+        |       THEN round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |         (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) + 0.0
+        |     END AS beta,
+        |     sx, sy FROM s)
+        | SELECT n, total_tokens, vocab_size, beta,
+        |   CASE WHEN beta IS NOT NULL
+        |     THEN round((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) / n, 4) + 0.0
+        |   END AS log_k
+        | FROM fit2""".stripMargin,
     // cluster-size distribution over the recursive-CTE labels
     "dedup_cluster_sizes" ->
       s"""${"WITH RECURSIVE " + simhashPairsCte.stripPrefix("WITH ")},

@@ -490,6 +490,61 @@ object TextOps {
       .select("n", "total_tokens", "vocab_size", "slope", "intercept")
   }
 
+  /** Heaps' law fit — vocabulary growth V(T) ≈ K·T^β as log-log OLS of
+    * distinct-vocabulary size against cumulative token count over
+    * `gridPoints` id-range prefixes of the corpus (the [[zipfFit]]
+    * companion): β well below 1 is healthy sublinear growth; β near 1
+    * means the corpus keeps minting new tokens — tokenizer leakage,
+    * serial-number boilerplate, or spam.
+    *
+    * Exactness and shape: every grid point is two exact integer
+    * aggregates — first occurrence = min(doc_id) per word, prefix
+    * totals by VALUE cutoffs (pure integer `div` arithmetic, no
+    * corpus-sized rank window); each prefix join is a broadcast of the
+    * 10-row grid against doc-sized aggregates. The ln rounds onto the
+    * 6dp DECIMAL carrier and the OLS runs [[zipfFit]]'s arithmetic
+    * verbatim.
+    */
+  def heapsFit(docs: DataFrame, gridPoints: Int = 10): DataFrame = {
+    val words = spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val firstDoc = words.groupBy("w").agg(min("doc_id").as("fd"))
+    val docTokens = words.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val grid = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .select(explode(sequence(lit(1), lit(gridPoints))).as("k"),
+        col("lo"), col("hi"))
+      .select(col("k"),
+        expr(s"lo + ((hi - lo + 1) * k) div $gridPoints").as("cut"))
+    val t = broadcast(grid).join(docTokens, col("doc_id") < col("cut"))
+      .groupBy("k").agg(sum("nt").as("t_tokens"))
+    val v = broadcast(grid).join(firstDoc, col("fd") < col("cut"))
+      .groupBy("k").agg(count(lit(1)).as("v_vocab"))
+    val pts = t.join(v, "k")
+      .withColumn("lx",
+        round(log(col("t_tokens").cast("double")), 6).cast("decimal(18,6)"))
+      .withColumn("ly",
+        round(log(col("v_vocab").cast("double")), 6).cast("decimal(18,6)"))
+    pts.agg(count(lit(1)).as("n"),
+        sum("lx").as("sx"), sum("ly").as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        max("t_tokens").as("total_tokens"),
+        max("v_vocab").as("vocab_size"))
+      .withColumn("den",
+        col("n") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      .withColumn("beta",
+        when(col("den") =!= 0.0,
+          round((col("n") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            col("den"), 4) + lit(0.0)))
+      .withColumn("log_k",
+        when(col("beta").isNotNull,
+          round((col("sy").cast("double") - col("beta") * col("sx").cast("double")) /
+            col("n"), 4) + lit(0.0)))
+      .select("n", "total_tokens", "vocab_size", "beta", "log_k")
+  }
+
   /** Corpus-wide top-k n-grams by occurrence — the boilerplate/heavy-
     * hitter view (repeated headers, license blurbs, templates surface
     * here first; what it finds feeds the substring-dedup and repetition

@@ -110,6 +110,21 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Boolean]("agree")))
   }
 
+  test("heapsFit: all-new-words corpus fits beta=1 exactly; shared-word corpus sublinear") {
+    // every doc mints only new words → V(T) = T at every prefix → the
+    // log-log points sit on y = x: beta 1, log_k 0, bit-exact
+    val d1 = docs((0L until 10L).map(i => (i, s"u${i}a u${i}b u${i}c", "en")): _*)
+    val r1 = TextOps.heapsFit(d1).head()
+    assert(r1.getAs[Long]("n") == 10 && r1.getAs[Long]("total_tokens") == 30 &&
+      r1.getAs[Long]("vocab_size") == 30, s"grid/total: $r1")
+    assert(r1.getAs[Double]("beta") == 1.0 && r1.getAs[Double]("log_k") == 0.0,
+      s"linear-growth fit: $r1")
+    // half the tokens are one shared word → vocabulary grows sublinearly
+    val d2 = docs((0L until 10L).map(i => (i, s"common w$i", "en")): _*)
+    val b2 = TextOps.heapsFit(d2).head().getAs[Double]("beta")
+    assert(b2 > 0 && b2 < 1, s"shared-word corpus must be sublinear: $b2")
+  }
+
   test("pmiCollocations: the repeated pair wins, singletons filtered, exact PMI") {
     // one doc, "new york" × 5 with distinct fillers: T=14 tokens,
     // B=13 bigrams, every other bigram is a singleton (< minCount)
