@@ -1603,6 +1603,10 @@ object ExtQueries {
     // chance, exact-integer ratio under one ln, TakeOrdered top-k
     "text_pmi_collocations" -> ((s, d) =>
       TextOps.pmiCollocations(docs(s, d), minCount = 5, k = 20)),
+    // RAKE keyphrases: stopword-delimited candidate runs, deg/freq
+    // word scores, decimal-summed phrase scores, corpus top-20
+    "text_rake_keyphrases" -> ((s, d) =>
+      TextOps.rakeKeyphrases(docs(s, d), k = 20, minWords = 2)),
     "token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
     "word_entropy" -> ((s, d) => TextOps.wordEntropy(docs(s, d))),
     // BPE training, first merge iteration: char-pair frequencies
@@ -4946,6 +4950,33 @@ object ExtQueries {
         | SELECT hour, rnk, event_type, n FROM rk WHERE rnk <= 3
         | ORDER BY hour, rnk""".stripMargin,
     "text_quality_score" -> s"$textQualityOracle ORDER BY doc_id",
+    "text_rake_keyphrases" ->
+      """WITH wl AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | tok AS (SELECT doc_id, i AS pos, ws[i] AS w
+        |         FROM wl, UNNEST(range(1, len(ws) + 1)) t(i)),
+        | ns AS (SELECT doc_id, pos, w,
+        |     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |   FROM tok WHERE w NOT IN ('the', 'a', 'of', 'and', 'is', 'in', 'to', 'for', 'on', 'with') AND w <> ''),
+        | ph AS (SELECT doc_id, isl,
+        |     string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |     count(*) AS len
+        |   FROM ns GROUP BY doc_id, isl),
+        | mem AS (SELECT unnest(string_split(phrase, ' ')) AS w, len FROM ph),
+        | st AS (SELECT w, count(*) AS freq, CAST(sum(len) AS BIGINT) AS deg
+        |        FROM mem GROUP BY w),
+        | stw AS (SELECT w,
+        |     CAST(round(CAST(deg AS DOUBLE) / freq, 6) AS DECIMAL(18,6)) AS wscore
+        |   FROM st),
+        | dp AS (SELECT phrase, CAST(len AS BIGINT) AS len, count(*) AS n_occur
+        |        FROM ph WHERE len >= 2 GROUP BY phrase, len),
+        | mem2 AS (SELECT phrase, len, n_occur,
+        |     unnest(string_split(phrase, ' ')) AS w FROM dp),
+        | sc AS (SELECT m.phrase, m.len, m.n_occur,
+        |     CAST(sum(stw.wscore) AS DOUBLE) AS score
+        |   FROM mem2 m JOIN stw USING (w)
+        |   GROUP BY m.phrase, m.len, m.n_occur)
+        | SELECT phrase, len, CAST(n_occur AS BIGINT) AS n_occur, score
+        | FROM sc ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
     "text_pmi_collocations" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         | uni AS (SELECT w, count(*) AS cw FROM w GROUP BY w),

@@ -490,6 +490,56 @@ object TextOps {
       .select("n", "total_tokens", "vocab_size", "slope", "intercept")
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are the
+    * maximal stopword-free token runs; each word scores deg/freq over
+    * ALL candidate occurrences (deg = Σ length of phrases containing
+    * it — words living in long phrases outrank loners); a phrase scores
+    * the sum of its member word scores. Corpus-level top-k of distinct
+    * phrases of at least `minWords` words.
+    *
+    * Determinism: word scores are one exact-integer division rounded to
+    * the 6dp DECIMAL carrier; phrase scores are DECIMAL sums
+    * (fold-order free); ranking is over the exact decimal with a phrase
+    * tiebreak. Runs are found with gaps-and-islands (pos − row_number
+    * per doc — the signal_islands pattern), so the only windows are
+    * doc_id-partitioned.
+    */
+  def rakeKeyphrases(docs: DataFrame, k: Int = 20,
+      minWords: Int = 2): DataFrame = {
+    val sw = stopwords.map(s => s"'$s'").mkString(", ")
+    val toks = spread(docs)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val nonStop = toks.filter(!expr(s"w IN ($sw)") && col("w") =!= "")
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = nonStop.withColumn("isl", col("pos") - row_number().over(wd))
+    val phrases = runs.groupBy(col("doc_id"), col("isl"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("ps"))
+      .select(col("doc_id"), expr("transform(ps, p -> p.w)").as("ws"))
+      .withColumn("phrase", array_join(col("ws"), " "))
+      .withColumn("len", size(col("ws")).cast("long"))
+    // word stats over EVERY candidate occurrence (single-word runs
+    // included — they feed freq/deg even when filtered from the output)
+    val stats = phrases.select(explode(col("ws")).as("w"), col("len"))
+      .groupBy("w").agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+      .withColumn("wscore",
+        round(col("deg") / col("freq"), 6).cast("decimal(18,6)"))
+    val distinctPhrases = phrases.filter(col("len") >= minWords)
+      .groupBy("phrase", "len").agg(count(lit(1)).as("n_occur"))
+    distinctPhrases
+      .withColumn("w", explode(split(col("phrase"), " ")))
+      .join(stats.select("w", "wscore"), "w")
+      .groupBy("phrase", "len", "n_occur")
+      .agg(sum("wscore").as("score_d"))
+      // the DECIMAL sum is the fold-order-free carrier; ranking and
+      // output use its double rendering in BOTH engines so the top-k
+      // boundary can never disagree on a decimal-vs-double tie
+      .withColumn("score", col("score_d").cast("double"))
+      .select("phrase", "len", "n_occur", "score")
+      .orderBy(desc("score"), col("phrase"))
+      .limit(k)
+  }
+
   /** Heaps' law fit — vocabulary growth V(T) ≈ K·T^β as log-log OLS of
     * distinct-vocabulary size against cumulative token count over
     * `gridPoints` id-range prefixes of the corpus (the [[zipfFit]]

@@ -110,6 +110,19 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Boolean]("agree")))
   }
 
+  test("rakeKeyphrases: hand-checked deg/freq scores on stopword-delimited runs") {
+    // runs: [red apple pie], [green apple]; deg/freq by hand:
+    // red 3/1, apple (3+2)/2 = 2.5, pie 3/1, green 2/1
+    // → "red apple pie" = 8.5, "green apple" = 4.5
+    val d = docs((0L, "the red apple pie of green apple", "en"))
+    val r = TextOps.rakeKeyphrases(d, k = 10, minWords = 2).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("red apple pie", "green apple"),
+      s"phrases: ${r.toSeq}")
+    assert(r(0).getDouble(3) == 8.5 && r(1).getDouble(3) == 4.5, s"scores: ${r.toSeq}")
+    assert(r(0).getLong(1) == 3 && r(1).getLong(1) == 2)
+    assert(r(0).getLong(2) == 1 && r(1).getLong(2) == 1)
+  }
+
   test("heapsFit: all-new-words corpus fits beta=1 exactly; shared-word corpus sublinear") {
     // every doc mints only new words → V(T) = T at every prefix → the
     // log-log points sit on y = x: beta 1, log_k 0, bit-exact
