@@ -4984,14 +4984,15 @@ object ExtQueries {
         | wl AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         | big AS (SELECT ws[i] || ' ' || ws[i+1] AS s
         |         FROM wl, UNNEST(range(1, len(ws))) t(i)),
-        | tb AS (SELECT count(*) AS b FROM big),
+        | tb AS (SELECT t - (SELECT count(*) FROM documents) AS b FROM tt),
         | cb AS (SELECT s, count(*) AS n_pair FROM big GROUP BY s
         |        HAVING count(*) >= 5),
         | j AS (SELECT cb.s, cb.n_pair, ua.cw AS n_a, ub.cw AS n_b
         |   FROM cb JOIN uni ua ON ua.w = string_split(cb.s, ' ')[1]
         |        JOIN uni ub ON ub.w = string_split(cb.s, ' ')[2]),
         | sc AS (SELECT s AS bigram, n_pair, n_a, n_b,
-        |     round(ln(CAST(n_pair * t * t AS DOUBLE) / CAST(b * n_a * n_b AS DOUBLE)), 6) AS pmi
+        |     round(ln((CAST(n_pair AS DOUBLE) * t * t) /
+        |       (CAST(b AS DOUBLE) * n_a * n_b)), 6) AS pmi
         |   FROM j, tt, tb)
         | SELECT bigram, n_pair, n_a, n_b, pmi FROM sc
         | ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,

@@ -144,17 +144,21 @@ object TextOps {
     * unigram/bigram distributions; high PMI = the pair co-occurs far
     * above chance (a phrase), low = incidental adjacency.
     *
-    * Determinism: the ln's input is ONE division of two exact integer
-    * products — (n_pair·T·T) / (B·n_a·n_b), all 64-bit-exact at any
-    * realistic vocabulary (the counts are token totals; overflow would
-    * need T·n_pair past 2⁶³, i.e. ~10⁹ occurrences of one bigram in a
-    * 10⁹-token corpus — and BOTH engines fail loudly there rather than
-    * wrapping) — so the rounded-6 ln matches cross-engine (the tfidf
-    * precedent). Ranking runs over the ROUNDED score with a bigram
-    * tiebreak; top-k compiles to TakeOrdered.
+    * Determinism: the ln's input is ONE division of two products of
+    * exact integer COUNTS, each multiplied in DOUBLE — integer
+    * products would overflow 2⁶³ for common-word bigrams at
+    * tens-of-millions-token corpora (B·n_a·n_b ≈ 10²⁰ there, an ANSI
+    * hard error), while the double tree never overflows and both
+    * engines round each step identically on identical operands (counts
+    * < 2⁵³ convert exactly). The rounded-6 ln matches cross-engine
+    * (the tfidf precedent); ranking runs over the ROUNDED score with a
+    * bigram tiebreak; top-k compiles to TakeOrdered.
     *
     * Shape: one explode + two hash aggregations (unigrams, bigrams) +
-    * two key joins; T and B are driver scalars like tfidf's N.
+    * two key joins. T is a driver scalar like tfidf's N; B needs no
+    * second corpus pass — a doc with n tokens yields exactly n−1
+    * bigrams (split yields ≥1 token for any string), so
+    * B = T − n_docs identically.
     */
   def pmiCollocations(docs: DataFrame, minCount: Long = 5,
       k: Int = 20): DataFrame = {
@@ -162,8 +166,8 @@ object TextOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val uni = words.groupBy("w").agg(count(lit(1)).as("cw"))
     val totT = words.count()
+    val totB = totT - docs.count()
     val big = Dedup.shingles(docs, 2, distinct = false).select("s")
-    val totB = big.count()
     val cb = big.groupBy("s").agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minCount)
       .withColumn("w1", split(col("s"), " ")(0))
@@ -172,8 +176,8 @@ object TextOps {
       .join(uni.select(col("w").as("w1"), col("cw").as("n_a")), "w1")
       .join(uni.select(col("w").as("w2"), col("cw").as("n_b")), "w2")
       .withColumn("pmi", round(log(
-        (col("n_pair") * lit(totT) * lit(totT)).cast("double") /
-          (lit(totB) * col("n_a") * col("n_b")).cast("double")), 6))
+        (col("n_pair").cast("double") * lit(totT) * lit(totT)) /
+          (lit(totB).cast("double") * col("n_a") * col("n_b"))), 6))
       .select(col("s").as("bigram"), col("n_pair"), col("n_a"), col("n_b"),
         col("pmi"))
       .orderBy(desc("pmi"), col("bigram"))
