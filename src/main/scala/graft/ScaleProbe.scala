@@ -186,6 +186,22 @@ object ScaleProbe {
       // fixture-sized)
       time("embed_sq8_topk") { Similarity.sq8TopK(emb, 10, 3) },
       time("embed_brute_topk") { Similarity.bruteForceTopK(emb, 10, 3) },
+      // the composed tier, training and serving timed SEPARATELY:
+      // flat Lloyd's with cells ∝ factor is the once-per-corpus
+      // training cost (N·cells — 272 s at ×100, same class as every
+      // index build; production trains on a sample); SERVING with the
+      // cached quantizer is one linear codes pass + a constant-sized
+      // probed candidate set, and must stay near-flat across factors
+      time("embed_ivf_sq8_train") {
+        // populates BOTH session caches (assignment + centroids) via
+        // the multiprobe entry point — the serving rep must not retrain
+        Similarity.ivfMultiProbeTopK(emb, 1, 1, 8 * factor, 2, 1,
+          corpusKey = Some("probe-ivfsq8"))
+      },
+      time("embed_ivf_sq8_topk") {
+        Similarity.ivfSq8TopK(emb, 10, 3, cells = 8 * factor, iters = 2,
+          nprobe = 2, corpusKey = Some("probe-ivfsq8"))
+      },
       time("sample_cluster_balanced") {
         Similarity.clusterBalancedSample(emb, cells = 8 * factor, iters = 2,
           cap = 10)
