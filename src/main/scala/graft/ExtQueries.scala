@@ -1603,6 +1603,10 @@ object ExtQueries {
     // chance, exact-integer ratio under one ln, TakeOrdered top-k
     "text_pmi_collocations" -> ((s, d) =>
       TextOps.pmiCollocations(docs(s, d), minCount = 5, k = 20)),
+    // hashing-trick doc vectors + sparse-algebra cosine neighbors —
+    // the model-free similarity surface when no encoder exists
+    "text_hash_vectors" -> ((s, d) => TextOps.hashedDocVectors(docs(s, d))),
+    "text_hash_neighbors" -> ((s, d) => TextOps.hashedNeighbors(docs(s, d))),
     // RAKE keyphrases: stopword-delimited candidate runs, deg/freq
     // word scores, decimal-summed phrase scores, corpus top-20
     "text_rake_keyphrases" -> ((s, d) =>
@@ -4950,6 +4954,31 @@ object ExtQueries {
         | SELECT hour, rnk, event_type, n FROM rk WHERE rnk <= 3
         | ORDER BY hour, rnk""".stripMargin,
     "text_quality_score" -> s"$textQualityOracle ORDER BY doc_id",
+    "text_hash_vectors" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        | hb AS (SELECT doc_id, ($minhashBaseSql) % 64 AS bucket
+        |        FROM (SELECT doc_id, md5(w) AS m FROM w))
+        | SELECT doc_id, bucket, count(*) AS cnt
+        | FROM hb GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
+    "text_hash_neighbors" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        | hb AS (SELECT doc_id, ($minhashBaseSql) % 64 AS bucket
+        |        FROM (SELECT doc_id, md5(w) AS m FROM w)),
+        | v AS (SELECT doc_id, bucket, count(*) AS cnt FROM hb GROUP BY doc_id, bucket),
+        | n2 AS (SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS n2 FROM v GROUP BY doc_id),
+        | q AS (SELECT doc_id AS qid, bucket, cnt AS qcnt FROM v WHERE doc_id < 5),
+        | qn AS (SELECT doc_id AS qid, n2 AS qn2 FROM n2 WHERE doc_id < 5),
+        | dt AS (SELECT q.qid, v.doc_id, CAST(sum(q.qcnt * v.cnt) AS BIGINT) AS dot
+        |   FROM q JOIN v USING (bucket) WHERE q.qid <> v.doc_id
+        |   GROUP BY q.qid, v.doc_id),
+        | sc AS (SELECT dt.qid, dt.doc_id,
+        |     round(CAST(dot AS DOUBLE) /
+        |       (sqrt(CAST(qn.qn2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE))), 4) + 0.0 AS cos
+        |   FROM dt JOIN qn USING (qid) JOIN n2 ON n2.doc_id = dt.doc_id),
+        | rk AS (SELECT qid, doc_id, cos,
+        |     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rnk FROM sc)
+        | SELECT qid, CAST(rnk AS INTEGER) AS rnk, doc_id, cos
+        | FROM rk WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "text_rake_keyphrases" ->
       """WITH wl AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         | tok AS (SELECT doc_id, i AS pos, ws[i] AS w

@@ -494,6 +494,51 @@ object TextOps {
       .select("n", "total_tokens", "vocab_size", "slope", "intercept")
   }
 
+  /** Feature-hashed document vectors (the hashing trick — Weinberger
+    * et al. 2009): every token maps to one of `dim` buckets via the
+    * cross-engine md5 polynomial ([[Sampling.hashBucket]]), and a
+    * document's vector is its bucket-count histogram, kept SPARSE as
+    * (doc_id, bucket, cnt) rows. The model-free embedding a curation
+    * pipeline uses for clustering/similarity when no trained encoder
+    * exists — exact integer counts, no RNG, no vocabulary to ship.
+    */
+  def hashedDocVectors(docs: DataFrame, dim: Int = 64): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("bucket", Sampling.hashBucket(col("w"), dim))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "bucket")
+
+  /** Cosine top-k over the hashed vectors by SPARSE algebra: the dot
+    * product is one bucket-keyed join + sum of integer count products,
+    * the norms are per-doc integer aggregates — both engines divide
+    * IDENTICAL exact operands (the [[Similarity.sq8TopK]] discipline),
+    * one rounded IEEE tree, vec-id tiebreak. Query side broadcasts;
+    * the corpus side never shuffles on anything but the bucket key.
+    */
+  def hashedNeighbors(docs: DataFrame, dim: Int = 64, nQueries: Int = 5,
+      k: Int = 3): DataFrame = {
+    val v = hashedDocVectors(docs, dim)
+    val n2 = v.groupBy("doc_id").agg(sum(col("cnt") * col("cnt")).as("n2"))
+    val q = v.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("bucket"), col("cnt").as("qcnt"))
+    val qn = n2.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("n2").as("qn2"))
+    val dot = broadcast(q).join(v, "bucket")
+      .filter(col("qid") =!= col("doc_id"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("qcnt") * col("cnt")).as("dot"))
+    val scored = dot.join(broadcast(qn), "qid")
+      .join(n2, "doc_id")
+      .withColumn("cos", round(col("dot").cast("double") /
+        (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))), 4) + lit(0.0))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "doc_id", "cos")
+      .orderBy("qid", "rnk")
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
     * Extraction from Individual Documents"): candidate phrases are the
     * maximal stopword-free token runs; each word scores deg/freq over

@@ -110,6 +110,23 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Boolean]("agree")))
   }
 
+  test("hashedDocVectors/Neighbors: identical docs are cos=1 twins, counts exact") {
+    val d = docs(
+      (0L, "alpha beta alpha", "en"),
+      (1L, "alpha beta alpha", "en"), // identical to 0
+      (2L, "gamma delta", "en"),
+      (3L, "alpha gamma", "en"))
+    val v = TextOps.hashedDocVectors(d).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    assert(v(0L) == v(1L), "identical text must hash to the identical vector")
+    assert(v(0L).map(_._2).sum == 3 && v(2L).map(_._2).sum == 2,
+      "bucket counts must sum to the token count")
+    val nb = TextOps.hashedNeighbors(d, nQueries = 1, k = 3).collect()
+    assert(nb.head.getLong(2) == 1L && nb.head.getDouble(3) == 1.0,
+      s"doc 1 must be doc 0's cos=1 twin: ${nb.toSeq}")
+  }
+
   test("rakeKeyphrases: hand-checked deg/freq scores on stopword-delimited runs") {
     // runs: [red apple pie], [green apple]; deg/freq by hand:
     // red 3/1, apple (3+2)/2 = 2.5, pie 3/1, green 2/1
