@@ -120,7 +120,8 @@ class TextOpsSpec extends SparkSpec {
       .groupBy(_.getLong(0)).map { case (id, rs) =>
         id -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
     assert(v(0L) == v(1L), "identical text must hash to the identical vector")
-    assert(v(0L).map(_._2).sum == 3 && v(2L).map(_._2).sum == 2,
+    // sum over a Seq — a Set would collapse equal per-bucket counts
+    assert(v(0L).toSeq.map(_._2).sum == 3 && v(2L).toSeq.map(_._2).sum == 2,
       "bucket counts must sum to the token count")
     val nb = TextOps.hashedNeighbors(d, nQueries = 1, k = 3).collect()
     assert(nb.head.getLong(2) == 1L && nb.head.getDouble(3) == 1.0,
