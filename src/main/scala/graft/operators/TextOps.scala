@@ -503,11 +503,17 @@ object TextOps {
     * exists — exact integer counts, no RNG, no vocabulary to ship.
     */
   def hashedDocVectors(docs: DataFrame, dim: Int = 64): DataFrame =
+    hashedVectorsUnsorted(docs, dim).orderBy("doc_id", "bucket")
+
+  /** The vectors without the export sort — [[hashedNeighbors]] joins
+    * and re-aggregates them, so a global order there would be a wasted
+    * corpus-sized sort in the serving plan.
+    */
+  private def hashedVectorsUnsorted(docs: DataFrame, dim: Int): DataFrame =
     spread(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("bucket", Sampling.hashBucket(col("w"), dim))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
-      .orderBy("doc_id", "bucket")
 
   /** Cosine top-k over the hashed vectors by SPARSE algebra: the dot
     * product is one bucket-keyed join + sum of integer count products,
@@ -518,7 +524,7 @@ object TextOps {
     */
   def hashedNeighbors(docs: DataFrame, dim: Int = 64, nQueries: Int = 5,
       k: Int = 3): DataFrame = {
-    val v = hashedDocVectors(docs, dim)
+    val v = hashedVectorsUnsorted(docs, dim)
     val n2 = v.groupBy("doc_id").agg(sum(col("cnt") * col("cnt")).as("n2"))
     val q = v.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("qid"), col("bucket"), col("cnt").as("qcnt"))
