@@ -386,8 +386,43 @@ object Similarity {
     * explode in the update stage moves rows×dims elements through a
     * map-side-combined avg, bounded by the corpus size, not k.
     */
-  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
-    kmeansAssignInternal(emb, k, iters)._1
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      sampleRows: Int = defaultTrainSample): DataFrame =
+    kmeansAssignInternal(emb, k, iters, sampleRows)._1
+
+  /** Default training-sample cap: production Lloyd's never trains on
+    * the full corpus (FAISS's train-on-a-sample discipline — the
+    * clustering guidance caps training points per centroid); 65536
+    * keeps every local test corpus (≤ a few thousand vectors) in the
+    * degenerate keep-everything regime — results bit-identical to
+    * full-corpus training — while the ×100 probes (hundreds of
+    * thousands of vectors) train on the capped sample and assign the
+    * corpus once.
+    */
+  val defaultTrainSample: Int = 65536
+
+  /** Hash-bucket resolution of the training-sample filter. */
+  private[graft] val sampleBuckets: Int = 1 << 20
+
+  /** Deterministic capped training sample over (vec_id, v): keep a row
+    * iff hashBucket(vec_id, 2^20) · n < 2^20 · sampleRows, with n the
+    * corpus row count folded in declaratively (one broadcast one-row
+    * aggregate — no driver job). Content-hash keyed like every sampler
+    * here ([[Sampling.hashBucket]]): stable across runs, engines, and
+    * partition layouts, never an RNG. When n ≤ sampleRows the predicate
+    * is identically true (hb < 2^20 always), so small corpora keep
+    * EVERY row and training degenerates to the exact full-corpus
+    * Lloyd's. Expected sample size ≈ sampleRows above the cap
+    * (binomial concentration — the cap is a target, not an exact rank).
+    */
+  private[graft] def trainSample(e: DataFrame, sampleRows: Int): DataFrame = {
+    require(sampleRows > 0, s"sampleRows must be positive, got $sampleRows")
+    val n1 = e.agg(count(lit(1)).as("__n"))
+    e.crossJoin(broadcast(n1))
+      .filter(Sampling.hashBucket(col("vec_id").cast("string"), sampleBuckets)
+        * col("__n") < lit(sampleRows.toLong * sampleBuckets))
+      .drop("__n")
+  }
 
   /** Training with the final centroid checkpoint exposed: a caller that
     * MATERIALIZES the returned assignment (cache/checkpoint) should then
@@ -396,29 +431,40 @@ object Similarity {
     * again (its LogicalRDD leaves are gone). Earlier rounds' centroid
     * checkpoints are released inside the loop as soon as the next
     * round's (eager) checkpoint replaces them.
+    *
+    * Training runs on the [[trainSample]] capped sample (materialized —
+    * its checkpoint is bounded by ~sampleRows and released before
+    * return); the FINAL assignment is one broadcast pass over the full
+    * corpus against the trained centroids. Init = the k lowest vec_ids
+    * of the sample — identical to the historical `vec_id < k` whenever
+    * the sample keeps everything and ids are dense from 0, which is
+    * every sub-cap corpus.
     */
   private[graft] def kmeansAssignInternal(emb: DataFrame, k: Int,
-      iters: Int): (DataFrame, Option[DataFrame]) = {
+      iters: Int, sampleRows: Int = defaultTrainSample)
+      : (DataFrame, Option[DataFrame]) = {
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    var centroids = e.filter(col("vec_id") < k)
+    val smp = trainSample(e, sampleRows).localCheckpoint()
+    var centroids = smp.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cell"), col("v").as("c"))
-    var checkpointed: Option[DataFrame] = None
-    def assigned = {
+      .localCheckpoint() // k rows — lets smp release even at iters = 1
+    var checkpointed: Option[DataFrame] = Some(centroids)
+    def argmin(rows: DataFrame) = {
       val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cell"))
-      e.crossJoin(broadcast(centroids))
+      rows.crossJoin(broadcast(centroids))
         .withColumn("d", l2sq(col("v"), col("c")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("vec_id", "cell", "d")
     }
     for (_ <- 1 until iters) {
-      val means = assigned.join(e, "vec_id")
+      val means = argmin(smp).join(smp, "vec_id")
         .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("cell", "i").agg(round(avg(col("x")), 6).as("m"))
       // materialize the k×dims centroid table each update: without it
-      // every downstream evaluation of `assigned` (the means of the NEXT
-      // round, plus each join side of an IVF search) re-runs the whole
-      // previous assign+update chain from the scan up
+      // every downstream evaluation of the assignment (the means of the
+      // NEXT round, plus each join side of an IVF search) re-runs the
+      // whole previous assign+update chain from the scan up
       centroids = means
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ps"))
@@ -429,7 +475,10 @@ object Similarity {
       checkpointed.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
       checkpointed = Some(centroids)
     }
-    (assigned.orderBy("vec_id"), checkpointed)
+    // the final full-corpus assignment reads only the trained centroid
+    // checkpoint — the sample blocks are unreachable from here
+    org.apache.spark.sql.GraftShims.uncheckpoint(smp)
+    (argmin(e).orderBy("vec_id"), checkpointed)
   }
 
   /** Assign vectors to their nearest centroid WITHOUT retraining — the
@@ -462,7 +511,7 @@ object Similarity {
     * exactly like any deployed IVF index.
     */
   private val quantizerCache =
-    new graft.BoundedLruCache[(SparkSession, String, Int, Int), DataFrame](
+    new graft.BoundedLruCache[(SparkSession, String, Int, Int, Int), DataFrame](
       maxEntries = 16,
       release = df =>
         if (!df.sparkSession.sparkContext.isStopped)
@@ -476,7 +525,7 @@ object Similarity {
     * training run and centroids from another are interchangeable.
     */
   private val centroidCache =
-    new graft.BoundedLruCache[(SparkSession, String, Int, Int), DataFrame](
+    new graft.BoundedLruCache[(SparkSession, String, Int, Int, Int), DataFrame](
       maxEntries = 16,
       release = df =>
         if (!df.sparkSession.sparkContext.isStopped)
@@ -504,11 +553,12 @@ object Similarity {
     * costs one redundant training, never a wrong result.
     */
   def kmeansAssignCached(emb: DataFrame, k: Int, iters: Int,
-      corpusKey: String): DataFrame = {
+      corpusKey: String,
+      sampleRows: Int = defaultTrainSample): DataFrame = {
     graft.SessionCaches.watch(emb.sparkSession)
-    val key = (emb.sparkSession, corpusKey, k, iters)
+    val key = (emb.sparkSession, corpusKey, k, iters, sampleRows)
     quantizerCache.get(key).getOrElse {
-      val (assigned, centroids) = kmeansAssignInternal(emb, k, iters)
+      val (assigned, centroids) = kmeansAssignInternal(emb, k, iters, sampleRows)
       val trained = assigned.localCheckpoint()
       // the assignment checkpoint is eager; the centroid blocks behind
       // the (now superseded) training plan can be released
@@ -527,13 +577,14 @@ object Similarity {
     * the mixed result identical.
     */
   private[operators] def kmeansAssignCachedWithCentroids(emb: DataFrame, k: Int,
-      iters: Int, corpusKey: String): (DataFrame, DataFrame) = {
+      iters: Int, corpusKey: String,
+      sampleRows: Int = defaultTrainSample): (DataFrame, DataFrame) = {
     graft.SessionCaches.watch(emb.sparkSession)
-    val key = (emb.sparkSession, corpusKey, k, iters)
+    val key = (emb.sparkSession, corpusKey, k, iters, sampleRows)
     (quantizerCache.get(key), centroidCache.get(key)) match {
       case (Some(a), Some(c)) => (a, c)
       case _ =>
-        val (assigned, centOpt) = kmeansAssignInternal(emb, k, iters)
+        val (assigned, centOpt) = kmeansAssignInternal(emb, k, iters, sampleRows)
         val trainedA = assigned.localCheckpoint()
         val trainedC = centOpt.get // iters >= 2 enforced by callers
         val winA = quantizerCache.putIfAbsent(key, trainedA)
@@ -552,14 +603,17 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
       cells: Int = 8, iters: Int = 2,
-      corpusKey: Option[String] = None): DataFrame = {
+      corpusKey: Option[String] = None,
+      sampleRows: Int = defaultTrainSample): DataFrame = {
     // the assignment feeds BOTH sides of the search join — without a
     // materialization each side re-runs the full Lloyd's chain. Cached
     // when the caller names the corpus; checkpointed either way.
     val cellOf = corpusKey match {
-      case Some(key) => kmeansAssignCached(emb, cells, iters, key).select("vec_id", "cell")
+      case Some(key) =>
+        kmeansAssignCached(emb, cells, iters, key, sampleRows)
+          .select("vec_id", "cell")
       case None =>
-        val (assigned, centroids) = kmeansAssignInternal(emb, cells, iters)
+        val (assigned, centroids) = kmeansAssignInternal(emb, cells, iters, sampleRows)
         val cp = assigned.select("vec_id", "cell").localCheckpoint()
         centroids.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
         cp
