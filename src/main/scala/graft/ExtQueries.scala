@@ -1084,6 +1084,36 @@ object ExtQueries {
     // recall knob; `pn` attributes each hit to its probe
     "embed_ivf_multiprobe" -> ((s, d) =>
       Similarity.ivfMultiProbeTopK(emb(s, d), 10, 3, 8, 2, 2, corpusKey = Some(d))),
+    // the SAMPLED-trainer regime, verified at a cap that BITES (64 of
+    // the 500 verify-scale vectors): Lloyd's trains on the
+    // content-hash sample, the full corpus assigns ONCE against the
+    // trained centroids — the production path every index build runs
+    // above the 65536-row default cap (training cost stops scaling
+    // with the corpus; the ×100 probe: 167 s full → sampled is flat).
+    // The oracle mirrors the hash filter, the lowest-k-of-sample init,
+    // and both unrolled rounds. The two queries share one cached
+    // training (same corpusKey, same sampleRows key component).
+    "embed_kmeans_sampled" -> ((s, d) =>
+      Similarity.kmeansAssignCached(emb(s, d), 8, 2, d, sampleRows = 64)
+        .orderBy("vec_id")),
+    "embed_ivf_sampled_topk" -> ((s, d) =>
+      Similarity.ivfTopK(emb(s, d), 10, 3, 8, 2, corpusKey = Some(d),
+        sampleRows = 64)),
+    // the sampled trainer's acceptance gate: recall@3 of the
+    // sampled-trained IVF against the brute-force ground truth — the
+    // number that says how much recall the capped training gave up
+    "embed_sampled_recall" -> ((s, d) => {
+      val bf = Similarity.bruteForceTopK(emb(s, d), 10, 3)
+        .select(col("qid"), col("vec_id"))
+      val iv = Similarity.ivfTopK(emb(s, d), 10, 3, 8, 2,
+          corpusKey = Some(d), sampleRows = 64)
+        .select(col("qid"), col("vec_id")).withColumn("__hit", lit(1))
+      bf.join(iv, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("hits"))
+        .withColumn("recall_at_3", round(col("hits") / lit(3.0), 4))
+        .orderBy("qid")
+    }),
     // incremental index maintenance: train+store on the first 400
     // vectors, fold the rest in with the STORED centroids (no
     // retrain), then serve the union from disk — the production
@@ -2559,6 +2589,16 @@ object ExtQueries {
       s"CAST(ascii(substr(m, $i, 1)) AS BIGINT) * ${math.pow(128, 8 - i).toLong}")
       .mkString(" + ")
 
+  /** Exact integer value of the first 8 hex nibbles of an md5 digest
+    * `m` — mirrors Similarity.hexBucket (uniform for power-of-two
+    * moduli, unlike the ascii polynomial whose low-order support is
+    * sparse there); the winnowing fingerprint's hex-parse pattern.
+    */
+  private val hexPrefixSql: String =
+    (1 to 8).map(i =>
+      s"(CAST(ascii(substr(m, $i, 1)) AS BIGINT) - CASE WHEN ascii(substr(m, $i, 1)) >= 97 THEN 87 ELSE 48 END) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+
   /** MinHash+LSH near-dup pair SQL (signatures → capped banding →
     * exact-Jaccard verify) — shared by dedup_minhash_lsh and its
     * streaming replay twin stream_neardup_replay.
@@ -3077,6 +3117,49 @@ object ExtQueries {
       |          FROM d2) WHERE rn = 1)""".stripMargin
 
   private val kmeansCte: String = s"WITH ${kmeansBody("embeddings")}"
+
+  /** [[kmeansBody]] in the SAMPLED-training regime (mirrors
+    * Similarity.trainSample + kmeansAssignInternal with a biting cap):
+    * smp keeps a row iff hashBucket(vec_id, 2^20)·n < 2^20·S over the
+    * md5 ascii polynomial, c0 = the k lowest vec_ids OF THE SAMPLE,
+    * both unrolled Lloyd's rounds run on the sample, and the FINAL
+    * assignment (d2/a2) scores the full corpus against the
+    * sampled-trained centroids.
+    */
+  private def kmeansSampledBody(src: String, k: Int, sampleRows: Int): String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM $src),
+      | sh AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS m FROM e),
+      | sn AS (SELECT count(*) AS n FROM e),
+      | smp AS (SELECT vec_id, v FROM sh, sn
+      |         WHERE (($hexPrefixSql) % 1048576) * n
+      |               < ${sampleRows.toLong * (1L << 20)}),
+      | c0 AS (SELECT vec_id AS cell, v AS c FROM (
+      |          SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+      |          FROM smp) WHERE rn <= $k),
+      | d1 AS (SELECT smp.vec_id, c0.cell,
+      |          round(SUM((smp.v[i] - c0.c[i]) * (smp.v[i] - c0.c[i])), 6) AS d
+      |        FROM smp, c0, UNNEST(range(1, 65)) t(i)
+      |        GROUP BY smp.vec_id, c0.cell),
+      | a1 AS (SELECT vec_id, cell FROM (
+      |          SELECT vec_id, cell,
+      |            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |          FROM d1) WHERE rn = 1),
+      | m1 AS (SELECT cell, i, round(avg(smp.v[i]), 6) AS m
+      |        FROM a1 JOIN smp USING (vec_id), UNNEST(range(1, 65)) t(i)
+      |        GROUP BY cell, i),
+      | c1 AS (SELECT cell, list(m ORDER BY i) AS c FROM m1 GROUP BY cell),
+      | d2 AS (SELECT e.vec_id, c1.cell,
+      |          round(SUM((e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i])), 6) AS d
+      |        FROM e, c1, UNNEST(range(1, 65)) t(i)
+      |        GROUP BY e.vec_id, c1.cell),
+      | a2 AS (SELECT vec_id, cell, d FROM (
+      |          SELECT vec_id, cell, d,
+      |            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |          FROM d2) WHERE rn = 1)""".stripMargin
+
+  private lazy val kmeansSampledCte: String =
+    s"WITH ${kmeansSampledBody("embeddings", 8, 64)}"
 
   /** The nprobe ∈ {1,2,4} recall curve vs the brute-force top-3 ground
     * truth — shared VERBATIM by `embed_probe_recall_curve` (in-memory
@@ -4298,6 +4381,59 @@ object ExtQueries {
          |       FROM p)
          | SELECT qid, cell, rnk, vec_id, cos FROM r WHERE rnk <= 3
          | ORDER BY qid, rnk""".stripMargin,
+    "embed_kmeans_sampled" ->
+      s"$kmeansSampledCte SELECT vec_id, cell, d FROM a2 ORDER BY vec_id",
+    "embed_ivf_sampled_topk" ->
+      s"""$kmeansSampledCte,
+         | wc AS (SELECT emb.vec_id, emb.embedding, a2.cell
+         |        FROM embeddings emb JOIN a2 USING (vec_id)),
+         | q AS (SELECT vec_id AS qid, embedding AS qe, cell AS qcell
+         |       FROM wc WHERE vec_id < 10),
+         | p AS (SELECT qid, cell, wc.vec_id,
+         |         round(SUM(CAST(qe[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)) /
+         |           (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+         |            sqrt(SUM(CAST(wc.embedding[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)))), 4) AS cos
+         |       FROM q JOIN wc ON q.qcell = wc.cell AND q.qid <> wc.vec_id,
+         |            UNNEST(range(1, 65)) t(i)
+         |       GROUP BY qid, cell, wc.vec_id),
+         | r AS (SELECT qid, cell, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |       FROM p)
+         | SELECT qid, cell, rnk, vec_id, cos FROM r WHERE rnk <= 3
+         | ORDER BY qid, rnk""".stripMargin,
+    "embed_sampled_recall" ->
+      s"""$kmeansSampledCte,
+         | wc AS (SELECT emb.vec_id, emb.embedding, a2.cell
+         |        FROM embeddings emb JOIN a2 USING (vec_id)),
+         | q AS (SELECT vec_id AS qid, embedding AS qe, cell AS qcell
+         |       FROM wc WHERE vec_id < 10),
+         | ip AS (SELECT qid, wc.vec_id,
+         |         round(SUM(CAST(qe[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)) /
+         |           (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+         |            sqrt(SUM(CAST(wc.embedding[i] AS DOUBLE) * CAST(wc.embedding[i] AS DOUBLE)))), 4) AS cos
+         |       FROM q JOIN wc ON q.qcell = wc.cell AND q.qid <> wc.vec_id,
+         |            UNNEST(range(1, 65)) t(i)
+         |       GROUP BY qid, wc.vec_id),
+         | ik AS (SELECT qid, vec_id FROM (
+         |         SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |         FROM ip) WHERE rnk <= 3),
+         | bp AS (SELECT qid, e2.vec_id,
+         |         round(SUM(CAST(qe[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)) /
+         |           (sqrt(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) *
+         |            sqrt(SUM(CAST(e2.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))), 4) AS cos
+         |       FROM q JOIN embeddings e2 ON q.qid <> e2.vec_id,
+         |            UNNEST(range(1, 65)) t(i)
+         |       GROUP BY qid, e2.vec_id),
+         | bk AS (SELECT qid, vec_id FROM (
+         |         SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |         FROM bp) WHERE rnk <= 3)
+         | SELECT bk.qid,
+         |   CAST(count(ik.vec_id) AS BIGINT) AS hits,
+         |   round(count(ik.vec_id) / 3.0, 4) AS recall_at_3
+         | FROM bk LEFT JOIN ik ON ik.qid = bk.qid AND ik.vec_id = bk.vec_id
+         | GROUP BY bk.qid ORDER BY bk.qid""".stripMargin,
     // embedding QA: rounded-6dp norms, quantile_cont medians (the
     // percentile/quantile_cont interpolation identity), MAD rule on
     // the raw interpolated medians

@@ -206,6 +206,43 @@ object ScaleProbe {
         Similarity.clusterBalancedSample(emb, cells = 8 * factor, iters = 2,
           cap = 10)
       },
+      // round-14: the SAMPLED trainer at scale — the fix for the one
+      // measured super-linear cost left (flat Lloyd's training with
+      // cells ∝ N: 167 s at ×100, r13 probe table). Sampled = the
+      // 65536-row default cap (bites above ×32); full = the uncapped
+      // twin; both timers include the one full-corpus assignment pass.
+      // The recall probe quantifies what the cap costs: each
+      // quantizer's IVF search vs the same brute-force ground truth.
+      time("ivf_train_sampled") {
+        Similarity.kmeansAssignCached(emb, 8 * factor, 2, "probe-tr-sampled")
+      },
+      time("ivf_train_full") {
+        Similarity.kmeansAssignCached(emb, 8 * factor, 2, "probe-tr-full",
+          sampleRows = Int.MaxValue)
+      },
+      time("ivf_sampled_search") {
+        Similarity.ivfTopK(emb, 10, 3, 8 * factor, 2,
+          corpusKey = Some("probe-tr-sampled"))
+      },
+      {
+        if (only.isEmpty || only("ivf_sampled_recall")) {
+          val bf = Similarity.bruteForceTopK(emb, 10, 3)
+            .select("qid", "vec_id")
+          def recall(tag: String, sr: Int): Double = {
+            val iv = Similarity.ivfTopK(emb, 10, 3, 8 * factor, 2,
+                corpusKey = Some(tag), sampleRows = sr)
+              .select("qid", "vec_id").withColumn("__h", lit(1))
+            bf.join(iv, Seq("qid", "vec_id"), "left")
+              .agg(sum(coalesce(col("__h"), lit(0))))
+              .head().getLong(0) / 30.0
+          }
+          val rs = recall("probe-tr-sampled", Similarity.defaultTrainSample)
+          val rf = recall("probe-tr-full", Int.MaxValue)
+          System.err.println(
+            f"[probe] ivf_sampled_recall      sampled=$rs%.4f full=$rf%.4f")
+        }
+        None
+      },
       // round-13: the composed curation funnel — manifest chain
       // (simhash pairs + clean signals) + ONE pooled scoring pass +
       // histogram calibration; every stage doc_id/lang-keyed, the

@@ -404,22 +404,42 @@ object Similarity {
   /** Hash-bucket resolution of the training-sample filter. */
   private[graft] val sampleBuckets: Int = 1 << 20
 
+  /** Uniform bucket in [0, 2^20) from the md5 of the vec_id: the exact
+    * integer value of the digest's first 8 hex nibbles, mod 2^20.
+    * [[Sampling.hashBucket]]'s ascii polynomial is NOT usable here —
+    * against a power-of-two modulus only its 3 lowest-order characters
+    * survive (every 128^(8-i) with i ≤ 5 is a multiple of 2^21), and
+    * those cannot reach every residue of 2^20, so threshold filters on
+    * it have empty support. The nibble polynomial IS the hex prefix:
+    * uniform for any power-of-two modulus, same cross-engine mirror as
+    * the winnowing fingerprint SQL.
+    */
+  private[graft] def hexBucket(key: Column): Column = {
+    val m = md5(key)
+    val x = (1 to 8).map { i =>
+      val a = ascii(m.substr(i, 1))
+      (a - when(a >= 97, 87).otherwise(48)).cast("long") *
+        lit(1L << (4 * (8 - i)))
+    }.reduce(_ + _)
+    pmod(x, lit(sampleBuckets.toLong))
+  }
+
   /** Deterministic capped training sample over (vec_id, v): keep a row
-    * iff hashBucket(vec_id, 2^20) · n < 2^20 · sampleRows, with n the
+    * iff [[hexBucket]](vec_id) · n < 2^20 · sampleRows, with n the
     * corpus row count folded in declaratively (one broadcast one-row
     * aggregate — no driver job). Content-hash keyed like every sampler
-    * here ([[Sampling.hashBucket]]): stable across runs, engines, and
-    * partition layouts, never an RNG. When n ≤ sampleRows the predicate
-    * is identically true (hb < 2^20 always), so small corpora keep
-    * EVERY row and training degenerates to the exact full-corpus
-    * Lloyd's. Expected sample size ≈ sampleRows above the cap
-    * (binomial concentration — the cap is a target, not an exact rank).
+    * here: stable across runs, engines, and partition layouts, never
+    * an RNG. When n ≤ sampleRows the predicate is identically true
+    * (hb < 2^20 always), so small corpora keep EVERY row and training
+    * degenerates to the exact full-corpus Lloyd's. Expected sample
+    * size ≈ sampleRows above the cap (binomial concentration — the cap
+    * is a target, not an exact rank).
     */
   private[graft] def trainSample(e: DataFrame, sampleRows: Int): DataFrame = {
     require(sampleRows > 0, s"sampleRows must be positive, got $sampleRows")
     val n1 = e.agg(count(lit(1)).as("__n"))
     e.crossJoin(broadcast(n1))
-      .filter(Sampling.hashBucket(col("vec_id").cast("string"), sampleBuckets)
+      .filter(hexBucket(col("vec_id").cast("string"))
         * col("__n") < lit(sampleRows.toLong * sampleBuckets))
       .drop("__n")
   }

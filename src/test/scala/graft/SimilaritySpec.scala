@@ -44,6 +44,30 @@ class SimilaritySpec extends SparkSpec {
     assert(h == h.sorted, s"recall not monotone: $h")
   }
 
+  test("trainSample: sub-cap corpus keeps every row, a biting cap lands near it") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val n = e.count()
+    assert(Similarity.trainSample(e, Similarity.defaultTrainSample).count() == n)
+    val s = Similarity.trainSample(e, 64).count()
+    // binomial around 64 of 500 — generous band, deterministic value
+    assert(s > 32 && s < 128, s"sample size $s not near the 64 cap")
+  }
+
+  test("sampled trainer: default cap is bit-identical to uncapped training " +
+      "on a sub-cap corpus; a biting cap still assigns every vector") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = rows(Similarity.kmeansAssign(e, 8, 2))
+    val full = rows(Similarity.kmeansAssign(e, 8, 2, sampleRows = Int.MaxValue))
+    assert(capped == full)
+    val sampled = Similarity.kmeansAssign(e, 8, 2, sampleRows = 32)
+    assert(sampled.select("vec_id").distinct().count() == e.count())
+    // init = lowest-k of the sample → at most 8 cells, all from the sample
+    assert(sampled.select("cell").distinct().count() <= 8)
+  }
+
   test("centroidClassify: separable label clusters score perfect accuracy") {
     val e = emb(
       (0L, Seq(1f, 0.1f, 0f, 0f), 0),
