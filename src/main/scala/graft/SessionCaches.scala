@@ -134,17 +134,31 @@ object CheckpointPool {
     * checkpoints (unique LogicalRDD ids) get per-call keys — the pool
     * then degrades to a bounded FIFO of block sets, which is the
     * backstop this exists for.
+    *
+    * A winning insert also evicts any SUPERSEDED generation of the
+    * same (session, label, plan): a streaming consumer re-reading a
+    * growing directory mints a new generation per micro-batch, and the
+    * old ones can never be hit again (the file set only grows) — left
+    * to global LRU pressure they would pin up to the pool bound of
+    * corpus-sized block sets and evict other operators' live entries.
+    * Same-label entries over DIFFERENT plans (other directories) are
+    * untouched, so alternating inputs under one label still coexist.
     */
   def cached(label: String)(plan: DataFrame): DataFrame = {
     val spark = plan.sparkSession
     SessionCaches.watch(spark)
-    val key = (spark, label, plan.queryExecution.analyzed.semanticHash(),
-      planGeneration(plan))
+    val semHash = plan.queryExecution.analyzed.semanticHash()
+    val gen = planGeneration(plan)
+    val key = (spark, label, semHash, gen)
     pool.get(key).getOrElse {
       val built = plan.localCheckpoint()
       val winner = pool.putIfAbsent(key, built)
       if (winner ne built)
         org.apache.spark.sql.GraftShims.uncheckpoint(built)
+      else
+        pool.removeIf(k => (k._1 eq spark) && k._2 == label &&
+            k._3 == semHash && k._4 != gen,
+          releaseRemoved = !spark.sparkContext.isStopped)
       winner
     }
   }

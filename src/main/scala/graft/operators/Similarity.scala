@@ -177,13 +177,19 @@ object Similarity {
       cells: Int = 8, iters: Int = 2, nprobe: Int = 2,
       corpusKey: Option[String] = None): DataFrame = {
     require(iters >= 2, "IVF-SQ8 needs trained centroids (iters >= 2)")
+    // terminal checkpoints (the returned plan keeps reading them) go
+    // through the CheckpointPool: the cached-quantizer path reuses one
+    // probe block set across calls (stable LogicalRDD leaves → stable
+    // key), and the keyless path degrades to the pool's bounded FIFO
+    // instead of pinning a fresh corpus-sized set per evaluation (the
+    // vocabPrune-class leak, closed generically in round 13)
     val (assignedAll, centroids, cacheOwned) = corpusKey match {
       case Some(tag) =>
         val (a, c) = kmeansAssignCachedWithCentroids(emb, cells, iters, tag)
         (a, c, true)
       case None =>
         val (a, cOpt) = kmeansAssignInternal(emb, cells, iters)
-        (a.localCheckpoint(), cOpt.get, false)
+        (graft.CheckpointPool.cached("ivfsq8-assigned")(a), cOpt.get, false)
     }
     val assigned = assignedAll.select("vec_id", "cell")
     val codes = sq8Codes(emb)
@@ -192,11 +198,12 @@ object Similarity {
     val qCodes = codes.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
     val pw = Window.partitionBy("qid").orderBy(col("pd"), col("cell"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("pd", l2sq(col("qv"), col("c")))
-      .withColumn("pn", row_number().over(pw))
-      .filter(col("pn") <= nprobe)
-      .select("qid", "cell", "pn").localCheckpoint()
+    val probes = graft.CheckpointPool.cached("ivfsq8-probes")(
+      q.crossJoin(broadcast(centroids))
+        .withColumn("pd", l2sq(col("qv"), col("c")))
+        .withColumn("pn", row_number().over(pw))
+        .filter(col("pn") <= nprobe)
+        .select("qid", "cell", "pn"))
     if (!cacheOwned)
       org.apache.spark.sql.GraftShims.uncheckpoint(centroids)
     val withCell = codes.join(assigned, "vec_id")

@@ -125,7 +125,11 @@ object TextOps {
     val w = Window.partitionBy("lang").orderBy(desc("score"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum("c").over(w))
-    val tot = scored.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    // totals from the HISTOGRAM, not the corpus-sized scored frame: a
+    // second aggregation over the scored subtree would replay the full
+    // tokenize+score pass in the uncached path (the (lang, score) and
+    // (lang) exchanges differ, so Spark can't reuse one for the other)
+    val tot = hist.groupBy("lang").agg(sum("c").as("n_docs"))
     cum.join(tot, "lang")
       .withColumn("kcut", floor(lit(p) * col("n_docs")))
       .groupBy("lang", "n_docs", "kcut")

@@ -127,6 +127,30 @@ class SessionCachesSpec extends SparkSpec {
       "the miss must serve the NEW snapshot")
   }
 
+  test("a winning insert evicts the SUPERSEDED generation of the same label+plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-poolsup").toString + "/t"
+    Seq((0L, "alpha")).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    def read() = spark.read.parquet(dir)
+    val a = CheckpointPool.cached("spec-poolsup")(read())
+    assert(a.count() == 1)
+    // grow the directory (the streaming shape: same path, new file set)
+    Seq((1L, "beta")).toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val b = CheckpointPool.cached("spec-poolsup")(read())
+    assert(!(b eq a), "a grown directory must mint a new generation")
+    assert(b.count() == 2)
+    // the superseded generation's blocks must be RELEASED, not parked
+    // until global LRU pressure: a re-read of the old frame fails
+    // (checkpoint lineage is truncated on unpersist)
+    val oldGone =
+      try { a.count(); false }
+      catch { case _: Throwable => true }
+    assert(oldGone, "superseded same-label generation must be released eagerly")
+    // the live generation still serves
+    assert(CheckpointPool.cached("spec-poolsup")(read()) eq b)
+  }
+
   test("sweepStopped keeps entries whose context is alive") {
     val s = spark.newSession()
     val a = Tables.stocks(s, sfDir)
