@@ -53,6 +53,8 @@ object ExtQueries {
 
   private lazy val ivfPqDriftDir: String = TempDirs.create("graft_ivfpq_drift")
 
+  private lazy val ivfSq8Dir: String = TempDirs.create("graft_ivfsq8")
+
   private lazy val ivfCurveDir: String = TempDirs.create("graft_ivf_curve")
 
   private lazy val ivfMaintainAppendDir: String =
@@ -1414,6 +1416,18 @@ object ExtQueries {
     // (nprobe buys recall, SQ8 cuts scanned bytes) — cached training
     "embed_ivf_sq8_topk" -> ((s, d) =>
       Similarity.ivfSq8TopK(emb(s, d), 10, 3, 8, 2, 2, corpusKey = Some(d))),
+    // the SQ8 tier PERSISTED: write the int8 layout (codes + norms +
+    // co-located embeddings, one file per cell) and serve the probed
+    // cells' (vec_id, q, n2) projection — result-identical to the
+    // in-memory composed tier at the same nprobe, so it shares
+    // embed_ivf_sq8_topk's oracle VERBATIM. SIDE EFFECT: rewrites the
+    // temp index dir per evaluation (idempotent).
+    "embed_ivf_sq8_stored_search" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfSq8Dir
+      Sink.writeIvfSq8Index(all, dir, 8, 2, corpusKey = Some(d))
+      Sink.searchIvfSq8Index(s, all, dir, 10, 3, nprobe = 2)
+    }),
     // diversity-preserving downsampling: cap every k-means cell at 10
     // vectors picked by content-keyed md5 order (trained quantizer
     // shared through the session cache)
@@ -3082,6 +3096,36 @@ object ExtQueries {
   private lazy val sq8RankSelect: String =
     "SELECT qid, CAST(rnk AS INTEGER) AS rnk, vec_id, qcos FROM r WHERE rnk <= 3 ORDER BY qid, rnk"
 
+  /** The composed IVF × SQ8 chain (coarse probes at nprobe=2, int8
+    * scoring of probed candidates) — shared VERBATIM by
+    * `embed_ivf_sq8_topk` (in-memory, cached quantizer) and
+    * `embed_ivf_sq8_stored_search` (the same search served from the
+    * persisted int8 layout): one quantization scheme, one training,
+    * one scoring tree, so the two engines' row sets must coincide.
+    */
+  private lazy val ivfSq8TopKOracle: String =
+    s"""$kmeansCte,
+      | $sq8CodesBody,
+      | qp AS (SELECT vec_id AS qid, cell, rn AS pn FROM (
+      |     SELECT vec_id, cell,
+      |       row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |     FROM d2 WHERE vec_id < 10) WHERE rn <= 2),
+      | qs2 AS (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM n WHERE vec_id < 10),
+      | wc AS (SELECT n.vec_id, n.q, n.n2, a2.cell FROM n JOIN a2 USING (vec_id)),
+      | p2 AS (SELECT qp.qid, qp.pn, wc.vec_id, wc.cell,
+      |     CASE WHEN qs2.qn2 = 0 OR wc.n2 = 0 THEN NULL
+      |          ELSE round(CAST(SUM(CAST(qs2.qq[i] AS BIGINT) * wc.q[i]) AS DOUBLE) /
+      |            (sqrt(CAST(qs2.qn2 AS DOUBLE)) * sqrt(CAST(wc.n2 AS DOUBLE))), 4) + 0.0 END AS qcos
+      |   FROM qp JOIN qs2 USING (qid)
+      |        JOIN wc ON wc.cell = qp.cell AND wc.vec_id <> qp.qid,
+      |        UNNEST(range(1, 65)) t(i)
+      |   GROUP BY qp.qid, qp.pn, qs2.qn2, wc.vec_id, wc.cell, wc.n2),
+      | r2 AS (SELECT qid, vec_id, cell, pn, qcos,
+      |     row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS rnk FROM p2)
+      | SELECT qid, CAST(rnk AS INTEGER) AS rnk, vec_id, cell,
+      |   CAST(pn AS INTEGER) AS pn, qcos
+      | FROM r2 WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
   /** Two unrolled Lloyd's rounds in DuckDB (mirrors
     * Similarity.kmeansAssign with k=8, iters=2): c0 = first 8 vectors,
     * a1 = argmin over c0, c1 = rounded per-cell means, a2 = final
@@ -4122,28 +4166,12 @@ object ExtQueries {
         |                    ELSE floor(CAST(x AS DOUBLE) / max_abs * 127 + 0.5) END AS INT) AS VARCHAR)), ',') AS q_csv
         | FROM m ORDER BY vec_id""".stripMargin,
     "embed_sq8_topk" -> s"$sq8Cte $sq8RankSelect",
-    "embed_ivf_sq8_topk" ->
-      s"""$kmeansCte,
-        | $sq8CodesBody,
-        | qp AS (SELECT vec_id AS qid, cell, rn AS pn FROM (
-        |     SELECT vec_id, cell,
-        |       row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-        |     FROM d2 WHERE vec_id < 10) WHERE rn <= 2),
-        | qs2 AS (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM n WHERE vec_id < 10),
-        | wc AS (SELECT n.vec_id, n.q, n.n2, a2.cell FROM n JOIN a2 USING (vec_id)),
-        | p2 AS (SELECT qp.qid, qp.pn, wc.vec_id, wc.cell,
-        |     CASE WHEN qs2.qn2 = 0 OR wc.n2 = 0 THEN NULL
-        |          ELSE round(CAST(SUM(CAST(qs2.qq[i] AS BIGINT) * wc.q[i]) AS DOUBLE) /
-        |            (sqrt(CAST(qs2.qn2 AS DOUBLE)) * sqrt(CAST(wc.n2 AS DOUBLE))), 4) + 0.0 END AS qcos
-        |   FROM qp JOIN qs2 USING (qid)
-        |        JOIN wc ON wc.cell = qp.cell AND wc.vec_id <> qp.qid,
-        |        UNNEST(range(1, 65)) t(i)
-        |   GROUP BY qp.qid, qp.pn, qs2.qn2, wc.vec_id, wc.cell, wc.n2),
-        | r2 AS (SELECT qid, vec_id, cell, pn, qcos,
-        |     row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS rnk FROM p2)
-        | SELECT qid, CAST(rnk AS INTEGER) AS rnk, vec_id, cell,
-        |   CAST(pn AS INTEGER) AS pn, qcos
-        | FROM r2 WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "embed_ivf_sq8_topk" -> ivfSq8TopKOracle,
+    // stored-path serving at nprobe 2 is result-identical to the
+    // in-memory composed tier (one quantization scheme, one training,
+    // one scoring tree) — oracle shared VERBATIM; SinkSpec pins the
+    // row-for-row equality on the engine side
+    "embed_ivf_sq8_stored_search" -> ivfSq8TopKOracle,
     "embed_sq8_rerank" ->
       s"""$sq8Cte,
         | cand AS (SELECT qid, vec_id FROM r WHERE rnk <= 10),

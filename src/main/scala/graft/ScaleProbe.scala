@@ -283,6 +283,22 @@ object ScaleProbe {
             graft.operators.Sink.searchIvfIndex(spark, emb, dir, 10, 3)
           }
         } else None
+      },
+      // round-14: the persisted SQ8 tier — serving reads the (vec_id,
+      // q, n2) projection of the probed cells only; like
+      // ivf_stored_search the probed scan is constant-sized across
+      // factors (cells ∝ factor), so stored int8 serving must stay flat
+      {
+        if (only.isEmpty || only("ivfsq8_stored_search")) {
+          val dir = java.nio.file.Files
+            .createTempDirectory("probe_ivfsq8idx").toString
+          graft.operators.Sink.writeIvfSq8Index(emb, dir,
+            cells = 8 * factor, iters = 2)
+          time("ivfsq8_stored_search") {
+            graft.operators.Sink.searchIvfSq8Index(spark, emb, dir, 10, 3,
+              nprobe = 2)
+          }
+        } else None
       }).flatten ++ {
       // round-12: stored-search AGING — the compaction scaladoc's
       // file-count→latency claim put on a measured footing. Build the

@@ -119,7 +119,7 @@ object Similarity {
     * projection behind [[sq8TopK]]/[[sq8Recall]] — the [[quantizeInt8]]
     * scheme kept as a typed array instead of the export CSV.
     */
-  private def sq8Codes(emb: DataFrame): DataFrame = {
+  private[operators] def sq8Codes(emb: DataFrame): DataFrame = {
     val maxAbs = aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
       lit(0.0), (acc, x) => greatest(acc, x))
     emb.withColumn("ma", maxAbs)

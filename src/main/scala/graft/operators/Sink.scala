@@ -1286,6 +1286,154 @@ object Sink {
     * filter is a ≤ nQueries×nprobe list — still bounded by the query
     * batch, never by data.
     */
+  /** Persist a trained IVF-SQ8 index — the int8 serving tier
+    * ([[Similarity.sq8TopK]]'s scheme) under the IVF layout: ONE
+    * cell-partitioned assignment table
+    * (vec_id, q: array<int>, n2, ma, embedding) plus the coarse
+    * centroids beside it. The columnar format makes the quantized scan
+    * a PROJECTION: serving reads only (vec_id, q, n2) of the probed
+    * cells — the 4×-smaller tier — while the embedding column stays
+    * co-located for exact rerank and for maintenance retrains. Codes
+    * come from the ONE quantization scheme ([[Similarity.sq8Codes]],
+    * shared with the in-memory tier and the export), so stored serving
+    * cannot diverge from [[Similarity.ivfSq8TopK]].
+    */
+  def writeIvfSq8Index(emb: DataFrame, dir: String, cells: Int = 8,
+      iters: Int = 2, corpusKey: Option[String] = None): Unit = {
+    require(iters >= 2, "a stored IVF-SQ8 index needs trained centroids (iters >= 2)")
+    val (assigned, centOpt) = corpusKey match {
+      case Some(ck) =>
+        val (a, c) = Similarity.kmeansAssignCachedWithCentroids(emb, cells, iters, ck)
+        (a, Some(c))
+      case None => Similarity.kmeansAssignInternal(emb, cells, iters)
+    }
+    assigned.select("vec_id", "cell")
+      .join(Similarity.sq8Codes(emb), "vec_id")
+      .join(emb.select("vec_id", "embedding"), "vec_id")
+      .select("vec_id", "q", "n2", "ma", "embedding", "cell")
+      .repartition(col("cell")) // one file per cell (see writeIvfIndex)
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(s"$dir/assignment")
+    val cent = centOpt.get
+    cent.select(col("cell"), posexplode(col("c")).as(Seq("i", "x")))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    writeIndexManifest(spark = emb.sparkSession, dir = dir,
+      fields = Seq("kind" -> "ivfsq8", "cells" -> cells.toString))
+    // a full (re)write is a new generation — stale tombstones must not
+    // mask the new content (the writeIvfIndex contract)
+    clearTombstones(emb.sparkSession, dir)
+    if (corpusKey.isEmpty)
+      org.apache.spark.sql.GraftShims.uncheckpoint(cent)
+  }
+
+  /** Fold a new vector batch into a stored IVF-SQ8 index WITHOUT
+    * retraining: coarse-assign against the STORED centroids and
+    * quantize with the per-vector max-abs scheme (no codebook to go
+    * stale — unlike PQ, SQ8 appends never need code-drift tripwires
+    * beyond the coarse PSI). One broadcast pass over the batch, one
+    * appended file per touched cell.
+    */
+  def appendToIvfSq8Index(newEmb: DataFrame, dir: String): Unit = {
+    val spark = newEmb.sparkSession
+    requireIndexKind(spark, dir, "ivfsq8", "appendToIvfSq8Index")
+    val uniq = dedupBatch(newEmb)
+    val cent = loadIvfCentroids(spark, dir)
+    Similarity.assignWithCentroids(uniq, cent)
+      .select("vec_id", "cell")
+      .join(Similarity.sq8Codes(uniq), "vec_id")
+      .join(uniq, "vec_id")
+      .select("vec_id", "q", "n2", "ma", "embedding", "cell")
+      .repartition(col("cell")) // one appended file per touched cell
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assignment")
+  }
+
+  /** Search a stored IVF-SQ8 index: queries rank the STORED centroids
+    * (rounded L2, cell tiebreak — the training metric), each probing
+    * its `nprobe` nearest cells, then the int8 codes of ONLY those
+    * cell partitions score against the on-the-fly-quantized query
+    * codes — exact 64-bit integer sums under one rounded IEEE tree,
+    * the [[Similarity.ivfSq8TopK]] math verbatim, so stored serving is
+    * result-identical to the in-memory tier at the same nprobe
+    * (spec-proven; the two share one oracle). The scan projects
+    * (vec_id, q, n2) — the embedding column of the index is never
+    * read; the only scan of `emb` is the nQueries-bounded query side.
+    */
+  def searchIvfSq8Index(spark: SparkSession, emb: DataFrame, dir: String,
+      nQueries: Int = 10, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    requireIndexKind(spark, dir, "ivfsq8", "searchIvfSq8Index")
+    val cent = loadIvfCentroids(spark, dir)
+    val qRows = emb.filter(col("vec_id") < nQueries)
+    val q = qRows.select(col("vec_id").as("qid"),
+      Similarity.toDouble(col("embedding")).as("qv"))
+    val qCodes = Similarity.sq8Codes(qRows)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+    val pw = Window.partitionBy("qid").orderBy(col("pd"), col("cell"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("pd", Similarity.l2sq(col("qv"), col("c")))
+      .withColumn("pn", row_number().over(pw))
+      .filter(col("pn") <= nprobe)
+      .select("qid", "cell", "pn")
+    // literal partition filter from the bounded probe list (the
+    // searchIvfIndex contract — DPP degenerates on this join shape)
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0))
+    val assignment = maskTombstones(spark, dir,
+      spark.read.parquet(s"$dir/assignment")
+        .select("vec_id", "q", "n2", "cell")
+        .filter(col("cell").isin(probedCells: _*)))
+    val dotInt = aggregate(
+      zip_with(col("qq"), col("q"), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = assignment
+      .join(broadcast(probes.join(qCodes, "qid")), "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("qcos",
+        when(col("qn2") === 0L || col("n2") === 0L, lit(null).cast("double"))
+          .otherwise(round(dotInt.cast("double") /
+            (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))), 4) + lit(0.0)))
+    val w = Window.partitionBy("qid").orderBy(desc("qcos"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "cell", "pn", "qcos")
+      .orderBy("qid", "rnk")
+  }
+
+  /** [[maintainIvfIndex]] for the SQ8 tier: same drift-gated
+    * branch-and-log skeleton ([[maintainCore]]), with the retrain
+    * rebuilding the int8 layout via [[writeIvfSq8Index]] and appends
+    * folding in via [[appendToIvfSq8Index]]. Only the coarse PSI gates
+    * the branch — the per-vector max-abs scheme has no trained
+    * codebook to drift (the PQ code-PSI tripwire has no SQ8 analogue).
+    * Geometry (cells) comes from the manifest, the values the index
+    * was WRITTEN with.
+    */
+  def maintainIvfSq8Index(spark: SparkSession, batch: DataFrame, dir: String,
+      threshold: Double = 0.25, iters: Int = 2,
+      compactFilesPerCell: Int = 4): DataFrame = {
+    import spark.implicits._
+    requireIndexKind(spark, dir, "ivfsq8", "maintainIvfSq8Index")
+    val storedCells = readIndexManifest(spark, dir)
+      .flatMap(_.get("cells")).map(_.toInt)
+    val o = maintainCore(spark, batch, dir, threshold, compactFilesPerCell,
+      extraDue = false,
+      cadenceCells = storedCells.getOrElse(
+        spark.read.parquet(s"$dir/centroids").select("cell")
+          .distinct().count().toInt),
+      retrainWrite = (union, tmp) =>
+        writeIvfSq8Index(union, tmp, storedCells.getOrElse(8), iters),
+      append = b => appendToIvfSq8Index(b, dir),
+      label = "maintainIvfSq8Index")
+    Seq((o.action, o.psi, o.due, o.nStored, o.nBatch, o.nAfter,
+        o.filesBefore, o.filesAfter, o.compacted))
+      .toDF("action", "psi", "retrain_due", "n_stored_before", "n_batch",
+        "n_after", "files_before", "files_after", "compacted")
+  }
+
   def searchIvfIndex(spark: SparkSession, emb: DataFrame, dir: String,
       nQueries: Int = 10, k: Int = 3, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -244,6 +244,57 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("IVF-SQ8 stored lifecycle: stored search equals in-memory, append " +
+      "folds in, delete masks, maintain appends under no drift") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-ivfsq8").toString
+    import graft.operators.Similarity
+
+    // full write: stored serving ≡ the in-memory composed tier
+    Sink.writeIvfSq8Index(e, dir, cells = 8, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "rnk", "vec_id", "cell", "pn", "qcos")
+      .collect().map(_.toSeq).toSeq
+    assert(rows(Sink.searchIvfSq8Index(spark, e, dir, 10, 3, nprobe = 2)) ==
+      rows(Similarity.ivfSq8TopK(e, 10, 3, 8, 2, nprobe = 2)),
+      "stored SQ8 search != in-memory IVF×SQ8")
+
+    // incremental build (base + append) serves every id
+    val dir2 = Files.createTempDirectory("graft-ivfsq8a").toString
+    Sink.writeIvfSq8Index(e.filter(col("vec_id") < 250), dir2, 8, 2)
+    Sink.appendToIvfSq8Index(e.filter(col("vec_id") >= 250), dir2)
+    val served = Sink.searchIvfSq8Index(spark, e, dir2, 10, 500, nprobe = 8)
+      .select("vec_id").distinct().count()
+    assert(served > 400, s"append path lost rows: $served ids served")
+
+    // delete masks immediately; the dead id still queries
+    Sink.deleteFromIvfIndex(spark, dir2, e.filter(col("vec_id") === 3)
+      .select("vec_id"))
+    val post = Sink.searchIvfSq8Index(spark, e, dir2, 10, 500, nprobe = 8)
+    assert(post.filter(col("vec_id") === 3).count() == 0,
+      "tombstoned id still served as a neighbor")
+    assert(post.filter(col("qid") === 3).count() > 0,
+      "tombstoned id must still query")
+
+    // maintain: a same-distribution batch appends (no retrain) and the
+    // log's action/threshold verdict says so; fresh ids then serve
+    val batch = e.filter(col("vec_id") >= 240 && col("vec_id") < 260)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val log = Sink.maintainIvfSq8Index(spark, batch, dir, threshold = 5.0)
+      .collect().head
+    assert(log.getAs[String]("action") == "append",
+      s"no-drift batch must append, got ${log.getAs[String]("action")}")
+    val afterMaintain = Sink.searchIvfSq8Index(spark, e, dir, 10, 600, nprobe = 8)
+      .filter(col("vec_id") >= 100000L).count()
+    assert(afterMaintain > 0, "maintained batch invisible to serving")
+
+    // wrong-kind guard: the IVF operators must refuse this layout
+    val ex = intercept[IllegalArgumentException] {
+      Sink.appendToIvfIndex(batch, dir)
+    }
+    assert(ex.getMessage.contains("ivfsq8"))
+  }
+
   test("searchIvfPqIndex: nprobe=2 recall holds the nprobe=1 floor") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-ivfpqnp").toString
