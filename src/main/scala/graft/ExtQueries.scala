@@ -997,6 +997,19 @@ object ExtQueries {
         .select("doc_a", "doc_b")
       Corpus.funnel(dd, pairs, minWords = 30, p = 0.7)
     }),
+    // the funnel with the embedding-space stage spliced in: the text
+    // survivors' embeddings run semantic near-dup (semdedup auto rung,
+    // cells = ceil(sqrt(N_survivors)), cos >= 0.4 on this corpus —
+    // testdata has no planted twins, so the stage bites on natural
+    // within-cell similarity), and only the semantic keepers feed the
+    // quality calibration
+    "corpus_funnel_embed" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.simhashNearDupsCached(dd, d, 3)
+        .select("doc_a", "doc_b")
+      Corpus.funnelEmbed(dd, pairs, emb(s, d), minWords = 30, p = 0.7,
+        tau = 0.4, corpusKey = Some(d))
+    }),
     // the one-row health report over the same chains (cached — one
     // extra aggregate): include rate, per-reason counts, scrub burden
     "corpus_report" -> ((s, d) => {
@@ -1433,6 +1446,14 @@ object ExtQueries {
     // shared through the session cache)
     "sample_cluster_balanced" -> ((s, d) =>
       Similarity.clusterBalancedSample(emb(s, d), 8, 2, 10, corpusKey = Some(d))),
+    // the trainer-free composition: the same diversity-capped sampling
+    // over FEATURE-HASHED doc vectors (densified hashing-trick
+    // histograms) — cluster-balanced capping for a corpus with no
+    // trained encoder at all
+    "sample_cluster_hashed" -> ((s, d) =>
+      Similarity.clusterBalancedSample(
+        TextOps.hashedDenseVectors(docs(s, d)), 8, 2, 10,
+        corpusKey = Some(d + "#hashed-dense"))),
     // embedding QA before indexing: NaN/Inf counts, zero vectors,
     // MAD-rule magnitude outliers (median-based — robust to a batch of
     // broken near-zero vectors)
@@ -4214,6 +4235,27 @@ object ExtQueries {
         |   FROM a2)
         | SELECT cell, CAST(pick AS INTEGER) AS pick, vec_id
         | FROM pk WHERE pick <= 10 ORDER BY cell, pick""".stripMargin,
+    // hashed-vector twin: densify the hashing-trick histograms to
+    // float[64] (exact integer counts — the float/double casts are
+    // exact), then the same unrolled Lloyd's + md5 pick order
+    "sample_cluster_hashed" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        | hb AS (SELECT doc_id, ($minhashBaseSql) % 64 AS bucket
+        |        FROM (SELECT doc_id, md5(w) AS m FROM w)),
+        | v AS (SELECT doc_id, bucket, count(*) AS cnt FROM hb GROUP BY doc_id, bucket),
+        | grid AS (SELECT doc_id, i AS bucket
+        |          FROM (SELECT DISTINCT doc_id FROM v), UNNEST(range(0, 64)) t(i)),
+        | dense AS (SELECT g.doc_id AS vec_id,
+        |     list(CAST(coalesce(v.cnt, 0) AS FLOAT) ORDER BY g.bucket) AS embedding
+        |   FROM grid g LEFT JOIN v ON v.doc_id = g.doc_id AND v.bucket = g.bucket
+        |   GROUP BY g.doc_id),
+        | ${kmeansBody("dense")},
+        | pk AS (SELECT cell, vec_id,
+        |     row_number() OVER (PARTITION BY cell
+        |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick
+        |   FROM a2)
+        | SELECT cell, CAST(pick AS INTEGER) AS pick, vec_id
+        | FROM pk WHERE pick <= 10 ORDER BY cell, pick""".stripMargin,
     "embed_binary_topk" ->
       """WITH sig AS (SELECT vec_id,
         |     array_to_string(list_transform(embedding,
@@ -5596,7 +5638,7 @@ object ExtQueries {
     // quality gate calibrated on the include set (the survivors)
     "corpus_funnel" ->
       s"""$manifestCoreCte,
-         | tq AS ($textQualityOracle),
+         | tq AS MATERIALIZED ($textQualityOracle),
          | finc AS (SELECT doc_id FROM mrow WHERE include),
          | fcs AS (SELECT d.lang, tq.quality_score AS score
          |         FROM tq JOIN documents d USING (doc_id) JOIN finc USING (doc_id)),
@@ -5611,7 +5653,7 @@ object ExtQueries {
          |           CAST(floor(CAST(0.7 AS DOUBLE) * fctot.n_docs) AS BIGINT)
          |         THEN fccum.score END) AS thr
          |   FROM fccum JOIN fctot USING (lang) GROUP BY fccum.lang),
-         | staged AS (SELECT m.doc_id,
+         | staged AS MATERIALIZED (SELECT m.doc_id,
          |     CASE WHEN m.manifest_reasons LIKE '%too_short%' THEN 1
          |          WHEN m.manifest_reasons LIKE '%repetitive%' THEN 2
          |          WHEN m.manifest_reasons LIKE '%exact_dup%' THEN 3
@@ -5624,6 +5666,94 @@ object ExtQueries {
          | fcnt AS (SELECT stage, count(*) AS c FROM staged GROUP BY stage),
          | fgrid(stage, stage_name) AS (VALUES (1, 'too_short'), (2, 'repetitive'),
          |     (3, 'exact_dup'), (4, 'near_dup'), (5, 'low_quality')),
+         | ff AS (SELECT g.stage, g.stage_name, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+         |   FROM fgrid g LEFT JOIN fcnt c USING (stage)),
+         | ft AS (SELECT count(*) AS n FROM staged)
+         | SELECT stage, stage_name,
+         |   CAST(n - SUM(c) OVER (ORDER BY stage ROWS UNBOUNDED PRECEDING) + c AS BIGINT) AS n_in,
+         |   c AS n_dropped,
+         |   CAST(n - SUM(c) OVER (ORDER BY stage ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_out
+         | FROM ff, ft ORDER BY stage""".stripMargin,
+    // the funnel + the embedding stage: the text survivors' embeddings
+    // run the unrolled two-round Lloyd's (k = ceil(sqrt(N_survivors)),
+    // init = the k LOWEST surviving vec_ids — rank form, the ids are
+    // not dense over a subset) + intra-cell cosine pruning at 0.4; the
+    // quality calibration runs on the semantic keepers only
+    "corpus_funnel_embed" ->
+      s"""$manifestCoreCte,
+         | tq AS MATERIALIZED ($textQualityOracle),
+         | scorp AS MATERIALIZED (SELECT e0.vec_id, e0.embedding FROM embeddings e0
+         |           JOIN mrow m2 ON m2.doc_id = e0.vec_id WHERE m2.include),
+         | se AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM scorp),
+         | sknum AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM se),
+         | sc0 AS (SELECT vec_id AS cell, v AS c FROM (
+         |           SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM se)
+         |         WHERE rn <= (SELECT k FROM sknum)),
+         | sd1 AS (SELECT se.vec_id, sc0.cell,
+         |           round(SUM((se.v[i] - sc0.c[i]) * (se.v[i] - sc0.c[i])), 6) AS d
+         |         FROM se, sc0, UNNEST(range(1, 65)) t(i)
+         |         GROUP BY se.vec_id, sc0.cell),
+         | sa1 AS (SELECT vec_id, cell FROM (
+         |           SELECT vec_id, cell,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |           FROM sd1) WHERE rn = 1),
+         | sm1 AS (SELECT cell, i, round(avg(se.v[i]), 6) AS m
+         |         FROM sa1 JOIN se USING (vec_id), UNNEST(range(1, 65)) t(i)
+         |         GROUP BY cell, i),
+         | sc1 AS (SELECT cell, list(m ORDER BY i) AS c FROM sm1 GROUP BY cell),
+         | sd2 AS (SELECT se.vec_id, sc1.cell,
+         |           round(SUM((se.v[i] - sc1.c[i]) * (se.v[i] - sc1.c[i])), 6) AS d
+         |         FROM se, sc1, UNNEST(range(1, 65)) t(i)
+         |         GROUP BY se.vec_id, sc1.cell),
+         | sa2 AS (SELECT vec_id, cell, d FROM (
+         |           SELECT vec_id, cell, d,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |           FROM sd2) WHERE rn = 1),
+         | srk AS MATERIALIZED (SELECT vec_id, cell, d,
+         |           row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) AS rk
+         |         FROM sa2),
+         | spr AS (SELECT b.vec_id,
+         |     round(SUM(ea.v[i] * eb.v[i]) /
+         |       (sqrt(SUM(ea.v[i] * ea.v[i])) * sqrt(SUM(eb.v[i] * eb.v[i]))), 4) AS cos
+         |   FROM srk a JOIN srk b ON a.cell = b.cell AND a.rk < b.rk
+         |   JOIN se ea ON ea.vec_id = a.vec_id JOIN se eb ON eb.vec_id = b.vec_id,
+         |   UNNEST(range(1, 65)) t(i)
+         |   GROUP BY a.vec_id, b.vec_id),
+         | sdrop AS (SELECT DISTINCT vec_id FROM spr WHERE cos >= 0.4),
+         | skept AS MATERIALIZED (SELECT s2.vec_id AS doc_id, dr.vec_id IS NULL AS sem_kept
+         |           FROM srk s2 LEFT JOIN sdrop dr ON s2.vec_id = dr.vec_id),
+         | fcs AS (SELECT d.lang, tq.quality_score AS score
+         |         FROM tq JOIN documents d USING (doc_id)
+         |              JOIN skept USING (doc_id)
+         |         WHERE skept.sem_kept),
+         | fch AS (SELECT lang, score, count(*) AS c FROM fcs GROUP BY lang, score),
+         | fccum AS (SELECT lang, score,
+         |     CAST(SUM(c) OVER (PARTITION BY lang ORDER BY score DESC
+         |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |   FROM fch),
+         | fctot AS (SELECT lang, count(*) AS n_docs FROM fcs GROUP BY lang),
+         | fthr AS (SELECT fccum.lang,
+         |     min(CASE WHEN fccum.cum <=
+         |           CAST(floor(CAST(0.7 AS DOUBLE) * fctot.n_docs) AS BIGINT)
+         |         THEN fccum.score END) AS thr
+         |   FROM fccum JOIN fctot USING (lang) GROUP BY fccum.lang),
+         | staged AS MATERIALIZED (SELECT m.doc_id,
+         |     CASE WHEN m.manifest_reasons LIKE '%too_short%' THEN 1
+         |          WHEN m.manifest_reasons LIKE '%repetitive%' THEN 2
+         |          WHEN m.manifest_reasons LIKE '%exact_dup%' THEN 3
+         |          WHEN m.manifest_reasons LIKE '%near_dup%' THEN 4
+         |          WHEN NOT coalesce(k2.sem_kept, TRUE) THEN 5
+         |          WHEN t.thr IS NULL OR tq.quality_score < t.thr THEN 6
+         |          ELSE 7 END AS stage
+         |   FROM mrow m JOIN documents d USING (doc_id)
+         |        JOIN tq USING (doc_id)
+         |        LEFT JOIN skept k2 USING (doc_id)
+         |        LEFT JOIN fthr t ON t.lang = d.lang),
+         | fcnt AS (SELECT stage, count(*) AS c FROM staged GROUP BY stage),
+         | fgrid(stage, stage_name) AS (VALUES (1, 'too_short'), (2, 'repetitive'),
+         |     (3, 'exact_dup'), (4, 'near_dup'), (5, 'semantic_dup'),
+         |     (6, 'low_quality')),
          | ff AS (SELECT g.stage, g.stage_name, CAST(coalesce(c.c, 0) AS BIGINT) AS c
          |   FROM fgrid g LEFT JOIN fcnt c USING (stage)),
          | ft AS (SELECT count(*) AS n FROM staged)

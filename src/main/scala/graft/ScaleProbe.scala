@@ -253,6 +253,16 @@ object ScaleProbe {
           docs.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5)))),
           pairs)
       },
+      // round-14: the funnel with the embedding stage — one semdedup
+      // (auto rung: two-level past 64 cells) over the TEXT SURVIVORS
+      // added to the funnel chain; the semantic stage must ride the
+      // same N·2√cells assignment law as embed_semdedup_auto
+      time("corpus_funnel_embed") {
+        val pairs = Dedup.simhashNearDups(docs, 3).select("doc_a", "doc_b")
+        graft.operators.Corpus.funnelEmbed(
+          docs.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5)))),
+          pairs, emb, tau = 0.4)
+      },
       // round-10: the suffix-bucket population cap under a PLANTED
       // pathological corpus — every document opens with the same
       // 19-word boilerplate, so the suffixes at positions 1..15 land

@@ -254,6 +254,77 @@ object Corpus {
       .orderBy("stage")
   }
 
+  /** [[funnel]] with an EMBEDDING-SPACE stage spliced in: after the
+    * four text stages, the survivors' embeddings run semantic near-dup
+    * pruning ([[Similarity.semDedupAuto]] — k-means cells sized
+    * ⌈√N_survivors⌉, intra-cell cosine ≥ tau drops the
+    * farther-from-centroid twin), and only the semantic KEEPERS feed
+    * the quality calibration. First-drop attribution is unchanged:
+    * too_short → repetitive → exact_dup → near_dup → semantic_dup →
+    * low_quality, each doc charged to the first stage that drops it.
+    * A surviving doc with no embedding row cannot be a semantic dup
+    * and passes straight to the quality gate.
+    *
+    * Shape: the [[funnel]] chain plus one semdedup over the SURVIVOR
+    * subset only (the stage a mix pipeline actually runs — dedup the
+    * docs you might ship, not the ones already dropped). The survivor
+    * embedding frame is pooled so semDedupAuto's sizing count, both
+    * Lloyd's passes, and the pair join read one materialized frame
+    * instead of re-evaluating the manifest chain; the funnel window
+    * still runs over SIX rows.
+    */
+  def funnelEmbed(docs: DataFrame, pairs: DataFrame, emb: DataFrame,
+      minWords: Long = 30, p: Double = 0.7, tau: Double = 0.4,
+      iters: Int = 2, corpusKey: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = manifest(docs, pairs, minWords)
+    val inc = m.filter(col("include")).select("doc_id")
+    val embSurv = graft.CheckpointPool.cached("funnel-embed-surv")(
+      emb.join(inc.select(col("doc_id").as("vec_id")), "vec_id")
+        .select("vec_id", "embedding"))
+    val semKept = Similarity.semDedupAuto(embSurv, tau, iters,
+        corpusKey = corpusKey.map(_ + "#funnel-embed"))
+      .select(col("vec_id").as("doc_id"), col("is_kept").as("sem_kept"))
+    val scored = graft.CheckpointPool.cached("funnel-scored")(
+      TextOps.qualityScore(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "quality_score"))
+    val thr = TextOps.calibrateFromScores(
+      scored.join(inc, "doc_id").join(semKept, "doc_id")
+        .filter(col("sem_kept"))
+        .select(col("lang"), col("quality_score").as("score")), p)
+      .select(col("lang"), col("thr"))
+    val staged = m.join(scored, "doc_id")
+      .join(semKept, Seq("doc_id"), "left")
+      .join(broadcast(thr), Seq("lang"), "left")
+      .withColumn("stage",
+        when(col("manifest_reasons").contains("too_short"), 1)
+          .when(col("manifest_reasons").contains("repetitive"), 2)
+          .when(col("manifest_reasons").contains("exact_dup"), 3)
+          .when(col("manifest_reasons").contains("near_dup"), 4)
+          // null sem_kept = no embedding row → not a semantic dup
+          .when(not(coalesce(col("sem_kept"), lit(true))), 5)
+          .when(col("thr").isNull || col("quality_score") < col("thr"), 6)
+          .otherwise(7))
+    val total = docs.count()
+    val cnt = staged.groupBy("stage").agg(count(lit(1)).as("c"))
+    val grid = Seq((1, "too_short"), (2, "repetitive"), (3, "exact_dup"),
+      (4, "near_dup"), (5, "semantic_dup"), (6, "low_quality"))
+      .toDF("stage", "stage_name")
+    val w = Window.orderBy("stage") // SIX rows — never corpus-sized
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(cnt, Seq("stage"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum("c").over(w))
+      .select(col("stage"), col("stage_name"),
+        (lit(total) - col("cum") + col("c")).as("n_in"),
+        col("c").as("n_dropped"),
+        (lit(total) - col("cum")).as("n_out"))
+      .orderBy("stage")
+  }
+
   /** Temperature-scaled multinomial sampling weights per source:
     * wᵢ = tᵢ^τ / Σⱼ tⱼ^τ with τ = 1/2 — the data-mixing recipe
     * (multilingual-BERT / XLM exponent-smoothed sampling) that

@@ -519,6 +519,24 @@ object TextOps {
       .withColumn("bucket", Sampling.hashBucket(col("w"), dim))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
 
+  /** [[hashedDocVectors]] densified to a fixed-width float vector —
+    * the trainer-free embedding column: docs with no encoder get a
+    * (vec_id, embedding float[dim]) frame any [[Similarity]] consumer
+    * (k-means, semdedup, cluster-balanced sampling) accepts unchanged.
+    * One map-build per doc from the already-sparse rows; zero-count
+    * buckets materialize only here, at the fixed `dim` width, never in
+    * the sparse serving paths. Counts are exact integers, so the float
+    * cast (and the double cast under k-means) is exact below 2²⁴.
+    */
+  def hashedDenseVectors(docs: DataFrame, dim: Int = 64): DataFrame =
+    hashedVectorsUnsorted(docs, dim)
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("m"))
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("float"))
+          .as("embedding"))
+
   /** Cosine top-k over the hashed vectors by SPARSE algebra: the dot
     * product is one bucket-keyed join + sum of integer count products,
     * the norms are per-doc integer aggregates — both engines divide

@@ -59,6 +59,47 @@ class CorpusSpec extends SparkSpec {
     assert(r(5) == (("low_quality", 2L, 1L, 1L)), s"stage5: ${r(5)}")
   }
 
+  test("funnelEmbed: planted embedding twin drops at semantic_dup; no-embedding doc passes through") {
+    val spark2 = spark
+    import spark2.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val sw = Seq("the", "a", "of", "and", "is", "in", "to", "for", "on", "with")
+    val lowQ = (0 until 18).flatMap(i => Seq(sw(i % 10), s"v$i")).mkString(" ")
+    val d = docs(
+      0L -> long, // survives every stage
+      1L -> "too short", // stage 1
+      2L -> (1 to 40).map(_ => "spam").mkString(" "), // stage 2
+      3L -> long, // exact copy of 0 → stage 3
+      4L -> (long + " tail"), // near-dup of 0 via the pair list → stage 4
+      5L -> lowQ, // semantic keeper, below the calibrated threshold → stage 6
+      6L -> (1 to 40).map(i => s"u$i").mkString(" "), // clean TEXT, embedding twin of 0 → stage 5
+      7L -> (1 to 40).map(i => s"q$i").mkString(" ")) // clean, NO embedding row → kept
+    val pairs = Seq((0L, 4L)).toDF("doc_a", "doc_b")
+    // survivors of the text stages are {0, 5, 6, 7}; embeddings exist
+    // for {0, 5, 6} → cells = ceil(sqrt(3)) = 2, seeds 0 and 5; doc 6
+    // lands in doc 0's cell at cos ≈ 0.99995 ≥ 0.9 and drops against
+    // the lower-id original; doc 7 has no vector → cannot be a
+    // semantic dup → flows to the quality gate and survives
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (5L, Array(0f, 1f, 0f, 0f)),
+      (6L, Array(0.99f, 0.01f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    // calibration runs on the semantic keepers {0, 5, 7}: kcut =
+    // floor(0.7·3) = 2 → thr = 0.4 (docs 0/7 tie at the threshold,
+    // doc 5's stopword-heavy 0.18 falls below)
+    val r = Corpus.funnelEmbed(d, pairs, e, minWords = 30, p = 0.7, tau = 0.9)
+      .collect()
+      .map(x => x.getInt(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(1) == (("too_short", 8L, 1L, 7L)), s"stage1: ${r(1)}")
+    assert(r(2) == (("repetitive", 7L, 1L, 6L)), s"stage2: ${r(2)}")
+    assert(r(3) == (("exact_dup", 6L, 1L, 5L)), s"stage3: ${r(3)}")
+    assert(r(4) == (("near_dup", 5L, 1L, 4L)), s"stage4: ${r(4)}")
+    assert(r(5) == (("semantic_dup", 4L, 1L, 3L)), s"stage5: ${r(5)}")
+    assert(r(6) == (("low_quality", 3L, 1L, 2L)), s"stage6: ${r(6)}")
+  }
+
   test("manifestScrubbed chains the span scrub: reasons merge, include unchanged") {
     val spark2 = spark
     import spark2.implicits._

@@ -128,6 +128,26 @@ class TextOpsSpec extends SparkSpec {
       s"doc 1 must be doc 0's cos=1 twin: ${nb.toSeq}")
   }
 
+  test("hashedDenseVectors: fixed width, zero-filled, and exactly the sparse counts") {
+    val d = docs(
+      (0L, "alpha beta alpha", "en"),
+      (1L, "gamma delta", "en"))
+    val dim = 16
+    val sparse = TextOps.hashedDocVectors(d, dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dense = TextOps.hashedDenseVectors(d, dim).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(dense.keySet == Set(0L, 1L))
+    for ((id, v) <- dense) {
+      assert(v.length == dim, s"doc $id width ${v.length}")
+      for (b <- 0 until dim)
+        assert(v(b) == sparse.getOrElse((id, b.toLong), 0L).toFloat,
+          s"doc $id bucket $b: dense ${v(b)} vs sparse ${sparse.get((id, b.toLong))}")
+    }
+    assert(dense(0L).sum == 3f && dense(1L).sum == 2f,
+      "dense components must sum to the token count")
+  }
+
   test("rakeKeyphrases: hand-checked deg/freq scores on stopword-delimited runs") {
     // runs: [red apple pie], [green apple]; deg/freq by hand:
     // red 3/1, apple (3+2)/2 = 2.5, pie 3/1, green 2/1
