@@ -1592,6 +1592,13 @@ object ExtQueries {
     "events_l28" -> ((s, d) => EventsOps.activityHistogram(ev(s, d), 28)),
     // temperature-scaled (τ=1/2) source sampling weights for data mixing
     "source_mix_weights" -> ((s, d) => Corpus.sourceMixWeights(docs(s, d))),
+    // the step after the weights: integer per-source token quotas that
+    // sum EXACTLY to the budget — largest-remainder apportionment on
+    // exact integer weights (6dp sqrt-token carrier x 10^6), remainder
+    // ranking on exact integer numerators, never a double near the
+    // plus-minus-one boundary
+    "mix_allocation" -> ((s, d) =>
+      Corpus.mixAllocation(docs(s, d), 1000000L)),
     // bottom-k (KMV) distinct-3-gram estimate per source + exact twin
     "sketch_kmv_ngrams" -> ((s, d) => Sketch.kmvDistinctNgrams(docs(s, d), 3, 128)),
     // DSIR importance weights toward the src0 "target domain"
@@ -4853,6 +4860,31 @@ object ExtQueries {
     // √-token weights: sqrt is IEEE-exact in both engines; the 6dp
     // DECIMAL carrier makes the denominator sum fold-order free; boost
     // repeats the two rounded ratios verbatim
+    // largest-remainder apportionment on exact integers: num = budget*s
+    // in HUGEINT, base = num // stot, remainder ranking on the integer
+    // numerators (same denominator => same order as the fractions)
+    "mix_allocation" ->
+      """WITH ps AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+        |            FROM documents GROUP BY source),
+        | q AS (SELECT source, t,
+        |     CAST(CAST(round(sqrt(CAST(t AS DOUBLE)), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS s
+        |   FROM ps),
+        | tot AS (SELECT CAST(sum(s) AS HUGEINT) AS stot FROM q),
+        | b AS (SELECT source, t, s,
+        |     CASE WHEN stot = 0 THEN 0 ELSE (CAST(1000000 AS HUGEINT) * s) // stot END AS base,
+        |     CASE WHEN stot = 0 THEN 0 ELSE (CAST(1000000 AS HUGEINT) * s) % stot END AS rem
+        |   FROM q, tot),
+        | sb AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM b),
+        | rk AS (SELECT source, row_number() OVER (ORDER BY rem DESC, source) AS rnk FROM b),
+        | tt AS (SELECT b.source, b.t, b.s,
+        |     CAST(b.base + CASE WHEN rk.rnk <= 1000000 - sb.sb THEN 1 ELSE 0 END AS BIGINT)
+        |       AS target_tokens
+        |   FROM b JOIN rk USING (source), sb)
+        | SELECT source, t AS n_tokens, s AS w_scaled, target_tokens,
+        |   CASE WHEN t <> 0
+        |        THEN round(CAST(target_tokens AS DOUBLE) / CAST(t AS DOUBLE), 4) + 0.0
+        |   END AS epochs
+        | FROM tt ORDER BY source""".stripMargin,
     "source_mix_weights" ->
       """WITH s AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
         |           FROM documents GROUP BY source),

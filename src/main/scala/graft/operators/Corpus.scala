@@ -354,4 +354,60 @@ object Corpus {
       .withColumn("boost", round(col("w_temp") / col("w_prop"), 4))
       .orderBy("source")
   }
+
+  /** Token-budget apportionment across sources — the step AFTER
+    * [[sourceMixWeights]]: turn the temperature weights into integer
+    * per-source token targets that sum EXACTLY to `budget`, by the
+    * largest-remainder (Hamilton) apportionment method. A mix owner
+    * hands the trainer per-source token quotas, not fractional weights
+    * — and naive per-source rounding either over- or under-shoots the
+    * budget by up to one token per source.
+    *
+    * Determinism: the apportionment runs on EXACT INTEGERS end to end.
+    * The weight is the 6dp-rounded √tokens ([[sourceMixWeights]]'s
+    * carrier) ×10⁶ — an exact integer; base = (budget·wᵢ) div Σw and
+    * the remainder ranking compare exact integer quotients/remainders
+    * (same denominator, so the fractional parts order as their integer
+    * numerators — no doubles anywhere near the ±1 boundary). Σbase >
+    * budget − n by the floor-division identity, so the top-R remainders
+    * (R < n sources) each take one extra token and the targets sum to
+    * the budget exactly. `epochs` = target/available is the up/down-
+    * sampling factor per source, rounded once from exact operands.
+    *
+    * Shape at scale: one hash aggregate over the corpus (per-source
+    * token counts), then every frame is SOURCE-COUNT sized — the
+    * ranking window runs over n_sources rows, never the corpus.
+    */
+  def mixAllocation(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = docs
+      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source").agg(sum("tokens").as("t"))
+      .withColumn("s", (round(sqrt(col("t").cast("double")), 6)
+        .cast("decimal(24,6)") * lit(1000000)).cast("long"))
+    val tot = perSource.agg(sum(col("s")).as("stot"))
+    val b = perSource.crossJoin(broadcast(tot))
+      .withColumn("num",
+        lit(budget).cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+      // an all-empty corpus has stot = 0: allocate nothing rather than
+      // tripping ANSI divide-by-zero in the executor
+      .withColumn("base",
+        when(col("stot") =!= 0, expr("num div stot")).otherwise(0L))
+      .withColumn("rem",
+        when(col("stot") =!= 0, expr("num % stot")).otherwise(lit(0)))
+    val sb = b.agg(sum("base").as("sb"))
+    val w = Window.orderBy(desc("rem"), col("source")) // n_sources rows
+    b.withColumn("rnk", row_number().over(w))
+      .crossJoin(broadcast(sb))
+      .withColumn("target_tokens",
+        col("base") + when(col("rnk") <= lit(budget) - col("sb"), 1L)
+          .otherwise(0L))
+      .withColumn("epochs",
+        when(col("t") =!= 0,
+          round(col("target_tokens").cast("double") / col("t").cast("double"),
+            4) + lit(0.0)))
+      .select(col("source"), col("t").as("n_tokens"), col("s").as("w_scaled"),
+        col("target_tokens"), col("epochs"))
+      .orderBy("source")
+  }
 }

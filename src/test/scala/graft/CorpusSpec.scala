@@ -192,6 +192,28 @@ class CorpusSpec extends SparkSpec {
     assert(r(5L) == (false, "too_short"))
   }
 
+  test("mixAllocation: largest-remainder quotas sum exactly to the budget") {
+    val spark2 = spark
+    import spark2.implicits._
+    // srcA 9 tokens (√=3 → s=3e6), srcB 16 (√=4 → s=4e6), budget 10:
+    // base A = (10·3e6) div 7e6 = 4 (rem 2e6), base B = 5 (rem 5e6);
+    // Σbase = 9 → R = 1, the larger remainder (B) takes the extra token
+    val d = Seq(
+      (0L, (1 to 9).map(_ => "t").mkString(" "), "en", "srcA", 9L),
+      (1L, (1 to 16).map(_ => "t").mkString(" "), "en", "srcB", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.mixAllocation(d, 10L).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("srcA").getAs[Long]("w_scaled") == 3000000L)
+    assert(r("srcB").getAs[Long]("w_scaled") == 4000000L)
+    assert(r("srcA").getAs[Long]("target_tokens") == 4L)
+    assert(r("srcB").getAs[Long]("target_tokens") == 6L)
+    assert(r.values.map(_.getAs[Long]("target_tokens")).sum == 10L,
+      "quotas must sum exactly to the budget")
+    assert(r("srcA").getAs[Double]("epochs") == 0.4444)
+    assert(r("srcB").getAs[Double]("epochs") == 0.375)
+  }
+
   test("sourceMixWeights: τ=1/2 up-weights the small source, weights sum to 1") {
     val spark2 = spark
     import spark2.implicits._
