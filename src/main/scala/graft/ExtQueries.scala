@@ -69,6 +69,9 @@ object ExtQueries {
   private lazy val ivfPqMaintainStreamDir: String =
     TempDirs.create("graft_ivfpq_maintain_stream")
 
+  private lazy val ivfSq8MaintainStreamDir: String =
+    TempDirs.create("graft_ivfsq8_maintain_stream")
+
   private lazy val ivfPqMaintainAppendDir: String =
     TempDirs.create("graft_ivfpq_maintain_a") + "/index"
 
@@ -1262,6 +1265,30 @@ object ExtQueries {
         s, s"$dir/drops/drop=*", s"$dir/index", s"$dir/ckpt", s"$dir/log")
       Sink.searchIvfPqIndex(s, all, s"$dir/index", 10, 3, 10, 4, 16)
     }),
+    // the int8 tier's maintained ingestion end-to-end: three balanced
+    // drops stream through runSq8MaintainReplay — each micro-batch
+    // takes the full maintain decision (coarse PSI pre-flight → append;
+    // compaction on the file cadence; no code-PSI term because the
+    // per-vector max-abs scheme has no codebook to drift) — then the
+    // index serves. Oracle = the SQ8 search tree over base-400-trained
+    // centroids: undrifted maintained ingestion ≡ one-shot SQ8 append.
+    // SIDE EFFECT: temp dirs.
+    "stream_ivfsq8_maintain_replay" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfSq8MaintainStreamDir
+      Sink.writeIvfSq8Index(all.filter(col("vec_id") < 400), s"$dir/index",
+        8, 2, corpusKey = Some(d + "#pqbase400"))
+      val batch = all.filter(col("vec_id") >= 400)
+      Seq(("a", 0), ("b", 1), ("c", 2)).foreach { case (tag, r) =>
+        batch.filter(pmod(col("vec_id"), lit(3)) === r)
+          .select("vec_id", "embedding").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/drops/drop=$tag")
+      }
+      graft.streaming.IvfStream.deleteRecursively(s"$dir/log")
+      graft.streaming.IvfStream.runSq8MaintainReplay(
+        s, s"$dir/drops/drop=*", s"$dir/index", s"$dir/ckpt", s"$dir/log")
+      Sink.searchIvfSq8Index(s, all, s"$dir/index", 10, 3, nprobe = 2)
+    }),
     // the pre-flight for the append: per-cell stored vs incoming
     // populations (incoming assigned with the stored centroids), the
     // smoothed PSI between the two share distributions, and the
@@ -1454,6 +1481,14 @@ object ExtQueries {
       Similarity.clusterBalancedSample(
         TextOps.hashedDenseVectors(docs(s, d)), 8, 2, 10,
         corpusKey = Some(d + "#hashed-dense"))),
+    // c-TF-IDF topic labels per embedding cluster (BERTopic's
+    // class-based tf-idf): what each k-means cell is ABOUT — the
+    // readable readout over every cluster-shaped operator (semdedup
+    // cells, balanced sampling, IVF cells); trained quantizer shared
+    // through the session cache
+    "cluster_topics" -> ((s, d) =>
+      Corpus.clusterTopics(docs(s, d), emb(s, d), 8, 2, 5,
+        corpusKey = Some(d))),
     // embedding QA before indexing: NaN/Inf counts, zero vectors,
     // MAD-rule magnitude outliers (median-based — robust to a batch of
     // broken near-zero vectors)
@@ -1599,6 +1634,13 @@ object ExtQueries {
     // plus-minus-one boundary
     "mix_allocation" -> ((s, d) =>
       Corpus.mixAllocation(docs(s, d), 1000000L)),
+    // the quotas EMITTED: full epochs replicate every doc, the partial
+    // epoch takes an md5-ordered prefix with the boundary doc truncated
+    // so the grand total is exactly the budget; the prefix sum runs as
+    // a two-pass distributed scan over 256 md5 buckets, never a
+    // per-source corpus window
+    "mix_materialize" -> ((s, d) =>
+      Corpus.mixMaterialize(docs(s, d), 1000000L)),
     // bottom-k (KMV) distinct-3-gram estimate per source + exact twin
     "sketch_kmv_ngrams" -> ((s, d) => Sketch.kmvDistinctNgrams(docs(s, d), 3, 128)),
     // DSIR importance weights toward the src0 "target domain"
@@ -3134,7 +3176,17 @@ object ExtQueries {
   private lazy val ivfSq8TopKOracle: String =
     s"""$kmeansCte,
       | $sq8CodesBody,
-      | qp AS (SELECT vec_id AS qid, cell, rn AS pn FROM (
+      | $ivfSq8SearchTail""".stripMargin
+
+  /** The probe/scoring tail of [[ivfSq8TopKOracle]] (nprobe=2 cell
+    * probes off d2, int8 scoring of the probed candidates off n/a2) —
+    * factored out so the SAME search tree can sit on either Lloyd's
+    * regime: the full-corpus [[kmeansCte]] (in-memory + stored SQ8) or
+    * the base-400-trained [[kmeansBaseTrainedCte]] (the streaming
+    * maintain replay, where appends score against frozen centroids).
+    */
+  private lazy val ivfSq8SearchTail: String =
+    s"""qp AS (SELECT vec_id AS qid, cell, rn AS pn FROM (
       |     SELECT vec_id, cell,
       |       row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
       |     FROM d2 WHERE vec_id < 10) WHERE rn <= 2),
@@ -3153,6 +3205,18 @@ object ExtQueries {
       | SELECT qid, CAST(rnk AS INTEGER) AS rnk, vec_id, cell,
       |   CAST(pn AS INTEGER) AS pn, qcos
       | FROM r2 WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** [[ivfSq8TopKOracle]] in the append regime: Lloyd's trained on
+    * vec_id < 400 only, assignment/probes/scoring over EVERYTHING —
+    * the oracle for `stream_ivfsq8_maintain_replay`, where undrifted
+    * maintained ingestion must equal a one-shot append (codes depend
+    * only on each vector's own max-abs, cells only on the frozen
+    * stored centroids).
+    */
+  private lazy val ivfSq8BaseSearchOracle: String =
+    s"""${kmeansBaseTrainedCte(400)},
+      | $sq8CodesBody,
+      | $ivfSq8SearchTail""".stripMargin
 
   /** Two unrolled Lloyd's rounds in DuckDB (mirrors
     * Similarity.kmeansAssign with k=8, iters=2): c0 = first 8 vectors,
@@ -4242,6 +4306,27 @@ object ExtQueries {
         |   FROM a2)
         | SELECT cell, CAST(pick AS INTEGER) AS pick, vec_id
         | FROM pk WHERE pick <= 10 ORDER BY cell, pick""".stripMargin,
+    // c-TF-IDF topic labels: the kmeans cells + class-based tf-idf —
+    // tf · ln((nc·f + tot)/(nc·f)) with the ln argument a single exact
+    // integer ratio, 6dp-rounded BEFORE the tf multiply, term tiebreak
+    "cluster_topics" ->
+      s"""$kmeansCte,
+        | asg AS (SELECT vec_id AS doc_id, cell FROM a2),
+        | tk AS (SELECT asg.cell, w AS term
+        |        FROM documents dd JOIN asg USING (doc_id),
+        |             UNNEST(string_split(dd.text, ' ')) AS t(w)
+        |        WHERE len(w) >= 3
+        |          AND w NOT IN ('the','a','of','and','is','in','to','for','on','with')),
+        | tf AS (SELECT cell, term, count(*) AS tf FROM tk GROUP BY cell, term),
+        | tdf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f FROM tf GROUP BY term),
+        | tt AS (SELECT CAST(sum(tf) AS BIGINT) AS tot, count(DISTINCT cell) AS nc FROM tf),
+        | sc AS (SELECT cell, term, tf,
+        |     round(tf * round(ln(CAST(nc * f + tot AS DOUBLE) / CAST(nc * f AS DOUBLE)), 6), 6) AS score
+        |   FROM tf JOIN tdf USING (term), tt),
+        | rk2 AS (SELECT cell, term, tf, score,
+        |     row_number() OVER (PARTITION BY cell ORDER BY score DESC, term) AS rnk FROM sc)
+        | SELECT cell, CAST(rnk AS INTEGER) AS rnk, term, tf, score
+        | FROM rk2 WHERE rnk <= 5 ORDER BY cell, rnk""".stripMargin,
     // hashed-vector twin: densify the hashing-trick histograms to
     // float[64] (exact integer counts — the float/double casts are
     // exact), then the same unrolled Lloyd's + md5 pick order
@@ -4417,6 +4502,7 @@ object ExtQueries {
     // maintained PQ ingestion with no drifted drop ≡ one-shot append —
     // same oracle verbatim (and the cadence compaction changed nothing)
     "stream_ivfpq_maintain_replay" -> ivfPqAppendOracle,
+    "stream_ivfsq8_maintain_replay" -> ivfSq8BaseSearchOracle,
     "embed_ivfpq_code_drift" -> ivfPqCodeDriftOracle,
     "embed_pq_topk" ->
       s"""$pqCte
@@ -4885,6 +4971,43 @@ object ExtQueries {
         |        THEN round(CAST(target_tokens AS DOUBLE) / CAST(t AS DOUBLE), 4) + 0.0
         |   END AS epochs
         | FROM tt ORDER BY source""".stripMargin,
+    // the apportionment EMITTED: full epochs via a lateral range, the
+    // partial epoch via an md5-ordered running sum with the boundary
+    // doc truncated (LEAST) so per-source output is exactly the quota
+    "mix_materialize" ->
+      """WITH ps AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+        |            FROM documents GROUP BY source),
+        | q AS (SELECT source, t,
+        |     CAST(CAST(round(sqrt(CAST(t AS DOUBLE)), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS s
+        |   FROM ps),
+        | tot AS (SELECT CAST(sum(s) AS HUGEINT) AS stot FROM q),
+        | b AS (SELECT source, t, s,
+        |     CASE WHEN stot = 0 THEN 0 ELSE (CAST(1000000 AS HUGEINT) * s) // stot END AS base,
+        |     CASE WHEN stot = 0 THEN 0 ELSE (CAST(1000000 AS HUGEINT) * s) % stot END AS rem0
+        |   FROM q, tot),
+        | sb AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM b),
+        | rk AS (SELECT source, row_number() OVER (ORDER BY rem0 DESC, source) AS rnk FROM b),
+        | al AS (SELECT b.source, b.t,
+        |     CAST(b.base + CASE WHEN rk.rnk <= 1000000 - sb.sb THEN 1 ELSE 0 END AS BIGINT)
+        |       AS target
+        |   FROM b JOIN rk USING (source), sb),
+        | al2 AS (SELECT source, t, target // t AS full_epochs, target % t AS rem FROM al),
+        | dt AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |        FROM documents),
+        | fe AS (SELECT dt.source, e.epoch, dt.tokens AS toks_out
+        |        FROM dt JOIN al2 USING (source), UNNEST(range(0, al2.full_epochs)) AS e(epoch)),
+        | pc AS (SELECT source, doc_id, tokens,
+        |          COALESCE(SUM(tokens) OVER (PARTITION BY source
+        |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |        FROM dt),
+        | pe AS (SELECT pc.source, al2.full_epochs AS epoch,
+        |          LEAST(pc.tokens, al2.rem - pc.prev) AS toks_out
+        |        FROM pc JOIN al2 USING (source) WHERE pc.prev < al2.rem),
+        | un AS (SELECT * FROM fe UNION ALL SELECT * FROM pe)
+        | SELECT source, epoch, count(*) AS n_docs,
+        |   CAST(sum(toks_out) AS BIGINT) AS n_tokens
+        | FROM un GROUP BY source, epoch ORDER BY source, epoch""".stripMargin,
     "source_mix_weights" ->
       """WITH s AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
         |           FROM documents GROUP BY source),

@@ -410,4 +410,117 @@ object Corpus {
         col("target_tokens"), col("epochs"))
       .orderBy("source")
   }
+
+  /** Deterministic materialization of [[mixAllocation]]'s quotas — the
+    * step that actually EMITS the training mix: every document repeats
+    * for `full_epochs = quota div available` full passes, then a partial
+    * epoch takes a content-hash-ordered prefix of the source until the
+    * remaining `quota mod available` tokens are filled, truncating the
+    * one boundary document so per-source output is EXACTLY the quota
+    * (and the grand total EXACTLY the budget — Σ over this frame's
+    * n_tokens is the apportionment identity, spec-pinned). The pick
+    * order is md5(doc_id) — reproducible across runs, engines, and
+    * cluster layouts, with no RNG state to ship.
+    *
+    * Scale: the full-epoch term is one `explode(sequence)` over the
+    * corpus — linear, embarrassingly parallel. The partial-epoch prefix
+    * sum is the one inherently sequential term, so it runs as a
+    * TWO-PASS distributed prefix sum instead of a per-source window
+    * over the whole corpus: docs land in 256 md5-prefix buckets, the
+    * per-(source, bucket) subtotals (a 256·n_sources-row frame) carry
+    * the running offset across buckets, and the within-bucket window
+    * partitions by (source, bucket) — 256× the parallelism of the
+    * naive per-source window, same order because the bucket key IS the
+    * md5's leading byte. Output is (source, epoch)-sized — never
+    * corpus-sized.
+    */
+  def mixMaterialize(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = mixAllocation(docs, budget)
+      .select(col("source"), col("n_tokens").as("t"), col("target_tokens"))
+      .withColumn("full_epochs", expr("target_tokens div t"))
+      .withColumn("rem", col("target_tokens") % col("t"))
+      .select("source", "full_epochs", "rem")
+    val toks = docs
+      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+      .select("doc_id", "source", "tokens")
+      .join(broadcast(alloc), "source")
+    val fullRows = toks.filter(col("full_epochs") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("full_epochs") - 1)))
+      .select(col("source"), col("epoch"), col("tokens").as("toks_out"))
+    // two-pass prefix sum: bucket = the md5's leading byte, so ordering
+    // by (bucket, h) ≡ ordering by h and the cross-bucket offset is a
+    // running sum over the tiny subtotal frame
+    val hashed = toks
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    val wb = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hashed.groupBy("source", "bucket")
+      .agg(sum("tokens").as("bt")) // ≤ 256·n_sources rows
+      .withColumn("offset", coalesce(sum("bt").over(wb), lit(0L)))
+      .select("source", "bucket", "offset")
+    val ww = Window.partitionBy("source", "bucket")
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val partRows = hashed
+      .withColumn("prev_in_bucket", coalesce(sum("tokens").over(ww), lit(0L)))
+      .join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("prev", col("offset") + col("prev_in_bucket"))
+      .filter(col("prev") < col("rem"))
+      .select(col("source"), col("full_epochs").as("epoch"),
+        least(col("tokens"), col("rem") - col("prev")).as("toks_out"))
+    fullRows.unionByName(partRows)
+      .groupBy("source", "epoch")
+      .agg(count(lit(1)).as("n_docs"), sum("toks_out").as("n_tokens"))
+      .orderBy("source", "epoch")
+  }
+
+  /** c-TF-IDF cluster topic labels (Grootendorst 2022, BERTopic §3.2,
+    * public method): k-means cells over the embedding corpus, then per
+    * cell the top terms by tf·ln(1 + A/f) where tf = the term's count
+    * inside the cell, f = its count across all cells, and A = the
+    * average token count per cell — the class-based tf-idf that names
+    * what each embedding cluster is ABOUT, the human-readable readout
+    * on top of every cluster-shaped operator here (semdedup cells,
+    * cluster-balanced sampling, IVF cells).
+    *
+    * Determinism: the quantizer is the shared deterministic trainer
+    * (sampled Lloyd's through the session cache); the ln argument is a
+    * single division of exact integers ((nc·f + tot)/(nc·f)), its
+    * result rounds to 6dp BEFORE the tf multiply, and ranking runs over
+    * the rounded score with a term tiebreak — the tf-idf recipe, so
+    * nothing rides a libm last-ulp.
+    *
+    * Scale: one broadcast-centroid assignment pass, one explode + two
+    * hash aggregations; everything past the explode is vocabulary-sized
+    * ((cell, term) rows), the top-k window partitions by cell. The
+    * stopword/short-token gate drops the degenerate head before the
+    * aggregation, not after.
+    */
+  def clusterTopics(docs: DataFrame, emb: DataFrame, cells: Int = 8,
+      iters: Int = 2, topK: Int = 5, corpusKey: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = corpusKey
+      .map(Similarity.kmeansAssignCached(emb, cells, iters, _))
+      .getOrElse(Similarity.kmeansAssign(emb, cells, iters))
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val toks = docs.join(assigned, "doc_id")
+      .select(col("cell"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) >= 3 and
+        !col("term").isin(TextOps.stopwords: _*))
+    val tf = toks.groupBy("cell", "term").agg(count(lit(1)).as("tf"))
+    val f = tf.groupBy("term").agg(sum("tf").as("f"))
+    val totals = tf.agg(sum("tf").as("tot"), countDistinct("cell").as("nc"))
+    val w = Window.partitionBy("cell").orderBy(desc("score"), col("term"))
+    tf.join(f, "term").crossJoin(broadcast(totals))
+      .withColumn("idf", round(log(
+        (col("nc") * col("f") + col("tot")).cast("double") /
+          (col("nc") * col("f")).cast("double")), 6))
+      .withColumn("score", round(col("tf") * col("idf"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("cell", "rnk", "term", "tf", "score")
+      .orderBy("cell", "rnk")
+  }
 }

@@ -110,6 +110,26 @@ object IvfStream {
         .write.mode("append").parquet(logDir)
     }
 
+  /** [[runMaintainReplay]] for the int8 serving tier: each micro-batch
+    * takes the [[Sink.maintainIvfSq8Index]] decision — geometry from
+    * the index manifest, coarse-cell PSI as the tripwire (per-vector
+    * max-abs quantization has no codebook to drift, so there is no
+    * code-PSI term), append-or-retrain, compaction cadence — and logs
+    * one row per drop. Undrifted drops leave the served index identical
+    * to a one-shot SQ8 append (codes depend only on each vector's own
+    * max-abs, cells only on the frozen stored centroids).
+    */
+  def runSq8MaintainReplay(spark: SparkSession, dropGlob: String,
+      indexDir: String, checkpointDir: String, logDir: String,
+      threshold: Double = 0.25, compactFilesPerCell: Int = 4): Unit =
+    replayWith(spark, dropGlob, checkpointDir) { (batch, id) =>
+      Sink.maintainIvfSq8Index(spark, batch, indexDir,
+          threshold = threshold, compactFilesPerCell = compactFilesPerCell)
+        .withColumn(
+          "batch_id", org.apache.spark.sql.functions.lit(id))
+        .write.mode("append").parquet(logDir)
+    }
+
   /** CDC-shaped streaming ingestion — drops carry ADDS and DELETES
     * through one stream: each micro-batch appends its "add" rows
     * against the frozen centroids and tombstones its "delete" ids

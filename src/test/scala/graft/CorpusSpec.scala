@@ -214,6 +214,61 @@ class CorpusSpec extends SparkSpec {
     assert(r("srcB").getAs[Double]("epochs") == 0.375)
   }
 
+  test("mixMaterialize: full epochs replicate, the partial epoch truncates at the quota boundary") {
+    val spark2 = spark
+    import spark2.implicits._
+    // srcA = docs 0 (4 tokens) + 2 (5 tokens) → t=9, srcB = doc 1 (16
+    // tokens) → t=16; budget 30 apportions A=13, B=17 (largest
+    // remainder). A: one full epoch (9) + partial rem=4; md5 order puts
+    // doc 2 ("c81e…") before doc 0 ("cfcd…"), so the partial epoch is
+    // doc 2 truncated 5→4. B: one full epoch (16) + doc 1 truncated
+    // 16→1. Grand total = exactly the budget.
+    val d = Seq(
+      (0L, "t t t t", "en", "srcA", 7L),
+      (2L, "t t t t t", "en", "srcA", 9L),
+      (1L, (1 to 16).map(_ => "t").mkString(" "), "en", "srcB", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.mixMaterialize(d, 30L).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[Long]("epoch")) ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("n_tokens"))).toMap
+    assert(r(("srcA", 0L)) == ((2L, 9L)))
+    assert(r(("srcA", 1L)) == ((1L, 4L)), "partial epoch: doc 2 truncated 5→4")
+    assert(r(("srcB", 0L)) == ((1L, 16L)))
+    assert(r(("srcB", 1L)) == ((1L, 1L)), "partial epoch: doc 1 truncated 16→1")
+    assert(r.values.map(_._2).sum == 30L,
+      "materialized tokens must sum exactly to the budget")
+  }
+
+  test("clusterTopics: each cell is labeled by its own vocabulary; stopwords and short tokens gated") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq(
+      (0L, "apple banana the apple crunch is it", "en", "src", 1L),
+      (1L, "carrot daikon the carrot roast is it", "en", "src", 1L),
+      (2L, "apple banana a orchard crunch is it", "en", "src", 1L),
+      (3L, "carrot daikon a cellar roast is it", "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // two tight clusters: even docs near +1, odd docs near -1
+    val e = Seq(0L, 1L, 2L, 3L).map { id =>
+      (id, (0 until 4).map(j =>
+        ((if (id % 2 == 0) 1.0 else -1.0) + ((id * 7 + j) % 5) * 0.01).toFloat))
+    }.toDF("vec_id", "embedding")
+    val r = Corpus.clusterTopics(d, e, cells = 2, iters = 2, topK = 3).collect()
+    val byCell = r.groupBy(_.getAs[Long]("cell"))
+    assert(byCell.size == 2)
+    val top = byCell.map { case (c, rows) =>
+      c -> rows.filter(_.getAs[Int]("rnk") == 1).head.getAs[String]("term")
+    }
+    // the apple cluster's top term is its dominant in-cluster word
+    assert(top.values.toSet == Set("apple", "carrot"), s"got $top")
+    val terms = r.map(_.getAs[String]("term")).toSet
+    assert(!terms.exists(t => t.length < 3 || Set("the", "a", "is", "in").contains(t)),
+      s"stopwords/short tokens must be gated, got $terms")
+    // tf carried through: apple appears 3x inside its cell
+    assert(r.find(x => x.getAs[String]("term") == "apple")
+      .get.getAs[Long]("tf") == 3L)
+  }
+
   test("sourceMixWeights: τ=1/2 up-weights the small source, weights sum to 1") {
     val spark2 = spark
     import spark2.implicits._

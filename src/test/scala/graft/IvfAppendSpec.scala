@@ -338,6 +338,36 @@ class IvfAppendSpec extends SparkSpec {
     assert(Sink.searchIvfIndex(spark, base, s"$root/index", 5, 3).count() == 15)
   }
 
+  test("runSq8MaintainReplay: int8 tier decisions logged, drifted middle drop retrains mid-stream") {
+    val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
+    val root = Files.createTempDirectory("graft-sq8maintstream").toString
+    Sink.writeIvfSq8Index(base, s"$root/index", cells = 2, iters = 2)
+    val drops = Seq(
+      "a" -> twoClusters(100L until 110L, id => if (id % 2 == 0) 1 else -1),
+      "b" -> twoClusters(200L until 210L, _ => 1),
+      "c" -> twoClusters(110L until 120L, id => if (id % 2 == 0) 1 else -1))
+    drops.zipWithIndex.foreach { case ((tag, df), i) =>
+      val p = s"$root/drops/drop=$tag"
+      df.coalesce(1).write.mode("overwrite").parquet(p)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .foreach(_.toFile.setLastModified(1000000000000L + i * 60000L))
+    }
+    graft.streaming.IvfStream.runSq8MaintainReplay(
+      spark, s"$root/drops/drop=*", s"$root/index", s"$root/ckpt", s"$root/log")
+    val log = spark.read.parquet(s"$root/log").orderBy("batch_id").collect()
+    assert(log.map(_.getAs[String]("action")).toSeq ==
+      Seq("append", "retrain", "append"),
+      s"expected append/retrain/append, got ${log.mkString("; ")}")
+    assert(log.map(_.getAs[Long]("n_after")).toSeq == Seq(30L, 40L, 50L))
+    val stored = spark.read.parquet(s"$root/index/assignment")
+    assert(stored.count() == 50)
+    // the retrain rebuilt the INT8 layout (codes + norms), not the
+    // float one, and the final index serves through the SQ8 path
+    assert(Seq("q", "n2", "ma").forall(stored.columns.contains))
+    assert(Sink.searchIvfSq8Index(spark, base, s"$root/index", 5, 3).count() == 15)
+  }
+
   test("drift pre-flight: skewed batch flags retrain, balanced does not") {
     val base = twoClusters(0L until 20L, id => if (id % 2 == 0) 1 else -1)
     val dir = Files.createTempDirectory("graft-ivfdrift").toString
