@@ -2477,7 +2477,7 @@ object ExtQueries {
     */
   private lazy val dsirCoreCte: String =
     s"""WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),
-       | hb AS (SELECT doc_id, source, ($minhashBaseSql) % 8192 AS b
+       | hb AS (SELECT doc_id, source, ($hexPrefixSql) % 8192 AS b
        |        FROM (SELECT doc_id, source, md5(tok) AS m FROM t)),
        | ct AS (SELECT b, count(*) AS c_t FROM hb WHERE source = 'src0' GROUP BY b),
        | cr AS (SELECT b, count(*) AS c_r FROM hb GROUP BY b),
@@ -4128,7 +4128,7 @@ object ExtQueries {
          | FROM sp GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
     "cv_folds" ->
       s"""WITH h AS (SELECT doc_id, lang, md5(text) AS m FROM documents),
-         | b AS (SELECT doc_id, lang, ($minhashBaseSql) % 5 AS fold FROM h),
+         | b AS (SELECT doc_id, lang, ($hexPrefixSql) % 5 AS fold FROM h),
          | c AS (SELECT fold, lang, count(*) AS n_docs FROM b GROUP BY fold, lang),
          | lt AS (SELECT lang, count(*) AS lang_total FROM documents GROUP BY lang)
          | SELECT c.fold, c.lang, c.n_docs, lt.lang_total,
@@ -4137,7 +4137,7 @@ object ExtQueries {
          | ORDER BY c.fold, c.lang""".stripMargin,
     "sample_split" ->
       s"""WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
-         | b AS (SELECT doc_id, ($minhashBaseSql) % 100 AS bucket FROM h)
+         | b AS (SELECT doc_id, ($hexPrefixSql) % 100 AS bucket FROM h)
          | SELECT doc_id, bucket,
          |   CASE WHEN bucket < 90 THEN 'train'
          |        WHEN bucket < 95 THEN 'val'
@@ -4180,7 +4180,7 @@ object ExtQueries {
         | FROM top t JOIN agg a ON a.s = t.s ORDER BY phrase""".stripMargin,
     "shuffle_shards" ->
       s"""WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
-         | b AS (SELECT doc_id, m, ($minhashBaseSql) % 16 AS shard FROM h)
+         | b AS (SELECT doc_id, m, ($hexPrefixSql) % 16 AS shard FROM h)
          | SELECT doc_id, shard,
          |   CAST(row_number() OVER (PARTITION BY shard ORDER BY m, doc_id) AS BIGINT) - 1 AS pos
          | FROM b ORDER BY doc_id""".stripMargin,
@@ -4332,7 +4332,7 @@ object ExtQueries {
     // exact), then the same unrolled Lloyd's + md5 pick order
     "sample_cluster_hashed" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        | hb AS (SELECT doc_id, ($minhashBaseSql) % 64 AS bucket
+        | hb AS (SELECT doc_id, ($hexPrefixSql) % 64 AS bucket
         |        FROM (SELECT doc_id, md5(w) AS m FROM w)),
         | v AS (SELECT doc_id, bucket, count(*) AS cnt FROM hb GROUP BY doc_id, bucket),
         | grid AS (SELECT doc_id, i AS bucket
@@ -5317,13 +5317,13 @@ object ExtQueries {
     "text_quality_score" -> s"$textQualityOracle ORDER BY doc_id",
     "text_hash_vectors" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        | hb AS (SELECT doc_id, ($minhashBaseSql) % 64 AS bucket
+        | hb AS (SELECT doc_id, ($hexPrefixSql) % 64 AS bucket
         |        FROM (SELECT doc_id, md5(w) AS m FROM w))
         | SELECT doc_id, bucket, count(*) AS cnt
         | FROM hb GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
     "text_hash_neighbors" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        | hb AS (SELECT doc_id, ($minhashBaseSql) % 64 AS bucket
+        | hb AS (SELECT doc_id, ($hexPrefixSql) % 64 AS bucket
         |        FROM (SELECT doc_id, md5(w) AS m FROM w)),
         | v AS (SELECT doc_id, bucket, count(*) AS cnt FROM hb GROUP BY doc_id, bucket),
         | n2 AS (SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS n2 FROM v GROUP BY doc_id),
@@ -5880,8 +5880,9 @@ object ExtQueries {
          |           FROM srk s2 LEFT JOIN sdrop dr ON s2.vec_id = dr.vec_id),
          | fcs AS (SELECT d.lang, tq.quality_score AS score
          |         FROM tq JOIN documents d USING (doc_id)
-         |              JOIN skept USING (doc_id)
-         |         WHERE skept.sem_kept),
+         |              JOIN mrow m3 USING (doc_id)
+         |              LEFT JOIN skept USING (doc_id)
+         |         WHERE m3.include AND coalesce(skept.sem_kept, TRUE)),
          | fch AS (SELECT lang, score, count(*) AS c FROM fcs GROUP BY lang, score),
          | fccum AS (SELECT lang, score,
          |     CAST(SUM(c) OVER (PARTITION BY lang ORDER BY score DESC

@@ -141,6 +141,10 @@ object CheckpointPool {
     * old ones can never be hit again (the file set only grows) — left
     * to global LRU pressure they would pin up to the pool bound of
     * corpus-sized block sets and evict other operators' live entries.
+    * The eviction PARKS the superseded entry for one turnover instead
+    * of releasing inline (a concurrent holder mid-job on the old
+    * generation keeps its blocks until the next supersession), so the
+    * steady-state footprint is live + one parked generation per label.
     * Same-label entries over DIFFERENT plans (other directories) are
     * untouched, so alternating inputs under one label still coexist.
     */
@@ -156,9 +160,13 @@ object CheckpointPool {
       if (winner ne built)
         org.apache.spark.sql.GraftShims.uncheckpoint(built)
       else
-        pool.removeIf(k => (k._1 eq spark) && k._2 == label &&
-            k._3 == semHash && k._4 != gen,
-          releaseRemoved = !spark.sparkContext.isStopped)
+        // PARK the superseded generation (one-turnover deferred release,
+        // the pool's release fn already no-ops on a stopped context) —
+        // an inline release here could yank blocks from under a
+        // concurrent consumer that fetched the old generation and is
+        // still mid-job on it
+        pool.removeIfDeferred(k => (k._1 eq spark) && k._2 == label &&
+          k._3 == semHash && k._4 != gen)
       winner
     }
   }
@@ -237,6 +245,37 @@ final class BoundedLruCache[K, V](maxEntries: Int, release: V => Unit) {
     * are gone, so they can't be matched against `p`; releasing early is
     * their destiny anyway).
     */
+  /** [[removeIf]] that PARKS the removed values in the deferred
+    * generation instead of releasing inline — for supersession
+    * evictions of entries a concurrent holder may still be reading
+    * (e.g. one consumer mid-job on a pooled frame while another's
+    * winning insert advances the file generation). Parking swaps
+    * generations exactly like the cap-overflow path: the PRIOR
+    * deferred generation is released, the new evictees take its
+    * place — same one-turnover cushion, same one-generation worst-case
+    * extra footprint, so a long-running supersession stream still
+    * keeps only one stale generation pinned.
+    */
+  def removeIfDeferred(p: K => Boolean): Unit = {
+    var toRelease = List.empty[V]
+    synchronized {
+      var parked = List.empty[V]
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (p(e.getKey)) {
+          parked ::= e.getValue
+          it.remove()
+        }
+      }
+      if (parked.nonEmpty) {
+        toRelease = deferred
+        deferred = parked
+      }
+    }
+    toRelease.foreach(release)
+  }
+
   def removeIf(p: K => Boolean, releaseRemoved: Boolean): Unit = {
     var removed = List.empty[V]
     synchronized {

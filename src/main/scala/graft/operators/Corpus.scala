@@ -291,9 +291,14 @@ object Corpus {
       TextOps.qualityScore(docs)
         .join(docs.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", "quality_score"))
+    // LEFT join: a text survivor with no embedding row PASSES the
+    // semantic stage (see the staged coalesce below), so it must also
+    // count in the calibration population — an inner join would
+    // calibrate p against only the embedded keepers (and an entirely
+    // un-embedded corpus would get a NULL threshold dropping everyone)
     val thr = TextOps.calibrateFromScores(
-      scored.join(inc, "doc_id").join(semKept, "doc_id")
-        .filter(col("sem_kept"))
+      scored.join(inc, "doc_id").join(semKept, Seq("doc_id"), "left")
+        .filter(coalesce(col("sem_kept"), lit(true)))
         .select(col("lang"), col("quality_score").as("score")), p)
       .select(col("lang"), col("thr"))
     val staged = m.join(scored, "doc_id")

@@ -14,16 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Stable bucket in [0, buckets) from the md5 of a key: an 8-char
-    * ascii polynomial over the hex digest (32 bits of entropy, exact
-    * 64-bit integer arithmetic — the same cross-engine construction as
-    * [[Dedup]]'s MinHash base; each term < 128^8 < 2^56).
+  /** Stable bucket in [0, buckets) from the md5 of a key: the exact
+    * integer value of the digest's first 8 hex NIBBLES (base-16
+    * polynomial — 32 bits of entropy, each term < 16^8 = 2^32, exact
+    * 64-bit arithmetic). NOT the base-128 ascii polynomial [[Dedup]]'s
+    * MinHash uses against prime moduli: ascii hex chars span only 16
+    * values and every coefficient 128^k (k ≥ 1) is ≡ 0 modulo any
+    * power-of-two bucket count ≤ 128 — under mod 64 only the LAST
+    * char survived (16 reachable buckets of 64; 256 of 8192; 10
+    * skewed of 16). The nibble polynomial mixes all eight nibbles
+    * into the low bits, uniform for every modulus.
     */
   def hashBucket(key: Column, buckets: Int): Column = {
     val m = md5(key)
-    val x = (1 to 8).map(i => ascii(m.substr(i, 1)) * lit(math.pow(128, 8 - i).toLong))
-      .reduce(_ + _)
-    pmod(x.cast("long"), lit(buckets.toLong))
+    val x = (1 to 8).map { i =>
+      val a = ascii(m.substr(i, 1))
+      (a - when(a >= 97, 87).otherwise(48)).cast("long") *
+        lit(1L << (4 * (8 - i)))
+    }.reduce(_ + _)
+    pmod(x, lit(buckets.toLong))
   }
 
   /** Train/val/test split assignment over 100 hash buckets:

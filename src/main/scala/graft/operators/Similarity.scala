@@ -411,25 +411,14 @@ object Similarity {
   /** Hash-bucket resolution of the training-sample filter. */
   private[graft] val sampleBuckets: Int = 1 << 20
 
-  /** Uniform bucket in [0, 2^20) from the md5 of the vec_id: the exact
-    * integer value of the digest's first 8 hex nibbles, mod 2^20.
-    * [[Sampling.hashBucket]]'s ascii polynomial is NOT usable here —
-    * against a power-of-two modulus only its 3 lowest-order characters
-    * survive (every 128^(8-i) with i ≤ 5 is a multiple of 2^21), and
-    * those cannot reach every residue of 2^20, so threshold filters on
-    * it have empty support. The nibble polynomial IS the hex prefix:
-    * uniform for any power-of-two modulus, same cross-engine mirror as
-    * the winnowing fingerprint SQL.
+  /** Uniform bucket in [0, 2^20) from the md5 of the vec_id — now just
+    * [[Sampling.hashBucket]] at the sample resolution: that bucket
+    * hasher IS the nibble polynomial (the power-of-two-safe form this
+    * helper originally existed to provide; the ascii-polynomial
+    * degeneracy it worked around was fixed at the source).
     */
-  private[graft] def hexBucket(key: Column): Column = {
-    val m = md5(key)
-    val x = (1 to 8).map { i =>
-      val a = ascii(m.substr(i, 1))
-      (a - when(a >= 97, 87).otherwise(48)).cast("long") *
-        lit(1L << (4 * (8 - i)))
-    }.reduce(_ + _)
-    pmod(x, lit(sampleBuckets.toLong))
-  }
+  private[graft] def hexBucket(key: Column): Column =
+    Sampling.hashBucket(key, sampleBuckets)
 
   /** Deterministic capped training sample over (vec_id, v): keep a row
     * iff [[hexBucket]](vec_id) · n < 2^20 · sampleRows, with n the

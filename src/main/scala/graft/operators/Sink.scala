@@ -665,7 +665,11 @@ object Sink {
     readIndexManifest(spark, dir).flatMap(_.get("kind")).foreach { kind =>
       require(kind == expected,
         s"$label: index at $dir is kind '$kind', not '$expected' — use " +
-          s"the ${if (kind == "ivfpq") "IVF-PQ" else "IVF"} operator family")
+          s"the ${kind match {
+            case "ivfpq" => "IVF-PQ"
+            case "ivfsq8" => "IVF-SQ8"
+            case _ => "IVF"
+          }} operator family")
     }
 
   /** Read back [[writeIndexManifest]]. None for a pre-manifest (legacy)

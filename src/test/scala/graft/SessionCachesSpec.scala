@@ -127,7 +127,7 @@ class SessionCachesSpec extends SparkSpec {
       "the miss must serve the NEW snapshot")
   }
 
-  test("a winning insert evicts the SUPERSEDED generation of the same label+plan") {
+  test("a winning insert parks the SUPERSEDED generation; the next turnover releases it") {
     val spark2 = spark
     import spark2.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-poolsup").toString + "/t"
@@ -140,15 +140,24 @@ class SessionCachesSpec extends SparkSpec {
     val b = CheckpointPool.cached("spec-poolsup")(read())
     assert(!(b eq a), "a grown directory must mint a new generation")
     assert(b.count() == 2)
-    // the superseded generation's blocks must be RELEASED, not parked
-    // until global LRU pressure: a re-read of the old frame fails
-    // (checkpoint lineage is truncated on unpersist)
+    // the superseded generation is PARKED for one turnover, not
+    // released inline — a concurrent holder that fetched it just
+    // before the supersession must be able to finish its job
+    assert(a.count() == 1, "superseded generation must stay readable for one turnover")
+    // the next supersession turns the generation over: gen-1 releases
+    // (a re-read fails — checkpoint lineage is truncated on
+    // unpersist), gen-2 takes its parked slot, gen-3 serves
+    Seq((2L, "gamma")).toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val c = CheckpointPool.cached("spec-poolsup")(read())
+    assert(c.count() == 3)
     val oldGone =
       try { a.count(); false }
       catch { case _: Throwable => true }
-    assert(oldGone, "superseded same-label generation must be released eagerly")
+    assert(oldGone,
+      "the twice-superseded generation must be released on the second turnover")
+    assert(b.count() == 2, "the once-superseded generation is still the parked cushion")
     // the live generation still serves
-    assert(CheckpointPool.cached("spec-poolsup")(read()) eq b)
+    assert(CheckpointPool.cached("spec-poolsup")(read()) eq c)
   }
 
   test("sweepStopped keeps entries whose context is alive") {
