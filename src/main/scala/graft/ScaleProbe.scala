@@ -220,6 +220,18 @@ object ScaleProbe {
         Similarity.kmeansAssignCached(emb, 8 * factor, 2, "probe-tr-full",
           sampleRows = Int.MaxValue)
       },
+      // the regime the sampled trainer exists for: each EXTRA Lloyd's
+      // round costs a corpus×cells pass when training on the corpus but
+      // only a sample×cells pass on the cap — at iters=2 both converge
+      // to the shared final full-assignment pass, at iters=4 the gap is
+      // (iters−1)·(N−S)·cells pair evaluations
+      time("ivf_train_sampled_i4") {
+        Similarity.kmeansAssignCached(emb, 8 * factor, 4, "probe-tr-sampled4")
+      },
+      time("ivf_train_full_i4") {
+        Similarity.kmeansAssignCached(emb, 8 * factor, 4, "probe-tr-full4",
+          sampleRows = Int.MaxValue)
+      },
       time("ivf_sampled_search") {
         Similarity.ivfTopK(emb, 10, 3, 8 * factor, 2,
           corpusKey = Some("probe-tr-sampled"))

@@ -25,9 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold dot product of two double arrays. */
+  /** Left-fold dot product of two double arrays — the codegen'd
+    * [[graft.functions.DotProduct]] kernel (IEEE-identical to the
+    * zip_with/aggregate composition, no intermediate array per pair).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorMath.dot(a, b)
 
   private[operators] def toDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
@@ -372,11 +375,16 @@ object Similarity {
 
   /** Squared L2 distance between two double arrays, rounded to 6 — the
     * rounding absorbs cross-engine summation-order ulp noise so argmin
-    * assignments are reproducible (ties broken by cell id).
+    * assignments are reproducible (ties broken by cell id). The kernel
+    * is the codegen'd [[graft.functions.L2SqDistance]]: same ascending
+    * index order and +/−/× sequence as the zip_with/aggregate
+    * composition it replaced (bit-equal distances), without the
+    * intermediate 64-element array the lambda form allocated per
+    * candidate pair — at ×100 / 800 cells an assignment pass scores
+    * 160M pairs, so the allocation was the pass's dominant cost.
     */
   private[operators] def l2sq(a: Column, b: Column): Column =
-    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x), 6)
+    round(graft.functions.VectorMath.l2sq(a, b), 6)
 
   /** Deterministic Lloyd's k-means over the embedding column — the real
     * coarse quantizer behind an IVF index. Fixed everything that is
@@ -465,14 +473,20 @@ object Similarity {
       .select(col("vec_id").as("cell"), col("v").as("c"))
       .localCheckpoint() // k rows — lets smp release even at iters = 1
     var checkpointed: Option[DataFrame] = Some(centroids)
-    def argmin(rows: DataFrame) = {
-      val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cell"))
+    // argmin by AGGREGATION, not a window: min(struct(d, cell)) is the
+    // same lexicographic pick as row_number over (d asc, cell asc) at
+    // rn = 1 (d is pre-rounded, so the order is stable), but the
+    // hash aggregate partial-combines map-side — the N·cells candidate
+    // frame collapses to one row per vector BEFORE any exchange, where
+    // the window shape would shuffle every candidate row (at ×100 /
+    // 800 cells that is a 160M-row exchange per assignment pass)
+    def argmin(rows: DataFrame) =
       rows.crossJoin(broadcast(centroids))
         .withColumn("d", l2sq(col("v"), col("c")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("vec_id", "cell", "d")
-    }
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("m").getField("cell").as("cell"),
+          col("m").getField("d").as("d"))
     for (_ <- 1 until iters) {
       val means = argmin(smp).join(smp, "vec_id")
         .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
@@ -507,12 +521,14 @@ object Similarity {
     */
   def assignWithCentroids(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cell"))
+    // aggregate argmin (see kmeansAssignInternal): map-side combine
+    // collapses the batch×cells candidates before the exchange
     e.crossJoin(broadcast(centroids))
       .withColumn("d", l2sq(col("v"), col("c")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cell", "d")
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m").getField("cell").as("cell"),
+        col("m").getField("d").as("d"))
   }
 
   /** Per-session trained-quantizer cache: Lloyd's runs once per
@@ -925,14 +941,17 @@ object Similarity {
       .select(col("pcell"), (col("rn") - 1).as("cell"), col("v").as("c"))
       .localCheckpoint()
     var previous: Option[DataFrame] = Some(centroids)
-    def assigned = {
-      val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cell"))
+    // aggregate argmin (see kmeansAssignInternal); pcell is functionally
+    // determined by vec_id (one parent per vector), so grouping by both
+    // keeps it in scope without changing the per-vector pick
+    def assigned =
       e.join(centroids, "pcell")
         .withColumn("d", l2sq(col("v"), col("c")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("vec_id", "pcell", "cell", "d")
-    }
+        .groupBy("vec_id", "pcell")
+        .agg(min(struct(col("d"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("pcell"),
+          col("m").getField("cell").as("cell"),
+          col("m").getField("d").as("d"))
     for (_ <- 1 until iters) {
       val means = assigned.join(e.select("vec_id", "v"), "vec_id")
         .select(col("pcell"), col("cell"), posexplode(col("v")).as(Seq("i", "x")))

@@ -1448,8 +1448,7 @@ object Sink {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
     val pw = Window.partitionBy("qid").orderBy(col("pd"), col("cell"))
     val probes = q.select("qid", "qv").crossJoin(broadcast(cent))
-      .withColumn("pd", round(expr(
-        "aggregate(zip_with(qv, c, (x, y) -> (x - y) * (x - y)), 0.0d, (acc, x) -> acc + x)"), 6))
+      .withColumn("pd", Similarity.l2sq(col("qv"), col("c")))
       .withColumn("pn", row_number().over(pw))
       .filter(col("pn") <= nprobe)
       .select("qid", "cell")

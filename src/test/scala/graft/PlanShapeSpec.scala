@@ -263,6 +263,19 @@ class PlanShapeSpec extends SparkSpec {
       s"calibration window must partition by lang:\n$l"))
   }
 
+  test("mix materialization: every corpus-sized window partitions by (source, bucket)") {
+    // the two-pass prefix sum's whole point: the doc-level running sum
+    // must never run in a per-source (let alone global) window — only
+    // the 256-row-per-source SUBTOTAL frame may order by bucket alone
+    val p = plan("mix_materialize")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, "materialization lost its windows")
+    val docLevel = winLines.filter(_.contains("doc_id"))
+    assert(docLevel.nonEmpty, "the within-bucket running sum vanished")
+    docLevel.foreach(l => assert(l.contains("bucket"),
+      s"the doc-level window must partition by (source, bucket):\n$l"))
+  }
+
   test("no heavy query contains a cartesian product") {
     val heavy = Seq("dedup_minhash_lsh", "dedup_simhash_pairs",
       "embed_ivf_topk", "contamination_bloom", "events_sessionize",
