@@ -20,10 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Arithmetic is IEEE-identical to the composition they replace: the
   * fold visits indices ascending and accumulates with the same +/−/×
   * sequence, so every rounded distance (and therefore every
-  * oracle-hashed assignment) is bit-equal. Unequal-length inputs
-  * return NULL — the same poisoning `zip_with`'s null padding produced.
-  * Elements must be non-null (every caller casts through `transform`,
-  * which yields non-null doubles from non-null floats).
+  * oracle-hashed assignment) is bit-equal. Unequal-length inputs and
+  * NULL elements both return NULL — the same poisoning the zip_with
+  * form produced, so a corrupt vector stays visibly degenerate
+  * (NULL-scored, ranked last) instead of getting a finite wrong score.
   */
 abstract class VectorFold extends BinaryExpression with BinaryLike[Expression] {
 
@@ -57,6 +57,10 @@ abstract class VectorFold extends BinaryExpression with BinaryLike[Expression] {
       var s = 0.0
       var i = 0
       while (i < n) {
+        // a null ELEMENT poisons the fold to NULL — exactly what the
+        // zip_with composition did: a corrupt vector must score NULL
+        // (visibly degenerate, ranked last), never a finite wrong value
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
         s += combine(a.getDouble(i), b.getDouble(i))
         i += 1
       }
@@ -76,9 +80,10 @@ abstract class VectorFold extends BinaryExpression with BinaryLike[Expression] {
          |} else {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    ${combineJava(s, s"$a.getDouble($i)", s"$b.getDouble($i)")}
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })

@@ -892,8 +892,7 @@ object Similarity {
     // self-products per pair (identical ops on identical inputs), at a
     // third of the per-pair fold work
     val vecs = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
-        lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     // the pair join's only equi-key is `cell` — `cells` distinct values
     // means `cells` tasks no matter the core count (and one fat cell is
     // one straggler). Salt it: lo rows take grp = rk mod G, hi rows

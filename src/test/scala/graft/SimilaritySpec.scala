@@ -268,6 +268,28 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Set(1L, 2L)) // label 0 bucket only
   }
 
+  test("vector kernels: null elements and unequal lengths poison the fold to NULL") {
+    // the zip_with-composition contract the codegen kernels must keep:
+    // a corrupt vector scores NULL (visibly degenerate, ranks last),
+    // never a finite wrong value from reading the null slot as 0.0
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(1L).toDF("id")
+      .withColumn("a", org.apache.spark.sql.functions.expr(
+        "array(1.0d, cast(null as double), 3.0d)"))
+      .withColumn("b", org.apache.spark.sql.functions.expr(
+        "array(1.0d, 2.0d, 3.0d)"))
+    val r = df.select(
+      graft.functions.VectorMath.l2sq(col("a"), col("b")).as("l2"),
+      graft.functions.VectorMath.dot(col("a"), col("b")).as("dt"),
+      graft.functions.VectorMath.dot(col("b"), col("b")).as("ok")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1), "null element must poison the fold")
+    assert(r.getDouble(2) == 14.0)
+    val r2 = df.select(graft.functions.VectorMath.dot(col("b"),
+      org.apache.spark.sql.functions.expr("array(1.0d)")).as("x")).head()
+    assert(r2.isNullAt(0), "unequal lengths must poison the fold")
+  }
+
   test("quantizeInt8: symmetric max-abs scheme, bounded round-trip error, zero-safe") {
     val vs = emb(
       (0L, Seq(0.5f, -1.0f, 0.25f, 0f), 0),
