@@ -54,6 +54,7 @@ object ExtQueries {
   private lazy val ivfPqDriftDir: String = TempDirs.create("graft_ivfpq_drift")
 
   private lazy val ivfSq8Dir: String = TempDirs.create("graft_ivfsq8")
+  private lazy val ivfSq8SizedDir: String = TempDirs.create("graft_ivfsq8_sized")
 
   private lazy val ivfCurveDir: String = TempDirs.create("graft_ivf_curve")
 
@@ -1001,11 +1002,11 @@ object ExtQueries {
       Corpus.funnel(dd, pairs, minWords = 30, p = 0.7)
     }),
     // the funnel with the embedding-space stage spliced in: the text
-    // survivors' embeddings run semantic near-dup (semdedup auto rung,
-    // cells = ceil(sqrt(N_survivors)), cos >= 0.4 on this corpus —
-    // testdata has no planted twins, so the stage bites on natural
-    // within-cell similarity), and only the semantic keepers feed the
-    // quality calibration
+    // survivors' embeddings run semantic near-dup (semdedup at FIXED
+    // cell size 64 — cells = ceil(N_survivors/64), the linear-at-scale
+    // layout; cos >= 0.4 on this corpus — testdata has no planted
+    // twins, so the stage bites on natural within-cell similarity),
+    // and only the semantic keepers feed the quality calibration
     "corpus_funnel_embed" -> ((s, d) => {
       val dd = docs(s, d)
       val pairs = Dedup.simhashNearDupsCached(dd, d, 3)
@@ -1468,6 +1469,19 @@ object ExtQueries {
       Sink.writeIvfSq8Index(all, dir, 8, 2, corpusKey = Some(d))
       Sink.searchIvfSq8Index(s, all, dir, 10, 3, nprobe = 2)
     }),
+    // the SQ8 layout at a FIXED CELL SIZE (cells = ceil(N/64) — the
+    // production geometry rule: per-cell population pinned by the knob,
+    // cells grow with the corpus): the sized build + probed-subdir
+    // serving. The oracle derives the cell count from the corpus count
+    // exactly as Sink.sizedCells does, then runs the shared Lloyd's +
+    // int8 scoring tree.
+    "embed_ivfsq8_sized_search" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfSq8SizedDir
+      Sink.writeIvfSq8IndexSized(all, dir, targetCellSize = 64, iters = 2,
+        corpusKey = Some(d))
+      Sink.searchIvfSq8Index(s, all, dir, 10, 3, nprobe = 2)
+    }),
     // diversity-preserving downsampling: cap every k-means cell at 10
     // vectors picked by content-keyed md5 order (trained quantizer
     // shared through the session cache)
@@ -1641,6 +1655,13 @@ object ExtQueries {
     // per-source corpus window
     "mix_materialize" -> ((s, d) =>
       Corpus.mixMaterialize(docs(s, d), 1000000L)),
+    // the mix pipeline END TO END: the budget-exact instance stream
+    // shuffled into 8 content-hash trainer shards and packed into
+    // 2048-token sequences per shard — materialize → shard → pack, the
+    // training-data path composed from the three green pieces; Σ
+    // toks_out = budget survives both stages (spec-pinned)
+    "mix_pack_shard" -> ((s, d) =>
+      Corpus.mixPackShard(docs(s, d), 1000000L, 2048L, 8)),
     // bottom-k (KMV) distinct-3-gram estimate per source + exact twin
     "sketch_kmv_ngrams" -> ((s, d) => Sketch.kmvDistinctNgrams(docs(s, d), 3, 128)),
     // DSIR importance weights toward the src0 "target domain"
@@ -3178,6 +3199,18 @@ object ExtQueries {
       | $sq8CodesBody,
       | $ivfSq8SearchTail""".stripMargin
 
+  /** [[ivfSq8TopKOracle]] with the cell count DERIVED from the corpus
+    * (cells = ⌈N/64⌉ — mirrors Sink.sizedCells at targetCellSize=64):
+    * the oracle for the fixed-cell-SIZE layout, honest at any scale
+    * factor rather than pinned to k=8.
+    */
+  private lazy val ivfSq8SizedOracle: String =
+    s"""WITH knum AS (SELECT greatest(CAST(ceil(count(*) / 64.0) AS BIGINT), 1) AS k
+      |              FROM embeddings),
+      | ${kmeansBody("embeddings", "(SELECT k FROM knum)")},
+      | $sq8CodesBody,
+      | $ivfSq8SearchTail""".stripMargin
+
   /** The probe/scoring tail of [[ivfSq8TopKOracle]] (nprobe=2 cell
     * probes off d2, int8 scoring of the probed candidates off n/a2) —
     * factored out so the SAME search tree can sit on either Lloyd's
@@ -4264,6 +4297,7 @@ object ExtQueries {
     // one scoring tree) — oracle shared VERBATIM; SinkSpec pins the
     // row-for-row equality on the engine side
     "embed_ivf_sq8_stored_search" -> ivfSq8TopKOracle,
+    "embed_ivfsq8_sized_search" -> ivfSq8SizedOracle,
     "embed_sq8_rerank" ->
       s"""$sq8Cte,
         | cand AS (SELECT qid, vec_id FROM r WHERE rnk <= 10),
@@ -5008,6 +5042,56 @@ object ExtQueries {
         | SELECT source, epoch, count(*) AS n_docs,
         |   CAST(sum(toks_out) AS BIGINT) AS n_tokens
         | FROM un GROUP BY source, epoch ORDER BY source, epoch""".stripMargin,
+    // materialize → shard → pack: the doc-level emission (fe/pe with
+    // doc_id kept), instance-keyed md5 shard + position, per-shard
+    // running-sum pack layout at capacity 2048; tok_offset is CAST
+    // back to BIGINT (DuckDB window sums widen to HUGEINT)
+    "mix_pack_shard" ->
+      s"""WITH ps AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+        |            FROM documents GROUP BY source),
+        | q AS (SELECT source, t,
+        |     CAST(CAST(round(sqrt(CAST(t AS DOUBLE)), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS s
+        |   FROM ps),
+        | tot AS (SELECT CAST(sum(s) AS HUGEINT) AS stot FROM q),
+        | b AS (SELECT source, t, s,
+        |     CASE WHEN stot = 0 THEN 0 ELSE (CAST(1000000 AS HUGEINT) * s) // stot END AS base,
+        |     CASE WHEN stot = 0 THEN 0 ELSE (CAST(1000000 AS HUGEINT) * s) % stot END AS rem0
+        |   FROM q, tot),
+        | sb AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM b),
+        | rk AS (SELECT source, row_number() OVER (ORDER BY rem0 DESC, source) AS rnk FROM b),
+        | al AS (SELECT b.source, b.t,
+        |     CAST(b.base + CASE WHEN rk.rnk <= 1000000 - sb.sb THEN 1 ELSE 0 END AS BIGINT)
+        |       AS target
+        |   FROM b JOIN rk USING (source), sb),
+        | al2 AS (SELECT source, t, target // t AS full_epochs, target % t AS rem FROM al),
+        | dt AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |        FROM documents),
+        | fe AS (SELECT dt.doc_id, dt.source, e.epoch, dt.tokens AS toks_out
+        |        FROM dt JOIN al2 USING (source), UNNEST(range(0, al2.full_epochs)) AS e(epoch)),
+        | pc AS (SELECT source, doc_id, tokens,
+        |          COALESCE(SUM(tokens) OVER (PARTITION BY source
+        |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |        FROM dt),
+        | pe AS (SELECT pc.doc_id, pc.source, al2.full_epochs AS epoch,
+        |          LEAST(pc.tokens, al2.rem - pc.prev) AS toks_out
+        |        FROM pc JOIN al2 USING (source) WHERE pc.prev < al2.rem),
+        | un AS (SELECT * FROM fe UNION ALL SELECT * FROM pe),
+        | ins AS (SELECT doc_id, source, epoch, toks_out,
+        |          CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR) AS inst FROM un),
+        | shd AS (SELECT ins.*, md5(inst) AS m FROM ins),
+        | sh2 AS (SELECT doc_id, source, epoch, toks_out, inst, m,
+        |          ($hexPrefixSql) % 8 AS shard FROM shd),
+        | po AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY m, inst) - 1 AS pos
+        |        FROM sh2),
+        | pk AS (SELECT *, CAST(COALESCE(SUM(toks_out) OVER (PARTITION BY shard ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |        FROM po)
+        | SELECT shard, CAST(pos AS BIGINT) AS pos, doc_id, epoch, source,
+        |   toks_out, tok_offset,
+        |   tok_offset // 2048 AS pack_id, tok_offset % 2048 AS pack_pos,
+        |   (tok_offset % 2048) + toks_out > 2048 AS straddles
+        | FROM pk ORDER BY shard, pos""".stripMargin,
     "source_mix_weights" ->
       """WITH s AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
         |           FROM documents GROUP BY source),
@@ -5841,7 +5925,7 @@ object ExtQueries {
          |           JOIN mrow m2 ON m2.doc_id = e0.vec_id WHERE m2.include),
          | se AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |        FROM scorp),
-         | sknum AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM se),
+         | sknum AS (SELECT greatest(CAST(ceil(count(*) / 64.0) AS BIGINT), 1) AS k FROM se),
          | sc0 AS (SELECT vec_id AS cell, v AS c FROM (
          |           SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM se)
          |         WHERE rn <= (SELECT k FROM sknum)),
@@ -5871,7 +5955,7 @@ object ExtQueries {
          | spr AS (SELECT b.vec_id,
          |     round(SUM(ea.v[i] * eb.v[i]) /
          |       (sqrt(SUM(ea.v[i] * ea.v[i])) * sqrt(SUM(eb.v[i] * eb.v[i]))), 4) AS cos
-         |   FROM srk a JOIN srk b ON a.cell = b.cell AND a.rk < b.rk
+         |   FROM srk a JOIN srk b ON a.cell = b.cell AND a.rk < b.rk AND a.rk <= 256
          |   JOIN se ea ON ea.vec_id = a.vec_id JOIN se eb ON eb.vec_id = b.vec_id,
          |   UNNEST(range(1, 65)) t(i)
          |   GROUP BY a.vec_id, b.vec_id),

@@ -146,6 +146,12 @@ object ScaleProbe {
       // the N·(coarse+fine) assignment law is measured on THIS path
       time("embed_semdedup_auto") {
         Similarity.semDedupAuto(emb, 0.95, 2) },
+      // round-15: the FIXED-CELL-SIZE rung (cells = ceil(N/64), the
+      // funnelEmbed stage): per-cell population constant ⇒ the pair
+      // term is N·size (linear — the auto rung's ∝√N cells made it
+      // N^1.5), sampled training on both levels, hiRankCap skew bound
+      time("embed_semdedup_sized") {
+        Similarity.semDedupSized(emb, 0.95, targetCellSize = 64, iters = 2) },
       // round-8 additions: NB classifier (corpus-linear explode + vocab
       // joins), positional phrase search (pruned postings), PCA scatter
       // (4096× per-row compute amplification, map-side combined)
@@ -265,10 +271,13 @@ object ScaleProbe {
           docs.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5)))),
           pairs)
       },
-      // round-14: the funnel with the embedding stage — one semdedup
-      // (auto rung: two-level past 64 cells) over the TEXT SURVIVORS
-      // added to the funnel chain; the semantic stage must ride the
-      // same N·2√cells assignment law as embed_semdedup_auto
+      // round-14/15: the funnel with the embedding stage — one semdedup
+      // over the TEXT SURVIVORS added to the funnel chain. Round 15
+      // moved the stage to FIXED cell size 64 (cells = ceil(N/64)):
+      // per-cell population is constant, so the intra-cell pair term
+      // is N·size (linear — the ∝√N auto rung made it N^1.5, the
+      // round-14 weak rating: ~6× time on 10× data), training is
+      // sampled on both assignment levels, and hiRankCap bounds skew
       time("corpus_funnel_embed") {
         val pairs = Dedup.simhashNearDups(docs, 3).select("doc_a", "doc_b")
         graft.operators.Corpus.funnelEmbed(
@@ -317,6 +326,24 @@ object ScaleProbe {
           graft.operators.Sink.writeIvfSq8Index(emb, dir,
             cells = 8 * factor, iters = 2)
           time("ivfsq8_stored_search") {
+            graft.operators.Sink.searchIvfSq8Index(spark, emb, dir, 10, 3,
+              nprobe = 2)
+          }
+        } else None
+      },
+      // round-15: the same serving through the SIZED build API (cells =
+      // ceil(N/size), fixed per-cell population) + the probed-subdir
+      // read — serving now LISTS only the probed cells instead of the
+      // whole cells-∝-N tree, which was the 1.6×/decade growth term of
+      // the r14 row above. This row must stay ~flat across the decade.
+      {
+        if (only.isEmpty || only("ivfsq8_sized_search")) {
+          val dir = java.nio.file.Files
+            .createTempDirectory("probe_ivfsq8sized").toString
+          val nc = graft.operators.Sink.writeIvfSq8IndexSized(emb, dir,
+            targetCellSize = 250, iters = 2)
+          System.err.println(s"[probe] ivfsq8_sized cells=$nc")
+          time("ivfsq8_sized_search") {
             graft.operators.Sink.searchIvfSq8Index(spark, emb, dir, 10, 3,
               nprobe = 2)
           }

@@ -144,7 +144,13 @@ object CheckpointPool {
     * The eviction PARKS the superseded entry for one turnover instead
     * of releasing inline (a concurrent holder mid-job on the old
     * generation keeps its blocks until the next supersession), so the
-    * steady-state footprint is live + one parked generation per label.
+    * steady-state footprint is live + ONE parked generation GLOBALLY:
+    * the deferred slot is shared across labels and with cap-overflow
+    * eviction, so a supersession on ANY label (or a cap overflow)
+    * releases the previously parked generation — the mid-job-holder
+    * cushion is one global turnover, which under concurrent labels can
+    * be shorter than a same-label turnover (best-effort by design; the
+    * real protection for long-held frames is the cap sizing).
     * Same-label entries over DIFFERENT plans (other directories) are
     * untouched, so alternating inputs under one label still coexist.
     */
@@ -199,8 +205,11 @@ final class BoundedLruCache[K, V](maxEntries: Int, release: V => Unit) {
   // accessOrder=true: get() refreshes recency, so the evictee is the
   // least-recently-USED key, not merely the oldest insertion
   private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true)
-  // evictees awaiting release until the next eviction generation
-  private var deferred = List.empty[V]
+  // evictees awaiting release until the next eviction generation —
+  // KEYED, so removeIf can match a session's parked values (a session
+  // whose only pool state is a parked frame must not stay pinned until
+  // an unrelated future turnover)
+  private var deferred = List.empty[(K, V)]
 
   def get(k: K): Option[V] = synchronized { Option(m.get(k)) }
 
@@ -219,15 +228,16 @@ final class BoundedLruCache[K, V](maxEntries: Int, release: V => Unit) {
       if (prev != null) prev
       else {
         m.put(k, v)
-        var evicted = List.empty[V]
+        var evicted = List.empty[(K, V)]
         while (m.size() > maxEntries) {
           val it = m.entrySet().iterator()
-          evicted ::= it.next().getValue
+          val e = it.next()
+          evicted ::= (e.getKey -> e.getValue)
           it.remove()
         }
         if (evicted.nonEmpty) {
           // release the PREVIOUS generation, park this one
-          toRelease = deferred
+          toRelease = deferred.map(_._2)
           deferred = evicted
         }
         v
@@ -237,13 +247,14 @@ final class BoundedLruCache[K, V](maxEntries: Int, release: V => Unit) {
     winner
   }
 
-  /** Remove entries whose key matches `p`. `releaseRemoved` = false when
-    * the owning context already stopped (its blocks died with the
-    * executors; only the JVM references need dropping). A releasing
-    * removal also drains the deferred generation — an explicit
-    * session-end call must not leave parked blocks behind (their keys
-    * are gone, so they can't be matched against `p`; releasing early is
-    * their destiny anyway).
+  /** Remove entries whose key matches `p` — live AND parked: the
+    * deferred generation keeps its keys, so a session-end call releases
+    * exactly its own parked frames too (a session whose only pool state
+    * is a parked superseded frame must not stay pinned until an
+    * unrelated future turnover). `releaseRemoved` = false when the
+    * owning context already stopped (its blocks died with the
+    * executors; only the JVM references need dropping — matching parked
+    * references are dropped without a release for the same reason).
     */
   /** [[removeIf]] that PARKS the removed values in the deferred
     * generation instead of releasing inline — for supersession
@@ -259,17 +270,17 @@ final class BoundedLruCache[K, V](maxEntries: Int, release: V => Unit) {
   def removeIfDeferred(p: K => Boolean): Unit = {
     var toRelease = List.empty[V]
     synchronized {
-      var parked = List.empty[V]
+      var parked = List.empty[(K, V)]
       val it = m.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
         if (p(e.getKey)) {
-          parked ::= e.getValue
+          parked ::= (e.getKey -> e.getValue)
           it.remove()
         }
       }
       if (parked.nonEmpty) {
-        toRelease = deferred
+        toRelease = deferred.map(_._2)
         deferred = parked
       }
     }
@@ -287,12 +298,15 @@ final class BoundedLruCache[K, V](maxEntries: Int, release: V => Unit) {
           it.remove()
         }
       }
-      // drain the deferred generation only when this call actually
-      // released something — an unrelated no-match admin call must not
-      // re-open the race for a live session's parked frames
-      if (releaseRemoved && removed.nonEmpty) {
-        removed = removed ++ deferred; deferred = Nil
-      }
+      // parked values are keyed, so this removal matches them EXACTLY:
+      // a session-end call releases its own parked frames (previously
+      // they stayed pinned until an unrelated future turnover) and a
+      // stopped-context sweep drops their references without a release
+      // (the blocks died with the executors) — other sessions' parked
+      // cushion is untouched either way
+      val (hit, kept) = deferred.partition(e => p(e._1))
+      deferred = kept
+      if (releaseRemoved) removed = removed ++ hit.map(_._2)
     }
     removed.foreach(release)
   }

@@ -256,26 +256,35 @@ object Corpus {
 
   /** [[funnel]] with an EMBEDDING-SPACE stage spliced in: after the
     * four text stages, the survivors' embeddings run semantic near-dup
-    * pruning ([[Similarity.semDedupAuto]] — k-means cells sized
-    * ⌈√N_survivors⌉, intra-cell cosine ≥ tau drops the
-    * farther-from-centroid twin), and only the semantic KEEPERS feed
-    * the quality calibration. First-drop attribution is unchanged:
-    * too_short → repetitive → exact_dup → near_dup → semantic_dup →
-    * low_quality, each doc charged to the first stage that drops it.
-    * A surviving doc with no embedding row cannot be a semantic dup
-    * and passes straight to the quality gate.
+    * pruning ([[Similarity.semDedupSized]] — k-means cells at a FIXED
+    * target population ⌈N_survivors/targetCellSize⌉, intra-cell
+    * cosine ≥ tau drops the farther-from-centroid twin), and only the
+    * semantic KEEPERS feed the quality calibration. First-drop
+    * attribution is unchanged: too_short → repetitive → exact_dup →
+    * near_dup → semantic_dup → low_quality, each doc charged to the
+    * first stage that drops it. A surviving doc with no embedding row
+    * cannot be a semantic dup and passes straight to the quality gate.
+    *
+    * The fixed cell SIZE is what keeps the stage linear at corpus
+    * scale: per-cell population ≈ targetCellSize is constant, so the
+    * intra-cell pair term is Σ|cell|² ≈ N·size (the ∝√N auto rung made
+    * it N^1.5), training rides the sampled trainer on both assignment
+    * levels, and the hiRankCap skew bound caps a degenerate cell at
+    * pop·cap pairs. Measured ×10 → ×100 (ScaleProbe): the stage's
+    * growth drops to ≈ the text-only funnel's law.
     *
     * Shape: the [[funnel]] chain plus one semdedup over the SURVIVOR
     * subset only (the stage a mix pipeline actually runs — dedup the
     * docs you might ship, not the ones already dropped). The survivor
-    * embedding frame is pooled so semDedupAuto's sizing count, both
-    * Lloyd's passes, and the pair join read one materialized frame
-    * instead of re-evaluating the manifest chain; the funnel window
-    * still runs over SIX rows.
+    * embedding frame is pooled so the sizing count, both Lloyd's
+    * passes, and the pair join read one materialized frame instead of
+    * re-evaluating the manifest chain; the funnel window still runs
+    * over SIX rows.
     */
   def funnelEmbed(docs: DataFrame, pairs: DataFrame, emb: DataFrame,
       minWords: Long = 30, p: Double = 0.7, tau: Double = 0.4,
-      iters: Int = 2, corpusKey: Option[String] = None): DataFrame = {
+      iters: Int = 2, corpusKey: Option[String] = None,
+      targetCellSize: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
@@ -284,8 +293,8 @@ object Corpus {
     val embSurv = graft.CheckpointPool.cached("funnel-embed-surv")(
       emb.join(inc.select(col("doc_id").as("vec_id")), "vec_id")
         .select("vec_id", "embedding"))
-    val semKept = Similarity.semDedupAuto(embSurv, tau, iters,
-        corpusKey = corpusKey.map(_ + "#funnel-embed"))
+    val semKept = Similarity.semDedupSized(embSurv, tau, targetCellSize,
+        iters, corpusKey = corpusKey.map(_ + "#funnel-embed"))
       .select(col("vec_id").as("doc_id"), col("is_kept").as("sem_kept"))
     val scored = graft.CheckpointPool.cached("funnel-scored")(
       TextOps.qualityScore(docs)
@@ -439,7 +448,23 @@ object Corpus {
     * md5's leading byte. Output is (source, epoch)-sized — never
     * corpus-sized.
     */
-  def mixMaterialize(docs: DataFrame, budget: Long): DataFrame = {
+  def mixMaterialize(docs: DataFrame, budget: Long): DataFrame =
+    mixMaterializeDocs(docs, budget)
+      .groupBy("source", "epoch")
+      .agg(count(lit(1)).as("n_docs"), sum("toks_out").as("n_tokens"))
+      .orderBy("source", "epoch")
+
+  /** The DOC-LEVEL emission behind [[mixMaterialize]]: one row per
+    * (document, epoch) instance the mix actually ships — full-epoch
+    * replicas carry the whole document, the partial-epoch prefix
+    * truncates its boundary document (`toks_out` < `tokens` on at most
+    * one row per source). This is the frame downstream stages consume
+    * ([[mixPackShard]] — pack to capacity, shard for trainers);
+    * [[mixMaterialize]] is its (source, epoch) rollup. Same exact-
+    * integer apportionment, same md5 pick order, same two-pass
+    * distributed prefix sum.
+    */
+  def mixMaterializeDocs(docs: DataFrame, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val alloc = mixAllocation(docs, budget)
       .select(col("source"), col("n_tokens").as("t"), col("target_tokens"))
@@ -452,7 +477,8 @@ object Corpus {
       .join(broadcast(alloc), "source")
     val fullRows = toks.filter(col("full_epochs") > 0)
       .withColumn("epoch", explode(sequence(lit(0L), col("full_epochs") - 1)))
-      .select(col("source"), col("epoch"), col("tokens").as("toks_out"))
+      .select(col("doc_id"), col("source"), col("epoch"),
+        col("tokens").as("toks_out"))
     // two-pass prefix sum: bucket = the md5's leading byte, so ordering
     // by (bucket, h) ≡ ordering by h and the cross-bucket offset is a
     // running sum over the tiny subtotal frame
@@ -473,12 +499,46 @@ object Corpus {
       .join(broadcast(offsets), Seq("source", "bucket"))
       .withColumn("prev", col("offset") + col("prev_in_bucket"))
       .filter(col("prev") < col("rem"))
-      .select(col("source"), col("full_epochs").as("epoch"),
+      .select(col("doc_id"), col("source"), col("full_epochs").as("epoch"),
         least(col("tokens"), col("rem") - col("prev")).as("toks_out"))
     fullRows.unionByName(partRows)
-      .groupBy("source", "epoch")
-      .agg(count(lit(1)).as("n_docs"), sum("toks_out").as("n_tokens"))
-      .orderBy("source", "epoch")
+  }
+
+  /** The mix pipeline END TO END — materialize → shard → pack: the
+    * budget-exact instance stream ([[mixMaterializeDocs]]) lands in
+    * content-hash trainer shards ([[Sampling.shuffleShards]] keyed on
+    * the (doc, epoch) INSTANCE, so repeated epochs of one document
+    * scatter across shards), and each shard packs its instances in
+    * shard-hash order into fixed-`capacity` sequences (the
+    * [[Packing.packSequences]] concat-then-chunk layout, per shard).
+    * The output is the artifact a trainer reads: (shard, pos) is the
+    * reproducible global order, pack_id/pack_pos the sequence layout,
+    * and Σ toks_out = budget exactly (the apportionment identity
+    * survives both stages — neither drops nor duplicates a row).
+    *
+    * Scale: the instance stream is one explode + the 256-bucket
+    * two-pass prefix sum (linear); sharding is ONE hash exchange;
+    * packing is a per-shard running sum — parallelism = `shards`,
+    * which production sets ≥ the cluster's write parallelism, so no
+    * global-order window ever sees the corpus.
+    */
+  def mixPackShard(docs: DataFrame, budget: Long, capacity: Long = 2048L,
+      shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(capacity > 0, s"capacity must be > 0, got $capacity")
+    val inst = mixMaterializeDocs(docs, budget)
+      .withColumn("inst", concat_ws(":", col("doc_id"), col("epoch")))
+    val sharded = Sampling.shuffleShards(inst, col("inst"), col("inst"), shards)
+    val w = Window.partitionBy("shard").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("tok_offset", sum("toks_out").over(w) - col("toks_out"))
+      .withColumn("pack_id", expr(s"tok_offset DIV ${capacity}L"))
+      .withColumn("pack_pos", pmod(col("tok_offset"), lit(capacity)))
+      .withColumn("straddles", col("pack_pos") + col("toks_out") > capacity)
+      .select("shard", "pos", "doc_id", "epoch", "source", "toks_out",
+        "tok_offset", "pack_id", "pack_pos", "straddles")
+      .orderBy("shard", "pos")
   }
 
   /** c-TF-IDF cluster topic labels (Grootendorst 2022, BERTopic §3.2,

@@ -402,10 +402,10 @@ object Similarity {
     * map-side-combined avg, bounded by the corpus size, not k.
     */
   def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2,
-      sampleRows: Int = defaultTrainSample): DataFrame =
+      sampleRows: Int = AutoTrainSample): DataFrame =
     kmeansAssignInternal(emb, k, iters, sampleRows)._1
 
-  /** Default training-sample cap: production Lloyd's never trains on
+  /** Default training-sample FLOOR: production Lloyd's never trains on
     * the full corpus (FAISS's train-on-a-sample discipline — the
     * clustering guidance caps training points per centroid); 65536
     * keeps every local test corpus (≤ a few thousand vectors) in the
@@ -415,6 +415,27 @@ object Similarity {
     * corpus once.
     */
   val defaultTrainSample: Int = 65536
+
+  /** Sentinel default for every `sampleRows` parameter: resolve the
+    * cap from the CELL COUNT, not a flat constant. A flat 65536
+    * silently starves recall once cells is large (measured at
+    * ×100/800 cells: 0.1333 vs the full trainer's 0.3000 — ~82 rows
+    * per centroid where the full trainer had ~250+); the FAISS
+    * clustering guidance is a per-centroid training budget, so the
+    * auto default is max(65536, 256·cells) — recall parity without
+    * the caller having to know the rule. Explicit values pass through
+    * untouched (0 is never a legal cap — [[trainSample]] requires > 0).
+    */
+  val AutoTrainSample: Int = 0
+
+  /** The resolved auto cap: ≥ ~256 training rows per centroid, never
+    * below the [[defaultTrainSample]] floor.
+    */
+  def autoTrainSample(cells: Int): Int =
+    math.max(defaultTrainSample, 256 * cells)
+
+  private[operators] def resolveSample(sampleRows: Int, cells: Int): Int =
+    if (sampleRows == AutoTrainSample) autoTrainSample(cells) else sampleRows
 
   /** Hash-bucket resolution of the training-sample filter. */
   private[graft] val sampleBuckets: Int = 1 << 20
@@ -465,10 +486,10 @@ object Similarity {
     * every sub-cap corpus.
     */
   private[graft] def kmeansAssignInternal(emb: DataFrame, k: Int,
-      iters: Int, sampleRows: Int = defaultTrainSample)
+      iters: Int, sampleRows: Int = AutoTrainSample)
       : (DataFrame, Option[DataFrame]) = {
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val smp = trainSample(e, sampleRows).localCheckpoint()
+    val smp = trainSample(e, resolveSample(sampleRows, k)).localCheckpoint()
     var centroids = smp.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cell"), col("v").as("c"))
       .localCheckpoint() // k rows — lets smp release even at iters = 1
@@ -586,9 +607,11 @@ object Similarity {
     */
   def kmeansAssignCached(emb: DataFrame, k: Int, iters: Int,
       corpusKey: String,
-      sampleRows: Int = defaultTrainSample): DataFrame = {
+      sampleRows: Int = AutoTrainSample): DataFrame = {
     graft.SessionCaches.watch(emb.sparkSession)
-    val key = (emb.sparkSession, corpusKey, k, iters, sampleRows)
+    // key on the RESOLVED cap so auto and an equal explicit value share
+    // one training (auto is pure in (k), so the key stays deterministic)
+    val key = (emb.sparkSession, corpusKey, k, iters, resolveSample(sampleRows, k))
     quantizerCache.get(key).getOrElse {
       val (assigned, centroids) = kmeansAssignInternal(emb, k, iters, sampleRows)
       val trained = assigned.localCheckpoint()
@@ -610,9 +633,9 @@ object Similarity {
     */
   private[operators] def kmeansAssignCachedWithCentroids(emb: DataFrame, k: Int,
       iters: Int, corpusKey: String,
-      sampleRows: Int = defaultTrainSample): (DataFrame, DataFrame) = {
+      sampleRows: Int = AutoTrainSample): (DataFrame, DataFrame) = {
     graft.SessionCaches.watch(emb.sparkSession)
-    val key = (emb.sparkSession, corpusKey, k, iters, sampleRows)
+    val key = (emb.sparkSession, corpusKey, k, iters, resolveSample(sampleRows, k))
     (quantizerCache.get(key), centroidCache.get(key)) match {
       case (Some(a), Some(c)) => (a, c)
       case _ =>
@@ -636,7 +659,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
       cells: Int = 8, iters: Int = 2,
       corpusKey: Option[String] = None,
-      sampleRows: Int = defaultTrainSample): DataFrame = {
+      sampleRows: Int = AutoTrainSample): DataFrame = {
     // the assignment feeds BOTH sides of the search join — without a
     // materialization each side re-runs the full Lloyd's chain. Cached
     // when the caller names the corpus; checkpointed either way.
@@ -831,16 +854,17 @@ object Similarity {
     * Output: (vec_id, cell, d, rk, is_kept), one row per input vector.
     */
   def semDedup(emb: DataFrame, tau: Double = 0.95, cells: Int = 8,
-      iters: Int = 2, corpusKey: Option[String] = None): DataFrame = {
+      iters: Int = 2, corpusKey: Option[String] = None,
+      sampleRows: Int = AutoTrainSample, hiRankCap: Int = 0): DataFrame = {
     val assigned = corpusKey match {
-      case Some(key) => kmeansAssignCached(emb, cells, iters, key)
+      case Some(key) => kmeansAssignCached(emb, cells, iters, key, sampleRows)
       case None =>
-        val (a, centroids) = kmeansAssignInternal(emb, cells, iters)
+        val (a, centroids) = kmeansAssignInternal(emb, cells, iters, sampleRows)
         val cp = a.localCheckpoint()
         centroids.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
         cp
     }
-    pruneWithinCells(emb, assigned, tau, cells)
+    pruneWithinCells(emb, assigned, tau, cells, hiRankCap)
   }
 
   /** The pure rung-selection rule behind [[semDedupAuto]]:
@@ -870,12 +894,49 @@ object Similarity {
     * it. Same pruning semantics either way.
     */
   def semDedupAuto(emb: DataFrame, tau: Double = 0.95, iters: Int = 2,
-      maxFlatCells: Int = 64, corpusKey: Option[String] = None): DataFrame =
+      maxFlatCells: Int = 64, corpusKey: Option[String] = None,
+      sampleRows: Int = AutoTrainSample): DataFrame =
     semDedupRung(emb.count(), maxFlatCells) match {
-      case Left(cells) => semDedup(emb, tau, cells, iters, corpusKey)
+      case Left(cells) => semDedup(emb, tau, cells, iters, corpusKey, sampleRows)
       case Right((coarse, fine)) =>
-        semDedupTwoLevel(emb, tau, coarse, fine, iters)
+        semDedupTwoLevel(emb, tau, coarse, fine, iters, sampleRows)
     }
+
+  /** Semantic dedup at a FIXED CELL SIZE — the production layout for
+    * the stage: cells = ⌈N/targetCellSize⌉, so the expected per-cell
+    * population (and with it the intra-cell pair term, the one
+    * super-linear cost of the ∝√N rung) stays CONSTANT as the corpus
+    * grows — Σ|cell|² ≈ N·size, linear in N. Assignment routes flat
+    * vs two-level by the same [[semDedupRung]] boundary (flat N·cells
+    * until `maxFlatCells`, then coarse/fine √ split for
+    * N·2√cells), and training rides the sampled trainer on both
+    * levels, so no term of the stage scales with N × cells.
+    *
+    * `hiRankCap` bounds the pair join against quantizer skew: only the
+    * `hiRankCap` highest-priority vectors of a cell (closest to its
+    * centroid) act as dedup REFERENCES — a degenerate cell that
+    * swallows a big corpus fraction costs pop·cap pairs, never pop².
+    * Vectors past the cap can still be DROPPED, just not drop others
+    * — a bounded under-drop, the same population-cap discipline as the
+    * text LSH buckets ([[Dedup]]). 0 disables; the default 4× the
+    * target size never bites on a balanced quantizer (population
+    * concentrates around the target), so it is purely the skew bound.
+    */
+  def semDedupSized(emb: DataFrame, tau: Double = 0.95,
+      targetCellSize: Int = 64, iters: Int = 2, maxFlatCells: Int = 64,
+      corpusKey: Option[String] = None,
+      sampleRows: Int = AutoTrainSample, hiRankCap: Int = -1): DataFrame = {
+    require(targetCellSize > 0, s"targetCellSize must be > 0, got $targetCellSize")
+    val cap = if (hiRankCap == -1) 4 * targetCellSize else hiRankCap
+    val cells = math.max(1,
+      math.ceil(emb.count().toDouble / targetCellSize).toInt)
+    if (cells <= maxFlatCells)
+      semDedup(emb, tau, cells, iters, corpusKey, sampleRows, cap)
+    else {
+      val side = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+      semDedupTwoLevel(emb, tau, side, side, iters, sampleRows, cap)
+    }
+  }
 
   /** The SemDeDup pruning stage over an arbitrary cell assignment
     * (vec_id, cell, d): rank within cell by (distance, id), drop any
@@ -884,7 +945,7 @@ object Similarity {
     * here, so a composite (coarse, fine) id works unchanged.
     */
   private def pruneWithinCells(emb: DataFrame, assigned: DataFrame,
-      tau: Double, cells: Int): DataFrame = {
+      tau: Double, cells: Int, hiRankCap: Int = 0): DataFrame = {
     val byCell = Window.partitionBy("cell").orderBy(col("d"), col("vec_id"))
     val ranked = assigned.withColumn("rk", row_number().over(byCell).cast("long"))
     // per-vector self-norm computed ONCE: the pair cosine divides by the
@@ -901,7 +962,11 @@ object Similarity {
     // identical. G follows the session's parallelism.
     val g = math.max(1,
       emb.sparkSession.sparkContext.defaultParallelism / math.max(cells, 1))
-    val hi = ranked.join(vecs, "vec_id")
+    // the skew bound (see semDedupSized): only the cap highest-priority
+    // rows of a cell act as references — pop·cap pairs, never pop²
+    val hiBase = if (hiRankCap > 0)
+      ranked.filter(col("rk") <= hiRankCap) else ranked
+    val hi = hiBase.join(vecs, "vec_id")
       .select(col("cell").as("cell_a"), col("rk").as("rk_a"),
         col("v").as("ea"), col("nrm").as("na"))
       .withColumn("grp_a", explode(sequence(lit(0), lit(g - 1))))
@@ -930,10 +995,23 @@ object Similarity {
     * vec_ids per parent, means rounded to 6dp, ties by cell id.
     */
   private def kmeansAssignWithin(parents: DataFrame, emb: DataFrame,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, sampleRows: Int = AutoTrainSample): DataFrame = {
+    val sr = resolveSample(sampleRows, k)
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .join(parents, "vec_id") // (vec_id, v, pcell)
-    var centroids = e
+    // per-parent capped training sample (the trainSample rule with n =
+    // the PARENT population, folded in via one broadcast parent-count
+    // frame): each parent trains its k fine cells on ≤ ~sr of its own
+    // rows — training cost stops scaling with the parent population. A
+    // sub-cap parent keeps every row, so small parents (every local
+    // test corpus) train bit-identically to the unsampled form.
+    val np = e.groupBy("pcell").agg(count(lit(1)).as("__np"))
+    val smp = e.join(broadcast(np), "pcell")
+      .filter(hexBucket(col("vec_id").cast("string"))
+        * col("__np") < lit(sr.toLong * sampleBuckets))
+      .drop("__np")
+      .localCheckpoint()
+    var centroids = smp
       .withColumn("rn", row_number().over(
         Window.partitionBy("pcell").orderBy("vec_id")))
       .filter(col("rn") <= k)
@@ -943,8 +1021,8 @@ object Similarity {
     // aggregate argmin (see kmeansAssignInternal); pcell is functionally
     // determined by vec_id (one parent per vector), so grouping by both
     // keeps it in scope without changing the per-vector pick
-    def assigned =
-      e.join(centroids, "pcell")
+    def argminOf(rows: DataFrame) =
+      rows.join(centroids, "pcell")
         .withColumn("d", l2sq(col("v"), col("c")))
         .groupBy("vec_id", "pcell")
         .agg(min(struct(col("d"), col("cell"))).as("m"))
@@ -952,7 +1030,7 @@ object Similarity {
           col("m").getField("cell").as("cell"),
           col("m").getField("d").as("d"))
     for (_ <- 1 until iters) {
-      val means = assigned.join(e.select("vec_id", "v"), "vec_id")
+      val means = argminOf(smp).join(smp.select("vec_id", "v"), "vec_id")
         .select(col("pcell"), col("cell"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("pcell", "cell", "i").agg(round(avg(col("x")), 6).as("m"))
       centroids = means
@@ -964,7 +1042,10 @@ object Similarity {
       previous.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
       previous = Some(centroids)
     }
-    val out = assigned.localCheckpoint()
+    // the final per-parent assignment scores the FULL population
+    // against the (possibly sample-)trained fine centroids
+    val out = argminOf(e).localCheckpoint()
+    org.apache.spark.sql.GraftShims.uncheckpoint(smp)
     previous.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
     out
   }
@@ -980,11 +1061,12 @@ object Similarity {
     * are the composite coarse·fine + fine index.
     */
   def semDedupTwoLevel(emb: DataFrame, tau: Double = 0.95,
-      coarseCells: Int = 8, fineCells: Int = 8, iters: Int = 2): DataFrame = {
-    val fine = twoLevelAssign(emb, coarseCells, fineCells, iters)
+      coarseCells: Int = 8, fineCells: Int = 8, iters: Int = 2,
+      sampleRows: Int = AutoTrainSample, hiRankCap: Int = 0): DataFrame = {
+    val fine = twoLevelAssign(emb, coarseCells, fineCells, iters, sampleRows)
     val composite = fine.select(col("vec_id"),
       (col("pcell") * fineCells + col("cell")).as("cell"), col("d"))
-    pruneWithinCells(emb, composite, tau, coarseCells * fineCells)
+    pruneWithinCells(emb, composite, tau, coarseCells * fineCells, hiRankCap)
   }
 
   /** Two-level (coarse → fine-within-coarse) assignment with its
@@ -998,7 +1080,7 @@ object Similarity {
     * Lloyd's passes entirely).
     */
   private val twoLevelCache =
-    new graft.BoundedLruCache[(SparkSession, Int, Int, Int, Int, Long), DataFrame](
+    new graft.BoundedLruCache[(SparkSession, Int, Int, Int, Int, Long, Int, Int), DataFrame](
       maxEntries = 8,
       release = df =>
         if (!df.sparkSession.sparkContext.isStopped)
@@ -1013,19 +1095,23 @@ object Similarity {
   }
 
   private def twoLevelAssign(emb: DataFrame, coarseCells: Int,
-      fineCells: Int, iters: Int): DataFrame = {
+      fineCells: Int, iters: Int,
+      sampleRows: Int = AutoTrainSample): DataFrame = {
     graft.SessionCaches.watch(emb.sparkSession)
+    // each level resolves the auto cap against ITS OWN cell count
+    val (srCoarse, srFine) =
+      (resolveSample(sampleRows, coarseCells), resolveSample(sampleRows, fineCells))
     // semanticHash compares file sources by ROOT PATH only — fold the
     // file-level generation in so a same-path rewrite misses
     val key = (emb.sparkSession, emb.queryExecution.analyzed.semanticHash(),
       coarseCells, fineCells, iters,
-      graft.CheckpointPool.planGeneration(emb))
+      graft.CheckpointPool.planGeneration(emb), srCoarse, srFine)
     twoLevelCache.get(key).getOrElse {
-      val (coarse, cCent) = kmeansAssignInternal(emb, coarseCells, iters)
+      val (coarse, cCent) = kmeansAssignInternal(emb, coarseCells, iters, srCoarse)
       val coarseCp = coarse.select(col("vec_id"), col("cell").as("pcell"))
         .localCheckpoint()
       cCent.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
-      val fine = kmeansAssignWithin(coarseCp, emb, fineCells, iters)
+      val fine = kmeansAssignWithin(coarseCp, emb, fineCells, iters, srFine)
       // fine is checkpointed — coarseCp is fully consumed
       org.apache.spark.sql.GraftShims.uncheckpoint(coarseCp)
       val winner = twoLevelCache.putIfAbsent(key, fine)

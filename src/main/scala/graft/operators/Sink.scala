@@ -239,6 +239,52 @@ object Sink {
       org.apache.spark.sql.GraftShims.uncheckpoint(cent)
   }
 
+  /** Fixed-cell-SIZE geometry: cells = ⌈N/targetCellSize⌉ — the
+    * production sizing rule for every IVF-family build. A fixed cell
+    * COUNT makes per-cell population grow with the corpus (probe scans
+    * grow ∝ N); a fixed cell SIZE keeps every probed partition
+    * constant-sized as the corpus grows, so serving cost is pinned by
+    * the geometry knob instead of the data. One column-pruned count.
+    */
+  def sizedCells(emb: DataFrame, targetCellSize: Int): Int = {
+    require(targetCellSize > 0, s"targetCellSize must be > 0, got $targetCellSize")
+    math.max(1, math.ceil(emb.count().toDouble / targetCellSize).toInt)
+  }
+
+  /** [[writeIvfIndex]] at a fixed cell SIZE (cells = ⌈N/size⌉, see
+    * [[sizedCells]]). Returns the resolved cell count (it also lands in
+    * the manifest, the geometry every maintenance op reads back).
+    */
+  def writeIvfIndexSized(emb: DataFrame, dir: String,
+      targetCellSize: Int = 512, iters: Int = 2,
+      corpusKey: Option[String] = None): Int = {
+    val cells = sizedCells(emb, targetCellSize)
+    writeIvfIndex(emb, dir, cells, iters, corpusKey)
+    cells
+  }
+
+  /** [[writeIvfSq8Index]] at a fixed cell SIZE. */
+  def writeIvfSq8IndexSized(emb: DataFrame, dir: String,
+      targetCellSize: Int = 512, iters: Int = 2,
+      corpusKey: Option[String] = None): Int = {
+    val cells = sizedCells(emb, targetCellSize)
+    writeIvfSq8Index(emb, dir, cells, iters, corpusKey)
+    cells
+  }
+
+  /** [[writeIvfPqIndex]] at a fixed cell SIZE (coarse tier only — the
+    * PQ codebook geometry m/subDim/k is subspace-shaped, not
+    * corpus-shaped).
+    */
+  def writeIvfPqIndexSized(emb: DataFrame, dir: String,
+      targetCellSize: Int = 512, iters: Int = 2,
+      m: Int = 4, subDim: Int = 16, k: Int = 8,
+      corpusKey: Option[String] = None): Int = {
+    val cells = sizedCells(emb, targetCellSize)
+    writeIvfPqIndex(emb, dir, cells, iters, m, subDim, k, corpusKey)
+    cells
+  }
+
   /** Stored-artifact generation stamp: (max mtime, file count, total
     * bytes) of the data files under `path`, folded to one Long. A
     * retrain REWRITES the artifact files (new stamp); an append never
@@ -1243,14 +1289,13 @@ object Sink {
     val lut = qsub.join(pqc, "sub")
       .select(col("qid"), col("sub"), col("cell").as("code"),
         Similarity.l2sq(col("qsv"), col("c")).as("dist"))
-    // literal partition filter from the bounded probe list — DPP
+    // probed-subdirectory read from the bounded probe list — DPP
     // degenerates on this join shape (see searchIvfIndex), and both
-    // serving stages must scan ONLY the probed cell partitions
+    // serving stages must scan (and LIST) only the probed cells
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0))
     val assignment = maskTombstones(spark, dir,
-      spark.read.parquet(s"$dir/assignment")
-        .filter(col("cell").isin(probedCells: _*)))
+      readProbedCells(spark, s"$dir/assignment", probedCells.toSeq))
     // stage 2: codes-only projection of the probed cells; the ADC sum
     // is exact DECIMAL so ranking never touches a folded double
     val adc = assignment.select("vec_id", "codes", "cell")
@@ -1387,9 +1432,8 @@ object Sink {
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0))
     val assignment = maskTombstones(spark, dir,
-      spark.read.parquet(s"$dir/assignment")
-        .select("vec_id", "q", "n2", "cell")
-        .filter(col("cell").isin(probedCells: _*)))
+      readProbedCells(spark, s"$dir/assignment", probedCells.toSeq)
+        .select("vec_id", "q", "n2", "cell"))
     val dotInt = aggregate(
       zip_with(col("qq"), col("q"), (a, b) => a.cast("long") * b.cast("long")),
       lit(0L), (acc, x) => acc + x)
@@ -1438,6 +1482,33 @@ object Sink {
         "n_after", "files_before", "files_after", "compacted")
   }
 
+  /** Read ONLY the probed cell partitions of an assignment layout, as
+    * per-subdirectory reads under `basePath` (the partition column
+    * stays in the schema). A plain `spark.read.parquet(assignment)`
+    * LISTS THE WHOLE TREE before partition pruning ever applies — with
+    * cells ∝ N (the fixed-cell-SIZE production layout) that listing
+    * was the stored-serving term that grew across the data decade
+    * (measured 1.6×/decade at ×10→×100) while the probed scan itself
+    * stayed constant-sized. Here serving lists ≤ nQueries×nprobe
+    * directories — constant in the corpus. Cells whose directory does
+    * not exist (a trained centroid that won no vectors) are skipped
+    * with bounded exists() probes; if none exist, fall back to the
+    * full-tree read filtered empty (schema-correct, effectively never
+    * taken).
+    */
+  private def readProbedCells(spark: SparkSession, assignPath: String,
+      cells: Seq[Long]): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(assignPath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = cells.distinct
+      .map(c => new org.apache.hadoop.fs.Path(base, s"cell=$c"))
+      .filter(fs.exists).map(_.toString)
+    if (paths.isEmpty)
+      spark.read.parquet(assignPath).filter(lit(false))
+    else
+      spark.read.option("basePath", assignPath).parquet(paths: _*)
+  }
+
   def searchIvfIndex(spark: SparkSession, emb: DataFrame, dir: String,
       nQueries: Int = 10, k: Int = 3, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1465,8 +1536,7 @@ object Sink {
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0))
     val assignment = maskTombstones(spark, dir,
-      spark.read.parquet(s"$dir/assignment")
-        .filter(col("cell").isin(probedCells: _*)))
+      readProbedCells(spark, s"$dir/assignment", probedCells.toSeq))
     val scored = assignment
       .join(broadcast(cand), "cell")
       .filter(col("qid") =!= col("vec_id"))

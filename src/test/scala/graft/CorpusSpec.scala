@@ -239,6 +239,54 @@ class CorpusSpec extends SparkSpec {
       "materialized tokens must sum exactly to the budget")
   }
 
+  test("mixPackShard: budget survives shard+pack exactly; offsets are " +
+      "gapless per shard and the pack layout is arithmetic over them") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = (0 until 40).map(i => (i.toLong,
+        (1 to (3 + i % 7)).map(_ => "t").mkString(" "),
+        "en", s"src${i % 3}", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val budget = 500L
+    val rows = Corpus.mixPackShard(d, budget, capacity = 16L, shards = 4)
+      .collect()
+    // the apportionment identity survives both stages
+    assert(rows.map(_.getAs[Long]("toks_out")).sum == budget)
+    // per shard: offsets are an exact gapless running sum in pos order
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, sh) =>
+      val inOrder = sh.sortBy(_.getAs[Long]("pos"))
+      var cum = 0L
+      inOrder.foreach { r =>
+        assert(r.getAs[Long]("tok_offset") == cum)
+        assert(r.getAs[Long]("pack_id") == cum / 16)
+        assert(r.getAs[Long]("pack_pos") == cum % 16)
+        assert(r.getAs[Boolean]("straddles") ==
+          (cum % 16 + r.getAs[Long]("toks_out") > 16))
+        cum += r.getAs[Long]("toks_out")
+      }
+    }
+    // every shard used (40+ instances over 4 hash shards) and positions
+    // are dense from 0
+    val shards = rows.map(_.getAs[Long]("shard")).toSet
+    assert(shards == Set(0L, 1L, 2L, 3L))
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (s, sh) =>
+      assert(sh.map(_.getAs[Long]("pos")).sorted.toSeq ==
+        (0L until sh.length).toSeq, s"shard $s positions not dense")
+    }
+    // the rollup of the instance stream equals mixMaterialize
+    val viaDocs = Corpus.mixMaterializeDocs(d, budget)
+      .groupBy("source", "epoch")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum("toks_out").as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val direct = Corpus.mixMaterialize(d, budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(viaDocs == direct)
+  }
+
   test("clusterTopics: each cell is labeled by its own vocabulary; stopwords and short tokens gated") {
     val spark2 = spark
     import spark2.implicits._

@@ -486,6 +486,49 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedupSized: fixed-size cells equal the explicit-cells twin; " +
+      "hiRankCap bounds who can DROP, never who drops") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(j =>
+        math.sin(i * 7919.0 + j * 104729.0).toFloat).toSeq)
+    }
+    val twins = (0 until 8).map(i => (100L + i, base(i)._2))
+    val vs = (base ++ twins).toDF("vec_id", "embedding")
+    def keyOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Double]("d"), r.getAs[Long]("rk"), r.getAs[Boolean]("is_kept"))).toSeq
+    // n=48, size=16 -> cells=3 (flat rung); the default cap 4·16=64
+    // exceeds every cell population, so sized == explicit semDedup(3)
+    val sized = keyOf(Similarity.semDedupSized(vs, 0.95, targetCellSize = 16))
+    assert(sized == keyOf(Similarity.semDedup(vs, 0.95, 3, 2)))
+    // n=48, size=1 -> cells=48 > maxFlatCells=16 -> two-level side=7
+    val sized2 = keyOf(Similarity.semDedupSized(vs, 0.95, targetCellSize = 1,
+      maxFlatCells = 16, hiRankCap = 0))
+    assert(sized2 == keyOf(Similarity.semDedupTwoLevel(vs, 0.95, 7, 7, 2)))
+    // cap semantics: with hiRankCap=1 only each cell's top-ranked row
+    // references — an exact twin of the TOP row still drops (recall on
+    // the planted pattern survives the cap), and every capped drop is
+    // also an uncapped drop (pure under-drop, never a new drop)
+    val capped = keyOf(Similarity.semDedupSized(vs, 0.95, targetCellSize = 16,
+      hiRankCap = 1))
+    val uncappedDrops = sized.filterNot(_._5).map(_._1).toSet
+    val cappedDrops = capped.filterNot(_._5).map(_._1).toSet
+    assert(cappedDrops.subsetOf(uncappedDrops))
+    val topByCell = capped.filter(_._4 == 1L).map(r => r._2 -> r._1).toMap
+    capped.filter(r => r._4 > 1L && topByCell.get(r._2).exists(t =>
+        twins.exists(tw => tw._1 == r._1 && base(t.toInt)._2 == tw._2)))
+      .foreach(r => assert(!r._5, s"twin ${r._1} of its cell top must still drop"))
+  }
+
+  test("autoTrainSample: floor at 65536, 256 rows per centroid above it") {
+    assert(Similarity.autoTrainSample(8) == 65536)
+    assert(Similarity.autoTrainSample(256) == 65536)
+    assert(Similarity.autoTrainSample(257) == 65792)
+    assert(Similarity.autoTrainSample(800) == 204800)
+  }
+
   test("normQuality flags NaN, zero, and magnitude-outlier vectors only") {
     val spark2 = spark
     import spark2.implicits._

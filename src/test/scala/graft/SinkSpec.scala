@@ -295,6 +295,35 @@ class SinkSpec extends SparkSpec {
     assert(ex.getMessage.contains("ivfsq8"))
   }
 
+  test("sized builds: cells = ceil(N/size), byte-identical serving to the " +
+      "explicit-cells twin; manifest carries the resolved geometry") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = e.count()
+    // fixed-size geometry arithmetic
+    assert(Sink.sizedCells(e, 64) == math.ceil(n / 64.0).toInt)
+    assert(Sink.sizedCells(e, Int.MaxValue) == 1)
+    val s = 64
+    val expectCells = math.ceil(n / 64.0).toInt
+    val dirA = Files.createTempDirectory("graft-sq8sized").toString
+    val dirB = Files.createTempDirectory("graft-sq8explicit").toString
+    val got = Sink.writeIvfSq8IndexSized(e, dirA, targetCellSize = s, iters = 2)
+    assert(got == expectCells, s"sized build resolved $got cells, want $expectCells")
+    Sink.writeIvfSq8Index(e, dirB, cells = expectCells, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "rnk", "vec_id", "cell", "pn", "qcos")
+      .collect().map(_.toSeq).toSeq
+    assert(rows(Sink.searchIvfSq8Index(spark, e, dirA, 10, 3, nprobe = 2)) ==
+      rows(Sink.searchIvfSq8Index(spark, e, dirB, 10, 3, nprobe = 2)),
+      "sized layout must serve byte-identically to the explicit-cells twin")
+    // the manifest records the RESOLVED cells — maintenance reads it back
+    val mf = Sink.readIndexManifest(spark, dirA)
+    assert(mf.exists(_.get("cells").contains(expectCells.toString)))
+    // the sized IVF (float) build resolves the same geometry
+    val dirC = Files.createTempDirectory("graft-ivfsized").toString
+    assert(Sink.writeIvfIndexSized(e, dirC, targetCellSize = s) == expectCells)
+    assert(Sink.searchIvfIndex(spark, e, dirC, 10, 3).count() == 30)
+  }
+
   test("searchIvfPqIndex: nprobe=2 recall holds the nprobe=1 floor") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-ivfpqnp").toString
