@@ -1014,6 +1014,18 @@ object ExtQueries {
       Corpus.funnelEmbed(dd, pairs, emb(s, d), minWords = 30, p = 0.7,
         tau = 0.4, corpusKey = Some(d))
     }),
+    // the curated corpus LABELED: funnelEmbed's semantic keepers get
+    // c-TF-IDF topic labels per cell — the two round-14 pieces
+    // composed (funnel semantic cells × cluster_topics), sharing the
+    // pooled survivor frame and cached quantizer with
+    // corpus_funnel_embed
+    "corpus_funnel_topics" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.simhashNearDupsCached(dd, d, 3)
+        .select("doc_a", "doc_b")
+      Corpus.funnelTopics(dd, pairs, emb(s, d), minWords = 30, tau = 0.4,
+        corpusKey = Some(d))
+    }),
     // the one-row health report over the same chains (cached — one
     // extra aggregate): include rate, per-reason counts, scrub burden
     "corpus_report" -> ((s, d) => {
@@ -2516,6 +2528,56 @@ object ExtQueries {
     * include, manifest_reasons). Shared by the plain manifest oracle
     * and the scrub-chained variant.
     */
+  /** Survivor-subset semantic-dedup CTE chain (the round-15 sized
+    * layout: cells = ⌈N_survivors/64⌉ — mirrors
+    * Similarity.semDedupSized at targetCellSize=64 — with the hi-rank
+    * skew cap 256 = 4×size): mrow.include → se (survivor vectors) →
+    * two unrolled Lloyd's rounds → srk (cell-ranked) → sdrop
+    * (intra-cell cos ≥ 0.4 against an earlier-ranked reference at
+    * rk ≤ 256). Needs `mrow` in scope ([[manifestCoreCte]]); shared by
+    * corpus_funnel_embed and corpus_funnel_topics.
+    */
+  private lazy val survivorSemDedupCtes: String =
+    """scorp AS MATERIALIZED (SELECT e0.vec_id, e0.embedding FROM embeddings e0
+      |           JOIN mrow m2 ON m2.doc_id = e0.vec_id WHERE m2.include),
+      | se AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |        FROM scorp),
+      | sknum AS (SELECT greatest(CAST(ceil(count(*) / 64.0) AS BIGINT), 1) AS k FROM se),
+      | sc0 AS (SELECT vec_id AS cell, v AS c FROM (
+      |           SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM se)
+      |         WHERE rn <= (SELECT k FROM sknum)),
+      | sd1 AS (SELECT se.vec_id, sc0.cell,
+      |           round(SUM((se.v[i] - sc0.c[i]) * (se.v[i] - sc0.c[i])), 6) AS d
+      |         FROM se, sc0, UNNEST(range(1, 65)) t(i)
+      |         GROUP BY se.vec_id, sc0.cell),
+      | sa1 AS (SELECT vec_id, cell FROM (
+      |           SELECT vec_id, cell,
+      |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |           FROM sd1) WHERE rn = 1),
+      | sm1 AS (SELECT cell, i, round(avg(se.v[i]), 6) AS m
+      |         FROM sa1 JOIN se USING (vec_id), UNNEST(range(1, 65)) t(i)
+      |         GROUP BY cell, i),
+      | sc1 AS (SELECT cell, list(m ORDER BY i) AS c FROM sm1 GROUP BY cell),
+      | sd2 AS (SELECT se.vec_id, sc1.cell,
+      |           round(SUM((se.v[i] - sc1.c[i]) * (se.v[i] - sc1.c[i])), 6) AS d
+      |         FROM se, sc1, UNNEST(range(1, 65)) t(i)
+      |         GROUP BY se.vec_id, sc1.cell),
+      | sa2 AS (SELECT vec_id, cell, d FROM (
+      |           SELECT vec_id, cell, d,
+      |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |           FROM sd2) WHERE rn = 1),
+      | srk AS MATERIALIZED (SELECT vec_id, cell, d,
+      |           row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) AS rk
+      |         FROM sa2),
+      | spr AS (SELECT b.vec_id,
+      |     round(SUM(ea.v[i] * eb.v[i]) /
+      |       (sqrt(SUM(ea.v[i] * ea.v[i])) * sqrt(SUM(eb.v[i] * eb.v[i]))), 4) AS cos
+      |   FROM srk a JOIN srk b ON a.cell = b.cell AND a.rk < b.rk AND a.rk <= 256
+      |   JOIN se ea ON ea.vec_id = a.vec_id JOIN se eb ON eb.vec_id = b.vec_id,
+      |   UNNEST(range(1, 65)) t(i)
+      |   GROUP BY a.vec_id, b.vec_id),
+      | sdrop AS (SELECT DISTINCT vec_id FROM spr WHERE cos >= 0.4)""".stripMargin
+
   private lazy val manifestCoreCte: String =
     s"""${"WITH RECURSIVE " + simhashPairsCte.stripPrefix("WITH ")},
        | p AS (SELECT doc_a, doc_b FROM dists WHERE dist <= 3),
@@ -5918,48 +5980,33 @@ object ExtQueries {
     // init = the k LOWEST surviving vec_ids — rank form, the ids are
     // not dense over a subset) + intra-cell cosine pruning at 0.4; the
     // quality calibration runs on the semantic keepers only
+    // funnel keepers labeled: the survivor semdedup chain's KEPT rows
+    // (cell retained) feed the cluster_topics c-TF-IDF tail verbatim
+    "corpus_funnel_topics" ->
+      s"""$manifestCoreCte,
+         | $survivorSemDedupCtes,
+         | kept AS (SELECT s2.vec_id AS doc_id, s2.cell FROM srk s2
+         |          LEFT JOIN sdrop dr ON s2.vec_id = dr.vec_id
+         |          WHERE dr.vec_id IS NULL),
+         | tk AS (SELECT kept.cell, w AS term
+         |        FROM documents dd JOIN kept USING (doc_id),
+         |             UNNEST(string_split(dd.text, ' ')) AS t(w)
+         |        WHERE len(w) >= 3
+         |          AND w NOT IN ('the','a','of','and','is','in','to','for','on','with')),
+         | tf AS (SELECT cell, term, count(*) AS tf FROM tk GROUP BY cell, term),
+         | tdf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f FROM tf GROUP BY term),
+         | tt AS (SELECT CAST(sum(tf) AS BIGINT) AS tot, count(DISTINCT cell) AS nc FROM tf),
+         | sc AS (SELECT cell, term, tf,
+         |     round(tf * round(ln(CAST(nc * f + tot AS DOUBLE) / CAST(nc * f AS DOUBLE)), 6), 6) AS score
+         |   FROM tf JOIN tdf USING (term), tt),
+         | rk2 AS (SELECT cell, term, tf, score,
+         |     row_number() OVER (PARTITION BY cell ORDER BY score DESC, term) AS rnk FROM sc)
+         | SELECT cell, CAST(rnk AS INTEGER) AS rnk, term, tf, score
+         | FROM rk2 WHERE rnk <= 5 ORDER BY cell, rnk""".stripMargin,
     "corpus_funnel_embed" ->
       s"""$manifestCoreCte,
          | tq AS MATERIALIZED ($textQualityOracle),
-         | scorp AS MATERIALIZED (SELECT e0.vec_id, e0.embedding FROM embeddings e0
-         |           JOIN mrow m2 ON m2.doc_id = e0.vec_id WHERE m2.include),
-         | se AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |        FROM scorp),
-         | sknum AS (SELECT greatest(CAST(ceil(count(*) / 64.0) AS BIGINT), 1) AS k FROM se),
-         | sc0 AS (SELECT vec_id AS cell, v AS c FROM (
-         |           SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM se)
-         |         WHERE rn <= (SELECT k FROM sknum)),
-         | sd1 AS (SELECT se.vec_id, sc0.cell,
-         |           round(SUM((se.v[i] - sc0.c[i]) * (se.v[i] - sc0.c[i])), 6) AS d
-         |         FROM se, sc0, UNNEST(range(1, 65)) t(i)
-         |         GROUP BY se.vec_id, sc0.cell),
-         | sa1 AS (SELECT vec_id, cell FROM (
-         |           SELECT vec_id, cell,
-         |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-         |           FROM sd1) WHERE rn = 1),
-         | sm1 AS (SELECT cell, i, round(avg(se.v[i]), 6) AS m
-         |         FROM sa1 JOIN se USING (vec_id), UNNEST(range(1, 65)) t(i)
-         |         GROUP BY cell, i),
-         | sc1 AS (SELECT cell, list(m ORDER BY i) AS c FROM sm1 GROUP BY cell),
-         | sd2 AS (SELECT se.vec_id, sc1.cell,
-         |           round(SUM((se.v[i] - sc1.c[i]) * (se.v[i] - sc1.c[i])), 6) AS d
-         |         FROM se, sc1, UNNEST(range(1, 65)) t(i)
-         |         GROUP BY se.vec_id, sc1.cell),
-         | sa2 AS (SELECT vec_id, cell, d FROM (
-         |           SELECT vec_id, cell, d,
-         |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-         |           FROM sd2) WHERE rn = 1),
-         | srk AS MATERIALIZED (SELECT vec_id, cell, d,
-         |           row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) AS rk
-         |         FROM sa2),
-         | spr AS (SELECT b.vec_id,
-         |     round(SUM(ea.v[i] * eb.v[i]) /
-         |       (sqrt(SUM(ea.v[i] * ea.v[i])) * sqrt(SUM(eb.v[i] * eb.v[i]))), 4) AS cos
-         |   FROM srk a JOIN srk b ON a.cell = b.cell AND a.rk < b.rk AND a.rk <= 256
-         |   JOIN se ea ON ea.vec_id = a.vec_id JOIN se eb ON eb.vec_id = b.vec_id,
-         |   UNNEST(range(1, 65)) t(i)
-         |   GROUP BY a.vec_id, b.vec_id),
-         | sdrop AS (SELECT DISTINCT vec_id FROM spr WHERE cos >= 0.4),
+         | $survivorSemDedupCtes,
          | skept AS MATERIALIZED (SELECT s2.vec_id AS doc_id, dr.vec_id IS NULL AS sem_kept
          |           FROM srk s2 LEFT JOIN sdrop dr ON s2.vec_id = dr.vec_id),
          | fcs AS (SELECT d.lang, tq.quality_score AS score

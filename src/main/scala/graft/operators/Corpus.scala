@@ -565,11 +565,21 @@ object Corpus {
     */
   def clusterTopics(docs: DataFrame, emb: DataFrame, cells: Int = 8,
       iters: Int = 2, topK: Int = 5, corpusKey: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val assigned = corpusKey
       .map(Similarity.kmeansAssignCached(emb, cells, iters, _))
       .getOrElse(Similarity.kmeansAssign(emb, cells, iters))
       .select(col("vec_id").as("doc_id"), col("cell"))
+    cTfIdfTopics(docs, assigned, topK)
+  }
+
+  /** The c-TF-IDF scorer over an arbitrary (doc_id, cell) assignment —
+    * shared by [[clusterTopics]] (kmeans cells over the whole corpus)
+    * and [[funnelTopics]] (the funnel survivors' semantic cells). One
+    * explode + two hash aggregations; vocabulary-sized after.
+    */
+  private def cTfIdfTopics(docs: DataFrame, assigned: DataFrame,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = docs.join(assigned, "doc_id")
       .select(col("cell"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) >= 3 and
@@ -587,5 +597,33 @@ object Corpus {
       .filter(col("rnk") <= topK)
       .select("cell", "rnk", "term", "tf", "score")
       .orderBy("cell", "rnk")
+  }
+
+  /** Topic labels for the CURATED corpus — [[funnelEmbed]]'s semantic
+    * KEEPERS labeled per cell with [[clusterTopics]]' c-TF-IDF: the
+    * human-readable readout on the curation report ("what survived,
+    * and what is each surviving cluster about"). Composes the two
+    * existing chains: the manifest's include set, the survivors'
+    * sized semantic cells (shared cached pieces — running this next to
+    * [[funnelEmbed]] in one session pays one extra explode + two
+    * vocabulary-sized aggregates, not a second quantizer), and the
+    * class-based tf-idf over the keepers' text.
+    */
+  def funnelTopics(docs: DataFrame, pairs: DataFrame, emb: DataFrame,
+      minWords: Long = 30, tau: Double = 0.4, targetCellSize: Int = 64,
+      iters: Int = 2, topK: Int = 5,
+      corpusKey: Option[String] = None): DataFrame = {
+    val m = manifest(docs, pairs, minWords)
+    val inc = m.filter(col("include")).select("doc_id")
+    // the SAME pooled survivor frame + cached quantizer as funnelEmbed
+    // (label + corpusKey suffix match) — one semantic stage per session
+    val embSurv = graft.CheckpointPool.cached("funnel-embed-surv")(
+      emb.join(inc.select(col("doc_id").as("vec_id")), "vec_id")
+        .select("vec_id", "embedding"))
+    val kept = Similarity.semDedupSized(embSurv, tau, targetCellSize,
+        iters, corpusKey = corpusKey.map(_ + "#funnel-embed"))
+      .filter(col("is_kept"))
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    cTfIdfTopics(docs, kept, topK)
   }
 }

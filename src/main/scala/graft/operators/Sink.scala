@@ -447,12 +447,72 @@ object Sink {
     * PSI carrier mirrors [[Corpus.sourceDrift]]: per-cell term rounded
     * to an 8dp DECIMAL so the sum is fold-order free, total rounded 6.
     */
+  /** Stored-side per-cell PHYSICAL row counts, cached per artifact
+    * generation: the drift pre-flight needs them EVERY micro-batch,
+    * and a full `read.parquet(assignment).groupBy(cell).count()`
+    * re-lists and re-scans the whole cells-∝-N tree per drop — the
+    * dominant per-batch job of the maintain twins' replay storm. The
+    * value is a driver-side cells-sized map (bounded by the index
+    * geometry, never by data — the probed-cell-list collect
+    * discipline). Appends seed the NEXT generation arithmetically
+    * (pre-append counts + the batch's per-cell counts, both already
+    * in the drift frame — no new scan); retrains and compactions
+    * change the generation WITHOUT a seed, so the next maintain call
+    * rescans once. These are footer-equivalent physical counts —
+    * exactly what the drift frame counted before; tombstones stay
+    * invisible to it by design.
+    */
+  private val cellCountCache =
+    new graft.BoundedLruCache[(SparkSession, String, Long, String), Map[Long, Long]](
+      maxEntries = 32, release = _ => ())
+
+  locally {
+    graft.SessionCaches.register(
+      evict = s => cellCountCache.removeIf(_._1 eq s, releaseRemoved = false),
+      sweep = () => cellCountCache.removeIf(_._1.sparkContext.isStopped,
+        releaseRemoved = false))
+  }
+
+  private def assignGenKey(spark: SparkSession,
+      dir: String): (SparkSession, String, Long, String) = {
+    val writeId = readIndexManifest(spark, dir)
+      .flatMap(_.get("write_id")).getOrElse("")
+    (spark, dir, artifactGeneration(spark, s"$dir/assignment"), writeId)
+  }
+
+  private[operators] def storedCellCounts(spark: SparkSession,
+      dir: String): Map[Long, Long] = {
+    graft.SessionCaches.watch(spark)
+    val key = assignGenKey(spark, dir)
+    cellCountCache.get(key).getOrElse {
+      // partition-column inference reads `cell=` path values as INT —
+      // normalize to the centroid table's LONG before collecting
+      val m = spark.read.parquet(s"$dir/assignment")
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      cellCountCache.putIfAbsent(key, m)
+    }
+  }
+
+  /** Seed the CURRENT generation's count entry (called right after an
+    * un-compacted append, when the post-append counts are known
+    * arithmetically).
+    */
+  private def seedCellCounts(spark: SparkSession, dir: String,
+      counts: Map[Long, Long]): Unit = {
+    cellCountCache.putIfAbsent(assignGenKey(spark, dir), counts)
+    ()
+  }
+
   def ivfAppendDrift(spark: SparkSession, batch: DataFrame, dir: String,
       threshold: Double = 0.25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark2 = spark
+    import spark2.implicits._
     val cent = loadIvfCentroids(spark, dir)
-    val stored = spark.read.parquet(s"$dir/assignment")
-      .groupBy("cell").agg(count(lit(1)).as("n_stored"))
+    val stored = storedCellCounts(spark, dir).toSeq
+      .toDF("cell", "n_stored")
     val incoming = Similarity.assignWithCentroids(batch, cent)
       .groupBy("cell").agg(count(lit(1)).as("n_new"))
     val cells = cent.select("cell")
@@ -1023,7 +1083,7 @@ object Sink {
     // so separate count() jobs over the assignment and the batch would
     // re-scan what the drift pass just counted
     val driftRows = ivfAppendDrift(spark, batch, dir, threshold)
-      .select("psi", "retrain_due", "n_stored", "n_new").collect()
+      .select("psi", "retrain_due", "n_stored", "n_new", "cell").collect()
     val (psi, coarseDue) =
       (driftRows.head.getDouble(0), driftRows.head.getBoolean(1))
     // LIVE counts for the log: the drift frame counts physical rows
@@ -1086,7 +1146,16 @@ object Sink {
         compactIvfIndexSelective(spark, dir, minFilesPerCell = 2)
         compacted = true
         ("append", countDataFiles(spark, assignPath))
-      } else ("append", appended)
+      } else {
+        // seed the post-append generation's stored-count cache
+        // arithmetically — the drift frame already holds both sides, so
+        // the NEXT drop's pre-flight skips the whole-index count scan.
+        // (A compaction above rewrote physical rows — its generation is
+        // left unseeded and the next pre-flight rescans once.)
+        seedCellCounts(spark, dir, driftRows.map(r =>
+          r.getLong(4) -> (r.getLong(2) + r.getLong(3))).toMap)
+        ("append", appended)
+      }
     }
     // both branches add exactly the batch's LIVE rows (append is a
     // union masked at serve time; retrain trains on the masked
@@ -1132,10 +1201,14 @@ object Sink {
           .agg(countDistinct(col("cell"))).head().getLong(0).toInt
         (nc, g.getLong(0).toInt, g.getLong(2).toInt, g.getLong(1).toInt)
     }
+    // ONE collect carries the per-sub verdicts AND the per-code counts
+    // (m×k rows): the verdict feeds the branch, the counts seed the
+    // next generation's code-count cache after an un-compacted append
     val codeRows = ivfPqCodeDrift(spark, batch, dir, m, subDim, threshold)
-      .select("sub", "psi", "retrain_due").distinct().collect()
-    val psiCodeMax = codeRows.map(_.getDouble(1)).max
-    val codeDue = codeRows.exists(_.getBoolean(2)) // null-calibrated per sub
+      .select("sub", "code", "n_stored", "n_new", "psi", "retrain_due")
+      .collect()
+    val psiCodeMax = codeRows.map(_.getDouble(4)).max
+    val codeDue = codeRows.exists(_.getBoolean(5)) // null-calibrated per sub
     val o = maintainCore(spark, batch, dir, threshold, compactFilesPerCell,
       extraDue = codeDue,
       cadenceCells = cells,
@@ -1143,6 +1216,9 @@ object Sink {
         writeIvfPqIndex(union, tmp, cells, iters, m, subDim, k),
       append = b => appendToIvfPqIndex(b, dir, m, subDim),
       label = "maintainIvfPqIndex")
+    if (o.action == "append" && !o.compacted)
+      seedCodeCounts(spark, dir, codeRows.map(r =>
+        (r.getInt(0), r.getLong(1)) -> (r.getLong(2) + r.getLong(3))).toMap)
     Seq((o.action, o.psi, psiCodeMax, o.due, o.nStored, o.nBatch, o.nAfter,
         o.filesBefore, o.filesAfter, o.compacted))
       .toDF("action", "psi_coarse", "psi_code_max", "retrain_due",
@@ -1203,14 +1279,52 @@ object Sink {
     * vectors live. Everything after the two grouped counts is
     * m×k-sized; the PSI carrier mirrors [[ivfAppendDrift]].
     */
+  /** [[cellCountCache]]'s compressed-tier sibling: per-(subspace, code)
+    * PHYSICAL populations of a stored IVF-PQ assignment, cached per
+    * generation and seeded arithmetically after un-compacted appends —
+    * the code-drift pre-flight otherwise re-explodes the whole codes
+    * column per drop. m×k-sized driver map.
+    */
+  private val codeCountCache =
+    new graft.BoundedLruCache[(SparkSession, String, Long, String), Map[(Int, Long), Long]](
+      maxEntries = 32, release = _ => ())
+
+  locally {
+    graft.SessionCaches.register(
+      evict = s => codeCountCache.removeIf(_._1 eq s, releaseRemoved = false),
+      sweep = () => codeCountCache.removeIf(_._1.sparkContext.isStopped,
+        releaseRemoved = false))
+  }
+
+  private def storedCodeCounts(spark: SparkSession,
+      dir: String): Map[(Int, Long), Long] = {
+    graft.SessionCaches.watch(spark)
+    val key = assignGenKey(spark, dir)
+    codeCountCache.get(key).getOrElse {
+      val m = spark.read.parquet(s"$dir/assignment")
+        .select(posexplode(col("codes")).as(Seq("sub", "code")))
+        .groupBy("sub", "code").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      codeCountCache.putIfAbsent(key, m)
+    }
+  }
+
+  private def seedCodeCounts(spark: SparkSession, dir: String,
+      counts: Map[(Int, Long), Long]): Unit = {
+    codeCountCache.putIfAbsent(assignGenKey(spark, dir), counts)
+    ()
+  }
+
   def ivfPqCodeDrift(spark: SparkSession, batch: DataFrame, dir: String,
       m: Int = 4, subDim: Int = 16, threshold: Double = 0.25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark2 = spark
+    import spark2.implicits._
     val pqc = loadPqCentroids(spark, dir)
     checkPqGeometry(spark, dir, pqc, m, subDim)
-    val stored = spark.read.parquet(s"$dir/assignment")
-      .select(posexplode(col("codes")).as(Seq("sub", "code")))
-      .groupBy("sub", "code").agg(count(lit(1)).as("n_stored"))
+    val stored = storedCodeCounts(spark, dir).toSeq
+      .map { case ((s, c), n) => (s, c, n) }
+      .toDF("sub", "code", "n_stored")
     val incoming = (0 until m).map { s0 =>
       val sub = batch.select(col("vec_id"),
         slice(col("embedding"), s0 * subDim + 1, subDim).as("embedding"))
