@@ -254,10 +254,15 @@ object ScaleProbe {
               .agg(sum(coalesce(col("__h"), lit(0))))
               .head().getLong(0) / 30.0
           }
-          val rs = recall("probe-tr-sampled", Similarity.defaultTrainSample)
+          // r15: three regimes — the r14 flat cap (the measured recall
+          // cliff at large cell counts), the AUTO default
+          // (max(65536, 256·cells) — recall parity is the default now),
+          // and the full trainer as ground truth
+          val rFlat = recall("probe-tr-flat65536", Similarity.defaultTrainSample)
+          val rAuto = recall("probe-tr-sampled", Similarity.AutoTrainSample)
           val rf = recall("probe-tr-full", Int.MaxValue)
           System.err.println(
-            f"[probe] ivf_sampled_recall      sampled=$rs%.4f full=$rf%.4f")
+            f"[probe] ivf_sampled_recall      flat65536=$rFlat%.4f auto=$rAuto%.4f full=$rf%.4f")
         }
         None
       },

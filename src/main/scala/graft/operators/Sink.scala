@@ -480,7 +480,7 @@ object Sink {
     (spark, dir, artifactGeneration(spark, s"$dir/assignment"), writeId)
   }
 
-  private[operators] def storedCellCounts(spark: SparkSession,
+  private[graft] def storedCellCounts(spark: SparkSession,
       dir: String): Map[Long, Long] = {
     graft.SessionCaches.watch(spark)
     val key = assignGenKey(spark, dir)
@@ -503,6 +503,71 @@ object Sink {
       counts: Map[Long, Long]): Unit = {
     cellCountCache.putIfAbsent(assignGenKey(spark, dir), counts)
     ()
+  }
+
+  /** Centroid cell-id list, cached per centroids-artifact generation —
+    * the drift verdict's grid, collected once per index generation
+    * instead of once per micro-batch. Cells-sized.
+    */
+  private val centroidCellCache =
+    new graft.BoundedLruCache[(SparkSession, String, Long, String), Seq[Long]](
+      maxEntries = 32, release = _ => ())
+
+  locally {
+    graft.SessionCaches.register(
+      evict = s => centroidCellCache.removeIf(_._1 eq s, releaseRemoved = false),
+      sweep = () => centroidCellCache.removeIf(_._1.sparkContext.isStopped,
+        releaseRemoved = false))
+  }
+
+  private def centroidCellIds(spark: SparkSession, dir: String): Seq[Long] = {
+    graft.SessionCaches.watch(spark)
+    val writeId = readIndexManifest(spark, dir)
+      .flatMap(_.get("write_id")).getOrElse("")
+    val key = (spark, s"$dir/centroids",
+      artifactGeneration(spark, s"$dir/centroids"), writeId)
+    centroidCellCache.get(key).getOrElse {
+      val ids = loadIvfCentroids(spark, dir).select("cell")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      centroidCellCache.putIfAbsent(key, ids)
+    }
+  }
+
+  /** Driver-side twin of [[ivfAppendDrift]]'s verdict — the maintain
+    * loop's per-micro-batch decision without the cells-sized DataFrame
+    * chain (multi-join + window + broadcast = a dozen tiny driver jobs
+    * per drop, the replay storm's fixed cost). Same smoothed-PSI
+    * arithmetic on the SAME operands: Spark divides two longs by
+    * casting both to double, `round(x, n)` on a double is
+    * BigDecimal.valueOf(x).setScale(n, HALF_UP) (the Catalyst Round
+    * kernel), the term sum is an exact scale-8 decimal sum (fold-order
+    * free — iteration order can't move it), and `log` is Math.log on
+    * the same JVM — so the verdict is BIT-IDENTICAL to the DataFrame
+    * form (spec-pinned, and every maintain-log oracle re-verifies it).
+    * Returns (psi, psi_null, retrain_due).
+    */
+  private[graft] def driftVerdictDriverSide(gridCells: Seq[Long],
+      stored: Map[Long, Long], incoming: Map[Long, Long],
+      threshold: Double): (Double, Double, Boolean) = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val nCells = gridCells.size.toLong
+    val tS = gridCells.iterator.map(stored.getOrElse(_, 0L)).sum
+    val tN = gridCells.iterator.map(incoming.getOrElse(_, 0L)).sum
+    var sum = JBD.ZERO
+    gridCells.foreach { c =>
+      val nS = stored.getOrElse(c, 0L)
+      val nN = incoming.getOrElse(c, 0L)
+      val pS = (nS + 1L).toDouble / (tS + nCells).toDouble
+      val pN = (nN + 1L).toDouble / (tN + nCells).toDouble
+      val term = (pN - pS) * math.log(pN / pS)
+      sum = sum.add(JBD.valueOf(term).setScale(8, RoundingMode.HALF_UP))
+    }
+    val psi = JBD.valueOf(sum.doubleValue)
+      .setScale(6, RoundingMode.HALF_UP).doubleValue
+    val psiNull = JBD.valueOf((nCells - 1L).toDouble *
+        (1.0 / math.max(tN, 1L).toDouble + 1.0 / math.max(tS, 1L).toDouble))
+      .setScale(6, RoundingMode.HALF_UP).doubleValue
+    (psi, psiNull, psi > threshold + psiNull)
   }
 
   def ivfAppendDrift(spark: SparkSession, batch: DataFrame, dir: String,
@@ -1077,15 +1142,22 @@ object Sink {
       retrainWrite: (DataFrame, String) => Unit,
       append: DataFrame => Unit, label: String): MaintainOutcome = {
     val assignPath = s"$dir/assignment"
-    // ONE collect serves the verdict AND the row counts: the drift
-    // frame is cells-sized and already aggregates both populations
-    // (every stored row and every batch row carries exactly one cell),
-    // so separate count() jobs over the assignment and the batch would
-    // re-scan what the drift pass just counted
-    val driftRows = ivfAppendDrift(spark, batch, dir, threshold)
-      .select("psi", "retrain_due", "n_stored", "n_new", "cell").collect()
-    val (psi, coarseDue) =
-      (driftRows.head.getDouble(0), driftRows.head.getBoolean(1))
+    // DRIVER-SIDE drift verdict: the stored per-cell counts and the
+    // centroid grid are generation-cached driver maps, so the whole
+    // pre-flight costs ONE Spark job — the batch's assignment count —
+    // instead of the cells-sized DataFrame chain (multi-join + window
+    // + broadcast: a dozen tiny driver jobs per drop, the replay
+    // storm's dominant fixed cost). driftVerdictDriverSide reproduces
+    // ivfAppendDrift's arithmetic bit-for-bit (spec-pinned), so the
+    // decision log's oracle hashes are unchanged.
+    val cent = loadIvfCentroids(spark, dir)
+    val gridCells = centroidCellIds(spark, dir)
+    val storedMap = storedCellCounts(spark, dir)
+    val incomingMap = Similarity.assignWithCentroids(batch, cent)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (psi, _, coarseDue) =
+      driftVerdictDriverSide(gridCells, storedMap, incomingMap, threshold)
     // LIVE counts for the log: the drift frame counts physical rows
     // (footer-only by design — it cannot see tombstones). Only while
     // deletes are pending, make the audit EXACT: subtract the MASKED
@@ -1098,7 +1170,7 @@ object Sink {
     // Zero extra jobs when no delete ever happened. Both branches then
     // land on the same n_after = live stored + live batch: the append
     // masks at serve time, the retrain purges.
-    val nBatch = driftRows.map(_.getLong(3)).sum // as delivered (per id)
+    val nBatch = incomingMap.valuesIterator.sum // as delivered (per id)
     val (nTombLive, nBatchLive) = tombstones(spark, dir) match {
       case None => (0L, nBatch)
       case Some(t) =>
@@ -1108,8 +1180,9 @@ object Sink {
           .join(broadcast(t), Seq("vec_id"), "left_anti").count()
         (tl, bl)
     }
-    val nStored = driftRows.map(_.getLong(2)).sum - nTombLive
-    val touched = driftRows.count(_.getLong(3) > 0)
+    val nStored =
+      gridCells.iterator.map(storedMap.getOrElse(_, 0L)).sum - nTombLive
+    val touched = incomingMap.size // every entry counts ≥ 1 batch row
     val due = coarseDue || extraDue
     val filesBefore = countDataFiles(spark, assignPath)
     var compacted = false
@@ -1148,12 +1221,14 @@ object Sink {
         ("append", countDataFiles(spark, assignPath))
       } else {
         // seed the post-append generation's stored-count cache
-        // arithmetically — the drift frame already holds both sides, so
-        // the NEXT drop's pre-flight skips the whole-index count scan.
+        // arithmetically — both sides are already driver maps, so the
+        // NEXT drop's pre-flight skips the whole-index count scan.
         // (A compaction above rewrote physical rows — its generation is
         // left unseeded and the next pre-flight rescans once.)
-        seedCellCounts(spark, dir, driftRows.map(r =>
-          r.getLong(4) -> (r.getLong(2) + r.getLong(3))).toMap)
+        seedCellCounts(spark, dir,
+          (storedMap.keySet ++ incomingMap.keySet).iterator.map(c =>
+            c -> (storedMap.getOrElse(c, 0L) + incomingMap.getOrElse(c, 0L)))
+            .toMap)
         ("append", appended)
       }
     }
@@ -1201,14 +1276,33 @@ object Sink {
           .agg(countDistinct(col("cell"))).head().getLong(0).toInt
         (nc, g.getLong(0).toInt, g.getLong(2).toInt, g.getLong(1).toInt)
     }
-    // ONE collect carries the per-sub verdicts AND the per-code counts
-    // (m×k rows): the verdict feeds the branch, the counts seed the
-    // next generation's code-count cache after an un-compacted append
-    val codeRows = ivfPqCodeDrift(spark, batch, dir, m, subDim, threshold)
-      .select("sub", "code", "n_stored", "n_new", "psi", "retrain_due")
-      .collect()
-    val psiCodeMax = codeRows.map(_.getDouble(4)).max
-    val codeDue = codeRows.exists(_.getBoolean(5)) // null-calibrated per sub
+    // DRIVER-SIDE code verdict (the coarse twin's discipline): stored
+    // per-(sub, code) counts and the codebook grid are generation-
+    // cached maps; the batch's encoding is ONE collected job. The
+    // per-sub PSI formula is [[driftVerdictDriverSide]] verbatim with
+    // the sub's code set as the grid (k_sub plays n_cells) —
+    // bit-identical to ivfPqCodeDrift's window form (spec-pinned).
+    val pqc = loadPqCentroids(spark, dir)
+    checkPqGeometry(spark, dir, pqc, m, subDim)
+    val codeGrid = pqCodeGrid(spark, dir)
+    val storedCode = storedCodeCounts(spark, dir)
+    val incomingCode = (0 until m).map { s0 =>
+      val sub = batch.select(col("vec_id"),
+        slice(col("embedding"), s0 * subDim + 1, subDim).as("embedding"))
+      Similarity.assignWithCentroids(sub,
+          pqc.filter(col("sub") === s0).select("cell", "c"))
+        .select(lit(s0).as("sub"), col("cell").as("code"))
+    }.reduce(_ unionByName _)
+      .groupBy("sub", "code").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val subVerdicts = (0 until m).map { s0 =>
+      driftVerdictDriverSide(codeGrid.getOrElse(s0, Seq.empty),
+        storedCode.collect { case ((s, c), n) if s == s0 => c -> n },
+        incomingCode.collect { case ((s, c), n) if s == s0 => c -> n },
+        threshold)
+    }
+    val psiCodeMax = subVerdicts.map(_._1).max
+    val codeDue = subVerdicts.exists(_._3) // null-calibrated per sub
     val o = maintainCore(spark, batch, dir, threshold, compactFilesPerCell,
       extraDue = codeDue,
       cadenceCells = cells,
@@ -1217,8 +1311,10 @@ object Sink {
       append = b => appendToIvfPqIndex(b, dir, m, subDim),
       label = "maintainIvfPqIndex")
     if (o.action == "append" && !o.compacted)
-      seedCodeCounts(spark, dir, codeRows.map(r =>
-        (r.getInt(0), r.getLong(1)) -> (r.getLong(2) + r.getLong(3))).toMap)
+      seedCodeCounts(spark, dir,
+        (storedCode.keySet ++ incomingCode.keySet).iterator.map(kk =>
+          kk -> (storedCode.getOrElse(kk, 0L) + incomingCode.getOrElse(kk, 0L)))
+          .toMap)
     Seq((o.action, o.psi, psiCodeMax, o.due, o.nStored, o.nBatch, o.nAfter,
         o.filesBefore, o.filesAfter, o.compacted))
       .toDF("action", "psi_coarse", "psi_code_max", "retrain_due",
@@ -1313,6 +1409,35 @@ object Sink {
       counts: Map[(Int, Long), Long]): Unit = {
     codeCountCache.putIfAbsent(assignGenKey(spark, dir), counts)
     ()
+  }
+
+  /** Per-subspace codebook grids (sub → its code ids), cached per
+    * pq_centroids generation — [[centroidCellIds]]'s compressed-tier
+    * sibling, m×k-sized.
+    */
+  private val pqGridCache =
+    new graft.BoundedLruCache[(SparkSession, String, Long, String), Map[Int, Seq[Long]]](
+      maxEntries = 32, release = _ => ())
+
+  locally {
+    graft.SessionCaches.register(
+      evict = s => pqGridCache.removeIf(_._1 eq s, releaseRemoved = false),
+      sweep = () => pqGridCache.removeIf(_._1.sparkContext.isStopped,
+        releaseRemoved = false))
+  }
+
+  private def pqCodeGrid(spark: SparkSession, dir: String): Map[Int, Seq[Long]] = {
+    graft.SessionCaches.watch(spark)
+    val writeId = readIndexManifest(spark, dir)
+      .flatMap(_.get("write_id")).getOrElse("")
+    val key = (spark, s"$dir/pq_centroids",
+      artifactGeneration(spark, s"$dir/pq_centroids"), writeId)
+    pqGridCache.get(key).getOrElse {
+      val g = loadPqCentroids(spark, dir).select("sub", "cell")
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (s, cs) => s -> cs.map(_._2).toSeq.sorted }
+      pqGridCache.putIfAbsent(key, g)
+    }
   }
 
   def ivfPqCodeDrift(spark: SparkSession, batch: DataFrame, dir: String,

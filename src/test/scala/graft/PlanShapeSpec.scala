@@ -83,15 +83,19 @@ class PlanShapeSpec extends SparkSpec {
       s"expected 2 lineitem scans (fact + decorrelated agg), got $lineitemScans")
   }
 
-  test("drift check's stored-population scan reads ZERO data columns") {
-    // ivfAppendDrift counts the stored index per cell; cell is a
-    // PARTITION column, so the grouped count must resolve from
-    // directory names + parquet footer row counts alone (ReadSchema
-    // struct<>) — the maintenance loop's cost is then bounded by FILE
-    // COUNT (which compaction bounds to cells), never by index data
+  test("drift check's plan contains NO stored-index scan at all") {
+    // round 15: ivfAppendDrift's stored-side populations come from the
+    // generation-cached driver map (storedCellCounts — scanned once per
+    // index generation, seeded arithmetically after appends), so the
+    // DRIFT PLAN itself must not touch the assignment tree: its only
+    // parquet scan is the batch side. The maintenance loop's per-drop
+    // cost is then bounded by the batch, never by index data or files.
     val p = plan("embed_ivf_append_drift")
-    assert(p.contains("ReadSchema: struct<>"),
-      s"stored-count scan must prune every data column:\n${p.take(1500)}")
+    val scanBlocks = p.split("Scan parquet").toSeq.tail
+    assert(!scanBlocks.exists(_.take(600).contains("assignment")),
+      s"drift plan still scans the stored assignment:\n${p.take(1500)}")
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+      s"stored counts must enter as a local (driver-map) relation:\n${p.take(800)}")
   }
 
   test("tpch q20 decorrelates both nesting levels — no per-row rescan anywhere") {
@@ -215,15 +219,19 @@ class PlanShapeSpec extends SparkSpec {
         s"an embeddings scan without a vec_id bound = a corpus-sized scan " +
           s"in the serving path; scan details:\n$b")
     }
-    // the index scan must carry a LITERAL probed-cell partition filter
-    // — Spark's DPP degenerates to dynamicpruningexpression(true) on
-    // this join shape, which silently scans every cell partition
+    // the index scan must read ONLY the probed cell SUBDIRECTORIES —
+    // round 15 moved the pruning from a literal partition filter into
+    // the file listing itself (readProbedCells: a root-path read would
+    // LIST the whole cells-∝-N tree before any filter applies, the
+    // stored-serving decade-growth term). The scan's Location must
+    // therefore enumerate cell= paths, never the assignment root.
     val idxBlocks = blocks.filter(_.contains("assignment"))
     assert(idxBlocks.nonEmpty, "search must scan the stored assignment")
     idxBlocks.foreach { b =>
-      val pf = b.linesIterator.find(_.trim.startsWith("PartitionFilters"))
-      assert(pf.exists(l => l.contains("cell") && l.contains(" IN (")),
-        s"assignment scan lacks the literal probed-cell partition filter:\n$b")
+      val loc = b.linesIterator.find(_.trim.startsWith("Location"))
+      assert(loc.exists(_.contains("assignment/cell=")),
+        s"assignment scan lists the whole tree instead of the probed " +
+          s"cell subdirectories:\n$b")
     }
   }
 

@@ -295,6 +295,37 @@ class SinkSpec extends SparkSpec {
     assert(ex.getMessage.contains("ivfsq8"))
   }
 
+  test("driver-side drift verdict is bit-identical to the ivfAppendDrift " +
+      "DataFrame form, same-distribution AND skewed batches") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-driftdrv").toString
+    Sink.writeIvfIndex(e.filter(col("vec_id") < 400), dir, 8, 2)
+    val cent = Sink.loadIvfCentroids(spark, dir)
+    val grid = cent.select("cell").collect().map(_.getLong(0)).toSeq.sorted
+    val storedMap = Sink.storedCellCounts(spark, dir)
+    def check(batch: org.apache.spark.sql.DataFrame, thr: Double): Unit = {
+      val df = Sink.ivfAppendDrift(spark, batch, dir, thr)
+        .select("psi", "psi_null", "retrain_due").head()
+      val incoming = graft.operators.Similarity.assignWithCentroids(batch, cent)
+        .groupBy("cell").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (psi, psiNull, due) =
+        Sink.driftVerdictDriverSide(grid, storedMap, incoming, thr)
+      assert(java.lang.Double.doubleToLongBits(psi) ==
+        java.lang.Double.doubleToLongBits(df.getDouble(0)), "psi differs")
+      assert(java.lang.Double.doubleToLongBits(psiNull) ==
+        java.lang.Double.doubleToLongBits(df.getDouble(1)), "psi_null differs")
+      assert(due == df.getBoolean(2), "verdict differs")
+    }
+    // same-distribution batch (low PSI) and a one-cell skewed batch
+    // (high PSI) at two thresholds — both branches of the verdict
+    check(e.filter(col("vec_id") >= 400), 0.25)
+    val skew = e.filter(col("vec_id") >= 400)
+      .limit(40).select(col("vec_id"), col("embedding"))
+    check(skew, 0.25)
+    check(skew, 0.0001)
+  }
+
   test("sized builds: cells = ceil(N/size), byte-identical serving to the " +
       "explicit-cells twin; manifest carries the resolved geometry") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
