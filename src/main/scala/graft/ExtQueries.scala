@@ -1610,6 +1610,16 @@ object ExtQueries {
       Similarity.semDedupAuto(perturbedCorpus(emb(s, d)), 0.95, 2,
         corpusKey = Some(d + "#semdedup-auto"))),
 
+    // the PRODUCTION layout (round 15): fixed cell SIZE — cells =
+    // ceil(N/64), so per-cell population (and the intra-cell pair
+    // term) stays constant as the corpus grows; hiRankCap 256 bounds
+    // quantizer skew (mirrored as a.rk <= 256 in the oracle). The
+    // oracle derives k from count(*)/64 so it tracks row-count changes.
+    "embed_semdedup_sized" -> ((s, d) =>
+      Similarity.semDedupSized(perturbedCorpus(emb(s, d)), 0.95,
+        targetCellSize = 64, iters = 2,
+        corpusKey = Some(d + "#semdedup-sized"))),
+
     // cross-source leakage matrix: distinct shared 8-grams + gram-set
     // Jaccard per source pair — the corpus-level mixture/provenance view
     "source_overlap" -> ((s, d) => Dedup.sourceOverlap(docs(s, d), 8)),
@@ -4903,6 +4913,28 @@ object ExtQueries {
         |     round(SUM(ea.v[i] * eb.v[i]) /
         |       (sqrt(SUM(ea.v[i] * ea.v[i])) * sqrt(SUM(eb.v[i] * eb.v[i]))), 4) AS cos
         |   FROM rk a JOIN rk b ON a.cell = b.cell AND a.rk < b.rk
+        |   JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id,
+        |   UNNEST(range(1, 65)) t(i)
+        |   GROUP BY a.vec_id, b.vec_id),
+        | dropped AS (SELECT DISTINCT vec_id FROM pairs WHERE cos >= 0.95)
+        | SELECT r.vec_id, r.cell, r.d, r.rk, dr.vec_id IS NULL AS is_kept
+        | FROM rk r LEFT JOIN dropped dr ON r.vec_id = dr.vec_id
+        | ORDER BY r.vec_id""".stripMargin,
+    // fixed-cell-SIZE semdedup: the flat oracle with k DERIVED from the
+    // corpus count (ceil(N/64) — mirrors Similarity.semDedupSized) and
+    // the hi-rank skew cap on the pair join's reference side
+    "embed_semdedup_sized" ->
+      s"""WITH $perturbedCorpusSql,
+        | knum AS (SELECT greatest(CAST(ceil(count(*) / 64.0) AS BIGINT), 1) AS k
+        |          FROM corpus),
+        | ${kmeansBody("corpus", "(SELECT k FROM knum)")},
+        | rk AS (SELECT vec_id, cell, d,
+        |          row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) AS rk
+        |        FROM a2),
+        | pairs AS (SELECT b.vec_id,
+        |     round(SUM(ea.v[i] * eb.v[i]) /
+        |       (sqrt(SUM(ea.v[i] * ea.v[i])) * sqrt(SUM(eb.v[i] * eb.v[i]))), 4) AS cos
+        |   FROM rk a JOIN rk b ON a.cell = b.cell AND a.rk < b.rk AND a.rk <= 256
         |   JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id,
         |   UNNEST(range(1, 65)) t(i)
         |   GROUP BY a.vec_id, b.vec_id),
