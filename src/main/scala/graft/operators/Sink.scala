@@ -417,14 +417,23 @@ object Sink {
     requireIndexKind(spark, dir, "ivf", "appendToIvfIndex")
     val uniq = dedupBatch(newEmb)
     val cent = loadIvfCentroids(spark, dir)
-    Similarity.assignWithCentroids(uniq, cent)
-      .select("vec_id", "cell")
+    appendAssignedIvf(uniq,
+      Similarity.assignWithCentroids(uniq, cent).select("vec_id", "cell"), dir)
+  }
+
+  /** The write tail of [[appendToIvfIndex]] over a PRE-COMPUTED
+    * (deduped batch, assignment) pair — the maintain loop computes both
+    * once per drop (checkpointed, shared with the drift counts) instead
+    * of re-deduping and re-assigning inside the append.
+    */
+  private def appendAssignedIvf(uniq: DataFrame, assigned: DataFrame,
+      dir: String): Unit =
+    assigned
       .join(uniq, "vec_id")
       .select("vec_id", "embedding", "cell")
       .repartition(col("cell")) // one appended file per touched cell
       .sortWithinPartitions("cell", "vec_id")
       .write.mode("append").partitionBy("cell").parquet(s"$dir/assignment")
-  }
 
   /** Pre-flight drift check for [[appendToIvfIndex]]: per cell, the
     * stored population vs the incoming batch's would-be population
@@ -1118,7 +1127,7 @@ object Sink {
           .distinct().count().toInt),
       retrainWrite = (union, tmp) =>
         writeIvfIndex(union, tmp, storedCells.getOrElse(cells), iters),
-      append = b => appendToIvfIndex(b, dir),
+      append = (u, a) => appendAssignedIvf(u, a, dir),
       label = "maintainIvfIndex")
     Seq((o.action, o.psi, o.due, o.nStored, o.nBatch, o.nAfter,
         o.filesBefore, o.filesAfter, o.compacted))
@@ -1140,20 +1149,26 @@ object Sink {
       dir: String, threshold: Double, compactFilesPerCell: Int,
       extraDue: Boolean, cadenceCells: => Int,
       retrainWrite: (DataFrame, String) => Unit,
-      append: DataFrame => Unit, label: String): MaintainOutcome = {
+      append: (DataFrame, DataFrame) => Unit, label: String): MaintainOutcome = {
     val assignPath = s"$dir/assignment"
     // DRIVER-SIDE drift verdict: the stored per-cell counts and the
     // centroid grid are generation-cached driver maps, so the whole
-    // pre-flight costs ONE Spark job — the batch's assignment count —
-    // instead of the cells-sized DataFrame chain (multi-join + window
-    // + broadcast: a dozen tiny driver jobs per drop, the replay
-    // storm's dominant fixed cost). driftVerdictDriverSide reproduces
-    // ivfAppendDrift's arithmetic bit-for-bit (spec-pinned), so the
-    // decision log's oracle hashes are unchanged.
+    // pre-flight costs ONE batch pass — instead of the cells-sized
+    // DataFrame chain (multi-join + window + broadcast: a dozen tiny
+    // driver jobs per drop, the replay storm's dominant fixed cost).
+    // driftVerdictDriverSide reproduces ivfAppendDrift's arithmetic
+    // bit-for-bit (spec-pinned), so the decision log's oracle hashes
+    // are unchanged. The deduped batch and its assignment are
+    // checkpointed ONCE and shared by the drift counts, the tombstone
+    // audit, and the append/retrain writer — previously every append
+    // re-deduped and re-assigned the batch the drift had just scored.
     val cent = loadIvfCentroids(spark, dir)
     val gridCells = centroidCellIds(spark, dir)
     val storedMap = storedCellCounts(spark, dir)
-    val incomingMap = Similarity.assignWithCentroids(batch, cent)
+    val uniq = dedupBatch(batch).localCheckpoint()
+    val assignedBatch = Similarity.assignWithCentroids(uniq, cent)
+      .select("vec_id", "cell").localCheckpoint()
+    val incomingMap = assignedBatch
       .groupBy("cell").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val (psi, _, coarseDue) =
@@ -1176,7 +1191,7 @@ object Sink {
       case Some(t) =>
         val tl = spark.read.parquet(assignPath).select("vec_id")
           .join(broadcast(t), "vec_id").count()
-        val bl = dedupBatch(batch)
+        val bl = uniq
           .join(broadcast(t), Seq("vec_id"), "left_anti").count()
         (tl, bl)
     }
@@ -1192,7 +1207,7 @@ object Sink {
       // rebuilt index starts clean and the tombstones die with it
       val union = maskTombstones(spark, dir,
         spark.read.parquet(assignPath).select("vec_id", "embedding")
-          .unionByName(dedupBatch(batch)))
+          .unionByName(uniq))
       val tmp = dir + "__retrain"
       // the writer materializes the union INTO the sibling tree —
       // every read of the old assignment completes before the swap
@@ -1207,7 +1222,7 @@ object Sink {
       checkedSwap(spark, tmp, dir, label)
       ("retrain", countDataFiles(spark, assignPath))
     } else {
-      append(batch)
+      append(uniq, assignedBatch)
       // one appended file per touched cell (the append layout
       // invariant) — DERIVE the post-append count instead of
       // re-listing the whole tree twice; only a compaction (which
@@ -1232,6 +1247,10 @@ object Sink {
         ("append", appended)
       }
     }
+    // the per-drop checkpoints are fully consumed (the append/retrain
+    // writes completed above) — release their blocks before returning
+    org.apache.spark.sql.GraftShims.uncheckpoint(assignedBatch)
+    org.apache.spark.sql.GraftShims.uncheckpoint(uniq)
     // both branches add exactly the batch's LIVE rows (append is a
     // union masked at serve time; retrain trains on the masked
     // stored ∪ batch) — no post-action table count
@@ -1286,13 +1305,12 @@ object Sink {
     checkPqGeometry(spark, dir, pqc, m, subDim)
     val codeGrid = pqCodeGrid(spark, dir)
     val storedCode = storedCodeCounts(spark, dir)
-    val incomingCode = (0 until m).map { s0 =>
-      val sub = batch.select(col("vec_id"),
-        slice(col("embedding"), s0 * subDim + 1, subDim).as("embedding"))
-      Similarity.assignWithCentroids(sub,
-          pqc.filter(col("sub") === s0).select("cell", "c"))
-        .select(lit(s0).as("sub"), col("cell").as("code"))
-    }.reduce(_ unionByName _)
+    // dedupe + encode ONCE per drop: the checkpointed per-id codes feed
+    // the drift counts here AND the append write below (previously the
+    // append re-encoded the batch the drift had just scored)
+    val uniq = dedupBatch(batch).localCheckpoint()
+    val codesPerId = pqEncode(uniq, pqc, m, subDim).localCheckpoint()
+    val incomingCode = codesPerId
       .groupBy("sub", "code").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     val subVerdicts = (0 until m).map { s0 =>
@@ -1303,13 +1321,16 @@ object Sink {
     }
     val psiCodeMax = subVerdicts.map(_._1).max
     val codeDue = subVerdicts.exists(_._3) // null-calibrated per sub
-    val o = maintainCore(spark, batch, dir, threshold, compactFilesPerCell,
+    val o = maintainCore(spark, uniq, dir, threshold, compactFilesPerCell,
       extraDue = codeDue,
       cadenceCells = cells,
       retrainWrite = (union, tmp) =>
         writeIvfPqIndex(union, tmp, cells, iters, m, subDim, k),
-      append = b => appendToIvfPqIndex(b, dir, m, subDim),
+      append = (u, a) => appendAssignedPq(u, a, codesPerId, dir),
       label = "maintainIvfPqIndex")
+    // both per-drop checkpoints are fully consumed by maintainCore
+    org.apache.spark.sql.GraftShims.uncheckpoint(codesPerId)
+    org.apache.spark.sql.GraftShims.uncheckpoint(uniq)
     if (o.action == "append" && !o.compacted)
       seedCodeCounts(spark, dir,
         (storedCode.keySet ++ incomingCode.keySet).iterator.map(kk =>
@@ -1341,21 +1362,37 @@ object Sink {
     // collect_list over two rows per id yields a 2m-long codes array
     val uniq = dedupBatch(newEmb)
     val cent = loadIvfCentroids(spark, dir)
-    val coarse = Similarity.assignWithCentroids(uniq, cent)
-      .select("vec_id", "cell")
     val pqc = loadPqCentroids(spark, dir)
     checkPqGeometry(spark, dir, pqc, m, subDim)
-    val codes = (0 until m).map { s0 =>
+    appendAssignedPq(uniq,
+      Similarity.assignWithCentroids(uniq, cent).select("vec_id", "cell"),
+      pqEncode(uniq, pqc, m, subDim), dir)
+  }
+
+  /** Per-id PQ encoding of a (deduped) batch against the STORED
+    * codebooks: (sub, vec_id, code) — shared by the append write and
+    * the maintain loop's code-drift counts, so a maintained drop
+    * encodes ONCE.
+    */
+  private def pqEncode(uniq: DataFrame, pqc: DataFrame,
+      m: Int, subDim: Int): DataFrame =
+    (0 until m).map { s0 =>
       val sub = uniq.select(col("vec_id"),
         slice(col("embedding"), s0 * subDim + 1, subDim).as("embedding"))
       Similarity.assignWithCentroids(sub,
           pqc.filter(col("sub") === s0).select("cell", "c"))
         .select(lit(s0).as("sub"), col("vec_id"), col("cell").as("code"))
     }.reduce(_ unionByName _)
-    val codeArr = codes.groupBy("vec_id")
+
+  /** [[appendAssignedIvf]]'s PQ twin over pre-computed (uniq, coarse
+    * assignment, per-id codes).
+    */
+  private def appendAssignedPq(uniq: DataFrame, assigned: DataFrame,
+      codesPerId: DataFrame, dir: String): Unit = {
+    val codeArr = codesPerId.groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("ps"))
       .select(col("vec_id"), expr("transform(ps, p -> p.code)").as("codes"))
-    coarse
+    assigned
       .join(codeArr, "vec_id")
       .join(uniq, "vec_id")
       .select("vec_id", "codes", "embedding", "cell")
@@ -1628,15 +1665,23 @@ object Sink {
     requireIndexKind(spark, dir, "ivfsq8", "appendToIvfSq8Index")
     val uniq = dedupBatch(newEmb)
     val cent = loadIvfCentroids(spark, dir)
-    Similarity.assignWithCentroids(uniq, cent)
-      .select("vec_id", "cell")
+    appendAssignedSq8(uniq,
+      Similarity.assignWithCentroids(uniq, cent).select("vec_id", "cell"), dir)
+  }
+
+  /** [[appendAssignedIvf]]'s SQ8 twin: quantize + write over the
+    * pre-computed pair (the per-vector max-abs codes need no stored
+    * artifact, so only the assignment is shared).
+    */
+  private def appendAssignedSq8(uniq: DataFrame, assigned: DataFrame,
+      dir: String): Unit =
+    assigned
       .join(Similarity.sq8Codes(uniq), "vec_id")
       .join(uniq, "vec_id")
       .select("vec_id", "q", "n2", "ma", "embedding", "cell")
       .repartition(col("cell")) // one appended file per touched cell
       .sortWithinPartitions("cell", "vec_id")
       .write.mode("append").partitionBy("cell").parquet(s"$dir/assignment")
-  }
 
   /** Search a stored IVF-SQ8 index: queries rank the STORED centroids
     * (rounded L2, cell tiebreak — the training metric), each probing
@@ -1713,7 +1758,7 @@ object Sink {
           .distinct().count().toInt),
       retrainWrite = (union, tmp) =>
         writeIvfSq8Index(union, tmp, storedCells.getOrElse(8), iters),
-      append = b => appendToIvfSq8Index(b, dir),
+      append = (u, a) => appendAssignedSq8(u, a, dir),
       label = "maintainIvfSq8Index")
     Seq((o.action, o.psi, o.due, o.nStored, o.nBatch, o.nAfter,
         o.filesBefore, o.filesAfter, o.compacted))
