@@ -9,8 +9,42 @@ registered as a view, sorts columns by name, and compares values.
 """
 import sys, json, math, glob, os
 import duckdb
+import pyarrow as pa
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def type_kind(t):
+    """Canonical type class for driver-hash compatibility. Widths within a
+    kind are equivalent under .to_pylist() (int32/int64 -> int), but CROSS
+    kind (decimal128 vs int64, float vs int) is exactly the divergence that
+    made mix_pack_shard driver-red in r15 while values compared equal."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_kind(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{type_kind(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{type_kind(t.key_type)},{type_kind(t.item_type)}>"
+    return str(t)
+
+def kind_map(tbl):
+    return {f.name: type_kind(f.type) for f in tbl.schema}
 
 def canon(v):
     if v is None:
@@ -41,19 +75,30 @@ def main():
             failures += 1
             continue
         try:
-            odf = con.execute(oracle[name]).fetch_arrow_table().to_pylist()
+            otbl = con.execute(oracle[name]).fetch_arrow_table()
         except Exception as e:
             print(f"[ORACLE-ERR] {name}: {e}")
             failures += 1
             continue
-        sdf = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table().to_pylist()
+        stbl = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+        odf, sdf = otbl.to_pylist(), stbl.to_pylist()
         srows = [tuple(canon(r[k]) for k in sorted(r)) for r in sdf]
         orows = [tuple(canon(r[k]) for k in sorted(r)) for r in odf]
         scols = sorted(sdf[0]) if sdf else []
         ocols = sorted(odf[0]) if odf else []
         if scols != ocols:
             print(f"[SCHEMA] {name}: spark={scols} oracle={ocols}")
+            failures += 1
+            continue
+        skinds, okinds = kind_map(stbl), kind_map(otbl)
+        tdiffs = [(c, skinds.get(c), okinds.get(c))
+                  for c in sorted(set(skinds) | set(okinds))
+                  if skinds.get(c) != okinds.get(c)]
+        if tdiffs:
+            print(f"[TYPE] {name}: arrow type-kind mismatch (driver hash is type-sensitive):")
+            for c, sk, ok in tdiffs:
+                print(f"    {c}: spark={sk} oracle={ok}")
             failures += 1
             continue
         if len(srows) != len(orows):

@@ -5168,7 +5168,7 @@ object ExtQueries {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
         |        FROM dt),
         | pe AS (SELECT pc.doc_id, pc.source, al2.full_epochs AS epoch,
-        |          LEAST(pc.tokens, al2.rem - pc.prev) AS toks_out
+        |          CAST(LEAST(pc.tokens, al2.rem - pc.prev) AS BIGINT) AS toks_out
         |        FROM pc JOIN al2 USING (source) WHERE pc.prev < al2.rem),
         | un AS (SELECT * FROM fe UNION ALL SELECT * FROM pe),
         | ins AS (SELECT doc_id, source, epoch, toks_out,
