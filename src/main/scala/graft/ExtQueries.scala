@@ -1011,8 +1011,11 @@ object ExtQueries {
       val dd = docs(s, d)
       val pairs = Dedup.simhashNearDupsCached(dd, d, 3)
         .select("doc_a", "doc_b")
+      // flat rung pinned — the survivor-semdedup oracle models only the
+      // flat geometry (two-level routing starts at >4096 survivors; see
+      // embed_semdedup_sized's comment)
       Corpus.funnelEmbed(dd, pairs, emb(s, d), minWords = 30, p = 0.7,
-        tau = 0.4, corpusKey = Some(d))
+        tau = 0.4, corpusKey = Some(d), maxFlatCells = Int.MaxValue)
     }),
     // the curated corpus LABELED: funnelEmbed's semantic keepers get
     // c-TF-IDF topic labels per cell — the two round-14 pieces
@@ -1023,8 +1026,9 @@ object ExtQueries {
       val dd = docs(s, d)
       val pairs = Dedup.simhashNearDupsCached(dd, d, 3)
         .select("doc_a", "doc_b")
+      // flat rung pinned to match funnelEmbed's shared cached quantizer
       Corpus.funnelTopics(dd, pairs, emb(s, d), minWords = 30, tau = 0.4,
-        corpusKey = Some(d))
+        corpusKey = Some(d), maxFlatCells = Int.MaxValue)
     }),
     // the one-row health report over the same chains (cached — one
     // extra aggregate): include rate, per-reason counts, scrub burden
@@ -1615,9 +1619,15 @@ object ExtQueries {
     // term) stays constant as the corpus grows; hiRankCap 256 bounds
     // quantizer skew (mirrored as a.rk <= 256 in the oracle). The
     // oracle derives k from count(*)/64 so it tracks row-count changes.
+    // maxFlatCells is pinned to MaxValue because the ORACLE models only
+    // the flat rung: semDedupSized's default routing flips to the
+    // two-level side×side layout once ceil(N/64) > 64, i.e. N > 4096
+    // rows — modest corpus growth would silently change the geometry
+    // under a fixed oracle. Production callers keep the default (auto)
+    // routing; the VERIFIED query pins the geometry the oracle models.
     "embed_semdedup_sized" -> ((s, d) =>
       Similarity.semDedupSized(perturbedCorpus(emb(s, d)), 0.95,
-        targetCellSize = 64, iters = 2,
+        targetCellSize = 64, iters = 2, maxFlatCells = Int.MaxValue,
         corpusKey = Some(d + "#semdedup-sized"))),
 
     // cross-source leakage matrix: distinct shared 8-grams + gram-set

@@ -284,7 +284,8 @@ object Corpus {
   def funnelEmbed(docs: DataFrame, pairs: DataFrame, emb: DataFrame,
       minWords: Long = 30, p: Double = 0.7, tau: Double = 0.4,
       iters: Int = 2, corpusKey: Option[String] = None,
-      targetCellSize: Int = 64): DataFrame = {
+      targetCellSize: Int = 64,
+      maxFlatCells: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
@@ -294,7 +295,7 @@ object Corpus {
       emb.join(inc.select(col("doc_id").as("vec_id")), "vec_id")
         .select("vec_id", "embedding"))
     val semKept = Similarity.semDedupSized(embSurv, tau, targetCellSize,
-        iters, corpusKey = corpusKey.map(_ + "#funnel-embed"))
+        iters, maxFlatCells, corpusKey.map(_ + "#funnel-embed"))
       .select(col("vec_id").as("doc_id"), col("is_kept").as("sem_kept"))
     val scored = graft.CheckpointPool.cached("funnel-scored")(
       TextOps.qualityScore(docs)
@@ -612,7 +613,8 @@ object Corpus {
   def funnelTopics(docs: DataFrame, pairs: DataFrame, emb: DataFrame,
       minWords: Long = 30, tau: Double = 0.4, targetCellSize: Int = 64,
       iters: Int = 2, topK: Int = 5,
-      corpusKey: Option[String] = None): DataFrame = {
+      corpusKey: Option[String] = None,
+      maxFlatCells: Int = 64): DataFrame = {
     val m = manifest(docs, pairs, minWords)
     val inc = m.filter(col("include")).select("doc_id")
     // the SAME pooled survivor frame + cached quantizer as funnelEmbed
@@ -621,7 +623,7 @@ object Corpus {
       emb.join(inc.select(col("doc_id").as("vec_id")), "vec_id")
         .select("vec_id", "embedding"))
     val kept = Similarity.semDedupSized(embSurv, tau, targetCellSize,
-        iters, corpusKey = corpusKey.map(_ + "#funnel-embed"))
+        iters, maxFlatCells, corpusKey.map(_ + "#funnel-embed"))
       .filter(col("is_kept"))
       .select(col("vec_id").as("doc_id"), col("cell"))
     cTfIdfTopics(docs, kept, topK)

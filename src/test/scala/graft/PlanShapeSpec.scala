@@ -92,7 +92,10 @@ class PlanShapeSpec extends SparkSpec {
     // cost is then bounded by the batch, never by index data or files.
     val p = plan("embed_ivf_append_drift")
     val scanBlocks = p.split("Scan parquet").toSeq.tail
-    assert(!scanBlocks.exists(_.take(600).contains("assignment")),
+    // match the WHOLE scan block (not a prefix): with a wide schema the
+    // Location line can sit past any fixed char budget in formatted
+    // EXPLAIN output, and a truncated match would let an index scan pass
+    assert(!scanBlocks.exists(_.contains("assignment")),
       s"drift plan still scans the stored assignment:\n${p.take(1500)}")
     assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
       s"stored counts must enter as a local (driver-map) relation:\n${p.take(800)}")
