@@ -471,6 +471,65 @@ object Sink {
     * exactly what the drift frame counted before; tombstones stay
     * invisible to it by design.
     */
+  /** Hard bound on the DRIVER-SIDE index maps ([[storedCellCounts]],
+    * [[centroidCellIds]]): "geometry-bounded, not data-bounded" is only
+    * a guarantee while the geometry itself fits the driver — in the
+    * sized layout cells = ⌈N/size⌉, so a 10¹⁰-vector / size-64 index
+    * is ~1.5×10⁸ cells, past what a driver map should hold. Above this
+    * bound the collects REFUSE (loud, actionable) and the maintain
+    * pre-flight falls back to ONE distributed aggregate over the
+    * assignment per drop ([[maintainCore]]'s fallback branch —
+    * bit-identical verdict, index-proportional cost, the pre-cache
+    * behavior). Production IVF serves ≲10⁶-10⁷ cells, so the default
+    * (2²⁴ ≈ 1.7×10⁷ entries, a few hundred MB of boxed map at worst)
+    * never bites on a sane geometry; override via the
+    * `graft.maxDriverMapEntries` system property (specs lower it to
+    * pin the fallback).
+    */
+  private[graft] def maxDriverMapEntries: Long =
+    sys.props.get("graft.maxDriverMapEntries").map(_.toLong)
+      .getOrElse(1L << 24)
+
+  /** The index's cell-count geometry — manifest first (free), else a
+    * generation-cached centroid count (one footer-only job per index
+    * generation). The tiny Long answer is what gates the driver-map
+    * collects above.
+    */
+  private val cellGeomCache =
+    new graft.BoundedLruCache[(SparkSession, String, Long, String), Long](
+      maxEntries = 64, release = _ => ())
+
+  locally {
+    graft.SessionCaches.register(
+      evict = s => cellGeomCache.removeIf(_._1 eq s, releaseRemoved = false),
+      sweep = () => cellGeomCache.removeIf(_._1.sparkContext.isStopped,
+        releaseRemoved = false))
+  }
+
+  private[graft] def indexCellGeometry(spark: SparkSession,
+      dir: String): Long =
+    readIndexManifest(spark, dir).flatMap(_.get("cells"))
+      .flatMap(_.toLongOption).getOrElse {
+        graft.SessionCaches.watch(spark)
+        val writeId = readIndexManifest(spark, dir)
+          .flatMap(_.get("write_id")).getOrElse("")
+        val key = (spark, s"$dir/centroids",
+          artifactGeneration(spark, s"$dir/centroids"), writeId)
+        cellGeomCache.get(key).getOrElse(
+          cellGeomCache.putIfAbsent(key,
+            loadIvfCentroids(spark, dir).count()))
+      }
+
+  private def requireDriverMapFits(spark: SparkSession, dir: String,
+      what: String): Unit = {
+    val geom = indexCellGeometry(spark, dir)
+    require(geom <= maxDriverMapEntries,
+      s"$what: index at $dir has $geom cells > graft.maxDriverMapEntries" +
+        s" (${maxDriverMapEntries}) — a driver-side cells-sized map would" +
+        " not fit; use the distributed pre-flight (maintain* falls back" +
+        " automatically) or raise the bound explicitly")
+  }
+
   private val cellCountCache =
     new graft.BoundedLruCache[(SparkSession, String, Long, String), Map[Long, Long]](
       maxEntries = 32, release = _ => ())
@@ -491,6 +550,7 @@ object Sink {
 
   private[graft] def storedCellCounts(spark: SparkSession,
       dir: String): Map[Long, Long] = {
+    requireDriverMapFits(spark, dir, "storedCellCounts")
     graft.SessionCaches.watch(spark)
     val key = assignGenKey(spark, dir)
     cellCountCache.get(key).getOrElse {
@@ -530,6 +590,7 @@ object Sink {
   }
 
   private def centroidCellIds(spark: SparkSession, dir: String): Seq[Long] = {
+    requireDriverMapFits(spark, dir, "centroidCellIds")
     graft.SessionCaches.watch(spark)
     val writeId = readIndexManifest(spark, dir)
       .flatMap(_.get("write_id")).getOrElse("")
@@ -571,6 +632,19 @@ object Sink {
       val term = (pN - pS) * math.log(pN / pS)
       sum = sum.add(JBD.valueOf(term).setScale(8, RoundingMode.HALF_UP))
     }
+    psiFromTermSum(sum, nCells, tS, tN, threshold)
+  }
+
+  /** The verdict's FINAL arithmetic, factored so the driver-map path
+    * above and the distributed fallback below share it verbatim: input
+    * is the exact scale-8 decimal term sum plus the three totals —
+    * identical JBD roundings either way, so the two paths cannot
+    * diverge by construction.
+    */
+  private def psiFromTermSum(sum: java.math.BigDecimal, nCells: Long,
+      tS: Long, tN: Long,
+      threshold: Double): (Double, Double, Boolean) = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
     val psi = JBD.valueOf(sum.doubleValue)
       .setScale(6, RoundingMode.HALF_UP).doubleValue
     val psiNull = JBD.valueOf((nCells - 1L).toDouble *
@@ -579,14 +653,74 @@ object Sink {
     (psi, psiNull, psi > threshold + psiNull)
   }
 
+  /** The maintain pre-flight ABOVE [[maxDriverMapEntries]]: one
+    * distributed aggregate over the stored assignment — the same
+    * grid-left-join + smoothed-term chain as [[ivfAppendDrift]],
+    * reduced to ONE collected row (term sum as an exact scale-8
+    * decimal, plus the three totals), finished with the shared
+    * [[psiFromTermSum]]. Verdict is bit-identical to the driver-map
+    * path (Catalyst's Round on double is the same
+    * BigDecimal.valueOf(x).setScale(8, HALF_UP), the decimal sum is
+    * fold-order free, and long/long division casts to double in both
+    * engines — spec-pinned); cost is index-proportional per drop,
+    * which is exactly the trade the bound exists to make.
+    * Returns (psi, retrain_due, t_stored_physical).
+    */
+  private def driftVerdictDistributed(spark: SparkSession,
+      cent: DataFrame, assignPath: String, incoming: Map[Long, Long],
+      threshold: Double): (Double, Boolean, Long) = {
+    val spark2 = spark
+    import spark2.implicits._
+    val stored = spark.read.parquet(assignPath)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_stored"))
+    val inc = incoming.toSeq.toDF("cell", "n_new")
+    val cells = cent.select("cell")
+      .join(stored, Seq("cell"), "left")
+      .join(broadcast(inc), Seq("cell"), "left")
+      .withColumn("n_stored", coalesce(col("n_stored"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+    val totals = cells.agg(
+      count(lit(1)).as("n_cells"),
+      sum("n_stored").as("t_stored"), sum("n_new").as("t_new"))
+    val pS = (col("n_stored") + lit(1)) / (col("t_stored") + col("n_cells"))
+    val pN = (col("n_new") + lit(1)) / (col("t_new") + col("n_cells"))
+    val row = cells.crossJoin(broadcast(totals))
+      .withColumn("term",
+        round((pN - pS) * log(pN / pS), 8).cast("decimal(18,8)"))
+      .agg(sum("term").as("s"), max("n_cells").as("n_cells"),
+        max("t_stored").as("t_stored"), max("t_new").as("t_new"))
+      .head()
+    val termSum = Option(row.getDecimal(0))
+      .map(_.setScale(8)).getOrElse(java.math.BigDecimal.ZERO)
+    val (psi, _, due) = psiFromTermSum(termSum,
+      row.getLong(1), row.getLong(2), row.getLong(3), threshold)
+    (psi, due, row.getLong(2))
+  }
+
+  /** Stored per-cell counts as a DATAFRAME: the generation-cached
+    * driver map rendered local when the geometry fits
+    * [[maxDriverMapEntries]], the raw distributed aggregate above it —
+    * so [[ivfAppendDrift]] works at ANY cell count.
+    */
+  private def storedCellCountsDF(spark: SparkSession,
+      dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    if (indexCellGeometry(spark, dir) <= maxDriverMapEntries)
+      storedCellCounts(spark, dir).toSeq.toDF("cell", "n_stored")
+    else spark.read.parquet(s"$dir/assignment")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_stored"))
+  }
+
   def ivfAppendDrift(spark: SparkSession, batch: DataFrame, dir: String,
       threshold: Double = 0.25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark2 = spark
     import spark2.implicits._
     val cent = loadIvfCentroids(spark, dir)
-    val stored = storedCellCounts(spark, dir).toSeq
-      .toDF("cell", "n_stored")
+    val stored = storedCellCountsDF(spark, dir)
     val incoming = Similarity.assignWithCentroids(batch, cent)
       .groupBy("cell").agg(count(lit(1)).as("n_new"))
     val cells = cent.select("cell")
@@ -1162,17 +1296,36 @@ object Sink {
     // checkpointed ONCE and shared by the drift counts, the tombstone
     // audit, and the append/retrain writer — previously every append
     // re-deduped and re-assigned the batch the drift had just scored.
+    // (incomingMap is BATCH-cells-sized — bounded by the micro-batch,
+    // never the index — so it is collected on both branches below.)
+    //
+    // GEOMETRY GUARD: the driver maps hold one entry per cell, so they
+    // are only legal while cells ≤ maxDriverMapEntries. Above the bound
+    // the pre-flight takes the distributed branch — one aggregate over
+    // the assignment per drop (bit-identical verdict via the shared
+    // psiFromTermSum), index-proportional cost, and no generation
+    // seeding (there is no map to seed).
     val cent = loadIvfCentroids(spark, dir)
-    val gridCells = centroidCellIds(spark, dir)
-    val storedMap = storedCellCounts(spark, dir)
+    val driverMapsFit = indexCellGeometry(spark, dir) <= maxDriverMapEntries
     val uniq = dedupBatch(batch).localCheckpoint()
     val assignedBatch = Similarity.assignWithCentroids(uniq, cent)
       .select("vec_id", "cell").localCheckpoint()
     val incomingMap = assignedBatch
       .groupBy("cell").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val (psi, _, coarseDue) =
-      driftVerdictDriverSide(gridCells, storedMap, incomingMap, threshold)
+    val (psi, coarseDue, tStoredPhys, storedMapOpt) =
+      if (driverMapsFit) {
+        val gridCells = centroidCellIds(spark, dir)
+        val storedMap = storedCellCounts(spark, dir)
+        val (p, _, d) =
+          driftVerdictDriverSide(gridCells, storedMap, incomingMap, threshold)
+        (p, d, gridCells.iterator.map(storedMap.getOrElse(_, 0L)).sum,
+          Some(storedMap))
+      } else {
+        val (p, d, tS) = driftVerdictDistributed(spark, cent, assignPath,
+          incomingMap, threshold)
+        (p, d, tS, None)
+      }
     // LIVE counts for the log: the drift frame counts physical rows
     // (footer-only by design — it cannot see tombstones). Only while
     // deletes are pending, make the audit EXACT: subtract the MASKED
@@ -1195,8 +1348,7 @@ object Sink {
           .join(broadcast(t), Seq("vec_id"), "left_anti").count()
         (tl, bl)
     }
-    val nStored =
-      gridCells.iterator.map(storedMap.getOrElse(_, 0L)).sum - nTombLive
+    val nStored = tStoredPhys - nTombLive
     val touched = incomingMap.size // every entry counts ≥ 1 batch row
     val due = coarseDue || extraDue
     val filesBefore = countDataFiles(spark, assignPath)
@@ -1239,11 +1391,14 @@ object Sink {
         // arithmetically — both sides are already driver maps, so the
         // NEXT drop's pre-flight skips the whole-index count scan.
         // (A compaction above rewrote physical rows — its generation is
-        // left unseeded and the next pre-flight rescans once.)
-        seedCellCounts(spark, dir,
-          (storedMap.keySet ++ incomingMap.keySet).iterator.map(c =>
-            c -> (storedMap.getOrElse(c, 0L) + incomingMap.getOrElse(c, 0L)))
-            .toMap)
+        // left unseeded and the next pre-flight rescans once. On the
+        // over-bound distributed branch there is no map to seed.)
+        storedMapOpt.foreach { storedMap =>
+          seedCellCounts(spark, dir,
+            (storedMap.keySet ++ incomingMap.keySet).iterator.map(c =>
+              c -> (storedMap.getOrElse(c, 0L) + incomingMap.getOrElse(c, 0L)))
+              .toMap)
+        }
         ("append", appended)
       }
     }

@@ -326,6 +326,56 @@ class SinkSpec extends SparkSpec {
     check(skew, 0.0001)
   }
 
+  test("driver-map geometry guard: above maxDriverMapEntries the collects " +
+      "refuse and the maintain pre-flight falls back, bit-identically") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = e.filter(col("vec_id") < 400)
+    val batch = e.filter(col("vec_id") >= 400)
+    // twin indexes: same inputs, same deterministic training
+    val dirA = Files.createTempDirectory("graft-guardA").toString
+    val dirB = Files.createTempDirectory("graft-guardB").toString
+    Sink.writeIvfIndex(base, dirA, 8, 2)
+    Sink.writeIvfIndex(base, dirB, 8, 2)
+    // capture the drift frame BEFORE the maintain call appends to dirA
+    val driftA = Sink.ivfAppendDrift(spark, batch, dirA).collect()
+    val logA = Sink.maintainIvfIndex(spark, batch, dirA).collect().head
+    val prev = sys.props.get("graft.maxDriverMapEntries")
+    try {
+      sys.props("graft.maxDriverMapEntries") = "1"
+      // the collects refuse loudly instead of building an over-bound map
+      val ex = intercept[IllegalArgumentException] {
+        Sink.storedCellCounts(spark, dirB)
+      }
+      assert(ex.getMessage.contains("maxDriverMapEntries"))
+      // the maintain lifecycle still runs — distributed pre-flight —
+      // and its one-row decision log is IDENTICAL to the driver-map
+      // twin's (psi compared at the bit level)
+      val logB = Sink.maintainIvfIndex(spark, batch, dirB).collect().head
+      assert(java.lang.Double.doubleToLongBits(logA.getAs[Double]("psi")) ==
+        java.lang.Double.doubleToLongBits(logB.getAs[Double]("psi")),
+        "fallback psi differs from the driver-map path")
+      Seq("action", "retrain_due", "n_stored_before", "n_batch", "n_after",
+        "files_before", "files_after", "compacted").foreach { c =>
+        assert(logA.getAs[Any](c) == logB.getAs[Any](c),
+          s"fallback log column $c differs: ${logA.getAs[Any](c)} vs " +
+            s"${logB.getAs[Any](c)}")
+      }
+      // ivfAppendDrift's stored side also routes distributed above the
+      // bound — whole-frame equality against the under-bound twin.
+      // (dirA was appended to above, so compare dirB against the
+      // PRE-maintain drift frame captured from dirA.)
+      Sink.writeIvfIndex(base, dirB + "-drift", 8, 2)
+      val driftB = Sink.ivfAppendDrift(spark, batch, dirB + "-drift").collect()
+      assert(driftA.toSeq == driftB.toSeq,
+        "distributed drift frame differs from the driver-map form")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.maxDriverMapEntries") = v
+        case None => sys.props.remove("graft.maxDriverMapEntries")
+      }
+    }
+  }
+
   test("sized builds: cells = ceil(N/size), byte-identical serving to the " +
       "explicit-cells twin; manifest carries the resolved geometry") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
