@@ -73,6 +73,9 @@ object ExtQueries {
   private lazy val ivfSq8MaintainStreamDir: String =
     TempDirs.create("graft_ivfsq8_maintain_stream")
 
+  private lazy val ivfSq8MaintainSizedDir: String =
+    TempDirs.create("graft_ivfsq8_maintain_sz") + "/index"
+
   private lazy val ivfPqMaintainAppendDir: String =
     TempDirs.create("graft_ivfpq_maintain_a") + "/index"
 
@@ -1348,6 +1351,25 @@ object ExtQueries {
         .filter(col("cell") < 4).select("vec_id")
         .join(all, "vec_id").select("vec_id", "embedding")
       Sink.maintainIvfIndex(s, batch, dir)
+        .select("action", "psi", "retrain_due", "n_stored_before",
+          "n_batch", "n_after", "compacted")
+    }),
+    // the maintain lifecycle on the PRODUCTION (fixed-cell-SIZE)
+    // layout: the int8 base index is built by writeIvfSq8IndexSized at
+    // target size 64 — cells = ceil(400/64) = 7, and the manifest
+    // carries cells AND target_cell_size — then the natural >=400
+    // batch takes the full maintain decision against the sized
+    // geometry (PSI under the null-calibrated threshold → append).
+    // The sized-retrain branch (cells re-derived from the union, the
+    // fixed-size invariant surviving growth) is spec-driven
+    // (SinkSpec). SIDE EFFECT: temp index dir.
+    "ivfsq8_maintain_append_sized" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfSq8MaintainSizedDir
+      Sink.writeIvfSq8IndexSized(all.filter(col("vec_id") < 400), dir,
+        targetCellSize = 64, iters = 2,
+        corpusKey = Some(d + "#sq8sized400"))
+      Sink.maintainIvfSq8Index(s, all.filter(col("vec_id") >= 400), dir)
         .select("action", "psi", "retrain_due", "n_stored_before",
           "n_batch", "n_after", "compacted")
     }),
@@ -3512,8 +3534,9 @@ object ExtQueries {
     * off the base-trained `a2`, so the same assignment the Scala side
     * computes with the stored centroids defines the batch here.
     */
-  private def maintainLogOracle(batchCte: String): String =
-    s"""${kmeansBaseTrainedCte(400)},
+  private def maintainLogOracle(batchCte: String,
+      kExpr: String = "8"): String =
+    s"""${kmeansBaseTrainedCte(400, kExpr)},
        | bv AS ($batchCte),
        | sc AS (SELECT cell, count(*) AS n_stored FROM a2 WHERE vec_id < 400 GROUP BY cell),
        | ncnt AS (SELECT cell, count(*) AS n_new FROM bv GROUP BY cell),
@@ -3615,12 +3638,13 @@ object ExtQueries {
        | FROM tot CROSS JOIN nullv CROSS JOIN cm CROSS JOIN cnts""".stripMargin
   }
 
-  private def kmeansBaseTrainedCte(baseMax: Int): String =
+  private def kmeansBaseTrainedCte(baseMax: Int,
+      kExpr: String = "8"): String =
     s"""WITH e AS MATERIALIZED (
       |   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |   FROM embeddings),
       | eb AS (SELECT * FROM e WHERE vec_id < $baseMax),
-      | c0 AS (SELECT vec_id AS cell, v AS c FROM eb WHERE vec_id < 8),
+      | c0 AS (SELECT vec_id AS cell, v AS c FROM eb WHERE vec_id < ($kExpr)),
       | d1 AS (SELECT eb.vec_id, c0.cell,
       |          round(SUM((eb.v[i] - c0.c[i]) * (eb.v[i] - c0.c[i])), 6) AS d
       |        FROM eb, c0, UNNEST(range(1, 65)) t(i)
@@ -4759,6 +4783,13 @@ object ExtQueries {
       "SELECT vec_id, cell FROM a2 WHERE vec_id >= 400"),
     "ivf_maintain_retrain" -> maintainLogOracle(
       "SELECT vec_id, cell FROM a2 WHERE vec_id >= 400 AND cell < 4"),
+    // sized-layout maintenance: the same one-row log chain with k
+    // DERIVED from the base count (ceil(N_base/64) — mirrors
+    // writeIvfSq8IndexSized's resolved geometry; the int8 payload
+    // encoding never enters the decision arithmetic)
+    "ivfsq8_maintain_append_sized" -> maintainLogOracle(
+      "SELECT vec_id, cell FROM a2 WHERE vec_id >= 400",
+      "SELECT greatest(CAST(ceil(count(*) / 64.0) AS BIGINT), 1) FROM eb"),
     // the compressed tier's maintenance log: coarse + code PSI chains
     // over the same batch CTEs, either tripwire flips the branch
     "ivfpq_maintain_append" -> maintainPqLogOracle(

@@ -260,6 +260,9 @@ object Sink {
       corpusKey: Option[String] = None): Int = {
     val cells = sizedCells(emb, targetCellSize)
     writeIvfIndex(emb, dir, cells, iters, corpusKey)
+    writeIndexManifest(emb.sparkSession, dir, Seq("kind" -> "ivf",
+      "cells" -> cells.toString,
+      "target_cell_size" -> targetCellSize.toString))
     cells
   }
 
@@ -269,6 +272,9 @@ object Sink {
       corpusKey: Option[String] = None): Int = {
     val cells = sizedCells(emb, targetCellSize)
     writeIvfSq8Index(emb, dir, cells, iters, corpusKey)
+    writeIndexManifest(emb.sparkSession, dir, Seq("kind" -> "ivfsq8",
+      "cells" -> cells.toString,
+      "target_cell_size" -> targetCellSize.toString))
     cells
   }
 
@@ -282,8 +288,26 @@ object Sink {
       corpusKey: Option[String] = None): Int = {
     val cells = sizedCells(emb, targetCellSize)
     writeIvfPqIndex(emb, dir, cells, iters, m, subDim, k, corpusKey)
+    writeIndexManifest(emb.sparkSession, dir, Seq("kind" -> "ivfpq",
+      "cells" -> cells.toString, "m" -> m.toString,
+      "subDim" -> subDim.toString, "k" -> k.toString,
+      "target_cell_size" -> targetCellSize.toString))
     cells
   }
+
+  /** The sized layout's maintenance contract: when the manifest carries
+    * `target_cell_size` (the index was built by a `writeIvf*Sized`),
+    * a maintenance RETRAIN re-derives cells = ⌈N_union/size⌉ instead of
+    * freezing the stored cell count — the fixed-size invariant (cell
+    * population ≈ size, the linear-at-scale property) survives the
+    * index's own growth. Appends never resize (they fold into the
+    * frozen geometry); only the retrain branch, which rewrites the
+    * whole tree anyway, re-sizes.
+    */
+  private def manifestTargetCellSize(spark: SparkSession,
+      dir: String): Option[Int] =
+    readIndexManifest(spark, dir).flatMap(_.get("target_cell_size"))
+      .flatMap(_.toIntOption)
 
   /** Stored-artifact generation stamp: (max mtime, file count, total
     * bytes) of the data files under `path`, folded to one Long. A
@@ -1259,8 +1283,13 @@ object Sink {
       cadenceCells = storedCells.getOrElse(
         spark.read.parquet(s"$dir/centroids").select("cell")
           .distinct().count().toInt),
-      retrainWrite = (union, tmp) =>
-        writeIvfIndex(union, tmp, storedCells.getOrElse(cells), iters),
+      retrainWrite = (union, tmp) => manifestTargetCellSize(spark, dir) match {
+        // a SIZED index re-derives cells from the union (the fixed-size
+        // invariant survives the index's own growth); a probe-layout
+        // index keeps its stored cell count
+        case Some(sz) => writeIvfIndexSized(union, tmp, sz, iters); ()
+        case None => writeIvfIndex(union, tmp, storedCells.getOrElse(cells), iters)
+      },
       append = (u, a) => appendAssignedIvf(u, a, dir),
       label = "maintainIvfIndex")
     Seq((o.action, o.psi, o.due, o.nStored, o.nBatch, o.nAfter,
@@ -1479,8 +1508,11 @@ object Sink {
     val o = maintainCore(spark, uniq, dir, threshold, compactFilesPerCell,
       extraDue = codeDue,
       cadenceCells = cells,
-      retrainWrite = (union, tmp) =>
-        writeIvfPqIndex(union, tmp, cells, iters, m, subDim, k),
+      retrainWrite = (union, tmp) => manifestTargetCellSize(spark, dir) match {
+        case Some(sz) =>
+          writeIvfPqIndexSized(union, tmp, sz, iters, m, subDim, k); ()
+        case None => writeIvfPqIndex(union, tmp, cells, iters, m, subDim, k)
+      },
       append = (u, a) => appendAssignedPq(u, a, codesPerId, dir),
       label = "maintainIvfPqIndex")
     // both per-drop checkpoints are fully consumed by maintainCore
@@ -1911,8 +1943,10 @@ object Sink {
       cadenceCells = storedCells.getOrElse(
         spark.read.parquet(s"$dir/centroids").select("cell")
           .distinct().count().toInt),
-      retrainWrite = (union, tmp) =>
-        writeIvfSq8Index(union, tmp, storedCells.getOrElse(8), iters),
+      retrainWrite = (union, tmp) => manifestTargetCellSize(spark, dir) match {
+        case Some(sz) => writeIvfSq8IndexSized(union, tmp, sz, iters); ()
+        case None => writeIvfSq8Index(union, tmp, storedCells.getOrElse(8), iters)
+      },
       append = (u, a) => appendAssignedSq8(u, a, dir),
       label = "maintainIvfSq8Index")
     Seq((o.action, o.psi, o.due, o.nStored, o.nBatch, o.nAfter,

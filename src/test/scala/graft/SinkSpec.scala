@@ -405,6 +405,47 @@ class SinkSpec extends SparkSpec {
     assert(Sink.searchIvfIndex(spark, e, dirC, 10, 3).count() == 30)
   }
 
+  test("sized maintain lifecycle: manifest carries target_cell_size; a " +
+      "retrain re-derives cells from the union (fixed-size invariant)") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = e.filter(col("vec_id") < 400)
+    val dir = Files.createTempDirectory("graft-szmaint").toString
+    val sz = 64
+    val cells0 = Sink.writeIvfSq8IndexSized(base, dir, targetCellSize = sz,
+      iters = 2)
+    assert(cells0 == math.ceil(400 / 64.0).toInt) // 7
+    val mf0 = Sink.readIndexManifest(spark, dir)
+    assert(mf0.exists(_.get("target_cell_size").contains(sz.toString)),
+      "sized build must record target_cell_size in the manifest")
+    // no-drift batch appends against the frozen sized geometry
+    val batch = e.filter(col("vec_id") >= 400)
+    val log1 = Sink.maintainIvfSq8Index(spark, batch, dir).collect().head
+    assert(log1.getAs[String]("action") == "append")
+    assert(Sink.readIndexManifest(spark, dir)
+      .exists(_.get("cells").contains(cells0.toString)),
+      "an append must not resize the sized geometry")
+    // forced retrain (threshold 0 trips on any finite-batch PSI):
+    // cells re-derive from the LIVE union — the fixed-size invariant
+    // survives the index's own growth
+    val nBatch2 = 40
+    val batch2 = e.filter(col("vec_id") >= 400).limit(nBatch2)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    val log2 = Sink.maintainIvfSq8Index(spark, batch2, dir,
+      threshold = -1.0).collect().head
+    assert(log2.getAs[String]("action") == "retrain")
+    val nUnion = log2.getAs[Long]("n_after")
+    val mf2 = Sink.readIndexManifest(spark, dir)
+    val wantCells = math.ceil(nUnion / 64.0).toInt
+    assert(mf2.exists(_.get("cells").contains(wantCells.toString)),
+      s"sized retrain must resolve cells = ceil($nUnion/$sz) = $wantCells," +
+        s" manifest says ${mf2.flatMap(_.get("cells"))}")
+    assert(mf2.exists(_.get("target_cell_size").contains(sz.toString)),
+      "the retrain must re-record target_cell_size")
+    // the resized index still serves
+    assert(Sink.searchIvfSq8Index(spark, e, dir, 10, 3, nprobe = 3)
+      .count() == 30)
+  }
+
   test("searchIvfPqIndex: nprobe=2 recall holds the nprobe=1 floor") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-ivfpqnp").toString
