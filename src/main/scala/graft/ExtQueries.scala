@@ -1716,6 +1716,12 @@ object ExtQueries {
     // toks_out = budget survives both stages (spec-pinned)
     "mix_pack_shard" -> ((s, d) =>
       Corpus.mixPackShard(docs(s, d), 1000000L, 2048L, 8)),
+    // token-level packing: instances split at every 2048-token pack
+    // boundary, so each pack is exactly `capacity` tokens except the
+    // shard's final partial pack — the fixed-length trainer layout
+    "mix_pack_split" -> ((s, d) =>
+      Corpus.mixPackShard(docs(s, d), 1000000L, 2048L, 8,
+        splitAtBoundary = true)),
     // bottom-k (KMV) distinct-3-gram estimate per source + exact twin
     "sketch_kmv_ngrams" -> ((s, d) => Sketch.kmvDistinctNgrams(docs(s, d), 3, 128)),
     // DSIR importance weights toward the src0 "target domain"
@@ -2807,6 +2813,57 @@ object ExtQueries {
     (1 to 8).map(i =>
       s"(CAST(ascii(substr(m, $i, 1)) AS BIGINT) - CASE WHEN ascii(substr(m, $i, 1)) >= 97 THEN 87 ELSE 48 END) * ${1L << (4 * (8 - i))}")
       .mkString(" + ")
+
+  /** The mix materialize → shard → pack CTE chain up to `pk`
+    * (instances with per-shard positions and running token offsets) —
+    * shared by the instance-level `mix_pack_shard` oracle and the
+    * token-level `mix_pack_split` one. NOTE the two BIGINT casts
+    * (`tok_offset`, the pe branch's `toks_out`): DuckDB window SUMs
+    * widen to HUGEINT and an uncast column would leave the oracle as
+    * decimal128 against Spark's int64 under the type-sensitive driver
+    * hash (the r15 red row).
+    */
+  private lazy val mixPackCtes: String =
+    s"""WITH ps AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+      |            FROM documents GROUP BY source),
+      | q AS (SELECT source, t,
+      |     CAST(CAST(round(sqrt(CAST(t AS DOUBLE)), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS s
+      |   FROM ps),
+      | tot AS (SELECT CAST(sum(s) AS HUGEINT) AS stot FROM q),
+      | b AS (SELECT source, t, s,
+      |     CASE WHEN stot = 0 THEN 0 ELSE (CAST(1000000 AS HUGEINT) * s) // stot END AS base,
+      |     CASE WHEN stot = 0 THEN 0 ELSE (CAST(1000000 AS HUGEINT) * s) % stot END AS rem0
+      |   FROM q, tot),
+      | sb AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM b),
+      | rk AS (SELECT source, row_number() OVER (ORDER BY rem0 DESC, source) AS rnk FROM b),
+      | al AS (SELECT b.source, b.t,
+      |     CAST(b.base + CASE WHEN rk.rnk <= 1000000 - sb.sb THEN 1 ELSE 0 END AS BIGINT)
+      |       AS target
+      |   FROM b JOIN rk USING (source), sb),
+      | al2 AS (SELECT source, t, target // t AS full_epochs, target % t AS rem FROM al),
+      | dt AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |        FROM documents),
+      | fe AS (SELECT dt.doc_id, dt.source, e.epoch, dt.tokens AS toks_out
+      |        FROM dt JOIN al2 USING (source), UNNEST(range(0, al2.full_epochs)) AS e(epoch)),
+      | pc AS (SELECT source, doc_id, tokens,
+      |          COALESCE(SUM(tokens) OVER (PARTITION BY source
+      |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      |        FROM dt),
+      | pe AS (SELECT pc.doc_id, pc.source, al2.full_epochs AS epoch,
+      |          CAST(LEAST(pc.tokens, al2.rem - pc.prev) AS BIGINT) AS toks_out
+      |        FROM pc JOIN al2 USING (source) WHERE pc.prev < al2.rem),
+      | un AS (SELECT * FROM fe UNION ALL SELECT * FROM pe),
+      | ins AS (SELECT doc_id, source, epoch, toks_out,
+      |          CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR) AS inst FROM un),
+      | shd AS (SELECT ins.*, md5(inst) AS m FROM ins),
+      | sh2 AS (SELECT doc_id, source, epoch, toks_out, inst, m,
+      |          ($hexPrefixSql) % 8 AS shard FROM shd),
+      | po AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY m, inst) - 1 AS pos
+      |        FROM sh2),
+      | pk AS (SELECT *, CAST(COALESCE(SUM(toks_out) OVER (PARTITION BY shard ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+      |        FROM po)""".stripMargin
 
   /** MinHash+LSH near-dup pair SQL (signatures → capped banding →
     * exact-Jaccard verify) — shared by dedup_minhash_lsh and its
@@ -5182,51 +5239,32 @@ object ExtQueries {
     // running-sum pack layout at capacity 2048; tok_offset is CAST
     // back to BIGINT (DuckDB window sums widen to HUGEINT)
     "mix_pack_shard" ->
-      s"""WITH ps AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
-        |            FROM documents GROUP BY source),
-        | q AS (SELECT source, t,
-        |     CAST(CAST(round(sqrt(CAST(t AS DOUBLE)), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS s
-        |   FROM ps),
-        | tot AS (SELECT CAST(sum(s) AS HUGEINT) AS stot FROM q),
-        | b AS (SELECT source, t, s,
-        |     CASE WHEN stot = 0 THEN 0 ELSE (CAST(1000000 AS HUGEINT) * s) // stot END AS base,
-        |     CASE WHEN stot = 0 THEN 0 ELSE (CAST(1000000 AS HUGEINT) * s) % stot END AS rem0
-        |   FROM q, tot),
-        | sb AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM b),
-        | rk AS (SELECT source, row_number() OVER (ORDER BY rem0 DESC, source) AS rnk FROM b),
-        | al AS (SELECT b.source, b.t,
-        |     CAST(b.base + CASE WHEN rk.rnk <= 1000000 - sb.sb THEN 1 ELSE 0 END AS BIGINT)
-        |       AS target
-        |   FROM b JOIN rk USING (source), sb),
-        | al2 AS (SELECT source, t, target // t AS full_epochs, target % t AS rem FROM al),
-        | dt AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
-        |        FROM documents),
-        | fe AS (SELECT dt.doc_id, dt.source, e.epoch, dt.tokens AS toks_out
-        |        FROM dt JOIN al2 USING (source), UNNEST(range(0, al2.full_epochs)) AS e(epoch)),
-        | pc AS (SELECT source, doc_id, tokens,
-        |          COALESCE(SUM(tokens) OVER (PARTITION BY source
-        |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
-        |        FROM dt),
-        | pe AS (SELECT pc.doc_id, pc.source, al2.full_epochs AS epoch,
-        |          CAST(LEAST(pc.tokens, al2.rem - pc.prev) AS BIGINT) AS toks_out
-        |        FROM pc JOIN al2 USING (source) WHERE pc.prev < al2.rem),
-        | un AS (SELECT * FROM fe UNION ALL SELECT * FROM pe),
-        | ins AS (SELECT doc_id, source, epoch, toks_out,
-        |          CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR) AS inst FROM un),
-        | shd AS (SELECT ins.*, md5(inst) AS m FROM ins),
-        | sh2 AS (SELECT doc_id, source, epoch, toks_out, inst, m,
-        |          ($hexPrefixSql) % 8 AS shard FROM shd),
-        | po AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY m, inst) - 1 AS pos
-        |        FROM sh2),
-        | pk AS (SELECT *, CAST(COALESCE(SUM(toks_out) OVER (PARTITION BY shard ORDER BY pos
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
-        |        FROM po)
+      s"""$mixPackCtes
         | SELECT shard, CAST(pos AS BIGINT) AS pos, doc_id, epoch, source,
         |   toks_out, tok_offset,
         |   tok_offset // 2048 AS pack_id, tok_offset % 2048 AS pack_pos,
         |   (tok_offset % 2048) + toks_out > 2048 AS straddles
         | FROM pk ORDER BY shard, pos""".stripMargin,
+    // token-level packing: the pk chain's instances split at every
+    // 2048-token pack boundary — one row per (instance, pack)
+    // intersection via a per-row range explode — so each pack sums to
+    // exactly `capacity` except the shard's final partial pack
+    // (PackingSpec pins the invariant; this oracle pins the rows)
+    "mix_pack_split" ->
+      s"""$mixPackCtes,
+        | sg AS (SELECT shard, pos, doc_id, epoch, source, toks_out, tok_offset,
+        |          tok_offset // 2048 AS first_pack,
+        |          (tok_offset + toks_out - 1) // 2048 AS last_pack
+        |        FROM pk)
+        | SELECT shard, CAST(pos AS BIGINT) AS pos, doc_id, epoch, source,
+        |   p.pack_id,
+        |   CAST(p.pack_id - first_pack AS BIGINT) AS seg_index,
+        |   CAST(last_pack - first_pack + 1 AS BIGINT) AS n_segs,
+        |   CAST(greatest(tok_offset, p.pack_id * 2048) - p.pack_id * 2048 AS BIGINT) AS pack_pos,
+        |   CAST(least(tok_offset + toks_out, (p.pack_id + 1) * 2048)
+        |      - greatest(tok_offset, p.pack_id * 2048) AS BIGINT) AS seg_tokens
+        | FROM sg, UNNEST(range(sg.first_pack, sg.last_pack + 1)) p(pack_id)
+        | ORDER BY shard, pos, seg_index""".stripMargin,
     "source_mix_weights" ->
       """WITH s AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
         |           FROM documents GROUP BY source),

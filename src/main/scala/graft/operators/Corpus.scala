@@ -522,9 +522,20 @@ object Corpus {
     * packing is a per-shard running sum — parallelism = `shards`,
     * which production sets ≥ the cluster's write parallelism, so no
     * global-order window ever sees the corpus.
+    *
+    * `splitAtBoundary = true` emits TOKEN-LEVEL pack rows instead: an
+    * instance that straddles pack boundaries is split into one row per
+    * (instance, pack) intersection — (seg_index, n_segs, pack_pos,
+    * seg_tokens) — so every pack in a shard holds EXACTLY `capacity`
+    * tokens except the shard's final partial pack (the invariant a
+    * trainer's fixed-length loader assumes; PackingSpec pins it). The
+    * split is a linear explode (output rows = instances + straddle
+    * count; an instance spans ≤ ⌈toks/capacity⌉+1 packs), so the plan
+    * shape is unchanged: no new exchange, no window beyond the
+    * per-shard running sum.
     */
   def mixPackShard(docs: DataFrame, budget: Long, capacity: Long = 2048L,
-      shards: Int = 8): DataFrame = {
+      shards: Int = 8, splitAtBoundary: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(capacity > 0, s"capacity must be > 0, got $capacity")
     val inst = mixMaterializeDocs(docs, budget)
@@ -532,14 +543,37 @@ object Corpus {
     val sharded = Sampling.shuffleShards(inst, col("inst"), col("inst"), shards)
     val w = Window.partitionBy("shard").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sharded
+    val packed = sharded
       .withColumn("tok_offset", sum("toks_out").over(w) - col("toks_out"))
       .withColumn("pack_id", expr(s"tok_offset DIV ${capacity}L"))
       .withColumn("pack_pos", pmod(col("tok_offset"), lit(capacity)))
       .withColumn("straddles", col("pack_pos") + col("toks_out") > capacity)
-      .select("shard", "pos", "doc_id", "epoch", "source", "toks_out",
-        "tok_offset", "pack_id", "pack_pos", "straddles")
-      .orderBy("shard", "pos")
+    if (!splitAtBoundary)
+      packed
+        .select("shard", "pos", "doc_id", "epoch", "source", "toks_out",
+          "tok_offset", "pack_id", "pack_pos", "straddles")
+        .orderBy("shard", "pos")
+    else packed
+      // toks_out ≥ 1 always (a materialized instance carries tokens),
+      // so last_pack is well-defined and sequence() never reverses
+      .withColumn("first_pack", col("pack_id"))
+      .withColumn("last_pack",
+        expr(s"(tok_offset + toks_out - 1) DIV ${capacity}L"))
+      .drop("pack_id", "pack_pos", "straddles")
+      .withColumn("pack_id",
+        explode(sequence(col("first_pack"), col("last_pack"))))
+      .withColumn("seg_start",
+        greatest(col("tok_offset"), col("pack_id") * capacity))
+      .withColumn("seg_end",
+        least(col("tok_offset") + col("toks_out"),
+          (col("pack_id") + lit(1L)) * capacity))
+      .select(col("shard"), col("pos"), col("doc_id"), col("epoch"),
+        col("source"), col("pack_id"),
+        (col("pack_id") - col("first_pack")).as("seg_index"),
+        (col("last_pack") - col("first_pack") + lit(1L)).as("n_segs"),
+        (col("seg_start") - col("pack_id") * capacity).as("pack_pos"),
+        (col("seg_end") - col("seg_start")).as("seg_tokens"))
+      .orderBy("shard", "pos", "seg_index")
   }
 
   /** c-TF-IDF cluster topic labels (Grootendorst 2022, BERTopic §3.2,

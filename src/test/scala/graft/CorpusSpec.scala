@@ -287,6 +287,60 @@ class CorpusSpec extends SparkSpec {
     assert(viaDocs == direct)
   }
 
+  test("mixPackShard splitAtBoundary: every pack holds exactly capacity " +
+      "tokens except the final pack per shard; segments tile instances") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = (0 until 40).map(i => (i.toLong,
+        (1 to (3 + i % 7)).map(_ => "t").mkString(" "),
+        "en", s"src${i % 3}", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val budget = 500L
+    val cap = 16L
+    val segs = Corpus.mixPackShard(d, budget, capacity = cap, shards = 4,
+      splitAtBoundary = true).collect()
+    // token conservation: the split changes layout, never totals
+    assert(segs.map(_.getAs[Long]("seg_tokens")).sum == budget)
+    segs.groupBy(_.getAs[Long]("shard")).foreach { case (s, sh) =>
+      // every pack full except the last per shard
+      val byPack = sh.groupBy(_.getAs[Long]("pack_id"))
+        .map { case (p, rs) => p -> rs.map(_.getAs[Long]("seg_tokens")).sum }
+      val lastPack = byPack.keys.max
+      byPack.foreach { case (p, tok) =>
+        if (p < lastPack) assert(tok == cap,
+          s"shard $s pack $p holds $tok tokens, want $cap")
+        else assert(tok >= 1 && tok <= cap)
+      }
+      // pack ids are dense from 0 per shard
+      assert(byPack.keySet == (0L to lastPack).toSet)
+      // within a pack, segments tile it gaplessly in pack_pos order
+      sh.groupBy(_.getAs[Long]("pack_id")).foreach { case (p, rs) =>
+        var at = 0L
+        rs.sortBy(_.getAs[Long]("pack_pos")).foreach { r =>
+          assert(r.getAs[Long]("pack_pos") == at,
+            s"shard $s pack $p has a gap at $at")
+          at += r.getAs[Long]("seg_tokens")
+        }
+      }
+      // per instance: seg_index dense 0..n_segs-1, segments sum to the
+      // unsplit instance's toks_out
+      sh.groupBy(r => (r.getAs[Long]("pos"))).foreach { case (_, rs) =>
+        val n = rs.head.getAs[Long]("n_segs")
+        assert(rs.length.toLong == n)
+        assert(rs.map(_.getAs[Long]("seg_index")).sorted.toSeq ==
+          (0L until n).toSeq)
+      }
+    }
+    // the unsplit frame rolls up to the same per-instance tokens
+    val unsplit = Corpus.mixPackShard(d, budget, capacity = cap, shards = 4)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos")) ->
+        r.getAs[Long]("toks_out")).toMap
+    val rolled = segs.groupBy(r =>
+        (r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("seg_tokens")).sum }
+    assert(rolled == unsplit, "split segments must tile each instance")
+  }
+
   test("clusterTopics: each cell is labeled by its own vocabulary; stopwords and short tokens gated") {
     val spark2 = spark
     import spark2.implicits._
