@@ -289,6 +289,20 @@ object ScaleProbe {
           docs.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5)))),
           pairs, emb, tau = 0.4)
       },
+      // round-16: the mix pipeline end-to-end WITH token-level pack
+      // splitting — budget scales with the corpus so the instance
+      // stream does too; the split explode adds one row per straddle
+      // (linear), the prefix sum is the 256-bucket two-pass, sharding
+      // is one hash exchange, packing a per-shard running sum. Shards
+      // scale with the corpus (production sets them ≥ write
+      // parallelism), so the per-shard window never becomes the bound.
+      time("mix_pack_split") {
+        graft.operators.Corpus.mixPackShard(
+          docs.withColumn("source",
+            concat(lit("src"), pmod(col("doc_id"), lit(8)))),
+          budget = 1000000L * factor, capacity = 2048L,
+          shards = 8 * factor, splitAtBoundary = true)
+      },
       // round-10: the suffix-bucket population cap under a PLANTED
       // pathological corpus — every document opens with the same
       // 19-word boilerplate, so the suffixes at positions 1..15 land
