@@ -76,6 +76,9 @@ object ExtQueries {
   private lazy val ivfSq8MaintainSizedDir: String =
     TempDirs.create("graft_ivfsq8_maintain_sz") + "/index"
 
+  private lazy val ivfSq8MaintainSizedStreamDir: String =
+    TempDirs.create("graft_ivfsq8_maintain_sz_stream")
+
   private lazy val ivfPqMaintainAppendDir: String =
     TempDirs.create("graft_ivfpq_maintain_a") + "/index"
 
@@ -1298,6 +1301,31 @@ object ExtQueries {
       val dir = ivfSq8MaintainStreamDir
       Sink.writeIvfSq8Index(all.filter(col("vec_id") < 400), s"$dir/index",
         8, 2, corpusKey = Some(d + "#pqbase400"))
+      val batch = all.filter(col("vec_id") >= 400)
+      Seq(("a", 0), ("b", 1), ("c", 2)).foreach { case (tag, r) =>
+        batch.filter(pmod(col("vec_id"), lit(3)) === r)
+          .select("vec_id", "embedding").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/drops/drop=$tag")
+      }
+      graft.streaming.IvfStream.deleteRecursively(s"$dir/log")
+      graft.streaming.IvfStream.runSq8MaintainReplay(
+        s, s"$dir/drops/drop=*", s"$dir/index", s"$dir/ckpt", s"$dir/log")
+      Sink.searchIvfSq8Index(s, all, s"$dir/index", 10, 3, nprobe = 2)
+    }),
+    // the sized-layout twin of the replay above — the PRODUCTION
+    // geometry (cells = ceil(400/64) = 7, target_cell_size in the
+    // manifest) under the PRODUCTION control loop (Structured
+    // Streaming maintain decisions per drop). No drop drifts, so the
+    // served set equals a one-shot append against the frozen sized
+    // centroids; a drop that DID drift would retrain re-sized
+    // (spec-driven, SinkSpec). The oracle derives k from the base
+    // count. SIDE EFFECT: temp dirs.
+    "stream_ivfsq8_maintain_sized_replay" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfSq8MaintainSizedStreamDir
+      Sink.writeIvfSq8IndexSized(all.filter(col("vec_id") < 400),
+        s"$dir/index", targetCellSize = 64, iters = 2,
+        corpusKey = Some(d + "#sq8sized400"))
       val batch = all.filter(col("vec_id") >= 400)
       Seq(("a", 0), ("b", 1), ("c", 2)).foreach { case (tag, r) =>
         batch.filter(pmod(col("vec_id"), lit(3)) === r)
@@ -4700,6 +4728,15 @@ object ExtQueries {
     // same oracle verbatim (and the cadence compaction changed nothing)
     "stream_ivfpq_maintain_replay" -> ivfPqAppendOracle,
     "stream_ivfsq8_maintain_replay" -> ivfSq8BaseSearchOracle,
+    // sized-layout streaming maintain: the same append-regime identity
+    // with the quantizer's k DERIVED from the base count (the sized
+    // geometry); codes depend only on each vector's own max-abs and
+    // the search tail is k-agnostic, so only the kmeans head changes
+    "stream_ivfsq8_maintain_sized_replay" ->
+      s"""${kmeansBaseTrainedCte(400,
+             "SELECT greatest(CAST(ceil(count(*) / 64.0) AS BIGINT), 1) FROM eb")},
+        | $sq8CodesBody,
+        | $ivfSq8SearchTail""".stripMargin,
     "embed_ivfpq_code_drift" -> ivfPqCodeDriftOracle,
     "embed_pq_topk" ->
       s"""$pqCte
