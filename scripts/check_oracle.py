@@ -17,7 +17,16 @@ def type_kind(t):
     """Canonical type class for driver-hash compatibility. Widths within a
     kind are equivalent under .to_pylist() (int32/int64 -> int), but CROSS
     kind (decimal128 vs int64, float vs int) is exactly the divergence that
-    made mix_pack_shard driver-red in r15 while values compared equal."""
+    made mix_pack_shard driver-red in r15 while values compared equal.
+    Dictionary encoding is a physical layout, not a logical type --
+    .to_pylist() yields the value type's values -- so unwrap it before
+    classifying (DuckDB can emit dictionary-encoded string columns);
+    likewise the null type compares as None everywhere, so give it its
+    own kind instead of falling through to str(t)."""
+    if pa.types.is_dictionary(t):
+        return type_kind(t.value_type)
+    if pa.types.is_null(t):
+        return "null"
     if pa.types.is_integer(t):
         return "int"
     if pa.types.is_floating(t):

@@ -121,9 +121,21 @@ object Bench {
       "\"" + k + "\":" + ls.map(l => f"$l%.2f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${jmap(_._1)},"queries_max":${jmap(_._2)},""" +
-      s""""load":$jload,"sf":"$sfDir"}""")
+      s""""load":$jload,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's BENCH_r{N}.json keeps only a 2000-char tail of
+    // stdout, which truncates the headline JSON into an unparseable
+    // fragment once the surface is large; mirror the FULL line to a
+    // stable file so round-over-round tooling can diff headline
+    // numbers without needing a separate BENCH_ALL sweep
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()
   }
 }

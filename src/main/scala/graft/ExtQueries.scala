@@ -76,6 +76,12 @@ object ExtQueries {
   private lazy val ivfSq8MaintainSizedDir: String =
     TempDirs.create("graft_ivfsq8_maintain_sz") + "/index"
 
+  private lazy val ivfMaintainSizedDir: String =
+    TempDirs.create("graft_ivf_maintain_sz") + "/index"
+
+  private lazy val ivfPqMaintainSizedDir: String =
+    TempDirs.create("graft_ivfpq_maintain_sz") + "/index"
+
   private lazy val ivfSq8MaintainSizedStreamDir: String =
     TempDirs.create("graft_ivfsq8_maintain_sz_stream")
 
@@ -1401,6 +1407,38 @@ object ExtQueries {
         .select("action", "psi", "retrain_due", "n_stored_before",
           "n_batch", "n_after", "compacted")
     }),
+    // the sized maintain contract on the FLOAT tier — the same
+    // resize-on-retrain branch lives in all three maintain paths
+    // (round 16 oracle-checked only SQ8); the decision arithmetic is
+    // tier-independent (the payload encoding never enters it), so the
+    // oracle is the SQ8 sized one's chain verbatim: k derived from the
+    // base count as ceil(N_base/64). SIDE EFFECT: temp index dir.
+    "ivf_maintain_append_sized" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfMaintainSizedDir
+      Sink.writeIvfIndexSized(all.filter(col("vec_id") < 400), dir,
+        targetCellSize = 64, iters = 2,
+        corpusKey = Some(d + "#ivfsized400"))
+      Sink.maintainIvfIndex(s, all.filter(col("vec_id") >= 400), dir)
+        .select("action", "psi", "retrain_due", "n_stored_before",
+          "n_batch", "n_after", "compacted")
+    }),
+    // and on the COMPRESSED tier: the sized geometry applies to the
+    // coarse quantizer only (the PQ codebook is subspace-shaped, not
+    // corpus-shaped — writeIvfPqIndexSized's contract), so the oracle
+    // is maintainPqLogOracle with the coarse k derived from the base
+    // count while the per-subspace code chains keep their fixture
+    // geometry. SIDE EFFECT: temp index dir.
+    "ivfpq_maintain_append_sized" -> ((s, d) => {
+      val all = emb(s, d)
+      val dir = ivfPqMaintainSizedDir
+      Sink.writeIvfPqIndexSized(all.filter(col("vec_id") < 400), dir,
+        targetCellSize = 64, iters = 2, m = 4, subDim = 16, k = 8,
+        corpusKey = Some(d + "#pqsized400"))
+      Sink.maintainIvfPqIndex(s, all.filter(col("vec_id") >= 400), dir)
+        .select("action", "psi_coarse", "psi_code_max", "retrain_due",
+          "n_stored_before", "n_batch", "n_after", "compacted")
+    }),
     // the production control loop end-to-end: three balanced drops
     // stream through runMaintainReplay — each micro-batch takes the
     // FULL maintain decision (PSI pre-flight → append; compaction when
@@ -1680,6 +1718,22 @@ object ExtQueries {
         targetCellSize = 64, iters = 2, maxFlatCells = Int.MaxValue,
         corpusKey = Some(d + "#semdedup-sized"))),
 
+    // the sized layout's TWO-LEVEL rung — the geometry semDedupSized
+    // auto-routes to once ceil(N/64) > maxFlatCells (N > 4096 rows at
+    // the default 64), which until round 17 was spec-covered only.
+    // maxFlatCells = 4 forces the rung at verify scale: cells =
+    // ceil(N/64) (9 at sf0.01's 550-row perturbed corpus) > 4 → side =
+    // max(2, ceil(sqrt(cells))) and the stage runs side×side two-level
+    // (coarse Lloyd's, independent per-parent fine Lloyd's, pruning on
+    // the composite cell pcell·side + fine) with the sized layout's
+    // hiRankCap = 4·64 = 256 skew bound. The oracle derives BOTH knobs
+    // from count(*) (cells, then side) and unrolls both Lloyd's passes
+    // — the embed_semdedup_2level precedent with dynamic geometry — so
+    // it tracks testdata row-count changes exactly as the engine does.
+    "embed_semdedup_sized_twolevel" -> ((s, d) =>
+      Similarity.semDedupSized(perturbedCorpus(emb(s, d)), 0.95,
+        targetCellSize = 64, iters = 2, maxFlatCells = 4)),
+
     // cross-source leakage matrix: distinct shared 8-grams + gram-set
     // Jaccard per source pair — the corpus-level mixture/provenance view
     "source_overlap" -> ((s, d) => Dedup.sourceOverlap(docs(s, d), 8)),
@@ -1841,6 +1895,12 @@ object ExtQueries {
     // full BPE training loop: 5 count→argmax→merge rounds over the
     // vocabulary frame; output is the ordered merge table
     "bpe_train_merges" -> ((s, d) => TextOps.bpeTrainMerges(docs(s, d), 5)),
+    // BATCHED BPE training — the scale path: 3 count rounds, a top-3
+    // candidate window per round, symbol-disjoint candidates applied
+    // together (one bounded collect per ROUND instead of per merge —
+    // the serial loop's 32k-merge serialization bound removed)
+    "bpe_train_merges_batched" -> ((s, d) =>
+      TextOps.bpeTrainMergesBatched(docs(s, d), rounds = 3, batchSize = 3)),
     // apply the learned merges corpus-wide: per-doc BPE token counts
     // vs the char baseline (train→apply tokenizer pair)
     "bpe_encode" -> ((s, d) => TextOps.bpeEncode(docs(s, d), 5)),
@@ -2531,6 +2591,51 @@ object ExtQueries {
        | wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
        | s0 AS MATERIALIZED (SELECT word, regexp_replace(word, '(.)', '·\\1·', 'g') AS state, cnt FROM wc),
        |$rounds""".stripMargin
+  }
+
+  /** The BATCHED BPE chain ([[graft.operators.TextOps.bpeTrainMergesBatched]]
+    * mirror): per round, the pair-count CTE feeds a `batch`-row ranked
+    * window (rk by n DESC, left, right); sel keeps rank 1 plus every
+    * candidate symbol-disjoint from ALL higher-ranked candidates (a
+    * pure NOT EXISTS — the same rank-window rule the Scala side
+    * applies); the pivot folds the ≤`batch` selected patterns into
+    * nested replaces (a NULL slot degenerates to the identity
+    * replace(state, '·', '·')). Disjoint symbol sets make the nested
+    * replaces commute, so nesting order ≡ the Scala fold order.
+    */
+  private def bpeBatchChainSql(rounds: Int, batch: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      val pivCols = (1 to batch).map { k =>
+        s"""max(CASE WHEN rk = $k THEN '·' || pair_left || '··' || pair_right || '·' END) AS pat$k,
+           |       max(CASE WHEN rk = $k THEN '·' || pair_left || pair_right || '·' END) AS rep$k""".stripMargin
+      }.mkString(",\n       ")
+      val applied = (1 to batch).foldLeft("state") { (acc, k) =>
+        s"replace($acc, coalesce(pat$k, '·'), coalesce(rep$k, '·'))"
+      }
+      s""" p$i AS (SELECT ws[j] AS pair_left, ws[j + 1] AS pair_right, cnt
+         |       FROM (SELECT string_split(substr(state, 2, length(state) - 2), '··') AS ws, cnt
+         |             FROM s${i - 1}), UNNEST(range(1, len(ws))) t(j)
+         |       WHERE len(ws) >= 2),
+         | c$i AS (SELECT pair_left, pair_right, CAST(sum(cnt) AS BIGINT) AS n
+         |       FROM p$i GROUP BY pair_left, pair_right),
+         | t$i AS (SELECT pair_left, pair_right, n, rk FROM (
+         |       SELECT pair_left, pair_right, n,
+         |         row_number() OVER (ORDER BY n DESC, pair_left, pair_right) AS rk
+         |       FROM c$i) WHERE rk <= $batch),
+         | sel$i AS (SELECT a.pair_left, a.pair_right, a.n, a.rk FROM t$i a
+         |       WHERE NOT EXISTS (SELECT 1 FROM t$i b WHERE b.rk < a.rk
+         |         AND (b.pair_left IN (a.pair_left, a.pair_right)
+         |           OR b.pair_right IN (a.pair_left, a.pair_right)))),
+         | piv$i AS (SELECT
+         |       $pivCols
+         |       FROM sel$i),
+         | s$i AS MATERIALIZED (SELECT word, $applied AS state, cnt
+         |       FROM s${i - 1} CROSS JOIN piv$i)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       | wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+       | s0 AS MATERIALIZED (SELECT word, regexp_replace(word, '(.)', '·\\1·', 'g') AS state, cnt FROM wc),
+       |$roundCtes""".stripMargin
   }
 
   private val simhashSigSql: String =
@@ -3656,7 +3761,8 @@ object ExtQueries {
     * the one-row log [[graft.operators.Sink.maintainIvfPqIndex]]
     * emits — either tripwire crossing 0.25 flips the branch.
     */
-  private def maintainPqLogOracle(batchCte: String): String = {
+  private def maintainPqLogOracle(batchCte: String,
+      kExpr: String = "8"): String = {
     val bodies = (0 until 4).map(pqSubBodyBase(_, 8, 16, 10, 400)).mkString(",\n ")
     def cunion(where: String) = (0 until 4)
       .map(s => s"SELECT $s AS sub, cell AS code FROM a2_$s WHERE $where")
@@ -3664,7 +3770,7 @@ object ExtQueries {
     val gridUnion = (0 until 4)
       .map(s => s"SELECT $s AS sub, cell AS code FROM c1_$s")
       .mkString("\n   UNION ALL ")
-    s"""${kmeansBaseTrainedCte(400)},
+    s"""${kmeansBaseTrainedCte(400, kExpr)},
        | $bodies,
        | bv AS ($batchCte),
        | sc AS (SELECT cell, count(*) AS n_stored FROM a2 WHERE vec_id < 400 GROUP BY cell),
@@ -4884,6 +4990,17 @@ object ExtQueries {
     "ivfsq8_maintain_append_sized" -> maintainLogOracle(
       "SELECT vec_id, cell FROM a2 WHERE vec_id >= 400",
       "SELECT greatest(CAST(ceil(count(*) / 64.0) AS BIGINT), 1) FROM eb"),
+    // the float tier under the same sized geometry — the decision
+    // arithmetic never touches the payload encoding, so the chain is
+    // the SQ8 sized oracle's verbatim
+    "ivf_maintain_append_sized" -> maintainLogOracle(
+      "SELECT vec_id, cell FROM a2 WHERE vec_id >= 400",
+      "SELECT greatest(CAST(ceil(count(*) / 64.0) AS BIGINT), 1) FROM eb"),
+    // the compressed tier: sized coarse k (ceil(N_base/64)); the four
+    // per-subspace code chains keep their subspace-shaped geometry
+    "ivfpq_maintain_append_sized" -> maintainPqLogOracle(
+      "SELECT vec_id FROM e WHERE vec_id >= 400",
+      "SELECT greatest(CAST(ceil(count(*) / 64.0) AS BIGINT), 1) FROM eb"),
     // the compressed tier's maintenance log: coarse + code PSI chains
     // over the same batch CTEs, either tripwire flips the branch
     "ivfpq_maintain_append" -> maintainPqLogOracle(
@@ -5122,6 +5239,65 @@ object ExtQueries {
         |     round(SUM(ea.v[i] * eb.v[i]) /
         |       (sqrt(SUM(ea.v[i] * ea.v[i])) * sqrt(SUM(eb.v[i] * eb.v[i]))), 4) AS cos
         |   FROM crk a JOIN crk b ON a.cell = b.cell AND a.rk < b.rk
+        |   JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id,
+        |   UNNEST(range(1, 65)) t(i)
+        |   GROUP BY a.vec_id, b.vec_id),
+        | cdropped AS (SELECT DISTINCT vec_id FROM cpairs WHERE cos >= 0.95)
+        | SELECT r.vec_id, r.cell, r.d, r.rk, dr.vec_id IS NULL AS is_kept
+        | FROM crk r LEFT JOIN cdropped dr ON r.vec_id = dr.vec_id
+        | ORDER BY r.vec_id""".stripMargin,
+    // the SIZED layout's two-level rung: the embed_semdedup_2level
+    // chain with the geometry DERIVED from the corpus count exactly as
+    // Similarity.semDedupSized derives it — cells = ceil(N/64), side =
+    // greatest(2, ceil(sqrt(cells))) — coarse kmeansBody at k = side,
+    // fine init = the `side` lowest vec_ids per pcell, composite cell
+    // = pcell·side + fine, and the sized hiRankCap (4·64 = 256) as
+    // a.rk <= 256 on the pair join's reference side
+    "embed_semdedup_sized_twolevel" ->
+      s"""WITH $perturbedCorpusSql,
+        | knum AS (SELECT greatest(CAST(ceil(count(*) / 64.0) AS BIGINT), 1) AS cells
+        |          FROM corpus),
+        | sidec AS (SELECT greatest(2, CAST(ceil(sqrt(cells)) AS BIGINT)) AS side
+        |           FROM knum),
+        | ${kmeansBody("corpus", "(SELECT side FROM sidec)")},
+        | p AS (SELECT vec_id, cell AS pcell FROM a2),
+        | fe AS (SELECT e.vec_id, p.pcell, e.v FROM e JOIN p USING (vec_id)),
+        | f0 AS (SELECT pcell, rn - 1 AS cell, v AS c FROM (
+        |          SELECT pcell, vec_id, v,
+        |            row_number() OVER (PARTITION BY pcell ORDER BY vec_id) AS rn
+        |          FROM fe) WHERE rn <= (SELECT side FROM sidec)),
+        | fd1 AS (SELECT fe.vec_id, f0.cell,
+        |           round(SUM((fe.v[i] - f0.c[i]) * (fe.v[i] - f0.c[i])), 6) AS d
+        |         FROM fe JOIN f0 USING (pcell), UNNEST(range(1, 65)) t(i)
+        |         GROUP BY fe.vec_id, f0.cell),
+        | fa1 AS (SELECT vec_id, cell FROM (
+        |           SELECT vec_id, cell,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |           FROM fd1) WHERE rn = 1),
+        | fm1 AS (SELECT fe.pcell, fa1.cell, i, round(avg(fe.v[i]), 6) AS m
+        |         FROM fa1 JOIN fe USING (vec_id), UNNEST(range(1, 65)) t(i)
+        |         GROUP BY fe.pcell, fa1.cell, i),
+        | fc1 AS (SELECT pcell, cell, list(m ORDER BY i) AS c
+        |         FROM fm1 GROUP BY pcell, cell),
+        | fd2 AS (SELECT fe.vec_id, fc1.cell,
+        |           round(SUM((fe.v[i] - fc1.c[i]) * (fe.v[i] - fc1.c[i])), 6) AS d
+        |         FROM fe JOIN fc1 USING (pcell), UNNEST(range(1, 65)) t(i)
+        |         GROUP BY fe.vec_id, fc1.cell),
+        | fa2 AS (SELECT vec_id, cell, d FROM (
+        |           SELECT vec_id, cell, d,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |           FROM fd2) WHERE rn = 1),
+        | comp AS (SELECT fa2.vec_id,
+        |            p.pcell * (SELECT side FROM sidec) + fa2.cell AS cell,
+        |            fa2.d AS d
+        |          FROM fa2 JOIN p USING (vec_id)),
+        | crk AS (SELECT vec_id, cell, d,
+        |          row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) AS rk
+        |        FROM comp),
+        | cpairs AS (SELECT b.vec_id,
+        |     round(SUM(ea.v[i] * eb.v[i]) /
+        |       (sqrt(SUM(ea.v[i] * ea.v[i])) * sqrt(SUM(eb.v[i] * eb.v[i]))), 4) AS cos
+        |   FROM crk a JOIN crk b ON a.cell = b.cell AND a.rk < b.rk AND a.rk <= 256
         |   JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id,
         |   UNNEST(range(1, 65)) t(i)
         |   GROUP BY a.vec_id, b.vec_id),
@@ -5730,6 +5906,19 @@ object ExtQueries {
       }.mkString("\n UNION ALL\n ")
       s"""WITH ${bpeChainSql(5)}
          | SELECT * FROM ($rows) ORDER BY iter""".stripMargin
+    },
+    // batched BPE: three unrolled rounds of the rank-window selection
+    // chain; iter numbers the selected merges in (round, rank) order
+    "bpe_train_merges_batched" -> {
+      val rows = (1 to 3).map { i =>
+        s"SELECT $i AS round, rk, pair_left, pair_right, n FROM sel$i"
+      }.mkString("\n UNION ALL\n ")
+      s"""WITH ${bpeBatchChainSql(3, 3)},
+         | m AS ($rows)
+         | SELECT CAST(row_number() OVER (ORDER BY round, rk) AS INTEGER) AS iter,
+         |   CAST(round AS INTEGER) AS round, CAST(rk AS INTEGER) AS rk,
+         |   pair_left, pair_right, pair_left || pair_right AS merged, n
+         | FROM m ORDER BY iter""".stripMargin
     },
     // BPE encode: apply the learned chain's final state per vocab word,
     // join back to per-doc occurrence counts — train→apply end-to-end

@@ -548,6 +548,90 @@ object ScaleProbe {
           "ivf_delete_search_masked" -> masked,
           "ivf_delete_search_purged" -> purged)
       } else Seq.empty
+    } ++ {
+      // round-17: the maintain pre-flight's DISTRIBUTED fallback — the
+      // branch that fires when the index geometry exceeds
+      // graft.maxDriverMapEntries (cells-sized driver maps refuse; PSI
+      // comes from ONE distributed aggregate over the stored
+      // assignment). Spec-pinned bit-identical; this times it. Same
+      // fixed-batch shape as ivf_maintain above so the two rows are
+      // directly comparable: the driver-map path is ~flat in the
+      // corpus factor (generation-cached counts), the fallback re-scans
+      // the assignment per drop — INDEX-proportional by design (the
+      // trade the bound exists to make), so expect ~linear growth in
+      // the factor here and no super-linear term.
+      if (only.isEmpty || only("ivf_maintain_fallback")) {
+        import graft.operators.Sink
+        val dir = java.nio.file.Files
+          .createTempDirectory("probe_ivfmaintfb").toString
+        Sink.writeIvfIndex(emb, dir, cells = 80, iters = 2)
+        val batch = emb
+          .filter(pmod(col("vec_id"), lit(factor.toLong)) === 0)
+          .select((col("vec_id") + 2200000000L).as("vec_id"), col("embedding"))
+          .localCheckpoint()
+        val prev = sys.props.get("graft.maxDriverMapEntries")
+        try {
+          sys.props("graft.maxDriverMapEntries") = "1"
+          val t0 = System.nanoTime()
+          val log = Sink.maintainIvfIndex(spark, batch, dir,
+            cells = 80).head()
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(
+            f"[probe] ivf_maintain_fallback $dt%8.2f s " +
+              f"(action=${log.getString(0)} psi=${log.getDouble(1)}%.3f)")
+          Seq("ivf_maintain_fallback" -> dt,
+            "ivf_maintain_fallback_psi" -> log.getDouble(1))
+        } finally {
+          prev match {
+            case Some(v) => sys.props("graft.maxDriverMapEntries") = v
+            case None => sys.props.remove("graft.maxDriverMapEntries")
+          }
+        }
+      } else Seq.empty
+    } ++ {
+      // round-17: distributed cluster resolution PAST the 2²²-edge
+      // driver gate — a planted graph resolveClustersAdaptive must
+      // route to the large-star/small-star path: 9 cliques of 1024
+      // nodes (9 · 1024·1023/2 ≈ 4.71M distinct edges > 2²² ≈ 4.19M)
+      // plus one 4096-node chain, so the probe demonstrates both the
+      // dense contraction (cliques collapse in ~2 rounds) and the
+      // O(log d) diameter bound on one run. Convergence is VERIFIED,
+      // not assumed: component count must be cliques + 1 and every
+      // label the component min.
+      if (only.isEmpty || only("dedup_clusters_star")) {
+        val cliques = 9L
+        val m = 1024L
+        val cliqueIds = spark.range(cliques * m)
+          .selectExpr(s"id div $m AS blk", "id")
+        val cliqueEdges = cliqueIds.as("x").join(cliqueIds.as("y"), "blk")
+          .filter(col("x.id") < col("y.id"))
+          .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+        val chainBase = 10000000L
+        val chainEdges = spark.range(4096L)
+          .select((col("id") + chainBase).as("doc_a"),
+            (col("id") + chainBase + 1).as("doc_b"))
+        val pairs = cliqueEdges.unionByName(chainEdges)
+          .repartition(cpus.toInt).localCheckpoint()
+        val nEdges = pairs.count()
+        val t0 = System.nanoTime()
+        val labels = Dedup.resolveClustersAdaptive(pairs)
+        val comps = labels.agg(countDistinct("cluster")).head().getLong(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // fixpoint check: every clique labels to blk·m, the chain to
+        // its base — any other label means a non-converged component
+        val wrong = labels
+          .withColumn("expect",
+            when(col("id") >= chainBase, lit(chainBase))
+              .otherwise(expr(s"(id div $m) * $m")))
+          .filter(col("cluster") =!= col("expect")).count()
+        System.err.println(
+          f"[probe] dedup_clusters_star $dt%8.2f s (edges=$nEdges " +
+            f"comps=$comps wrong=$wrong expected=${cliques + 1})")
+        Seq("dedup_clusters_star" -> dt,
+          "dedup_clusters_star_edges" -> nEdges.toDouble,
+          "dedup_clusters_star_comps" -> comps.toDouble,
+          "dedup_clusters_star_wrong" -> wrong.toDouble)
+      } else Seq.empty
     }
 
     val qj = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

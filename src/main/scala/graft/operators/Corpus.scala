@@ -502,7 +502,21 @@ object Corpus {
       .filter(col("prev") < col("rem"))
       .select(col("doc_id"), col("source"), col("full_epochs").as("epoch"),
         least(col("tokens"), col("rem") - col("prev")).as("toks_out"))
+    // toks_out ≥ 1 is the invariant every consumer leans on —
+    // mixPackShard's split path computes last_pack = (offset+toks-1) DIV
+    // cap, and a zero-token instance would make sequence() silently emit
+    // no rows, dropping the instance from the split output without
+    // error. Enforce it HERE, at the producer, loudly: tokens ≥ 1 by
+    // construction (split never yields an empty array) and partRows
+    // filters prev < rem so rem - prev ≥ 1, but a future materializer
+    // edit must fail the run, not corrupt the pack stream.
     fullRows.unionByName(partRows)
+      .withColumn("toks_out",
+        when(col("toks_out") >= 1, col("toks_out"))
+          .otherwise(raise_error(concat(
+            lit("mixMaterializeDocs: zero-token instance doc_id="),
+            col("doc_id").cast("string"),
+            lit(" epoch="), col("epoch").cast("string")))))
   }
 
   /** The mix pipeline END TO END — materialize → shard → pack: the
@@ -554,8 +568,10 @@ object Corpus {
           "tok_offset", "pack_id", "pack_pos", "straddles")
         .orderBy("shard", "pos")
     else packed
-      // toks_out ≥ 1 always (a materialized instance carries tokens),
-      // so last_pack is well-defined and sequence() never reverses
+      // toks_out ≥ 1 always (a materialized instance carries tokens —
+      // ENFORCED by mixMaterializeDocs' raise_error guard, not just
+      // argued), so last_pack is well-defined and sequence() never
+      // reverses
       .withColumn("first_pack", col("pack_id"))
       .withColumn("last_pack",
         expr(s"(tok_offset + toks_out - 1) DIV ${capacity}L"))

@@ -511,8 +511,17 @@ object Sink {
     * pin the fallback).
     */
   private[graft] def maxDriverMapEntries: Long =
-    sys.props.get("graft.maxDriverMapEntries").map(_.toLong)
-      .getOrElse(1L << 24)
+    sys.props.get("graft.maxDriverMapEntries") match {
+      case None => 1L << 24
+      case Some(v) =>
+        // parse loudly at the config boundary: a malformed override must
+        // read as a config error, not a NumberFormatException surfacing
+        // from deep inside a maintain/search path
+        val parsed = v.toLongOption
+        require(parsed.isDefined,
+          s"graft.maxDriverMapEntries must be a long, got '$v'")
+        parsed.get
+    }
 
   /** The index's cell-count geometry — manifest first (free), else a
     * generation-cached centroid count (one footer-only job per index

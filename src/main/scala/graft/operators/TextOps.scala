@@ -1040,6 +1040,13 @@ object TextOps {
   /** Shared trainer: returns (vocabulary frame with `word`/`cnt`, the
     * learned merges (iter, left, right, merged, n)). Each round is a
     * vocab-sized explode + one aggregate + a 1-row TakeOrdered collect.
+    *
+    * SCALE BOUND: the loop is serialized on the merge count — one
+    * synchronous Spark job per merge, so a production 32k-merge
+    * vocabulary is 32k round-trips. Exactness at the fixture's small
+    * `iters` is why this stays the reference-parity path; large-vocab
+    * training should use [[bpeTrainMergesBatched]], which selects a
+    * symbol-disjoint batch of merges per count round.
     */
   private def trainMerges(docs: DataFrame, iters: Int)
       : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
@@ -1077,6 +1084,84 @@ object TextOps {
       }
     }
     (vocab, merges.toSeq)
+  }
+
+  /** BATCHED BPE training — the production form of [[bpeTrainMerges]]'
+    * loop. The serial trainer is exact but pays ONE synchronous Spark
+    * job per merge: a 32k-merge production vocabulary is 32k serial
+    * round-trips, the loop's only scale bound. The standard fix (used
+    * by practical BPE trainers) is to select SEVERAL merges per count
+    * round: each round counts pairs once, takes the top `batchSize`
+    * candidates by (count desc, left, right), and applies every
+    * candidate whose two symbols are DISJOINT from all higher-ranked
+    * candidates in the window — jobs drop from one per merge to one per
+    * round (32k merges at batch 256 ≈ 125 rounds).
+    *
+    * Why symbol-disjointness makes the batch exact w.r.t. its own
+    * counts: in the wrapped-symbol encoding a merge is the replace
+    * '·a··b·' → '·ab·', and two patterns over disjoint symbol sets can
+    * never overlap in the state string (each occurrence spans only its
+    * own symbols' wrapped spans), so the selected replaces commute and
+    * one pass applies them all. What batching changes vs serial BPE is
+    * only the counts CADENCE: candidates 2..k are chosen on the counts
+    * as of the round start, not recounted after each merge — the
+    * standard, documented approximation. The conflict rule is
+    * deliberately rank-window-shaped (drop ANY candidate sharing a
+    * symbol with a higher-RANKED one, selected or not) rather than
+    * sequential-greedy, so selection is a pure per-row predicate — the
+    * same one-aggregate-per-round shape at any batch size, and
+    * oracle-expressible declaratively.
+    *
+    * Output: (iter, round, rk, pair_left, pair_right, merged, n) —
+    * iter the global merge index in (round, rank) order.
+    */
+  def bpeTrainMergesBatched(docs: DataFrame, rounds: Int = 3,
+      batchSize: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = spread(docs)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .cache()
+    var state = vocab.withColumn("state",
+      regexp_replace(col("word"), "(.)", "·$1·"))
+    val out = scala.collection.mutable
+      .ArrayBuffer[(Int, Int, Int, String, String, String, Long)]()
+    var iter = 0
+    for (round <- 1 to rounds) {
+      val syms = split(regexp_replace(col("state"), "^·|·$", ""), "··")
+      // one vocab-sized aggregate + ONE bounded (≤ batchSize rows)
+      // TakeOrdered collect per round — the driver never sees more
+      // than the candidate window
+      val top = state
+        .select(syms.as("ws"), col("cnt"))
+        .filter(size(col("ws")) >= 2)
+        .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 1)))
+        .select(element_at(col("ws"), col("i")).as("pair_left"),
+          element_at(col("ws"), col("i") + 1).as("pair_right"), col("cnt"))
+        .groupBy("pair_left", "pair_right").agg(sum("cnt").as("n"))
+        .orderBy(desc("n"), col("pair_left"), col("pair_right"))
+        .limit(batchSize)
+        .collect()
+      val ranked = top.toSeq.zipWithIndex.map { case (r, i) =>
+        (i + 1, r.getString(0), r.getString(1), r.getLong(2)) }
+      val selected = ranked.filter { case (rk, l, r, _) =>
+        ranked.forall { case (rk2, l2, r2, _) =>
+          rk2 >= rk || (Set(l2, r2) intersect Set(l, r)).isEmpty }
+      }
+      selected.foreach { case (rk, l, r, n) =>
+        iter += 1
+        out += ((iter, round, rk, l, r, l + r, n))
+      }
+      state = selected.foldLeft(state) { case (st, (_, l, r, _)) =>
+        st.withColumn("state",
+          replace(col("state"), lit(s"·${l}··${r}·"), lit(s"·${l}${r}·")))
+      }
+    }
+    vocab.unpersist()
+    out.toSeq
+      .toDF("iter", "round", "rk", "pair_left", "pair_right", "merged", "n")
+      .orderBy("iter")
   }
 
   /** Template detection by shared k-word prefix: documents that open

@@ -51,6 +51,43 @@ class DriftBpeSpec extends SparkSpec {
       (2, "aa", "a", "aaa", 10L)))
   }
 
+  test("bpeTrainMergesBatched: rank-window conflict rule — a candidate " +
+      "sharing a symbol with a higher-ranked one is dropped, disjoint " +
+      "ones merge together; counts recount at round cadence") {
+    // vocab: abc ×20, ab ×10, de ×10 → round-1 counts (a,b)=30,
+    // (b,c)=20, (d,e)=10. Window of 3: rank-1 (a,b) selected; rank-2
+    // (b,c) shares 'b' with rank-1 → dropped; rank-3 (d,e) is disjoint
+    // from BOTH higher-ranked candidates → selected alongside.
+    // Round 2 recounts over the merged state ([ab,c] ×20) and learns
+    // (ab, c) = 20 — the merged symbol visible only because the round
+    // boundary recounted.
+    val d = docs(
+      (0L until 20L).map(i => (i, "abc", "s")) ++
+        (20L until 30L).map(i => (i, "ab", "s")) ++
+        (30L until 40L).map(i => (i, "de", "s")): _*)
+    val r = TextOps.bpeTrainMergesBatched(d, rounds = 2, batchSize = 3)
+      .collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getInt(2), x.getString(3),
+        x.getString(4), x.getString(5), x.getLong(6)))
+    assert(r.toSeq == Seq(
+      (1, 1, 1, "a", "b", "ab", 30L),
+      (2, 1, 3, "d", "e", "de", 10L),
+      (3, 2, 1, "ab", "c", "abc", 20L)))
+  }
+
+  test("bpeTrainMergesBatched at batchSize=1 reproduces the serial " +
+      "trainer's merge sequence exactly") {
+    val d = docs((0L until 10L).map(i => (i, "aaa", "s")) ++
+      (10L until 15L).map(i => (i, "bc", "s")): _*)
+    val serial = TextOps.bpeTrainMerges(d, 3).collect()
+      .map(x => (x.getString(1), x.getString(2), x.getLong(4))).toSeq
+    val batched = TextOps.bpeTrainMergesBatched(d, rounds = 3, batchSize = 1)
+      .collect()
+      .map(x => (x.getString(3), x.getString(4), x.getLong(6))).toSeq
+    assert(batched == serial,
+      s"batchSize=1 must degenerate to serial: $batched vs $serial")
+  }
+
   test("bpeEncode: learned merges compress each doc; counts are exact") {
     // vocab {aaa, bc}: merges (a,a)→aa then (aa,a)→aaa (n=20,10) use up
     // rounds 1-2; rounds 3+ merge (b,c) n=5. 'aaa' → 1 token,

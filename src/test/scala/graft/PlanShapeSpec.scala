@@ -91,12 +91,17 @@ class PlanShapeSpec extends SparkSpec {
     // parquet scan is the batch side. The maintenance loop's per-drop
     // cost is then bounded by the batch, never by index data or files.
     val p = plan("embed_ivf_append_drift")
-    val scanBlocks = p.split("Scan parquet").toSeq.tail
-    // match the WHOLE scan block (not a prefix): with a wide schema the
-    // Location line can sit past any fixed char budget in formatted
-    // EXPLAIN output, and a truncated match would let an index scan pass
-    assert(!scanBlocks.exists(_.contains("assignment")),
-      s"drift plan still scans the stored assignment:\n${p.take(1500)}")
+    // assert on the scans' Location lines specifically: every parquet
+    // scan's detail section carries exactly one, it names the scanned
+    // path in full (no char-budget truncation risk), and bounding the
+    // match to that line keeps an unrelated later occurrence of the
+    // substring (a column alias, a subquery name) from failing the test
+    val locations = p.linesIterator
+      .filter(_.trim.startsWith("Location")).toSeq
+    assert(locations.nonEmpty,
+      s"expected at least one parquet scan Location line:\n${p.take(800)}")
+    assert(!locations.exists(_.contains("assignment")),
+      s"drift plan still scans the stored assignment:\n${locations.mkString("\n")}")
     assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
       s"stored counts must enter as a local (driver-map) relation:\n${p.take(800)}")
   }

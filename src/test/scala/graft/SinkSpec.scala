@@ -326,6 +326,24 @@ class SinkSpec extends SparkSpec {
     check(skew, 0.0001)
   }
 
+  test("maxDriverMapEntries: malformed override is a loud config error, " +
+      "not a NumberFormatException from inside a maintain path") {
+    val prev = sys.props.get("graft.maxDriverMapEntries")
+    try {
+      sys.props("graft.maxDriverMapEntries") = "not-a-number"
+      val ex = intercept[IllegalArgumentException] {
+        Sink.maxDriverMapEntries
+      }
+      assert(ex.getMessage.contains("graft.maxDriverMapEntries"))
+      assert(ex.getMessage.contains("not-a-number"))
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.maxDriverMapEntries") = v
+        case None => sys.props.remove("graft.maxDriverMapEntries")
+      }
+    }
+  }
+
   test("driver-map geometry guard: above maxDriverMapEntries the collects " +
       "refuse and the maintain pre-flight falls back, bit-identically") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
