@@ -632,6 +632,29 @@ object ScaleProbe {
           "dedup_clusters_star_comps" -> comps.toDouble,
           "dedup_clusters_star_wrong" -> wrong.toDouble)
       } else Seq.empty
+    } ++ {
+      // round-17: the batched BPE trainer's round-count claim measured.
+      // Equal merge budget (16): the serial loop pays 16 synchronous
+      // count→argmax jobs; the batched trainer pays 2 count rounds with
+      // an 8-candidate window. The per-round aggregate is vocabulary-
+      // sized in both (scales with the factor identically) — the
+      // difference isolates the round-trip serialization the batched
+      // form exists to remove.
+      if (only.isEmpty || only("bpe_batched")) {
+        def timeBpe(name: String)(f: => DataFrame): (String, Double) = {
+          val t0 = System.nanoTime()
+          val n = try { f.write.format("noop").mode("overwrite").save(); "ok" }
+            catch { case e: Throwable =>
+              System.err.println(s"[probe] $name FAILED: $e"); "fail" }
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[probe] $name%-24s $dt%8.2f s ($n)")
+          name -> dt
+        }
+        Seq(
+          timeBpe("bpe_train_serial16") { TextOps.bpeTrainMerges(docs, 16) },
+          timeBpe("bpe_train_batched16") {
+            TextOps.bpeTrainMergesBatched(docs, rounds = 2, batchSize = 8) })
+      } else Seq.empty
     }
 
     val qj = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -464,6 +464,50 @@ class SinkSpec extends SparkSpec {
       .count() == 30)
   }
 
+  test("sized retrain re-derives cells on the FLOAT and PQ tiers too — " +
+      "the resize branch is shared, not SQ8-specific") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = e.filter(col("vec_id") < 400)
+    val batch = e.filter(col("vec_id") >= 400).limit(40)
+      .select((col("vec_id") + 300000L).as("vec_id"), col("embedding"))
+    val sz = 64
+
+    val dirF = Files.createTempDirectory("graft-szmaint-ivf").toString
+    assert(Sink.writeIvfIndexSized(base, dirF, targetCellSize = sz,
+      iters = 2) == 7)
+    val logF = Sink.maintainIvfIndex(spark, batch, dirF,
+      threshold = -1.0).collect().head
+    assert(logF.getAs[String]("action") == "retrain")
+    val wantF = math.ceil(logF.getAs[Long]("n_after") / 64.0).toInt
+    val mfF = Sink.readIndexManifest(spark, dirF)
+    assert(mfF.exists(_.get("cells").contains(wantF.toString)),
+      s"float-tier sized retrain: want cells=$wantF, " +
+        s"manifest says ${mfF.flatMap(_.get("cells"))}")
+    assert(mfF.exists(_.get("target_cell_size").contains(sz.toString)))
+    assert(Sink.searchIvfIndex(spark, e, dirF, 10, 3).count() == 30)
+
+    val dirP = Files.createTempDirectory("graft-szmaint-pq").toString
+    assert(Sink.writeIvfPqIndexSized(base, dirP, targetCellSize = sz,
+      iters = 2, m = 4, subDim = 16, k = 8) == 7)
+    val logP = Sink.maintainIvfPqIndex(spark, batch, dirP,
+      threshold = -1.0).collect().head
+    assert(logP.getAs[String]("action") == "retrain")
+    val wantP = math.ceil(logP.getAs[Long]("n_after") / 64.0).toInt
+    val mfP = Sink.readIndexManifest(spark, dirP)
+    assert(mfP.exists(_.get("cells").contains(wantP.toString)),
+      s"PQ-tier sized retrain: want cells=$wantP, " +
+        s"manifest says ${mfP.flatMap(_.get("cells"))}")
+    assert(mfP.exists(_.get("target_cell_size").contains(sz.toString)),
+      "PQ sized retrain must re-record target_cell_size")
+    // the codebook geometry is subspace-shaped — the resize must NOT
+    // touch m/subDim/k
+    assert(mfP.exists(m => m.get("m").contains("4") &&
+      m.get("subDim").contains("16") && m.get("k").contains("8")),
+      "sized resize must leave the PQ codebook geometry unchanged")
+    assert(Sink.searchIvfPqIndex(spark, e, dirP, 10, 3, 10, 4, 16,
+      nprobe = 3).count() == 30)
+  }
+
   test("searchIvfPqIndex: nprobe=2 recall holds the nprobe=1 floor") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-ivfpqnp").toString
