@@ -20,13 +20,11 @@ def type_kind(t):
     made mix_pack_shard driver-red in r15 while values compared equal.
     Dictionary encoding is a physical layout, not a logical type --
     .to_pylist() yields the value type's values -- so unwrap it before
-    classifying (DuckDB can emit dictionary-encoded string columns);
-    likewise the null type compares as None everywhere, so give it its
-    own kind instead of falling through to str(t)."""
+    classifying (DuckDB can emit dictionary-encoded string columns).
+    The null type needs no branch: the str(t) fallthrough already
+    renders it as 'null' on both sides."""
     if pa.types.is_dictionary(t):
         return type_kind(t.value_type)
-    if pa.types.is_null(t):
-        return "null"
     if pa.types.is_integer(t):
         return "int"
     if pa.types.is_floating(t):

@@ -634,12 +634,14 @@ object ScaleProbe {
       } else Seq.empty
     } ++ {
       // round-17: the batched BPE trainer's round-count claim measured.
-      // Equal merge budget (16): the serial loop pays 16 synchronous
-      // count→argmax jobs; the batched trainer pays 2 count rounds with
-      // an 8-candidate window. The per-round aggregate is vocabulary-
-      // sized in both (scales with the factor identically) — the
-      // difference isolates the round-trip serialization the batched
-      // form exists to remove.
+      // The serial loop pays one synchronous count→argmax job per merge
+      // (16 here); the batched trainer pays one count round per WINDOW
+      // (8 rounds × 8 candidates). On this prefix-heavy replicated
+      // vocabulary the rank-window rule drops most of each window
+      // (top pairs chain-share symbols), so the actual merge counts are
+      // RECORDED below and the comparison reads jobs-per-merge from the
+      // artifact, not from the upper bound. The per-round aggregate is
+      // vocabulary-sized in both (scales with the factor identically).
       if (only.isEmpty || only("bpe_batched")) {
         def timeBpe(name: String)(f: => DataFrame): (String, Double) = {
           val t0 = System.nanoTime()
@@ -650,10 +652,25 @@ object ScaleProbe {
           System.err.println(f"[probe] $name%-24s $dt%8.2f s ($n)")
           name -> dt
         }
-        Seq(
-          timeBpe("bpe_train_serial16") { TextOps.bpeTrainMerges(docs, 16) },
-          timeBpe("bpe_train_batched16") {
-            TextOps.bpeTrainMergesBatched(docs, rounds = 2, batchSize = 8) })
+        // the merge budgets are claims, not guarantees (serial stops on
+        // exhaustion; the batched rank-window DROPS symbol-conflicting
+        // candidates) — record the ACTUAL counts alongside the timings
+        // so the comparison is honest about work done, not just rounds
+        // paid. Both results are driver-side frames; counting is free.
+        var serialDf: DataFrame = null
+        var batchedDf: DataFrame = null
+        val tS = timeBpe("bpe_train_serial16") {
+          serialDf = TextOps.bpeTrainMerges(docs, 16); serialDf }
+        val tB = timeBpe("bpe_train_batched16") {
+          batchedDf = TextOps.bpeTrainMergesBatched(docs, rounds = 8,
+            batchSize = 8); batchedDf }
+        val nS = serialDf.count().toDouble
+        val nB = batchedDf.count().toDouble
+        System.err.println(
+          s"[probe] bpe merges: serial=$nS batched=$nB")
+        Seq(tS, tB,
+          "bpe_train_serial16_merges" -> nS,
+          "bpe_train_batched16_merges" -> nB)
       } else Seq.empty
     }
 

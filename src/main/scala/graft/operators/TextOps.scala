@@ -1128,7 +1128,18 @@ object TextOps {
     val out = scala.collection.mutable
       .ArrayBuffer[(Int, Int, Int, String, String, String, Long)]()
     var iter = 0
-    for (round <- 1 to rounds) {
+    var round = 1
+    var exhausted = false
+    // per-round checkpoint of the rewritten state: without it round i
+    // re-executes every prior round's nested replaces (O(rounds²·batch)
+    // recompute) and the ANALYZED plan grows by batchSize replace calls
+    // per round — at the production scale this exists for (32k merges ≈
+    // 125 rounds × 256) Catalyst would be analyzing a 32k-deep
+    // expression tree. The checkpoint pins each round's vocab-sized
+    // result and resets the plan to one round deep; the previous
+    // round's blocks release eagerly (the kmeansAssignWithin pattern).
+    var checkpointed: Option[DataFrame] = None
+    while (round <= rounds && !exhausted) {
       val syms = split(regexp_replace(col("state"), "^·|·$", ""), "··")
       // one vocab-sized aggregate + ONE bounded (≤ batchSize rows)
       // TakeOrdered collect per round — the driver never sees more
@@ -1143,21 +1154,29 @@ object TextOps {
         .orderBy(desc("n"), col("pair_left"), col("pair_right"))
         .limit(batchSize)
         .collect()
-      val ranked = top.toSeq.zipWithIndex.map { case (r, i) =>
-        (i + 1, r.getString(0), r.getString(1), r.getLong(2)) }
-      val selected = ranked.filter { case (rk, l, r, _) =>
-        ranked.forall { case (rk2, l2, r2, _) =>
-          rk2 >= rk || (Set(l2, r2) intersect Set(l, r)).isEmpty }
-      }
-      selected.foreach { case (rk, l, r, n) =>
-        iter += 1
-        out += ((iter, round, rk, l, r, l + r, n))
-      }
-      state = selected.foldLeft(state) { case (st, (_, l, r, _)) =>
-        st.withColumn("state",
-          replace(col("state"), lit(s"·${l}··${r}·"), lit(s"·${l}${r}·")))
+      if (top.isEmpty) exhausted = true // no pairs left — stop paying
+      else {                            // vocab-sized jobs for nothing
+        val ranked = top.toSeq.zipWithIndex.map { case (r, i) =>
+          (i + 1, r.getString(0), r.getString(1), r.getLong(2)) }
+        val selected = ranked.filter { case (rk, l, r, _) =>
+          ranked.forall { case (rk2, l2, r2, _) =>
+            rk2 >= rk || (Set(l2, r2) intersect Set(l, r)).isEmpty }
+        }
+        selected.foreach { case (rk, l, r, n) =>
+          iter += 1
+          out += ((iter, round, rk, l, r, l + r, n))
+        }
+        val applied = selected.foldLeft(state) { case (st, (_, l, r, _)) =>
+          st.withColumn("state",
+            replace(col("state"), lit(s"·${l}··${r}·"), lit(s"·${l}${r}·")))
+        }
+        state = applied.localCheckpoint()
+        checkpointed.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
+        checkpointed = Some(state)
+        round += 1
       }
     }
+    checkpointed.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
     vocab.unpersist()
     out.toSeq
       .toDF("iter", "round", "rk", "pair_left", "pair_right", "merged", "n")

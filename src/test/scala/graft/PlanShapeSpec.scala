@@ -90,12 +90,20 @@ class PlanShapeSpec extends SparkSpec {
     // DRIFT PLAN itself must not touch the assignment tree: its only
     // parquet scan is the batch side. The maintenance loop's per-drop
     // cost is then bounded by the batch, never by index data or files.
-    val p = plan("embed_ivf_append_drift")
     // assert on the scans' Location lines specifically: every parquet
-    // scan's detail section carries exactly one, it names the scanned
-    // path in full (no char-budget truncation risk), and bounding the
-    // match to that line keeps an unrelated later occurrence of the
-    // substring (a column alias, a subquery name) from failing the test
+    // scan's detail section carries exactly one, and bounding the match
+    // to that line keeps an unrelated later occurrence of the substring
+    // (a column alias, a subquery name) from failing the test. The
+    // Location line IS subject to spark.sql.maxMetadataStringLength
+    // (default 100, head-kept — a deep temp dir could truncate the
+    // trailing '/assignment' and mask a regression), so raise it for
+    // the duration of the plan build.
+    val prevLen = spark.conf.get("spark.sql.maxMetadataStringLength")
+    val p =
+      try {
+        spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+        plan("embed_ivf_append_drift")
+      } finally spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
     val locations = p.linesIterator
       .filter(_.trim.startsWith("Location")).toSeq
     assert(locations.nonEmpty,

@@ -468,7 +468,11 @@ class SinkSpec extends SparkSpec {
       "the resize branch is shared, not SQ8-specific") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val base = e.filter(col("vec_id") < 400)
-    val batch = e.filter(col("vec_id") >= 400).limit(40)
+    // the batch must push the union ACROSS a cell boundary (400 + 80 =
+    // 480 → ⌈480/64⌉ = 8 ≠ the stored 7) — a smaller batch makes the
+    // re-derived count equal the frozen one and the assertions below
+    // could not tell resize-from-union apart from freeze-at-stored
+    val batch = e.filter(col("vec_id") >= 400).limit(80)
       .select((col("vec_id") + 300000L).as("vec_id"), col("embedding"))
     val sz = 64
 
@@ -479,6 +483,8 @@ class SinkSpec extends SparkSpec {
       threshold = -1.0).collect().head
     assert(logF.getAs[String]("action") == "retrain")
     val wantF = math.ceil(logF.getAs[Long]("n_after") / 64.0).toInt
+    assert(wantF != 7, "fixture must cross a cell boundary or the test " +
+      "cannot distinguish resize-from-union from freeze-at-stored")
     val mfF = Sink.readIndexManifest(spark, dirF)
     assert(mfF.exists(_.get("cells").contains(wantF.toString)),
       s"float-tier sized retrain: want cells=$wantF, " +
