@@ -1904,6 +1904,10 @@ object ExtQueries {
     // apply the learned merges corpus-wide: per-doc BPE token counts
     // vs the char baseline (train→apply tokenizer pair)
     "bpe_encode" -> ((s, d) => TextOps.bpeEncode(docs(s, d), 5)),
+    // the same train→apply pair on the BATCHED trainer's merges —
+    // end-to-end coverage of the scale path, not just its merge table
+    "bpe_encode_batched" -> ((s, d) =>
+      TextOps.bpeEncodeBatched(docs(s, d), rounds = 3, batchSize = 3)),
     // tokens/word per language under the learned merges — the
     // multilingual tokenizer-bias diagnostic
     "bpe_fertility_by_lang" -> ((s, d) => TextOps.bpeFertilityByLang(docs(s, d), 5)),
@@ -5927,6 +5931,24 @@ object ExtQueries {
          | enc AS (SELECT word,
          |       len(string_split(substr(state, 2, length(state) - 2), '··')) AS n_toks
          |       FROM s5),
+         | dw AS (SELECT doc_id, word, count(*) AS occ
+         |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |       GROUP BY doc_id, word),
+         | j AS (SELECT doc_id,
+         |       CAST(sum(occ) AS BIGINT) AS n_words,
+         |       CAST(sum(occ * length(word)) AS BIGINT) AS n_char_tokens,
+         |       CAST(sum(occ * n_toks) AS BIGINT) AS n_bpe_tokens
+         |       FROM dw JOIN enc USING (word) GROUP BY doc_id)
+         | SELECT doc_id, n_words, n_char_tokens, n_bpe_tokens,
+         |   round(CAST(n_char_tokens AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 4) AS compression
+         | FROM j ORDER BY doc_id""".stripMargin,
+    // encode over the batched chain's final state (s3) — the bpe_encode
+    // tail verbatim on the batched merge table's rewrite
+    "bpe_encode_batched" ->
+      s"""WITH ${bpeBatchChainSql(3, 3)},
+         | enc AS (SELECT word,
+         |       len(string_split(substr(state, 2, length(state) - 2), '··')) AS n_toks
+         |       FROM s3),
          | dw AS (SELECT doc_id, word, count(*) AS occ
          |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
          |       GROUP BY doc_id, word),

@@ -1016,6 +1016,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** [[bpeEncode]] over the BATCHED trainer's merges — the train→apply
+    * pair for the scale path. Merges apply to the vocabulary in global
+    * iter order (within a round the batch's replaces commute — disjoint
+    * symbol sets — so the fold order is a convention, not a
+    * correctness requirement); the corpus-sized stream is still touched
+    * only by one explode + one partial-aggregated groupBy.
+    */
+  def bpeEncodeBatched(docs: DataFrame, rounds: Int = 3,
+      batchSize: Int = 3): DataFrame = {
+    val merges = bpeTrainMergesBatched(docs, rounds, batchSize).collect()
+      .map(r => (r.getAs[String]("pair_left"), r.getAs[String]("pair_right")))
+    val vocab = spread(docs)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val encoded = merges.foldLeft(
+      vocab.withColumn("state", regexp_replace(col("word"), "(.)", "·$1·"))) {
+      case (df, (l, r)) =>
+        df.withColumn("state",
+          replace(col("state"), lit(s"·${l}··${r}·"), lit(s"·${l}${r}·")))
+    }.select(col("word"),
+      size(split(regexp_replace(col("state"), "^·|·$", ""), "··")).as("n_toks"))
+    val docWords = spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("occ"))
+    docWords.join(encoded, "word")
+      .groupBy("doc_id")
+      .agg(sum("occ").as("n_words"),
+        sum(col("occ") * length(col("word"))).as("n_char_tokens"),
+        sum(col("occ") * col("n_toks")).as("n_bpe_tokens"))
+      .withColumn("compression",
+        round(col("n_char_tokens").cast("double") /
+          col("n_bpe_tokens").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Tokenizer fertility by language — BPE tokens per word for each
     * declared lang, from the [[bpeEncode]] pass: the multilingual-bias
     * diagnostic (a tokenizer trained on a skewed mix pays more tokens

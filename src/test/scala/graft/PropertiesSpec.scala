@@ -152,4 +152,42 @@ class PropertiesSpec extends SparkSpec {
     cases(Gen.listOfN(30, Gen.oneOf("dividends", "splits", "Stock Splits", "oPen x")), 3)
       .foreach(_.foreach(n => assert(Ingest.canonical(n).isEmpty, n)))
   }
+
+  test("property: a batched-BPE round's selected merges commute — any " +
+      "application order rewrites every state identically") {
+    val spark2 = spark
+    import spark2.implicits._
+    // random small-alphabet corpora force crowded candidate windows
+    // (many conflicting top pairs) — the regime the rank-window rule
+    // filters; whatever SURVIVES selection must commute, which is the
+    // exact property the one-pass batch application leans on
+    val wordGen = Gen.choose(2, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")))
+      .map(_.mkString)
+    val corpusGen = Gen.listOfN(40, wordGen)
+    cases(corpusGen, 6).foreach { words =>
+      val docs = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w, "en", "s", w.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val sel = graft.operators.TextOps
+        .bpeTrainMergesBatched(docs, rounds = 1, batchSize = 4)
+        .collect()
+        .map(r => (r.getAs[String]("pair_left"), r.getAs[String]("pair_right")))
+        .toSeq
+      // String.replace = left-to-right non-overlapping, the same
+      // semantics as the engine's replace expression
+      def apply(order: Seq[(String, String)], w: String): String =
+        order.foldLeft(w.map(c => s"·${c}·").mkString) { case (st, (l, r)) =>
+          st.replace(s"·${l}··${r}·", s"·${l}${r}·") }
+      words.distinct.foreach { w =>
+        val fwd = apply(sel, w)
+        assert(apply(sel.reverse, w) == fwd,
+          s"selected merges $sel must commute on '$w'")
+        sel.permutations.take(6).foreach { p =>
+          assert(apply(p, w) == fwd,
+            s"order $p diverged from $fwd on '$w'")
+        }
+      }
+    }
+  }
 }
