@@ -58,6 +58,14 @@ object ExtQueries {
 
   private lazy val ivfCurveDir: String = TempDirs.create("graft_ivf_curve")
 
+  private lazy val dedupIndexDir: String = TempDirs.create("graft_dedup_index")
+
+  private lazy val dedupIndexAppendDir: String =
+    TempDirs.create("graft_dedup_index_append")
+
+  private lazy val dedupStreamDir: String =
+    TempDirs.create("graft_dedup_index_stream")
+
   private lazy val ivfMaintainAppendDir: String =
     TempDirs.create("graft_ivf_maintain_a") + "/index"
 
@@ -105,6 +113,19 @@ object ExtQueries {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** The planted incremental-dedup batch (shared by the cached and the
+    * two stored-index queries, which must classify the SAME batch to
+    * share one oracle): docs ≥ 400, plus 10 verbatim copies and 10
+    * near-copies of existing docs under re-keyed ids.
+    */
+  private def incDedupBatch(all: DataFrame): DataFrame =
+    all.filter(col("doc_id") >= 400).select("doc_id", "text")
+      .unionByName(all.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionByName(all.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" zq1 zq2 zq3")).as("text")))
 
   /** TPC-H Q1 as ONE engine-neutral SQL text: Spark executes exactly
     * this string (over a temp view of the lineitem scan) and the oracle
@@ -1745,16 +1766,70 @@ object ExtQueries {
     "dedup_incremental" -> ((s, d) => {
       val all = docs(s, d)
       val existing = all.filter(col("doc_id") < 400).select("doc_id", "text")
-      val batch = all.filter(col("doc_id") >= 400).select("doc_id", "text")
-        .unionByName(all.filter(col("doc_id") < 10)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-        .unionByName(all.filter(col("doc_id") >= 10 && col("doc_id") < 20)
-          .select((col("doc_id") + 20000).as("doc_id"),
-            concat(col("text"), lit(" zq1 zq2 zq3")).as("text")))
       // keyed: the existing-corpus index (fingerprints + shingles +
-      // capped bands) is the production stored index, built once
-      Dedup.incrementalDedup(existing, batch, 0.5,
+      // capped bands) is session-cached, built once; the stored-index
+      // twins below are the restart-safe form of the same index
+      Dedup.incrementalDedup(existing, incDedupBatch(all), 0.5,
         existingKey = Some(d + "#inc-existing"))
+    }),
+
+    // dedup_incremental against the ON-DISK index: write the
+    // existing-corpus index to parquet (manifest + fingerprints +
+    // shingles + bands, the IVF lifecycle), classify the same planted
+    // batch through the stored path — restart-safe (no session cache
+    // anywhere on this path), same oracle as dedup_incremental because
+    // stored ≡ cached by construction. SIDE EFFECT: rewrites the temp
+    // index dir per evaluation (idempotent).
+    "dedup_incremental_stored" -> ((s, d) => {
+      val all = docs(s, d)
+      Sink.writeDedupIndex(
+        all.filter(col("doc_id") < 400).select("doc_id", "text"),
+        dedupIndexDir)
+      Sink.classifyWithDedupIndex(s, incDedupBatch(all), dedupIndexDir, 0.5)
+    }),
+
+    // the APPEND leg of the stored-index lifecycle, oracle-checked with
+    // zero new SQL: build on docs < 300, append docs 300-399 (their
+    // ids/text unchanged), classify the same batch — after the append
+    // the index is equal-by-construction to one built on docs < 400,
+    // so the dedup_incremental oracle applies verbatim. SIDE EFFECT:
+    // rewrites the temp index dir per evaluation (idempotent).
+    "dedup_incremental_stored_append" -> ((s, d) => {
+      val all = docs(s, d)
+      Sink.writeDedupIndex(
+        all.filter(col("doc_id") < 300).select("doc_id", "text"),
+        dedupIndexAppendDir)
+      Sink.appendToDedupIndex(
+        all.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+          .select("doc_id", "text"),
+        dedupIndexAppendDir)
+      Sink.classifyWithDedupIndex(s, incDedupBatch(all),
+        dedupIndexAppendDir, 0.5)
+    }),
+
+    // the STREAMING twin of dedup_incremental_stored: the planted batch
+    // lands as two parquet drops, each micro-batch classifies against
+    // the frozen on-disk index inside foreachBatch, verdicts append to
+    // an output dir — verdicts are per-doc independent given the index,
+    // so the replayed union shares dedup_incremental's oracle VERBATIM.
+    // SIDE EFFECT: rewrites the temp index/drop/output dirs per
+    // evaluation (idempotent).
+    "stream_dedup_incremental_replay" -> ((s, d) => {
+      val all = docs(s, d)
+      val dir = dedupStreamDir
+      Sink.writeDedupIndex(
+        all.filter(col("doc_id") < 400).select("doc_id", "text"),
+        s"$dir/index")
+      val batch = incDedupBatch(all)
+      Seq(("a", 0), ("b", 1)).foreach { case (tag, r) =>
+        batch.filter(pmod(col("doc_id"), lit(2)) === r).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/drops/drop=$tag")
+      }
+      graft.streaming.DedupStream.runStoredClassifyReplay(
+        s, s"$dir/drops/drop=*", s"$dir/index", s"$dir/ckpt", s"$dir/out")
+      s.read.parquet(s"$dir/out")
+        .select("doc_id", "verdict", "dup_of", "jaccard")
+        .orderBy("doc_id")
     }),
 
     // ---- text analysis
@@ -4409,6 +4484,16 @@ object ExtQueries {
     // join, so the 100 TB path must reproduce the naive oracle verbatim
     "contamination_bloom" -> contaminationOracle,
     "dedup_incremental" -> incrementalDedupOracle,
+    // stored ≡ cached by construction (same index content, same
+    // classify core) — the cached-path oracle applies verbatim
+    "dedup_incremental_stored" -> incrementalDedupOracle,
+    // build-on-<300 + append-300..399 ≡ build-on-<400 by construction
+    // (raw fingerprints min-fold at read, per-doc shingles, read-time
+    // band cap) — same oracle again
+    "dedup_incremental_stored_append" -> incrementalDedupOracle,
+    // verdicts are per-doc independent given the frozen index, so the
+    // micro-batch replay's union shares the oracle verbatim
+    "stream_dedup_incremental_replay" -> incrementalDedupOracle,
     "source_overlap" -> {
       val gram8 = (0 until 8).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]")
         .mkString(" || ' ' || ")

@@ -457,21 +457,85 @@ object Dedup {
         releaseRemoved = false))
   }
 
+  /** Content fingerprint rows (fp, doc_id) — the raw form of the exact
+    * store. The cached index aggregates to fp → min(doc_id) up front;
+    * the STORED index ([[Sink.writeDedupIndex]]) keeps the raw rows so
+    * appends stay append-only and the min folds at classify time,
+    * scoped to the batch's fingerprints.
+    */
+  private[graft] def exactFpRows(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("fp"), col("doc_id"))
+
+  /** MinHash band rows (doc_id, band, bv) from a distinct shingle
+    * table — the probe-side unit both the cached and stored index
+    * paths band with.
+    */
+  private[graft] def bandRowsOf(sh: DataFrame): DataFrame =
+    minhashBandRows(minhashSignaturesFrom(sh)).drop("ext")
+
+  /** The [[lshBucketCap]] population cap over band rows: keep the cap
+    * lowest doc_ids per (band, bv) bucket — deterministic, so the cap
+    * computed at READ time over a stored band table equals the cap the
+    * cached index bakes in at build time on the same rows.
+    */
+  private[graft] def capBandRows(bands: DataFrame): DataFrame =
+    bands.withColumn("rn", row_number().over(
+        Window.partitionBy("band", "bv").orderBy("doc_id")))
+      .filter(col("rn") <= lshBucketCap).drop("rn")
+
+  /** Verdict assembly shared by the cached ([[incrementalDedup]]) and
+    * stored ([[Sink.classifyWithDedupIndex]]) incremental-dedup paths:
+    * verify the LSH collision candidates by exact Jaccard, pick the
+    * best partner per batch doc, and classify exact/near/new. `exFp`
+    * must cover (at least) the batch's fingerprint space as
+    * (fp, ex_exact=min existing doc); `exSh` must hold the FULL
+    * distinct shingle set of every doc_b in `cands`. Verdicts are
+    * per-doc independent given the index, so any partition of the
+    * batch (micro-batch replay included) composes to the same result.
+    * Returns an eagerly materialized frame (batch-sized) so callers
+    * can release their transient inputs immediately.
+    */
+  private[graft] def classifyCore(bFp: DataFrame, exFp: DataFrame,
+      bSh: DataFrame, exSh: DataFrame, cands: DataFrame,
+      threshold: Double): DataFrame = {
+    val verified = jaccardVerifyAsym(bSh, exSh, cands, threshold)
+    // best partner per batch doc, on the ROUNDED jaccard (cross-engine
+    // deterministic), doc_id ascending tiebreak
+    val best = verified
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_a").orderBy(desc("jaccard"), col("doc_b"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("ex_near"),
+        col("jaccard").as("near_jaccard"))
+    bFp.join(exFp, Seq("fp"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("ex_exact").isNotNull, lit("exact"))
+          .when(col("ex_near").isNotNull, lit("near"))
+          .otherwise(lit("new")))
+      .withColumn("dup_of", coalesce(col("ex_exact"), col("ex_near")))
+      .withColumn("jaccard",
+        when(col("ex_exact").isNull, col("near_jaccard")))
+      .select("doc_id", "verdict", "dup_of", "jaccard")
+      .orderBy("doc_id")
+      // eager: the verdict frame is batch-sized (tiny next to the index);
+      // materializing it here lets every transient block behind it be
+      // released NOW instead of pinning three block sets per keyless
+      // call until the RDDs are GC'd
+      .localCheckpoint()
+  }
+
   def incrementalDedup(existing: DataFrame, batch: DataFrame,
       threshold: Double = 0.5, existingKey: Option[String] = None): DataFrame = {
     // the existing-corpus index: exact store (content hash → min doc),
     // shingle table (feeds signatures AND Jaccard verification — min is
     // duplicate-insensitive), capped band table the batch probes
     def buildIndex(): (DataFrame, DataFrame, DataFrame) = {
-      val fp = existing.select(md5(col("text")).as("fp"), col("doc_id"))
+      val fp = exactFpRows(existing)
         .groupBy("fp").agg(min("doc_id").as("ex_exact"))
         .localCheckpoint()
       val sh = shingles(existing).localCheckpoint()
-      val capped = minhashBandRows(minhashSignaturesFrom(sh)).drop("ext")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("band", "bv").orderBy("doc_id")))
-        .filter(col("rn") <= lshBucketCap).drop("rn")
-        .localCheckpoint()
+      val capped = capBandRows(bandRowsOf(sh)).localCheckpoint()
       (fp, sh, capped)
     }
     val (exFp, exSh, exCapped) = existingKey match {
@@ -492,37 +556,12 @@ object Dedup {
     }
     val bFp = batch.select(col("doc_id"), md5(col("text")).as("fp"))
     val bSh = shingles(batch).localCheckpoint()
-    val bBands = minhashBandRows(minhashSignaturesFrom(bSh)).drop("ext")
+    val bBands = bandRowsOf(bSh)
     val cands = bBands.as("q").join(exCapped.as("e"),
         col("q.band") === col("e.band") && col("q.bv") === col("e.bv"))
       .select(col("q.doc_id").as("doc_a"), col("e.doc_id").as("doc_b"))
       .distinct()
-    val verified = jaccardVerifyAsym(bSh, exSh, cands, threshold)
-    // best partner per batch doc, on the ROUNDED jaccard (cross-engine
-    // deterministic), doc_id ascending tiebreak
-    val best = verified
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_a").orderBy(desc("jaccard"), col("doc_b"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_a").as("doc_id"), col("doc_b").as("ex_near"),
-        col("jaccard").as("near_jaccard"))
-
-    val result = bFp.join(exFp, Seq("fp"), "left")
-      .join(best, Seq("doc_id"), "left")
-      .withColumn("verdict",
-        when(col("ex_exact").isNotNull, lit("exact"))
-          .when(col("ex_near").isNotNull, lit("near"))
-          .otherwise(lit("new")))
-      .withColumn("dup_of", coalesce(col("ex_exact"), col("ex_near")))
-      .withColumn("jaccard",
-        when(col("ex_exact").isNull, col("near_jaccard")))
-      .select("doc_id", "verdict", "dup_of", "jaccard")
-      .orderBy("doc_id")
-      // eager: the verdict frame is batch-sized (tiny next to the index);
-      // materializing it here lets every transient block behind it be
-      // released NOW instead of pinning three block sets per keyless
-      // call until the RDDs are GC'd
-      .localCheckpoint()
+    val result = classifyCore(bFp, exFp, bSh, exSh, cands, threshold)
     org.apache.spark.sql.GraftShims.uncheckpoint(bSh)
     if (existingKey.isEmpty) {
       // keyless path: the index was built for this one call — release

@@ -2029,4 +2029,182 @@ object Sink {
       .select("qid", "cell", "rnk", "vec_id", "cos")
       .orderBy("qid", "rnk")
   }
+
+  // ==== stored incremental-dedup text index ==========================
+  //
+  // The on-disk form of the existing-corpus index Dedup.incrementalDedup
+  // builds (exact fingerprints, distinct shingles, MinHash band rows) —
+  // the durability the session cache can't give: a restarted driver
+  // reloads the index from parquet instead of re-shingling and
+  // re-hashing the full corpus before it can classify the next batch.
+  // Same manifest/append/compact lifecycle as the IVF family.
+  //
+  // Layout (all three tables partitioned so classify prunes):
+  //  - fingerprints/fpb=XX/  (fp, doc_id)    — RAW rows, fpb = first two
+  //    hex chars of the md5 (256 buckets). Raw instead of the cached
+  //    path's pre-aggregated fp → min(doc_id) so appends stay
+  //    append-only; the min folds at classify time, scoped to the
+  //    batch's fingerprint space.
+  //  - shingles/db=N/        (doc_id, s)     — distinct word n-grams,
+  //    db = doc_id mod 256. Verification reads ONLY the buckets holding
+  //    candidate partners (≤256 literal partition values, driver-safe).
+  //  - bands/band=B/         (bv, doc_id)    — UNCAPPED band rows (a
+  //    fixed `bands` per doc — linear storage); the lshBucketCap
+  //    population cap applies at CLASSIFY time over the probed buckets.
+  //    Capping on read instead of on write is what makes the stored
+  //    index equal-by-construction to rebuilding on the full accepted
+  //    corpus: the cap keeps the lowest doc_ids per bucket, and that
+  //    set is the same whether computed over one build or over
+  //    build + appends, in ANY append order. (The cached path caps at
+  //    build because its corpus is fixed for the session.)
+  //
+  // Cost model per classify: batch-side shingling/hashing is
+  // batch-proportional; index reads are one fingerprint-bucket-pruned
+  // scan, one band scan semi-joined to the batch's buckets, and one
+  // shingle scan pruned to candidate doc buckets — columnar slim-row
+  // scans with rowgroup stats (tables are written sorted), never a
+  // recompute of the corpus. Verification fan-in stays bounded by the
+  // read-time cap exactly as in the cached path.
+  //
+  // Append contract: append each accepted doc EXACTLY once (classify
+  // already says which docs are new — the caller appends that split).
+  // A re-appended doc_id would double its stored shingle rows and
+  // corrupt its Jaccard sizes; compactDedupIndex restores the distinct
+  // invariants as defense in depth.
+
+  private def dedupFpRows(docs: DataFrame): DataFrame =
+    Dedup.exactFpRows(docs).withColumn("fpb", substring(col("fp"), 1, 2))
+
+  private def dedupShingleRows(docs: DataFrame): DataFrame =
+    Dedup.shingles(docs).withColumn("db", pmod(col("doc_id"), lit(256L)))
+
+  private def dedupIndexManifest(spark: SparkSession, dir: String): Unit =
+    writeIndexManifest(spark, dir, Seq(
+      "kind" -> "dedup_text",
+      "shingle_n" -> "3",
+      "bands" -> (Dedup.minhashSeeds / Dedup.minhashBandSize).toString,
+      "band_cap" -> Dedup.lshBucketCap.toString))
+
+  /** Build the stored dedup index at `dir` from the accepted corpus —
+    * one shingling pass feeds both the shingle table and the band
+    * rows. Each table lands one file per partition (the writeIvfIndex
+    * layout rule: repartition on the partition column first).
+    */
+  def writeDedupIndex(existing: DataFrame, dir: String): Unit = {
+    val spark = existing.sparkSession
+    val sh = dedupShingleRows(existing).localCheckpoint()
+    sh.repartition(col("db")).sortWithinPartitions("db", "doc_id", "s")
+      .write.mode("overwrite").partitionBy("db").parquet(s"$dir/shingles")
+    dedupFpRows(existing)
+      .repartition(col("fpb")).sortWithinPartitions("fpb", "fp")
+      .write.mode("overwrite").partitionBy("fpb").parquet(s"$dir/fingerprints")
+    Dedup.bandRowsOf(sh.drop("db"))
+      .repartition(col("band")).sortWithinPartitions("band", "bv", "doc_id")
+      .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
+    dedupIndexManifest(spark, dir)
+    org.apache.spark.sql.GraftShims.uncheckpoint(sh)
+  }
+
+  /** Append an accepted batch to the stored dedup index — three
+    * batch-proportional appends, no stored row rewritten. After the
+    * append the index is equal-by-construction to [[writeDedupIndex]]
+    * on the union corpus (raw fingerprints min-fold at read; shingles
+    * are per-doc and doc_ids are new; the band cap applies at read).
+    */
+  def appendToDedupIndex(batch: DataFrame, dir: String): Unit = {
+    val spark = batch.sparkSession
+    requireIndexKind(spark, dir, "dedup_text", "appendToDedupIndex")
+    require(pathExists(spark, s"$dir/bands"),
+      s"appendToDedupIndex: no dedup index at $dir (missing bands table)")
+    val sh = dedupShingleRows(batch).localCheckpoint()
+    sh.repartition(col("db")).sortWithinPartitions("db", "doc_id", "s")
+      .write.mode("append").partitionBy("db").parquet(s"$dir/shingles")
+    dedupFpRows(batch)
+      .repartition(col("fpb")).sortWithinPartitions("fpb", "fp")
+      .write.mode("append").partitionBy("fpb").parquet(s"$dir/fingerprints")
+    Dedup.bandRowsOf(sh.drop("db"))
+      .repartition(col("band")).sortWithinPartitions("band", "bv", "doc_id")
+      .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
+    // fresh write_id: any generation-keyed consumer of this index must
+    // miss its cache after an append
+    dedupIndexManifest(spark, dir)
+    org.apache.spark.sql.GraftShims.uncheckpoint(sh)
+  }
+
+  /** Classify a new batch against the STORED index — the restart-safe
+    * twin of [[Dedup.incrementalDedup]]: same verdict schema
+    * (doc_id, verdict ∈ exact|near|new, dup_of, jaccard), same
+    * verification core ([[Dedup.classifyCore]]), the index read from
+    * parquet instead of a session cache. Identical output to the
+    * cached path on the same corpus by construction.
+    */
+  def classifyWithDedupIndex(spark: SparkSession, batch: DataFrame,
+      dir: String, threshold: Double = 0.5): DataFrame = {
+    requireIndexKind(spark, dir, "dedup_text", "classifyWithDedupIndex")
+    require(pathExists(spark, s"$dir/bands"),
+      s"classifyWithDedupIndex: no dedup index at $dir (missing bands table)")
+    val bFp = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+      .localCheckpoint()
+    // fingerprint store pruned to the batch's fp prefix buckets (≤256
+    // literal values — bounded by the bucket grid, never by the batch),
+    // then scoped to the batch's exact fingerprints before the min
+    // fold so the aggregate is collision-sized, not bucket-sized
+    val fpbs = bFp.select(substring(col("fp"), 1, 2).as("fpb")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val exFp = spark.read.parquet(s"$dir/fingerprints")
+      .filter(col("fpb").isin(fpbs: _*))
+      .join(bFp.select("fp").distinct(), Seq("fp"), "left_semi")
+      .groupBy("fp").agg(min("doc_id").as("ex_exact"))
+    val bSh = Dedup.shingles(batch).localCheckpoint()
+    val bBands = Dedup.bandRowsOf(bSh).localCheckpoint()
+    // stored band rows in batch-touched buckets only, then the
+    // read-time population cap (== the build-time cap on these rows)
+    val exCapped = Dedup.capBandRows(
+      spark.read.parquet(s"$dir/bands")
+        .join(bBands.select("band", "bv").distinct(), Seq("band", "bv"),
+          "left_semi"))
+    val cands = bBands.as("q").join(exCapped.as("e"),
+        col("q.band") === col("e.band") && col("q.bv") === col("e.bv"))
+      .select(col("q.doc_id").as("doc_a"), col("e.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint() // two consumers: bucket collect + verification
+    // shingle store pruned to candidate partners' doc buckets (≤256
+    // literal partition values), then to the candidate docs themselves;
+    // each kept doc keeps its FULL shingle set (classifyCore contract)
+    val dbs = cands.select(pmod(col("doc_b"), lit(256L)).as("db")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val shStore = spark.read.parquet(s"$dir/shingles")
+    val exSh = (if (dbs.isEmpty) shStore.filter(lit(false))
+                else shStore.filter(col("db").isin(dbs: _*)))
+      .select("doc_id", "s")
+      .join(cands.select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+    val result = Dedup.classifyCore(bFp, exFp, bSh, exSh, cands, threshold)
+    Seq(bFp, bSh, bBands, cands)
+      .foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
+    result
+  }
+
+  /** Compact the stored dedup index: rewrite each table back to the
+    * one-file-per-partition layout (appends add a file per call) and
+    * restore the distinct invariants (defense in depth against a
+    * violated append contract). Same rename-aside swap discipline as
+    * [[compactIvfIndex]] — the index stays serveable through the
+    * rewrite, and a crash leaves either tree recoverable.
+    */
+  def compactDedupIndex(spark: SparkSession, dir: String): Unit = {
+    requireIndexKind(spark, dir, "dedup_text", "compactDedupIndex")
+    def rewrite(table: String, keys: Seq[String], part: String): Unit = {
+      val tmp = s"$dir/${table}__compact"
+      spark.read.parquet(s"$dir/$table")
+        .dropDuplicates(keys)
+        .repartition(col(part)).sortWithinPartitions(keys.map(col): _*)
+        .write.mode("overwrite").partitionBy(part).parquet(tmp)
+      checkedSwap(spark, tmp, s"$dir/$table", "compactDedupIndex")
+    }
+    rewrite("shingles", Seq("db", "doc_id", "s"), "db")
+    rewrite("fingerprints", Seq("fpb", "fp", "doc_id"), "fpb")
+    rewrite("bands", Seq("band", "bv", "doc_id"), "band")
+    dedupIndexManifest(spark, dir)
+  }
 }

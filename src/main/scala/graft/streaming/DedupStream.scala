@@ -218,4 +218,51 @@ object DedupStream {
       graft.CheckpointPool.cached("stream-verify-shingles")(Dedup.shingles(docs)),
       cands, threshold)
   }
+
+  // ---------------------------------------------------------------- //
+  // Streaming incremental classify against the STORED dedup index.   //
+  // ---------------------------------------------------------------- //
+
+  /** Replay a document feed against the on-disk dedup index
+    * ([[graft.operators.Sink.writeDedupIndex]]): each micro-batch is
+    * classified exact/near/new through
+    * [[graft.operators.Sink.classifyWithDedupIndex]] and its verdicts
+    * append to `outDir`. Verdicts are per-doc independent given the
+    * index, so the union over micro-batches equals one batch classify
+    * of the whole feed — the equivalence the oracle checks.
+    *
+    * State at scale: NONE in the streaming engine — the index on disk
+    * IS the state (the IvfStream maintain pattern). The production
+    * ingest loop appends each micro-batch's accepted ('new') split to
+    * the index between triggers ([[graft.operators.Sink.appendToDedupIndex]],
+    * oracle-checked at the batch level by dedup_incremental_stored_append);
+    * this replay keeps the index frozen so the planted-batch oracle
+    * applies verbatim to the replayed union.
+    */
+  def runStoredClassifyReplay(spark: SparkSession, dropGlob: String,
+      indexDir: String, checkpointDir: String, outDir: String,
+      threshold: Double = 0.5): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(checkpointDir))
+    rm(new java.io.File(outDir))
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dropGlob)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Sink
+            .classifyWithDedupIndex(spark, batch, indexDir, threshold)
+            .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

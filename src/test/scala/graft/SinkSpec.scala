@@ -622,4 +622,99 @@ class SinkSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(stored == mem)
   }
+
+  // ---- stored incremental-dedup text index -------------------------
+
+  private val dedupExisting = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (2L, "one two three four five six seven eight nine ten eleven twelve"),
+    // verbatim copy of doc 0 under a higher id: the exact store must
+    // resolve dup_of to the MIN existing doc
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+
+  private val dedupBatchRows = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu zz1 zz2"),
+    (12L, "completely different words entirely unrelated content here nothing shared at all"))
+
+  private def dedupDocs(s: org.apache.spark.sql.SparkSession,
+      rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame =
+    s.createDataFrame(rows).toDF("doc_id", "text")
+
+  test("dedup index: stored classify survives a restart and equals the cached path") {
+    val existing = dedupDocs(spark, dedupExisting)
+    val dir = Files.createTempDirectory("graft-dedupidx").toString + "/idx"
+    Sink.writeDedupIndex(existing, dir)
+    val expected = graft.operators.Dedup
+      .incrementalDedup(existing, dedupDocs(spark, dedupBatchRows))
+      .collect().map(_.toSeq).toSeq
+    // sanity on the fixture itself: one exact (min-doc partner), one
+    // near, one new
+    assert(expected.map(r => (r(0), r(1), r(2))) ==
+      Seq((10L, "exact", 0L), (11L, "near", 1L), (12L, "new", null)))
+    // restart analog: a FRESH session shares no session-keyed cache
+    // with the build — the stored path must classify from disk alone
+    val fresh = spark.newSession()
+    val got = Sink.classifyWithDedupIndex(
+        fresh, dedupDocs(fresh, dedupBatchRows), dir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected)
+    // kind guard: an IVF index dir must be refused loudly
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ivfDir = Files.createTempDirectory("graft-dedupidx-ivf").toString
+    Sink.writeIvfIndex(e, ivfDir, cells = 4, iters = 2)
+    val ex = intercept[IllegalArgumentException] {
+      Sink.classifyWithDedupIndex(spark, dedupDocs(spark, dedupBatchRows), ivfDir)
+    }
+    assert(ex.getMessage.contains("dedup_text"))
+  }
+
+  test("dedup index: append equals rebuild-on-union in any id order") {
+    // build WITHOUT doc 0 (the min-id exact partner) and append it
+    // AFTER: the raw-fingerprint min-fold and read-time band cap must
+    // make the appended index equal to a fresh build on the union —
+    // including dup_of = 0 for the exact verdict, even though doc 5
+    // (same text, higher id) was in the base build first
+    val base = dedupDocs(spark, dedupExisting.filter(_._1 != 0L))
+    val dir = Files.createTempDirectory("graft-dedupidx-app").toString + "/idx"
+    Sink.writeDedupIndex(base, dir)
+    Sink.appendToDedupIndex(dedupDocs(spark, dedupExisting.filter(_._1 == 0L)), dir)
+    val expected = graft.operators.Dedup
+      .incrementalDedup(dedupDocs(spark, dedupExisting),
+        dedupDocs(spark, dedupBatchRows))
+      .collect().map(_.toSeq).toSeq
+    val got = Sink.classifyWithDedupIndex(
+        spark, dedupDocs(spark, dedupBatchRows), dir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected)
+    assert(got.map(r => (r(0), r(1), r(2))) ==
+      Seq((10L, "exact", 0L), (11L, "near", 1L), (12L, "new", null)))
+  }
+
+  test("dedup index: compact restores invariants after a violated append contract") {
+    val existing = dedupDocs(spark, dedupExisting)
+    val dir = Files.createTempDirectory("graft-dedupidx-cmp").toString + "/idx"
+    Sink.writeDedupIndex(dedupDocs(spark, dedupExisting.take(3)), dir)
+    // contract violation: the same doc appended twice doubles its
+    // stored shingle rows (Jaccard sizes corrupt)
+    val dup = dedupDocs(spark, dedupExisting.filter(_._1 == 5L))
+    Sink.appendToDedupIndex(dup, dir)
+    Sink.appendToDedupIndex(dup, dir)
+    Sink.compactDedupIndex(spark, dir)
+    val expected = graft.operators.Dedup
+      .incrementalDedup(existing, dedupDocs(spark, dedupBatchRows))
+      .collect().map(_.toSeq).toSeq
+    val got = Sink.classifyWithDedupIndex(
+        spark, dedupDocs(spark, dedupBatchRows), dir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected)
+    // compacted layout: one data file per partition directory in every table
+    Seq("shingles", "fingerprints", "bands").foreach { t =>
+      new java.io.File(s"$dir/$t").listFiles().filter(_.isDirectory).foreach { p =>
+        val n = p.listFiles().count(f => f.getName.endsWith(".parquet"))
+        assert(n == 1, s"$t/${p.getName}: expected 1 data file, got $n")
+      }
+    }
+  }
 }
