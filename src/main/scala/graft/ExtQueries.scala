@@ -1981,8 +1981,12 @@ object ExtQueries {
     "bpe_encode" -> ((s, d) => TextOps.bpeEncode(docs(s, d), 5)),
     // the same train→apply pair on the BATCHED trainer's merges —
     // end-to-end coverage of the scale path, not just its merge table
+    // train ONCE, thread the merges frame through the encode overload —
+    // the production train→apply wiring (the inline-training overload
+    // exists for convenience but pays training twice in a pipeline)
     "bpe_encode_batched" -> ((s, d) =>
-      TextOps.bpeEncodeBatched(docs(s, d), rounds = 3, batchSize = 3)),
+      TextOps.bpeEncodeBatched(docs(s, d),
+        TextOps.bpeTrainMergesBatched(docs(s, d), rounds = 3, batchSize = 3))),
     // tokens/word per language under the learned merges — the
     // multilingual tokenizer-bias diagnostic
     "bpe_fertility_by_lang" -> ((s, d) => TextOps.bpeFertilityByLang(docs(s, d), 5)),
@@ -2675,12 +2679,15 @@ object ExtQueries {
   /** The BATCHED BPE chain ([[graft.operators.TextOps.bpeTrainMergesBatched]]
     * mirror): per round, the pair-count CTE feeds a `batch`-row ranked
     * window (rk by n DESC, left, right); sel keeps rank 1 plus every
-    * candidate symbol-disjoint from ALL higher-ranked candidates (a
-    * pure NOT EXISTS — the same rank-window rule the Scala side
-    * applies); the pivot folds the ≤`batch` selected patterns into
-    * nested replaces (a NULL slot degenerates to the identity
-    * replace(state, '·', '·')). Disjoint symbol sets make the nested
-    * replaces commute, so nesting order ≡ the Scala fold order.
+    * candidate that neither shares a symbol with, nor stands in a
+    * merged-equals-symbol relation (either direction) with, ANY
+    * higher-ranked candidate — a pure NOT EXISTS mirroring
+    * [[graft.operators.TextOps.selectBatchWindow]] verbatim; the pivot
+    * folds the ≤`batch` selected patterns into nested replaces (a NULL
+    * slot degenerates to the identity replace(state, '·', '·')). The
+    * two exclusions make the selected replaces commute (no shared
+    * symbol instances, no pattern creation), so nesting order ≡ the
+    * Scala fold order.
     */
   private def bpeBatchChainSql(rounds: Int, batch: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
@@ -2704,7 +2711,9 @@ object ExtQueries {
          | sel$i AS (SELECT a.pair_left, a.pair_right, a.n, a.rk FROM t$i a
          |       WHERE NOT EXISTS (SELECT 1 FROM t$i b WHERE b.rk < a.rk
          |         AND (b.pair_left IN (a.pair_left, a.pair_right)
-         |           OR b.pair_right IN (a.pair_left, a.pair_right)))),
+         |           OR b.pair_right IN (a.pair_left, a.pair_right)
+         |           OR (b.pair_left || b.pair_right) IN (a.pair_left, a.pair_right)
+         |           OR (a.pair_left || a.pair_right) IN (b.pair_left, b.pair_right)))),
          | piv$i AS (SELECT
          |       $pivCols
          |       FROM sel$i),

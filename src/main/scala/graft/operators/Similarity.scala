@@ -584,6 +584,39 @@ object Similarity {
         if (!df.sparkSession.sparkContext.isStopped)
           org.apache.spark.sql.GraftShims.uncheckpoint(df))
 
+  /** Corpus row counts per (session, corpusKey): [[semDedupSized]]'s
+    * cell geometry needs N, and an unconditional driver-side
+    * `emb.count()` is one extra full-corpus scan per stage invocation
+    * at 100 TB. Values are plain Longs — nothing to release — but
+    * entries hold session references, so the cache joins the
+    * evict/sweep registration below. Same staleness contract as the
+    * quantizer cache: data changing under a key mid-session is the
+    * caller's count-under-a-new-key problem.
+    */
+  private val corpusCountCache =
+    new graft.BoundedLruCache[(SparkSession, String), java.lang.Long](
+      maxEntries = 64, release = _ => ())
+
+  /** N for sized-geometry derivation: one column-pruned count on the
+    * keyless path, cached per corpusKey otherwise (the repeated-stage
+    * path — corpus funnels call the sized stage per round on the same
+    * corpus).
+    */
+  private[graft] def corpusCount(emb: DataFrame,
+      corpusKey: Option[String]): Long = corpusKey match {
+    case None => emb.count()
+    case Some(ck) =>
+      graft.SessionCaches.watch(emb.sparkSession)
+      val key = (emb.sparkSession, ck)
+      corpusCountCache.get(key).map(_.longValue()).getOrElse(
+        corpusCountCache.putIfAbsent(key, emb.count()).longValue())
+  }
+
+  /** Test hook: the cached N for a (session, corpusKey), if any. */
+  private[graft] def cachedCorpusCount(s: SparkSession,
+      ck: String): Option[Long] =
+    corpusCountCache.get((s, ck)).map(_.longValue())
+
   locally {
     graft.SessionCaches.register(
       evict = s => {
@@ -591,11 +624,14 @@ object Similarity {
           releaseRemoved = !s.sparkContext.isStopped)
         centroidCache.removeIf(_._1 eq s,
           releaseRemoved = !s.sparkContext.isStopped)
+        corpusCountCache.removeIf(_._1 eq s, releaseRemoved = false)
       },
       sweep = () => {
         quantizerCache.removeIf(_._1.sparkContext.isStopped,
           releaseRemoved = false)
         centroidCache.removeIf(_._1.sparkContext.isStopped,
+          releaseRemoved = false)
+        corpusCountCache.removeIf(_._1.sparkContext.isStopped,
           releaseRemoved = false)
       })
   }
@@ -928,8 +964,11 @@ object Similarity {
       sampleRows: Int = AutoTrainSample, hiRankCap: Int = -1): DataFrame = {
     require(targetCellSize > 0, s"targetCellSize must be > 0, got $targetCellSize")
     val cap = if (hiRankCap == -1) 4 * targetCellSize else hiRankCap
-    val cells = math.max(1,
-      math.ceil(emb.count().toDouble / targetCellSize).toInt)
+    // N via the per-corpusKey count cache: a keyed repeat invocation
+    // (the funnel's per-round sized stage) derives its geometry without
+    // re-scanning the corpus
+    val cells = math.max(1, math.ceil(
+      corpusCount(emb, corpusKey).toDouble / targetCellSize).toInt)
     if (cells <= maxFlatCells)
       semDedup(emb, tau, cells, iters, corpusKey, sampleRows, cap)
     else {

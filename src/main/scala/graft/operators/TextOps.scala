@@ -1016,16 +1016,27 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** [[bpeEncode]] over the BATCHED trainer's merges — the train→apply
-    * pair for the scale path. Merges apply to the vocabulary in global
-    * iter order (within a round the batch's replaces commute — disjoint
-    * symbol sets — so the fold order is a convention, not a
-    * correctness requirement); the corpus-sized stream is still touched
-    * only by one explode + one partial-aggregated groupBy.
+  /** [[bpeEncodeBatched]] with the trainer run inline — convenience
+    * form; a production train→encode pipeline should train ONCE with
+    * [[bpeTrainMergesBatched]] and pass the merges frame through the
+    * overload below, not pay training twice.
     */
   def bpeEncodeBatched(docs: DataFrame, rounds: Int = 3,
-      batchSize: Int = 3): DataFrame = {
-    val merges = bpeTrainMergesBatched(docs, rounds, batchSize).collect()
+      batchSize: Int = 3): DataFrame =
+    bpeEncodeBatched(docs, bpeTrainMergesBatched(docs, rounds, batchSize))
+
+  /** [[bpeEncode]] over a BATCHED trainer's merges frame — the
+    * train→apply pair for the scale path. Merges apply to the
+    * vocabulary in global iter order (within a round the batch's
+    * replaces commute — [[selectBatchWindow]]'s exclusions — so the
+    * fold order is a convention, not a correctness requirement); the
+    * corpus-sized stream is still touched only by one explode + one
+    * partial-aggregated groupBy. The collect is merges-sized
+    * (rounds × batch, the driver-bounded training output), never
+    * corpus-sized.
+    */
+  def bpeEncodeBatched(docs: DataFrame, mergesDf: DataFrame): DataFrame = {
+    val merges = mergesDf.orderBy("iter").collect()
       .map(r => (r.getAs[String]("pair_left"), r.getAs[String]("pair_right")))
     val vocab = spread(docs)
       .select(explode(split(col("text"), " ")).as("word"))
@@ -1132,24 +1143,54 @@ object TextOps {
     * candidates in the window — jobs drop from one per merge to one per
     * round (32k merges at batch 256 ≈ 125 rounds).
     *
-    * Why symbol-disjointness makes the batch exact w.r.t. its own
-    * counts: in the wrapped-symbol encoding a merge is the replace
-    * '·a··b·' → '·ab·', and two patterns over disjoint symbol sets can
-    * never overlap in the state string (each occurrence spans only its
-    * own symbols' wrapped spans), so the selected replaces commute and
-    * one pass applies them all. What batching changes vs serial BPE is
-    * only the counts CADENCE: candidates 2..k are chosen on the counts
-    * as of the round start, not recounted after each merge — the
-    * standard, documented approximation. The conflict rule is
-    * deliberately rank-window-shaped (drop ANY candidate sharing a
-    * symbol with a higher-RANKED one, selected or not) rather than
-    * sequential-greedy, so selection is a pure per-row predicate — the
-    * same one-aggregate-per-round shape at any batch size, and
+    * Why the conflict rule makes a round's batch commute: in the
+    * wrapped-symbol encoding a merge is the replace '·a··b·' → '·ab·'.
+    * One selected replace can interact with another only by (a) sharing
+    * a symbol instance (overlapping occurrences, or destroying the
+    * other's adjacency) — excluded by symbol-set DISJOINTNESS — or (b)
+    * CREATING the other's pattern, which requires its merged string
+    * l||r to BE one of the other's symbols (e.g. (a,bc) creating 'abc'
+    * occurrences for a co-selected (abc,d)) — excluded by the
+    * merged-equals-symbol clause in EITHER rank direction. With both
+    * exclusions, one pass applies the batch in any order identically
+    * (PropertiesSpec holds this across multi-round symbol alphabets).
+    * What batching changes vs serial BPE is only the counts CADENCE:
+    * candidates 2..k are chosen on the counts as of the round start,
+    * not recounted after each merge — the standard, documented
+    * approximation. The conflict rule is deliberately
+    * rank-window-shaped (drop ANY candidate conflicting with a
+    * higher-RANKED one, selected or not) rather than sequential-greedy,
+    * so selection is a pure per-row predicate — the same
+    * one-aggregate-per-round shape at any batch size, and
     * oracle-expressible declaratively.
     *
     * Output: (iter, round, rk, pair_left, pair_right, merged, n) —
     * iter the global merge index in (round, rank) order.
     */
+  /** The batched trainer's per-window conflict rule as a pure
+    * predicate over the ranked candidate window (rk, left, right, n):
+    * keep a candidate iff NO higher-ranked candidate (selected or not)
+    * (a) shares a symbol with it, or (b) stands in a
+    * merged-equals-symbol relation with it in either direction —
+    * b.left||b.right ∈ {a.left, a.right} OR a.left||a.right ∈
+    * {b.left, b.right}. (a) alone is not enough for commutativity: a
+    * merge whose RESULT is another candidate's symbol creates new
+    * occurrences of that candidate's pattern, making one-pass
+    * application order-dependent (e.g. (a,bc) next to (abc,d)).
+    * Mirrored verbatim by the oracle's NOT EXISTS
+    * ([[graft.ExtQueries]] bpeBatchChainSql).
+    */
+  private[graft] def selectBatchWindow(
+      ranked: Seq[(Int, String, String, Long)])
+      : Seq[(Int, String, String, Long)] =
+    ranked.filter { case (rk, l, r, _) =>
+      ranked.forall { case (rk2, l2, r2, _) =>
+        rk2 >= rk || (
+          (Set(l2, r2) intersect Set(l, r)).isEmpty &&
+          l2 + r2 != l && l2 + r2 != r &&
+          l + r != l2 && l + r != r2) }
+    }
+
   def bpeTrainMergesBatched(docs: DataFrame, rounds: Int = 3,
       batchSize: Int = 3): DataFrame = {
     val spark = docs.sparkSession
@@ -1193,10 +1234,7 @@ object TextOps {
       else {                            // vocab-sized jobs for nothing
         val ranked = top.toSeq.zipWithIndex.map { case (r, i) =>
           (i + 1, r.getString(0), r.getString(1), r.getLong(2)) }
-        val selected = ranked.filter { case (rk, l, r, _) =>
-          ranked.forall { case (rk2, l2, r2, _) =>
-            rk2 >= rk || (Set(l2, r2) intersect Set(l, r)).isEmpty }
-        }
+        val selected = selectBatchWindow(ranked)
         selected.foreach { case (rk, l, r, n) =>
           iter += 1
           out += ((iter, round, rk, l, r, l + r, n))

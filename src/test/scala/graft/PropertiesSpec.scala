@@ -169,25 +169,69 @@ class PropertiesSpec extends SparkSpec {
       val docs = words.zipWithIndex
         .map { case (w, i) => (i.toLong, w, "en", "s", w.length.toLong) }
         .toDF("doc_id", "text", "lang", "source", "n_chars")
+      // rounds = 2: round-2 windows rank pairs over MULTI-CHAR symbols
+      // created in round 1, so the merged-equals-symbol conflict regime
+      // (a window candidate whose result IS another's symbol) is
+      // reachable — rounds = 1 could only ever exercise the
+      // single-char-symbol disjointness clause
       val sel = graft.operators.TextOps
-        .bpeTrainMergesBatched(docs, rounds = 1, batchSize = 4)
+        .bpeTrainMergesBatched(docs, rounds = 2, batchSize = 4)
         .collect()
-        .map(r => (r.getAs[String]("pair_left"), r.getAs[String]("pair_right")))
+        .map(r => (r.getAs[Int]("round"),
+          r.getAs[String]("pair_left"), r.getAs[String]("pair_right")))
         .toSeq
       // String.replace = left-to-right non-overlapping, the same
       // semantics as the engine's replace expression
-      def apply(order: Seq[(String, String)], w: String): String =
-        order.foldLeft(w.map(c => s"·${c}·").mkString) { case (st, (l, r)) =>
-          st.replace(s"·${l}··${r}·", s"·${l}${r}·") }
+      def applyRounds(byRound: Seq[Seq[(String, String)]], w: String): String =
+        byRound.foldLeft(w.map(c => s"·${c}·").mkString) { (st0, roundSel) =>
+          roundSel.foldLeft(st0) { case (st, (l, r)) =>
+            st.replace(s"·${l}··${r}·", s"·${l}${r}·") }
+        }
+      // the commutativity claim is PER ROUND (rounds apply in order —
+      // a later round's merges consume earlier rounds' symbols by
+      // design): permute each round's batch independently
+      val roundsInOrder = sel.map(_._1).distinct.sorted
+      def perms(round: Int) = sel.collect { case (`round`, l, r) => (l, r) }
+        .permutations.take(4).toSeq
+      val orderings = roundsInOrder.foldLeft(Seq(Seq.empty[Seq[(String, String)]])) {
+        (acc, round) => acc.flatMap(pre => perms(round).map(pre :+ _))
+      }.take(16)
       words.distinct.foreach { w =>
-        val fwd = apply(sel, w)
-        assert(apply(sel.reverse, w) == fwd,
-          s"selected merges $sel must commute on '$w'")
-        sel.permutations.take(6).foreach { p =>
-          assert(apply(p, w) == fwd,
-            s"order $p diverged from $fwd on '$w'")
+        val fwd = applyRounds(
+          roundsInOrder.map(rd => sel.collect { case (`rd`, l, r) => (l, r) }), w)
+        orderings.foreach { o =>
+          assert(applyRounds(o, w) == fwd,
+            s"within-round order $o diverged from $fwd on '$w' (sel=$sel)")
         }
       }
     }
+  }
+
+  test("property: selectBatchWindow drops pattern-creating candidates " +
+      "(merged string equal to a co-windowed candidate's symbol)") {
+    // the ADVICE-flagged regime, pinned deterministically: (ab,c) at
+    // rank 1 merges to 'abc'; (abc,d) at rank 3 CONSUMES that symbol —
+    // one-pass application would be order-dependent (applying (ab,c)
+    // first creates new ·abc··d· sites), so rank 3 must be dropped.
+    // (a,bc) at rank 2 also merges to 'abc' but shares no symbol and
+    // no merged-equals-symbol relation with rank 1 — two replaces with
+    // EQUAL results still commute (neither creates the other's
+    // pattern), so it stays.
+    val window = Seq(
+      (1, "ab", "c", 50L),
+      (2, "a", "bc", 40L),
+      (3, "abc", "d", 30L),
+      (4, "x", "y", 20L))
+    val kept = graft.operators.TextOps.selectBatchWindow(window)
+    assert(kept == Seq(
+      (1, "ab", "c", 50L), (2, "a", "bc", 40L), (4, "x", "y", 20L)))
+    // the reverse direction: a LOWER-ranked candidate whose merged
+    // string is a higher-ranked candidate's symbol must also drop —
+    // (b,c)→'bc' would create occurrences of rank-1's right symbol
+    val window2 = Seq(
+      (1, "a", "bc", 50L),
+      (2, "b", "c", 40L))
+    assert(graft.operators.TextOps.selectBatchWindow(window2) ==
+      Seq((1, "a", "bc", 50L)))
   }
 }

@@ -559,4 +559,31 @@ class SimilaritySpec extends SparkSpec {
     assert(r.forall(!_.getAs[Boolean]("mag_outlier")))
     assert(r.forall(!_.getAs[Boolean]("flagged")))
   }
+
+  test("semDedupSized derives N from the corpus-count cache on keyed re-invocation") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val key = "simspec#countcache"
+    assert(Similarity.cachedCorpusCount(spark, key).isEmpty)
+    Similarity.semDedupSized(e, 0.95, targetCellSize = 64, iters = 2,
+      corpusKey = Some(key)).write.format("noop").mode("overwrite").save()
+    val n = Similarity.cachedCorpusCount(spark, key)
+    assert(n.contains(e.count()), s"cache should hold N after the keyed call, got $n")
+    // a keyed re-derivation must launch ZERO Spark jobs — the count
+    // comes from the cache, not a corpus scan
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(Similarity.corpusCount(e, Some(key)) == n.get)
+      Thread.sleep(500) // listener bus is async; let any job event land
+      assert(jobs.get() == 0,
+        s"keyed corpusCount launched ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the keyless path still counts (no cache key to trust)
+    assert(Similarity.corpusCount(e, None) == n.get)
+  }
 }

@@ -623,6 +623,43 @@ class SinkSpec extends SparkSpec {
     assert(stored == mem)
   }
 
+  test("sized index: delete + compact preserve target_cell_size and serving") {
+    // symmetry insurance for the sized layout: append and retrain are
+    // oracle-checked on all three sized tiers, delete/compact are
+    // geometry-agnostic by construction — pin that a delete+compact
+    // cycle neither perturbs served results nor loses the sized
+    // manifest the next retrain re-derives its geometry from
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-ivfsized-del").toString
+    Sink.writeIvfIndexSized(e, dir, targetCellSize = 64, iters = 2)
+    def manifest() = Sink.readIndexManifest(spark, dir).get
+    assert(manifest().get("target_cell_size").contains("64"))
+    val cellsBefore = manifest()("cells")
+    val dead = e.filter(pmod(col("vec_id"), lit(17L)) === 3).select("vec_id")
+    val deadSet = dead.collect().map(_.getLong(0)).toSet
+    Sink.deleteFromIvfIndex(spark, dir, dead)
+    val masked = Sink.searchIvfIndex(spark, e, dir, 10, 3, 2)
+      .collect().map(_.toSeq).toSeq
+    assert(masked.nonEmpty)
+    assert(masked.forall(r => !deadSet.contains(r(3).asInstanceOf[Long])),
+      "a tombstoned id must never serve as a neighbor")
+    Sink.compactIvfIndex(spark, dir)
+    // physical purge: identical serving, tombstones consumed, rows gone
+    val purged = Sink.searchIvfIndex(spark, e, dir, 10, 3, 2)
+      .collect().map(_.toSeq).toSeq
+    assert(purged == masked)
+    assert(!new java.io.File(s"$dir/tombstones").exists() ||
+      new java.io.File(s"$dir/tombstones").listFiles()
+        .count(_.getName.endsWith(".parquet")) == 0)
+    val remaining = spark.read.parquet(s"$dir/assignment")
+      .filter(col("vec_id").isin(deadSet.toSeq.map(Long.box): _*)).count()
+    assert(remaining == 0, "compact must purge tombstoned rows physically")
+    // the sized-geometry manifest survives the rewrite untouched
+    assert(manifest().get("target_cell_size").contains("64"))
+    assert(manifest()("cells") == cellsBefore)
+    assert(manifest()("kind") == "ivf")
+  }
+
   // ---- stored incremental-dedup text index -------------------------
 
   private val dedupExisting = Seq(
