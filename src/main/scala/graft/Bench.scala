@@ -121,7 +121,17 @@ object Bench {
       "\"" + k + "\":" + ls.map(l => f"$l%.2f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
+    // self-describing artifact: BENCH_FULL.json is overwritten by every
+    // run whether headline-only or full-surface, so the line itself
+    // must carry the run mode, the query count, and a sweep id —
+    // round-over-round tooling can then detect a surface change instead
+    // of silently comparing a 23-query headline against a 313-query
+    // sweep (and the committed sweep's identity no longer lives only in
+    // PLANS.md prose)
+    val mode = if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) "all" else "headline"
+    val sweepId = java.time.Instant.now().toString
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""mode":"$mode","n_queries":${names.size},"sweep_id":"$sweepId",""" +
       s""""queries":${jmap(_._1)},"queries_max":${jmap(_._2)},""" +
       s""""load":$jload,"sf":"$sfDir"}"""
     println(line)

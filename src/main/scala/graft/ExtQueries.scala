@@ -2678,16 +2678,17 @@ object ExtQueries {
 
   /** The BATCHED BPE chain ([[graft.operators.TextOps.bpeTrainMergesBatched]]
     * mirror): per round, the pair-count CTE feeds a `batch`-row ranked
-    * window (rk by n DESC, left, right); sel keeps rank 1 plus every
-    * candidate that neither shares a symbol with, nor stands in a
-    * merged-equals-symbol relation (either direction) with, ANY
-    * higher-ranked candidate — a pure NOT EXISTS mirroring
-    * [[graft.operators.TextOps.selectBatchWindow]] verbatim; the pivot
-    * folds the ≤`batch` selected patterns into nested replaces (a NULL
-    * slot degenerates to the identity replace(state, '·', '·')). The
-    * two exclusions make the selected replaces commute (no shared
-    * symbol instances, no pattern creation), so nesting order ≡ the
-    * Scala fold order.
+    * window (rk by n DESC, left, right); selection mirrors the Scala
+    * side's SEQUENTIAL-GREEDY fold
+    * ([[graft.operators.TextOps.selectBatchWindow]]) as an unrolled
+    * kept-set chain: k{i}1 seeds with rank 1, k{i}j adds rank j iff it
+    * conflicts with NO candidate already KEPT — where conflict is
+    * shared-symbol OR merged-equals-symbol in either direction (the
+    * two exclusions that make the kept replaces commute: no shared
+    * symbol instances, no pattern creation). The pivot folds the
+    * ≤`batch` kept patterns into nested replaces (a NULL slot
+    * degenerates to the identity replace(state, '·', '·')); since the
+    * kept set commutes, nesting order ≡ the Scala fold order.
     */
   private def bpeBatchChainSql(rounds: Int, batch: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
@@ -2698,22 +2699,34 @@ object ExtQueries {
       val applied = (1 to batch).foldLeft("state") { (acc, k) =>
         s"replace($acc, coalesce(pat$k, '·'), coalesce(rep$k, '·'))"
       }
+      // greedy kept-set unroll: k$i$j = kept set after considering
+      // rank j (each CTE referenced twice — union + NOT EXISTS — so
+      // they stay tiny ≤batch-row frames; t$i is MATERIALIZED because
+      // the chain references it `batch` times and DuckDB inlines
+      // multi-referenced CTEs)
+      val keptCtes = (2 to batch).map { j =>
+        s""" k${i}_$j AS (SELECT * FROM k${i}_${j - 1}
+           |       UNION ALL
+           |       SELECT a.* FROM t$i a WHERE a.rk = $j
+           |         AND NOT EXISTS (SELECT 1 FROM k${i}_${j - 1} b
+           |           WHERE b.pair_left IN (a.pair_left, a.pair_right)
+           |             OR b.pair_right IN (a.pair_left, a.pair_right)
+           |             OR (b.pair_left || b.pair_right) IN (a.pair_left, a.pair_right)
+           |             OR (a.pair_left || a.pair_right) IN (b.pair_left, b.pair_right)))""".stripMargin
+      }.mkString(",\n")
       s""" p$i AS (SELECT ws[j] AS pair_left, ws[j + 1] AS pair_right, cnt
          |       FROM (SELECT string_split(substr(state, 2, length(state) - 2), '··') AS ws, cnt
          |             FROM s${i - 1}), UNNEST(range(1, len(ws))) t(j)
          |       WHERE len(ws) >= 2),
          | c$i AS (SELECT pair_left, pair_right, CAST(sum(cnt) AS BIGINT) AS n
          |       FROM p$i GROUP BY pair_left, pair_right),
-         | t$i AS (SELECT pair_left, pair_right, n, rk FROM (
+         | t$i AS MATERIALIZED (SELECT pair_left, pair_right, n, rk FROM (
          |       SELECT pair_left, pair_right, n,
          |         row_number() OVER (ORDER BY n DESC, pair_left, pair_right) AS rk
          |       FROM c$i) WHERE rk <= $batch),
-         | sel$i AS (SELECT a.pair_left, a.pair_right, a.n, a.rk FROM t$i a
-         |       WHERE NOT EXISTS (SELECT 1 FROM t$i b WHERE b.rk < a.rk
-         |         AND (b.pair_left IN (a.pair_left, a.pair_right)
-         |           OR b.pair_right IN (a.pair_left, a.pair_right)
-         |           OR (b.pair_left || b.pair_right) IN (a.pair_left, a.pair_right)
-         |           OR (a.pair_left || a.pair_right) IN (b.pair_left, b.pair_right)))),
+         | k${i}_1 AS (SELECT pair_left, pair_right, n, rk FROM t$i WHERE rk = 1),
+         |$keptCtes,
+         | sel$i AS (SELECT pair_left, pair_right, n, rk FROM k${i}_$batch),
          | piv$i AS (SELECT
          |       $pivCols
          |       FROM sel$i),

@@ -149,8 +149,21 @@ object ScaleProbe {
       // round-15: the FIXED-CELL-SIZE rung (cells = ceil(N/64), the
       // funnelEmbed stage): per-cell population constant ⇒ the pair
       // term is N·size (linear — the auto rung's ∝√N cells made it
-      // N^1.5), sampled training on both levels, hiRankCap skew bound
+      // N^1.5), sampled training on both levels, hiRankCap skew bound.
+      // maxFlatCells forced past the grid so this row keeps measuring
+      // the FLAT sized stage (comparable to the r15 recordings) now
+      // that the production default would route two-level here
       time("embed_semdedup_sized") {
+        Similarity.semDedupSized(emb, 0.95, targetCellSize = 64, iters = 2,
+          maxFlatCells = Int.MaxValue) },
+      // round-18: the PRODUCTION default (maxFlatCells = 64): at every
+      // probe factor cells = ceil(N/64) > 64, so this times the
+      // TWO-LEVEL sized rung exactly where it engages naturally —
+      // side = ceil(sqrt(cells)) coarse cells, per-parent fine
+      // training, same constant cell population ⇒ expect ~linear in
+      // the factor; a super-linear term here means the per-parent fine
+      // training is growing with the corpus, not the geometry
+      time("embed_semdedup_sized_twolevel") {
         Similarity.semDedupSized(emb, 0.95, targetCellSize = 64, iters = 2) },
       // round-8 additions: NB classifier (corpus-linear explode + vocab
       // joins), positional phrase search (pruned postings), PCA scatter
@@ -664,13 +677,89 @@ object ScaleProbe {
         val tB = timeBpe("bpe_train_batched16") {
           batchedDf = TextOps.bpeTrainMergesBatched(docs, rounds = 8,
             batchSize = 8); batchedDf }
-        val nS = serialDf.count().toDouble
-        val nB = batchedDf.count().toDouble
+        // a trainer that FAILED leaves its frame null — record -1 for
+        // its merge count instead of NPE-ing the whole probe run out
+        // from under the catch that just kept it alive
+        val nS = Option(serialDf).map(_.count().toDouble).getOrElse(-1.0)
+        val nB = Option(batchedDf).map(_.count().toDouble).getOrElse(-1.0)
         System.err.println(
           s"[probe] bpe merges: serial=$nS batched=$nB")
         Seq(tS, tB,
           "bpe_train_serial16_merges" -> nS,
           "bpe_train_batched16_merges" -> nB)
+      } else Seq.empty
+    } ++ {
+      // round-18: batched-BPE SELECTION FRACTION at production window
+      // sizes. The r17 probe's batch-8 window on an adversarial
+      // prefix-heavy vocabulary selected few merges per round; the open
+      // question was whether real-corpus windows at batch 64/256
+      // under-select toward serial cadence. Measured on the
+      // UNREPLICATED corpus: replication prefixes every token per
+      // replica, which would rewrite the vocabulary this probe exists
+      // to measure. Records merges/round (the jobs-per-merge inverse);
+      // a persistently low fraction argues for sequential-greedy
+      // in-window selection, a high one validates the rank-window rule.
+      if (only.isEmpty || only("bpe_selection_fraction")) {
+        val rawDocs = Tables.documents(spark, sfDir)
+          .select("doc_id", "text").localCheckpoint()
+        Seq(64, 256).flatMap { b =>
+          val rounds = 4
+          val t0 = System.nanoTime()
+          val got =
+            try TextOps.bpeTrainMergesBatched(rawDocs, rounds = rounds,
+              batchSize = b).count().toDouble
+            catch { case e: Throwable =>
+              System.err.println(s"[probe] bpe_sel_b$b FAILED: $e"); -1.0 }
+          val dt = (System.nanoTime() - t0) / 1e9
+          val perRound = if (got >= 0) got / rounds else -1.0
+          System.err.println(
+            f"[probe] bpe_sel_b$b $dt%8.2f s (merges=$got%.0f, " +
+              f"per-round=$perRound%.1f of $b)")
+          Seq(s"bpe_sel_b${b}_merges_per_round" -> perRound,
+            s"bpe_sel_b${b}_secs" -> dt)
+        }
+      } else Seq.empty
+    } ++ {
+      // round-18: the STORED dedup-index lifecycle at corpus scale.
+      // Build writes the index over the ×N corpus — corpus-linear by
+      // design (one shingling pass, three partitioned writes). Classify
+      // then runs a FIXTURE-SIZED batch (500 docs: 100 planted exact
+      // copies, 100 near copies, 300 fresh) against it: the claim under
+      // test is that classify scales with the BATCH plus pruned
+      // slim-index scans — never a re-shingling of the corpus — so its
+      // growth across a corpus decade should be far below 10×.
+      if (only.isEmpty || only("dedup_index_stored")) {
+        import graft.operators.Sink
+        val dir = java.nio.file.Files
+          .createTempDirectory("probe_dedupidx").toString + "/idx"
+        val t0 = System.nanoTime()
+        Sink.writeDedupIndex(docs, dir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val batch = docs.filter(col("doc_id") < 100)
+            .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+            .select((col("doc_id") + 910000000L).as("doc_id"),
+              concat(col("text"), lit(" zq1 zq2 zq3")).as("text")))
+          // every token re-prefixed: brand-new shingle space → 'new'
+          .unionByName(docs.filter(col("doc_id") >= 200 && col("doc_id") < 500)
+            .select((col("doc_id") + 920000000L).as("doc_id"),
+              regexp_replace(col("text"), "r0_", "zz_").as("text")))
+          .localCheckpoint()
+        val t1 = System.nanoTime()
+        val verdicts = Sink.classifyWithDedupIndex(spark, batch, dir)
+        val tClassify = (System.nanoTime() - t1) / 1e9
+        val byVerdict = verdicts.groupBy("verdict").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        System.err.println(
+          f"[probe] dedup_index_build $tBuild%8.2f s; classify " +
+            f"$tClassify%8.2f s (exact=${byVerdict.getOrElse("exact", 0L)} " +
+            f"near=${byVerdict.getOrElse("near", 0L)} " +
+            f"new=${byVerdict.getOrElse("new", 0L)})")
+        Seq("dedup_index_build" -> tBuild,
+          "dedup_index_classify" -> tClassify,
+          "dedup_index_exact" -> byVerdict.getOrElse("exact", 0L).toDouble,
+          "dedup_index_near" -> byVerdict.getOrElse("near", 0L).toDouble,
+          "dedup_index_new" -> byVerdict.getOrElse("new", 0L).toDouble)
       } else Seq.empty
     }
 

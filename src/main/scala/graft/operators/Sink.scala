@@ -244,11 +244,17 @@ object Sink {
     * COUNT makes per-cell population grow with the corpus (probe scans
     * grow ∝ N); a fixed cell SIZE keeps every probed partition
     * constant-sized as the corpus grows, so serving cost is pinned by
-    * the geometry knob instead of the data. One column-pruned count.
+    * the geometry knob instead of the data. One column-pruned count on
+    * the keyless path; with a corpusKey, N comes from the shared
+    * per-corpus count cache ([[Similarity.corpusCount]]) — a keyed
+    * build whose corpus was already counted (a sized semdedup stage, a
+    * sibling sized build) derives its geometry without another scan.
     */
-  def sizedCells(emb: DataFrame, targetCellSize: Int): Int = {
+  def sizedCells(emb: DataFrame, targetCellSize: Int,
+      corpusKey: Option[String] = None): Int = {
     require(targetCellSize > 0, s"targetCellSize must be > 0, got $targetCellSize")
-    math.max(1, math.ceil(emb.count().toDouble / targetCellSize).toInt)
+    math.max(1, math.ceil(
+      Similarity.corpusCount(emb, corpusKey).toDouble / targetCellSize).toInt)
   }
 
   /** [[writeIvfIndex]] at a fixed cell SIZE (cells = ⌈N/size⌉, see
@@ -258,7 +264,7 @@ object Sink {
   def writeIvfIndexSized(emb: DataFrame, dir: String,
       targetCellSize: Int = 512, iters: Int = 2,
       corpusKey: Option[String] = None): Int = {
-    val cells = sizedCells(emb, targetCellSize)
+    val cells = sizedCells(emb, targetCellSize, corpusKey)
     writeIvfIndex(emb, dir, cells, iters, corpusKey)
     writeIndexManifest(emb.sparkSession, dir, Seq("kind" -> "ivf",
       "cells" -> cells.toString,
@@ -270,7 +276,7 @@ object Sink {
   def writeIvfSq8IndexSized(emb: DataFrame, dir: String,
       targetCellSize: Int = 512, iters: Int = 2,
       corpusKey: Option[String] = None): Int = {
-    val cells = sizedCells(emb, targetCellSize)
+    val cells = sizedCells(emb, targetCellSize, corpusKey)
     writeIvfSq8Index(emb, dir, cells, iters, corpusKey)
     writeIndexManifest(emb.sparkSession, dir, Seq("kind" -> "ivfsq8",
       "cells" -> cells.toString,
@@ -286,7 +292,7 @@ object Sink {
       targetCellSize: Int = 512, iters: Int = 2,
       m: Int = 4, subDim: Int = 16, k: Int = 8,
       corpusKey: Option[String] = None): Int = {
-    val cells = sizedCells(emb, targetCellSize)
+    val cells = sizedCells(emb, targetCellSize, corpusKey)
     writeIvfPqIndex(emb, dir, cells, iters, m, subDim, k, corpusKey)
     writeIndexManifest(emb.sparkSession, dir, Seq("kind" -> "ivfpq",
       "cells" -> cells.toString, "m" -> m.toString,

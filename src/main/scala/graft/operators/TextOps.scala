@@ -1138,10 +1138,12 @@ object TextOps {
     * round-trips, the loop's only scale bound. The standard fix (used
     * by practical BPE trainers) is to select SEVERAL merges per count
     * round: each round counts pairs once, takes the top `batchSize`
-    * candidates by (count desc, left, right), and applies every
-    * candidate whose two symbols are DISJOINT from all higher-ranked
-    * candidates in the window — jobs drop from one per merge to one per
-    * round (32k merges at batch 256 ≈ 125 rounds).
+    * candidates by (count desc, left, right), and greedily keeps every
+    * candidate compatible with all KEPT higher-ranked candidates
+    * ([[selectBatchWindow]]) — jobs drop from one per merge to one per
+    * round (32k merges at batch 256 ≈ 125 rounds at full selection;
+    * the measured per-round yield on the documents corpus is recorded
+    * in PLANS.md round 18).
     *
     * Why the conflict rule makes a round's batch commute: in the
     * wrapped-symbol encoding a merge is the replace '·a··b·' → '·ab·'.
@@ -1157,38 +1159,54 @@ object TextOps {
     * What batching changes vs serial BPE is only the counts CADENCE:
     * candidates 2..k are chosen on the counts as of the round start,
     * not recounted after each merge — the standard, documented
-    * approximation. The conflict rule is deliberately
-    * rank-window-shaped (drop ANY candidate conflicting with a
-    * higher-RANKED one, selected or not) rather than sequential-greedy,
-    * so selection is a pure per-row predicate — the same
-    * one-aggregate-per-round shape at any batch size, and
-    * oracle-expressible declaratively.
+    * approximation. Selection is SEQUENTIAL-GREEDY over the window
+    * (keep unless conflicting with a KEPT candidate —
+    * [[selectBatchWindow]]), a driver-side fold over the ≤ batchSize
+    * collected rows: the same one-aggregate-per-round job shape at any
+    * batch size, and oracle-expressible as an unrolled kept-set chain.
     *
     * Output: (iter, round, rk, pair_left, pair_right, merged, n) —
     * iter the global merge index in (round, rank) order.
     */
-  /** The batched trainer's per-window conflict rule as a pure
-    * predicate over the ranked candidate window (rk, left, right, n):
-    * keep a candidate iff NO higher-ranked candidate (selected or not)
-    * (a) shares a symbol with it, or (b) stands in a
-    * merged-equals-symbol relation with it in either direction —
-    * b.left||b.right ∈ {a.left, a.right} OR a.left||a.right ∈
-    * {b.left, b.right}. (a) alone is not enough for commutativity: a
-    * merge whose RESULT is another candidate's symbol creates new
-    * occurrences of that candidate's pattern, making one-pass
-    * application order-dependent (e.g. (a,bc) next to (abc,d)).
-    * Mirrored verbatim by the oracle's NOT EXISTS
-    * ([[graft.ExtQueries]] bpeBatchChainSql).
+  /** Two window candidates are compatible iff their one-pass replaces
+    * provably commute: (a) DISJOINT symbol sets — no shared symbol
+    * instance, so neither replace can consume or un-adjoin the other's
+    * occurrences — and (b) NO merged-equals-symbol relation in either
+    * direction (x.left||x.right ∉ {y.left, y.right} both ways). (a)
+    * alone is not enough: a merge whose RESULT is another candidate's
+    * symbol creates new occurrences of that candidate's pattern
+    * mid-pass, making application order-dependent (e.g. (a,bc) next to
+    * (abc,d)).
+    */
+  private def compatibleMerges(a: (Int, String, String, Long),
+      b: (Int, String, String, Long)): Boolean = {
+    val (_, al, ar, _) = a; val (_, bl, br, _) = b
+    (Set(bl, br) intersect Set(al, ar)).isEmpty &&
+      bl + br != al && bl + br != ar && al + ar != bl && al + ar != br
+  }
+
+  /** The batched trainer's in-window selection: SEQUENTIAL-GREEDY over
+    * the ranked candidate window (rk, left, right, n) — walk ranks
+    * ascending, keep a candidate iff it is [[compatibleMerges]]-
+    * compatible with every candidate KEPT so far. Kept candidates are
+    * pairwise compatible, so the round's one-pass application commutes
+    * (PropertiesSpec). Greedy-vs-kept instead of the earlier
+    * drop-on-any-higher-RANKED-conflict rule because real-corpus
+    * windows are chain-shaped: the top pairs share symbols
+    * transitively ((a,b),(b,c),(c,d),…), and the rank-window rule
+    * discarded every candidate touched by a DROPPED one — measured
+    * 5.25 merges/round at batch 64 AND 256 on the sf0.1 documents
+    * corpus (ScaleProbe bpe_selection_fraction, round 18), an under-
+    * selection toward serial cadence. Selection stays a driver-side
+    * fold over the ≤ batchSize collected window (one count job per
+    * round regardless); the oracle mirrors the fold as an unrolled
+    * kept-set CTE chain ([[graft.ExtQueries]] bpeBatchChainSql).
     */
   private[graft] def selectBatchWindow(
       ranked: Seq[(Int, String, String, Long)])
       : Seq[(Int, String, String, Long)] =
-    ranked.filter { case (rk, l, r, _) =>
-      ranked.forall { case (rk2, l2, r2, _) =>
-        rk2 >= rk || (
-          (Set(l2, r2) intersect Set(l, r)).isEmpty &&
-          l2 + r2 != l && l2 + r2 != r &&
-          l + r != l2 && l + r != r2) }
+    ranked.sortBy(_._1).foldLeft(Vector.empty[(Int, String, String, Long)]) {
+      (kept, c) => if (kept.forall(compatibleMerges(_, c))) kept :+ c else kept
     }
 
   def bpeTrainMergesBatched(docs: DataFrame, rounds: Int = 3,

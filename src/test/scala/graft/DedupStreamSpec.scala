@@ -112,4 +112,36 @@ class DedupStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(streamed == batch)
   }
+
+  test("stored-index classify replay ≡ one-shot batch classify") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val existing = docs.filter(col("doc_id") < 40)
+    // planted batch: 5 exact copies, 5 near copies, the rest fresh
+    val batch = docs.filter(col("doc_id") >= 40).limit(20)
+      .unionByName(docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") >= 5 && col("doc_id") < 10)
+        .select((col("doc_id") + 2000).as("doc_id"),
+          concat(col("text"), lit(" zq1 zq2 zq3")).as("text")))
+      .localCheckpoint()
+    val root = Files.createTempDirectory("graft-dedupidx-replay").toString
+    graft.operators.Sink.writeDedupIndex(existing, s"$root/index")
+    // two micro-batch drops by doc_id parity
+    Seq(("a", 0), ("b", 1)).foreach { case (tag, r) =>
+      batch.filter(pmod(col("doc_id"), lit(2)) === r).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/drops/drop=$tag")
+    }
+    DedupStream.runStoredClassifyReplay(spark, s"$root/drops/drop=*",
+      s"$root/index", s"$root/ckpt", s"$root/out")
+    val replayed = spark.read.parquet(s"$root/out")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val oneShot = graft.operators.Sink
+      .classifyWithDedupIndex(spark, batch, s"$root/index")
+      .collect().map(_.toSeq).toSeq
+    assert(replayed == oneShot)
+    // the fixture actually plants all three verdicts
+    val verdicts = replayed.map(_(1)).toSet
+    assert(verdicts == Set("exact", "near", "new"))
+  }
 }
