@@ -2078,8 +2078,17 @@ object Sink {
   // corrupt its Jaccard sizes; compactDedupIndex restores the distinct
   // invariants as defense in depth.
 
+  // INTEGER buckets on both partition grids, deliberately: parquet
+  // partition-value type inference reads "00".."ff" STRING buckets back
+  // as integers whenever an index's bucket set happens to be all-
+  // numeric (a small index can hit this), silently breaking the
+  // leading-zero directory names and the isin pruning; crc32/pmod
+  // buckets are type-stable under inference
+  private def dedupFpBucket(fp: org.apache.spark.sql.Column) =
+    pmod(crc32(fp.cast("string")), lit(256L))
+
   private def dedupFpRows(docs: DataFrame): DataFrame =
-    Dedup.exactFpRows(docs).withColumn("fpb", substring(col("fp"), 1, 2))
+    Dedup.exactFpRows(docs).withColumn("fpb", dedupFpBucket(col("fp")))
 
   private def dedupShingleRows(docs: DataFrame): DataFrame =
     Dedup.shingles(docs).withColumn("db", pmod(col("doc_id"), lit(256L)))
@@ -2099,14 +2108,20 @@ object Sink {
   def writeDedupIndex(existing: DataFrame, dir: String): Unit = {
     val spark = existing.sparkSession
     val sh = dedupShingleRows(existing).localCheckpoint()
+    // static overwrite pinned per-write (the writeIvfIndex rule): a
+    // session configured for dynamic partition overwrite must not turn
+    // this full rebuild into a touched-partitions-only one
     sh.repartition(col("db")).sortWithinPartitions("db", "doc_id", "s")
-      .write.mode("overwrite").partitionBy("db").parquet(s"$dir/shingles")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("db").parquet(s"$dir/shingles")
     dedupFpRows(existing)
       .repartition(col("fpb")).sortWithinPartitions("fpb", "fp")
-      .write.mode("overwrite").partitionBy("fpb").parquet(s"$dir/fingerprints")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("fpb").parquet(s"$dir/fingerprints")
     Dedup.bandRowsOf(sh.drop("db"))
       .repartition(col("band")).sortWithinPartitions("band", "bv", "doc_id")
-      .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("band").parquet(s"$dir/bands")
     dedupIndexManifest(spark, dir)
     org.apache.spark.sql.GraftShims.uncheckpoint(sh)
   }
@@ -2151,12 +2166,12 @@ object Sink {
       s"classifyWithDedupIndex: no dedup index at $dir (missing bands table)")
     val bFp = batch.select(col("doc_id"), md5(col("text")).as("fp"))
       .localCheckpoint()
-    // fingerprint store pruned to the batch's fp prefix buckets (≤256
-    // literal values — bounded by the bucket grid, never by the batch),
-    // then scoped to the batch's exact fingerprints before the min
-    // fold so the aggregate is collision-sized, not bucket-sized
-    val fpbs = bFp.select(substring(col("fp"), 1, 2).as("fpb")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // fingerprint store pruned to the batch's fp buckets (≤256 literal
+    // values — bounded by the bucket grid, never by the batch), then
+    // scoped to the batch's exact fingerprints before the min fold so
+    // the aggregate is collision-sized, not bucket-sized
+    val fpbs = bFp.select(dedupFpBucket(col("fp")).as("fpb")).distinct()
+      .collect().map(_.getLong(0)).toSeq
     val exFp = spark.read.parquet(s"$dir/fingerprints")
       .filter(col("fpb").isin(fpbs: _*))
       .join(bFp.select("fp").distinct(), Seq("fp"), "left_semi")
@@ -2205,7 +2220,8 @@ object Sink {
       spark.read.parquet(s"$dir/$table")
         .dropDuplicates(keys)
         .repartition(col(part)).sortWithinPartitions(keys.map(col): _*)
-        .write.mode("overwrite").partitionBy(part).parquet(tmp)
+        .write.mode("overwrite").option("partitionOverwriteMode", "static")
+        .partitionBy(part).parquet(tmp)
       checkedSwap(spark, tmp, s"$dir/$table", "compactDedupIndex")
     }
     rewrite("shingles", Seq("db", "doc_id", "s"), "db")
