@@ -66,6 +66,24 @@ object ExtQueries {
   private lazy val dedupStreamDir: String =
     TempDirs.create("graft_dedup_index_stream")
 
+  private lazy val dedupIndexDeleteDir: String =
+    TempDirs.create("graft_dedup_index_del")
+
+  private lazy val dedupCdcStreamDir: String =
+    TempDirs.create("graft_dedup_index_cdc")
+
+  private lazy val dedupIndexDeleteCompactDir: String =
+    TempDirs.create("graft_dedup_index_delc")
+
+  /** Takedown set for the dedup-index delete queries: the docs the
+    * planted batch copies point AT (verbatim sources 0-4, near sources
+    * 10-14) — deleting them flips the planted verdicts, so the queries
+    * exercise the mask on BOTH the fingerprint min-fold and the
+    * pre-cap band path, not just on bystander rows.
+    */
+  private val dedupTakedownIds: Seq[Long] =
+    (0L until 5L) ++ (10L until 15L)
+
   private lazy val ivfMaintainAppendDir: String =
     TempDirs.create("graft_ivf_maintain_a") + "/index"
 
@@ -1807,6 +1825,75 @@ object ExtQueries {
         dedupIndexAppendDir, 0.5)
     }),
 
+    // the TAKEDOWN leg of the stored-index lifecycle: build on
+    // docs < 400, tombstone-delete the docs the planted batch copies
+    // point at (licensing/PII removal shape: O(ids) write, no corpus
+    // rewrite), classify — the masked index must classify exactly as
+    // one REBUILT on the filtered corpus, which is what the oracle
+    // computes (planted exacts of docs 0-4 fall through the masked
+    // fingerprint fold; planted nears of docs 10-14 lose their
+    // pre-cap band partners). SIDE EFFECT: rewrites the temp index
+    // dir per evaluation (idempotent).
+    "dedup_index_delete_classify" -> ((s, d) => {
+      val all = docs(s, d)
+      Sink.writeDedupIndex(
+        all.filter(col("doc_id") < 400).select("doc_id", "text"),
+        dedupIndexDeleteDir)
+      Sink.deleteFromDedupIndex(s,
+        dedupIndexDeleteDir,
+        all.filter(col("doc_id").isin(dedupTakedownIds: _*))
+          .select("doc_id"))
+      Sink.classifyWithDedupIndex(s, incDedupBatch(all),
+        dedupIndexDeleteDir, 0.5)
+    }),
+
+    // the PURGE leg: same delete, then compactDedupIndex physically
+    // removes the tombstoned docs' rows from all three tables and
+    // consumes the tombstones — classify must serve identically to
+    // the masked path (same oracle), now with zero masking joins.
+    // SIDE EFFECT: rewrites the temp index dir per evaluation
+    // (idempotent).
+    "dedup_index_delete_compact" -> ((s, d) => {
+      val all = docs(s, d)
+      Sink.writeDedupIndex(
+        all.filter(col("doc_id") < 400).select("doc_id", "text"),
+        dedupIndexDeleteCompactDir)
+      Sink.deleteFromDedupIndex(s,
+        dedupIndexDeleteCompactDir,
+        all.filter(col("doc_id").isin(dedupTakedownIds: _*))
+          .select("doc_id"))
+      Sink.compactDedupIndex(s, dedupIndexDeleteCompactDir)
+      Sink.classifyWithDedupIndex(s, incDedupBatch(all),
+        dedupIndexDeleteCompactDir, 0.5)
+    }),
+
+    // CDC-shaped streaming maintenance of the stored dedup index:
+    // accepted docs AND takedowns arrive through one stream (drop a
+    // adds docs 300-399, drop b deletes the takedown set), each
+    // micro-batch folding into the on-disk index inside foreachBatch.
+    // The final index equals a build on docs < 400 minus the deleted
+    // docs in any drop order (append-only rows folded at read;
+    // tombstone-wins) — so the takedown oracle applies verbatim to
+    // the post-replay classify. SIDE EFFECT: rewrites the temp
+    // index/drop dirs per evaluation (idempotent).
+    "stream_dedup_cdc_replay" -> ((s, d) => {
+      val all = docs(s, d)
+      val dir = dedupCdcStreamDir
+      Sink.writeDedupIndex(
+        all.filter(col("doc_id") < 300).select("doc_id", "text"),
+        s"$dir/index")
+      all.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .select(col("doc_id"), col("text"), lit("add").as("op"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/drops/drop=a")
+      all.filter(col("doc_id").isin(dedupTakedownIds: _*))
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit("delete").as("op"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/drops/drop=b")
+      graft.streaming.DedupStream.runCdcReplay(
+        s, s"$dir/drops/drop=*", s"$dir/index", s"$dir/ckpt")
+      Sink.classifyWithDedupIndex(s, incDedupBatch(all), s"$dir/index", 0.5)
+    }),
+
     // the STREAMING twin of dedup_incremental_stored: the planted batch
     // lands as two parquet drops, each micro-batch classifies against
     // the frozen on-disk index inside foreachBatch, verdicts append to
@@ -3378,7 +3465,16 @@ object ExtQueries {
     * probing the capped existing band table, best partner on rounded
     * jaccard with doc_id tiebreak.
     */
-  private lazy val incrementalDedupOracle: String = {
+  private lazy val incrementalDedupOracle: String =
+    incrementalDedupOracleFor("doc_id < 400")
+
+  /** [[incrementalDedupOracle]] with the existing corpus filtered to
+    * `exWhere` — the takedown queries share the whole CTE chain and
+    * differ ONLY in which docs the index still serves (a masked or
+    * purged index classifies identically to one rebuilt on the
+    * filtered corpus, which is exactly what this SQL computes).
+    */
+  private def incrementalDedupOracleFor(exWhere: String): String = {
     val sigAggs = Dedup.minhashParams.zipWithIndex.map { case ((a, b), k) =>
       s"min(($a * x + $b) % ${Dedup.minhashP}) AS h$k" }.mkString(", ")
     def bandsUnion(src: String) =
@@ -3387,7 +3483,7 @@ object ExtQueries {
           .map(j => s"h${b * Dedup.minhashBandSize + j}").mkString(", ")
         s"SELECT doc_id, $b AS band, concat_ws('_', $hs) AS bv FROM $src"
       }.mkString("\n   UNION ALL ")
-    s"""WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    s"""WITH ex AS (SELECT doc_id, text FROM documents WHERE $exWhere),
        | nb AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
        |        UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10
        |        UNION ALL SELECT doc_id + 20000, text || ' zq1 zq2 zq3'
@@ -4516,6 +4612,18 @@ object ExtQueries {
     // verdicts are per-doc independent given the frozen index, so the
     // micro-batch replay's union shares the oracle verbatim
     "stream_dedup_incremental_replay" -> incrementalDedupOracle,
+    // a masked (tombstoned) index classifies as one rebuilt on the
+    // corpus minus the deleted docs — same CTE chain, filtered corpus
+    "dedup_index_delete_classify" -> incrementalDedupOracleFor(
+      s"doc_id < 400 AND doc_id NOT IN (${dedupTakedownIds.mkString(", ")})"),
+    // compaction physically purges what the mask hid — identical
+    // service, so the same filtered-corpus oracle
+    "dedup_index_delete_compact" -> incrementalDedupOracleFor(
+      s"doc_id < 400 AND doc_id NOT IN (${dedupTakedownIds.mkString(", ")})"),
+    // the CDC replay's final index ≡ build on (base ∪ adds) minus
+    // deletes in any drop order — the same filtered-corpus oracle
+    "stream_dedup_cdc_replay" -> incrementalDedupOracleFor(
+      s"doc_id < 400 AND doc_id NOT IN (${dedupTakedownIds.mkString(", ")})"),
     "source_overlap" -> {
       val gram8 = (0 until 8).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]")
         .mkString(" || ' ' || ")

@@ -2152,12 +2152,69 @@ object Sink {
     org.apache.spark.sql.GraftShims.uncheckpoint(sh)
   }
 
+  /** Takedown-delete from the stored dedup index: the doc ids land as
+    * one tiny id-only parquet file beside the index (the
+    * [[deleteFromIvfIndex]] shape — licensing/PII removals are
+    * O(ids) writes, never a corpus-sized rewrite). Classification
+    * masks tombstoned docs BEFORE the read-time band cap and before
+    * the fingerprint min-fold, so a masked index classifies
+    * identically to one REBUILT on the corpus minus the deleted docs:
+    * a bucket whose capped slots held a deleted doc promotes the next
+    * lowest doc_id exactly as the rebuild would, and an exact-dup
+    * batch doc whose only stored twin was deleted falls through to
+    * near/new. [[compactDedupIndex]] purges the rows physically and
+    * consumes the tombstones. Re-adding a deleted doc_id requires a
+    * compact between the delete and the re-append (tombstone-wins,
+    * as in the IVF family — there is no sequence ordering between
+    * them).
+    */
+  def deleteFromDedupIndex(spark: SparkSession, dir: String,
+      docIds: DataFrame): Unit = {
+    requireIndexKind(spark, dir, "dedup_text", "deleteFromDedupIndex")
+    require(pathExists(spark, s"$dir/bands"),
+      s"deleteFromDedupIndex: no dedup index at $dir (missing bands table)")
+    val d = docIds.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+    // an empty delete must not write a schema-only file that would
+    // flip every future classify onto the masking plan for nothing
+    if (!d.isEmpty) {
+      d.coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+      // fresh write_id: generation-keyed consumers must miss their
+      // cache — the index's served content just changed
+      dedupIndexManifest(spark, dir)
+    }
+    org.apache.spark.sql.GraftShims.uncheckpoint(d)
+  }
+
+  /** The live tombstone set of a stored dedup index — None when no
+    * delete has ever happened, so tombstone-free classify plans carry
+    * no masking joins (FS metadata check only). Pinned to the listed
+    * file set and tolerant of files vanishing before execution, for
+    * the same reason as the IVF [[tombstones]] reader: a concurrent
+    * compact deletes exactly the files it consumed.
+    */
+  private def dedupTombstones(spark: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    forEachDataFile(spark, s"$dir/tombstones")(f => files += f.getPath.toString)
+    if (files.isEmpty) None
+    else Some(
+      spark.read
+        .schema("doc_id long")
+        .option("ignoreMissingFiles", "true")
+        .parquet(files.toSeq: _*)
+        .select("doc_id").distinct())
+  }
+
   /** Classify a new batch against the STORED index — the restart-safe
     * twin of [[Dedup.incrementalDedup]]: same verdict schema
     * (doc_id, verdict ∈ exact|near|new, dup_of, jaccard), same
     * verification core ([[Dedup.classifyCore]]), the index read from
     * parquet instead of a session cache. Identical output to the
-    * cached path on the same corpus by construction.
+    * cached path on the same corpus by construction. Tombstoned docs
+    * ([[deleteFromDedupIndex]]) are masked out of both the exact and
+    * the near path — before the band cap, so capped buckets promote
+    * exactly as a rebuild on the filtered corpus would.
     */
   def classifyWithDedupIndex(spark: SparkSession, batch: DataFrame,
       dir: String, threshold: Double = 0.5): DataFrame = {
@@ -2166,24 +2223,34 @@ object Sink {
       s"classifyWithDedupIndex: no dedup index at $dir (missing bands table)")
     val bFp = batch.select(col("doc_id"), md5(col("text")).as("fp"))
       .localCheckpoint()
+    // takedown masking: identity when no delete ever happened; else a
+    // broadcast anti-join on the tiny tombstone set, applied to the
+    // stored side of BOTH match paths (below) before any fold or cap
+    val tombOpt = dedupTombstones(spark, dir)
+    def mask(stored: DataFrame): DataFrame = tombOpt
+      .map(t => stored.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .getOrElse(stored)
     // fingerprint store pruned to the batch's fp buckets (≤256 literal
     // values — bounded by the bucket grid, never by the batch), then
     // scoped to the batch's exact fingerprints before the min fold so
-    // the aggregate is collision-sized, not bucket-sized
+    // the aggregate is collision-sized, not bucket-sized (the mask
+    // rides the collision-sized set too)
     val fpbs = bFp.select(dedupFpBucket(col("fp")).as("fpb")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val exFp = spark.read.parquet(s"$dir/fingerprints")
-      .filter(col("fpb").isin(fpbs: _*))
-      .join(bFp.select("fp").distinct(), Seq("fp"), "left_semi")
+    val exFp = mask(spark.read.parquet(s"$dir/fingerprints")
+        .filter(col("fpb").isin(fpbs: _*))
+        .join(bFp.select("fp").distinct(), Seq("fp"), "left_semi"))
       .groupBy("fp").agg(min("doc_id").as("ex_exact"))
     val bSh = Dedup.shingles(batch).localCheckpoint()
     val bBands = Dedup.bandRowsOf(bSh).localCheckpoint()
-    // stored band rows in batch-touched buckets only, then the
-    // read-time population cap (== the build-time cap on these rows)
+    // stored band rows in batch-touched buckets only, MASKED before
+    // the read-time population cap (== the build-time cap a rebuild
+    // on the filtered corpus would apply to these rows: a deleted doc
+    // that held a capped slot frees it for the next lowest doc_id)
     val exCapped = Dedup.capBandRows(
-      spark.read.parquet(s"$dir/bands")
+      mask(spark.read.parquet(s"$dir/bands")
         .join(bBands.select("band", "bv").distinct(), Seq("band", "bv"),
-          "left_semi"))
+          "left_semi")))
     val cands = bBands.as("q").join(exCapped.as("e"),
         col("q.band") === col("e.band") && col("q.bv") === col("e.bv"))
       .select(col("q.doc_id").as("doc_a"), col("e.doc_id").as("doc_b"))
@@ -2191,7 +2258,9 @@ object Sink {
       .localCheckpoint() // two consumers: bucket collect + verification
     // shingle store pruned to candidate partners' doc buckets (≤256
     // literal partition values), then to the candidate docs themselves;
-    // each kept doc keeps its FULL shingle set (classifyCore contract)
+    // each kept doc keeps its FULL shingle set (classifyCore contract).
+    // No tombstone mask needed here: candidates come from the MASKED
+    // band rows above, so a deleted doc can never appear as a doc_b
     val dbs = cands.select(pmod(col("doc_b"), lit(256L)).as("db")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val shStore = spark.read.parquet(s"$dir/shingles")
@@ -2207,17 +2276,32 @@ object Sink {
   }
 
   /** Compact the stored dedup index: rewrite each table back to the
-    * one-file-per-partition layout (appends add a file per call) and
+    * one-file-per-partition layout (appends add a file per call),
     * restore the distinct invariants (defense in depth against a
-    * violated append contract). Same rename-aside swap discipline as
-    * [[compactIvfIndex]] — the index stays serveable through the
-    * rewrite, and a crash leaves either tree recoverable.
+    * violated append contract), and physically PURGE tombstoned docs
+    * ([[deleteFromDedupIndex]]) — the anti-join rides a pass that was
+    * already rewriting every row, and the consumed tombstone file set
+    * is pinned up front so a delete landing mid-compact keeps its
+    * tombstone (the [[compactIvfIndex]] rule). Same rename-aside swap
+    * discipline — the index stays serveable through the rewrite, and
+    * a crash leaves either tree recoverable; a crash between the
+    * swaps and the tombstone cleanup is safe (tombstones over
+    * already-purged ids anti-join nothing).
     */
   def compactDedupIndex(spark: SparkSession, dir: String): Unit = {
     requireIndexKind(spark, dir, "dedup_text", "compactDedupIndex")
+    val tombFiles = {
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      forEachDataFile(spark, s"$dir/tombstones")(f => buf += f.getPath.toString)
+      buf.toSeq
+    }
+    val tombs =
+      if (tombFiles.isEmpty) None
+      else Some(spark.read.parquet(tombFiles: _*).select("doc_id").distinct())
     def rewrite(table: String, keys: Seq[String], part: String): Unit = {
       val tmp = s"$dir/${table}__compact"
-      spark.read.parquet(s"$dir/$table")
+      val src = spark.read.parquet(s"$dir/$table")
+      tombs.fold(src)(t => src.join(broadcast(t), Seq("doc_id"), "left_anti"))
         .dropDuplicates(keys)
         .repartition(col(part)).sortWithinPartitions(keys.map(col): _*)
         .write.mode("overwrite").option("partitionOverwriteMode", "static")
@@ -2227,6 +2311,12 @@ object Sink {
     rewrite("shingles", Seq("db", "doc_id", "s"), "db")
     rewrite("fingerprints", Seq("fpb", "fp", "doc_id"), "fpb")
     rewrite("bands", Seq("band", "bv", "doc_id"), "band")
+    if (tombFiles.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      tombFiles.foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), false): Unit)
+    }
     dedupIndexManifest(spark, dir)
   }
 }

@@ -239,6 +239,58 @@ object DedupStream {
     * this replay keeps the index frozen so the planted-batch oracle
     * applies verbatim to the replayed union.
     */
+  /** CDC-shaped maintenance of the stored dedup index — accepted docs
+    * and takedowns arrive through ONE stream: each micro-batch appends
+    * its "add" rows ([[graft.operators.Sink.appendToDedupIndex]]) and
+    * tombstones its "delete" ids
+    * ([[graft.operators.Sink.deleteFromDedupIndex]]). The final index
+    * equals a build on (base ∪ adds) minus deletes in ANY drop order,
+    * because appends are append-only rows folded at read and a
+    * tombstone masks its doc whether written before or after the
+    * doc's rows — with the same resurrect caveat as the IVF CDC
+    * replay: a feed that re-adds a deleted doc_id must compact
+    * between the delete and the re-add (tombstone-wins has no
+    * sequence ordering). An op this replay doesn't know fails the
+    * stream loudly instead of vanishing from the index.
+    */
+  def runCdcReplay(spark: SparkSession, dropGlob: String,
+      indexDir: String, checkpointDir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(checkpointDir))
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("op", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dropGlob)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val ops = batch.groupBy("op").count().collect()
+            .map(r => Option(r.getString(0)).getOrElse("<null>") -> r.getLong(1))
+            .toMap
+          val unknown = ops.keySet -- Set("add", "delete")
+          require(unknown.isEmpty,
+            s"runCdcReplay: unknown op(s) ${unknown.mkString(", ")} in drop — " +
+              "these rows would be silently dropped; ops are 'add' | 'delete'")
+          if (ops.getOrElse("add", 0L) > 0)
+            graft.operators.Sink.appendToDedupIndex(
+              batch.filter(col("op") === "add").select("doc_id", "text"),
+              indexDir)
+          if (ops.getOrElse("delete", 0L) > 0)
+            graft.operators.Sink.deleteFromDedupIndex(spark, indexDir,
+              batch.filter(col("op") === "delete").select("doc_id"))
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runStoredClassifyReplay(spark: SparkSession, dropGlob: String,
       indexDir: String, checkpointDir: String, outDir: String,
       threshold: Double = 0.5): Unit = {

@@ -144,4 +144,48 @@ class DedupStreamSpec extends SparkSpec {
     val verdicts = replayed.map(_(1)).toSet
     assert(verdicts == Set("exact", "near", "new"))
   }
+
+  test("CDC replay: adds and takedowns fold to a build on the net corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val base = docs.filter(col("doc_id") < 40)
+    val adds = docs.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+    val root = Files.createTempDirectory("graft-dedupidx-cdc").toString
+    graft.operators.Sink.writeDedupIndex(base, s"$root/index")
+    adds.select(col("doc_id"), col("text"), lit("add").as("op"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/drops/drop=a")
+    docs.filter(col("doc_id") < 5)
+      .select(col("doc_id"), lit(null).cast("string").as("text"),
+        lit("delete").as("op"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/drops/drop=b")
+    DedupStream.runCdcReplay(spark, s"$root/drops/drop=*",
+      s"$root/index", s"$root/ckpt")
+    // planted probes: a copy of a TAKEN-DOWN doc (must not match it)
+    // and a copy of a STREAM-ADDED doc (must match it exactly)
+    val batch = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") >= 40 && col("doc_id") < 45)
+        .select((col("doc_id") + 2000).as("doc_id"), col("text")))
+      .localCheckpoint()
+    val got = graft.operators.Sink
+      .classifyWithDedupIndex(spark, batch, s"$root/index")
+      .collect().map(_.toSeq).toSeq
+    val net = docs.filter(col("doc_id") < 60 && col("doc_id") >= 5)
+    val expected = Dedup.incrementalDedup(net, batch)
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected)
+    // the stream-added docs serve as exact partners
+    assert(got.filter(r => r(0).asInstanceOf[Long] >= 2040L)
+      .forall(_(1) == "exact"))
+    // unknown ops fail the stream loudly instead of vanishing
+    docs.filter(col("doc_id") === 0)
+      .select(col("doc_id"), col("text"), lit("upsert").as("op"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/drops2/drop=x")
+    val ex = intercept[Exception] {
+      DedupStream.runCdcReplay(spark, s"$root/drops2/drop=*",
+        s"$root/index", s"$root/ckpt2")
+    }
+    assert(ex.getMessage.contains("unknown op") ||
+      Option(ex.getCause).exists(_.getMessage.contains("unknown op")))
+  }
 }

@@ -754,4 +754,68 @@ class SinkSpec extends SparkSpec {
       }
     }
   }
+
+  test("dedup index: takedown delete masks, survives a restart, and compact purges") {
+    val dir = Files.createTempDirectory("graft-dedupidx-del").toString + "/idx"
+    Sink.writeDedupIndex(dedupDocs(spark, dedupExisting), dir)
+    // delete doc 0 (the exact verdict's min partner — the fold must
+    // fall through to doc 5) and doc 1 (doc 11's ONLY near partner —
+    // the verdict must fall through to new)
+    Sink.deleteFromDedupIndex(spark, dir,
+      dedupDocs(spark, dedupExisting.filter(_._1 <= 1L)).select("doc_id"))
+    // ≡ rebuild on the filtered corpus, the takedown contract
+    val expected = graft.operators.Dedup
+      .incrementalDedup(dedupDocs(spark, dedupExisting.filter(_._1 > 1L)),
+        dedupDocs(spark, dedupBatchRows))
+      .collect().map(_.toSeq).toSeq
+    assert(expected.map(r => (r(0), r(1), r(2))) ==
+      Seq((10L, "exact", 5L), (11L, "new", null), (12L, "new", null)))
+    // restart analog: tombstones must be read from disk, not session state
+    val fresh = spark.newSession()
+    val masked = Sink.classifyWithDedupIndex(
+        fresh, dedupDocs(fresh, dedupBatchRows), dir)
+      .collect().map(_.toSeq).toSeq
+    assert(masked == expected)
+    // purge: identical service with zero masking joins, rows gone,
+    // tombstones consumed
+    Sink.compactDedupIndex(spark, dir)
+    val purged = Sink.classifyWithDedupIndex(
+        spark, dedupDocs(spark, dedupBatchRows), dir)
+      .collect().map(_.toSeq).toSeq
+    assert(purged == expected)
+    Seq("shingles", "fingerprints", "bands").foreach { t =>
+      val n = spark.read.parquet(s"$dir/$t")
+        .filter(col("doc_id") <= 1L).count()
+      assert(n == 0, s"$t: compact must purge tombstoned rows physically")
+    }
+    val tombFiles = Option(new java.io.File(s"$dir/tombstones").listFiles())
+      .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
+    assert(tombFiles == 0, "compact must consume the tombstone files")
+  }
+
+  test("dedup index: delete masks BEFORE the band cap (capped slots promote)") {
+    // one LSH bucket holding cap+1 identical docs: the read-time cap
+    // keeps ids 0..cap-1 and id `cap` sits beyond it. Deleting every
+    // capped doc must PROMOTE the over-cap survivor into the freed
+    // slots — exactly what a rebuild on the filtered corpus does — so
+    // the near verdict resolves to it instead of collapsing to 'new'
+    // (which is what masking after the cap would produce).
+    val cap = graft.operators.Dedup.lshBucketCap
+    val t = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val existing = (0L to cap.toLong).map(i => (i, t))
+    val batch = Seq((500L, t + " qq1 qq2 qq3"))
+    val dir = Files.createTempDirectory("graft-dedupidx-cap").toString + "/idx"
+    Sink.writeDedupIndex(dedupDocs(spark, existing), dir)
+    Sink.deleteFromDedupIndex(spark, dir,
+      dedupDocs(spark, existing.filter(_._1 < cap)).select("doc_id"))
+    val got = Sink.classifyWithDedupIndex(spark, dedupDocs(spark, batch), dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((500L, "near", cap.toLong)))
+    // and ≡ the rebuild on the one surviving doc
+    val rebuilt = graft.operators.Dedup
+      .incrementalDedup(dedupDocs(spark, existing.filter(_._1 >= cap)),
+        dedupDocs(spark, batch))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rebuilt.toSeq == got.toSeq)
+  }
 }
