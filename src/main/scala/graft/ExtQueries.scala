@@ -72,6 +72,12 @@ object ExtQueries {
   private lazy val dedupCdcStreamDir: String =
     TempDirs.create("graft_dedup_index_cdc")
 
+  private lazy val dedupIngestLoopDir: String =
+    TempDirs.create("graft_dedup_ingest_loop")
+
+  private lazy val dedupIngestStreamDir: String =
+    TempDirs.create("graft_dedup_ingest_stream")
+
   private lazy val dedupIndexDeleteCompactDir: String =
     TempDirs.create("graft_dedup_index_delc")
 
@@ -137,6 +143,38 @@ object ExtQueries {
     * share one oracle): docs ≥ 400, plus 10 verbatim copies and 10
     * near-copies of existing docs under re-keyed ids.
     */
+  /** Sequential ingest-loop batches: batch 1 is a plain slice; batch 2
+    * plants verbatim copies of batch-1 docs (+30000) and near copies
+    * (+40000) — content that is a dup of the PREVIOUS batch, not of
+    * the base corpus, so its verdicts prove the index grew between
+    * the two maintain calls.
+    */
+  private def ingestBatch1(all: DataFrame): DataFrame =
+    all.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+      .select("doc_id", "text")
+
+  private def ingestBatch2(all: DataFrame): DataFrame =
+    all.filter(col("doc_id") >= 450 && col("doc_id") < 500)
+      .select("doc_id", "text")
+      .unionByName(all.filter(col("doc_id") >= 400 && col("doc_id") < 405)
+        .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+      .unionByName(all.filter(col("doc_id") >= 405 && col("doc_id") < 410)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(col("text"), lit(" zq1 zq2 zq3")).as("text")))
+
+  /** Land a replay drop as one parquet file with a PINNED modification
+    * time (base + k minutes): the file stream source orders files by
+    * mtime, and a sequential-semantics replay (the ingest loop) needs
+    * drop k processed strictly before drop k+1 — unlike the
+    * order-invariant append/CDC replays, where ties are harmless.
+    */
+  private def writeOrderedDrop(df: DataFrame, path: String, k: Int): Unit = {
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    new java.io.File(path).listFiles().foreach { f =>
+      f.setLastModified(1700000000000L + k * 60000L): Unit
+    }
+  }
+
   private def incDedupBatch(all: DataFrame): DataFrame =
     all.filter(col("doc_id") >= 400).select("doc_id", "text")
       .unionByName(all.filter(col("doc_id") < 10)
@@ -1867,6 +1905,47 @@ object ExtQueries {
         dedupIndexDeleteCompactDir, 0.5)
     }),
 
+    // the production ingest LOOP, batch form: classify batch 1
+    // against the stored index, append its accepted ('new') docs,
+    // then classify batch 2 against the GROWN index — batch 2's
+    // planted copies of batch-1 docs classify exact/near against
+    // them, which only happens if the index actually grew between
+    // calls. The oracle unrolls the chain sequentially (verdict1 →
+    // accepted1 → corpus ∪ accepted1 → verdict2). SIDE EFFECT:
+    // rewrites the temp index dir per evaluation (idempotent).
+    "dedup_ingest_loop" -> ((s, d) => {
+      val all = docs(s, d)
+      Sink.writeDedupIndex(
+        all.filter(col("doc_id") < 400).select("doc_id", "text"),
+        dedupIngestLoopDir)
+      val v1 = Sink.maintainDedupIndex(s, ingestBatch1(all),
+        dedupIngestLoopDir, 0.5)
+      val v2 = Sink.maintainDedupIndex(s, ingestBatch2(all),
+        dedupIngestLoopDir, 0.5)
+      v1.unionByName(v2).orderBy("doc_id")
+    }),
+
+    // the STREAMING form of the ingest loop: the two batches land as
+    // mtime-ordered file drops and each micro-batch runs the same
+    // classify-append-accepted step inside foreachBatch — the index
+    // grows BETWEEN triggers, so the replayed verdicts equal the
+    // sequential batch form (same oracle). SIDE EFFECT: rewrites the
+    // temp index/drop/output dirs per evaluation (idempotent).
+    "stream_dedup_ingest_replay" -> ((s, d) => {
+      val all = docs(s, d)
+      val dir = dedupIngestStreamDir
+      Sink.writeDedupIndex(
+        all.filter(col("doc_id") < 400).select("doc_id", "text"),
+        s"$dir/index")
+      writeOrderedDrop(ingestBatch1(all), s"$dir/drops/drop=a", 0)
+      writeOrderedDrop(ingestBatch2(all), s"$dir/drops/drop=b", 1)
+      graft.streaming.DedupStream.runIngestReplay(
+        s, s"$dir/drops/drop=*", s"$dir/index", s"$dir/ckpt", s"$dir/out")
+      s.read.parquet(s"$dir/out")
+        .select("doc_id", "verdict", "dup_of", "jaccard")
+        .orderBy("doc_id")
+    }),
+
     // CDC-shaped streaming maintenance of the stored dedup index:
     // accepted docs AND takedowns arrive through one stream (drop a
     // adds docs 300-399, drop b deletes the takedown set), each
@@ -3474,7 +3553,28 @@ object ExtQueries {
     * purged index classifies identically to one rebuilt on the
     * filtered corpus, which is exactly what this SQL computes).
     */
-  private def incrementalDedupOracleFor(exWhere: String): String = {
+  private def incrementalDedupOracleFor(exWhere: String): String =
+    s"""WITH ex AS (SELECT doc_id, text FROM documents WHERE $exWhere),
+       | nb AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+       |        UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10
+       |        UNION ALL SELECT doc_id + 20000, text || ' zq1 zq2 zq3'
+       |          FROM documents WHERE doc_id >= 10 AND doc_id < 20),
+       |""".stripMargin +
+      incClassifyCtes("", "ex", "nb") + """
+        | SELECT doc_id, verdict, dup_of, jaccard FROM verdict
+        | ORDER BY doc_id""".stripMargin
+
+  /** The incremental-classify CTE chain (shingle → MinHash signature →
+    * bands → read-time cap → candidates → Jaccard verify → verdict),
+    * every CTE name suffixed with `sfx` so the ingest-loop oracle can
+    * unroll the chain once per sequential batch. `ex`/`nb` name the
+    * corpus and batch CTEs (doc_id, text). Ends in `verdict$sfx`
+    * (doc_id, verdict, dup_of, jaccard), unordered —
+    * `materializeVerdict` pins it against DuckDB's multi-reference
+    * CTE inlining when a later chain consumes it.
+    */
+  private def incClassifyCtes(sfx: String, ex: String, nb: String,
+      materializeVerdict: Boolean = false): String = {
     val sigAggs = Dedup.minhashParams.zipWithIndex.map { case ((a, b), k) =>
       s"min(($a * x + $b) % ${Dedup.minhashP}) AS h$k" }.mkString(", ")
     def bandsUnion(src: String) =
@@ -3483,58 +3583,79 @@ object ExtQueries {
           .map(j => s"h${b * Dedup.minhashBandSize + j}").mkString(", ")
         s"SELECT doc_id, $b AS band, concat_ws('_', $hs) AS bv FROM $src"
       }.mkString("\n   UNION ALL ")
-    s"""WITH ex AS (SELECT doc_id, text FROM documents WHERE $exWhere),
-       | nb AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
-       |        UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10
-       |        UNION ALL SELECT doc_id + 20000, text || ' zq1 zq2 zq3'
-       |          FROM documents WHERE doc_id >= 10 AND doc_id < 20),
-       | exw AS (SELECT doc_id, string_split(text, ' ') AS w FROM ex),
-       | exsh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-       |          FROM exw, UNNEST(range(1, len(w) - 1)) AS t(i)),
-       | nbw AS (SELECT doc_id, string_split(text, ' ') AS w FROM nb),
-       | nbsh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-       |          FROM nbw, UNNEST(range(1, len(w) - 1)) AS t(i)),
-       | exx AS (SELECT doc_id, ($minhashBaseSql) % ${Dedup.minhashP} AS x
-       |         FROM (SELECT doc_id, md5(s) AS m FROM exsh)),
-       | exsig AS (SELECT doc_id, $sigAggs FROM exx GROUP BY doc_id),
-       | nbx AS (SELECT doc_id, ($minhashBaseSql) % ${Dedup.minhashP} AS x
-       |         FROM (SELECT doc_id, md5(s) AS m FROM nbsh)),
-       | nbsig AS (SELECT doc_id, $sigAggs FROM nbx GROUP BY doc_id),
-       | exbands AS (${bandsUnion("exsig")}),
-       | nbbands AS (${bandsUnion("nbsig")}),
-       | excap AS (SELECT doc_id, band, bv FROM (
+    val mat = if (materializeVerdict) " MATERIALIZED" else ""
+    s""" exw$sfx AS (SELECT doc_id, string_split(text, ' ') AS w FROM $ex),
+       | exsh$sfx AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |          FROM exw$sfx, UNNEST(range(1, len(w) - 1)) AS t(i)),
+       | nbw$sfx AS (SELECT doc_id, string_split(text, ' ') AS w FROM $nb),
+       | nbsh$sfx AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |          FROM nbw$sfx, UNNEST(range(1, len(w) - 1)) AS t(i)),
+       | exx$sfx AS (SELECT doc_id, ($minhashBaseSql) % ${Dedup.minhashP} AS x
+       |         FROM (SELECT doc_id, md5(s) AS m FROM exsh$sfx)),
+       | exsig$sfx AS (SELECT doc_id, $sigAggs FROM exx$sfx GROUP BY doc_id),
+       | nbx$sfx AS (SELECT doc_id, ($minhashBaseSql) % ${Dedup.minhashP} AS x
+       |         FROM (SELECT doc_id, md5(s) AS m FROM nbsh$sfx)),
+       | nbsig$sfx AS (SELECT doc_id, $sigAggs FROM nbx$sfx GROUP BY doc_id),
+       | exbands$sfx AS (${bandsUnion(s"exsig$sfx")}),
+       | nbbands$sfx AS (${bandsUnion(s"nbsig$sfx")}),
+       | excap$sfx AS (SELECT doc_id, band, bv FROM (
        |     SELECT doc_id, band, bv,
        |       row_number() OVER (PARTITION BY band, bv ORDER BY doc_id) AS rn
-       |     FROM exbands) WHERE rn <= ${Dedup.lshBucketCap}),
-       | cand AS (SELECT DISTINCT q.doc_id AS doc_a, e.doc_id AS doc_b
-       |          FROM nbbands q JOIN excap e USING (band, bv)),
-       | nbsz AS (SELECT doc_id, count(*) AS n FROM nbsh GROUP BY doc_id),
-       | exsz AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
-       | iv AS (SELECT doc_a, doc_b, count(*) AS n_common
-       |        FROM cand
-       |        JOIN nbsh sa ON sa.doc_id = doc_a
-       |        JOIN exsh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+       |     FROM exbands$sfx) WHERE rn <= ${Dedup.lshBucketCap}),
+       | cand$sfx AS (SELECT DISTINCT q.doc_id AS doc_a, e.doc_id AS doc_b
+       |          FROM nbbands$sfx q JOIN excap$sfx e USING (band, bv)),
+       | nbsz$sfx AS (SELECT doc_id, count(*) AS n FROM nbsh$sfx GROUP BY doc_id),
+       | exsz$sfx AS (SELECT doc_id, count(*) AS n FROM exsh$sfx GROUP BY doc_id),
+       | iv$sfx AS (SELECT doc_a, doc_b, count(*) AS n_common
+       |        FROM cand$sfx
+       |        JOIN nbsh$sfx sa ON sa.doc_id = doc_a
+       |        JOIN exsh$sfx sb ON sb.doc_id = doc_b AND sb.s = sa.s
        |        GROUP BY doc_a, doc_b),
-       | ver AS (SELECT doc_a, doc_b, $jaccardExpr AS jaccard
-       |         FROM iv JOIN nbsz sa ON doc_a = sa.doc_id
-       |                 JOIN exsz sb ON doc_b = sb.doc_id
+       | ver$sfx AS (SELECT doc_a, doc_b, $jaccardExpr AS jaccard
+       |         FROM iv$sfx JOIN nbsz$sfx sa ON doc_a = sa.doc_id
+       |                 JOIN exsz$sfx sb ON doc_b = sb.doc_id
        |         WHERE $jaccardExpr >= 0.5),
-       | best AS (SELECT doc_a, doc_b, jaccard FROM (
+       | best$sfx AS (SELECT doc_a, doc_b, jaccard FROM (
        |     SELECT doc_a, doc_b, jaccard,
        |       row_number() OVER (PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) AS rn
-       |     FROM ver) WHERE rn = 1),
-       | exfp AS (SELECT md5(text) AS fp, min(doc_id) AS ex_exact FROM ex GROUP BY fp),
-       | bfp AS (SELECT doc_id, md5(text) AS fp FROM nb)
-       | SELECT b.doc_id,
+       |     FROM ver$sfx) WHERE rn = 1),
+       | exfp$sfx AS (SELECT md5(text) AS fp, min(doc_id) AS ex_exact FROM $ex GROUP BY fp),
+       | bfp$sfx AS (SELECT doc_id, md5(text) AS fp FROM $nb),
+       | verdict$sfx AS$mat (SELECT b.doc_id,
        |   CASE WHEN f.ex_exact IS NOT NULL THEN 'exact'
        |        WHEN bst.doc_b IS NOT NULL THEN 'near'
        |        ELSE 'new' END AS verdict,
        |   coalesce(f.ex_exact, bst.doc_b) AS dup_of,
        |   CASE WHEN f.ex_exact IS NULL THEN bst.jaccard END AS jaccard
-       | FROM bfp b LEFT JOIN exfp f USING (fp)
-       | LEFT JOIN best bst ON bst.doc_a = b.doc_id
-       | ORDER BY b.doc_id""".stripMargin
+       | FROM bfp$sfx b LEFT JOIN exfp$sfx f USING (fp)
+       | LEFT JOIN best$sfx bst ON bst.doc_a = b.doc_id)""".stripMargin
   }
+
+  /** The sequential ingest-loop oracle: batch 1 classifies against the
+    * base corpus; its ACCEPTED ('new') docs join the corpus; batch 2
+    * classifies against that grown corpus — the unrolled form of
+    * [[graft.operators.Sink.maintainDedupIndex]] called per batch,
+    * leaning on append ≡ rebuild-on-union (the stored-index append
+    * contract) for the grown index's content.
+    */
+  private lazy val dedupIngestLoopOracle: String =
+    s"""WITH ex1 AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+       | b1 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400 AND doc_id < 450),
+       |""".stripMargin +
+      incClassifyCtes("1", "ex1", "b1", materializeVerdict = true) + ",\n" +
+      s""" acc1 AS (SELECT b.doc_id, b.text FROM b1 b
+         |          JOIN verdict1 v ON v.doc_id = b.doc_id WHERE v.verdict = 'new'),
+         | ex2 AS MATERIALIZED (SELECT doc_id, text FROM ex1
+         |        UNION ALL SELECT doc_id, text FROM acc1),
+         | b2 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 450 AND doc_id < 500
+         |        UNION ALL SELECT doc_id + 30000, text FROM documents WHERE doc_id >= 400 AND doc_id < 405
+         |        UNION ALL SELECT doc_id + 40000, text || ' zq1 zq2 zq3'
+         |          FROM documents WHERE doc_id >= 405 AND doc_id < 410),
+         |""".stripMargin +
+      incClassifyCtes("2", "ex2", "b2") + """
+        | SELECT doc_id, verdict, dup_of, jaccard FROM verdict1
+        | UNION ALL SELECT doc_id, verdict, dup_of, jaccard FROM verdict2
+        | ORDER BY doc_id""".stripMargin
 
   /** SimHash near-dup pair CTE chain (… → sig → chunks → cand → dists)
     * shared by dedup_simhash_pairs and dedup_clusters.
@@ -4624,6 +4745,10 @@ object ExtQueries {
     // deletes in any drop order — the same filtered-corpus oracle
     "stream_dedup_cdc_replay" -> incrementalDedupOracleFor(
       s"doc_id < 400 AND doc_id NOT IN (${dedupTakedownIds.mkString(", ")})"),
+    // sequential ingest loop, batch and streaming forms — one
+    // unrolled two-step oracle (verdict1 → accepted1 → verdict2)
+    "dedup_ingest_loop" -> dedupIngestLoopOracle,
+    "stream_dedup_ingest_replay" -> dedupIngestLoopOracle,
     "source_overlap" -> {
       val gram8 = (0 until 8).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]")
         .mkString(" || ' ' || ")

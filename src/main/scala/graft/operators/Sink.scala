@@ -2275,6 +2275,32 @@ object Sink {
     result
   }
 
+  /** The production ingest loop as ONE operator: classify the batch
+    * against the stored index, append the ACCEPTED split (verdict
+    * 'new' — exact and near dups are dropped, the whole point of
+    * ingest-time dedup), return the per-doc verdicts. Sequencing is
+    * safe because [[Dedup.classifyCore]] materializes the verdict
+    * frame eagerly (localCheckpoint) — the append below cannot leak
+    * into the classification that decided it. Called per micro-batch
+    * this GROWS the index between triggers, so a later batch's copy
+    * of an earlier batch's accepted doc classifies exact/near — the
+    * sequential semantics the ingest-loop oracle unrolls batch by
+    * batch. Cost per call: classify (batch-proportional probes of the
+    * pruned index) + an accepted-sized append; never a corpus scan.
+    */
+  def maintainDedupIndex(spark: SparkSession, batch: DataFrame,
+      dir: String, threshold: Double = 0.5): DataFrame = {
+    val verdicts = classifyWithDedupIndex(spark, batch, dir, threshold)
+    val accepted = batch
+      .join(verdicts.filter(col("verdict") === "new").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    // an all-dup batch appends nothing — and must not touch the
+    // manifest either (the index content did not change)
+    if (!accepted.isEmpty)
+      appendToDedupIndex(accepted.select("doc_id", "text"), dir)
+    verdicts
+  }
+
   /** Compact the stored dedup index: rewrite each table back to the
     * one-file-per-partition layout (appends add a file per call),
     * restore the distinct invariants (defense in depth against a

@@ -239,6 +239,47 @@ object DedupStream {
     * this replay keeps the index frozen so the planted-batch oracle
     * applies verbatim to the replayed union.
     */
+  /** The streaming ingest LOOP: each micro-batch classifies against
+    * the stored dedup index, appends its accepted ('new') docs, and
+    * lands the per-doc verdicts in `outDir`
+    * ([[graft.operators.Sink.maintainDedupIndex]] per trigger). The
+    * index GROWS between triggers — a later drop's copy of an earlier
+    * drop's accepted doc classifies exact/near — so replay order is
+    * semantic: drops must arrive with strictly increasing file
+    * mtimes (the file source's ordering key) for the replay to equal
+    * the sequential batch form the oracle unrolls. This is the
+    * production continuous-ingestion shape: per-trigger cost is
+    * batch-proportional classify probes plus an accepted-sized
+    * append, never a corpus scan, and the on-disk index is the only
+    * state.
+    */
+  def runIngestReplay(spark: SparkSession, dropGlob: String,
+      indexDir: String, checkpointDir: String, outDir: String,
+      threshold: Double = 0.5): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(checkpointDir))
+    rm(new java.io.File(outDir))
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dropGlob)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Sink
+            .maintainDedupIndex(spark, batch, indexDir, threshold)
+            .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** CDC-shaped maintenance of the stored dedup index — accepted docs
     * and takedowns arrive through ONE stream: each micro-batch appends
     * its "add" rows ([[graft.operators.Sink.appendToDedupIndex]]) and

@@ -188,4 +188,38 @@ class DedupStreamSpec extends SparkSpec {
     assert(ex.getMessage.contains("unknown op") ||
       Option(ex.getCause).exists(_.getMessage.contains("unknown op")))
   }
+
+  test("ingest replay: the growing-index stream equals the sequential batch form") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val base = docs.filter(col("doc_id") < 30)
+    val b1 = docs.filter(col("doc_id") >= 30 && col("doc_id") < 40)
+    // batch 2 plants a verbatim copy of a batch-1 doc: 'exact' against
+    // it is only possible if the index grew between triggers
+    val b2 = docs.filter(col("doc_id") >= 40 && col("doc_id") < 50)
+      .unionByName(docs.filter(col("doc_id") === 30)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      .localCheckpoint()
+    val batchDir = Files.createTempDirectory("graft-ingest-batch").toString + "/idx"
+    graft.operators.Sink.writeDedupIndex(base, batchDir)
+    val v1 = graft.operators.Sink.maintainDedupIndex(spark, b1, batchDir)
+    val v2 = graft.operators.Sink.maintainDedupIndex(spark, b2, batchDir)
+    val expected = v1.unionByName(v2).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val root = Files.createTempDirectory("graft-ingest-stream").toString
+    graft.operators.Sink.writeDedupIndex(base, s"$root/index")
+    Seq(("a", b1, 0), ("b", b2, 1)).foreach { case (tag, df, k) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$root/drops/drop=$tag")
+      new java.io.File(s"$root/drops/drop=$tag").listFiles()
+        .foreach(f => f.setLastModified(1700000000000L + k * 60000L): Unit)
+    }
+    DedupStream.runIngestReplay(spark, s"$root/drops/drop=*",
+      s"$root/index", s"$root/ckpt", s"$root/out")
+    val got = spark.read.parquet(s"$root/out").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected)
+    val copy = got.find(_(0) == 1030L).get
+    assert(copy(1) == "exact" && copy(2) == 30L,
+      "the cross-batch copy must classify against the grown index")
+  }
 }
