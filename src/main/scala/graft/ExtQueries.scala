@@ -81,6 +81,17 @@ object ExtQueries {
   private lazy val dedupIndexDeleteCompactDir: String =
     TempDirs.create("graft_dedup_index_delc")
 
+  private lazy val bpeTokDir: String = TempDirs.create("graft_bpe_tok")
+
+  private lazy val bpeTokExtendDir: String =
+    TempDirs.create("graft_bpe_tok_extend")
+
+  private lazy val bpeTokExtendEncodeDir: String =
+    TempDirs.create("graft_bpe_tok_extenc")
+
+  private lazy val bpeTokStreamDir: String =
+    TempDirs.create("graft_bpe_tok_stream")
+
   /** Takedown set for the dedup-index delete queries: the docs the
     * planted batch copies point AT (verbatim sources 0-4, near sources
     * 10-14) — deleting them flips the planted verdicts, so the queries
@@ -2153,6 +2164,66 @@ object ExtQueries {
     "bpe_encode_batched" -> ((s, d) =>
       TextOps.bpeEncodeBatched(docs(s, d),
         TextOps.bpeTrainMergesBatched(docs(s, d), rounds = 3, batchSize = 3))),
+    // the STORED tokenizer's train-once/apply-everywhere path: persist
+    // the merge table as a versioned artifact, encode from the stored
+    // artifact — ≡ the inline train→encode by construction, so the
+    // bpe_encode_batched oracle applies verbatim. SIDE EFFECT: rewrites
+    // the temp tokenizer dir per evaluation (idempotent).
+    "bpe_store_encode" -> ((s, d) => {
+      val all = docs(s, d)
+      Sink.writeBpeTokenizer(all, bpeTokDir, rounds = 3, batchSize = 3)
+      Sink.encodeWithBpeTokenizer(s, all, bpeTokDir)
+    }),
+    // the EXTEND leg: train on the original corpus (doc_id < 400),
+    // continue training on the new-domain docs with the stored merges
+    // applied first — output is the appended merge table itself, so
+    // the continued numbering (iter from n_merges, round from the
+    // stored round budget) is oracle-checked directly. SIDE EFFECT:
+    // rewrites the temp tokenizer dir per evaluation (idempotent).
+    "bpe_store_extend" -> ((s, d) => {
+      val all = docs(s, d)
+      Sink.writeBpeTokenizer(all.filter(col("doc_id") < 400),
+        bpeTokExtendDir, rounds = 2, batchSize = 3)
+      Sink.extendBpeTokenizer(all.filter(col("doc_id") >= 400),
+        bpeTokExtendDir, rounds = 2, batchSize = 3)
+      Sink.loadBpeMerges(s, bpeTokExtendDir).orderBy("iter")
+    }),
+    // extend, then encode the FULL corpus with the extended tokenizer —
+    // the end-to-end domain-shift pipeline (train → extend → apply).
+    // SIDE EFFECT: rewrites the temp tokenizer dir per evaluation
+    // (idempotent).
+    "bpe_store_extend_encode" -> ((s, d) => {
+      val all = docs(s, d)
+      Sink.writeBpeTokenizer(all.filter(col("doc_id") < 400),
+        bpeTokExtendEncodeDir, rounds = 2, batchSize = 3)
+      Sink.extendBpeTokenizer(all.filter(col("doc_id") >= 400),
+        bpeTokExtendEncodeDir, rounds = 2, batchSize = 3)
+      Sink.encodeWithBpeTokenizer(s, all, bpeTokExtendEncodeDir)
+    }),
+    // the STREAMING twin of the extend leg: the new-domain docs land
+    // as two mtime-ordered drops, each micro-batch continuing training
+    // inside foreachBatch — the merge table grows BETWEEN triggers, so
+    // the replay equals sequential batch extends in drop order (the
+    // three-phase oracle). SIDE EFFECT: rewrites the temp
+    // tokenizer/drop dirs per evaluation (idempotent).
+    "stream_bpe_extend_replay" -> ((s, d) => {
+      val all = docs(s, d)
+      val dir = bpeTokStreamDir
+      Sink.writeBpeTokenizer(all.filter(col("doc_id") < 400),
+        s"$dir/tok", rounds = 2, batchSize = 3)
+      writeOrderedDrop(
+        all.filter(col("doc_id") >= 400 && pmod(col("doc_id"), lit(2)) === 0)
+          .select("doc_id", "text"),
+        s"$dir/drops/drop=a", 0)
+      writeOrderedDrop(
+        all.filter(col("doc_id") >= 400 && pmod(col("doc_id"), lit(2)) === 1)
+          .select("doc_id", "text"),
+        s"$dir/drops/drop=b", 1)
+      graft.streaming.BpeStream.runExtendReplay(
+        s, s"$dir/drops/drop=*", s"$dir/tok", s"$dir/ckpt",
+        rounds = 1, batchSize = 3)
+      Sink.loadBpeMerges(s, s"$dir/tok").orderBy("iter")
+    }),
     // tokens/word per language under the learned merges — the
     // multilingual tokenizer-bias diagnostic
     "bpe_fertility_by_lang" -> ((s, d) => TextOps.bpeFertilityByLang(docs(s, d), 5)),
@@ -2856,54 +2927,148 @@ object ExtQueries {
     * degenerates to the identity replace(state, '·', '·')); since the
     * kept set commutes, nesting order ≡ the Scala fold order.
     */
-  private def bpeBatchChainSql(rounds: Int, batch: Int): String = {
-    val roundCtes = (1 to rounds).map { i =>
-      val pivCols = (1 to batch).map { k =>
-        s"""max(CASE WHEN rk = $k THEN '·' || pair_left || '··' || pair_right || '·' END) AS pat$k,
-           |       max(CASE WHEN rk = $k THEN '·' || pair_left || pair_right || '·' END) AS rep$k""".stripMargin
-      }.mkString(",\n       ")
-      val applied = (1 to batch).foldLeft("state") { (acc, k) =>
-        s"replace($acc, coalesce(pat$k, '·'), coalesce(rep$k, '·'))"
+  private def bpeBatchChainSql(rounds: Int, batch: Int): String =
+    bpePhaseChainSql(Seq(("documents", rounds)), batch)
+
+  /** MULTI-PHASE batched-BPE chain — the oracle mirror of the stored
+    * tokenizer's extend lifecycle
+    * ([[graft.operators.Sink.extendBpeTokenizer]]): each phase trains
+    * `rounds` batched rounds over its own corpus (`src`, any FROM-able
+    * source), seeded by ALL previous phases' selected merges applied
+    * to its vocabulary round by round (the i-chain — sequential CROSS
+    * JOINs against the previous phases' pivots, in (phase, round)
+    * order; within a round the kept set commutes, so the nested pivot
+    * apply ≡ the engine's iter-order fold). A 0-round phase emits only
+    * its seeded state (`f{p}_s0`) — the apply-only leg the
+    * extended-encode oracle reads. Phase 1 keeps the legacy unprefixed
+    * CTE names (sel1, s3, …) so the single-phase train/encode oracles
+    * read unchanged.
+    */
+  private def bpePhaseChainSql(phases: Seq[(String, Int)],
+      batch: Int): String = {
+    def pfx(p: Int) = if (p == 1) "" else s"f${p}_"
+    val pivCols = (1 to batch).map { k =>
+      s"""max(CASE WHEN rk = $k THEN '·' || pair_left || '··' || pair_right || '·' END) AS pat$k,
+         |       max(CASE WHEN rk = $k THEN '·' || pair_left || pair_right || '·' END) AS rep$k""".stripMargin
+    }.mkString(",\n       ")
+    val applied = (1 to batch).foldLeft("state") { (acc, k) =>
+      s"replace($acc, coalesce(pat$k, '·'), coalesce(rep$k, '·'))"
+    }
+    phases.zipWithIndex.map { case ((src, rounds), pi) =>
+      val f = pfx(pi + 1)
+      // every previous phase's per-round pivot, in (phase, round)
+      // order — the engine's stored-merge iter order
+      val prevPivs = phases.take(pi).zipWithIndex.flatMap {
+        case ((_, r0), qi) => (1 to r0).map(r => s"${pfx(qi + 1)}piv$r")
       }
-      // greedy kept-set unroll: k$i$j = kept set after considering
-      // rank j (each CTE referenced twice — union + NOT EXISTS — so
-      // they stay tiny ≤batch-row frames; t$i is MATERIALIZED because
-      // the chain references it `batch` times and DuckDB inlines
-      // multi-referenced CTEs)
-      val keptCtes = (2 to batch).map { j =>
-        s""" k${i}_$j AS (SELECT * FROM k${i}_${j - 1}
-           |       UNION ALL
-           |       SELECT a.* FROM t$i a WHERE a.rk = $j
-           |         AND NOT EXISTS (SELECT 1 FROM k${i}_${j - 1} b
-           |           WHERE b.pair_left IN (a.pair_left, a.pair_right)
-           |             OR b.pair_right IN (a.pair_left, a.pair_right)
-           |             OR (b.pair_left || b.pair_right) IN (a.pair_left, a.pair_right)
-           |             OR (a.pair_left || a.pair_right) IN (b.pair_left, b.pair_right)))""".stripMargin
-      }.mkString(",\n")
-      s""" p$i AS (SELECT ws[j] AS pair_left, ws[j + 1] AS pair_right, cnt
-         |       FROM (SELECT string_split(substr(state, 2, length(state) - 2), '··') AS ws, cnt
-         |             FROM s${i - 1}), UNNEST(range(1, len(ws))) t(j)
-         |       WHERE len(ws) >= 2),
-         | c$i AS (SELECT pair_left, pair_right, CAST(sum(cnt) AS BIGINT) AS n
-         |       FROM p$i GROUP BY pair_left, pair_right),
-         | t$i AS MATERIALIZED (SELECT pair_left, pair_right, n, rk FROM (
-         |       SELECT pair_left, pair_right, n,
-         |         row_number() OVER (ORDER BY n DESC, pair_left, pair_right) AS rk
-         |       FROM c$i) WHERE rk <= $batch),
-         | k${i}_1 AS (SELECT pair_left, pair_right, n, rk FROM t$i WHERE rk = 1),
-         |$keptCtes,
-         | sel$i AS (SELECT pair_left, pair_right, n, rk FROM k${i}_$batch),
-         | piv$i AS (SELECT
-         |       $pivCols
-         |       FROM sel$i),
-         | s$i AS MATERIALIZED (SELECT word, $applied AS state, cnt
-         |       FROM s${i - 1} CROSS JOIN piv$i)""".stripMargin
+      val seed =
+        s"""${f}w AS (SELECT unnest(string_split(text, ' ')) AS word FROM $src),
+           | ${f}wc AS (SELECT word, count(*) AS cnt FROM ${f}w GROUP BY word),
+           | ${f}i0 AS (SELECT word, regexp_replace(word, '(.)', '·\\1·', 'g') AS state, cnt FROM ${f}wc)""".stripMargin
+      val inherit = prevPivs.zipWithIndex.map { case (piv, m) =>
+        s""" ${f}i${m + 1} AS (SELECT word, $applied AS state, cnt
+           |       FROM ${f}i$m CROSS JOIN $piv)""".stripMargin
+      }
+      val s0 =
+        s" ${f}s0 AS MATERIALIZED (SELECT word, state, cnt FROM ${f}i${prevPivs.length})"
+      val roundCtes = (1 to rounds).map { i =>
+        // greedy kept-set unroll: k$i$j = kept set after considering
+        // rank j (each CTE referenced twice — union + NOT EXISTS — so
+        // they stay tiny ≤batch-row frames; t$i is MATERIALIZED because
+        // the chain references it `batch` times and DuckDB inlines
+        // multi-referenced CTEs)
+        val keptCtes = (2 to batch).map { j =>
+          s""" ${f}k${i}_$j AS (SELECT * FROM ${f}k${i}_${j - 1}
+             |       UNION ALL
+             |       SELECT a.* FROM ${f}t$i a WHERE a.rk = $j
+             |         AND NOT EXISTS (SELECT 1 FROM ${f}k${i}_${j - 1} b
+             |           WHERE b.pair_left IN (a.pair_left, a.pair_right)
+             |             OR b.pair_right IN (a.pair_left, a.pair_right)
+             |             OR (b.pair_left || b.pair_right) IN (a.pair_left, a.pair_right)
+             |             OR (a.pair_left || a.pair_right) IN (b.pair_left, b.pair_right)))""".stripMargin
+        }.mkString(",\n")
+        s""" ${f}p$i AS (SELECT ws[j] AS pair_left, ws[j + 1] AS pair_right, cnt
+           |       FROM (SELECT string_split(substr(state, 2, length(state) - 2), '··') AS ws, cnt
+           |             FROM ${f}s${i - 1}), UNNEST(range(1, len(ws))) t(j)
+           |       WHERE len(ws) >= 2),
+           | ${f}c$i AS (SELECT pair_left, pair_right, CAST(sum(cnt) AS BIGINT) AS n
+           |       FROM ${f}p$i GROUP BY pair_left, pair_right),
+           | ${f}t$i AS MATERIALIZED (SELECT pair_left, pair_right, n, rk FROM (
+           |       SELECT pair_left, pair_right, n,
+           |         row_number() OVER (ORDER BY n DESC, pair_left, pair_right) AS rk
+           |       FROM ${f}c$i) WHERE rk <= $batch),
+           | ${f}k${i}_1 AS (SELECT pair_left, pair_right, n, rk FROM ${f}t$i WHERE rk = 1),
+           |$keptCtes,
+           | ${f}sel$i AS (SELECT pair_left, pair_right, n, rk FROM ${f}k${i}_$batch),
+           | ${f}piv$i AS (SELECT
+           |       $pivCols
+           |       FROM ${f}sel$i),
+           | ${f}s$i AS MATERIALIZED (SELECT word, $applied AS state, cnt
+           |       FROM ${f}s${i - 1} CROSS JOIN ${f}piv$i)""".stripMargin
+      }
+      (Seq(seed) ++ inherit ++ Seq(s0) ++ roundCtes).mkString(",\n")
     }.mkString(",\n")
-    s"""w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-       | wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
-       | s0 AS MATERIALIZED (SELECT word, regexp_replace(word, '(.)', '·\\1·', 'g') AS state, cnt FROM wc),
-       |$roundCtes""".stripMargin
   }
+
+  /** The stored merge table over a phase chain: every phase's selected
+    * merges in (phase, round, rank) order, `iter` re-numbered globally
+    * and `round` continuing across phases from each phase's ROUND
+    * BUDGET — exactly how [[graft.operators.Sink.extendBpeTokenizer]]
+    * numbers its appends (iter from the manifest's n_merges, round
+    * from its recorded round budget).
+    */
+  private def bpePhaseMergesSql(phases: Seq[(String, Int)]): String = {
+    val rows = phases.zipWithIndex.flatMap { case ((_, r0), pi) =>
+      val f = if (pi == 0) "" else s"f${pi + 1}_"
+      val base = phases.take(pi).map(_._2).sum
+      (1 to r0).map(i =>
+        s"SELECT ${base + i} AS round, rk, pair_left, pair_right, n FROM ${f}sel$i")
+    }.mkString("\n UNION ALL\n ")
+    s"""m AS ($rows)
+       | SELECT CAST(row_number() OVER (ORDER BY round, rk) AS INTEGER) AS iter,
+       |   CAST(round AS INTEGER) AS round, CAST(rk AS INTEGER) AS rk,
+       |   pair_left, pair_right, pair_left || pair_right AS merged, n
+       | FROM m ORDER BY iter""".stripMargin
+  }
+
+  /** The shared encode tail: per-word token counts from a final-state
+    * CTE, joined back to per-doc occurrences over `corpus`.
+    */
+  private def bpeEncodeTailSql(stateCte: String,
+      corpus: String = "documents"): String =
+    s""" enc AS (SELECT word,
+       |       len(string_split(substr(state, 2, length(state) - 2), '··')) AS n_toks
+       |       FROM $stateCte),
+       | dw AS (SELECT doc_id, word, count(*) AS occ
+       |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM $corpus)
+       |       GROUP BY doc_id, word),
+       | j AS (SELECT doc_id,
+       |       CAST(sum(occ) AS BIGINT) AS n_words,
+       |       CAST(sum(occ * length(word)) AS BIGINT) AS n_char_tokens,
+       |       CAST(sum(occ * n_toks) AS BIGINT) AS n_bpe_tokens
+       |       FROM dw JOIN enc USING (word) GROUP BY doc_id)
+       | SELECT doc_id, n_words, n_char_tokens, n_bpe_tokens,
+       |   round(CAST(n_char_tokens AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 4) AS compression
+       | FROM j ORDER BY doc_id""".stripMargin
+
+  private lazy val bpeEncodeBatchedOracle: String =
+    s"""WITH ${bpeBatchChainSql(3, 3)},
+       |${bpeEncodeTailSql("s3")}""".stripMargin
+
+  /** The stored-tokenizer extend fixture: train on the original corpus
+    * (doc_id < 400, 2 rounds), extend on the new-domain docs (2 more).
+    */
+  private val bpeExtendPhases = Seq(
+    ("(SELECT * FROM documents WHERE doc_id < 400)", 2),
+    ("(SELECT * FROM documents WHERE doc_id >= 400)", 2))
+
+  /** The streaming-extend fixture: the ≥400 docs split into two
+    * mtime-ordered drops (even then odd doc_id), one round each.
+    */
+  private val bpeStreamPhases = Seq(
+    ("(SELECT * FROM documents WHERE doc_id < 400)", 2),
+    ("(SELECT * FROM documents WHERE doc_id >= 400 AND doc_id % 2 = 0)", 1),
+    ("(SELECT * FROM documents WHERE doc_id >= 400 AND doc_id % 2 = 1)", 1))
 
   private val simhashSigSql: String =
     """WITH words AS (SELECT DISTINCT doc_id, word FROM
@@ -6251,19 +6416,30 @@ object ExtQueries {
       s"""WITH ${bpeChainSql(5)}
          | SELECT * FROM ($rows) ORDER BY iter""".stripMargin
     },
-    // batched BPE: three unrolled rounds of the rank-window selection
-    // chain; iter numbers the selected merges in (round, rank) order
-    "bpe_train_merges_batched" -> {
-      val rows = (1 to 3).map { i =>
-        s"SELECT $i AS round, rk, pair_left, pair_right, n FROM sel$i"
-      }.mkString("\n UNION ALL\n ")
+    // batched BPE: three unrolled rounds of the greedy kept-set
+    // selection chain; iter numbers the selected merges in
+    // (round, rank) order
+    "bpe_train_merges_batched" ->
       s"""WITH ${bpeBatchChainSql(3, 3)},
-         | m AS ($rows)
-         | SELECT CAST(row_number() OVER (ORDER BY round, rk) AS INTEGER) AS iter,
-         |   CAST(round AS INTEGER) AS round, CAST(rk AS INTEGER) AS rk,
-         |   pair_left, pair_right, pair_left || pair_right AS merged, n
-         | FROM m ORDER BY iter""".stripMargin
-    },
+         | ${bpePhaseMergesSql(Seq(("documents", 3)))}""".stripMargin,
+    // the stored-tokenizer EXTEND leg: phase 1 trains on the original
+    // corpus (doc_id < 400), phase 2 continues on the new-domain docs
+    // with phase 1's merges applied first — the merge table the engine
+    // persists and appends ([[graft.operators.Sink.extendBpeTokenizer]])
+    "bpe_store_extend" ->
+      s"""WITH ${bpePhaseChainSql(bpeExtendPhases, 3)},
+         | ${bpePhaseMergesSql(bpeExtendPhases)}""".stripMargin,
+    // encode the FULL corpus with the extended tokenizer: a 0-round
+    // third phase applies both phases' merges to the full-corpus
+    // vocabulary (f3_s0), then the standard encode tail
+    "bpe_store_extend_encode" ->
+      s"""WITH ${bpePhaseChainSql(bpeExtendPhases :+ (("documents", 0)), 3)},
+         |${bpeEncodeTailSql("f3_s0")}""".stripMargin,
+    // streaming extend replay: the two drops extend sequentially in
+    // mtime order — phases 2 and 3 of the same chain, one round each
+    "stream_bpe_extend_replay" ->
+      s"""WITH ${bpePhaseChainSql(bpeStreamPhases, 3)},
+         | ${bpePhaseMergesSql(bpeStreamPhases)}""".stripMargin,
     // BPE encode: apply the learned chain's final state per vocab word,
     // join back to per-doc occurrence counts — train→apply end-to-end
     "bpe_encode" ->
@@ -6284,22 +6460,11 @@ object ExtQueries {
          | FROM j ORDER BY doc_id""".stripMargin,
     // encode over the batched chain's final state (s3) — the bpe_encode
     // tail verbatim on the batched merge table's rewrite
-    "bpe_encode_batched" ->
-      s"""WITH ${bpeBatchChainSql(3, 3)},
-         | enc AS (SELECT word,
-         |       len(string_split(substr(state, 2, length(state) - 2), '··')) AS n_toks
-         |       FROM s3),
-         | dw AS (SELECT doc_id, word, count(*) AS occ
-         |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-         |       GROUP BY doc_id, word),
-         | j AS (SELECT doc_id,
-         |       CAST(sum(occ) AS BIGINT) AS n_words,
-         |       CAST(sum(occ * length(word)) AS BIGINT) AS n_char_tokens,
-         |       CAST(sum(occ * n_toks) AS BIGINT) AS n_bpe_tokens
-         |       FROM dw JOIN enc USING (word) GROUP BY doc_id)
-         | SELECT doc_id, n_words, n_char_tokens, n_bpe_tokens,
-         |   round(CAST(n_char_tokens AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 4) AS compression
-         | FROM j ORDER BY doc_id""".stripMargin,
+    "bpe_encode_batched" -> bpeEncodeBatchedOracle,
+    // stored-tokenizer encode: write + load + encode is train-once ≡
+    // the inline batched train→encode by construction, so the oracle
+    // is SHARED verbatim (the dedup_incremental_stored convention)
+    "bpe_store_encode" -> bpeEncodeBatchedOracle,
     // tokenizer-bias diagnostic: the encode chain rolled up per lang
     "bpe_fertility_by_lang" ->
       s"""WITH ${bpeChainSql(5)},

@@ -761,6 +761,42 @@ object ScaleProbe {
           "dedup_index_near" -> byVerdict.getOrElse("near", 0L).toDouble,
           "dedup_index_new" -> byVerdict.getOrElse("new", 0L).toDouble)
       } else Seq.empty
+    } ++ {
+      // round-18: the STORED BPE tokenizer lifecycle at corpus scale.
+      // Build trains rounds×batch on the ×N corpus — per-round cost is
+      // corpus-VOCABULARY-sized, so it grows with the factor (the
+      // replicas' per-token prefixes multiply the vocabulary). Extend
+      // then continues training on a FIXTURE-SIZED new-domain batch
+      // (500 docs, tokens rewritten so their vocabulary is genuinely
+      // new): the claim under test is that extend pays a merges-sized
+      // artifact read + BATCH-vocabulary work (the chunked init fold +
+      // its own count rounds) — never a re-count of the training
+      // corpus — so extend should stay ~flat across a corpus decade
+      // while build grows.
+      if (only.isEmpty || only("bpe_tokenizer_stored")) {
+        import graft.operators.Sink
+        val dir = java.nio.file.Files
+          .createTempDirectory("probe_bpetok").toString + "/tok"
+        val t0 = System.nanoTime()
+        Sink.writeBpeTokenizer(docs, dir, rounds = 4, batchSize = 64)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val nStored = Sink.loadBpeMerges(spark, dir).count()
+        val batch = docs.filter(col("doc_id") < 500)
+          .select((col("doc_id") + 930000000L).as("doc_id"),
+            regexp_replace(col("text"), "r0_", "qq_").as("text"))
+          .localCheckpoint()
+        val t1 = System.nanoTime()
+        Sink.extendBpeTokenizer(batch, dir, rounds = 2, batchSize = 64)
+        val tExtend = (System.nanoTime() - t1) / 1e9
+        val nAfter = Sink.loadBpeMerges(spark, dir).count()
+        System.err.println(
+          f"[probe] bpe_tok_build $tBuild%8.2f s (merges=$nStored); " +
+            f"extend $tExtend%8.2f s (+${nAfter - nStored})")
+        Seq("bpe_tok_build" -> tBuild,
+          "bpe_tok_extend" -> tExtend,
+          "bpe_tok_merges" -> nStored.toDouble,
+          "bpe_tok_extend_merges" -> (nAfter - nStored).toDouble)
+      } else Seq.empty
     }
 
     val qj = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -1021,6 +1021,8 @@ object Sink {
           s"the ${kind match {
             case "ivfpq" => "IVF-PQ"
             case "ivfsq8" => "IVF-SQ8"
+            case "dedup_text" => "dedup-index"
+            case "bpe_tokenizer" => "BPE-tokenizer"
             case _ => "IVF"
           }} operator family")
     }
@@ -2344,5 +2346,95 @@ object Sink {
         fs.delete(new org.apache.hadoop.fs.Path(p), false): Unit)
     }
     dedupIndexManifest(spark, dir)
+  }
+
+  // ───────────────────────── stored BPE tokenizer ─────────────────────
+
+  private def bpeManifest(spark: SparkSession, dir: String,
+      rounds: Int, batchSize: Int, nMerges: Long): Unit =
+    writeIndexManifest(spark, dir, Seq(
+      "kind" -> "bpe_tokenizer",
+      "rounds" -> rounds.toString,
+      "batch_size" -> batchSize.toString,
+      "n_merges" -> nMerges.toString))
+
+  /** Persist a trained tokenizer as a versioned artifact: the batched
+    * trainer's merge table ([[graft.operators.TextOps.bpeTrainMergesBatched]],
+    * (iter, round, rk, pair_left, pair_right, merged, n)) as one
+    * parquet file under `dir/merges` plus the manifest. A tokenizer is
+    * trained ONCE and then applied to the full corpus (and every future
+    * batch) — without the stored artifact each encode query retrains,
+    * which at 100 TB is a full extra training pass per consumer. The
+    * table is merges-sized (≤ rounds × batchSize rows; 32k for a
+    * production vocabulary), so one file is the correct layout.
+    */
+  def writeBpeTokenizer(docs: DataFrame, dir: String,
+      rounds: Int = 3, batchSize: Int = 3): Unit = {
+    val spark = docs.sparkSession
+    val merges = TextOps.bpeTrainMergesBatched(docs, rounds, batchSize)
+      .localCheckpoint()
+    merges.orderBy("iter").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/merges")
+    bpeManifest(spark, dir, rounds, batchSize, merges.count())
+    org.apache.spark.sql.GraftShims.uncheckpoint(merges)
+  }
+
+  /** Load the stored merge table, cached per artifact generation
+    * ([[cachedArtifactLoad]]) — repeated encodes against an unchanged
+    * tokenizer skip the read. Feeds
+    * [[graft.operators.TextOps.bpeEncodeBatched]] directly.
+    */
+  def loadBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    requireIndexKind(spark, dir, "bpe_tokenizer", "loadBpeMerges")
+    require(pathExists(spark, s"$dir/merges"),
+      s"loadBpeMerges: no tokenizer artifact at $dir (missing merges table)")
+    cachedArtifactLoad(spark, s"$dir/merges") {
+      spark.read.parquet(s"$dir/merges")
+    }
+  }
+
+  /** Encode a corpus with the STORED tokenizer — the production
+    * train-once/apply-everywhere path: one merges-sized artifact read
+    * (cached per generation), then the batched encode's single
+    * vocab-sized pass over `docs`. Never retrains.
+    */
+  def encodeWithBpeTokenizer(spark: SparkSession, docs: DataFrame,
+      dir: String): DataFrame =
+    TextOps.bpeEncodeBatched(docs, loadBpeMerges(spark, dir))
+
+  /** CONTINUE training the stored tokenizer on a new corpus — the
+    * domain-shift leg of the artifact lifecycle (a code-heavy or
+    * multilingual batch arrives; the vocabulary must grow without
+    * recounting the original corpus). The stored merges are applied to
+    * the new corpus's vocabulary first ([[graft.operators.TextOps.bpeTrainBatchedFrom]]),
+    * then `rounds` more batched rounds run THERE; the new merge rows
+    * append to `dir/merges` with iter continuing from `n_merges` and
+    * round from the manifest's `rounds` (manifest fields, not stored
+    * maxima — a phase that exhausted early still hands the next phase
+    * its full round budget, keeping the numbering restart-derivable).
+    * Extending on the SAME corpus is bit-identical to one longer
+    * single-shot train (DriftBpeSpec). The driver-side collect is
+    * merges-sized (the training output bound), never corpus-sized.
+    */
+  def extendBpeTokenizer(newDocs: DataFrame, dir: String,
+      rounds: Int = 3, batchSize: Int = 3): Unit = {
+    val spark = newDocs.sparkSession
+    val stored = loadBpeMerges(spark, dir).orderBy("iter").collect()
+    val init = stored.toSeq.map(r =>
+      (r.getAs[String]("pair_left"), r.getAs[String]("pair_right")))
+    val m = readIndexManifest(spark, dir).getOrElse(Map.empty)
+    val iterOffset = m.get("n_merges").map(_.toInt).getOrElse(stored.length)
+    val roundOffset = m.get("rounds").map(_.toInt).getOrElse(0)
+    val newMerges = TextOps.bpeTrainBatchedFrom(newDocs, init, rounds,
+      batchSize, iterOffset, roundOffset).localCheckpoint()
+    val n = newMerges.count()
+    if (n > 0)
+      newMerges.orderBy("iter").coalesce(1)
+        .write.mode("append").parquet(s"$dir/merges")
+    // manifest rewrite (fresh write_id) even when the batch learned
+    // nothing: the recorded round budget advanced, and the next
+    // extension must number its rounds after THIS one's
+    bpeManifest(spark, dir, roundOffset + rounds, batchSize, iterOffset + n)
+    org.apache.spark.sql.GraftShims.uncheckpoint(newMerges)
   }
 }

@@ -1209,8 +1209,34 @@ object TextOps {
       (kept, c) => if (kept.forall(compatibleMerges(_, c))) kept :+ c else kept
     }
 
+  /** Init-fold checkpoint cadence for continued training: bounds the
+    * inherited-merge replace chain Catalyst analyzes at once (a 32k
+    * inheritance folds as 500 chunks of 64, each plan one chunk deep).
+    */
+  private[graft] val bpeInitChunk = 64
+
   def bpeTrainMergesBatched(docs: DataFrame, rounds: Int = 3,
-      batchSize: Int = 3): DataFrame = {
+      batchSize: Int = 3): DataFrame =
+    bpeTrainBatchedFrom(docs, Seq.empty, rounds, batchSize, 0, 0)
+
+  /** CONTINUED batched training — the extend leg of the stored
+    * tokenizer artifact ([[graft.operators.Sink.extendBpeTokenizer]]).
+    * The inherited merges (`init`, in iter order) are applied to the
+    * fresh corpus's vocabulary before the first count round, so round
+    * `roundOffset + 1` counts pairs exactly where a single-shot train
+    * that had already emitted `init` would: extending a tokenizer on
+    * the SAME corpus is bit-identical to training `roundOffset+rounds`
+    * rounds in one shot (DriftBpeSpec pins this), and extending on a
+    * NEW corpus adapts the vocabulary to the new domain without
+    * recounting the old one. The init fold is chunked with a
+    * localCheckpoint every [[bpeInitChunk]] replaces: a production
+    * 32k-merge inheritance would otherwise hand Catalyst a 32k-deep
+    * expression tree (the per-round checkpoint rationale below, at the
+    * init scale).
+    */
+  private[graft] def bpeTrainBatchedFrom(docs: DataFrame,
+      init: Seq[(String, String)], rounds: Int, batchSize: Int,
+      iterOffset: Int, roundOffset: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val vocab = spread(docs)
@@ -1219,10 +1245,20 @@ object TextOps {
       .cache()
     var state = vocab.withColumn("state",
       regexp_replace(col("word"), "(.)", "·$1·"))
+    var checkpointed: Option[DataFrame] = None
+    init.grouped(bpeInitChunk).foreach { chunk =>
+      val applied = chunk.foldLeft(state) { case (st, (l, r)) =>
+        st.withColumn("state",
+          replace(col("state"), lit(s"·${l}··${r}·"), lit(s"·${l}${r}·")))
+      }
+      state = applied.localCheckpoint()
+      checkpointed.foreach(org.apache.spark.sql.GraftShims.uncheckpoint)
+      checkpointed = Some(state)
+    }
     val out = scala.collection.mutable
       .ArrayBuffer[(Int, Int, Int, String, String, String, Long)]()
-    var iter = 0
-    var round = 1
+    var iter = iterOffset
+    var round = roundOffset + 1
     var exhausted = false
     // per-round checkpoint of the rewritten state: without it round i
     // re-executes every prior round's nested replaces (O(rounds²·batch)
@@ -1232,8 +1268,7 @@ object TextOps {
     // expression tree. The checkpoint pins each round's vocab-sized
     // result and resets the plan to one round deep; the previous
     // round's blocks release eagerly (the kmeansAssignWithin pattern).
-    var checkpointed: Option[DataFrame] = None
-    while (round <= rounds && !exhausted) {
+    while (round <= roundOffset + rounds && !exhausted) {
       val syms = split(regexp_replace(col("state"), "^·|·$", ""), "··")
       // one vocab-sized aggregate + ONE bounded (≤ batchSize rows)
       // TakeOrdered collect per round — the driver never sees more

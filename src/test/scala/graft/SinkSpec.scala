@@ -818,4 +818,80 @@ class SinkSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(rebuilt.toSeq == got.toSeq)
   }
+
+  // ---- stored BPE tokenizer artifact -------------------------------
+
+  private val bpeCorpus = Seq(
+    (0L, "abab abab cdcd"),
+    (1L, "abab cdcd cdcd ef"),
+    (2L, "abab abcd ef ef"))
+
+  private def mergeRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("iter").collect().map(r => (r.getInt(0), r.getInt(1),
+      r.getInt(2), r.getString(3), r.getString(4), r.getString(5),
+      r.getLong(6))).toSeq
+
+  test("bpe tokenizer: stored encode equals inline and survives a restart") {
+    val d = dedupDocs(spark, bpeCorpus)
+    val dir = Files.createTempDirectory("graft-bpetok").toString + "/tok"
+    Sink.writeBpeTokenizer(d, dir, rounds = 3, batchSize = 3)
+    val inlineMerges = mergeRows(
+      graft.operators.TextOps.bpeTrainMergesBatched(d, 3, 3))
+    val inlineEnc = graft.operators.TextOps
+      .bpeEncodeBatched(d, 3, 3).collect().map(_.toSeq).toSeq
+    // restart analog: a FRESH session shares no artifact cache with
+    // the build — load + encode must come from disk alone
+    val fresh = spark.newSession()
+    val d2 = dedupDocs(fresh, bpeCorpus)
+    assert(mergeRows(Sink.loadBpeMerges(fresh, dir)) == inlineMerges)
+    assert(Sink.encodeWithBpeTokenizer(fresh, d2, dir)
+      .collect().map(_.toSeq).toSeq == inlineEnc)
+  }
+
+  test("bpe tokenizer: extend on the SAME corpus ≡ one longer train") {
+    val d = dedupDocs(spark, bpeCorpus)
+    val dir = Files.createTempDirectory("graft-bpetok-ext").toString + "/tok"
+    Sink.writeBpeTokenizer(d, dir, rounds = 2, batchSize = 3)
+    Sink.extendBpeTokenizer(d, dir, rounds = 2, batchSize = 3)
+    // continued training re-derives the same vocabulary state the
+    // single-shot trainer reaches after round 2, so iter/round/rk
+    // numbering AND counts line up exactly
+    assert(mergeRows(Sink.loadBpeMerges(spark, dir)) ==
+      mergeRows(graft.operators.TextOps.bpeTrainMergesBatched(d, 4, 3)))
+  }
+
+  test("bpe tokenizer: an exhausted extend still advances the round budget") {
+    val d = dedupDocs(spark, bpeCorpus)
+    val dir = Files.createTempDirectory("graft-bpetok-exh").toString + "/tok"
+    Sink.writeBpeTokenizer(d, dir, rounds = 2, batchSize = 3)
+    val before = mergeRows(Sink.loadBpeMerges(spark, dir))
+    // single-symbol vocabulary: no pairs, nothing learned
+    Sink.extendBpeTokenizer(dedupDocs(spark, Seq((9L, "x y z"))), dir,
+      rounds = 2, batchSize = 3)
+    assert(mergeRows(Sink.loadBpeMerges(spark, dir)) == before)
+    // the NEXT extension numbers its rounds after the spent budget
+    Sink.extendBpeTokenizer(d, dir, rounds = 1, batchSize = 3)
+    val after = mergeRows(Sink.loadBpeMerges(spark, dir))
+    assert(after.size > before.size)
+    assert(after.drop(before.size).forall(_._2 == 5),
+      s"new rows must land in round 5 (2 + 2 exhausted + 1): $after")
+    assert(after.map(_._1) == (1 to after.size).toSeq,
+      "iter numbering must stay gapless across an exhausted extend")
+  }
+
+  test("bpe tokenizer: kind guards refuse cross-artifact dirs") {
+    val d = dedupDocs(spark, bpeCorpus)
+    val dedupDir = Files.createTempDirectory("graft-bpetok-kind").toString + "/idx"
+    Sink.writeDedupIndex(d, dedupDir)
+    val ex = intercept[IllegalArgumentException] {
+      Sink.loadBpeMerges(spark, dedupDir)
+    }
+    assert(ex.getMessage.contains("bpe_tokenizer"))
+    val tokDir = Files.createTempDirectory("graft-bpetok-kind2").toString + "/tok"
+    Sink.writeBpeTokenizer(d, tokDir, rounds = 1, batchSize = 3)
+    val ex2 = intercept[IllegalArgumentException] {
+      Sink.classifyWithDedupIndex(spark, d, tokDir)
+    }
+    assert(ex2.getMessage.contains("dedup_text"))
+  }
 }
