@@ -2373,9 +2373,16 @@ object Sink {
     val spark = docs.sparkSession
     val merges = TextOps.bpeTrainMergesBatched(docs, rounds, batchSize)
       .localCheckpoint()
+    val n = merges.count()
+    // fail at WRITE time, not at some later consumer's load: a trainer
+    // that learned nothing (no adjacent symbol pairs anywhere in the
+    // vocabulary) would store an empty artifact, which the artifact
+    // cache rejects as corrupt on every load
+    require(n > 0, "writeBpeTokenizer: trainer learned no merges — " +
+      "the corpus vocabulary has no adjacent symbol pairs")
     merges.orderBy("iter").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/merges")
-    bpeManifest(spark, dir, rounds, batchSize, merges.count())
+    bpeManifest(spark, dir, rounds, batchSize, n)
     org.apache.spark.sql.GraftShims.uncheckpoint(merges)
   }
 

@@ -879,6 +879,15 @@ class SinkSpec extends SparkSpec {
       "iter numbering must stay gapless across an exhausted extend")
   }
 
+  test("bpe tokenizer: a no-merge corpus fails at write time, not at load") {
+    val ex = intercept[IllegalArgumentException] {
+      Sink.writeBpeTokenizer(dedupDocs(spark, Seq((0L, "x y z"))),
+        Files.createTempDirectory("graft-bpetok-empty").toString + "/tok",
+        rounds = 2, batchSize = 3)
+    }
+    assert(ex.getMessage.contains("no merges"))
+  }
+
   test("bpe tokenizer: kind guards refuse cross-artifact dirs") {
     val d = dedupDocs(spark, bpeCorpus)
     val dedupDir = Files.createTempDirectory("graft-bpetok-kind").toString + "/idx"
