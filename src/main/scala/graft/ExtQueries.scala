@@ -92,6 +92,9 @@ object ExtQueries {
   private lazy val bpeTokStreamDir: String =
     TempDirs.create("graft_bpe_tok_stream")
 
+  private lazy val bpeTokPackDir: String =
+    TempDirs.create("graft_bpe_tok_pack")
+
   /** Takedown set for the dedup-index delete queries: the docs the
     * planted batch copies point AT (verbatim sources 0-4, near sources
     * 10-14) — deleting them flips the planted verdicts, so the queries
@@ -2199,6 +2202,19 @@ object ExtQueries {
       Sink.extendBpeTokenizer(all.filter(col("doc_id") >= 400),
         bpeTokExtendEncodeDir, rounds = 2, batchSize = 3)
       Sink.encodeWithBpeTokenizer(s, all, bpeTokExtendEncodeDir)
+    }),
+    // tokenize with the production artifact, then PACK for training:
+    // the stored tokenizer's per-doc BPE token counts feed the
+    // GPT-style concat-then-chunk pack layout — the counts a loader
+    // actually packs by, instead of pack_sequences' whitespace proxy.
+    // SIDE EFFECT: rewrites the temp tokenizer dir per evaluation
+    // (idempotent).
+    "pack_bpe_stored" -> ((s, d) => {
+      val all = docs(s, d)
+      Sink.writeBpeTokenizer(all, bpeTokPackDir, rounds = 3, batchSize = 3)
+      val enc = Sink.encodeWithBpeTokenizer(s, all, bpeTokPackDir)
+      Packing.packSequences(enc.select("doc_id", "n_bpe_tokens"),
+        col("n_bpe_tokens"), 2048L, chunkSize = 100L)
     }),
     // the STREAMING twin of the extend leg: the new-domain docs land
     // as two mtime-ordered drops, each micro-batch continuing training
@@ -6435,6 +6451,29 @@ object ExtQueries {
     "bpe_store_extend_encode" ->
       s"""WITH ${bpePhaseChainSql(bpeExtendPhases :+ (("documents", 0)), 3)},
          |${bpeEncodeTailSql("f3_s0")}""".stripMargin,
+    // stored-tokenizer token counts through the concat-then-chunk pack
+    // layout: the encode chain's per-doc BPE counts replace the
+    // pack_sequences oracle's whitespace tokens; the pack tail is
+    // otherwise verbatim
+    "pack_bpe_stored" ->
+      s"""WITH ${bpeBatchChainSql(3, 3)},
+         | enc AS (SELECT word,
+         |       len(string_split(substr(state, 2, length(state) - 2), '··')) AS n_toks
+         |       FROM s3),
+         | dw AS (SELECT doc_id, word, count(*) AS occ
+         |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |       GROUP BY doc_id, word),
+         | t AS (SELECT doc_id, CAST(sum(occ * n_toks) AS BIGINT) AS tokens
+         |       FROM dw JOIN enc USING (word) GROUP BY doc_id),
+         | c AS (SELECT doc_id, tokens,
+         |     CAST(coalesce(SUM(tokens) OVER (ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+         |   FROM t)
+         | SELECT doc_id, tokens, tok_offset,
+         |   CAST(tok_offset // 2048 AS BIGINT) AS pack_id,
+         |   CAST(tok_offset % 2048 AS BIGINT) AS pack_pos,
+         |   (tok_offset % 2048) + tokens > 2048 AS straddles
+         | FROM c ORDER BY doc_id""".stripMargin,
     // streaming extend replay: the two drops extend sequentially in
     // mtime order — phases 2 and 3 of the same chain, one round each
     "stream_bpe_extend_replay" ->
