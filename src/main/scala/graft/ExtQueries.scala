@@ -185,7 +185,11 @@ object ExtQueries {
   private def writeOrderedDrop(df: DataFrame, path: String, k: Int): Unit = {
     df.coalesce(1).write.mode("overwrite").parquet(path)
     new java.io.File(path).listFiles().foreach { f =>
-      f.setLastModified(1700000000000L + k * 60000L): Unit
+      // mtime IS the file source's ordering key — a filesystem that
+      // rejects the update would reorder the replay silently; fail
+      // loudly instead
+      require(f.setLastModified(1700000000000L + k * 60000L),
+        s"writeOrderedDrop: setLastModified failed for $f")
     }
   }
 
@@ -2993,16 +2997,20 @@ object ExtQueries {
         // they stay tiny ≤batch-row frames; t$i is MATERIALIZED because
         // the chain references it `batch` times and DuckDB inlines
         // multi-referenced CTEs)
-        val keptCtes = (2 to batch).map { j =>
-          s""" ${f}k${i}_$j AS (SELECT * FROM ${f}k${i}_${j - 1}
-             |       UNION ALL
-             |       SELECT a.* FROM ${f}t$i a WHERE a.rk = $j
-             |         AND NOT EXISTS (SELECT 1 FROM ${f}k${i}_${j - 1} b
-             |           WHERE b.pair_left IN (a.pair_left, a.pair_right)
-             |             OR b.pair_right IN (a.pair_left, a.pair_right)
-             |             OR (b.pair_left || b.pair_right) IN (a.pair_left, a.pair_right)
-             |             OR (a.pair_left || a.pair_right) IN (b.pair_left, b.pair_right)))""".stripMargin
-        }.mkString(",\n")
+        // seed + greedy steps joined as ONE list so batch == 1 (no
+        // steps) emits no dangling comma
+        val keptCtes =
+          (s""" ${f}k${i}_1 AS (SELECT pair_left, pair_right, n, rk FROM ${f}t$i WHERE rk = 1)""" +:
+            (2 to batch).map { j =>
+              s""" ${f}k${i}_$j AS (SELECT * FROM ${f}k${i}_${j - 1}
+                 |       UNION ALL
+                 |       SELECT a.* FROM ${f}t$i a WHERE a.rk = $j
+                 |         AND NOT EXISTS (SELECT 1 FROM ${f}k${i}_${j - 1} b
+                 |           WHERE b.pair_left IN (a.pair_left, a.pair_right)
+                 |             OR b.pair_right IN (a.pair_left, a.pair_right)
+                 |             OR (b.pair_left || b.pair_right) IN (a.pair_left, a.pair_right)
+                 |             OR (a.pair_left || a.pair_right) IN (b.pair_left, b.pair_right)))""".stripMargin
+            }).mkString(",\n")
         s""" ${f}p$i AS (SELECT ws[j] AS pair_left, ws[j + 1] AS pair_right, cnt
            |       FROM (SELECT string_split(substr(state, 2, length(state) - 2), '··') AS ws, cnt
            |             FROM ${f}s${i - 1}), UNNEST(range(1, len(ws))) t(j)
@@ -3013,7 +3021,6 @@ object ExtQueries {
            |       SELECT pair_left, pair_right, n,
            |         row_number() OVER (ORDER BY n DESC, pair_left, pair_right) AS rk
            |       FROM ${f}c$i) WHERE rk <= $batch),
-           | ${f}k${i}_1 AS (SELECT pair_left, pair_right, n, rk FROM ${f}t$i WHERE rk = 1),
            |$keptCtes,
            | ${f}sel$i AS (SELECT pair_left, pair_right, n, rk FROM ${f}k${i}_$batch),
            | ${f}piv$i AS (SELECT

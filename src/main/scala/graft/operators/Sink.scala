@@ -968,16 +968,17 @@ object Sink {
     * query that planned against the old listing can safely treat the
     * vanished files as empty instead of failing mid-flight.
     */
-  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+  private def tombstones(spark: SparkSession, dir: String,
+      idCol: String = "vec_id"): Option[DataFrame] = {
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     forEachDataFile(spark, s"$dir/tombstones")(f => files += f.getPath.toString)
     if (files.isEmpty) None
     else Some(
       spark.read
-        .schema("vec_id long")
+        .schema(s"$idCol long")
         .option("ignoreMissingFiles", "true")
         .parquet(files.toSeq: _*)
-        .select("vec_id").distinct())
+        .select(idCol).distinct())
   }
 
   /** Mask tombstoned rows out of an assignment scan — identity when
@@ -2124,6 +2125,12 @@ object Sink {
       .repartition(col("band")).sortWithinPartitions("band", "bv", "doc_id")
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
       .partitionBy("band").parquet(s"$dir/bands")
+    // a full rebuild is a new generation: stale tombstones from the
+    // previous index must not mask docs the new corpus legitimately
+    // contains (the clearTombstones rule every IVF-family build
+    // follows) — without this, a rebuilt-over index classifies exact
+    // copies of previously-deleted doc_ids as 'new' forever
+    clearTombstones(spark, dir)
     dedupIndexManifest(spark, dir)
     org.apache.spark.sql.GraftShims.uncheckpoint(sh)
   }
@@ -2196,17 +2203,8 @@ object Sink {
     * compact deletes exactly the files it consumed.
     */
   private def dedupTombstones(spark: SparkSession,
-      dir: String): Option[DataFrame] = {
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    forEachDataFile(spark, s"$dir/tombstones")(f => files += f.getPath.toString)
-    if (files.isEmpty) None
-    else Some(
-      spark.read
-        .schema("doc_id long")
-        .option("ignoreMissingFiles", "true")
-        .parquet(files.toSeq: _*)
-        .select("doc_id").distinct())
-  }
+      dir: String): Option[DataFrame] =
+    tombstones(spark, dir, idCol = "doc_id")
 
   /** Classify a new batch against the STORED index — the restart-safe
     * twin of [[Dedup.incrementalDedup]]: same verdict schema
@@ -2223,6 +2221,21 @@ object Sink {
     requireIndexKind(spark, dir, "dedup_text", "classifyWithDedupIndex")
     require(pathExists(spark, s"$dir/bands"),
       s"classifyWithDedupIndex: no dedup index at $dir (missing bands table)")
+    // version-skew guard: the batch is shingled/banded with THIS
+    // binary's constants — if they differ from the build-time geometry
+    // the manifest records, batch band values never match stored ones
+    // and every near-dup silently classifies 'new'. Fail loudly
+    // instead (legacy manifests without the fields skip the check).
+    readIndexManifest(spark, dir).foreach { m =>
+      def chk(k: String, cur: Long): Unit = m.get(k).foreach(v =>
+        require(v.toLong == cur,
+          s"classifyWithDedupIndex: index at $dir was built with $k=$v " +
+            s"but this binary uses $k=$cur — rebuild the index or run " +
+            "the matching engine version"))
+      chk("shingle_n", 3L)
+      chk("bands", (Dedup.minhashSeeds / Dedup.minhashBandSize).toLong)
+      chk("band_cap", Dedup.lshBucketCap.toLong)
+    }
     val bFp = batch.select(col("doc_id"), md5(col("text")).as("fp"))
       .localCheckpoint()
     // takedown masking: identity when no delete ever happened; else a
@@ -2293,13 +2306,18 @@ object Sink {
   def maintainDedupIndex(spark: SparkSession, batch: DataFrame,
       dir: String, threshold: Double = 0.5): DataFrame = {
     val verdicts = classifyWithDedupIndex(spark, batch, dir, threshold)
+    // materialized once: the semi-join otherwise re-runs for the
+    // emptiness check AND each of the append's table derivations,
+    // tripling the batch scan the per-trigger cost model bills once
     val accepted = batch
       .join(verdicts.filter(col("verdict") === "new").select("doc_id"),
         Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     // an all-dup batch appends nothing — and must not touch the
     // manifest either (the index content did not change)
     if (!accepted.isEmpty)
       appendToDedupIndex(accepted.select("doc_id", "text"), dir)
+    org.apache.spark.sql.GraftShims.uncheckpoint(accepted)
     verdicts
   }
 

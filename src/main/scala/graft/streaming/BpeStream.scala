@@ -1,8 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSession
 
 /** Streaming extension of the STORED BPE tokenizer
   * ([[graft.operators.Sink.writeBpeTokenizer]]) — the domain-shift leg
@@ -25,26 +23,14 @@ object BpeStream {
     */
   def runExtendReplay(spark: SparkSession, dropGlob: String,
       tokDir: String, checkpointDir: String,
-      rounds: Int = 1, batchSize: Int = 3): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      rounds: Int = 1, batchSize: Int = 3): Unit =
+    // re-apply window ([[Replay]]): a retried extend would append its
+    // merges twice — the marker bounds that to a crash in the
+    // marker-write instant, and a duplicated append is detectable
+    // (iter collision in the merge table) rather than silent
+    Replay.replayWith(spark, dropGlob, checkpointDir, Replay.docSchema) {
+      (batch, _) =>
+        graft.operators.Sink.extendBpeTokenizer(batch, tokDir, rounds,
+          batchSize)
     }
-    rm(new java.io.File(checkpointDir))
-    val stream = spark.readStream
-      .schema(StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType))))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dropGlob)
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.Sink
-            .extendBpeTokenizer(batch, tokDir, rounds, batchSize)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
 }

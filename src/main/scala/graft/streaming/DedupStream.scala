@@ -223,22 +223,6 @@ object DedupStream {
   // Streaming incremental classify against the STORED dedup index.   //
   // ---------------------------------------------------------------- //
 
-  /** Replay a document feed against the on-disk dedup index
-    * ([[graft.operators.Sink.writeDedupIndex]]): each micro-batch is
-    * classified exact/near/new through
-    * [[graft.operators.Sink.classifyWithDedupIndex]] and its verdicts
-    * append to `outDir`. Verdicts are per-doc independent given the
-    * index, so the union over micro-batches equals one batch classify
-    * of the whole feed — the equivalence the oracle checks.
-    *
-    * State at scale: NONE in the streaming engine — the index on disk
-    * IS the state (the IvfStream maintain pattern). The production
-    * ingest loop appends each micro-batch's accepted ('new') split to
-    * the index between triggers ([[graft.operators.Sink.appendToDedupIndex]],
-    * oracle-checked at the batch level by dedup_incremental_stored_append);
-    * this replay keeps the index frozen so the planted-batch oracle
-    * applies verbatim to the replayed union.
-    */
   /** The streaming ingest LOOP: each micro-batch classifies against
     * the stored dedup index, appends its accepted ('new') docs, and
     * lands the per-doc verdicts in `outDir`
@@ -255,30 +239,18 @@ object DedupStream {
     */
   def runIngestReplay(spark: SparkSession, dropGlob: String,
       indexDir: String, checkpointDir: String, outDir: String,
-      threshold: Double = 0.5): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      threshold: Double = 0.5): Unit =
+    // re-apply window ([[Replay]]): a crash between the append and the
+    // marker re-runs maintain once — duplicated shingle rows are
+    // compact-recoverable and the re-classified batch's verdicts
+    // double-land in outDir; the marker bounds this to the one
+    // in-flight batch
+    Replay.replayWith(spark, dropGlob, checkpointDir, Replay.docSchema,
+      clearDirs = Seq(outDir)) { (batch, _) =>
+      graft.operators.Sink
+        .maintainDedupIndex(spark, batch, indexDir, threshold)
+        .write.mode("append").parquet(outDir)
     }
-    rm(new java.io.File(checkpointDir))
-    rm(new java.io.File(outDir))
-    val stream = spark.readStream
-      .schema(StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType))))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dropGlob)
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.Sink
-            .maintainDedupIndex(spark, batch, indexDir, threshold)
-            .write.mode("append").parquet(outDir)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
 
   /** CDC-shaped maintenance of the stored dedup index — accepted docs
     * and takedowns arrive through ONE stream: each micro-batch appends
@@ -295,67 +267,43 @@ object DedupStream {
     * stream loudly instead of vanishing from the index.
     */
   def runCdcReplay(spark: SparkSession, dropGlob: String,
-      indexDir: String, checkpointDir: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      indexDir: String, checkpointDir: String): Unit =
+    // re-apply window ([[Replay]]): a re-run append folds at read
+    // (compact-recoverable duplication) and a re-run delete is a
+    // no-op on the tombstone set
+    Replay.replayWith(spark, dropGlob, checkpointDir,
+      StructType(Replay.docSchema.fields :+
+        StructField("op", StringType))) { (batch, _) =>
+      val ops = batch.groupBy("op").count().collect()
+        .map(r => Option(r.getString(0)).getOrElse("<null>") -> r.getLong(1))
+        .toMap
+      val unknown = ops.keySet -- Set("add", "delete")
+      require(unknown.isEmpty,
+        s"runCdcReplay: unknown op(s) ${unknown.mkString(", ")} in drop — " +
+          "these rows would be silently dropped; ops are 'add' | 'delete'")
+      if (ops.getOrElse("add", 0L) > 0)
+        graft.operators.Sink.appendToDedupIndex(
+          batch.filter(col("op") === "add").select("doc_id", "text"),
+          indexDir)
+      if (ops.getOrElse("delete", 0L) > 0)
+        graft.operators.Sink.deleteFromDedupIndex(spark, indexDir,
+          batch.filter(col("op") === "delete").select("doc_id"))
     }
-    rm(new java.io.File(checkpointDir))
-    val stream = spark.readStream
-      .schema(StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("op", StringType))))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dropGlob)
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val ops = batch.groupBy("op").count().collect()
-            .map(r => Option(r.getString(0)).getOrElse("<null>") -> r.getLong(1))
-            .toMap
-          val unknown = ops.keySet -- Set("add", "delete")
-          require(unknown.isEmpty,
-            s"runCdcReplay: unknown op(s) ${unknown.mkString(", ")} in drop — " +
-              "these rows would be silently dropped; ops are 'add' | 'delete'")
-          if (ops.getOrElse("add", 0L) > 0)
-            graft.operators.Sink.appendToDedupIndex(
-              batch.filter(col("op") === "add").select("doc_id", "text"),
-              indexDir)
-          if (ops.getOrElse("delete", 0L) > 0)
-            graft.operators.Sink.deleteFromDedupIndex(spark, indexDir,
-              batch.filter(col("op") === "delete").select("doc_id"))
-        }
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
 
+  /** Classify each micro-batch against the FROZEN stored index and
+    * append the verdicts to `outDir` — the restart-safe streaming form
+    * of the planted-batch classify. The index never changes, so
+    * verdicts are per-doc independent and the replayed union shares
+    * the one-shot batch oracle verbatim; the [[Replay]] marker keeps a
+    * retried trigger from double-landing its verdict rows.
+    */
   def runStoredClassifyReplay(spark: SparkSession, dropGlob: String,
       indexDir: String, checkpointDir: String, outDir: String,
-      threshold: Double = 0.5): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      threshold: Double = 0.5): Unit =
+    Replay.replayWith(spark, dropGlob, checkpointDir, Replay.docSchema,
+      clearDirs = Seq(outDir)) { (batch, _) =>
+      graft.operators.Sink
+        .classifyWithDedupIndex(spark, batch, indexDir, threshold)
+        .write.mode("append").parquet(outDir)
     }
-    rm(new java.io.File(checkpointDir))
-    rm(new java.io.File(outDir))
-    val stream = spark.readStream
-      .schema(StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType))))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dropGlob)
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.Sink
-            .classifyWithDedupIndex(spark, batch, indexDir, threshold)
-            .write.mode("append").parquet(outDir)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
 }

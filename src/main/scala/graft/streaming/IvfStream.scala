@@ -37,14 +37,11 @@ object IvfStream {
 
   /** Recursive delete for the per-run checkpoint: the replay must
     * re-process every drop on each evaluation (a stale checkpoint
-    * would silently skip them after the index reset).
+    * would silently skip them after the index reset). Shared with the
+    * other replay families ([[Replay.deleteRecursively]]).
     */
-  private[graft] def deleteRecursively(path: String): Unit = {
-    val f = new java.io.File(path)
-    if (f.isDirectory) f.listFiles().foreach(c => deleteRecursively(c.getPath))
-    f.delete()
-    ()
-  }
+  private[graft] def deleteRecursively(path: String): Unit =
+    Replay.deleteRecursively(path)
 
   /** Bounded replay: process every vector drop (one file per trigger),
     * appending each micro-batch into the stored index at `indexDir`.
@@ -166,20 +163,6 @@ object IvfStream {
 
   private def replayWith(spark: SparkSession, dropGlob: String,
       checkpointDir: String, dropSchema: StructType = schema)(
-      append: (DataFrame, Long) => Unit): Unit = {
-    deleteRecursively(checkpointDir)
-    val stream = spark.readStream
-      .schema(dropSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dropGlob)
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) append(batch, id)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+      append: (DataFrame, Long) => Unit): Unit =
+    Replay.replayWith(spark, dropGlob, checkpointDir, dropSchema)(append)
 }

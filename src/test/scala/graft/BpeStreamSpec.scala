@@ -35,7 +35,7 @@ class BpeStreamSpec extends SparkSpec {
     Seq(("a", b1, 0), ("b", b2, 1)).foreach { case (tag, df, k) =>
       df.coalesce(1).write.mode("overwrite").parquet(s"$root/drops/drop=$tag")
       new java.io.File(s"$root/drops/drop=$tag").listFiles()
-        .foreach(f => f.setLastModified(1700000000000L + k * 60000L): Unit)
+        .foreach(f => assert(f.setLastModified(1700000000000L + k * 60000L)))
     }
     BpeStream.runExtendReplay(spark, s"$root/drops/drop=*",
       s"$root/tok", s"$root/ckpt", rounds = 1, batchSize = 3)

@@ -320,7 +320,7 @@ class IvfAppendSpec extends SparkSpec {
       // the replay processes a, b, c deterministically
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
-        .foreach(_.toFile.setLastModified(1000000000000L + i * 60000L))
+        .foreach(f => assert(f.toFile.setLastModified(1000000000000L + i * 60000L)))
     }
     graft.streaming.IvfStream.runMaintainReplay(
       spark, s"$root/drops/drop=*", s"$root/index", s"$root/ckpt", s"$root/log")
@@ -351,7 +351,7 @@ class IvfAppendSpec extends SparkSpec {
       df.coalesce(1).write.mode("overwrite").parquet(p)
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
-        .foreach(_.toFile.setLastModified(1000000000000L + i * 60000L))
+        .foreach(f => assert(f.toFile.setLastModified(1000000000000L + i * 60000L)))
     }
     graft.streaming.IvfStream.runSq8MaintainReplay(
       spark, s"$root/drops/drop=*", s"$root/index", s"$root/ckpt", s"$root/log")

@@ -819,6 +819,34 @@ class SinkSpec extends SparkSpec {
     assert(rebuilt.toSeq == got.toSeq)
   }
 
+  test("dedup index: a full rebuild clears stale tombstones") {
+    val dir = Files.createTempDirectory("graft-dedupidx-reb").toString + "/idx"
+    Sink.writeDedupIndex(dedupDocs(spark, dedupExisting), dir)
+    Sink.deleteFromDedupIndex(spark, dir,
+      dedupDocs(spark, dedupExisting.filter(_._1 == 0L)).select("doc_id"))
+    // rebuild over a corpus that legitimately contains doc 0 again:
+    // the old tombstone must not survive to mask it
+    Sink.writeDedupIndex(dedupDocs(spark, dedupExisting), dir)
+    val got = Sink.classifyWithDedupIndex(
+        spark, dedupDocs(spark, dedupBatchRows), dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.head == (10L, "exact"),
+      s"doc 10 must classify exact against the rebuilt doc 0: $got")
+  }
+
+  test("dedup index: classify refuses a version-skewed band geometry") {
+    val dir = Files.createTempDirectory("graft-dedupidx-skew").toString + "/idx"
+    Sink.writeDedupIndex(dedupDocs(spark, dedupExisting), dir)
+    // simulate an index built by a binary with a different band count
+    Sink.writeIndexManifest(spark, dir, Seq(
+      "kind" -> "dedup_text", "shingle_n" -> "3",
+      "bands" -> "999", "band_cap" -> graft.operators.Dedup.lshBucketCap.toString))
+    val ex = intercept[IllegalArgumentException] {
+      Sink.classifyWithDedupIndex(spark, dedupDocs(spark, dedupBatchRows), dir)
+    }
+    assert(ex.getMessage.contains("bands=999"))
+  }
+
   // ---- stored BPE tokenizer artifact -------------------------------
 
   private val bpeCorpus = Seq(
