@@ -47,16 +47,28 @@ object Classify {
     * on a held-out labeled set — same plan, different input.
     */
   def nbLangScores(docs: DataFrame): DataFrame = {
-    val words = spread(docs)
+    // ONE corpus explode, collapsed immediately to per-(doc, word)
+    // multiplicities: every downstream consumer — the conditional
+    // table, the per-(doc, label) score fold, the token counts — is a
+    // weighted sum over these counts, and integer/DECIMAL sums are
+    // fold-order free, so Σ_tokens lp ≡ Σ_(distinct w) cnt·lp exactly.
+    // Before this the corpus was exploded TWICE (train + apply) and
+    // every token row crossed the label-scoring shuffle individually;
+    // now the explode runs once and the shuffle carries one row per
+    // distinct (doc, word) (guide §2.3: aggregate before you shuffle).
+    val wc = spread(docs)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "lang", "w")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // Σ distinct (doc, word) — materialized once
 
-    // ---- train: ONE exploded corpus pass materializes the (label,
-    // word) conditional table; class totals and the vocabulary size
+    // ---- train: the (label, word) conditional table folds the
+    // per-doc multiplicities; class totals and the vocabulary size
     // derive from that model-sized frame, so training touches the
     // corpus exactly once (plus the metadata-only doc count)
     val nDocs = docs.count()
-    val condCounts = words.groupBy(col("lang").as("clabel"), col("w"))
-      .agg(count(lit(1)).as("cwl"))
+    val condCounts = wc.groupBy(col("lang").as("clabel"), col("w"))
+      .agg(sum("cnt").as("cwl"))
       .localCheckpoint() // vocab × labels — model-sized
     val vocab = condCounts.select("w").distinct().count()
     val priors = docs.groupBy(col("lang").as("clabel"))
@@ -76,15 +88,19 @@ object Classify {
         round(log(lit(1.0) / (col("tl") + lit(vocab))), 6).cast("decimal(18,6)"))
       .select("clabel", "log_unseen")
 
-    // ---- apply: tokens × labels, sparse-join the conditional table
+    // ---- apply: distinct (doc, word) rows × labels, sparse-join the
+    // conditional table; each row's log-prob is weighted by its token
+    // multiplicity (cnt · DECIMAL(18,6) is exact, so the weighted fold
+    // equals the per-token fold bit-for-bit)
     val labels = priors.select("clabel", "log_prior")
-    val scored = words.select("doc_id", "w")
+    val scored = wc.select("doc_id", "w", "cnt")
       .crossJoin(broadcast(labels.select("clabel")))
       .join(model, Seq("clabel", "w"), "left")
       .join(broadcast(unseen), "clabel")
       .withColumn("lp", coalesce(col("log_cond"), col("log_unseen")))
       .groupBy("doc_id", "clabel")
-      .agg(sum(col("lp")).as("sum_lp"), count(lit(1)).as("n_tokens"))
+      .agg(sum(col("lp") * col("cnt")).as("sum_lp"),
+        sum("cnt").as("n_tokens"))
       .join(broadcast(labels), "clabel")
       .withColumn("score", col("log_prior") + col("sum_lp"))
 

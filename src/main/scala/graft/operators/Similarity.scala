@@ -1376,15 +1376,26 @@ object Similarity {
     // would otherwise serialize the whole scatter chain onto one task
     // (measured 11.8 s of a 13.4 s query on the single-file sf0.1 scan).
     val e = Spread.spread(emb).select(toDouble(col("embedding")).as("v"))
-    val n = e.count().toDouble
-    // scatter cells: s_ij = Σ round(x_i·x_j, 8)  (exact DECIMAL)
+    // scatter cells: s_ij = Σ round(x_i·x_j, 8)  (exact DECIMAL).
+    // UPPER TRIANGLE ONLY (j ≥ i): IEEE multiplication is commutative,
+    // so round(x_i·x_j, 8) = round(x_j·x_i, 8) term-for-term and the
+    // mirrored cell sums are the SAME multiset of decimals — the
+    // corpus-sized scatter explodes d(d+1)/2 = 2080 structs per row
+    // instead of d² = 4096 (measured: the scatter aggregate is the one
+    // hot stage of this chain; guide §2.3 "shuffle fewer bytes" — here
+    // the saving is in the per-row explode + map-side partial agg).
+    // The lower triangle is restored AFTER aggregation on the
+    // model-sized (2080-row) frame, bit-identically.
     val outer = expr(
-      """flatten(transform(v, (xi, i) -> transform(v, (xj, j) ->
-        |  struct(i AS i, j AS j,
+      """flatten(transform(v, (xi, i) -> transform(slice(v, i + 1, size(v) - i), (xj, jj) ->
+        |  struct(i AS i, i + jj AS j,
         |         CAST(round(xi * xj, 8) AS DECIMAL(18,8)) AS p))))""".stripMargin)
-    val cells = e.select(explode(outer).as("c"))
+    val cellsUpper = e.select(explode(outer).as("c"))
       .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
       .groupBy("i", "j").agg(sum("p").as("s"))
+    val cells = cellsUpper.unionByName(
+      cellsUpper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("s")))
     // column sums for centering: m_i = Σ round(x_i, 8) / n. NOTE the
     // division is deliberately UNROUNDED: the DECIMAL sums are the
     // determinism anchors, and IEEE ops on identical operands are
@@ -1392,22 +1403,26 @@ object Similarity {
     // on a fine decimal lattice whose next rounding (the matvec's) hits
     // exact halfway cases that the two engines resolve differently
     // (Spark rounds the exact expansion, DuckDB rounds a scaled double).
+    // n rides along as count(*) per dimension (every row contributes to
+    // every i), so the chain no longer pays a separate count() job.
     val means = e.select(explode(expr(
         """transform(v, (x, i) -> struct(i AS i,
           |  CAST(round(x, 8) AS DECIMAL(18,8)) AS x))""".stripMargin)).as("c"))
       .select(col("c.i").as("i"), col("c.x").as("x"))
-      .groupBy("i").agg((sum("x").cast("double") / n).as("m"))
+      .groupBy("i").agg((sum("x").cast("double") /
+        count(lit(1)).cast("double")).as("m"),
+        count(lit(1)).cast("double").as("nn"))
       .localCheckpoint() // 64 rows; referenced twice by cov + by ABTT
     // the 4096-cell model frame feeds BOTH matvec steps — checkpoint it
     // eagerly so the corpus-sized scatter chain runs exactly once (the
     // block set is model-sized and lives until session end, the
     // keyless-ivfTopK precedent)
     val cov = cells
-      .join(means.select(col("i"), col("m").as("mi")), "i")
+      .join(means.select(col("i"), col("m").as("mi"), col("nn")), "i")
       .join(means.select(col("i").as("j"), col("m").as("mj")),
         Seq("j")) // means reused under two aliases; 64-row broadcasts
       .withColumn("c",
-        col("s").cast("double") / n - col("mi") * col("mj"))
+        col("s").cast("double") / col("nn") - col("mi") * col("mj"))
       .select("i", "j", "c")
       .localCheckpoint()
     // one power step from vector frame v(j, vj) -> w(i, wi) as double

@@ -228,8 +228,7 @@ object Sink {
       .option("partitionOverwriteMode", "static")
       .partitionBy("cell").parquet(s"$dir/assignment")
     val cent = centOpt.get
-    cent.select(col("cell"), posexplode(col("c")).as(Seq("i", "x")))
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+    writeCentroidArtifact(cent, s"$dir/centroids")
     writeIndexManifest(spark = emb.sparkSession, dir = dir,
       fields = Seq("kind" -> "ivf", "cells" -> cells.toString))
     // a full (re)write is a new generation — tombstones against the
@@ -410,17 +409,27 @@ object Sink {
     }
   }
 
+  /** Persist a model-sized centroid/codebook frame PIVOTED — the
+    * vector column stays an array<double>, exactly the shape every
+    * consumer broadcasts. The old layout exploded each vector into
+    * (key, i, x) rows at write and re-pivoted (groupBy + collect_list +
+    * array_sort — a shuffle job) on EVERY artifact-cache miss; parquet
+    * stores arrays natively, so the explode/pivot round trip bought
+    * nothing (guide §2.4: remove shuffles outright). coalesce(1): the
+    * frame is cells- or m×k-sized, one file cuts serve-time listing.
+    */
+  private def writeCentroidArtifact(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
   /** Reassemble the stored centroid table: (cell, c: array<double>) —
     * a cells-sized frame, always broadcast by its consumers. Cached per
     * artifact generation (see [[cachedArtifactLoad]]): repeated serving
-    * calls against an unchanged index skip the read+pivot entirely.
+    * calls against an unchanged index skip the read entirely. Stored
+    * pivoted ([[writeCentroidArtifact]]) — the load is a bare read.
     */
   def loadIvfCentroids(spark: SparkSession, dir: String): DataFrame =
     cachedArtifactLoad(spark, s"$dir/centroids") {
-      spark.read.parquet(s"$dir/centroids")
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("ps"))
-        .select(col("cell"), expr("transform(ps, p -> p.x)").as("c"))
+      spark.read.parquet(s"$dir/centroids").select("cell", "c")
     }
 
   /** Fold a new vector batch into a stored IVF index WITHOUT
@@ -860,10 +869,8 @@ object Sink {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
       .partitionBy("cell").parquet(s"$dir/assignment")
-    cent.select(col("cell"), posexplode(col("c")).as(Seq("i", "x")))
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    pqCents.select(col("sub"), col("cell"), posexplode(col("c")).as(Seq("i", "x")))
-      .write.mode("overwrite").parquet(s"$dir/pq_centroids")
+    writeCentroidArtifact(cent, s"$dir/centroids")
+    writeCentroidArtifact(pqCents.select("sub", "cell", "c"), s"$dir/pq_centroids")
     writeIndexManifest(spark = emb.sparkSession, dir = dir,
       fields = Seq("kind" -> "ivfpq", "cells" -> cells.toString,
         "m" -> m.toString, "subDim" -> subDim.toString, "k" -> k.toString))
@@ -879,14 +886,12 @@ object Sink {
 
   /** Reassemble the stored PQ codebooks: (sub, cell, c: array<double>)
     * — an m×k-sized frame, always broadcast by its consumers. Cached
-    * per artifact generation like [[loadIvfCentroids]].
+    * per artifact generation like [[loadIvfCentroids]]; stored pivoted
+    * ([[writeCentroidArtifact]]), so the load is a bare read.
     */
   def loadPqCentroids(spark: SparkSession, dir: String): DataFrame =
     cachedArtifactLoad(spark, s"$dir/pq_centroids") {
-      spark.read.parquet(s"$dir/pq_centroids")
-        .groupBy("sub", "cell")
-        .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("ps"))
-        .select(col("sub"), col("cell"), expr("transform(ps, p -> p.x)").as("c"))
+      spark.read.parquet(s"$dir/pq_centroids").select("sub", "cell", "c")
     }
 
   /** One-file index manifest: the geometry the index was written with
@@ -1484,12 +1489,13 @@ object Sink {
       case _ =>
         // legacy pre-manifest index: derive the WRITTEN geometry from
         // the stored artifacts (two bounded aggregates — cells and
-        // m·k·subDim rows). Hardcoded defaults here would silently
-        // retrain e.g. a 32-cell index down to 8 cells.
+        // m·k rows, subDim from the pivoted vector width). Hardcoded
+        // defaults here would silently retrain e.g. a 32-cell index
+        // down to 8 cells.
         val g = spark.read.parquet(s"$dir/pq_centroids")
           .agg(countDistinct(col("sub")).as("m"),
             countDistinct(col("cell")).as("k"),
-            countDistinct(col("i")).as("subDim")).head()
+            max(size(col("c"))).cast("long").as("subDim")).head()
         require(g.getLong(0) > 0,
           s"no PQ codebooks found at $dir — the pq_centroids table is " +
             "empty; not an IVF-PQ index?")
@@ -1847,8 +1853,7 @@ object Sink {
       .option("partitionOverwriteMode", "static")
       .partitionBy("cell").parquet(s"$dir/assignment")
     val cent = centOpt.get
-    cent.select(col("cell"), posexplode(col("c")).as(Seq("i", "x")))
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+    writeCentroidArtifact(cent, s"$dir/centroids")
     writeIndexManifest(spark = emb.sparkSession, dir = dir,
       fields = Seq("kind" -> "ivfsq8", "cells" -> cells.toString))
     // a full (re)write is a new generation — stale tombstones must not
