@@ -122,7 +122,12 @@ object Similarity {
     * projection behind [[sq8TopK]]/[[sq8Recall]] — the [[quantizeInt8]]
     * scheme kept as a typed array instead of the export CSV.
     */
-  private[operators] def sq8Codes(emb: DataFrame): DataFrame = {
+  /** Append the SQ8 code columns (ma, q, n2) to `emb` as narrow
+    * per-row expressions — the ONE quantization scheme every SQ8
+    * consumer shares. Column-appending form so an index write can keep
+    * the embedding co-located without a vec_id self-join.
+    */
+  private[operators] def withSq8Codes(emb: DataFrame): DataFrame = {
     val maxAbs = aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
       lit(0.0), (acc, x) => greatest(acc, x))
     emb.withColumn("ma", maxAbs)
@@ -131,8 +136,10 @@ object Similarity {
           .otherwise(floor(x.cast("double") / col("ma") * 127 + 0.5).cast("int"))))
       .withColumn("n2",
         aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long") * x.cast("long")))
-      .select("vec_id", "ma", "q", "n2")
   }
+
+  private[operators] def sq8Codes(emb: DataFrame): DataFrame =
+    withSq8Codes(emb).select("vec_id", "ma", "q", "n2")
 
   /** SQ8 quantized-cosine top-k — the serving tier between
     * full-precision floats and PQ codes: 4× smaller storage, integer
@@ -531,6 +538,30 @@ object Similarity {
     org.apache.spark.sql.GraftShims.uncheckpoint(smp)
     (argmin(e).orderBy("vec_id"), checkpointed)
   }
+
+  /** The centroid table collapsed to ONE broadcastable row holding
+    * array<struct<cell, c>> sorted by cell — the shape [[nearestCell]]
+    * consumes. Lets an index write compute each vector's cell as a
+    * narrow per-row expression over the scan instead of joining a
+    * materialized assignment frame back to the corpus by vec_id
+    * (guide §2.4: remove shuffles outright — the join shuffled the
+    * corpus twice for a value derivable in the projection).
+    */
+  private[operators] def centroidArray(cent: DataFrame): DataFrame =
+    cent.agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("cs"))
+
+  /** Per-row nearest-cell expression over a [[centroidArray]] column:
+    * lexicographic array_min of struct(d, cell) — the SAME rounded-L2
+    * metric and cell tiebreak as the aggregate argmin in
+    * [[kmeansAssignInternal]]/[[assignWithCentroids]] (min(struct(d,
+    * cell)) and array_min compare identically), so the produced cell is
+    * bit-identical to the trained assignment against the same
+    * centroids. `v` must already be the double-cast vector.
+    */
+  private[operators] def nearestCell(v: Column, cs: Column): Column =
+    array_min(transform(cs, s =>
+      struct(l2sq(v, s.getField("c")).as("d"), s.getField("cell").as("cell"))))
+      .getField("cell")
 
   /** Assign vectors to their nearest centroid WITHOUT retraining — the
     * incremental-maintenance primitive: an appended batch folds into an

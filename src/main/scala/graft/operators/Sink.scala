@@ -207,27 +207,30 @@ object Sink {
     // same key — and a rebuild pays only the pivot and the writes. The
     // cache OWNS those checkpoints; release them only on the keyless
     // (train-fresh) path.
-    val (assigned, centOpt) = corpusKey match {
+    val cent = (corpusKey match {
       case Some(ck) =>
-        val (a, c) = Similarity.kmeansAssignCachedWithCentroids(emb, cells, iters, ck)
-        (a, Some(c))
-      case None => Similarity.kmeansAssignInternal(emb, cells, iters)
-    }
+        Similarity.kmeansAssignCachedWithCentroids(emb, cells, iters, ck)._2
+      case None => Similarity.kmeansAssignInternal(emb, cells, iters)._2.get
+    })
+    // the cell is a NARROW per-row expression over the scan (argmin
+    // against the broadcast trained centroids — bit-identical to the
+    // cached assignment frame, which is itself the same argmin over the
+    // same final centroids): the write pays ONE exchange (the cell
+    // repartition below) instead of three (assignment shuffle + corpus
+    // join + repartition — guide §2.4).
     // repartition by cell BEFORE the partitioned write: each task then
     // holds whole cells and every cell lands as ONE file. Without it,
     // every shuffle task writes a sliver into every cell directory —
     // tasks × cells files, and at cells ∝ corpus the serve-time file
     // listing dominates search (measured ×100 probe: 36.8 s → the
     // one-file-per-cell layout serves the same probe in ~1 s).
-    assigned.select("vec_id", "cell")
-      .join(emb.select("vec_id", "embedding"), "vec_id")
+    withNearestCell(emb.select("vec_id", "embedding"), cent)
       .select("vec_id", "embedding", "cell")
       .repartition(col("cell"))
       .sortWithinPartitions("cell", "vec_id")
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
       .partitionBy("cell").parquet(s"$dir/assignment")
-    val cent = centOpt.get
     writeCentroidArtifact(cent, s"$dir/centroids")
     writeIndexManifest(spark = emb.sparkSession, dir = dir,
       fields = Seq("kind" -> "ivf", "cells" -> cells.toString))
@@ -408,6 +411,44 @@ object Sink {
       winner
     }
   }
+
+  /** Append the nearest-cell column as a NARROW per-row argmin over the
+    * broadcast centroid table — the same rounded-L2 metric and cell
+    * tiebreak as [[Similarity.assignWithCentroids]], without its
+    * aggregate + vec_id-join shape: index writes and plain appends
+    * derive the cell inside the scan projection instead of shuffling an
+    * assignment frame back onto the corpus (guide §2.4).
+    */
+  private def withNearestCell(batch: DataFrame, cent: DataFrame): DataFrame =
+    batch.crossJoin(broadcast(Similarity.centroidArray(cent)))
+      .withColumn("cell",
+        Similarity.nearestCell(Similarity.toDouble(col("embedding")), col("cs")))
+
+  /** The stored PQ codebooks collapsed to ONE broadcastable row
+    * (subs: array<struct<sub, cs: array<struct<cell, c>>>>, sub-sorted)
+    * — the shape [[pqCodesColumn]] consumes.
+    */
+  private def pqSubsArray(pqc: DataFrame): DataFrame =
+    pqc.groupBy("sub")
+      .agg(array_sort(collect_list(struct(col("cell"), col("c")))).as("cs"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cs")))).as("subs"))
+
+  /** Per-row PQ codes over a [[pqSubsArray]] `subs` column: for each
+    * subspace, the lexicographic argmin of (rounded-L2 distance, code)
+    * between the row's subvector slice and that subspace's codewords —
+    * bit-identical to [[Similarity.assignWithCentroids]] applied
+    * per-subspace (the pqEncode/pqTrained scheme), as a narrow
+    * expression.
+    */
+  private def pqCodesColumn(subDim: Int): Column =
+    transform(col("subs"), sa =>
+      array_min(transform(sa.getField("cs"), s0 =>
+        struct(Similarity.l2sq(
+            Similarity.toDouble(slice(col("embedding"),
+              sa.getField("sub") * lit(subDim) + lit(1), lit(subDim))),
+            s0.getField("c")).as("d"),
+          s0.getField("cell").as("cell"))))
+        .getField("cell"))
 
   /** Persist a model-sized centroid/codebook frame PIVOTED — the
     * vector column stays an array<double>, exactly the shape every
@@ -847,9 +888,9 @@ object Sink {
         } catch { case _: Throwable => () }
         throw t
       }
-    val (assigned, cent) =
+    val cent =
       try scala.concurrent.Await.result(
-        coarseF, scala.concurrent.duration.Duration.Inf)
+        coarseF, scala.concurrent.duration.Duration.Inf)._2
       catch { case t: Throwable =>
         if (corpusKey.isEmpty) {
           org.apache.spark.sql.GraftShims.uncheckpoint(codes)
@@ -857,12 +898,18 @@ object Sink {
         }
         throw t
       }
-    val codeArr = codes.groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("ps"))
-      .select(col("vec_id"), expr("transform(ps, p -> p.code)").as("codes"))
-    assigned.select("vec_id", "cell")
-      .join(codeArr, "vec_id")
-      .join(emb.select("vec_id", "embedding"), "vec_id")
+    // cell AND codes are narrow per-row argmins against the broadcast
+    // trained artifacts (bit-identical to the cached assignment/code
+    // frames — both are the same rounded-L2 argmin with cell tiebreak
+    // over the same final centroids/codebooks), so the layout is one
+    // projection over the scan + the cell repartition. The previous
+    // shape pivoted the (sub, vec_id, code) frame and shuffle-joined it
+    // plus the assignment back to the corpus by vec_id — three
+    // corpus-sized exchanges for values derivable in the projection
+    // (guide §2.4).
+    withNearestCell(emb.select("vec_id", "embedding"), cent)
+      .crossJoin(broadcast(pqSubsArray(pqCents)))
+      .withColumn("codes", pqCodesColumn(subDim))
       .select("vec_id", "codes", "embedding", "cell")
       .repartition(col("cell")) // one file per cell (see writeIvfIndex)
       .sortWithinPartitions("cell", "vec_id")
@@ -1837,22 +1884,23 @@ object Sink {
   def writeIvfSq8Index(emb: DataFrame, dir: String, cells: Int = 8,
       iters: Int = 2, corpusKey: Option[String] = None): Unit = {
     require(iters >= 2, "a stored IVF-SQ8 index needs trained centroids (iters >= 2)")
-    val (assigned, centOpt) = corpusKey match {
+    val cent = (corpusKey match {
       case Some(ck) =>
-        val (a, c) = Similarity.kmeansAssignCachedWithCentroids(emb, cells, iters, ck)
-        (a, Some(c))
-      case None => Similarity.kmeansAssignInternal(emb, cells, iters)
-    }
-    assigned.select("vec_id", "cell")
-      .join(Similarity.sq8Codes(emb), "vec_id")
-      .join(emb.select("vec_id", "embedding"), "vec_id")
+        Similarity.kmeansAssignCachedWithCentroids(emb, cells, iters, ck)._2
+      case None => Similarity.kmeansAssignInternal(emb, cells, iters)._2.get
+    })
+    // cell + SQ8 codes are BOTH narrow per-row expressions (argmin over
+    // the broadcast centroids / per-vector max-abs quantization), so
+    // the whole layout is one projection over the scan + the cell
+    // repartition — the previous two vec_id shuffle-joins bought
+    // nothing (guide §2.4; see writeIvfIndex)
+    withNearestCell(Similarity.withSq8Codes(emb.select("vec_id", "embedding")), cent)
       .select("vec_id", "q", "n2", "ma", "embedding", "cell")
       .repartition(col("cell")) // one file per cell (see writeIvfIndex)
       .sortWithinPartitions("cell", "vec_id")
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
       .partitionBy("cell").parquet(s"$dir/assignment")
-    val cent = centOpt.get
     writeCentroidArtifact(cent, s"$dir/centroids")
     writeIndexManifest(spark = emb.sparkSession, dir = dir,
       fields = Seq("kind" -> "ivfsq8", "cells" -> cells.toString))
