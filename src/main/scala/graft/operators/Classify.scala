@@ -65,16 +65,22 @@ object Classify {
     // ---- train: the (label, word) conditional table folds the
     // per-doc multiplicities; class totals and the vocabulary size
     // derive from that model-sized frame, so training touches the
-    // corpus exactly once (plus the metadata-only doc count)
-    val nDocs = docs.count()
+    // corpus exactly once
     val condCounts = wc.groupBy(col("lang").as("clabel"), col("w"))
       .agg(sum("cnt").as("cwl"))
       .localCheckpoint() // vocab × labels — model-sized
     val vocab = condCounts.select("w").distinct().count()
+    // nDocs = Σ per-label doc counts (every doc carries exactly one
+    // label row in the groupBy), folded in as a label-frame window sum
+    // instead of a separate driver-side docs.count() action — one
+    // fewer corpus scan per invocation (guide §5: the driver does no
+    // data work it doesn't need). nd / sum(nd) divides the same two
+    // doubles the old nd / nDocs did, so log_prior is bit-identical.
     val priors = docs.groupBy(col("lang").as("clabel"))
       .agg(count(lit(1)).as("nd"))
       .withColumn("log_prior",
-        round(log(col("nd") / lit(nDocs.toDouble)), 6).cast("decimal(18,6)"))
+        round(log(col("nd") /
+          sum(col("nd")).over(Window.partitionBy())), 6).cast("decimal(18,6)"))
     val classTokens = condCounts.groupBy(col("clabel"))
       .agg(sum("cwl").as("tl"))
     val model = condCounts.join(classTokens, "clabel")
@@ -91,17 +97,19 @@ object Classify {
     // ---- apply: distinct (doc, word) rows × labels, sparse-join the
     // conditional table; each row's log-prob is weighted by its token
     // multiplicity (cnt · DECIMAL(18,6) is exact, so the weighted fold
-    // equals the per-token fold bit-for-bit)
-    val labels = priors.select("clabel", "log_prior")
+    // equals the per-token fold bit-for-bit). The label fan-out, the
+    // unseen-mass lookup, and the prior all ride ONE broadcast label
+    // frame (labels × 3 columns) instead of three separate broadcast
+    // exchanges; log_prior is constant per label, so carrying it
+    // through the group keys leaves the groups unchanged.
+    val labelSide = priors.select("clabel", "log_prior").join(unseen, "clabel")
     val scored = wc.select("doc_id", "w", "cnt")
-      .crossJoin(broadcast(labels.select("clabel")))
+      .crossJoin(broadcast(labelSide))
       .join(model, Seq("clabel", "w"), "left")
-      .join(broadcast(unseen), "clabel")
       .withColumn("lp", coalesce(col("log_cond"), col("log_unseen")))
-      .groupBy("doc_id", "clabel")
+      .groupBy("doc_id", "clabel", "log_prior")
       .agg(sum(col("lp") * col("cnt")).as("sum_lp"),
         sum("cnt").as("n_tokens"))
-      .join(broadcast(labels), "clabel")
       .withColumn("score", col("log_prior") + col("sum_lp"))
 
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("clabel"))

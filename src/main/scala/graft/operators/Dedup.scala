@@ -710,13 +710,18 @@ object Dedup {
     // non-distinct shingling: the per-(doc, gram) dedup would be thrown
     // away by the gram-level distinct anyway — one shuffle, not two
     val trainGrams = shingles(train, n, distinct = false).select("s").distinct()
-    // two consumers (sizes, hits) — materialize the eval shingling once
-    val evalGrams = shingles(eval, n).localCheckpoint()
-    val sizes = evalGrams.groupBy("doc_id").agg(count(lit(1)).as("total_ngrams"))
-    val hits = evalGrams.join(trainGrams, "s")
-      .groupBy("doc_id").agg(count(lit(1)).as("contaminated_ngrams"))
-    sizes.join(hits, Seq("doc_id"), "left")
-      .withColumn("contaminated_ngrams", coalesce(col("contaminated_ngrams"), lit(0L)))
+      .withColumn("__hit", lit(1))
+    // ONE pass over the eval grams: a left join against the distinct
+    // train-gram set (at most one match per row, so row count is
+    // preserved) marks hits, and a single per-doc aggregate folds the
+    // total and the hit count together. The old sizes/hits split read
+    // the eval shingling twice (forcing a localCheckpoint), aggregated
+    // per doc twice, and re-joined — two extra Exchanges plus the
+    // checkpoint materialization job (guide §2.3/§2.4).
+    shingles(eval, n).join(trainGrams, Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total_ngrams"),
+        count(col("__hit")).as("contaminated_ngrams"))
       .withColumn("contamination_ratio",
         round(col("contaminated_ngrams") / col("total_ngrams"), 4))
       .orderBy("doc_id")
@@ -749,11 +754,14 @@ object Dedup {
     val trainSurvivors = shingles(train, n, distinct = false)
       .filter(graft.functions.BloomMightContain.mightContain(col("s"), bloomBc))
       .select("s").distinct()
-    val sizes = evalGrams.groupBy("doc_id").agg(count(lit(1)).as("total_ngrams"))
-    val hits = evalGrams.join(trainSurvivors, "s")
-      .groupBy("doc_id").agg(count(lit(1)).as("contaminated_ngrams"))
-    sizes.join(hits, Seq("doc_id"), "left")
-      .withColumn("contaminated_ngrams", coalesce(col("contaminated_ngrams"), lit(0L)))
+      .withColumn("__hit", lit(1))
+    // same fused single-pass per-doc fold as [[contamination]]: the
+    // left join against the distinct surviving-gram set preserves row
+    // count, so one aggregate carries both the total and the hit count
+    evalGrams.join(trainSurvivors, Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total_ngrams"),
+        count(col("__hit")).as("contaminated_ngrams"))
       .withColumn("contamination_ratio",
         round(col("contaminated_ngrams") / col("total_ngrams"), 4))
       .orderBy("doc_id")
@@ -1317,13 +1325,23 @@ object Dedup {
     val byBucket = Window.partitionBy("bucket")
     val ordered = Window.partitionBy("bucket")
       .orderBy(col("sw"), col("doc_id"), col("pos"))
-    // LCP(sw, other) = number of k with equal k-prefixes (prefix
-    // equality is monotone in k, so the count IS the max such k);
-    // null neighbor (bucket edge) → 0
+    // LCP(sw, other) = length of the leading run of equal elements —
+    // identical to "number of k with equal k-prefixes" (prefix
+    // equality is monotone in k). Folded ELEMENT-WISE with a
+    // short-circuit flag: the old per-k `slice(sw,1,k) = slice(other,
+    // 1,k)` form allocated two fresh arrays and compared O(k) elements
+    // at every k (O(maxLen²) work + 2·maxLen allocations per neighbor)
+    // for the same count; this is one O(maxLen) pass with no
+    // allocations (guide §1.2 step 2: per-task work — this fold is the
+    // hot expression of the bucket-sort stage). Null neighbor (bucket
+    // edge) → 0 via the outer coalesce, as before.
     def lcp(other: String): org.apache.spark.sql.Column = coalesce(expr(
-      s"""aggregate(sequence(1, least(size(sw), size($other))), 0,
-         |  (acc, k) -> acc + IF(slice(sw, 1, k) = slice($other, 1, k), 1, 0))"""
-        .stripMargin), lit(0))
+      s"""aggregate(sequence(1, least(size(sw), size($other))),
+         |  named_struct('eq', true, 'c', 0),
+         |  (acc, k) -> IF(acc.eq AND element_at(sw, k) = element_at($other, k),
+         |    named_struct('eq', true, 'c', acc.c + 1),
+         |    named_struct('eq', false, 'c', acc.c)),
+         |  acc -> acc.c)""".stripMargin), lit(0))
     val counted = sfx
       .withColumn("bn", count(lit(1)).over(byBucket))
       .filter(col("bn") >= 2) // same shuffle key: count + lag share it

@@ -336,10 +336,13 @@ object Sketch {
     * This is the 100 TB quantile path: exact percentiles need a global
     * sort (or an exact-percentile aggregate whose state is the value
     * multiset); this state is a few hundred BIGINT cells that merge by
-    * plain sum. The query builds PER-RETURNFLAG partial sketches and
-    * sum-merges them while the oracle histograms the whole table
-    * directly — a hash match proves merge associativity end-to-end
-    * (the [[hllUnion]] pattern). The `quantile_cont` twin (the
+    * plain sum (map-side partial aggregation IS that merge — each task
+    * builds a local register file and the exchange carries registers,
+    * never values). The grouped/streaming variants
+    * ([[logHistQuantilesByGroup]], the histogram replay) keep explicit
+    * per-group register files, proving merge associativity against the
+    * direct-histogram oracle (the [[hllUnion]] pattern). The
+    * `quantile_cont` twin (the
     * events_percentiles-precedent exact aggregate) rides along for the
     * rel_err diagnostic; a petabyte caller drops it.
     *
@@ -351,9 +354,16 @@ object Sketch {
     */
   def logHistQuantiles(li: DataFrame, subBits: Int = 4): DataFrame = {
     val base = centsBase(li)
-    val partials = bucketize(base, subBits)
-      .groupBy("g", "lo", "sh").agg(count(lit(1)).as("cnt"))
-    val merged = partials.groupBy("lo", "sh").agg(sum("cnt").as("cnt"))
+    // one aggregate pass: summing per-group partial registers cell-wise
+    // equals counting into the global register file directly (integer
+    // sums are associative), so the per-g partial stage and its second
+    // Exchange are dropped (guide §2.3). The merge-associativity
+    // demonstration lives in the grouped/streaming variants
+    // ([[logHistQuantilesByGroup]], the stream replay), which keep
+    // per-group register files by construction. Dropping `g` here also
+    // lets column pruning remove l_returnflag from the scan entirely.
+    val merged = bucketize(base, subBits)
+      .groupBy("lo", "sh").agg(count(lit(1)).as("cnt"))
     quantilesFromRegisters(merged)
   }
 
@@ -365,9 +375,9 @@ object Sketch {
     */
   def logHistQuantilesRelErr(li: DataFrame, subBits: Int = 4): DataFrame = {
     val base = centsBase(li)
-    val partials = bucketize(base, subBits)
-      .groupBy("g", "lo", "sh").agg(count(lit(1)).as("cnt"))
-    val merged = partials.groupBy("lo", "sh").agg(sum("cnt").as("cnt"))
+    // same single-pass register build as [[logHistQuantiles]]
+    val merged = bucketize(base, subBits)
+      .groupBy("lo", "sh").agg(count(lit(1)).as("cnt"))
     quantilesWithRelErr(merged, base)
   }
 

@@ -703,12 +703,21 @@ object TextOps {
     * itself is k rows, broadcast everywhere.
     */
   def phraseSearch(docs: DataFrame, k: Int = 5): DataFrame = {
+    // materialize the k-row phrase table: `phrases` and `wordSet` are
+    // two consumers, and their column-pruned copies of the topNgrams
+    // subtree are NOT canonically equal, so ReuseExchange does not
+    // dedup them — without the checkpoint the corpus-sized trigram
+    // explode + aggregate ran TWICE per query (verified in the r19
+    // before-plan: two separate Scan→Generate→HashAggregate→
+    // TakeOrdered chains feeding the two broadcasts). The checkpoint
+    // is k rows; the saved pass is corpus-sized (guide §2.4).
     val phrases = topNgrams(docs, 3, k)
       .select(col("s").as("phrase"), col("occurrences"),
         col("n_docs").as("n_docs_gram"))
       .withColumn("w1", split(col("phrase"), " ")(0))
       .withColumn("w2", split(col("phrase"), " ")(1))
       .withColumn("w3", split(col("phrase"), " ")(2))
+      .localCheckpoint()
     val post = spread(docs)
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), col("pos"), col("col").as("w"))
