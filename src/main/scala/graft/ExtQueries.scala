@@ -1827,7 +1827,10 @@ object ExtQueries {
     // it tracks testdata row-count changes exactly as the engine does.
     "embed_semdedup_sized_twolevel" -> ((s, d) =>
       Similarity.semDedupSized(perturbedCorpus(emb(s, d)), 0.95,
-        targetCellSize = 64, iters = 2, maxFlatCells = 4)),
+        targetCellSize = 64, iters = 2, maxFlatCells = 4,
+        // corpusKey caches the geometry-deriving corpus count across
+        // repeat invocations (results are corpusKey-independent)
+        corpusKey = Some(d + "#semdedup-sized-2l"))),
 
     // cross-source leakage matrix: distinct shared 8-grams + gram-set
     // Jaccard per source pair — the corpus-level mixture/provenance view

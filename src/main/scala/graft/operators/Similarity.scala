@@ -963,7 +963,10 @@ object Similarity {
   def semDedupAuto(emb: DataFrame, tau: Double = 0.95, iters: Int = 2,
       maxFlatCells: Int = 64, corpusKey: Option[String] = None,
       sampleRows: Int = AutoTrainSample): DataFrame =
-    semDedupRung(emb.count(), maxFlatCells) match {
+    // N through the per-corpusKey count cache (the semDedupSized path):
+    // a keyed repeat invocation derives its rung without re-scanning
+    // the corpus — previously this path always paid the full count()
+    semDedupRung(corpusCount(emb, corpusKey), maxFlatCells) match {
       case Left(cells) => semDedup(emb, tau, cells, iters, corpusKey, sampleRows)
       case Right((coarse, fine)) =>
         semDedupTwoLevel(emb, tau, coarse, fine, iters, sampleRows)
@@ -1396,6 +1399,45 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Per-dimension centering means over a `v: array<double>` frame:
+    * (i, m = Σ round(x_i,8) / n_i, nn = n_i) with n_i carried as
+    * count(*) per dimension. Exposed package-private so the
+    * fixed-width invariant (n_i ≡ corpus row count for every i) stays
+    * test-pinned — the r18 rewrite folded the separate count() job
+    * into this aggregate on that assumption.
+    */
+  private[graft] def pcaMeans(e: DataFrame): DataFrame =
+    meansFromScatter(pcaScatterMeans(e))
+
+  /** ONE corpus pass for the whole PCA model state: the upper-triangle
+    * scatter structs (j ≥ i) and the per-dimension centering terms
+    * (tagged j = −1, the same DECIMAL(18,8) type) ride a single
+    * explode + hash aggregate, so the corpus is scanned and exploded
+    * once instead of twice (guide §1.2 step 1 — remove a full pass).
+    * Output: (i, j, s = Σp, cnt); product cells ignore cnt, the mean
+    * rows divide by it.
+    */
+  private[graft] def pcaScatterMeans(e: DataFrame): DataFrame =
+    e.select(explode(expr(
+      """concat(
+        |  flatten(transform(v, (xi, i) -> transform(slice(v, i + 1, size(v) - i), (xj, jj) ->
+        |    struct(i AS i, i + jj AS j,
+        |           CAST(round(xi * xj, 8) AS DECIMAL(18,8)) AS p)))),
+        |  transform(v, (x, i) -> struct(i AS i, -1 AS j,
+        |    CAST(round(x, 8) AS DECIMAL(18,8)) AS p)))""".stripMargin)).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+      .groupBy("i", "j").agg(sum("p").as("s"), count(lit(1)).as("cnt"))
+
+  /** The (i, m, nn) centering frame read off the fused scatter+means
+    * aggregate — the same Σround(x_i,8) / count(*) division (over the
+    * same DECIMAL sum and count) the standalone means pass computed.
+    */
+  private def meansFromScatter(sm: DataFrame): DataFrame =
+    sm.filter(col("j") === -1)
+      .select(col("i"), (col("s").cast("double") /
+        col("cnt").cast("double")).as("m"),
+        col("cnt").cast("double").as("nn"))
+
   /** The shared power-iteration chain behind [[pcaPowerTop]] and
     * [[abttPostProcess]]: (means(i, m), v2(j, vj) unit direction,
     * lambda(eigenvalue)).
@@ -1417,13 +1459,11 @@ object Similarity {
     // the saving is in the per-row explode + map-side partial agg).
     // The lower triangle is restored AFTER aggregation on the
     // model-sized (2080-row) frame, bit-identically.
-    val outer = expr(
-      """flatten(transform(v, (xi, i) -> transform(slice(v, i + 1, size(v) - i), (xj, jj) ->
-        |  struct(i AS i, i + jj AS j,
-        |         CAST(round(xi * xj, 8) AS DECIMAL(18,8)) AS p))))""".stripMargin)
-    val cellsUpper = e.select(explode(outer).as("c"))
-      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
-      .groupBy("i", "j").agg(sum("p").as("s"))
+    // scatter cells AND centering terms in ONE pass ([[pcaScatterMeans]]):
+    // the fused (i, j, s, cnt) aggregate is 2080 + 64 rows — checkpoint
+    // it once; cells and means are filters over it
+    val sm = pcaScatterMeans(e).localCheckpoint()
+    val cellsUpper = sm.filter(col("j") >= 0).select("i", "j", "s")
     val cells = cellsUpper.unionByName(
       cellsUpper.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("s")))
@@ -1436,14 +1476,12 @@ object Similarity {
     // (Spark rounds the exact expansion, DuckDB rounds a scaled double).
     // n rides along as count(*) per dimension (every row contributes to
     // every i), so the chain no longer pays a separate count() job.
-    val means = e.select(explode(expr(
-        """transform(v, (x, i) -> struct(i AS i,
-          |  CAST(round(x, 8) AS DECIMAL(18,8)) AS x))""".stripMargin)).as("c"))
-      .select(col("c.i").as("i"), col("c.x").as("x"))
-      .groupBy("i").agg((sum("x").cast("double") /
-        count(lit(1)).cast("double")).as("m"),
-        count(lit(1)).cast("double").as("nn"))
-      .localCheckpoint() // 64 rows; referenced twice by cov + by ABTT
+    // CONTRACT: embeddings are FIXED-WIDTH — per-dimension count(*)
+    // equals the corpus row count only when every vector carries every
+    // dimension (pinned by SimilaritySpec's means-count invariant); a
+    // variable-width source would silently change the centering
+    // divisor and must not ride this chain.
+    val means = meansFromScatter(sm) // 64 rows off the checkpointed sm
     // the 4096-cell model frame feeds BOTH matvec steps — checkpoint it
     // eagerly so the corpus-sized scatter chain runs exactly once (the
     // block set is model-sized and lives until session end, the

@@ -119,6 +119,25 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(lambda - 33.25) < 0.01, s"eigenvalue $lambda")
   }
 
+  test("pcaMeans: per-dimension count(*) equals the corpus row count " +
+      "on fixed-width vectors (the folded-count invariant)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // The r18 scatter rewrite rides n as count(*) per dimension instead
+    // of a separate count() job — valid ONLY while every vector is
+    // full-width. Pin it: nn must be the row count on every dimension.
+    val rows = (0 until 17).map { k =>
+      (k.toLong, (0 until 64).map(j => (k * 64 + j).toFloat % 7).toSeq, 0)
+    }
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val v = e.select(transform(col("embedding"),
+      x => x.cast("double")).as("v"))
+    val m = Similarity.pcaMeans(v).collect()
+    assert(m.length == 64)
+    assert(m.forall(_.getAs[Double]("nn") == 17.0),
+      "per-dimension count must equal the corpus row count")
+  }
+
   test("abttPostProcess removes a rank-1 corpus entirely") {
     val spark2 = spark
     import spark2.implicits._
