@@ -29,8 +29,30 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** `spark.read.parquet` runs a driver-side file-listing + footer
+    * schema read on EVERY call — one extra job per query invocation,
+    * paid by every table the query touches. The testdata is immutable
+    * for the life of a session, so the resolved DataFrame handle (whose
+    * relation already holds the listed files and schema) is cached per
+    * (session, path) — the stocksCache precedent, minus the persist:
+    * only the plan handle is reused, every execution still scans the
+    * parquet. Evicted with the session like every other session cache.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    SessionCaches.watch(spark)
+    tableCache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  private val tableCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  locally {
+    SessionCaches.register(
+      evict = s => { tableCache.filterInPlace((k, _) => !(k._1 eq s)): Unit },
+      sweep = () =>
+        { tableCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped): Unit })
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")

@@ -224,14 +224,25 @@ object Sink {
     // tasks × cells files, and at cells ∝ corpus the serve-time file
     // listing dominates search (measured ×100 probe: 36.8 s → the
     // one-file-per-cell layout serves the same probe in ~1 s).
-    withNearestCell(emb.select("vec_id", "embedding"), cent)
-      .select("vec_id", "embedding", "cell")
-      .repartition(col("cell"))
-      .sortWithinPartitions("cell", "vec_id")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "static")
-      .partitionBy("cell").parquet(s"$dir/assignment")
-    writeCentroidArtifact(cent, s"$dir/centroids")
+    // the model-sized centroid artifact is independent of the
+    // corpus-sized assignment write — overlap them (guide §2.6: submit
+    // independent jobs concurrently so the small job back-fills the
+    // big one's tail); the manifest still lands only after BOTH parts
+    // exist, so a reader never sees a manifest ahead of its content
+    val centF = scala.concurrent.Future {
+      writeCentroidArtifact(cent, s"$dir/centroids")
+    }(scala.concurrent.ExecutionContext.global)
+    try {
+      withNearestCell(emb.select("vec_id", "embedding"), cent)
+        .select("vec_id", "embedding", "cell")
+        .repartition(col("cell"))
+        .sortWithinPartitions("cell", "vec_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cell").parquet(s"$dir/assignment")
+    } finally scala.concurrent.Await.ready(
+      centF, scala.concurrent.duration.Duration.Inf)
+    centF.value.get.get // surface an artifact-write failure
     writeIndexManifest(spark = emb.sparkSession, dir = dir,
       fields = Seq("kind" -> "ivf", "cells" -> cells.toString))
     // a full (re)write is a new generation — tombstones against the
@@ -907,17 +918,26 @@ object Sink {
     // plus the assignment back to the corpus by vec_id — three
     // corpus-sized exchanges for values derivable in the projection
     // (guide §2.4).
-    withNearestCell(emb.select("vec_id", "embedding"), cent)
-      .crossJoin(broadcast(pqSubsArray(pqCents)))
-      .withColumn("codes", pqCodesColumn(subDim))
-      .select("vec_id", "codes", "embedding", "cell")
-      .repartition(col("cell")) // one file per cell (see writeIvfIndex)
-      .sortWithinPartitions("cell", "vec_id")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "static")
-      .partitionBy("cell").parquet(s"$dir/assignment")
-    writeCentroidArtifact(cent, s"$dir/centroids")
-    writeCentroidArtifact(pqCents.select("sub", "cell", "c"), s"$dir/pq_centroids")
+    // both model-sized artifacts are independent of the corpus-sized
+    // assignment write — overlap them (guide §2.6; the writeIvfIndex
+    // pattern); the manifest still lands only after everything exists
+    val artF = scala.concurrent.Future {
+      writeCentroidArtifact(cent, s"$dir/centroids")
+      writeCentroidArtifact(pqCents.select("sub", "cell", "c"), s"$dir/pq_centroids")
+    }(scala.concurrent.ExecutionContext.global)
+    try {
+      withNearestCell(emb.select("vec_id", "embedding"), cent)
+        .crossJoin(broadcast(pqSubsArray(pqCents)))
+        .withColumn("codes", pqCodesColumn(subDim))
+        .select("vec_id", "codes", "embedding", "cell")
+        .repartition(col("cell")) // one file per cell (see writeIvfIndex)
+        .sortWithinPartitions("cell", "vec_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cell").parquet(s"$dir/assignment")
+    } finally scala.concurrent.Await.ready(
+      artF, scala.concurrent.duration.Duration.Inf)
+    artF.value.get.get // surface an artifact-write failure
     writeIndexManifest(spark = emb.sparkSession, dir = dir,
       fields = Seq("kind" -> "ivfpq", "cells" -> cells.toString,
         "m" -> m.toString, "subDim" -> subDim.toString, "k" -> k.toString))
@@ -1894,14 +1914,22 @@ object Sink {
     // the whole layout is one projection over the scan + the cell
     // repartition — the previous two vec_id shuffle-joins bought
     // nothing (guide §2.4; see writeIvfIndex)
-    withNearestCell(Similarity.withSq8Codes(emb.select("vec_id", "embedding")), cent)
-      .select("vec_id", "q", "n2", "ma", "embedding", "cell")
-      .repartition(col("cell")) // one file per cell (see writeIvfIndex)
-      .sortWithinPartitions("cell", "vec_id")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "static")
-      .partitionBy("cell").parquet(s"$dir/assignment")
-    writeCentroidArtifact(cent, s"$dir/centroids")
+    // overlap the model-sized artifact with the corpus-sized
+    // assignment write (guide §2.6; the writeIvfIndex pattern)
+    val centF = scala.concurrent.Future {
+      writeCentroidArtifact(cent, s"$dir/centroids")
+    }(scala.concurrent.ExecutionContext.global)
+    try {
+      withNearestCell(Similarity.withSq8Codes(emb.select("vec_id", "embedding")), cent)
+        .select("vec_id", "q", "n2", "ma", "embedding", "cell")
+        .repartition(col("cell")) // one file per cell (see writeIvfIndex)
+        .sortWithinPartitions("cell", "vec_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cell").parquet(s"$dir/assignment")
+    } finally scala.concurrent.Await.ready(
+      centF, scala.concurrent.duration.Duration.Inf)
+    centF.value.get.get // surface an artifact-write failure
     writeIndexManifest(spark = emb.sparkSession, dir = dir,
       fields = Seq("kind" -> "ivfsq8", "cells" -> cells.toString))
     // a full (re)write is a new generation — stale tombstones must not
