@@ -585,8 +585,10 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
       fullRecall: Boolean = false): DataFrame = {
     // eager materialization: three consumers (chunk generation + two
-    // verification join-backs) would race a cold cache
-    val sig = simhash(docs).localCheckpoint()
+    // verification join-backs) would race a cold cache. Unsorted — the
+    // consumers are joins, so the output-contract sort stays out of
+    // the checkpoint.
+    val sig = simhashUnsorted(docs).localCheckpoint()
     // explode, not a 4-way union (see minhashLshPairs): one pass, one
     // AQE stage per join side instead of eight racing the cold cache
     val chunkStructs = (0 until 4).map { b =>
@@ -1127,7 +1129,17 @@ object Dedup {
     * doc) instead of 64 rows per word (the naive explode would move
     * docs × words × 64 rows).
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame): DataFrame =
+    simhashUnsorted(docs).orderBy("doc_id")
+
+  /** [[simhash]] minus its output-contract sort: the pair miner
+    * consumes signatures by join/explode, so materializing a
+    * rangepartition + global sort of the corpus-sized signature table
+    * into its checkpoint bought nothing (guide §2.4 — an orderBy used
+    * only to make OUTPUT deterministic does not belong in an
+    * intermediate).
+    */
+  private[graft] def simhashUnsorted(docs: DataFrame): DataFrame = {
     val docWords = spread(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .distinct()
@@ -1147,7 +1159,6 @@ object Dedup {
       .withColumn("simhash",
         concat((0 until 64).map(b => when(col(s"s$b") >= 0, "1").otherwise("0")): _*))
       .select("doc_id", "simhash")
-      .orderBy("doc_id")
   }
 
   /** Exact repeated-substring spans — the dedup granularity between
