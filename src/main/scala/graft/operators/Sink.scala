@@ -1845,15 +1845,20 @@ object Sink {
         Similarity.l2sq(col("qsv"), col("c")).as("dist"))
     // probed-subdirectory read from the bounded probe list — DPP
     // degenerates on this join shape (see searchIvfIndex), and both
-    // serving stages must scan (and LIST) only the probed cells
-    val probedCells = probes.select("cell").distinct()
-      .collect().map(_.getLong(0))
+    // serving stages must scan (and LIST) only the probed cells.
+    // The collected rows double as the serving join's local relation
+    // (the searchIvfIndex one-probe-computation note).
+    import spark.implicits._
+    val probeRows = probes.select("qid", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val probesLocal = probeRows.toDF("qid", "cell")
+    val probedCells = probeRows.map(_._2).distinct
     val assignment = maskTombstones(spark, dir,
-      readProbedCells(spark, s"$dir/assignment", probedCells.toSeq))
+      readProbedCells(spark, s"$dir/assignment", probedCells))
     // stage 2: codes-only projection of the probed cells; the ADC sum
     // is exact DECIMAL so ranking never touches a folded double
     val adc = assignment.select("vec_id", "codes", "cell")
-      .join(broadcast(probes), "cell")
+      .join(broadcast(probesLocal), "cell")
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
       .join(broadcast(lut), Seq("qid", "sub", "code"))
@@ -1998,17 +2003,21 @@ object Sink {
       .filter(col("pn") <= nprobe)
       .select("qid", "cell", "pn")
     // literal partition filter from the bounded probe list (the
-    // searchIvfIndex contract — DPP degenerates on this join shape)
-    val probedCells = probes.select("cell").distinct()
-      .collect().map(_.getLong(0))
+    // searchIvfIndex contract — DPP degenerates on this join shape);
+    // the collected rows double as the serving join's local relation
+    import spark.implicits._
+    val probeRows = probes.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val probesLocal = probeRows.toDF("qid", "cell", "pn")
+    val probedCells = probeRows.map(_._2).distinct
     val assignment = maskTombstones(spark, dir,
-      readProbedCells(spark, s"$dir/assignment", probedCells.toSeq)
+      readProbedCells(spark, s"$dir/assignment", probedCells)
         .select("vec_id", "q", "n2", "cell"))
     val dotInt = aggregate(
       zip_with(col("qq"), col("q"), (a, b) => a.cast("long") * b.cast("long")),
       lit(0L), (acc, x) => acc + x)
     val scored = assignment
-      .join(broadcast(probes.join(qCodes, "qid")), "cell")
+      .join(broadcast(probesLocal.join(qCodes, "qid")), "cell")
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("qcos",
         when(col("qn2") === 0L || col("n2") === 0L, lit(null).cast("double"))
@@ -2104,11 +2113,21 @@ object Sink {
     // dynamic partition pruning degenerates to
     // `dynamicpruningexpression(true)` on this join shape (verified
     // on the executed plan), which would silently scan EVERY cell.
-    val cand = probes.join(q.select("qid", "qe"), "qid")
-    val probedCells = probes.select("cell").distinct()
-      .collect().map(_.getLong(0))
+    // ONE probe computation: the probed-cell literal filter already
+    // collects the (bounded, ≤ nQueries×nprobe) probe list — reuse
+    // those rows as a local relation for the serving join instead of
+    // recomputing the probe ranking (query-side parquet scan +
+    // centroid broadcast + window) a second time inside the
+    // broadcast-build. Collected rows are deterministic, so the join
+    // input is identical.
+    import spark.implicits._
+    val probeRows = probes.select("qid", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val probesLocal = probeRows.toDF("qid", "cell")
+    val cand = probesLocal.join(q.select("qid", "qe"), "qid")
+    val probedCells = probeRows.map(_._2).distinct
     val assignment = maskTombstones(spark, dir,
-      readProbedCells(spark, s"$dir/assignment", probedCells.toSeq))
+      readProbedCells(spark, s"$dir/assignment", probedCells))
     val scored = assignment
       .join(broadcast(cand), "cell")
       .filter(col("qid") =!= col("vec_id"))
